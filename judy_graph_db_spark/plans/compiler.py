@@ -1,0 +1,405 @@
+"""Pattern → DataFrame-join-chain compiler (SURVEY.md §2.6, §3).
+
+The reference evaluates patterns imperatively: ``evalLtoR``
+(``Cypher.hs:653-695``) materializes the leftmost node column, then
+``walkPaths`` (``Cypher.hs:800-863``) probes judy per frontier node and
+edge-attr. Here each hop is ONE relational join
+``frontier ⋈ edges(src, label-pred, dir-pred)`` and the whole pattern
+compiles to a left-deep join chain that Catalyst/AQE optimizes —
+predicate pushdown, broadcast selection and join re-ordering replace the
+reference's hand-rolled cost model (``compl``/``minI``,
+``Cypher.hs:575-607``).
+
+Result = the **bindings DataFrame**: one row per matched path, columns
+``n0, e0_label, e0_seq, n1, e1_label, …`` (variable-length hops produce
+``e{i}_depth`` instead of label/seq). The reference's flattened ``table``
+output and nested ``temp`` layers (``Table.hs:21-50``) are projections of
+this (see :func:`flat_table`, :func:`nested_layers`).
+
+Variable-length paths (``several``/``***``, ``Cypher.hs:127-136,853-858``)
+are the one non-relational piece: a driver-side BFS frontier loop with the
+reference's stop rules (``stopRecursion``, ``Cypher.hs:823-837``) — empty
+frontier before lo contributes nothing; results accumulate for depth ≥ lo;
+unbounded repeats are cycle-guarded by a visited-set anti-join and each
+iteration is localCheckpoint'ed to keep plans shallow at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.graph import Graph
+from judy_graph_db_spark.plans.pattern import E, N, Pattern
+from judy_graph_db_spark.schema import EDGE_COLS
+
+UNBOUNDED_MAX_HOPS = 30  # safety cap for `***` (reference uses 2^32-1, Cypher.hs:135-136)
+
+
+# --------------------------------------------------------------- node specs
+
+def _ranges_predicate(g: Graph, col, wanted_labels) -> Optional[object]:
+    """Label filter as an OR-of-BETWEEN predicate over the ranges table
+    (``nodeLabel``/``inRange``) — pure predicate, so it pushes down to the
+    scan instead of requiring a join."""
+    entries = [e for e in g.ranges.entries if e[2] in set(wanted_labels)]
+    known = {e[2] for e in g.ranges.entries}
+    if not entries or not set(wanted_labels) <= known:
+        return None
+    pred = None
+    for start, length, _, _ in entries:
+        p = col.between(int(start), int(start + length - 1))
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def materialize_node_spec(g: Graph, spec: N, col_name: str) -> DataFrame:
+    """``evalNode`` (``Cypher.hs:624-642``): AllNodes → every node; Label →
+    range spans; Nodes → the explicit list."""
+    if spec.ids is not None:
+        df = g.spark.createDataFrame([(int(i),) for i in spec.ids], f"{col_name} long")
+    elif spec.labels is not None:
+        pred = _ranges_predicate(g, F.col("id"), spec.labels)
+        if pred is not None and g.nodes.isEmpty():
+            ids = g.edges.select(F.col("src").alias("id")).union(
+                g.edges.select(F.col("dst").alias("id"))).distinct()
+            df = ids.filter(pred).select(F.col("id").alias(col_name))
+        else:
+            src = g.nodes if not g.nodes.isEmpty() else None
+            if src is not None:
+                df = src.filter(F.col("label").isin(list(spec.labels))).select(
+                    F.col("id").alias(col_name))
+            else:
+                df = g.spark.createDataFrame([], f"{col_name} long")
+    else:
+        if not g.nodes.isEmpty():
+            df = g.nodes.select(F.col("id").alias(col_name))
+        else:
+            df = (
+                g.edges.select(F.col("src").alias(col_name))
+                .union(g.edges.select(F.col("dst").alias(col_name)))
+                .distinct()
+            )
+    if spec.where is not None:
+        df = df.filter(spec.where(F.col(col_name)))
+    return df.distinct()
+
+
+def restrict_to_node_spec(g: Graph, df: DataFrame, col_name: str, spec: N) -> DataFrame:
+    """Apply a node spec as a restriction on an existing binding column."""
+    if spec.is_any():
+        return df
+    if spec.ids is not None:
+        df = df.filter(F.col(col_name).isin([int(i) for i in spec.ids]))
+    if spec.labels is not None:
+        pred = _ranges_predicate(g, F.col(col_name), spec.labels)
+        if pred is not None:
+            df = df.filter(pred)
+        else:
+            allowed = g.nodes.filter(F.col("label").isin(list(spec.labels))).select(
+                F.col("id").alias(col_name))
+            df = df.join(allowed, col_name, "left_semi")
+    if spec.where is not None:
+        df = df.filter(spec.where(F.col(col_name)))
+    return df
+
+
+# --------------------------------------------------------------- edge specs
+
+def edge_relation(g: Graph, spec: E) -> DataFrame:
+    """The filtered edge relation for one hop: label / orth / direction /
+    where predicates (``genAttrs`` + ``getEdges``, ``Cypher.hs:288-316,
+    839-849``). Direction: 'r' follows forward rows, 'l' follows the
+    materialized back rows — the back-bit semantics (``FastAccess.hs:149-150``).
+    Orth multi-labels use arrays_overlap instead of the reference's 2ⁿ-1
+    attr-combination expansion (SURVEY.md §1.6)."""
+    e = g.edges
+    if spec.attr:
+        e = e.filter(F.col("label").isin(list(spec.attr)))
+    if spec.orth:
+        e = e.filter(F.arrays_overlap(F.col("labels"), F.array(*[F.lit(x) for x in spec.orth])))
+    if spec.direction == "r":
+        e = e.filter(~F.col("is_back"))
+    elif spec.direction == "l":
+        e = e.filter(F.col("is_back"))
+    if spec.where is not None:
+        cols = {c: F.col(c) for c in EDGE_COLS}
+        e = e.filter(spec.where(cols))
+    return e
+
+
+# ----------------------------------------------------------------- compile
+
+def compile_pattern(g: Graph, pattern: Pattern) -> DataFrame:
+    """Left-to-right compilation (= the reference's quick strategy,
+    ``evalLtoR``). Returns the bindings DataFrame."""
+    if not pattern.is_complete():
+        raise ValueError("pattern must start and end with a node spec")
+    node_specs = pattern.node_specs
+    edge_specs = pattern.edge_specs
+
+    bindings = materialize_node_spec(g, node_specs[0], "n0")
+
+    for i, espec in enumerate(edge_specs):
+        cur, nxt = f"n{i}", f"n{i+1}"
+        if espec.several is not None:
+            bindings = _walk_several(g, bindings, espec, cur, nxt, i)
+        else:
+            rel = edge_relation(g, espec).select(
+                F.col("src").alias(f"_src_{i}"),
+                F.col("dst").alias(nxt),
+                F.col("label").alias(f"e{i}_label"),
+                F.col("edge_seq").alias(f"e{i}_seq"),
+            )
+            bindings = bindings.join(
+                rel, bindings[cur] == rel[f"_src_{i}"], "inner"
+            ).drop(f"_src_{i}")
+        bindings = restrict_to_node_spec(g, bindings, nxt, node_specs[i + 1])
+    return bindings
+
+
+def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
+                  hop: int) -> DataFrame:
+    """Variable-length expansion (``walkPaths`` repeat handling,
+    ``Cypher.hs:853-858`` + ``stopRecursion`` ``Cypher.hs:823-837``)."""
+    lo, hi = espec.several
+    hi_eff = hi if hi is not None else UNBOUNDED_MAX_HOPS
+    # per-hop relation without the `several` bounds
+    rel = edge_relation(g, E(attr=espec.attr, orth=espec.orth, where=espec.where,
+                             direction=espec.direction)).select(
+        F.col("src").alias("_s"), F.col("dst").alias("_d"))
+
+    prev_cols = bindings.columns  # path prefix columns (n0..cur + edge cols)
+    frontier = bindings.withColumn("_cur", F.col(cur))
+    results = []
+    if lo == 0:
+        results.append(frontier.withColumn(f"e{hop}_depth", F.lit(0)))
+
+    # Bounded repeats walk ALL paths (a node re-reached at a deeper depth in
+    # [lo,hi] is a result) — termination comes from `hi`; per-depth distinct
+    # keeps the frontier ≤ |prefix|×|V|. Unbounded `***` switches to
+    # reachability semantics with a visited-set anti-join so cycles terminate
+    # (the reference would loop on cyclic input; SURVEY.md §4.3).
+    use_visited = hi is None
+    visited = None
+    if use_visited:
+        start_states = frontier.select(*prev_cols, "_cur").distinct()
+        # pre-seed start states only when depth 0 was already reported;
+        # otherwise a start node re-reached through a cycle is a result
+        visited = start_states if lo == 0 else start_states.limit(0)
+
+    depth = 0
+    while depth < hi_eff:
+        depth += 1
+        stepped = (
+            frontier.join(rel, frontier["_cur"] == rel["_s"], "inner")
+            .drop("_cur", "_s")
+            .withColumnRenamed("_d", "_cur")
+            .select(*prev_cols, "_cur")
+            .distinct()
+        )
+        if use_visited:
+            stepped = stepped.join(visited, prev_cols + ["_cur"], "left_anti")
+        fresh = stepped.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break  # frontier dried up (stopRecursion early-succeed/fail)
+        if use_visited:
+            visited = visited.union(fresh)
+        if depth >= lo:
+            results.append(fresh.withColumn(f"e{hop}_depth", F.lit(depth)))
+        frontier = fresh
+
+    if not results:
+        return (
+            bindings.withColumn(nxt, F.col(cur))
+            .withColumn(f"e{hop}_depth", F.lit(0))
+            .limit(0)
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return out.withColumnRenamed("_cur", nxt)
+
+
+# ----------------------------------------------------------- entry points
+
+def table(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
+    """Evaluate a pattern → bindings DataFrame (``table``, ``Cypher.hs:423-427``).
+
+    ``quick=True`` evaluates left→right as written (``evalLtoR``).
+    ``quick=False`` is the cost-based strategy (``runOnE``,
+    ``Cypher.hs:717-785``): seed the join chain from the cheaper end by the
+    reference's own 3-bucket cost model, then let Catalyst/AQE do real
+    statistics-based ordering within the chain.
+    """
+    if not quick:
+        first = pattern.node_specs[0].complexity()
+        last = pattern.node_specs[-1].complexity()
+        if last < first:
+            k = len(pattern.node_specs)
+            rev = compile_pattern(g, pattern.reversed())
+            # map reversed column names back to the original orientation
+            mapping = {}
+            for j in range(k):
+                mapping[f"n{j}"] = f"n{k-1-j}"
+            for j in range(k - 1):
+                for suffix in ("label", "seq", "depth"):
+                    mapping[f"e{j}_{suffix}"] = f"e{k-2-j}_{suffix}"
+            return rev.select([F.col(c).alias(mapping.get(c, c)) for c in rev.columns])
+    return compile_pattern(g, pattern)
+
+
+def temp(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
+    """Evaluate and cache for reuse in later queries (``temp``,
+    ``Cypher.hs:429,473-479``; ``README.md:230-236``)."""
+    return table(g, pattern, quick).cache()
+
+
+def flat_table(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
+    """The reference's flattened ``table`` view (``toNE``/``reduceAttrs``,
+    ``Cypher.hs:546-565``): one row per pattern position with the sorted
+    distinct node set bound at that position."""
+    b = table(g, pattern, quick)
+    ncols = [c for c in b.columns if c.startswith("n") and c[1:].isdigit()]
+    parts = [
+        b.agg(F.sort_array(F.collect_set(F.col(c))).alias("node_set")).select(
+            F.lit(int(c[1:])).alias("position"), "node_set")
+        for c in sorted(ncols, key=lambda c: int(c[1:]))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def nested_layers(bindings: DataFrame, upto: int | None = None) -> DataFrame:
+    """The nested ``temp`` layer view (``NAttr Nodes2..Nodes9``,
+    ``Table.hs:21-32``; ``README.md:154-163``): group by the path prefix and
+    collect the last position's nodes — hop k's result as who-reached-what."""
+    ncols = sorted(
+        [c for c in bindings.columns if c.startswith("n") and c[1:].isdigit()],
+        key=lambda c: int(c[1:]),
+    )
+    if upto is not None:
+        ncols = ncols[: upto + 1]
+    *prefix, last = ncols
+    if not prefix:
+        return bindings.agg(F.sort_array(F.collect_set(last)).alias("layer"))
+    return (
+        bindings.groupBy(*prefix)
+        .agg(F.sort_array(F.collect_set(last)).alias("layer"))
+        .orderBy(*prefix)
+    )
+
+
+# ------------------------------------------------------------- create_mem
+
+class GraphDiff:
+    """``GraphDiff`` (``Cypher.hs:445-461``): what a create run changed."""
+
+    def __init__(self, edges_added: DataFrame, edges_deleted: DataFrame):
+        self.edges_added = edges_added
+        self.edges_deleted = edges_deleted
+
+
+def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
+    """``createMem`` (``Cypher.hs:431-433,481-484``): materialize the
+    pattern's edges into the graph with overwrite semantics, returning the
+    delta (``overlaps``, ``Cypher.hs:868-889``).
+
+    Each hop's candidate edges = (nodes of spec i) × (edge label) ×
+    (nodes of spec i+1). Try-insert with overwrite=True: the candidate lands
+    at edge_seq=1; a different pre-existing seq-1 target is displaced and
+    reported deleted. Requires finite node specs and single-label,
+    non-`several` edge specs.
+    """
+    node_specs = pattern.node_specs
+    edge_specs = pattern.edge_specs
+    added_parts, deleted_parts = [], []
+    edges = g.edges
+
+    for i, espec in enumerate(edge_specs):
+        if espec.several is not None or not espec.attr or len(espec.attr) != 1:
+            raise ValueError("create_mem requires single-label, non-variable edge specs")
+        label = espec.attr[0]
+        left = materialize_node_spec(g, node_specs[i], "src")
+        right = materialize_node_spec(g, node_specs[i + 1], "dst")
+        cand = (
+            left.crossJoin(right)
+            .withColumn("label", F.lit(label))
+            .withColumn("labels", F.array(F.lit(label)))
+            .withColumn("is_back", F.lit(False))
+        )
+        # chain overwrite: the last candidate per (src,label) wins at seq 1;
+        # ordering = ascending dst (deterministic stand-in for spec order)
+        w = Window.partitionBy("src", "label").orderBy(F.col("dst").desc())
+        winner = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .withColumn("edge_seq", F.lit(1).cast("long"))
+            .select(*EDGE_COLS)
+        )
+        displaced_cand = cand.join(
+            winner.select("src", "label", "dst"), ["src", "label", "dst"], "left_anti"
+        ).select("src", "label", "dst")
+        old_first = edges.filter((F.col("label") == label) & (F.col("edge_seq") == 1) & (~F.col("is_back")))
+        displaced_old = (
+            old_first.join(winner.select("src", "label").withColumn("_w", F.lit(1)),
+                           ["src", "label"], "inner")
+            .join(winner.select("src", "label", F.col("dst").alias("_wd")), ["src", "label"])
+            .filter(F.col("dst") != F.col("_wd"))
+            .select("src", "label", "dst")
+        )
+        new_written = cand.select("src", "label", "dst").join(
+            old_first.select("src", "label", "dst"), ["src", "label", "dst"], "left_anti"
+        )
+        added_parts.append(new_written)
+        deleted_parts.append(displaced_old.union(displaced_cand))
+        keep = edges.join(winner.select("src", "label", "edge_seq", "is_back"),
+                          ["src", "label", "edge_seq", "is_back"], "left_anti")
+        edges = keep.unionByName(winner)
+
+    added = added_parts[0]
+    for p in added_parts[1:]:
+        added = added.union(p)
+    deleted = deleted_parts[0]
+    for p in deleted_parts[1:]:
+        deleted = deleted.union(p)
+    return Graph(g.spark, g.nodes, edges, g.ranges), GraphDiff(added, deleted)
+
+
+def graph_query(g: Graph, pattern: Pattern, quick: bool = True) -> Graph:
+    """Evaluate → result as a *graph* (``graphQuery``, ``Cypher.hs:438-439`` —
+    a stub in the reference, ``Cypher.hs:895-898``; real here): the subgraph
+    of matched nodes and traversed edges."""
+    b = table(g, pattern, quick)
+    ncols = sorted([c for c in b.columns if c.startswith("n") and c[1:].isdigit()],
+                   key=lambda c: int(c[1:]))
+    node_ids = None
+    for c in ncols:
+        part = b.select(F.col(c).alias("id"))
+        node_ids = part if node_ids is None else node_ids.union(part)
+    node_ids = node_ids.distinct()
+    nodes = g.nodes.join(node_ids, "id", "left_semi") if not g.nodes.isEmpty() else g.nodes
+
+    edge_parts = []
+    for i in range(len(ncols) - 1):
+        if f"e{i}_label" in b.columns:
+            edge_parts.append(
+                b.select(
+                    F.col(f"n{i}").alias("src"),
+                    F.col(f"n{i+1}").alias("dst"),
+                    F.col(f"e{i}_label").alias("label"),
+                    F.col(f"e{i}_seq").alias("edge_seq"),
+                ).distinct()
+            )
+    if edge_parts:
+        keys = edge_parts[0]
+        for p in edge_parts[1:]:
+            keys = keys.union(p)
+        edges = g.edges.join(keys.distinct(), ["src", "dst", "label", "edge_seq"], "left_semi")
+    else:
+        edges = g.edges.limit(0)
+    return Graph(g.spark, nodes, edges, g.ranges)

@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the driver harness (local[32], 128 GiB); the same
+settings translate to cluster mode — AQE on, shuffle partitions sized to the
+parallelism, Arrow enabled for the Pandas-UDF slow path, UTC timestamps so
+results hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "judy_graph_db_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's parquet files carry TIMESTAMP(NANOS) columns, which
+        # Spark's vectorized reader rejects; read them as long nanos and
+        # convert in the view loader (sources/tpch_graph.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()

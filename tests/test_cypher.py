@@ -1,0 +1,199 @@
+"""Pattern engine tests: direction matrix (test/Spec.hs:151-178), the
+issue-tracker golden query (app/Main.hs:20-31, README.md:150-163), and
+variable-length paths (test/examples/SortNodes.hs:63-99)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark import E, N, table, temp, flat_table
+from judy_graph_db_spark.plans.compiler import nested_layers, graph_query
+from tests.fixtures import f1_left, f1_right, f2_issue_tracker, f3_package_graph
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ------------------------------------------------------- direction matrix
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return f1_right(spark)
+
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return f1_left(spark)
+
+
+def q(g, direction, attr=None):
+    pat = N(ids=[0]) >> E(attr, direction=direction) >> N()
+    return table(g, pat)
+
+
+def test_spec2_right_edge_query_left_empty(right):
+    assert q(right, "l").count() == 0
+
+
+def test_spec3_right_edge_query_right(right):
+    assert rows(q(right, "r"), "n0", "n1") == [(0, 1)]
+
+
+def test_spec4_right_edge_query_undirected(right):
+    assert rows(q(right, None), "n0", "n1") == [(0, 1)]
+
+
+def test_spec5_left_edge_query_right_empty(left):
+    assert q(left, "r").count() == 0
+
+
+def test_spec6_left_edge_query_left(left):
+    assert rows(q(left, "l"), "n0", "n1") == [(0, 1)]
+
+
+def test_spec8_labeled_right_edge_query_left_empty(right):
+    assert q(right, "l", "E0").count() == 0
+
+
+def test_spec9_labeled_right_edge_query_right(right):
+    assert rows(q(right, "r", "E0"), "n0", "n1") == [(0, 1)]
+
+
+def test_spec10_labeled_left_edge_query_right_empty(left):
+    assert q(left, "r", "E0").count() == 0
+
+
+def test_spec11_labeled_left_edge_query_left(left):
+    assert rows(q(left, "l", "E0"), "n0", "n1") == [(0, 1)]
+
+
+def test_undirected_superset_property(right, left):
+    # the reference wanted this (commented out, Spec.hs:179-187)
+    for g in (right, left):
+        und = q(g, None).count()
+        assert q(g, "r").count() <= und and q(g, "l").count() <= und
+
+
+# --------------------------------------------------- issue-tracker golden
+
+def test_issue_tracker_two_hop(spark):
+    g = f2_issue_tracker(spark)
+    pat = (
+        N(ids=[0])
+        >> E("Raises")
+        >> N(labels=["ISSUE"])
+        >> E("References")
+        >> N(labels=["ISSUE"])
+    )
+    b = table(g, pat)
+    got = rows(b, "n0", "n1", "n2")
+    # undirected hops: 3~{4,5}, 4~{3,6}, 5~{3}, 6~{4}
+    assert got == [(0, 3, 4), (0, 3, 5), (0, 4, 3), (0, 4, 6), (0, 5, 3), (0, 6, 4)]
+
+
+def test_issue_tracker_nested_layers(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[0]) >> E("Raises") >> N(labels=["ISSUE"]) >> E("References") >> N(labels=["ISSUE"])
+    nested = nested_layers(table(g, pat))
+    got = {(r.n0, r.n1): r.layer for r in nested.collect()}
+    assert got == {(0, 3): [4, 5], (0, 4): [3, 6], (0, 5): [3], (0, 6): [4]}
+
+
+def test_flat_table(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[0]) >> E("Raises") >> N(labels=["ISSUE"])
+    ft = {r.position: r.node_set for r in flat_table(g, pat).collect()}
+    assert ft == {0: [0], 1: [3, 4, 5, 6]}
+
+
+def test_directed_hop(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[4]) >> E("References", direction="r") >> N()
+    assert rows(table(g, pat), "n1") == [(3,), (6,)]
+    pat_l = N(ids=[4]) >> E("References", direction="l") >> N()
+    assert rows(table(g, pat_l), "n1") == []  # nothing references 4
+
+
+def test_unlabeled_any_edge(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[0]) >> E(direction="r") >> N()
+    assert rows(table(g, pat), "n1") == [(2,), (3,), (3,), (4,), (5,), (6,)]
+
+
+def test_implicit_edge_sugar(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[1]) >> N()  # n >> m  == ~~
+    assert rows(table(g, pat), "n1") == [(7,)]
+
+
+def test_edge_where_predicate(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[0]) >> E("Raises", where=lambda c: c["edge_seq"] <= 2) >> N()
+    assert rows(table(g, pat), "n1") == [(3,), (4,)]
+
+
+def test_orth_multilabel(spark):
+    from judy_graph_db_spark.graph import Graph
+    g = Graph.from_lists(
+        spark, nodes=[(0, "A"), (1, "A"), (2, "A")],
+        directed_edges=[(0, 1, ["X", "Y"]), (0, 2, ["Z"])], add_back_edges=False,
+    )
+    pat = N(ids=[0]) >> E(orth=["Y"]) >> N()
+    assert rows(table(g, pat), "n1") == [(1,)]
+    pat2 = N(ids=[0]) >> E(orth=["Y", "Z"]) >> N()
+    assert rows(table(g, pat2), "n1") == [(1,), (2,)]
+
+
+def test_cost_strategy_matches_quick(spark):
+    g = f2_issue_tracker(spark)
+    pat = N() >> E("Raises", direction="r") >> N(ids=[3])
+    quick = rows(table(g, pat, quick=True), "n0", "n1")
+    cost = rows(table(g, pat, quick=False), "n0", "n1")
+    assert quick == cost == [(0, 3)]
+
+
+def test_graph_query_subgraph(spark):
+    g = f2_issue_tracker(spark)
+    pat = N(ids=[0]) >> E("Raises", direction="r") >> N()
+    sub = graph_query(g, pat)
+    assert sub.node_count() == 5
+    assert sub.edges.count() == 4
+
+
+# ------------------------------------------------------ var-length paths
+
+def test_several_1_3(spark):
+    g = f3_package_graph(spark)
+    pat = N(ids=[7]) >> E("NextVer", several=(1, 3), direction="r") >> N()
+    b = table(g, pat)
+    assert rows(b, "n1", "e0_depth") == [(8, 1), (9, 2), (10, 3)]
+
+
+def test_several_bounded_below(spark):
+    g = f3_package_graph(spark)
+    pat = N(ids=[7]) >> E("NextVer", several=(2, 3), direction="r") >> N()
+    assert rows(table(g, pat), "n1") == [(9,), (10,)]
+
+
+def test_star_unbounded(spark):
+    g = f3_package_graph(spark)
+    pat = N(ids=[1]) >> E("NextVer", several=(1, None), direction="r") >> N()
+    assert rows(table(g, pat), "n1") == [(2,), (3,)]
+
+
+def test_several_cycle_termination(spark):
+    from judy_graph_db_spark.graph import Graph
+    g = Graph.from_lists(
+        spark, nodes=[(0, "A"), (1, "A"), (2, "A")],
+        directed_edges=[(0, 1, "E"), (1, 2, "E"), (2, 0, "E")], add_back_edges=False,
+    )
+    pat = N(ids=[0]) >> E("E", several=(1, None), direction="r") >> N()
+    assert rows(table(g, pat), "n1") == [(0,), (1,), (2,)]
+
+
+def test_several_then_restrict(spark):
+    g = f3_package_graph(spark)
+    pat = N(ids=[0]) >> E("PartOf", direction="r") >> N(labels=["PACKAGEVER"]) \
+        >> E("NextVer", several=(1, 2), direction="r") >> N()
+    got = rows(table(g, pat), "n1", "n2")
+    assert got == [(1, 2), (1, 3), (2, 3)]

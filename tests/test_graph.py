@@ -1,0 +1,81 @@
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.graph import Graph, Ranges
+from tests.fixtures import f1_right, f2_issue_tracker
+
+
+def test_empty(spark):
+    g = Graph.empty(spark)
+    assert g.is_null()
+    assert g.node_count() == 0
+
+
+def test_from_lists_directed_adds_back_rows(spark):
+    g = f1_right(spark)
+    rows = {(r.src, r.dst, r.label, r.is_back, r.edge_seq) for r in g.edges.collect()}
+    assert rows == {(0, 1, "E0", False, 1), (1, 0, "E0", True, 1)}
+    assert g.node_count() == 2
+
+
+def test_from_lists_undirected(spark):
+    g = Graph.from_lists(
+        spark, nodes=[(0, "A"), (1, "A")], undirected_edges=[(0, 1, "E")],
+        ranges=Ranges.of((0, 10, "A", ("E",))),
+    )
+    rows = {(r.src, r.dst, r.is_back) for r in g.edges.collect()}
+    assert rows == {(0, 1, False), (1, 0, False)}
+
+
+def test_parallel_edges_edge_seq(spark):
+    g = Graph.from_lists(
+        spark,
+        nodes=[(0, "A"), (1, "A"), (2, "A")],
+        directed_edges=[(0, 1, "E"), (0, 2, "E"), (0, 1, "E")],
+        add_back_edges=False,
+    )
+    fwd = sorted((r.dst, r.edge_seq) for r in g.edges.collect())
+    assert fwd == [(1, 1), (1, 3), (2, 2)]
+
+
+def test_multi_label_orth_overlay(spark):
+    g = Graph.from_lists(
+        spark, nodes=[(0, "A"), (1, "A")],
+        directed_edges=[(0, 1, ["X", "Y"])], add_back_edges=False,
+    )
+    r = g.edges.collect()[0]
+    assert r.label == "X" and r.labels == ["X", "Y"]
+
+
+def test_union_overwrite_rule(spark):
+    g1 = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A")],
+                          directed_edges=[(0, 1, "E")], add_back_edges=False)
+    g2 = Graph.from_lists(spark, nodes=[(0, "A"), (2, "A")],
+                          directed_edges=[(0, 2, "E")], add_back_edges=False)
+    u = g1.union(g2)
+    # colliding key (0,'E',seq 1): g2's target (2) wins (FastAccess.hs:381-393)
+    rows = [(r.src, r.dst, r.edge_seq) for r in u.edges.collect()]
+    assert rows == [(0, 2, 1)]
+    assert u.node_count() == 3
+
+
+def test_node_label_range_dispatch(spark):
+    g = f2_issue_tracker(spark)
+    df = spark.createDataFrame([(0,), (2,), (5,), (7,)], "id long")
+    got = {(r.id, r.label) for r in g.with_node_labels(df, "id").collect()}
+    assert got == {(0, "PROGRAMMER"), (2, "ORGANISATION"), (5, "ISSUE"), (7, "PULL_REQUEST")}
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    g = f2_issue_tracker(spark)
+    path = str(tmp_path / "g")
+    g.save(path)
+    g2 = Graph.load(spark, path)
+    assert g2.edges.count() == g.edges.count()
+    assert g2.node_count() == 8
+    assert g2.ranges.label_of(5) == "ISSUE"
+
+
+def test_to_dot(spark):
+    g = f1_right(spark)
+    dot = g.to_dot()
+    assert "0 -> 1" in dot and dot.startswith("digraph")

@@ -1,0 +1,93 @@
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark import E, N
+from judy_graph_db_spark.graph import Graph
+from judy_graph_db_spark.operators import mutation as mut
+from judy_graph_db_spark.plans.compiler import create_mem
+from tests.fixtures import f2_issue_tracker
+
+
+def edge_set(g):
+    return {(r.src, r.dst, r.label, r.is_back, r.edge_seq) for r in g.edges.collect()}
+
+
+def test_insert_nodes_upsert(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A")])
+    g2 = mut.insert_nodes(g, [(1, "B"), (2, "C")])
+    got = {(r.id, r.label) for r in g2.nodes.collect()}
+    assert got == {(0, "A"), (1, "B"), (2, "C")}
+
+
+def test_insert_node_edges_counter_append(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A"), (2, "A")],
+                         directed_edges=[(0, 1, "E")], add_back_edges=False)
+    g2 = mut.insert_node_edges(g, [(0, 2, "E"), (0, 1, "E")])
+    got = sorted((r.dst, r.edge_seq) for r in g2.edges.collect())
+    # existing (0,1,seq1); batch continues the counter: 2→seq2, 1→seq3
+    assert got == [(1, 1), (1, 3), (2, 2)]
+
+
+def test_insert_node_edges_overwrite(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A"), (2, "A")],
+                         directed_edges=[(0, 1, "E")], add_back_edges=False)
+    g2 = mut.insert_node_edges(g, [(0, 2, "E")], overwrite=True)
+    assert edge_set(g2) == {(0, 2, "E", False, 1)}
+
+
+def test_update_node_edges(spark):
+    g = f2_issue_tracker(spark)
+    g2 = mut.update_node_edges(g, [(0, "Raises", 1, 6)])
+    got = [r.dst for r in g2.edges.filter(
+        (F.col("src") == 0) & (F.col("label") == "Raises") & (F.col("edge_seq") == 1)).collect()]
+    assert got == [6]
+
+
+def test_delete_nodes(spark):
+    g = f2_issue_tracker(spark)
+    g2 = mut.delete_nodes(g, [3])
+    assert g2.node_count() == 7
+    assert g2.edges.filter((F.col("src") == 3) | (F.col("dst") == 3)).count() == 0
+
+
+def test_delete_edges(spark):
+    g = f2_issue_tracker(spark)
+    g2 = mut.delete_edges(g, [(0, 3)])
+    # both labels 0→3 (Raises, Closes) and their back rows removed
+    remaining = g2.edges.filter(
+        ((F.col("src") == 0) & (F.col("dst") == 3)) | ((F.col("src") == 3) & (F.col("dst") == 0))
+    )
+    assert remaining.count() == 0
+
+
+def test_delete_edge_keys(spark):
+    g = f2_issue_tracker(spark)
+    g2 = mut.delete_edge_keys(g, [(0, "Raises", 2)])
+    got = sorted(r.edge_seq for r in g2.edges.filter(
+        (F.col("src") == 0) & (F.col("label") == "Raises") & (~F.col("is_back"))).collect())
+    assert got == [1, 3, 4]
+
+
+def test_map_nodes(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "a"), (1, "b")])
+    g2 = mut.map_nodes(g, lambda lbl: F.upper(lbl))
+    assert {r.label for r in g2.nodes.collect()} == {"A", "B"}
+
+
+def test_create_mem_diff(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A"), (2, "A")],
+                         directed_edges=[(0, 1, "E")], add_back_edges=False)
+    pat = N(ids=[0]) >> E("E") >> N(ids=[2])
+    g2, diff = create_mem(g, pat)
+    assert {(r.src, r.dst) for r in diff.edges_added.collect()} == {(0, 2)}
+    assert {(r.src, r.dst) for r in diff.edges_deleted.collect()} == {(0, 1)}
+    assert {(r.src, r.dst, r.edge_seq) for r in g2.edges.collect()} == {(0, 2, 1)}
+
+
+def test_create_mem_noop_when_present(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A")],
+                         directed_edges=[(0, 1, "E")], add_back_edges=False)
+    pat = N(ids=[0]) >> E("E") >> N(ids=[1])
+    g2, diff = create_mem(g, pat)
+    assert diff.edges_added.count() == 0
+    assert diff.edges_deleted.count() == 0
+    assert edge_set(g2) == edge_set(g)
