@@ -1,0 +1,153 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+Parity-plus surface (the reference has no scalar text functions — SURVEY.md
+§2.7); designed for 100 TB corpora: every function is a pure JVM-side Column
+expression (whole-stage codegen, no Python in the hot path), applied to the
+``documents`` table with pushdown-friendly shapes.
+
+Each function has an exact ANSI-SQL twin used by the DuckDB oracle — ratios
+are integer permille (no float hashing hazards) and regex classes are spelled
+explicitly so Java/RE2 agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# explicit punctuation class (identical semantics in Java regex and RE2)
+PUNCT_RE = r"""[.,;:!?'"()\[\]{}<>/\\|@#$%^&*_+=~`-]"""
+WORD_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "as")
+
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "por"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count. SQL twin: CASE WHEN length(trim(x))=0 THEN 0
+    ELSE length(regexp_split(trim(x),'\\s+')) END."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + isolated symbols (the pre-tokenizer
+    regex shape). SQL twin: length(regexp_extract_all(x, re))."""
+    return F.regexp_count(text, F.lit(WORD_TOKEN_RE)).cast("long")
+
+
+def punct_permille(text: Column) -> Column:
+    """Punctuation chars per 1000 chars (integer — hash-stable)."""
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(text, PUNCT_RE, ""))
+    return F.when(total == 0, F.lit(0)).otherwise(
+        F.floor(punct * 1000 / total)
+    ).cast("long")
+
+
+def upper_permille(text: Column) -> Column:
+    """Uppercase chars per 1000 chars."""
+    total = F.length(text)
+    upper = total - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    return F.when(total == 0, F.lit(0)).otherwise(
+        F.floor(upper * 1000 / total)
+    ).cast("long")
+
+
+def stopword_count(text: Column, words: tuple = STOPWORDS) -> Column:
+    """Whole-token stopword occurrences (word-boundary regex count)."""
+    c = F.lit(0)
+    low = F.lower(text)
+    for w in words:
+        c = c + F.regexp_count(low, F.lit(rf"\b{w}\b"))
+    return c.cast("long")
+
+
+def stopword_permille(text: Column, words: tuple = STOPWORDS) -> Column:
+    """Stopword tokens per 1000 tokens — a classic quality signal."""
+    n = token_count(text)
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.floor(stopword_count(text, words) * 1000 / n)
+    ).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite 0-1000 quality score: rewards stopword presence and length,
+    penalizes extreme punctuation/caps — the usual cheap-filter shape for
+    pretraining corpora. Integer arithmetic throughout."""
+    length_ok = F.when(F.length(text).between(50, 20000), F.lit(300)).otherwise(F.lit(0))
+    stop_ok = F.when(stopword_permille(text) >= 20, F.lit(400)).otherwise(F.lit(0))
+    punct_ok = F.when(punct_permille(text) <= 150, F.lit(150)).otherwise(F.lit(0))
+    caps_ok = F.when(upper_permille(text) <= 300, F.lit(150)).otherwise(F.lit(0))
+    return (length_ok + stop_ok + punct_ok + caps_ok).cast("long")
+
+
+LANG_PRIORITY = {lang: len(LANG_MARKERS) - i for i, lang in enumerate(LANG_MARKERS)}
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: count whole-word hits per language,
+    pick the max ('und' when no hits). Ties break by fixed language order via
+    a packed ``score·16 + priority`` max — the same arithmetic the SQL twin
+    uses, so both engines agree bit-for-bit."""
+    low = F.lower(text)
+    packed = {}
+    for lang, words in LANG_MARKERS.items():
+        s = F.lit(0)
+        for w in words:
+            s = s + F.regexp_count(low, F.lit(rf"\b{w}\b"))
+        packed[lang] = s * 16 + F.lit(LANG_PRIORITY[lang])
+    best = F.greatest(*packed.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((best >= 16) & (best == packed[lang]), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column, window: int = 8, stride: int = 16) -> Column:
+    """Document fingerprint: min of md5 over strided character 8-grams — a
+    rolling-hash-style content signature, O(len/stride) work, pure codegen."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(length({_n(text)})-{window-1},1), {stride}),"
+        f" i -> md5(substring({_n(text)}, i, {window}))))"
+    )
+
+
+def _n(col: Column) -> str:
+    """Extract the column name for expr() composition (works for plain
+    attribute columns, which is all the fingerprint path needs)."""
+    import re
+
+    s = col._jc.toString()
+    m = re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s)
+    if not m:
+        raise ValueError(f"fingerprint needs a simple column reference, got {s}")
+    return s
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """The DuckDB/ANSI twin of :func:`lang_id` (kept adjacent so the two
+    dialects stay in sync): identical packed score·16+priority max."""
+    def packed(lang, words):
+        s = " + ".join(
+            f"length(regexp_extract_all(lower({col}), '\\b{w}\\b'))" for w in words
+        )
+        return f"(({s}) * 16 + {LANG_PRIORITY[lang]})"
+
+    packs = {lang: packed(lang, words) for lang, words in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(packs.values()) + ")"
+    out = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        out = (
+            f"CASE WHEN {best} >= 16 AND {best} = {packs[lang]} "
+            f"THEN '{lang}' ELSE {out} END"
+        )
+    return out

@@ -1,0 +1,161 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, n-gram Jaccard, and SimHash dedup over a ``documents``
+table. Scale design (100 TB corpora):
+
+- Signatures (shingles → minhash → bands) are **pure per-row Column
+  expressions** — whole-stage codegen, zero shuffles, embarrassingly
+  parallel. md5 is the hash everywhere so the DuckDB oracle can reproduce
+  results bit-for-bit.
+- The only shuffles are the final groupBy/self-join on band buckets —
+  exactly the LSH contract: candidate generation cost ∝ bucket sizes, never
+  O(n²) over the corpus.
+- Verification (exact Jaccard) runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+NUM_HASHES = 8
+BAND_ROWS = 4  # 8 hashes / 4 rows = 2 bands
+
+
+def normalized(text: Column) -> Column:
+    """Canonical text form for near-dup hashing: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: hash-groupBy on md5(text); keeper = min id.
+    One shuffle on the 32-char digest — the cheapest possible key."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_normalized(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles_expr(text_sql: str, length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> str:
+    """Distinct strided character n-gram shingle set as a SQL expression —
+    per-row, no explode (F.substring can't take a column start, so this stays
+    in expr form)."""
+    norm = f"trim(regexp_replace(lower({text_sql}), '\\\\s+', ' '))"
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({norm})-{length-1}, 1), {stride}),"
+        f" i -> substring({norm}, i, {length})))"
+    )
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", out: str = "shingles") -> DataFrame:
+    return docs.withColumn(out, F.expr(_shingles_expr(text_col)))
+
+
+def minhash_signature(shingle_col: str = "shingles", num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature as an array of ``num_hashes`` md5-min values —
+    hash family = md5 seeded by index: ``md5(seed || ':' || shingle)``.
+    Still a pure per-row expression."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"s -> array_min(transform({shingle_col}, x -> md5(concat(cast(s as string), ':', x)))))"
+    )
+
+
+def band_hashes(sig_col: str = "minhash", band_rows: int = BAND_ROWS,
+                num_hashes: int = NUM_HASHES) -> Column:
+    """LSH banding: hash each r-row slice of the signature."""
+    n_bands = num_hashes // band_rows
+    return F.expr(
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> md5(concat_ws(',', slice({sig_col}, b*{band_rows}+1, {band_rows}))))"
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_hashes: int = NUM_HASHES,
+                           band_rows: int = BAND_ROWS) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
+    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Plan shape: map-only signature computation → explode bands (rows = n·B)
+    → shuffle once on (band_idx, band_hash) → within-bucket self-join.
+    Skew note: giant buckets (boilerplate docs) explode quadratically; cap
+    them upstream via a bucket-size filter when running at full scale."""
+    sigs = (
+        with_shingles(docs.select(id_col, text_col), text_col)
+        .withColumn("minhash", minhash_signature("shingles", num_hashes))
+        .withColumn("bands", band_hashes("minhash", band_rows, num_hashes))
+        .select(id_col, F.posexplode("bands").alias("band_idx", "band_hash"))
+    )
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold_permille: int = 0) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (or LSH candidates when
+    none given): ``|A∩B| · 1000 / |A∪B|`` as integer permille.
+    Returns (doc_a, doc_b, jaccard_permille)."""
+    if candidates is None:
+        candidates = minhash_lsh_candidates(docs, text_col, id_col)
+    sh = with_shingles(docs.select(id_col, text_col), text_col).select(id_col, "shingles")
+    j = (
+        candidates
+        .join(sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard_permille",
+            F.floor(
+                F.size(F.array_intersect("sh_a", "sh_b")) * 1000
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).cast("long"),
+        )
+        .select("doc_a", "doc_b", "jaccard_permille")
+    )
+    if threshold_permille:
+        j = j.filter(F.col("jaccard_permille") >= threshold_permille)
+    return j
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens as a ``bits``-char '0'/'1' string.
+    Bit k = majority vote of hex-digit-k high bit across token md5 hashes —
+    string-only arithmetic so DuckDB reproduces it exactly."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    n = F.size(hashes)
+    bit_cols = []
+    for k in range(1, bits + 1):
+        votes = F.size(
+            F.filter(hashes, lambda h: F.substring(h, k, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"))
+        )
+        bit_cols.append(F.when(votes * 2 >= n, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialized exact-dedup: keep one row per distinct text (min id)."""
+    keep = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")

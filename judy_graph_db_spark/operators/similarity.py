@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, plus two scale paths:
+
+- **Hyperplane LSH**: deterministic sign-bit bucketing (planes = the
+  dataset's lowest-id vectors, so the DuckDB oracle can reproduce them) —
+  candidate generation becomes an equi-join on the bucket key.
+- **IVF-style partitioning**: assign every vector to its nearest of C
+  coarse centroids, search only the query's cell — the standard
+  billion-vector layout (cells = partition pruning on disk).
+
+All dot products run as JVM-side ``aggregate``/``zip_with`` expressions in
+DOUBLE precision (same left-to-right fold DuckDB's list functions use) —
+no Python in the hot path; similarity is reported as integer micro-units
+(``round(sim·1e6)``) so oracle hashes are float-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+NORM = "sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(DOT.format(a=a, b=b))
+
+
+def norm(a: str) -> Column:
+    return F.expr(NORM.format(a=a))
+
+
+def cosine_sim_micro(a: str, b: str) -> Column:
+    """cosine(a,b) · 1e6 as BIGINT (hash-stable across engines)."""
+    return F.round(
+        dot(a, b) / (F.expr(NORM.format(a=a)) * F.expr(NORM.format(a=b))) * 1e6
+    ).cast("long")
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, query_id: int, k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector: broadcast the query
+    row against the full table — one scan, no shuffle except the final top-k.
+    Returns (vec_id, rank, sim_micro)."""
+    q = embeddings.filter(F.col(id_col) == int(query_id)).select(
+        F.col(vec_col).alias("_qvec"))
+    scored = (
+        embeddings.filter(F.col(id_col) != int(query_id))
+        .join(F.broadcast(q))
+        .withColumn("sim_micro", cosine_sim_micro(vec_col, "_qvec"))
+        .select(id_col, "sim_micro")
+    )
+    w = Window.orderBy(F.col("sim_micro").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "rank", "sim_micro")
+    )
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH bucket per vector: bit i = sign(dot(v, plane_i)), planes = the
+    ``n_planes`` lowest-id vectors (deterministic, oracle-reproducible).
+    Returns (vec_id, bucket) — bucket is an n-char '0'/'1' string.
+
+    Scale: planes are a broadcast of n rows; bucketing is map-only; the
+    search join is then an equi-join on ``bucket``."""
+    planes = (
+        embeddings.orderBy(id_col).limit(n_planes)
+        .select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
+    )
+    tagged = embeddings.join(F.broadcast(planes)).withColumn(
+        "_bit", F.when(dot(vec_col, "_pvec") >= 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pid", "_bit"))),
+                    lambda s: s["_bit"],
+                ),
+            ).alias("bucket")
+        )
+    )
+
+
+def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_planes: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within the query's LSH
+    bucket* — the scale path (bucket equi-join instead of full scan)."""
+    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
+    qb = buckets.filter(F.col(id_col) == int(query_id)).select(
+        F.col("bucket").alias("_qb"))
+    cell = (
+        embeddings.join(buckets, id_col)
+        .join(F.broadcast(qb), F.col("bucket") == F.col("_qb"), "inner")
+        .drop("_qb", "bucket")
+    )
+    return cosine_topk_bruteforce(cell, query_id, k, id_col, vec_col)
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: centroid c = the ``n_cells`` lowest-id
+    vectors (deterministic stand-in for k-means — swap in trained centroids
+    in production); every vector is assigned to its max-cosine centroid.
+    Returns (vec_id, cell). At scale, write the table partitioned by
+    ``cell`` so a query scans one partition."""
+    cents = (
+        embeddings.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    scored = embeddings.join(F.broadcast(cents)).withColumn(
+        "_sim", cosine_sim_micro(vec_col, "_cvec")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_cid").alias("cell"))
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_cells: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k searching only the query's IVF cell."""
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    qc = assign.filter(F.col(id_col) == int(query_id)).select(
+        F.col("cell").alias("_qc"))
+    cell = (
+        embeddings.join(assign, id_col)
+        .join(F.broadcast(qc), F.col("cell") == F.col("_qc"))
+        .drop("cell", "_qc")
+    )
+    return cosine_topk_bruteforce(cell, query_id, k, id_col, vec_col)
