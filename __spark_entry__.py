@@ -1,38 +1,357 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Every query keeps hash-stable output types: BIGINT ids/counts, integer
+permille/micro ratios, strings — no raw floats or timestamps.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark import N, E, table
+from judy_graph_db_spark import oracle as O
+from judy_graph_db_spark.functions import text as T
+from judy_graph_db_spark.operators import adjacency as A
+from judy_graph_db_spark.operators import dedup as D
+from judy_graph_db_spark.operators import similarity as S
+from judy_graph_db_spark.sources.tpch_graph import (
+    B,
+    load_tpch_views,
+    oracle_prefix,
+    tpch_graph,
+)
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the canonical 2-hop pattern
+    CUSTOMER -PLACED-> ORDER -CONTAINS-> PART (the Spark rendering of the
+    reference's issue-tracker query shape, ``app/Main.hs:20-31``)."""
+    g = tpch_graph(spark, SMOKE_SF_DIR)
+    pat = (
+        N(labels=["CUSTOMER"])
+        >> E("PLACED", direction="r")
+        >> N()
+        >> E("CONTAINS", direction="r")
+        >> N(labels=["PART"])
+    )
+    return table(g, pat)
+
+
+# ----------------------------------------------------------- graph queries
+
+def _q_adjacency(spark, sf_dir):
+    """adjacentNodesByAttr — the reference's flagship op (FastAccess.hs:602-619)."""
+    g = tpch_graph(spark, sf_dir)
+    return A.adjacent_nodes_by_attr(g, 3 * B + 1, "PLACED", backwards=False)
+
+
+def _q_degree(spark, sf_dir):
+    """adjacentEdgeCount / degree table (Enum.hs:497-506)."""
+    g = tpch_graph(spark, sf_dir)
+    return A.degree_table(g, forward_only=True)
+
+
+def _q_node_label_counts(spark, sf_dir):
+    """nodeLabel range dispatch (FastAccess.hs:658-667) rolled up per label."""
+    g = tpch_graph(spark, sf_dir)
+    labeled = g.with_node_labels(g.nodes.select("id"), "id", "range_label")
+    return labeled.groupBy("range_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_pattern_2hop(spark, sf_dir):
+    """table(quickStrat) 2-hop join chain (evalLtoR, Cypher.hs:653-695)."""
+    g = tpch_graph(spark, sf_dir)
+    pat = (
+        N(labels=["CUSTOMER"])
+        >> E("PLACED", direction="r")
+        >> N()
+        >> E("CONTAINS", direction="r")
+        >> N(labels=["PART"])
+    )
+    return table(g, pat)
+
+
+def _q_pattern_backward(spark, sf_dir):
+    """Backward traversal over materialized back rows (the back-bit,
+    FastAccess.hs:149-150): ORDER <-PLACED- CUSTOMER."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["ORDER"]) >> E("PLACED", direction="l") >> N(labels=["CUSTOMER"])
+    return table(g, pat)
+
+
+def _q_var_length(spark, sf_dir):
+    """Variable-length path `several (1,3)` (Cypher.hs:127-136,853-858):
+    order chains via NEXT_ORDER."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, 3)) >> N()
+    return table(g, pat)
+
+
+def _q_filter_edges_to(spark, sf_dir):
+    """filterEdgesTo (FastAccess.hs:414-420): edges whose target is a PART."""
+    g = tpch_graph(spark, sf_dir)
+    kept = A.filter_edges_to(g, lambda dst: dst.between(4 * B, 5 * B - 1))
+    return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_attr_overlap(spark, sf_dir):
+    """attrOverlap validation (FastAccess.hs:730-742): duplicate edge keys
+    (must be empty)."""
+    g = tpch_graph(spark, sf_dir)
+    return A.attr_overlap(g)
+
+
+# ------------------------------------------------- relational parity-plus
+
+def _q_pricing_summary(spark, sf_dir):
+    """Aggregation surface the reference lacks (SURVEY.md §2.7) — TPC-H Q1
+    shape with integer-cents sums (hash-stable)."""
+    load_tpch_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    """Top-k with deterministic tie-break (sort+limit, then rank over the
+    surviving k rows — no global window at scale)."""
+    load_tpch_views(spark, sf_dir)
+    orders = spark.table("orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents")
+    )
+    top = agg.orderBy(F.col("total_cents").desc(), F.col("o_custkey")).limit(10)
+    w = Window.orderBy(F.col("total_cents").desc(), F.col("o_custkey"))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def _q_orders_per_nation(spark, sf_dir):
+    """Broadcast-join rollup: orders ⋈ customer ⋈ nation (nation broadcast)."""
+    load_tpch_views(spark, sf_dir)
+    o = spark.table("orders")
+    c = spark.table("customer")
+    n = spark.table("nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the events table (streaming-shaped;
+    same plan works under readStream + watermark)."""
+    load_tpch_views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.withColumn("hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+    )
+
+
+# ------------------------------------------------------------ text / dedup
+
+def _q_text_stats(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    d = spark.table("documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.word_token_count(t).alias("n_word_tokens"),
+        T.punct_permille(t).alias("punct_pm"),
+        T.upper_permille(t).alias("upper_pm"),
+        T.stopword_permille(t).alias("stop_pm"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    d = spark.table("documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.quality_score(t).alias("quality"),
+        T.lang_id(t).alias("lang"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_simhash(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    return D.exact_dedup(spark.table("documents"))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    return D.minhash_lsh_candidates(spark.table("documents"))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    return D.ngram_jaccard_pairs(spark.table("documents"))
+
+
+# -------------------------------------------------------------- similarity
+
+def _q_cosine_topk(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    return S.cosine_topk_bruteforce(spark.table("embeddings"), query_id=0, k=10)
+
+
+def _q_ivf_cells(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    assign = S.ivf_assign(spark.table("embeddings"), n_cells=4)
+    return assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    buckets = S.hyperplane_buckets(spark.table("embeddings"), n_planes=4)
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "adjacency_neighbors": _q_adjacency,
+        "degree_by_label": _q_degree,
+        "node_label_counts": _q_node_label_counts,
+        "pattern_2hop": _q_pattern_2hop,
+        "pattern_backward": _q_pattern_backward,
+        "var_length_next_order": _q_var_length,
+        "filter_edges_to_parts": _q_filter_edges_to,
+        "attr_overlap_check": _q_attr_overlap,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "orders_per_nation": _q_orders_per_nation,
+        "events_hourly": _q_events_hourly,
+        "text_stats": _q_text_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "doc_simhash": _q_simhash,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_lsh_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        "ivf_cells": _q_ivf_cells,
+        "lsh_bucket_sizes": _q_lsh_buckets,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = oracle_prefix()
+    return {
+        "adjacency_neighbors": f"""{P}
+SELECT dst, edge_seq FROM edges
+WHERE src = {3 * B + 1} AND label = 'PLACED' AND NOT is_back""",
+        "degree_by_label": f"""{P}
+SELECT src, label, COUNT(*) AS degree FROM edges
+WHERE NOT is_back GROUP BY src, label""",
+        "node_label_counts": f"""{P}
+SELECT label AS range_label, COUNT(*) AS n FROM nodes_g GROUP BY label""",
+        "pattern_2hop": f"""{P}
+SELECT e1.src AS n0, e1.label AS e0_label, e1.edge_seq AS e0_seq, e1.dst AS n1,
+       e2.label AS e1_label, e2.edge_seq AS e1_seq, e2.dst AS n2
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+WHERE e1.label = 'PLACED' AND NOT e1.is_back
+  AND e2.label = 'CONTAINS' AND NOT e2.is_back""",
+        "pattern_backward": f"""{P}
+SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
+FROM edges WHERE label = 'PLACED' AND is_back""",
+        "var_length_next_order": f"""{P},
+no AS (SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back)
+SELECT DISTINCT src AS n0, dst AS n1, 1 AS e0_depth FROM no
+UNION ALL
+SELECT DISTINCT a.src, b.dst, 2 FROM no a JOIN no b ON a.dst = b.src
+UNION ALL
+SELECT DISTINCT a.src, c.dst, 3 FROM no a JOIN no b ON a.dst = b.src
+                                     JOIN no c ON b.dst = c.src""",
+        "filter_edges_to_parts": f"""{P}
+SELECT label, COUNT(*) AS n FROM edges
+WHERE dst BETWEEN {4 * B} AND {5 * B - 1} GROUP BY label""",
+        "attr_overlap_check": f"""{P}
+SELECT src, label, edge_seq, is_back, COUNT(*) AS n
+FROM edges GROUP BY src, label, edge_seq, is_back HAVING COUNT(*) > 1""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+SELECT o_custkey, total_cents,
+       CAST(ROW_NUMBER() OVER (ORDER BY total_cents DESC, o_custkey) AS INTEGER) AS rnk
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders GROUP BY o_custkey
+) ORDER BY total_cents DESC, o_custkey LIMIT 10""",
+        "orders_per_nation": """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name""",
+        "events_hourly": """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2""",
+        "text_stats": f"""
+SELECT doc_id,
+       {O.token_count_sql()} AS n_tokens,
+       {O.word_token_count_sql()} AS n_word_tokens,
+       {O.punct_permille_sql()} AS punct_pm,
+       {O.upper_permille_sql()} AS upper_pm,
+       {O.stopword_permille_sql()} AS stop_pm
+FROM documents""",
+        "doc_quality": f"""
+SELECT doc_id,
+       {O.quality_score_sql()} AS quality,
+       {O.lang_id_sql()} AS lang
+FROM documents""",
+        "doc_fingerprint": f"SELECT doc_id, {O.fingerprint_sql()} AS fp FROM documents",
+        "doc_simhash": f"SELECT doc_id, {O.simhash_sql()} AS simhash FROM documents",
+        "exact_dedup": """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)""",
+        "minhash_lsh_pairs": O.lsh_pairs_sql(),
+        "ngram_jaccard": O.ngram_jaccard_sql(),
+        "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
+        "ivf_cells": O.ivf_cells_sql(n_cells=4),
+        "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),
+    }

@@ -49,26 +49,38 @@ def exact_dedup_normalized(docs: DataFrame, text_col: str = "text", id_col: str 
     )
 
 
-def _shingles_expr(text_sql: str, length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> str:
-    """Distinct strided character n-gram shingle set as a SQL expression —
-    per-row, no explode (F.substring can't take a column start, so this stays
-    in expr form)."""
-    norm = f"trim(regexp_replace(lower({text_sql}), '\\\\s+', ' '))"
+def _shingles_expr(norm_col: str, length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> str:
+    """Distinct strided character n-gram shingle set as a SQL expression over
+    an ALREADY-NORMALIZED column (F.substring can't take a column start, so
+    this stays in expr form). Takes a plain column reference, not the
+    normalization expression: a non-trivial expression inlined here would be
+    re-evaluated per sequence element (length/stride times per row)."""
     return (
         f"array_distinct(transform("
-        f"sequence(1, greatest(length({norm})-{length-1}, 1), {stride}),"
-        f" i -> substring({norm}, i, {length})))"
+        f"sequence(1, greatest(length({norm_col})-{length-1}, 1), {stride}),"
+        f" i -> substring({norm_col}, i, {length})))"
     )
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", out: str = "shingles") -> DataFrame:
-    return docs.withColumn(out, F.expr(_shingles_expr(text_col)))
+    """Adds the shingle-set column. The normalized text is materialized as
+    its own projected column first — referenced twice (length + lambda) so
+    CollapseProject keeps it, and the regex runs once per row instead of
+    once per shingle."""
+    return (
+        docs.withColumn("_norm", normalized(F.col(text_col)))
+        .withColumn(out, F.expr(_shingles_expr("_norm")))
+        .drop("_norm")
+    )
 
 
 def minhash_signature(shingle_col: str = "shingles", num_hashes: int = NUM_HASHES) -> Column:
     """MinHash signature as an array of ``num_hashes`` md5-min values —
     hash family = md5 seeded by index: ``md5(seed || ':' || shingle)``.
-    Still a pure per-row expression."""
+    Pure per-row expression form — fine for one-shot use, but do NOT layer
+    further array expressions on top of it (CollapseProject re-inlines the
+    whole tree per reference); the pipeline uses :func:`minhash_signatures`
+    instead."""
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
         f"s -> array_min(transform({shingle_col}, x -> md5(concat(cast(s as string), ':', x)))))"
@@ -85,6 +97,36 @@ def band_hashes(sig_col: str = "minhash", band_rows: int = BAND_ROWS,
     )
 
 
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """MinHash signatures as (id, minhash ARRAY<STRING>) via the relational
+    plan: explode shingles once, compute the ``num_hashes`` seed-md5s as
+    plain columns, aggregate per-doc minima (map-side partial combine).
+
+    Why not a pure per-row array expression (``minhash_signature``)? Nested
+    ``transform`` lambdas referencing an aliased array column get re-inlined
+    by CollapseProject, so the normalization + md5 work multiplies by every
+    downstream reference — measured 100×+ slowdown at sf0.1. The explode +
+    groupBy shape computes each md5 exactly once, partial-aggregates before
+    the shuffle, and has no skew (keys = doc ids)."""
+    rows = with_shingles(docs.select(id_col, text_col), text_col).select(
+        id_col, F.explode("shingles").alias("_shingle")
+    )
+    hash_cols = [
+        F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("_shingle"))).alias(f"_h{s}")
+        for s in range(num_hashes)
+    ]
+    mins = (
+        rows.select(id_col, *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)])
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("minhash")
+    )
+
+
 def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            num_hashes: int = NUM_HASHES,
@@ -92,13 +134,13 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     """Near-duplicate candidate pairs: docs sharing any LSH band bucket.
     Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
 
-    Plan shape: map-only signature computation → explode bands (rows = n·B)
-    → shuffle once on (band_idx, band_hash) → within-bucket self-join.
+    Plan shape: explode shingles → per-doc min-aggregation (signatures) →
+    explode bands (rows = n·B) → shuffle once on (band_idx, band_hash) →
+    within-bucket self-join.
     Skew note: giant buckets (boilerplate docs) explode quadratically; cap
     them upstream via a bucket-size filter when running at full scale."""
     sigs = (
-        with_shingles(docs.select(id_col, text_col), text_col)
-        .withColumn("minhash", minhash_signature("shingles", num_hashes))
+        minhash_signatures(docs, text_col, id_col, num_hashes)
         .withColumn("bands", band_hashes("minhash", band_rows, num_hashes))
         .select(id_col, F.posexplode("bands").alias("band_idx", "band_hash"))
     )

@@ -1,0 +1,288 @@
+"""DuckDB-dialect SQL twins for the engine's operators.
+
+The driver's correctness gate runs every ``__spark_entry__.queries()`` entry
+on Spark AND its ``oracle_sql()`` twin on DuckDB over the same parquet
+tables, then hash-compares values (columns sorted by name). These builders
+keep the two dialects in one place so they stay in sync with the Spark
+implementations they mirror:
+
+- ``judy_graph_db_spark/functions/text.py``  (text analysis)
+- ``judy_graph_db_spark/operators/dedup.py`` (shingles/minhash/simhash)
+- ``judy_graph_db_spark/operators/similarity.py`` (cosine/LSH/IVF)
+
+Dialect notes (Spark ↔ DuckDB):
+    sequence(a,b,s)        ↔ generate_series(a,b,s)   (both inclusive)
+    transform(l, x->f)     ↔ list_transform(l, x->f)
+    array_min / array_distinct ↔ list_min / list_distinct
+    slice(l, i, n)         ↔ list_slice(l, i, i+n-1)  (begin/end inclusive)
+    concat_ws(',', arr)    ↔ array_to_string(l, ',')
+    F.floor → LONG         ↔ CAST(floor(..) AS BIGINT)  (floor is DOUBLE there)
+    regexp_replace(all)    ↔ regexp_replace(.., 'g')    (global flag!)
+    regexp_count(x, re)    ↔ len(regexp_extract_all(x, re))
+    F.split(x, re)         ↔ regexp_split_to_array(x, re)
+
+All ratio outputs are integer permille and similarities integer micro —
+no float columns ever reach a hash comparison.
+"""
+
+from __future__ import annotations
+
+from judy_graph_db_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    PUNCT_RE,
+    STOPWORDS,
+    WORD_TOKEN_RE,
+)
+from judy_graph_db_spark.operators.dedup import (
+    BAND_ROWS,
+    NUM_HASHES,
+    SHINGLE_LEN,
+    SHINGLE_STRIDE,
+)
+
+# ------------------------------------------------------------------- text
+
+def _sql_quote_regex(re: str) -> str:
+    """Embed a regex in a single-quoted DuckDB literal (no backslash
+    escaping there — only quotes double)."""
+    return "'" + re.replace("'", "''") + "'"
+
+
+PUNCT_RE_SQL = _sql_quote_regex(PUNCT_RE)
+WORD_TOKEN_RE_SQL = _sql_quote_regex(WORD_TOKEN_RE)
+
+
+def token_count_sql(col: str = "text") -> str:
+    return (
+        f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END AS BIGINT)"
+    )
+
+
+def word_token_count_sql(col: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all({col}, {WORD_TOKEN_RE_SQL})) AS BIGINT)"
+
+
+def punct_permille_sql(col: str = "text") -> str:
+    kept = f"length(regexp_replace({col}, {PUNCT_RE_SQL}, '', 'g'))"
+    return (
+        f"CAST(CASE WHEN length({col}) = 0 THEN 0 ELSE "
+        f"floor((length({col}) - {kept}) * 1000.0 / length({col})) END AS BIGINT)"
+    )
+
+
+def upper_permille_sql(col: str = "text") -> str:
+    kept = f"length(regexp_replace({col}, '[A-Z]', '', 'g'))"
+    return (
+        f"CAST(CASE WHEN length({col}) = 0 THEN 0 ELSE "
+        f"floor((length({col}) - {kept}) * 1000.0 / length({col})) END AS BIGINT)"
+    )
+
+
+def stopword_count_sql(col: str = "text") -> str:
+    parts = " + ".join(
+        f"len(regexp_extract_all(lower({col}), '\\b{w}\\b'))" for w in STOPWORDS
+    )
+    return f"CAST(({parts}) AS BIGINT)"
+
+
+def stopword_permille_sql(col: str = "text") -> str:
+    n = token_count_sql(col)
+    return (
+        f"CAST(CASE WHEN {n} = 0 THEN 0 ELSE "
+        f"floor({stopword_count_sql(col)} * 1000.0 / {n}) END AS BIGINT)"
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    return (
+        "CAST("
+        f"(CASE WHEN length({col}) BETWEEN 50 AND 20000 THEN 300 ELSE 0 END)"
+        f" + (CASE WHEN {stopword_permille_sql(col)} >= 20 THEN 400 ELSE 0 END)"
+        f" + (CASE WHEN {punct_permille_sql(col)} <= 150 THEN 150 ELSE 0 END)"
+        f" + (CASE WHEN {upper_permille_sql(col)} <= 300 THEN 150 ELSE 0 END)"
+        " AS BIGINT)"
+    )
+
+
+def lang_id_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.lang_id`` — identical packed
+    ``score·16 + priority`` max arithmetic."""
+    def packed(lang, words):
+        s = " + ".join(
+            f"len(regexp_extract_all(lower({col}), '\\b{w}\\b'))" for w in words
+        )
+        return f"(({s}) * 16 + {LANG_PRIORITY[lang]})"
+
+    packs = {lang: packed(lang, words) for lang, words in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(packs.values()) + ")"
+    out = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        out = (
+            f"CASE WHEN {best} >= 16 AND {best} = {packs[lang]} "
+            f"THEN '{lang}' ELSE {out} END"
+        )
+    return out
+
+
+def fingerprint_sql(col: str = "text", window: int = 8, stride: int = 16) -> str:
+    return (
+        f"list_min(list_transform("
+        f"generate_series(1, greatest(length({col})-{window-1}, 1), {stride}),"
+        f" i -> md5(substring({col}, i, {window}))))"
+    )
+
+
+def simhash_sql(col: str = "text", bits: int = 16) -> str:
+    """Twin of ``operators.dedup.simhash``: majority vote per hex digit's
+    high bit over token md5 hashes."""
+    hashes = (
+        f"list_transform(regexp_split_to_array(trim(lower({col})), '\\s+'),"
+        f" t -> md5(t))"
+    )
+    n = f"len({hashes})"
+    bit_exprs = []
+    for k in range(1, bits + 1):
+        votes = (
+            f"len(list_filter({hashes}, h -> substring(h, {k}, 1) IN "
+            f"('8','9','a','b','c','d','e','f')))"
+        )
+        bit_exprs.append(f"CASE WHEN {votes} * 2 >= {n} THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bit_exprs) + ")"
+
+
+# ------------------------------------------------------------------ dedup
+
+def shingles_sql(col: str = "text", length: int = SHINGLE_LEN,
+                 stride: int = SHINGLE_STRIDE) -> str:
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({norm})-{length-1}, 1), {stride}),"
+        f" i -> substring({norm}, i, {length})))"
+    )
+
+
+def minhash_sql(shingles: str = "shingles", num_hashes: int = NUM_HASHES) -> str:
+    return (
+        f"list_transform(generate_series(0, {num_hashes-1}), "
+        f"s -> list_min(list_transform({shingles}, "
+        f"x -> md5(concat(CAST(s AS VARCHAR), ':', x)))))"
+    )
+
+
+def lsh_pairs_sql(id_col: str = "doc_id", text_col: str = "text",
+                  table: str = "documents",
+                  num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS) -> str:
+    """Twin of ``minhash_lsh_candidates``: distinct (doc_a, doc_b) sharing a
+    band bucket."""
+    n_bands = num_hashes // band_rows
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS doc_id, {shingles_sql(text_col)} AS shingles FROM {table}
+),
+sig AS (
+  SELECT doc_id, {minhash_sql('shingles', num_hashes)} AS minhash FROM sh
+),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(
+           list_slice(minhash, b.band_idx*{band_rows}+1,
+                      b.band_idx*{band_rows}+{band_rows}), ',')) AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, {n_bands-1})) AS band_idx) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+FROM bands a JOIN bands b2 USING (band_idx, band_hash)
+WHERE a.doc_id < b2.doc_id
+"""
+
+
+def ngram_jaccard_sql(id_col: str = "doc_id", text_col: str = "text",
+                      table: str = "documents") -> str:
+    """Twin of ``ngram_jaccard_pairs`` over the LSH candidates."""
+    return f"""
+WITH cand AS ({lsh_pairs_sql(id_col, text_col, table)}),
+sh AS (
+  SELECT {id_col} AS doc_id, {shingles_sql(text_col)} AS shingles FROM {table}
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(floor(len(list_intersect(a.shingles, b.shingles)) * 1000.0
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))))
+            AS BIGINT) AS jaccard_permille
+FROM cand c
+JOIN sh a ON c.doc_a = a.doc_id
+JOIN sh b ON c.doc_b = b.doc_id
+"""
+
+
+# ------------------------------------------------------------- similarity
+
+def dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine_micro_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"CAST(ROUND({dot_sql(a, b, dim)} / "
+        f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)})) * 1e6) AS BIGINT)"
+    )
+
+
+def cosine_topk_sql(query_id: int = 0, k: int = 10, dim: int = 64,
+                    table: str = "embeddings") -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+scored AS (
+  SELECT e.vec_id, {cosine_micro_sql('e.embedding', 'q.qv', dim)} AS sim_micro
+  FROM {table} e, q WHERE e.vec_id <> {query_id}
+)
+SELECT vec_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY sim_micro DESC, vec_id) AS INTEGER) AS rank,
+       sim_micro
+FROM scored
+ORDER BY sim_micro DESC, vec_id
+LIMIT {k}
+"""
+
+
+def ivf_cells_sql(n_cells: int = 4, dim: int = 64, table: str = "embeddings") -> str:
+    """Twin of ``ivf_assign`` + per-cell counts."""
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM {table} ORDER BY vec_id LIMIT {n_cells}
+),
+scored AS (
+  SELECT e.vec_id, c.cid, {cosine_micro_sql('e.embedding', 'c.cv', dim)} AS sim
+  FROM {table} e, c
+),
+best AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM scored
+)
+SELECT cid AS cell, COUNT(*) AS n FROM best WHERE rn = 1 GROUP BY cid
+"""
+
+
+def lsh_bucket_sizes_sql(n_planes: int = 4, dim: int = 64,
+                         table: str = "embeddings") -> str:
+    """Twin of ``hyperplane_buckets`` + per-bucket counts."""
+    return f"""
+WITH p AS (
+  SELECT vec_id AS pid, embedding AS pv FROM {table} ORDER BY vec_id LIMIT {n_planes}
+),
+bits AS (
+  SELECT e.vec_id, p.pid,
+         CASE WHEN {dot_sql('e.embedding', 'p.pv', dim)} >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM {table} e, p
+),
+b AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket FROM bits GROUP BY vec_id
+)
+SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+"""

@@ -79,13 +79,15 @@ UNION ALL
 SELECT CAST(5*{B} + l_orderkey AS BIGINT),
        CAST(4*{B} + l_partkey AS BIGINT),
        'CONTAINS',
-       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT)
+       -- tiebreak on l_partkey: (orderkey, linenumber) repeats in the data,
+       -- and remaining ties have identical dst so the edge multiset is stable
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT CAST(5*{B} + l_orderkey AS BIGINT),
        CAST(2*{B} + l_suppkey AS BIGINT),
        'SUPPLIED_BY',
-       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT)
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS BIGINT)
 FROM lineitem
 UNION ALL
 SELECT src, dst, 'NEXT_ORDER', CAST(1 AS BIGINT)

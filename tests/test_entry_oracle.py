@@ -1,0 +1,42 @@
+"""Drive the full driver contract locally: every __spark_entry__.queries()
+entry must hash-match its oracle_sql() twin on DuckDB (sf0.001 here for
+speed; the driver runs sf0.01 — scripts/check_oracle.py replicates that)."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from tests.oracle_utils import compare, duck_connection
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_every_query_has_oracle():
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries without oracle twins: {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    ok, msg = compare(df, duck, ORACLES[name])
+    assert ok, f"{name}: {msg}"
