@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from judy_graph_db_spark import N, E, table
+from judy_graph_db_spark import N, E, create_mem, graph_query, table
 from judy_graph_db_spark import oracle as O
 from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
@@ -95,6 +95,59 @@ def _q_var_length(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     pat = N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, 3)) >> N()
     return table(g, pat)
+
+
+def _q_pattern_orth(spark, sf_dir):
+    """Orth multi-label match (``orth``, ``Cypher.hs:265-266``; SURVEY.md
+    §1.6): edges carrying the orthogonal BULK overlay, matched with
+    arrays_overlap instead of the reference's 2ⁿ-1 attr expansion."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["ORDER"]) >> E(orth=["BULK"], direction="r") >> N(labels=["PART"])
+    return table(g, pat)
+
+
+def _q_pattern_where(spark, sf_dir):
+    """Per-edge-spec predicate (``where_``, ``Cypher.hs:269-270``): only a
+    customer's first two orders."""
+    g = tpch_graph(spark, sf_dir)
+    pat = (
+        N(labels=["CUSTOMER"])
+        >> E("PLACED", direction="r", where=lambda c: c["edge_seq"] <= 2)
+        >> N(labels=["ORDER"])
+    )
+    return table(g, pat)
+
+
+def _q_var_length_unbounded(spark, sf_dir):
+    """Unbounded repeat `***` (``Cypher.hs:135-136``): full transitive
+    closure of the NEXT_ORDER chains (reachability semantics with a
+    visited-set; cycle-safe)."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, None)) >> N()
+    return table(g, pat)
+
+
+def _q_graph_query_subgraph(spark, sf_dir):
+    """graphQuery (``Cypher.hs:438-439`` — stubbed in the reference, real
+    here): the matched subgraph's node set for a 1-hop pattern."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N(labels=["ORDER"])
+    sub = graph_query(g, pat)
+    return sub.nodes.select("id", "label")
+
+
+def _q_create_mem_diff(spark, sf_dir):
+    """createMem → GraphDiff (``Cypher.hs:431-433``; ``overlaps``
+    ``Cypher.hs:868-889``): materialize a pattern's edges, report additions.
+    Non-SQL-expressible (stateful write semantics) → rows-only check."""
+    g = tpch_graph(spark, sf_dir)
+    pat = (
+        N(ids=[3 * B + 1, 3 * B + 2, 3 * B + 3])
+        >> E("PROMO")
+        >> N(ids=[4 * B + 1])
+    )
+    _, diff = create_mem(g, pat)
+    return diff.edges_added
 
 
 def _q_filter_edges_to(spark, sf_dir):
@@ -228,6 +281,16 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 # -------------------------------------------------------------- similarity
 
+def _q_simhash_neardup(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    return D.simhash_neardup_pairs(spark.table("documents"))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    load_tpch_views(spark, sf_dir)
+    return S.cosine_neardup_pairs(spark.table("embeddings"))
+
+
 def _q_cosine_topk(spark, sf_dir):
     load_tpch_views(spark, sf_dir)
     return S.cosine_topk_bruteforce(spark.table("embeddings"), query_id=0, k=10)
@@ -252,7 +315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_label_counts": _q_node_label_counts,
         "pattern_2hop": _q_pattern_2hop,
         "pattern_backward": _q_pattern_backward,
+        "pattern_orth_bulk": _q_pattern_orth,
+        "pattern_where_seq": _q_pattern_where,
         "var_length_next_order": _q_var_length,
+        "var_length_unbounded": _q_var_length_unbounded,
+        "graph_query_subgraph": _q_graph_query_subgraph,
+        "create_mem_diff": _q_create_mem_diff,
         "filter_edges_to_parts": _q_filter_edges_to,
         "attr_overlap_check": _q_attr_overlap,
         "pricing_summary": _q_pricing_summary,
@@ -266,6 +334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_lsh_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_neardup": _q_simhash_neardup,
+        "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "ivf_cells": _q_ivf_cells,
         "lsh_bucket_sizes": _q_lsh_buckets,
@@ -292,6 +362,33 @@ WHERE e1.label = 'PLACED' AND NOT e1.is_back
         "pattern_backward": f"""{P}
 SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
 FROM edges WHERE label = 'PLACED' AND is_back""",
+        "pattern_orth_bulk": f"""{P}
+SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
+FROM edges WHERE is_bulk AND NOT is_back""",
+        "pattern_where_seq": f"""{P}
+SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
+FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq <= 2""",
+        # standalone (not oracle_prefix): DuckDB's WITH RECURSIVE changes CTE
+        # scoping for union-shaped CTEs, breaking the nested WITH inside the
+        # edges CTE — so derive the NEXT_ORDER relation directly from orders
+        "var_length_unbounded": f"""WITH RECURSIVE no AS (
+  SELECT src, dst FROM (
+    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+           CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst
+    FROM orders
+  ) t WHERE dst IS NOT NULL
+),
+walk(n0, n1, e0_depth) AS (
+  SELECT src, dst, 1 FROM no
+  UNION ALL
+  SELECT w.n0, e.dst, w.e0_depth + 1 FROM walk w JOIN no e ON w.n1 = e.src
+)
+SELECT n0, n1, e0_depth FROM walk""",
+        "graph_query_subgraph": f"""{P}
+SELECT id, label FROM nodes_g WHERE id IN (
+  SELECT src FROM edges WHERE label = 'PLACED' AND NOT is_back
+  UNION
+  SELECT dst FROM edges WHERE label = 'PLACED' AND NOT is_back)""",
         "var_length_next_order": f"""{P},
 no AS (SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back)
 SELECT DISTINCT src AS n0, dst AS n1, 1 AS e0_depth FROM no
@@ -351,6 +448,11 @@ SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)""",
         "minhash_lsh_pairs": O.lsh_pairs_sql(),
         "ngram_jaccard": O.ngram_jaccard_sql(),
+        "simhash_neardup": O.simhash_neardup_sql(),
+        "embedding_neardup": O.embedding_neardup_sql(),
+        # create_mem_diff: intentionally no oracle — stateful write
+        # semantics (overwrite + displaced-target capture) aren't
+        # SQL-expressible; the driver records a rows-only check.
         "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
         "ivf_cells": O.ivf_cells_sql(n_cells=4),
         "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),

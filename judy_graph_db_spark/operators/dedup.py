@@ -197,6 +197,77 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return F.concat(*bit_cols)
 
 
+HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash signatures (id, sig) via the relational plan: explode tokens,
+    md5 once per token, then ``bits`` conditional sums in one partial-agg
+    groupBy — same values as :func:`simhash`, but the signature column can be
+    referenced downstream without CollapseProject re-inlining the whole
+    voting expression."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_t")
+    )
+    h = toks.select(id_col, F.md5("_t").alias("_h"))
+    aggs = [
+        F.sum(F.when(F.substring("_h", k, 1).isin(*HIGH_HEX), 1).otherwise(0)).alias(f"_v{k}")
+        for k in range(1, bits + 1)
+    ]
+    g = h.groupBy(id_col).agg(*aggs, F.count(F.lit(1)).alias("_n"))
+    bit_cols = [
+        F.when(F.col(f"_v{k}") * 2 >= F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+        for k in range(1, bits + 1)
+    ]
+    return g.select(id_col, F.concat(*bit_cols).alias("sig"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", bits: int = 16,
+                          band_bits: int = 4, max_hamming: int = 2) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``,
+    found via **lossless banding**: with B = bits/band_bits bands, ≤h
+    differing bits touch ≤h bands, so when B > h every true pair shares at
+    least one intact band — the band equi-join is a candidate filter with
+    zero false negatives, and the exact hamming check prunes the rest.
+    Returns (doc_a, doc_b, hamming).
+
+    Scale shape: signatures are one partial-agg groupBy; the only self-join
+    is within band buckets (16-char signatures → bounded bucket count)."""
+    n_bands = bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError("need bits/band_bits > max_hamming for lossless banding")
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    band_arr = F.array(
+        *[F.substring("sig", b * band_bits + 1, band_bits) for b in range(n_bands)]
+    )
+    bands = sigs.select(
+        id_col, "sig", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("_sig_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("_sig_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sig_a", "_sig_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), "
+        f"k -> substring(_sig_a, k, 1) <> substring(_sig_b, k, 1)))"
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialized exact-dedup: keep one row per distinct text (min id)."""
     keep = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))

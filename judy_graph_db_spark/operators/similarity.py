@@ -104,6 +104,30 @@ def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_planes: int = 
     return cosine_topk_bruteforce(cell, query_id, k, id_col, vec_col)
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, threshold_micro: int = 400000,
+                         n_planes: int = 4, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-constrained: only
+    pairs sharing a hyperplane-LSH bucket are scored (the O(n²/buckets)
+    scale path — a full pairwise scan never happens), then kept when
+    cosine ≥ ``threshold_micro``. Returns (vec_a, vec_b, sim_micro).
+
+    Candidate recall is the standard LSH trade-off: raise ``n_planes`` for
+    fewer/finer buckets, or union several independent plane sets for higher
+    recall at the same cost shape."""
+    buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
+    e = embeddings.join(buckets, id_col)
+    a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"), "bucket")
+    b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_micro", cosine_sim_micro("_emb_a", "_emb_b"))
+        .filter(F.col("sim_micro") >= int(threshold_micro))
+        .select("vec_a", "vec_b", "sim_micro")
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: centroid c = the ``n_cells`` lowest-id

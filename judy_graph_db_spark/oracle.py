@@ -216,6 +216,49 @@ JOIN sh b ON c.doc_b = b.doc_id
 """
 
 
+def simhash_neardup_sql(max_hamming: int = 2, bits: int = 16,
+                        table: str = "documents") -> str:
+    """Twin of ``simhash_neardup_pairs``. The Spark side band-joins first;
+    banding is lossless for hamming ≤ max_hamming (bands > max_hamming), so
+    the plain O(n²) scan here produces the identical pair set."""
+    ham = (
+        f"len(list_filter(generate_series(1, {bits}), "
+        f"k -> substring(a.sig, k, 1) <> substring(b.sig, k, 1)))"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, {simhash_sql('text', bits)} AS sig FROM {table})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE {ham} <= {max_hamming}
+"""
+
+
+def embedding_neardup_sql(threshold_micro: int = 400000, n_planes: int = 4,
+                          dim: int = 64, table: str = "embeddings") -> str:
+    """Twin of ``cosine_neardup_pairs`` — same LSH-bucket constraint."""
+    return f"""
+WITH p AS (
+  SELECT vec_id AS pid, embedding AS pv FROM {table} ORDER BY vec_id LIMIT {n_planes}
+),
+bits AS (
+  SELECT e.vec_id, p.pid,
+         CASE WHEN {dot_sql('e.embedding', 'p.pv', dim)} >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM {table} e, p
+),
+bk AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket FROM bits GROUP BY vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {cosine_micro_sql('ea.embedding', 'eb.embedding', dim)} AS sim_micro
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN {table} ea ON ea.vec_id = a.vec_id
+JOIN {table} eb ON eb.vec_id = b.vec_id
+WHERE {cosine_micro_sql('ea.embedding', 'eb.embedding', dim)} >= {threshold_micro}
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def dot_sql(a: str, b: str, dim: int = 64) -> str:

@@ -100,13 +100,22 @@ WHERE dst IS NOT NULL
 """
 
 # forward rows + materialized reverse rows (is_back=true); the reverse rows
-# get their own deterministic per-(src,label) enumeration
+# get their own deterministic per-(src,label) enumeration. ``is_bulk`` marks
+# the orth multi-label overlay (SURVEY.md §1.6): heavy parallel CONTAINS
+# edges additionally carry the orthogonal label BULK; back rows inherit it
+# from their forward edge.
 GRAPH_EDGES_SQL = f"""
-WITH fwd AS ({GRAPH_EDGES_FWD_SQL})
-SELECT src, dst, label, FALSE AS is_back, edge_seq FROM fwd
+WITH fwd0 AS ({GRAPH_EDGES_FWD_SQL}),
+fwd AS (
+  SELECT src, dst, label, edge_seq,
+         (label = 'CONTAINS' AND edge_seq >= 4) AS is_bulk
+  FROM fwd0
+)
+SELECT src, dst, label, FALSE AS is_back, edge_seq, is_bulk FROM fwd
 UNION ALL
 SELECT dst AS src, src AS dst, label, TRUE AS is_back,
-       CAST(ROW_NUMBER() OVER (PARTITION BY dst, label ORDER BY src, edge_seq) AS BIGINT) AS edge_seq
+       CAST(ROW_NUMBER() OVER (PARTITION BY dst, label ORDER BY src, edge_seq) AS BIGINT) AS edge_seq,
+       is_bulk
 FROM fwd
 """
 
@@ -163,9 +172,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> Graph:
     edges = spark.sql(GRAPH_EDGES_SQL)
     from pyspark.sql import functions as F
 
-    edges = edges.withColumn("labels", F.array(F.col("label"))).select(
-        "src", "dst", "label", "labels", "is_back", "edge_seq"
-    )
+    edges = edges.withColumn(
+        "labels",
+        F.when(F.col("is_bulk"), F.array(F.col("label"), F.lit("BULK"))).otherwise(
+            F.array(F.col("label"))
+        ),
+    ).select("src", "dst", "label", "labels", "is_back", "edge_seq")
     nodes = spark.sql(GRAPH_NODES_SQL).withColumn("props", F.lit(None).cast("map<string,string>"))
     return Graph(spark, nodes, edges, RANGES)
 
