@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from judy_graph_db_spark import N, E, create_mem, graph_query, table
+from judy_graph_db_spark import N, E, create_mem, flat_table, graph_query, table
 from judy_graph_db_spark import oracle as O
 from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
@@ -148,6 +148,35 @@ def _q_create_mem_diff(spark, sf_dir):
     )
     _, diff = create_mem(g, pat)
     return diff.edges_added
+
+
+def _q_union_overwrite(spark, sf_dir):
+    """Graph union with the overwrite rule (``union``,
+    ``FastAccess.hs:381-393``): the other graph's targets win on colliding
+    (src,label,edge_seq,is_back) keys. Collide every forward PLACED edge
+    with a self-loop rewrite and roll up."""
+    from judy_graph_db_spark.graph import Graph
+
+    g = tpch_graph(spark, sf_dir)
+    placed_loop = g.edges.filter(
+        (F.col("label") == "PLACED") & ~F.col("is_back")
+    ).withColumn("dst", F.col("src"))
+    g2 = Graph(spark, g.nodes.limit(0), placed_loop, g.ranges)
+    u = g.union(g2)
+    return u.edges.groupBy("label", "is_back").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dst") == F.col("src"), 1).otherwise(0)).cast("long").alias("n_self"),
+    )
+
+
+def _q_flat_table(spark, sf_dir):
+    """Flattened table view (``toNE``/``reduceAttrs``, ``Cypher.hs:546-565``):
+    per pattern position, the distinct node set — exploded to rows so the
+    oracle hash-compares scalars."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N(labels=["ORDER"])
+    ft = flat_table(g, pat)
+    return ft.select("position", F.explode("node_set").alias("node_id"))
 
 
 def _q_filter_edges_to(spark, sf_dir):
@@ -321,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var_length_unbounded": _q_var_length_unbounded,
         "graph_query_subgraph": _q_graph_query_subgraph,
         "create_mem_diff": _q_create_mem_diff,
+        "union_overwrite": _q_union_overwrite,
+        "flat_table_positions": _q_flat_table,
         "filter_edges_to_parts": _q_filter_edges_to,
         "attr_overlap_check": _q_attr_overlap,
         "pricing_summary": _q_pricing_summary,
@@ -389,6 +420,17 @@ SELECT id, label FROM nodes_g WHERE id IN (
   SELECT src FROM edges WHERE label = 'PLACED' AND NOT is_back
   UNION
   SELECT dst FROM edges WHERE label = 'PLACED' AND NOT is_back)""",
+        "union_overwrite": f"""{P}
+SELECT label, is_back, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN (label = 'PLACED' AND NOT is_back) OR dst = src
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+FROM edges GROUP BY label, is_back""",
+        "flat_table_positions": f"""{P}
+SELECT 0 AS position, src AS node_id FROM edges
+WHERE label = 'PLACED' AND NOT is_back GROUP BY src
+UNION ALL
+SELECT 1 AS position, dst FROM edges
+WHERE label = 'PLACED' AND NOT is_back GROUP BY dst""",
         "var_length_next_order": f"""{P},
 no AS (SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back)
 SELECT DISTINCT src AS n0, dst AS n1, 1 AS e0_depth FROM no

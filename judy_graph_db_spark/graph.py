@@ -257,7 +257,11 @@ class Graph:
         repartitioned on ``src`` so adjacency filters prune files."""
         e = self.edges
         if bucket_by_src:
-            e = e.repartition("src")
+            # hash-distribute by src and sort inside each file: parquet
+            # row-group min/max stats on (src, label) then prune point
+            # lookups and adjacency scans — the on-disk replacement for the
+            # reference's judy index (FastAccess.hs:602-634)
+            e = e.repartition("src").sortWithinPartitions("src", "label")
         e.write.mode(mode).parquet(os.path.join(path, "edges"))
         self.nodes.write.mode(mode).parquet(os.path.join(path, "nodes"))
         self.ranges_df().write.mode(mode).parquet(os.path.join(path, "ranges"))

@@ -70,25 +70,37 @@ SELECT CAST(2*{B} + s_suppkey AS BIGINT),
        'FROM_NATION', CAST(1 AS BIGINT)
 FROM supplier
 UNION ALL
-SELECT CAST(3*{B} + o_custkey AS BIGINT),
-       CAST(5*{B} + o_orderkey AS BIGINT),
-       'PLACED',
-       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
-FROM orders
+SELECT src, dst, 'PLACED',
+       -- window partitioned on the src EXPRESSION (bijective with
+       -- o_custkey): point/join predicates on src then push below the
+       -- window into the scan instead of shuffling the whole table first
+       CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+FROM (
+  SELECT CAST(3*{B} + o_custkey AS BIGINT) AS src,
+         CAST(5*{B} + o_orderkey AS BIGINT) AS dst,
+         o_orderdate, o_orderkey
+  FROM orders
+) placed_t
 UNION ALL
-SELECT CAST(5*{B} + l_orderkey AS BIGINT),
-       CAST(4*{B} + l_partkey AS BIGINT),
-       'CONTAINS',
+SELECT src, dst, 'CONTAINS',
        -- tiebreak on l_partkey: (orderkey, linenumber) repeats in the data,
        -- and remaining ties have identical dst so the edge multiset is stable
-       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS BIGINT)
-FROM lineitem
+       CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY l_linenumber, dst) AS BIGINT)
+FROM (
+  SELECT CAST(5*{B} + l_orderkey AS BIGINT) AS src,
+         CAST(4*{B} + l_partkey AS BIGINT) AS dst,
+         l_linenumber
+  FROM lineitem
+) contains_t
 UNION ALL
-SELECT CAST(5*{B} + l_orderkey AS BIGINT),
-       CAST(2*{B} + l_suppkey AS BIGINT),
-       'SUPPLIED_BY',
-       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS BIGINT)
-FROM lineitem
+SELECT src, dst, 'SUPPLIED_BY',
+       CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY l_linenumber, dst) AS BIGINT)
+FROM (
+  SELECT CAST(5*{B} + l_orderkey AS BIGINT) AS src,
+         CAST(2*{B} + l_suppkey AS BIGINT) AS dst,
+         l_linenumber
+  FROM lineitem
+) supplied_t
 UNION ALL
 SELECT src, dst, 'NEXT_ORDER', CAST(1 AS BIGINT)
 FROM (
