@@ -16,6 +16,7 @@ from judy_graph_db_spark.plans.compiler import (
     temp,
     flat_table,
     nested_layers,
+    appl,
     create_mem,
     graph_query,
     GraphDiff,
@@ -35,6 +36,7 @@ __all__ = [
     "temp",
     "flat_table",
     "nested_layers",
+    "appl",
     "create_mem",
     "graph_query",
     "GraphDiff",

@@ -216,7 +216,7 @@ JOIN sh b ON c.doc_b = b.doc_id
 """
 
 
-def simhash_neardup_sql(max_hamming: int = 2, bits: int = 16,
+def simhash_neardup_sql(max_hamming: int = 2, bits: int = 32,
                         table: str = "documents") -> str:
     """Twin of ``simhash_neardup_pairs``. The Spark side band-joins first;
     banding is lossless for hamming ≤ max_hamming (bands > max_hamming), so

@@ -294,6 +294,15 @@ def nested_layers(bindings: DataFrame, upto: int | None = None) -> DataFrame:
     )
 
 
+def appl(df: DataFrame, col: str, fn) -> DataFrame:
+    """Post-process a collected node-set/layer column (``appl``,
+    ``Cypher.hs:179-192``): apply an array→array Column function inside the
+    nesting level — e.g. the SortNodes example's sort-then-reinsert
+    (``test/examples/SortNodes.hs:38-43``) is
+    ``appl(flat_table(...), "node_set", lambda c: F.sort_array(c, asc=False))``."""
+    return df.withColumn(col, fn(F.col(col)))
+
+
 # ------------------------------------------------------------- create_mem
 
 class GraphDiff:
