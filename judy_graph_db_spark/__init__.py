@@ -19,6 +19,7 @@ from judy_graph_db_spark.plans.compiler import (
     appl,
     create_mem,
     graph_query,
+    graph_create,
     GraphDiff,
 )
 
@@ -39,6 +40,7 @@ __all__ = [
     "appl",
     "create_mem",
     "graph_query",
+    "graph_create",
     "GraphDiff",
 ]
 

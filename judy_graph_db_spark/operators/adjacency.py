@@ -193,6 +193,28 @@ def node_label(g: Graph, ids: DataFrame | Iterable[int], id_col: str = "id") -> 
     return g.with_node_labels(ids, id_col)
 
 
+def all_attr_bases(g: Graph, node_id: int) -> tuple:
+    """The edge labels valid for a node, from its range (``allAttrBases``,
+    ``Enum.hs:342-349``): range dispatch on the id, then the range's declared
+    edge-label list. Driver-side (ranges are tiny and broadcast anyway)."""
+    label = g.ranges.label_of(int(node_id))
+    if label is None:
+        return ()
+    return g.ranges.valid_edge_labels(label)
+
+
+def has_node_attr(g: Graph, col: str, value) -> DataFrame:
+    """Node-attr-bit test (``hasNodeAttr``, ``FastAccess.hs:479-481``) — the
+    reference masks bits inside the node id; here attrs are plain columns, so
+    this is a pushdown-able equality filter on ``nodes``."""
+    return g.nodes.filter(F.col(col) == value)
+
+
+def extr_attr(g: Graph, col: str) -> DataFrame:
+    """Extract a node-attr column (``extrAttr``, ``FastAccess.hs:487-490``)."""
+    return g.nodes.select("id", col)
+
+
 def attr_overlap(g: Graph) -> DataFrame:
     """Validation: report (src,label,edge_seq,is_back) keys occurring more
     than once — the analog of the reference's attr/base collision check

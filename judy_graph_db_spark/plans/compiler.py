@@ -379,6 +379,14 @@ def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
     return Graph(g.spark, g.nodes, edges, g.ranges), GraphDiff(added, deleted)
 
 
+def graph_create(g: Graph, pattern: Pattern) -> Graph:
+    """``graphCreate`` (``Cypher.hs:441-442`` — declared but a no-op in the
+    reference; real here): materialize the pattern's edges and return the
+    updated graph, discarding the diff."""
+    new_graph, _ = create_mem(g, pattern)
+    return new_graph
+
+
 def graph_query(g: Graph, pattern: Pattern, quick: bool = True) -> Graph:
     """Evaluate → result as a *graph* (``graphQuery``, ``Cypher.hs:438-439`` —
     a stub in the reference, ``Cypher.hs:895-898``; real here): the subgraph

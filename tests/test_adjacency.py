@@ -73,3 +73,28 @@ def test_lookup_node_and_edge(spark):
 def test_attr_overlap_clean(spark):
     g = f2_issue_tracker(spark)
     assert adj.attr_overlap(g).count() == 0
+
+
+def test_all_attr_bases_from_range(spark):
+    g = f2_issue_tracker(spark)
+    assert adj.all_attr_bases(g, 0) == ("Raises", "Accepts", "Closes", "BelongtsTO")
+    assert adj.all_attr_bases(g, 3) == ("Closes", "References")
+    assert adj.all_attr_bases(g, 999) == ()
+
+
+def test_has_node_attr_and_extr_attr(spark):
+    g = f2_issue_tracker(spark)
+    assert adj.has_node_attr(g, "label", "ISSUE").count() == 4
+    cols = adj.extr_attr(g, "label").columns
+    assert cols == ["id", "label"]
+
+
+def test_graph_create_materializes(spark):
+    from judy_graph_db_spark import E, N, graph_create
+
+    g = f2_issue_tracker(spark)
+    g2 = graph_create(g, N(ids=[1]) >> E("Raises") >> N(ids=[6]))
+    got = g2.edges.filter(
+        (F.col("src") == 1) & (F.col("label") == "Raises") & (F.col("dst") == 6)
+    )
+    assert got.count() == 1
