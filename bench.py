@@ -74,6 +74,26 @@ def main() -> None:
 
     run("cw_1hop", lambda: A.adjacent_nodes_by_attr(g, 3 * B + 1, "PLACED", backwards=False).count())
 
+    # the reference's OWN benchmark workloads (benchmark/Bench.hs:29-58,
+    # BASELINE.md micro-targets): MIW = bulk-load data.txt (367,662 edges),
+    # CW = load + 1-hop label query on node 128
+    ref_data = "/root/reference/benchmark/data.txt"
+    if os.path.exists(ref_data):
+        from judy_graph_db_spark import E, N
+        from judy_graph_db_spark import table as q_table
+        from judy_graph_db_spark.sources.edge_list import read_edge_list
+
+        def miw_ref():
+            read_edge_list(spark, ref_data, label="MAILED").edges.count()
+
+        run("miw_ref_data_txt", miw_ref, repeats=1)
+
+        gref = read_edge_list(spark, ref_data, label="MAILED")
+        gref.edges = gref.edges.cache()
+        gref.edges.count()
+        run("cw_ref_node128", lambda: q_table(
+            gref, N(ids=[128]) >> E("MAILED", direction="r") >> N()).count())
+
     # the deploy path: materialized edges table, distributed+sorted by src —
     # point lookups then hit parquet row-group stats instead of recomputing
     # the graph from source tables

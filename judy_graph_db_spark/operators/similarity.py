@@ -52,11 +52,13 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_id: int, k: int = 10,
         .withColumn("sim_micro", cosine_sim_micro(vec_col, "_qvec"))
         .select(id_col, "sim_micro")
     )
+    # top-k via sort+limit (TakeOrdered: per-partition heaps, no global
+    # shuffle), THEN rank over the k survivors — a bare global row_number
+    # window would funnel every scored row through one partition
+    top = scored.orderBy(F.col("sim_micro").desc(), F.col(id_col)).limit(int(k))
     w = Window.orderBy(F.col("sim_micro").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select(id_col, "rank", "sim_micro")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "sim_micro"
     )
 
 
