@@ -50,7 +50,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def run(name: str, fn, repeats: int = 2) -> None:
+    def run(name: str, fn, repeats: int = 3) -> None:
         """criterion-style steady-state timing (the reference benchmarks with
         criterion, benchmark/Bench.hs): best of ``repeats`` runs — first-run
         whole-stage-codegen JIT cost amortizes away on a long-lived cluster."""

@@ -259,33 +259,29 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     band_arr = F.array(
         *[F.substring("sig", b * band_bits + 1, band_bits) for b in range(n_bands)]
     )
-    bands = sigs.select(id_col, F.posexplode(band_arr).alias("band_idx", "band_val"))
-    a = bands.select(F.col(id_col).alias("doc_a"), "band_idx", "band_val")
-    b = bands.select(F.col(id_col).alias("doc_b"), "band_idx", "band_val")
-    # candidates carry ids ONLY: a correlated-bits bucket can cover most of
-    # the corpus (measured 65% of docs in one bucket on homogeneous data),
-    # so the distinct must run on 16 bytes/row, with the 32-char signatures
-    # attached afterwards by two narrow joins
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # band rows carry the NUMERIC signature (8 bytes): the self-join output
+    # then has both operands in-row, so hamming is a single codegen'd
+    # xor+popcount per candidate — no per-bit lambda (20×+ slower measured),
+    # no signature re-join, and the distinct runs on the hamming survivors
+    # instead of the raw candidate set (a correlated-bits bucket can cover
+    # most of a homogeneous corpus: measured 65% of docs in one bucket)
+    bands = sigs.select(
+        id_col,
+        F.conv("sig", 2, 10).cast("long").alias("_n"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
-    # hamming as xor+popcount on the numeric signature — one codegen'd
-    # integer op per pair instead of a higher-order lambda doing 2·bits
-    # string probes (the lambda was the hot loop: 20×+ slower measured)
-    signum = sigs.select(id_col, F.conv("sig", 2, 10).cast("long").alias("_n"))
-    cand = cand.join(
-        signum.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na")), "doc_a"
-    ).join(
-        signum.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb")), "doc_b"
-    )
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("_n").alias("_na"),
+                     "band_idx", "band_val")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("_n").alias("_nb"),
+                     "band_idx", "band_val")
     hamming = F.bit_count(F.col("_na").bitwiseXOR(F.col("_nb"))).cast("long")
     return (
-        cand.withColumn("hamming", hamming)
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= int(max_hamming))
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
