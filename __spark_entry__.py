@@ -239,6 +239,43 @@ def _q_orders_per_nation(spark, sf_dir):
     )
 
 
+def _q_orders_rollup(spark, sf_dir):
+    """Grouping sets (ROLLUP) — §2.7 gap surface."""
+    load_tpch_views(spark, sf_dir)
+    o = spark.table("orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+def _q_events_json(spark, sf_dir):
+    """JSON scalar functions over the events props column — §2.7 gap."""
+    load_tpch_views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _q_orders_by_month(spark, sf_dir):
+    """Date scalar functions — §2.7 gap: per-month order rollup."""
+    load_tpch_views(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.withColumn("ym", (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"))
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the events table (streaming-shaped;
     same plan works under readStream + watermark)."""
@@ -357,6 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "orders_per_nation": _q_orders_per_nation,
+        "orders_rollup": _q_orders_rollup,
+        "events_json": _q_events_json,
+        "orders_by_month": _q_orders_by_month,
         "events_hourly": _q_events_hourly,
         "text_stats": _q_text_stats,
         "doc_quality": _q_doc_quality,
@@ -465,6 +505,20 @@ SELECT n_name, COUNT(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n_name""",
+        "orders_rollup": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+        "events_json": """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type""",
+        "orders_by_month": """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+       COUNT(*) AS n
+FROM orders GROUP BY 1""",
         "events_hourly": """
 SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
        COUNT(*) AS n,
