@@ -281,8 +281,15 @@ def _q_events_hourly(spark, sf_dir):
     same plan works under readStream + watermark)."""
     load_tpch_views(spark, sf_dir)
     ev = spark.table("events")
+    # bucket = yyyymmddhh from calendar components: timezone-independent
+    # (unix_timestamp would shift with the session tz, which the driver's
+    # session may not pin to UTC)
+    bucket = (
+        F.year("ts") * 1000000 + F.month("ts") * 10000
+        + F.dayofmonth("ts") * 100 + F.hour("ts")
+    ).cast("long")
     return (
-        ev.withColumn("hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+        ev.withColumn("hour_bucket", bucket)
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -520,7 +527,8 @@ SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
        COUNT(*) AS n
 FROM orders GROUP BY 1""",
         "events_hourly": """
-SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS BIGINT) AS hour_bucket,
+       event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",

@@ -160,9 +160,29 @@ NANO_TS_COLS = {
 
 
 def load_tpch_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver's parquet tables as temp views."""
+    """Register the driver's parquet tables as temp views.
+
+    Works on ANY caller-provided session: the fixtures carry
+    TIMESTAMP(NANOS) columns that Spark's reader rejects by default
+    (PARQUET_TYPE_ILLEGAL), so the nanos-as-long conf is set here at
+    runtime (it is a runtime-settable SQLConf) and the long columns are
+    converted back to timestamps below."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older/newer Spark without the conf: reader may handle nanos natively
+    # the fixture timestamps are NAIVE (DuckDB reads them as TIMESTAMP_NS);
+    # our long→timestamp_micros conversion yields instant-typed TIMESTAMP,
+    # so the session tz must be UTC for calendar extraction (year/hour/
+    # date_trunc) to agree with the oracle — pinned here because the caller
+    # (the driver harness) may supply any session
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
 
     for t in TPCH_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
