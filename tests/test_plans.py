@@ -1,0 +1,96 @@
+"""Plan-shape regression tests: the scale properties README claims are
+asserted against the actual physical plans, so a refactor that silently
+reintroduces a full-table shuffle or kills pushdown fails CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark import E, N, table
+from judy_graph_db_spark.operators import adjacency as A
+from judy_graph_db_spark.operators import dedup as D
+from judy_graph_db_spark.operators import similarity as S
+from judy_graph_db_spark.sources.tpch_graph import B, load_tpch_views, tpch_graph
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return tpch_graph(spark, SF_DIR)
+
+
+def test_adjacency_point_lookup_pushes_below_window(g):
+    """The src predicate must reach the scan (DataFilters), not sit above
+    the edge_seq window — otherwise every point lookup shuffles the whole
+    table."""
+    plan = plan_of(A.adjacent_nodes_by_attr(g, 3 * B + 1, "PLACED", backwards=False))
+    assert plan.count("FileScan parquet") == 1, "union branches not pruned"
+    assert "orders.parquet" in plan
+    assert "3000000000001)" in plan.split("Exchange")[-1], (
+        "src filter did not push below the window/exchange"
+    )
+
+
+def test_label_filter_prunes_union_branches(g):
+    """A label-filtered edge relation must scan only the tables that
+    produce that label."""
+    placed = g.edges.filter((F.col("label") == "PLACED") & ~F.col("is_back"))
+    plan = plan_of(placed)
+    assert plan.count("FileScan parquet") == 1
+    assert "orders.parquet" in plan
+    for t in ("lineitem", "customer", "nation", "supplier"):
+        assert f"{t}.parquet" not in plan
+
+
+def test_pattern_2hop_scans_only_needed_tables(g):
+    pat = (
+        N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N()
+        >> E("CONTAINS", direction="r") >> N(labels=["PART"])
+    )
+    plan = plan_of(table(g, pat))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "region.parquet" not in plan and "events.parquet" not in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    load_tpch_views(spark, SF_DIR)
+    o, c, n = spark.table("orders"), spark.table("customer"), spark.table("nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_degree_table_partial_aggregates(g):
+    """groupBy must map-side combine before the shuffle."""
+    plan = plan_of(A.degree_table(g))
+    assert "partial_count" in plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(D.exact_dedup(docs))
+    assert "partial_" in plan
+
+
+def test_cosine_topk_uses_take_ordered(spark):
+    """Top-k must be TakeOrdered (per-partition heaps), not a global-window
+    single-partition sort."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = plan_of(S.cosine_topk_bruteforce(embs, query_id=0, k=10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scans_prune_columns(g):
+    """A 2-column projection must not read the full lineitem schema."""
+    proj = g.edges.filter((F.col("label") == "CONTAINS") & ~F.col("is_back")).select("src", "dst")
+    plan = plan_of(proj)
+    scan = plan[plan.index("FileScan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
+    assert "l_extendedprice" not in read_schema and "l_discount" not in read_schema
