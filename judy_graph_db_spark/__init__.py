@@ -17,6 +17,7 @@ from judy_graph_db_spark.plans.compiler import (
     flat_table,
     nested_layers,
     appl,
+    shortest_paths,
     create_mem,
     graph_query,
     graph_create,
@@ -38,6 +39,7 @@ __all__ = [
     "flat_table",
     "nested_layers",
     "appl",
+    "shortest_paths",
     "create_mem",
     "graph_query",
     "graph_create",

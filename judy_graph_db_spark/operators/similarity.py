@@ -153,14 +153,29 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 4,
 
 
 def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_cells: int = 4,
+             n_probe: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k searching only the query's IVF cell."""
+    """Approximate top-k searching the query's ``n_probe`` closest IVF
+    cells (standard recall/cost knob: probe more cells → recall approaches
+    exact at proportional scan cost; the scanned fraction stays
+    n_probe/n_cells of the corpus)."""
+    cents = (
+        embeddings.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    q = embeddings.filter(F.col(id_col) == int(query_id)).select(
+        F.col(vec_col).alias("_qvec"))
+    probe_cells = (
+        F.broadcast(cents).join(F.broadcast(q))
+        .withColumn("_sim", cosine_sim_micro("_cvec", "_qvec"))
+        .orderBy(F.col("_sim").desc(), F.col("_cid"))
+        .limit(int(n_probe))
+        .select("_cid")
+    )
     assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    qc = assign.filter(F.col(id_col) == int(query_id)).select(
-        F.col("cell").alias("_qc"))
     cell = (
         embeddings.join(assign, id_col)
-        .join(F.broadcast(qc), F.col("cell") == F.col("_qc"))
-        .drop("cell", "_qc")
+        .join(F.broadcast(probe_cells), assign["cell"] == F.col("_cid"))
+        .drop("cell", "_cid")
     )
     return cosine_topk_bruteforce(cell, query_id, k, id_col, vec_col)

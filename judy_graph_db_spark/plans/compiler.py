@@ -294,6 +294,24 @@ def nested_layers(bindings: DataFrame, upto: int | None = None) -> DataFrame:
     )
 
 
+def shortest_paths(g: Graph, start: N, label: str | None = None,
+                   direction: str | None = "r",
+                   max_hops: int | None = None) -> DataFrame:
+    """BFS shortest-path lengths from every node matching ``start`` —
+    the reference lists shortestPath as TODO (``doc/Neo4j.md:179-197``);
+    here it falls out of the unbounded-repeat machinery: the visited-set
+    frontier loop records each (source, node) pair at its FIRST reach,
+    which is the minimum hop count. Returns (n0, n1, hops)."""
+    pat = Pattern([start, E(attr=[label] if label else None, direction=direction,
+                            several=(1, max_hops)), N()])
+    b = compile_pattern(g, pat)
+    return b.select(
+        "n0", "n1", F.col("e0_depth").cast("long").alias("hops")
+    ) if max_hops is None else b.groupBy("n0", "n1").agg(
+        F.min("e0_depth").cast("long").alias("hops")
+    )
+
+
 def appl(df: DataFrame, col: str, fn) -> DataFrame:
     """Post-process a collected node-set/layer column (``appl``,
     ``Cypher.hs:179-192``): apply an array→array Column function inside the

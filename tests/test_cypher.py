@@ -197,3 +197,24 @@ def test_several_then_restrict(spark):
         >> E("NextVer", several=(1, 2), direction="r") >> N()
     got = rows(table(g, pat), "n1", "n2")
     assert got == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_shortest_paths_chain(spark):
+    from judy_graph_db_spark import shortest_paths
+    from tests.fixtures import f3_package_graph
+
+    g = f3_package_graph(spark)
+    # NextVer chain 7→8→9→10
+    got = {(r.n0, r.n1): r.hops for r in
+           shortest_paths(g, N(ids=[7]), label="NextVer").collect()}
+    assert got == {(7, 8): 1, (7, 9): 2, (7, 10): 3}
+
+
+def test_shortest_paths_bounded(spark):
+    from judy_graph_db_spark import shortest_paths
+    from tests.fixtures import f3_package_graph
+
+    g = f3_package_graph(spark)
+    got = {(r.n0, r.n1): r.hops for r in
+           shortest_paths(g, N(ids=[7]), label="NextVer", max_hops=2).collect()}
+    assert got == {(7, 8): 1, (7, 9): 2}

