@@ -361,12 +361,12 @@ def _q_simhash_neardup(spark, sf_dir):
 
 def _q_embedding_neardup(spark, sf_dir):
     load_tpch_views(spark, sf_dir)
-    return S.cosine_neardup_pairs(spark.table("embeddings"))
+    return S.cosine_neardup_pairs(spark.table("embeddings"), dim=64)
 
 
 def _q_cosine_topk(spark, sf_dir):
     load_tpch_views(spark, sf_dir)
-    return S.cosine_topk_bruteforce(spark.table("embeddings"), query_id=0, k=10)
+    return S.cosine_topk_bruteforce(spark.table("embeddings"), query_id=0, k=10, dim=64)
 
 
 def _q_ivf_cells(spark, sf_dir):

