@@ -20,6 +20,7 @@ from judy_graph_db_spark import N, E, create_mem, flat_table, graph_query, table
 from judy_graph_db_spark import oracle as O
 from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
+from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
 from judy_graph_db_spark.operators import similarity as S
 from judy_graph_db_spark.sources.tpch_graph import (
@@ -381,6 +382,33 @@ def _q_lsh_buckets(spark, sf_dir):
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+# --------------------------------------------------------- graph analytics
+
+def _q_connected_components(spark, sf_dir):
+    """Large-star/small-star CC over the NEXT_ORDER chains; oracle is the
+    closed form (component = customer's min order id) the chain structure
+    implies."""
+    g = tpch_graph(spark, sf_dir)
+    chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
+    return AN.connected_components(chains)
+
+
+def _q_triangle_count(spark, sf_dir):
+    """Ordered 3-way self-join triangle count over the whole graph."""
+    g = tpch_graph(spark, sf_dir)
+    return AN.triangle_count(g.edges.filter(~F.col("is_back")))
+
+
+def _q_pagerank(spark, sf_dir):
+    """3-round power iteration, GraphX semantics; ranks rounded to 1e-4 so
+    the unrolled-SQL twin hash-matches across engines."""
+    g = tpch_graph(spark, sf_dir)
+    pr = AN.pagerank(g.edges.filter(~F.col("is_back")), iters=3)
+    return pr.select(
+        "id", F.round(F.col("rank") * 10000).cast("long").alias("rank_e4")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "adjacency_neighbors": _q_adjacency,
@@ -417,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_cells": _q_ivf_cells,
         "lsh_bucket_sizes": _q_lsh_buckets,
+        "connected_components": _q_connected_components,
+        "triangle_count": _q_triangle_count,
+        "pagerank_ranks": _q_pagerank,
     }
 
 
@@ -560,4 +591,31 @@ FROM documents GROUP BY md5(text)""",
         "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
         "ivf_cells": O.ivf_cells_sql(n_cells=4),
         "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),
+        # NEXT_ORDER chains connect exactly each customer's orders in date
+        # order, so the fixpoint the iterative operator computes has a
+        # closed form: component = the customer's minimum order id. Using
+        # the closed form (not a recursive CTE) makes the oracle independent
+        # of the iteration logic under test.
+        "connected_components": f"""
+WITH chained AS (
+  SELECT o_custkey, o_orderkey,
+         MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS min_key,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+       CAST(5*{B} + min_key AS BIGINT) AS component
+FROM chained WHERE n_orders >= 2""",
+        "triangle_count": f"""{P},
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE NOT is_back AND src <> dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM und e1
+JOIN und e2 ON e1.b = e2.a
+JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""",
+        "pagerank_ranks": AN.pagerank_oracle_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
+        ),
     }

@@ -266,6 +266,31 @@ class Graph:
         self.nodes.write.mode(mode).parquet(os.path.join(path, "nodes"))
         self.ranges_df().write.mode(mode).parquet(os.path.join(path, "ranges"))
 
+    def save_table(self, name: str, buckets: int = 0, mode: str = "overwrite") -> None:
+        """Persist as catalog tables ``{name}_edges/_nodes/_ranges``. With
+        ``buckets`` > 0 the edges table is hash-bucketed AND sorted on
+        ``src`` — the cluster-scale layout: every join or aggregation keyed
+        on ``src`` (pattern hops, degree rollups, adjacency batches) then
+        reads co-located buckets and skips the shuffle entirely
+        (``test_plans.test_bucketed_edges_join_has_no_exchange``)."""
+        w = self.edges.write.mode(mode).format("parquet")
+        if buckets:
+            w = w.bucketBy(buckets, "src").sortBy("src", "label")
+        w.saveAsTable(f"{name}_edges")
+        self.nodes.write.mode(mode).format("parquet").saveAsTable(f"{name}_nodes")
+        self.ranges_df().write.mode(mode).format("parquet").saveAsTable(f"{name}_ranges")
+
+    @classmethod
+    def from_table(cls, spark: SparkSession, name: str) -> "Graph":
+        """Reopen a graph persisted by :meth:`save_table` (bucketing
+        metadata comes back from the catalog, so downstream joins keep the
+        co-location guarantee)."""
+        edges = spark.table(f"{name}_edges")
+        nodes = spark.table(f"{name}_nodes")
+        rows = spark.table(f"{name}_ranges").collect()
+        ranges = Ranges.of(*[(r.range_start, r.range_len, r.label, tuple(r.valid_edge_labels or ())) for r in rows])
+        return cls(spark, nodes, edges, ranges)
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "Graph":
         """Reopen a persisted graph (``fromDB``, ``JudyGraph.hs:195-203`` —

@@ -1,0 +1,238 @@
+"""Whole-graph iterative analytics — parity-plus over the reference.
+
+The reference has no graph analytics beyond per-(node,label) degree counts
+(SURVEY.md §2.7; shortestPath is a TODO at ``doc/Neo4j.md:179-197``). These
+fill that surface with the standard Pregel-style algorithms, re-expressed as
+driver-side iterative DataFrame loops — the same shape as the
+variable-length-path loop in ``plans/compiler.py`` (SURVEY.md §4.3).
+
+Scale design (100 TB):
+- every iteration is ONE shuffle keyed on the join column; no driver-side
+  collection anywhere — frontiers stay distributed;
+- each iteration ``localCheckpoint``\\ s the state DataFrame so lineage (and
+  the Catalyst plan) stays flat no matter how many rounds run;
+- ``connected_components`` pairs hash-min propagation with pointer jumping,
+  giving O(log d) rounds instead of O(d) on long chains;
+- ``triangle_count`` canonicalizes to the ``a < b`` undirected edge set
+  first, so each triangle is counted exactly once and the self-joins stay
+  half-sized; on skewed degree distributions, AQE skew-join handles the
+  hub-vertex buckets;
+- ``pagerank`` pre-aggregates out-degrees once and re-broadcasts nothing —
+  ranks and contributions meet in a shuffle-on-id join that AQE can convert
+  per-partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Distinct undirected neighbor pairs (both directions materialized)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _star_round(pairs: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).
+
+    ``pairs`` is the canonical edge set ``(a < b)``. For every node ``u``
+    with neighborhood N(u) and ``m = min(N(u) ∪ {u})``:
+
+    - large-star rewires the strictly-larger neighbors: ``(v, m)`` for
+      ``v ∈ N(u), v > u``;
+    - small-star rewires the rest: ``(v, m)`` for ``v ∈ N(u), v ≤ u``
+      (plus ``(u, m)`` itself).
+
+    Both keep every node attached to a smaller node of the same component,
+    so connectivity is invariant; the alternation converges to disjoint
+    stars rooted at component minima in O(log n) rounds on any topology —
+    including long chains, where plain hash-min needs O(diameter) rounds.
+    """
+    adj = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = adj.join(mins, "u")
+    rewired = joined.filter(
+        F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    ).select("v", "m")
+    self_link = mins.filter(F.col("u") > F.col("m")).select(
+        F.col("u").alias("v"), "m"
+    )
+    return (
+        rewired.union(self_link)
+        .filter(F.col("v") != F.col("m"))
+        .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction — the scalable MapReduce formulation (see
+    :func:`_star_round`). Returns ``(id BIGINT, component BIGINT)`` where
+    ``component`` is the minimum node id of the component. Nodes = every id
+    on a non-self-loop edge (union isolated ids afterwards if needed).
+
+    Convergence test: a whp-exact fingerprint (count + sum of per-pair
+    xxhash64) of the canonical edge set — stationary iff the star set
+    stopped changing; one agg job per round, no join. Each round
+    ``localCheckpoint``\\ s the pair set to keep lineage flat.
+    """
+    pairs = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], int(row["h"] or 0))
+
+    prev = fingerprint(pairs)
+    for _ in range(max_iter):
+        pairs = _star_round(pairs, large=True)
+        pairs = _star_round(pairs, large=False).localCheckpoint(eager=True)
+        cur = fingerprint(pairs)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint = disjoint stars rooted at component minima: every pair is
+    # (root, member); roots map to themselves
+    membership = pairs.select(F.col("b").alias("id"), F.col("a").alias("component"))
+    return (
+        nodes.join(membership, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over the undirected simple graph.
+
+    Canonicalize every edge to ``(a, b) with a < b`` (direction and
+    parallel-edge multiplicity dropped), then count closed wedges with one
+    ordered 3-way self-join — each triangle ``a < b < c`` matches exactly
+    once. Returns a single row ``(triangles BIGINT)``.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """PageRank by fixed-round power iteration, GraphX semantics:
+    ``rank = (1-d) + d * Σ_{in-neighbors} rank/outdeg`` starting from 1.0,
+    dangling mass not redistributed (matches
+    ``org.apache.spark.graphx.lib.PageRank.run``). Parallel edges collapse
+    to simple links first. Returns ``(id BIGINT, rank DOUBLE)``.
+
+    Fixed ``iters`` (not a convergence test) keeps the operator a
+    deterministic function of its input, so it stays oracle-checkable via an
+    unrolled-SQL twin (``pagerank_oracle_sql``).
+    """
+    links = edges.select("src", "dst").distinct()
+    # materialize links⋈outdeg once — every round reuses it instead of
+    # re-scanning + re-shuffling the edge relation per iteration
+    ldeg = (
+        links.join(
+            links.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ldeg.select(F.col("src").alias("id"))
+        .union(ldeg.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contribs = (
+            ldeg.join(ranks, ldeg.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = 3, damping: float = 0.85,
+    prefix: str | None = None,
+) -> str:
+    """The ANSI-SQL twin of :func:`pagerank`: the same fixed number of power
+    iterations unrolled as chained CTEs, over an ``edges_sql`` relation with
+    ``src``/``dst`` columns. Final ranks come back rounded to 1e-4
+    (``rank_e4 BIGINT``) — compare the Spark side with the same rounding.
+    ``prefix`` is an existing ``WITH ...`` chain (e.g. the TPC-H graph CTEs)
+    to extend instead of opening a new one.
+    """
+    head = f"{prefix},\nlinks" if prefix else "WITH links"
+    parts = [
+        f"{head} AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),",
+        "nodes AS (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", r{k} AS (
+  SELECT n.id,
+         {1.0 - damping} + {damping} * COALESCE(SUM(r.rank / d.outdeg), 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN links l ON l.dst = n.id
+  LEFT JOIN deg d ON d.src = l.src
+  LEFT JOIN r{k - 1} r ON r.id = l.src
+  GROUP BY n.id
+)"""
+        )
+        parts.append("")
+    parts.append(
+        f"SELECT id, CAST(ROUND(rank * 10000) AS BIGINT) AS rank_e4 FROM r{iters}"
+    )
+    return "\n".join(parts)

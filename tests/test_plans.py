@@ -94,3 +94,27 @@ def test_scans_prune_columns(g):
     scan = plan[plan.index("FileScan parquet"):]
     read_schema = scan[scan.index("ReadSchema"):].splitlines()[0]
     assert "l_extendedprice" not in read_schema and "l_discount" not in read_schema
+
+
+def test_bucketed_edges_join_has_no_exchange(spark, tmp_path):
+    """save_table(buckets=N): a src-keyed self-join of the bucketed edges
+    table must read co-located buckets — zero Exchange in the plan. This is
+    the on-disk co-location contract for pattern hops at cluster scale."""
+    from judy_graph_db_spark.graph import Graph
+    from tests.fixtures import f2_issue_tracker
+
+    g = f2_issue_tracker(spark)
+    g.save_table("bkt_test", buckets=4)
+    try:
+        e = spark.table("bkt_test_edges")
+        joined = e.alias("l").hint("merge").join(
+            e.alias("r"), F.col("l.src") == F.col("r.src")
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        # and the round-trip graph still answers queries
+        g2 = Graph.from_table(spark, "bkt_test")
+        assert g2.edges.count() == g.edges.count()
+    finally:
+        for t in ("bkt_test_edges", "bkt_test_nodes", "bkt_test_ranges"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -141,3 +141,40 @@ def test_sessionize_stream_closes_sessions(spark, tmp_path):
     # (the last open session per user stays in state)
     emitted = {(r.user_id, r.n_events) for r in got}
     assert (1, 2) in emitted
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    from judy_graph_db_spark.streaming.dedup import (
+        content_keyed, dedup_batch_equivalent, dedup_stream,
+    )
+
+    rows = [
+        ("hello world", "2024-01-01 00:00:00"),
+        ("hello world", "2024-01-01 00:01:00"),  # dup within horizon
+        ("something else", "2024-01-01 00:02:00"),
+        ("hello world", "2024-01-01 00:03:00"),  # dup within horizon
+    ]
+    df = spark.createDataFrame(rows, "text string, ts_s string").select(
+        "text", F.to_timestamp("ts_s").alias("ts")
+    )
+    staged = str(tmp_path / "docs")
+    df.write.parquet(staged)
+    stream = content_keyed(spark.readStream.schema(df.schema).parquet(staged))
+    q = (
+        dedup_stream(stream, keys=["text_hash"], delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.table("deduped").select("text").collect()
+    assert sorted(r.text for r in got) == ["hello world", "something else"]
+
+    # batch-equivalent keeps the earliest arrival per key
+    batch = dedup_batch_equivalent(content_keyed(df)).collect()
+    assert sorted((r.text, str(r.ts)) for r in batch) == [
+        ("hello world", "2024-01-01 00:00:00"),
+        ("something else", "2024-01-01 00:02:00"),
+    ]
