@@ -382,6 +382,13 @@ def _q_lsh_buckets(spark, sf_dir):
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup families: LSH pairs → connected components → canonical
+    min-id representative (the full corpus-dedup shape)."""
+    load_tpch_views(spark, sf_dir)
+    return D.dedup_clusters(spark.table("documents"))
+
+
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
@@ -439,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": _q_simhash,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,
         "embedding_neardup": _q_embedding_neardup,
@@ -582,6 +590,7 @@ FROM documents""",
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)""",
         "minhash_lsh_pairs": O.lsh_pairs_sql(),
+        "dedup_clusters": O.dedup_clusters_sql(),
         "ngram_jaccard": O.ngram_jaccard_sql(),
         "simhash_neardup": O.simhash_neardup_sql(),
         "embedding_neardup": O.embedding_neardup_sql(),

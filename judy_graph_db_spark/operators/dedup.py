@@ -166,6 +166,42 @@ def minhash_lsh_candidates(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS,
+                   max_bucket_size: int | None = None,
+                   candidates: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate FAMILIES, not just pairs: connected components of the
+    LSH candidate-pair graph, with the minimum doc id as the canonical
+    representative. Returns ``(doc_id, cluster_id, is_canonical)`` — filter
+    ``is_canonical`` to materialize the deduplicated corpus.
+
+    This is the full shape of corpus dedup at scale: pair emission alone
+    under-deletes (A~B, B~C but A≁C must still collapse to one family), so
+    the pairs feed the large-star/small-star component contraction
+    (``analytics.connected_components``, O(log n) rounds). Singleton docs
+    (no candidate pair) are their own cluster. Oracle:
+    ``oracle.dedup_clusters_sql`` — an independent recursive-CTE transitive
+    closure."""
+    from judy_graph_db_spark.operators.analytics import connected_components
+
+    pairs = candidates if candidates is not None else minhash_lsh_candidates(
+        docs, text_col, id_col, num_hashes, band_rows, max_bucket_size
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold_permille: int = 0) -> DataFrame:

@@ -172,14 +172,13 @@ def minhash_sql(shingles: str = "shingles", num_hashes: int = NUM_HASHES) -> str
     )
 
 
-def lsh_pairs_sql(id_col: str = "doc_id", text_col: str = "text",
-                  table: str = "documents",
-                  num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS) -> str:
-    """Twin of ``minhash_lsh_candidates``: distinct (doc_a, doc_b) sharing a
-    band bucket."""
+def _lsh_cte_chain(id_col: str, text_col: str, table: str,
+                   num_hashes: int, band_rows: int) -> str:
+    """The shingle→minhash→band CTE chain shared by ``lsh_pairs_sql`` and
+    ``dedup_clusters_sql`` (no leading WITH, trailing ``pairs`` CTE
+    included)."""
     n_bands = num_hashes // band_rows
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT {id_col} AS doc_id, {shingles_sql(text_col)} AS shingles FROM {table}
 ),
 sig AS (
@@ -191,10 +190,52 @@ bands AS (
            list_slice(minhash, b.band_idx*{band_rows}+1,
                       b.band_idx*{band_rows}+{band_rows}), ',')) AS band_hash
   FROM sig, (SELECT unnest(generate_series(0, {n_bands-1})) AS band_idx) b
-)
-SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-FROM bands a JOIN bands b2 USING (band_idx, band_hash)
-WHERE a.doc_id < b2.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2 USING (band_idx, band_hash)
+  WHERE a.doc_id < b2.doc_id
+)"""
+
+
+def lsh_pairs_sql(id_col: str = "doc_id", text_col: str = "text",
+                  table: str = "documents",
+                  num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS) -> str:
+    """Twin of ``minhash_lsh_candidates``: distinct (doc_a, doc_b) sharing a
+    band bucket."""
+    chain = _lsh_cte_chain(id_col, text_col, table, num_hashes, band_rows)
+    return f"""
+WITH {chain}
+SELECT doc_a, doc_b FROM pairs
+"""
+
+
+def dedup_clusters_sql(id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents",
+                       num_hashes: int = NUM_HASHES,
+                       band_rows: int = BAND_ROWS) -> str:
+    """Twin of ``dedup.dedup_clusters``: near-dup families = transitive
+    closure of the LSH candidate pairs, computed with a recursive CTE
+    (reach = every node a doc can reach; component = MIN(reach)); singleton
+    docs are their own cluster. The iterative Spark operator
+    (large-star/small-star) is checked against this independent closure."""
+    chain = _lsh_cte_chain(id_col, text_col, table, num_hashes, band_rows)
+    return f"""
+WITH RECURSIVE {chain},
+reach(id, r) AS (
+  SELECT id, id FROM (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs) t
+  UNION
+  SELECT reach.id, s.b
+  FROM reach JOIN (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+  ) s ON reach.r = s.a
+),
+comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+SELECT d.{id_col} AS doc_id,
+       COALESCE(c.comp, d.{id_col}) AS cluster_id,
+       d.{id_col} = COALESCE(c.comp, d.{id_col}) AS is_canonical
+FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
 """
 
 

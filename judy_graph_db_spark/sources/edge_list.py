@@ -97,3 +97,43 @@ def assign_dense_ids(df: DataFrame, name_col: str, label_col: str | None = None)
     order = [label_col, name_col] if label_col else [name_col]
     w = Window.orderBy(*order)
     return names.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+
+
+def read_json_edges(
+    spark: SparkSession,
+    path: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    label_col: str | None = "label",
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    ranges: Ranges | None = None,
+) -> Graph:
+    """JSON-lines edge ingest — same contract as :func:`read_csv_edges`
+    for corpora shipped as JSONL (one edge object per line). Malformed
+    lines are dropped (``mode=DROPMALFORMED``, the ``insertCSVEdge``
+    skip-on-parse-error rule); ``transform`` is the ``AddCSVLine``-style
+    user hook. Schema is inferred from the data unless ``transform``
+    handles the raw frame itself."""
+    raw = spark.read.json(path, mode="DROPMALFORMED")
+    if transform is not None:
+        df = transform(raw)
+    else:
+        df = raw.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+            *([F.col(label_col).alias("label")] if label_col and label_col in raw.columns else []),
+        )
+    return Graph.from_edges(spark, df, ranges=ranges)
+
+
+def write_edge_list(g: Graph, path: str, sep: str = "\t",
+                    mode: str = "overwrite") -> None:
+    """Export forward edges as the reference's benchmark text format
+    (``benchmark/data.txt``: one ``src<sep>dst`` int pair per line) — the
+    round-trip sink for :func:`read_edge_list`. Distributed text write, one
+    shard per partition."""
+    (
+        g.edges.filter(~F.col("is_back"))
+        .select(F.concat_ws(sep, F.col("src"), F.col("dst")).alias("value"))
+        .write.mode(mode).text(path)
+    )

@@ -79,3 +79,26 @@ def test_to_dot(spark):
     g = f1_right(spark)
     dot = g.to_dot()
     assert "0 -> 1" in dot and dot.startswith("digraph")
+
+
+def test_json_edges_roundtrip_and_edge_list_export(spark, tmp_path):
+    from judy_graph_db_spark.sources.edge_list import (
+        read_edge_list, read_json_edges, write_edge_list,
+    )
+
+    p = tmp_path / "edges.jsonl"
+    p.write_text(
+        '{"src": 1, "dst": 2, "label": "KNOWS"}\n'
+        '{"src": 1, "dst": 3, "label": "KNOWS"}\n'
+        '{"src": 2, "dst": 3, "label": "LIKES"}\n'
+    )
+    g = read_json_edges(spark, str(p))
+    rows = {(r.src, r.dst, r.label, r.edge_seq) for r in g.edges.collect()}
+    assert (1, 2, "KNOWS", 1) in rows and (1, 3, "KNOWS", 2) in rows
+    assert (2, 3, "LIKES", 1) in rows
+
+    out = str(tmp_path / "export")
+    write_edge_list(g, out, sep="\t")
+    g2 = read_edge_list(spark, out, label="X", sep="\t")
+    assert g2.edges.count() == 3
+    assert {(r.src, r.dst) for r in g2.edges.collect()} == {(1, 2), (1, 3), (2, 3)}

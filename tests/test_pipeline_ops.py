@@ -237,3 +237,31 @@ def test_ivf_multiprobe_superset_recall(embs):
     four = [r.vec_id for r in S.ivf_topk(embs, 3, k=5, n_cells=4, n_probe=4).collect()]
     assert four == exact
     assert one <= set(exact) | one  # sanity: one-probe results are a valid subset shape
+
+
+def test_dedup_clusters_transitive_families(spark):
+    # A~B and B~C must land in ONE family even if A and C never pair:
+    # inject the candidate pairs so the closure itself is what's tested
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "unrelated")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    rows = {r.doc_id: (r.cluster_id, r.is_canonical)
+            for r in D.dedup_clusters(df, candidates=cands).collect()}
+    assert rows[1] == (1, True)
+    assert rows[2][0] == 1 and rows[2][1] is False
+    assert rows[3][0] == 1 and rows[3][1] is False
+    assert rows[9] == (9, True)  # singleton = its own cluster
+
+
+def test_dedup_clusters_lsh_end_to_end(spark):
+    # true near-dups via the LSH path cluster together; unrelated stays out
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"),
+         (9, "completely unrelated content zzz qqq vvv www xyz abc def")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.cluster_id for r in D.dedup_clusters(df).collect()}
+    assert rows[1] == 1 and rows[2] == 1 and rows[9] == 9
