@@ -416,6 +416,15 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_k_core(spark, sf_dir):
+    """5-core of the whole graph (iterative peeling). No SQL twin — the
+    fixpoint depth is data-dependent (rows-only driver check, same policy
+    as create_mem_diff); unit tests cover it against a Python peeling
+    oracle."""
+    g = tpch_graph(spark, sf_dir)
+    return AN.k_core(g.edges.filter(~F.col("is_back")), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "adjacency_neighbors": _q_adjacency,
@@ -456,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "triangle_count": _q_triangle_count,
         "pagerank_ranks": _q_pagerank,
+        "k_core_nodes": _q_k_core,
     }
 
 

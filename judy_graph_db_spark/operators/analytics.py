@@ -236,3 +236,40 @@ def pagerank_oracle_sql(
         f"SELECT id, CAST(ROUND(rank * 10000) AS BIGINT) AS rank_e4 FROM r{iters}"
     )
     return "\n".join(parts)
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    undirected degree ≥ k. Returns ``(id BIGINT, degree BIGINT)`` with the
+    degree measured inside the core.
+
+    Iterative peeling: drop nodes under degree k, recompute degrees on the
+    induced subgraph, repeat to fixpoint. Each round is one aggregation +
+    two semi-joins on the (shrinking) symmetric edge set; state is
+    ``localCheckpoint``-ed per round. Rounds = peeling depth (bounded by
+    ``max_iter``); the edge set only shrinks, so late rounds are cheap.
+
+    No SQL twin — the fixpoint depth is data-dependent, so this operator is
+    covered by unit tests against a Python peeling oracle instead of the
+    DuckDB gate (same policy as ``create_mem``).
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    prev_edges = sym.count()
+    for _ in range(max_iter):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= int(k)).select("src")
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        cur = sym.count()
+        if cur == prev_edges:
+            break
+        prev_edges = cur
+    return (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= int(k))
+        .select(F.col("src").alias("id"), "degree")
+    )

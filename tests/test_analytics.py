@@ -79,3 +79,116 @@ def test_pagerank_matches_unrolled_sql_oracle(spark):
     )
     want = {row[0]: row[1] for row in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        m = rng.randint(10, 60)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        # python union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for ab in pairs for x in ab}
+        want = {x: find(x) for x in touched}
+        # min-id canonical: find() with union-by-min gives the min root
+        got = {
+            r["id"]: r["component"]
+            for r in AN.connected_components(edges_df(spark, pairs)).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_triangle_count_random_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 12
+    pairs = [(a, b) for a in range(n) for b in range(n)
+             if a < b and rng.random() < 0.3]
+    adj = set(pairs)
+    want = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    got = AN.triangle_count(edges_df(spark, pairs)).collect()[0]["triangles"]
+    assert got == want
+
+
+def test_pagerank_random_vs_numpy(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    n = 15
+    pairs = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(40)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    nodes = sorted({x for ab in pairs for x in ab})
+    idx = {v: i for i, v in enumerate(nodes)}
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    r = np.ones(len(nodes))
+    for _ in range(4):
+        nxt = np.full(len(nodes), 0.15)
+        for a, b in pairs:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / outdeg[a]
+        r = nxt
+    got = {row["id"]: row["rank"]
+           for row in AN.pagerank(edges_df(spark, pairs), iters=4).collect()}
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+
+
+def test_k_core_peels_cascade(spark):
+    # triangle 1-2-3 plus a pendant chain 3-4-5: 2-core = the triangle only
+    # (4 drops, then 5's degree is 0 — the cascade must propagate)
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {(r["id"], r["degree"]) for r in AN.k_core(e, k=2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # 3-core of the same graph is empty
+    assert AN.k_core(e, k=3).count() == 0
+
+
+def test_k_core_random_vs_python_peeling(spark):
+    import random
+
+    rng = random.Random(13)
+    n = 25
+    pairs = sorted({(a, b) for a in range(n) for b in range(n)
+                    if a < b and rng.random() < 0.15})
+    k = 2
+    # python peeling oracle
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    want = {(v, len(nbrs)) for v, nbrs in adj.items()}
+    got = {(r["id"], r["degree"])
+           for r in AN.k_core(edges_df(spark, pairs), k=k).collect()}
+    assert got == want

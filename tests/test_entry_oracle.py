@@ -26,7 +26,7 @@ def duck():
 
 # ops whose semantics aren't SQL-expressible — the driver records a weaker
 # rows-only check for these (documented in __spark_entry__.oracle_sql)
-NO_ORACLE = {"create_mem_diff"}
+NO_ORACLE = {"create_mem_diff", "k_core_nodes"}
 
 
 def test_every_query_has_oracle():
