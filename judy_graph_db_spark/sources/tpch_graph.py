@@ -82,25 +82,9 @@ FROM (
   FROM orders
 ) placed_t
 UNION ALL
-SELECT src, dst, 'CONTAINS',
-       -- tiebreak on l_partkey: (orderkey, linenumber) repeats in the data,
-       -- and remaining ties have identical dst so the edge multiset is stable
-       CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY l_linenumber, dst) AS BIGINT)
-FROM (
-  SELECT CAST(5*{B} + l_orderkey AS BIGINT) AS src,
-         CAST(4*{B} + l_partkey AS BIGINT) AS dst,
-         l_linenumber
-  FROM lineitem
-) contains_t
+SELECT src, part_dst AS dst, 'CONTAINS', seq_c FROM li_seq
 UNION ALL
-SELECT src, dst, 'SUPPLIED_BY',
-       CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY l_linenumber, dst) AS BIGINT)
-FROM (
-  SELECT CAST(5*{B} + l_orderkey AS BIGINT) AS src,
-         CAST(2*{B} + l_suppkey AS BIGINT) AS dst,
-         l_linenumber
-  FROM lineitem
-) supplied_t
+SELECT src, supp_dst AS dst, 'SUPPLIED_BY', seq_s FROM li_seq
 UNION ALL
 SELECT src, dst, 'NEXT_ORDER', CAST(1 AS BIGINT)
 FROM (
@@ -117,7 +101,25 @@ WHERE dst IS NOT NULL
 # edges additionally carry the orthogonal label BULK; back rows inherit it
 # from their forward edge.
 GRAPH_EDGES_SQL = f"""
-WITH fwd0 AS ({GRAPH_EDGES_FWD_SQL}),
+WITH li_base AS (
+  SELECT CAST(5*{B} + l_orderkey AS BIGINT) AS src,
+         CAST(4*{B} + l_partkey AS BIGINT) AS part_dst,
+         CAST(2*{B} + l_suppkey AS BIGINT) AS supp_dst,
+         l_linenumber
+  FROM lineitem
+),
+-- ONE lineitem scan + ONE shuffle on src feeds BOTH lineitem-derived edge
+-- labels: the two seqs are windows over the same partitioning (extra sort,
+-- no extra exchange). Tiebreak on dst: (orderkey, linenumber) repeats in
+-- the data, and remaining ties have identical dst, so each label's edge
+-- multiset is stable across engines.
+li_seq AS (
+  SELECT src, part_dst, supp_dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY l_linenumber, part_dst) AS BIGINT) AS seq_c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY l_linenumber, supp_dst) AS BIGINT) AS seq_s
+  FROM li_base
+),
+fwd0 AS ({GRAPH_EDGES_FWD_SQL}),
 fwd AS (
   SELECT src, dst, label, edge_seq,
          (label = 'CONTAINS' AND edge_seq >= 4) AS is_bulk

@@ -118,3 +118,23 @@ def test_bucketed_edges_join_has_no_exchange(spark, tmp_path):
     finally:
         for t in ("bkt_test_edges", "bkt_test_nodes", "bkt_test_ranges"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_contains_filter_scans_lineitem_once(g):
+    """A forward CONTAINS-only query must prune every non-lineitem branch of
+    the 7-label union (and the back-row side): exactly one lineitem scan,
+    zero orders/customer scans. This is what keeps gate queries and point
+    lookups cheap even though the edges view declares the whole graph.
+
+    (Full materialization intentionally scans lineitem per label branch —
+    per-branch column pruning beats a shared shuffle there; the ingest-once
+    layout for repeated whole-graph access is Graph.save/save_table.)"""
+    from pyspark.sql import functions as F
+
+    fwd_contains = g.edges.filter(
+        (F.col("label") == "CONTAINS") & ~F.col("is_back")
+    )
+    plan = plan_of(fwd_contains)
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+    assert plan.count("orders.parquet") == 0, plan[:2000]
+    assert plan.count("customer.parquet") == 0, plan[:2000]
