@@ -416,6 +416,15 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_closure(spark, sf_dir):
+    """Min-plus path-doubling reachability over the NEXT_ORDER chains:
+    same semantics as the unbounded-repeat pattern loop but O(log d)
+    rounds; oracle is the recursive-CTE walk reduced to MIN(depth)."""
+    g = tpch_graph(spark, sf_dir)
+    chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
+    return AN.transitive_closure(chains)
+
+
 def _q_k_core(spark, sf_dir):
     """5-core of the whole graph (iterative peeling). No SQL twin — the
     fixpoint depth is data-dependent (rows-only driver check, same policy
@@ -466,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "pagerank_ranks": _q_pagerank,
         "k_core_nodes": _q_k_core,
+        "closure_min_depth": _q_closure,
     }
 
 
@@ -637,4 +647,22 @@ JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""",
         "pagerank_ranks": AN.pagerank_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
         ),
+        # standalone WITH RECURSIVE (same CTE-scoping caveat as
+        # var_length_unbounded): the walk relation reduced to MIN(depth)
+        # per reachable pair — the doubling operator must agree with the
+        # one-hop-at-a-time recursion
+        "closure_min_depth": f"""WITH RECURSIVE no AS (
+  SELECT src, dst FROM (
+    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+           CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst
+    FROM orders
+  ) t WHERE dst IS NOT NULL
+),
+walk(n0, n1, d) AS (
+  SELECT src, dst, 1 FROM no
+  UNION
+  SELECT w.n0, e.dst, w.d + 1 FROM walk w JOIN no e ON w.n1 = e.src
+)
+SELECT n0 AS src, n1 AS dst, CAST(MIN(d) AS BIGINT) AS depth
+FROM walk GROUP BY n0, n1""",
     }

@@ -135,6 +135,13 @@ def main() -> None:
         repeats=1,
     )
     run("triangle_count", lambda: AN.triangle_count(fwd).collect())
+    run(
+        "closure_doubling",
+        lambda: AN.transitive_closure(
+            fwd.filter(F.col("label") == "NEXT_ORDER")
+        ).count(),
+        repeats=1,
+    )
     run("pagerank_3it", lambda: AN.pagerank(fwd, iters=3).count(), repeats=1)
 
     run("exact_dedup", lambda: D.exact_dedup(docs).count())

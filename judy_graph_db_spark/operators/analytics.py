@@ -63,12 +63,15 @@ def _star_round(pairs: DataFrame, large: bool) -> DataFrame:
     self_link = mins.filter(F.col("u") > F.col("m")).select(
         F.col("u").alias("v"), "m"
     )
-    return (
+    out = (
         rewired.union(self_link)
         .filter(F.col("v") != F.col("m"))
         .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
-        .distinct()
     )
+    # the large pass feeds straight into small-star, whose groupBy is
+    # duplicate-insensitive and whose own distinct canonicalizes the round's
+    # output — deduping here would only add a shuffle
+    return out if large else out.distinct()
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -273,3 +276,62 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         .filter(F.col("degree") >= int(k))
         .select(F.col("src").alias("id"), "degree")
     )
+
+
+def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """All-pairs reachability with minimum hop count, by min-plus path
+    doubling: ``R_{2k} = min(R_k, R_k ∘ R_k)`` — O(log diameter) rounds,
+    where the BFS frontier loop (``plans/compiler.py`` unbounded repeat /
+    ``shortest_paths``) needs O(diameter). Returns
+    ``(src BIGINT, dst BIGINT, depth BIGINT)``, one row per reachable
+    ordered pair, ``depth`` = fewest hops.
+
+    The doubling join squares the reach relation, so intermediate size is
+    bounded by the closure itself — the right trade on long-chain /
+    small-closure graphs (lineage chains, version graphs); prefer the
+    frontier loop when only a restricted source set matters.
+
+    Convergence: (pair count, total depth) is stationary iff a round added
+    no pair and improved no depth — pairs only grow, depths only shrink.
+    Cycle-safe: the min() keeps depths finite.
+    """
+    r = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("depth", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("depth").cast("decimal(38,0)")).alias("d"),
+        ).collect()[0]
+        return (row["n"], int(row["d"] or 0))
+
+    prev = fingerprint(r)
+    for _ in range(max_iter):
+        left = r.select(
+            F.col("src").alias("a"), F.col("dst").alias("m"),
+            F.col("depth").alias("d1"),
+        )
+        right = r.select(
+            F.col("src").alias("m2"), F.col("dst").alias("b"),
+            F.col("depth").alias("d2"),
+        )
+        doubled = left.join(right, left.m == right.m2).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            (F.col("d1") + F.col("d2")).alias("depth"),
+        ).filter(F.col("src") != F.col("dst"))
+        r = (
+            r.union(doubled)
+            .groupBy("src", "dst")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        cur = fingerprint(r)
+        if cur == prev:
+            break
+        prev = cur
+    return r

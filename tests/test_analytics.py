@@ -192,3 +192,52 @@ def test_k_core_random_vs_python_peeling(spark):
     got = {(r["id"], r["degree"])
            for r in AN.k_core(edges_df(spark, pairs), k=k).collect()}
     assert got == want
+
+
+def test_transitive_closure_chain_and_branch(spark):
+    # chain 1→2→3→4 plus branch 2→5; depths = shortest hop counts
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (2, 5)])
+    got = {(r.src, r.dst): r.depth for r in AN.transitive_closure(e).collect()}
+    assert got == {
+        (1, 2): 1, (2, 3): 1, (3, 4): 1, (2, 5): 1,
+        (1, 3): 2, (2, 4): 2, (1, 5): 2, (1, 4): 3,
+    }
+
+
+def test_transitive_closure_cycle_safe(spark):
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {(r.src, r.dst): r.depth for r in AN.transitive_closure(e).collect()}
+    # every ordered pair reachable; self-pairs excluded; min depths
+    assert got == {
+        (1, 2): 1, (2, 3): 1, (3, 1): 1,
+        (1, 3): 2, (2, 1): 2, (3, 2): 2,
+    }
+
+
+def test_transitive_closure_random_vs_bfs(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(5)
+    n = 18
+    pairs = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(30)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    want = {}
+    for s in {a for a, _ in pairs}:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if v != s:
+                want[(s, v)] = d
+    got = {(r.src, r.dst): r.depth
+           for r in AN.transitive_closure(edges_df(spark, pairs)).collect()}
+    assert got == want
