@@ -28,6 +28,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the block-store copy behind a ``localCheckpoint``-ed DataFrame.
+
+    Loop states are checkpointed every round; without explicit cleanup each
+    round's blocks linger until the driver GCs the RDD handle — at scale
+    that is O(rounds) × |state| of executor storage for data that can never
+    be read again (the next state is already materialized; the old one is
+    reachable only through it). Only call this on a state whose SUCCESSOR
+    checkpoint is fully materialized: localCheckpoint truncates lineage, so
+    an unpersisted-but-still-referenced checkpoint cannot be recomputed.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-checkpoint plan or non-py4j backend — nothing to free
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
     """Distinct undirected neighbor pairs (both directions materialized)."""
     fwd = edges.select("src", "dst")
@@ -110,8 +127,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
     prev = fingerprint(pairs)
     for _ in range(max_iter):
+        prev_state = pairs
         pairs = _star_round(pairs, large=True)
         pairs = _star_round(pairs, large=False).localCheckpoint(eager=True)
+        _unpersist_checkpoint(prev_state)
         cur = fingerprint(pairs)
         if cur == prev:
             break
@@ -128,10 +147,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over the undirected simple graph.
 
-    Canonicalize every edge to ``(a, b) with a < b`` (direction and
-    parallel-edge multiplicity dropped), then count closed wedges with one
-    ordered 3-way self-join — each triangle ``a < b < c`` matches exactly
-    once. Returns a single row ``(triangles BIGINT)``.
+    Canonicalize to distinct undirected pairs (direction and parallel-edge
+    multiplicity dropped), then orient every edge from its lower to its
+    higher endpoint in the ``(degree, id)`` total order and count wedges of
+    each node's out-neighborhood closed by an oriented edge. Degree
+    orientation bounds every out-degree by O(√m), so the wedge join is
+    O(m^1.5) worst-case regardless of hubs — plain id-ordering degenerates
+    to Σ deg² when a high-degree node sits low in the id space. The
+    canonical and oriented edge sets are ``localCheckpoint``-ed: three plan
+    aliases scan one materialization instead of recomputing the distinct.
+    Returns a single row ``(triangles BIGINT)``.
     """
     und = (
         edges.select(
@@ -139,14 +164,39 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
-    return (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    withd = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    )
+    # field names inside the order keys must match for struct comparison
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("i"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+    lower_first = ka < kb
+    oriented = (
+        withd.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, kb).otherwise(ka).alias("kv"),
         )
+        .localCheckpoint(eager=True)
+    )
+    _unpersist_checkpoint(und)
+    o1 = oriented.select(F.col("u").alias("s"), F.col("v").alias("x"),
+                         F.col("kv").alias("kx"))
+    o2 = oriented.select(F.col("u").alias("s"), F.col("v").alias("y"),
+                         F.col("kv").alias("ky"))
+    wedges = o1.join(o2, "s").filter(F.col("kx") < F.col("ky")).select("x", "y")
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return (
+        wedges.join(closing, ["x", "y"])
         .agg(F.count("*").cast("long").alias("triangles"))
     )
 
@@ -180,7 +230,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
+    for i in range(iters):
+        prev_ranks = ranks
         contribs = (
             ldeg.join(ranks, ldeg.src == ranks.id)
             .select(
@@ -201,6 +252,11 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if i > 0:
+            _unpersist_checkpoint(prev_ranks)
+    # the returned DF is the final checkpoint alone — the loop inputs can go
+    _unpersist_checkpoint(ldeg)
+    _unpersist_checkpoint(nodes)
     return ranks
 
 
@@ -259,6 +315,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     sym = _symmetric(edges).localCheckpoint(eager=True)
     prev_edges = sym.count()
     for _ in range(max_iter):
+        prev_state = sym
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= int(k)).select("src")
         sym = (
@@ -266,6 +323,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        _unpersist_checkpoint(prev_state)
         cur = sym.count()
         if cur == prev_edges:
             break
@@ -324,12 +382,14 @@ def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             F.col("a").alias("src"), F.col("b").alias("dst"),
             (F.col("d1") + F.col("d2")).alias("depth"),
         ).filter(F.col("src") != F.col("dst"))
+        prev_state = r
         r = (
             r.union(doubled)
             .groupBy("src", "dst")
             .agg(F.min("depth").alias("depth"))
             .localCheckpoint(eager=True)
         )
+        _unpersist_checkpoint(prev_state)
         cur = fingerprint(r)
         if cur == prev:
             break
