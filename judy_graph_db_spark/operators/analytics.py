@@ -342,21 +342,36 @@ def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     where the BFS frontier loop (``plans/compiler.py`` unbounded repeat /
     ``shortest_paths``) needs O(diameter). Returns
     ``(src BIGINT, dst BIGINT, depth BIGINT)``, one row per reachable
-    ordered pair, ``depth`` = fewest hops.
+    ordered pair ``src != dst``, ``depth`` = fewest hops.
 
     The doubling join squares the reach relation, so intermediate size is
     bounded by the closure itself — the right trade on long-chain /
     small-closure graphs (lineage chains, version graphs); prefer the
-    frontier loop when only a restricted source set matters.
+    frontier loop when only a restricted source set matters (the pattern
+    compiler's unbounded repeat picks between the two from runtime counts).
 
     Convergence: (pair count, total depth) is stationary iff a round added
     no pair and improved no depth — pairs only grow, depths only shrink.
     Cycle-safe: the min() keeps depths finite.
     """
+    return minplus_closure(edges, keep_self=False, max_iter=max_iter)
+
+
+def minplus_closure(
+    edges: DataFrame, keep_self: bool = False, max_iter: int = 20
+) -> DataFrame:
+    """Min-plus doubling core behind :func:`transitive_closure`.
+
+    ``keep_self=True`` keeps reflexive rows — self-loop edges and
+    ``(c, c, cycle_length)`` pairs for nodes on cycles — which is what the
+    unbounded-repeat pattern semantics need (a start node re-reached
+    through a cycle IS a match at that depth, ``Cypher.hs:853-858``).
+    """
+    base = edges.select("src", "dst")
+    if not keep_self:
+        base = base.filter(F.col("src") != F.col("dst"))
     r = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        base.distinct()
         .withColumn("depth", F.lit(1).cast("long"))
         .localCheckpoint(eager=True)
     )
@@ -381,7 +396,9 @@ def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         doubled = left.join(right, left.m == right.m2).select(
             F.col("a").alias("src"), F.col("b").alias("dst"),
             (F.col("d1") + F.col("d2")).alias("depth"),
-        ).filter(F.col("src") != F.col("dst"))
+        )
+        if not keep_self:
+            doubled = doubled.filter(F.col("src") != F.col("dst"))
         prev_state = r
         r = (
             r.union(doubled)

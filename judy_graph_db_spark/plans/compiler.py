@@ -167,9 +167,9 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
     lo, hi = espec.several
     hi_eff = hi if hi is not None else UNBOUNDED_MAX_HOPS
     # per-hop relation without the `several` bounds
-    rel = edge_relation(g, E(attr=espec.attr, orth=espec.orth, where=espec.where,
-                             direction=espec.direction)).select(
-        F.col("src").alias("_s"), F.col("dst").alias("_d"))
+    base_rel = edge_relation(g, E(attr=espec.attr, orth=espec.orth,
+                                  where=espec.where, direction=espec.direction))
+    rel = base_rel.select(F.col("src").alias("_s"), F.col("dst").alias("_d"))
 
     prev_cols = bindings.columns  # path prefix columns (n0..cur + edge cols)
     frontier = bindings.withColumn("_cur", F.col(cur))
@@ -183,6 +183,41 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
     # reachability semantics with a visited-set anti-join so cycles terminate
     # (the reference would loop on cyclic input; SURVEY.md §4.3).
     use_visited = hi is None
+    if use_visited:
+        # Runtime-stats strategy pick (the Spark analog of the reference's
+        # cost-model dispatch, `compl`/`minI` Cypher.hs:575-607, with real
+        # counts instead of 3 magic buckets): a frontier covering a large
+        # share of the edge relation's sources will touch the whole
+        # reachable relation anyway, so min-plus path doubling gets the
+        # same reachability set in O(log d) shuffle rounds instead of the
+        # BFS loop's O(d). A selective frontier keeps the BFS loop, which
+        # only ever explores its own reachable cone.
+        from judy_graph_db_spark.operators.analytics import minplus_closure
+
+        n_frontier = frontier.select("_cur").distinct().count()
+        n_src = rel.select("_s").distinct().count()
+        if 4 * n_frontier >= n_src:
+            closure = minplus_closure(
+                base_rel.select("src", "dst"),
+                # a start re-reached through a cycle is a match at that
+                # depth — unless depth 0 was already reported (the loop
+                # pre-seeds the visited set in that case)
+                keep_self=(lo > 0),
+            )
+            reach = (
+                frontier.select(*prev_cols, "_cur").distinct()
+                .join(closure, F.col("_cur") == closure["src"])
+                .filter(closure["depth"] >= max(lo, 1))
+            )
+            out = reach.select(
+                *prev_cols,
+                closure["dst"].alias("_next"),
+                closure["depth"].cast("int").alias(f"e{hop}_depth"),
+            ).withColumnRenamed("_next", "_cur")
+            for r0 in results:  # lo == 0: depth-0 rows, column already set
+                out = r0.unionByName(out)
+            return out.withColumnRenamed("_cur", nxt)
+
     visited = None
     if use_visited:
         start_states = frontier.select(*prev_cols, "_cur").distinct()
