@@ -225,6 +225,12 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
         # otherwise a start node re-reached through a cycle is a result
         visited = start_states if lo == 0 else start_states.limit(0)
 
+    # Short bounded repeats stay fully lazy: a ≤8-deep join chain is well
+    # within Catalyst's comfort zone, so per-depth checkpoint + isEmpty
+    # jobs (one Spark job each) would only add driver round-trips. Deep or
+    # unbounded walks keep the checkpoint (flat plans) and the early-exit
+    # probe (stopRecursion, Cypher.hs:823-837).
+    materialize_rounds = use_visited or hi_eff > 8
     depth = 0
     while depth < hi_eff:
         depth += 1
@@ -237,9 +243,12 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
         )
         if use_visited:
             stepped = stepped.join(visited, prev_cols + ["_cur"], "left_anti")
-        fresh = stepped.localCheckpoint(eager=True)
-        if fresh.isEmpty():
-            break  # frontier dried up (stopRecursion early-succeed/fail)
+        if materialize_rounds:
+            fresh = stepped.localCheckpoint(eager=True)
+            if fresh.isEmpty():
+                break  # frontier dried up (stopRecursion early-succeed/fail)
+        else:
+            fresh = stepped
         if use_visited:
             visited = visited.union(fresh)
         if depth >= lo:
