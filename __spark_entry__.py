@@ -128,6 +128,70 @@ def _q_var_length_unbounded(spark, sf_dir):
     return table(g, pat)
 
 
+def _q_lookup_node_edge(spark, sf_dir):
+    """Exact (node, edgeAttr) point lookup (``lookupNodeEdge``,
+    ``FastAccess.hs:637-640``): customer 1's 2nd-placed order."""
+    g = tpch_graph(spark, sf_dir)
+    return A.lookup_node_edge(g, 3 * B + 1, "PLACED", edge_seq=2)
+
+
+def _q_adjacent_node_first(spark, sf_dir):
+    """Single neighbor by attr + dir bit (``adjacentNodeByAttr``,
+    ``FastAccess.hs:587-599``): customer 1's first-inserted PLACED edge."""
+    g = tpch_graph(spark, sf_dir)
+    return A.adjacent_node_by_attr(g, 3 * B + 1, "PLACED", backwards=False)
+
+
+def _q_edges_by_index(spark, sf_dir):
+    """Enumeration-index range walk (``adjacentEdgesByIndex``,
+    ``Enum.hs:463-474``): order 1's forward edges with seq 2..4."""
+    g = tpch_graph(spark, sf_dir)
+    return A.adjacent_edges_by_index(g, 5 * B + 1, 2, 4, backwards=False)
+
+
+def _q_all_children(spark, sf_dir):
+    """Full per-node edge enumeration (``allChilds``, ``Enum.hs:323-339`` —
+    needs the second judy array there; a pushed-down src filter here):
+    every edge and target of order 1, both directions."""
+    g = tpch_graph(spark, sf_dir)
+    return A.all_children(g, 5 * B + 1)
+
+
+def _q_nodes_scan_multiplicity(spark, sf_dir):
+    """Whole-graph id scan with duplicates (``nodesJ``,
+    ``FastAccess.hs:470-475``): sources ++ targets rolled up to
+    per-id multiplicity so the hash compare stays scalar."""
+    g = tpch_graph(spark, sf_dir)
+    return A.nodes_scan(g).groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_nested_layers(spark, sf_dir):
+    """The nested ``temp`` layer view (``NAttr Nodes2..``, ``Table.hs:21-32``;
+    ``README.md:154-163``): who-reached-what for CUSTOMER -PLACED-> ORDER,
+    reduced to scalar summaries of each sorted layer (arrays don't
+    hash-compare across engines)."""
+    from judy_graph_db_spark import nested_layers
+
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N(labels=["ORDER"])
+    layers = nested_layers(table(g, pat))
+    return layers.select(
+        "n0",
+        F.size("layer").cast("long").alias("n_reached"),
+        F.element_at("layer", 1).alias("first_id"),
+        F.element_at("layer", -1).alias("last_id"),
+    )
+
+
+def _q_shortest_paths(spark, sf_dir):
+    """BFS shortest-path hops (TODO in the reference, ``doc/Neo4j.md:179-197``):
+    first-reach depths over the NEXT_ORDER chains from every ORDER node."""
+    from judy_graph_db_spark import shortest_paths
+
+    g = tpch_graph(spark, sf_dir)
+    return shortest_paths(g, N(labels=["ORDER"]), label="NEXT_ORDER")
+
+
 def _q_graph_query_subgraph(spark, sf_dir):
     """graphQuery (``Cypher.hs:438-439`` — stubbed in the reference, real
     here): the matched subgraph's node set for a 1-hop pattern."""
@@ -445,6 +509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_where_seq": _q_pattern_where,
         "var_length_next_order": _q_var_length,
         "var_length_unbounded": _q_var_length_unbounded,
+        "lookup_node_edge": _q_lookup_node_edge,
+        "adjacent_node_first": _q_adjacent_node_first,
+        "edges_by_index": _q_edges_by_index,
+        "all_children_of_node": _q_all_children,
+        "nodes_scan_multiplicity": _q_nodes_scan_multiplicity,
+        "nested_layers_2hop": _q_nested_layers,
+        "shortest_paths_hops": _q_shortest_paths,
         "graph_query_subgraph": _q_graph_query_subgraph,
         "create_mem_diff": _q_create_mem_diff,
         "union_overwrite": _q_union_overwrite,
@@ -521,6 +592,41 @@ walk(n0, n1, e0_depth) AS (
   SELECT w.n0, e.dst, w.e0_depth + 1 FROM walk w JOIN no e ON w.n1 = e.src
 )
 SELECT n0, n1, e0_depth FROM walk""",
+        "lookup_node_edge": f"""{P}
+SELECT dst FROM edges
+WHERE src = {3 * B + 1} AND label = 'PLACED' AND edge_seq = 2""",
+        "adjacent_node_first": f"""{P}
+SELECT dst FROM edges
+WHERE src = {3 * B + 1} AND label = 'PLACED' AND NOT is_back AND edge_seq = 1""",
+        "edges_by_index": f"""{P}
+SELECT label, edge_seq FROM edges
+WHERE src = {5 * B + 1} AND NOT is_back AND edge_seq BETWEEN 2 AND 4""",
+        "all_children_of_node": f"""{P}
+SELECT label, edge_seq, is_back, dst FROM edges WHERE src = {5 * B + 1}""",
+        "nodes_scan_multiplicity": f"""{P}
+SELECT id, COUNT(*) AS n FROM (
+  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+) GROUP BY id""",
+        "nested_layers_2hop": f"""{P}
+SELECT src AS n0, COUNT(DISTINCT dst) AS n_reached,
+       MIN(dst) AS first_id, MAX(dst) AS last_id
+FROM edges WHERE label = 'PLACED' AND NOT is_back GROUP BY src""",
+        # first-reach BFS = min depth per pair (same recursion caveat as
+        # var_length_unbounded: standalone WITH RECURSIVE, orders-derived)
+        "shortest_paths_hops": f"""WITH RECURSIVE no AS (
+  SELECT src, dst FROM (
+    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+           CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst
+    FROM orders
+  ) t WHERE dst IS NOT NULL
+),
+walk(n0, n1, d) AS (
+  SELECT src, dst, 1 FROM no
+  UNION
+  SELECT w.n0, e.dst, w.d + 1 FROM walk w JOIN no e ON w.n1 = e.src
+)
+SELECT n0, n1, CAST(MIN(d) AS BIGINT) AS hops
+FROM walk GROUP BY n0, n1""",
         "graph_query_subgraph": f"""{P}
 SELECT id, label FROM nodes_g WHERE id IN (
   SELECT src FROM edges WHERE label = 'PLACED' AND NOT is_back
