@@ -453,6 +453,60 @@ def _q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(spark.table("documents"))
 
 
+# ---------------------------------------------------------------- curation
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash subsample (~64/256 of the corpus) —
+    reproducible across runs/engines/cluster sizes, unlike df.sample()."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    return CU.hash_sample(spark.table("documents"), 64).select("doc_id")
+
+
+def _q_split_sizes(spark, sf_dir):
+    """Deterministic train/val/test assignment by id hash; membership never
+    changes as the corpus grows."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    split = CU.hash_split(
+        spark.table("documents"), {"train": 240, "val": 8, "test": 8}
+    )
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping character chunks (context-window prep) —
+    narrow transformation, no shuffle."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    return CU.chunk_documents(spark.table("documents"), size=200, stride=150)
+
+
+def _q_token_shards(spark, sf_dir):
+    """Token-budget sharding via the scalable two-pass prefix sum (range
+    repartition → per-partition subtotals → broadcast offsets → local
+    cumulative window); the oracle is the equivalent single global window."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    return CU.shard_by_token_budget(spark.table("documents"), budget_tokens=10000)
+
+
+def _q_canonical_corpus(spark, sf_dir):
+    """The post-dedup corpus: near-dup families collapsed to their min-id
+    representative (LSH pairs → connected components → semi-join)."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return CU.canonical_corpus(docs).select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
@@ -542,6 +596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_cells": _q_ivf_cells,
         "lsh_bucket_sizes": _q_lsh_buckets,
+        "corpus_hash_sample": _q_hash_sample,
+        "corpus_split_sizes": _q_split_sizes,
+        "doc_chunks": _q_doc_chunks,
+        "token_budget_shards": _q_token_shards,
+        "corpus_after_dedup": _q_canonical_corpus,
         "connected_components": _q_connected_components,
         "triangle_count": _q_triangle_count,
         "pagerank_ranks": _q_pagerank,
@@ -723,6 +782,15 @@ FROM documents GROUP BY md5(text)""",
         # create_mem_diff: intentionally no oracle — stateful write
         # semantics (overwrite + displaced-target capture) aren't
         # SQL-expressible; the driver records a rows-only check.
+        "corpus_hash_sample": f"""
+SELECT doc_id FROM documents WHERE {O.hash_bucket_sql('doc_id')} < '40'""",
+        "corpus_split_sizes": f"""
+SELECT {O.hash_split_case_sql({'train': 240, 'val': 8, 'test': 8})} AS split,
+       COUNT(*) AS n
+FROM documents GROUP BY 1""",
+        "doc_chunks": O.chunk_documents_sql(size=200, stride=150),
+        "token_budget_shards": O.shard_by_token_budget_sql(budget_tokens=10000),
+        "corpus_after_dedup": O.canonical_corpus_sql(),
         "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
         "ivf_cells": O.ivf_cells_sql(n_cells=4),
         "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),

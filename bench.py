@@ -150,6 +150,11 @@ def main() -> None:
     run("cosine_topk", lambda: S.cosine_topk_bruteforce(embs, query_id=0, k=10, dim=64).count())
     run("embedding_neardup", lambda: S.cosine_neardup_pairs(embs, dim=64).count())
 
+    from judy_graph_db_spark.operators import curation as CU
+
+    run("doc_chunks", lambda: CU.chunk_documents(docs).count())
+    run("token_shards", lambda: CU.shard_by_token_budget(docs, 100000).count())
+
     from judy_graph_db_spark.operators import multimodal as MM
 
     media = MM.as_media_table(docs)

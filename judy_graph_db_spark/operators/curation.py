@@ -1,0 +1,158 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference engine stops at graph queries; a corpus engine at 100 TB also
+needs the curation layer that sits between raw documents and training
+shards: reproducible subsampling, train/val/test splitting, fixed-size
+chunking, token-budget sharding, and materializing the post-dedup corpus.
+Everything here is deterministic (content-hash or natural-key driven, never
+RNG or partition-order dependent) so a re-run over a re-partitioned 100 TB
+corpus selects byte-identical rows — and so every operator has an exact
+DuckDB SQL twin for the correctness gate (`judy_graph_db_spark.oracle`).
+
+Design notes for scale:
+
+- Sampling/splitting are stateless per-row filters on an md5 prefix — no
+  shuffle, fully pushed into the scan stage.
+- Chunking is a generate-positions + explode — no shuffle, output is
+  partition-local.
+- Token-budget sharding needs a global prefix sum; a naive global window
+  collapses to ONE task. `shard_by_token_budget` does the scalable
+  two-pass version: range-repartition on the key, per-partition subtotals
+  to the driver (one row per partition), broadcast offsets back, then a
+  partition-local cumulative window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.functions.text import token_count
+
+
+def hash_bucket(col) -> "F.Column":
+    """Deterministic 256-way bucket of any key: the first two hex digits of
+    md5(key). Compared as a *string* ('00'..'ff' sorts like 0..255) so Spark
+    and DuckDB agree without hex→int conversion."""
+    return F.substring(F.md5(col.cast("string")), 1, 2)
+
+
+def hash_sample(df: DataFrame, keep_buckets: int, id_col: str = "doc_id") -> DataFrame:
+    """Reproducible ~``keep_buckets``/256 subsample: keep rows whose
+    :func:`hash_bucket` sorts below the cutoff. Unlike ``df.sample()`` this
+    is stable across runs, cluster sizes, and engines — the only sane way to
+    carve a pilot corpus out of 100 TB and later scale the SAME selection
+    up by raising the cutoff (smaller samples are strict subsets)."""
+    if not 0 < keep_buckets <= 256:
+        raise ValueError("keep_buckets must be in 1..256")
+    return df.filter(hash_bucket(F.col(id_col)) < F.lit(format(keep_buckets, "02x")))
+
+
+def hash_split(df: DataFrame, splits: dict[str, int], id_col: str = "doc_id",
+               out: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: ``splits`` maps name →
+    bucket width out of 256 (e.g. ``{"train": 240, "val": 8, "test": 8}``);
+    widths must sum to 256 so every row lands somewhere. A document's split
+    never changes when the corpus grows — membership depends only on its
+    own id."""
+    if sum(splits.values()) != 256:
+        raise ValueError("split widths must sum to 256")
+    b = hash_bucket(F.col(id_col))
+    expr = None
+    hi = 0
+    items = list(splits.items())
+    for name, width in items[:-1]:
+        hi += width
+        cond = b < F.lit(format(hi, "02x"))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
+def chunk_documents(df: DataFrame, size: int = 200, stride: int = 150,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size character windows (``stride`` < size
+    → overlapping chunks, the usual context-window prep). Start positions
+    are 1, 1+stride, … while a full-ish window remains (every doc yields at
+    least one chunk). Pure narrow transformation: positions are generated
+    and exploded inside the scan stage, no shuffle.
+
+    Returns ``(id_col, chunk_idx, chunk)`` with ``chunk_idx`` 0-based."""
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (size - 1), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), t.alias("__text"), F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            ((F.col("__start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.substring(F.col("__text"), F.col("__start"), F.lit(size)).alias("chunk"),
+        )
+    )
+
+
+def shard_by_token_budget(df: DataFrame, budget_tokens: int,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          num_partitions: int | None = None) -> DataFrame:
+    """Assign documents (in ``id_col`` order) to consecutive training shards
+    of ~``budget_tokens`` whitespace tokens each: shard k holds the docs
+    whose preceding cumulative token count lies in [k·budget, (k+1)·budget).
+
+    The global prefix sum is the scalable two-pass shape, not one giant
+    window: range-partition by id (range partition p holds a contiguous id
+    span, and partition index follows span order), sum each partition
+    (tiny driver collect: one row per partition), broadcast the per-
+    partition starting offsets back, finish with a partition-local
+    cumulative window. Wall-clock is one shuffle + one narrow pass
+    regardless of corpus size.
+
+    Returns ``(id_col, n_tokens, shard)``."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    parted = (
+        base.repartitionByRange(num_partitions, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
+    totals = (
+        parted.groupBy("__pid").agg(F.sum("n_tokens").alias("t"))
+        .orderBy("__pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in totals:
+        offsets[row["__pid"]] = acc
+        acc += row["t"]
+    offset_col = F.coalesce(
+        *[F.when(F.col("__pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = (
+        Window.partitionBy("__pid").orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = offset_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return parted.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor(cum_before / budget_tokens).cast("long").alias("shard"),
+    )
+
+
+def canonical_corpus(df: DataFrame, clusters: DataFrame | None = None,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The deduplicated corpus itself: documents that are the canonical
+    (min-id) representative of their near-dup family
+    (:func:`judy_graph_db_spark.operators.dedup.dedup_clusters` — LSH pairs
+    → connected components). Pass ``clusters`` to reuse an already-computed
+    clustering; otherwise it is derived here."""
+    if clusters is None:
+        from judy_graph_db_spark.operators.dedup import dedup_clusters
+
+        clusters = dedup_clusters(df, text_col=text_col, id_col=id_col)
+    keep = clusters.filter(F.col("is_canonical")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

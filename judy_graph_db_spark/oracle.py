@@ -370,3 +370,70 @@ b AS (
 )
 SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
 """
+
+
+# --------------------------------------------------------------- curation
+
+def hash_bucket_sql(col: str) -> str:
+    """Twin of ``curation.hash_bucket``: 2-hex-digit md5 prefix, compared as
+    a string so neither engine needs hex→int conversion."""
+    return f"substring(md5(CAST({col} AS VARCHAR)), 1, 2)"
+
+
+def hash_split_case_sql(splits: dict[str, int], col: str = "doc_id") -> str:
+    """Twin of ``curation.hash_split``: the same cumulative-cutoff CASE."""
+    b = hash_bucket_sql(col)
+    out = []
+    hi = 0
+    items = list(splits.items())
+    for name, width in items[:-1]:
+        hi += width
+        out.append(f"WHEN {b} < '{format(hi, '02x')}' THEN '{name}'")
+    return "CASE " + " ".join(out) + f" ELSE '{items[-1][0]}' END"
+
+
+def chunk_documents_sql(size: int = 200, stride: int = 150,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        table: str = "documents") -> str:
+    """Twin of ``curation.chunk_documents``: same start-position series
+    (generate_series is stop-inclusive in both engines)."""
+    return f"""
+WITH starts AS (
+  SELECT {id_col}, {text_col} AS t,
+         unnest(generate_series(1, greatest(length({text_col}) - {size - 1}, 1), {stride})) AS s
+  FROM {table}
+)
+SELECT {id_col}, CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx,
+       substring(t, CAST(s AS INTEGER), {size}) AS chunk
+FROM starts
+"""
+
+
+def shard_by_token_budget_sql(budget_tokens: int, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              table: str = "documents") -> str:
+    """Twin of ``curation.shard_by_token_budget``: the two-pass distributed
+    prefix sum reduces to one plain cumulative window here."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {token_count_sql(text_col)} AS n_tokens FROM {table}
+)
+SELECT {id_col}, n_tokens,
+       COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // {budget_tokens} AS shard
+FROM toks
+"""
+
+
+def canonical_corpus_sql(id_col: str = "doc_id", text_col: str = "text",
+                         table: str = "documents") -> str:
+    """Twin of ``curation.canonical_corpus``: the post-dedup corpus = docs
+    that are their near-dup family's min-id representative, per the same
+    recursive-closure clustering as ``dedup_clusters_sql``."""
+    return f"""
+SELECT d.{id_col}, {token_count_sql('d.' + text_col)} AS n_tokens
+FROM {table} d
+JOIN ({dedup_clusters_sql(id_col, text_col, table)}) c
+  ON d.{id_col} = c.{id_col} AND c.is_canonical
+"""

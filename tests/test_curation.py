@@ -1,0 +1,93 @@
+"""Corpus-curation operators: deterministic sampling/splitting, chunking,
+token-budget sharding, canonical-corpus extraction. Semantics tests here;
+the DuckDB twins are exercised by test_entry_oracle / check_oracle."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.functions.text import token_count
+from judy_graph_db_spark.operators import curation as CU
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).cache()
+
+
+def test_hash_sample_deterministic_and_nested(docs):
+    small = {r.doc_id for r in CU.hash_sample(docs, 32).select("doc_id").collect()}
+    again = {r.doc_id for r in CU.hash_sample(docs, 32).select("doc_id").collect()}
+    big = {r.doc_id for r in CU.hash_sample(docs, 128).select("doc_id").collect()}
+    assert small == again  # stable across runs
+    assert small <= big  # raising the cutoff only adds rows
+    n = docs.count()
+    assert 0 < len(big) < n
+    # ~128/256 = half the corpus, give or take hash noise
+    assert abs(len(big) / n - 0.5) < 0.15
+
+
+def test_hash_sample_bounds(docs):
+    with pytest.raises(ValueError):
+        CU.hash_sample(docs, 0)
+    with pytest.raises(ValueError):
+        CU.hash_sample(docs, 300)
+
+
+def test_hash_split_partitions_everything(docs):
+    split = CU.hash_split(docs, {"train": 240, "val": 8, "test": 8})
+    sizes = {r["split"]: r["n"] for r in
+             split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(sizes.values()) == docs.count()
+    assert sizes.get("train", 0) > sizes.get("val", 0)
+    with pytest.raises(ValueError):
+        CU.hash_split(docs, {"train": 200, "val": 8})
+
+
+def test_chunks_cover_text(docs):
+    size, stride = 200, 150
+    chunks = CU.chunk_documents(docs, size=size, stride=stride)
+    joined = chunks.join(docs.select("doc_id", "text"), "doc_id")
+    bad = joined.filter(
+        F.col("chunk") != F.expr(f"substring(text, chunk_idx * {stride} + 1, {size})")
+    ).count()
+    assert bad == 0
+    # every doc yields at least one chunk; long docs yield several
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert per_doc.count() == docs.count()
+    assert per_doc.agg(F.max("n")).first()[0] > 1
+    # overlapping windows re-cover the stride boundary
+    first_two = chunks.filter(F.col("chunk_idx") < 2)
+    assert first_two.count() > docs.count()
+
+
+def test_shard_by_token_budget_matches_serial_scan(docs):
+    budget = 5000
+    out = CU.shard_by_token_budget(docs, budget_tokens=budget).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["shard"]) for r in out}
+    serial = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    ).orderBy("doc_id").collect()
+    cum = 0
+    for r in serial:
+        assert got[r["doc_id"]] == (r["n"], cum // budget)
+        cum += r["n"]
+    # shards are consecutive from 0
+    shards = sorted({s for _, s in got.values()})
+    assert shards == list(range(len(shards)))
+
+
+def test_canonical_corpus_drops_only_non_canonical(docs, spark):
+    from judy_graph_db_spark.operators.dedup import dedup_clusters
+
+    cl = dedup_clusters(docs)
+    kept = CU.canonical_corpus(docs, clusters=cl)
+    n_canonical = cl.filter("is_canonical").count()
+    assert kept.count() == n_canonical
+    # kept ids are exactly the canonical representatives
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    want = {r.doc_id for r in cl.filter("is_canonical").select("doc_id").collect()}
+    assert got == want
