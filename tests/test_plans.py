@@ -138,3 +138,32 @@ def test_contains_filter_scans_lineitem_once(g):
     assert plan.count("lineitem.parquet") == 1, plan[:2000]
     assert plan.count("orders.parquet") == 0, plan[:2000]
     assert plan.count("customer.parquet") == 0, plan[:2000]
+
+
+def test_curation_sample_and_chunks_are_narrow(spark):
+    """hash_sample is a scan-stage filter and chunk_documents a generate +
+    explode — neither may introduce an Exchange (at 100 TB these must stay
+    embarrassingly parallel)."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, SF_DIR)
+    docs = spark.table("documents")
+    assert "Exchange" not in plan_of(CU.hash_sample(docs, 64))
+    assert "Exchange" not in plan_of(CU.chunk_documents(docs))
+
+
+def test_token_shards_single_range_exchange(spark):
+    """shard_by_token_budget's two-pass prefix sum: the final plan runs off
+    the checkpointed range partitioning — a partition-local window, no
+    fresh global sort (the naive single-window version would collapse to
+    one task)."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, SF_DIR)
+    out = CU.shard_by_token_budget(spark.table("documents"), 5000)
+    plan = plan_of(out)
+    assert "rangepartitioning" not in plan.lower().replace(" ", ""), (
+        "final pass re-sorted globally instead of reusing the checkpointed "
+        "range partitioning"
+    )
+    assert "Window" in plan
