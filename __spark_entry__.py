@@ -363,6 +363,53 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_hourly_stream(spark, sf_dir):
+    """The events_hourly rollup executed as a REAL Structured Streaming job
+    (readStream over the same parquet → watermarked windowed agg → memory
+    sink, availableNow trigger, complete mode) and returned as the final
+    table — the stream must compute the identical answer the batch oracle
+    does (stream/batch unification the reference's file-ingest "streaming"
+    cannot express)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as PT
+
+    from judy_graph_db_spark.streaming.windows import windowed_event_counts
+
+    load_tpch_views(spark, sf_dir)  # pins UTC + nanosAsLong on the session
+    p = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(p).schema
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob pinned to the events table
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, PT.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    win = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
+    bucket = (
+        F.year("window_start") * 1000000 + F.month("window_start") * 10000
+        + F.dayofmonth("window_start") * 100 + F.hour("window_start")
+    ).cast("long")
+    out = win.select(
+        bucket.alias("hour_bucket"), "event_type", "n", "sum_value_cents"
+    )
+    qname = f"evh_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="evh_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 # ------------------------------------------------------------ text / dedup
 
 def _q_text_stats(spark, sf_dir):
@@ -543,6 +590,22 @@ def _q_closure(spark, sf_dir):
     return AN.transitive_closure(chains)
 
 
+def _q_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution per label — the skew profile that
+    drives join planning (salting / AQE skew decisions) on a big graph."""
+    g = tpch_graph(spark, sf_dir)
+    return A.degree_histogram(g, forward_only=True)
+
+
+def _q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds, min-label
+    ties) over the NEXT_ORDER chains; oracle = the same rounds unrolled as
+    chained SQL CTEs."""
+    g = tpch_graph(spark, sf_dir)
+    chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
+    return AN.label_propagation(chains, iters=3)
+
+
 def _q_k_core(spark, sf_dir):
     """5-core of the whole graph (iterative peeling). No SQL twin — the
     fixpoint depth is data-dependent (rows-only driver check, same policy
@@ -583,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "orders_by_month": _q_orders_by_month,
         "events_hourly": _q_events_hourly,
+        "events_hourly_streaming": _q_events_hourly_stream,
         "text_stats": _q_text_stats,
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_fingerprint,
@@ -603,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_after_dedup": _q_canonical_corpus,
         "connected_components": _q_connected_components,
         "triangle_count": _q_triangle_count,
+        "degree_histogram": _q_degree_histogram,
+        "label_communities": _q_label_propagation,
         "pagerank_ranks": _q_pagerank,
         "k_core_nodes": _q_k_core,
         "closure_min_depth": _q_closure,
@@ -756,6 +822,14 @@ SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",
+        # identical oracle as events_hourly: the streaming execution must
+        # produce the exact batch answer (stream/batch unification)
+        "events_hourly_streaming": """
+SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS BIGINT) AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2""",
         "text_stats": f"""
 SELECT doc_id,
        {O.token_count_sql()} AS n_tokens,
@@ -818,6 +892,17 @@ SELECT CAST(COUNT(*) AS BIGINT) AS triangles
 FROM und e1
 JOIN und e2 ON e1.b = e2.a
 JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""",
+        "degree_histogram": f"""{P}
+SELECT label, CAST(length(bin(degree)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS sum_degree
+FROM (
+  SELECT src, label, COUNT(*) AS degree FROM edges
+  WHERE NOT is_back GROUP BY src, label
+) GROUP BY 1, 2""",
+        "label_communities": AN.label_propagation_oracle_sql(
+            "SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back",
+            iters=3, prefix=P,
+        ),
         "pagerank_ranks": AN.pagerank_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
         ),

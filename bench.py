@@ -143,6 +143,13 @@ def main() -> None:
         repeats=1,
     )
     run("pagerank_3it", lambda: AN.pagerank(fwd, iters=3).count(), repeats=1)
+    run(
+        "label_propagation_3it",
+        lambda: AN.label_propagation(
+            fwd.filter(F.col("label") == "NEXT_ORDER"), iters=3
+        ).count(),
+        repeats=1,
+    )
 
     run("exact_dedup", lambda: D.exact_dedup(docs).count())
     run("minhash_lsh", lambda: D.minhash_lsh_candidates(docs).count())

@@ -82,6 +82,25 @@ def degree_table(g: Graph, forward_only: bool = True) -> DataFrame:
     return e.groupBy("src", "label").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def degree_histogram(g: Graph, forward_only: bool = True) -> DataFrame:
+    """Log2-bucketed degree distribution per edge label — the first thing to
+    look at before planning joins over an unknown 100 TB graph (bucket sizes
+    expose skew; hub buckets drive salting / AQE skew-join decisions).
+    ``bucket`` = bit-length of the degree (floor(log2)+1), computed as
+    ``length(bin(degree))`` which is engine-portable and exact where float
+    log2 is not. Returns ``(label, bucket, n_nodes, sum_degree)``."""
+    deg = degree_table(g, forward_only)
+    return (
+        deg.groupBy(
+            "label", F.length(F.bin(F.col("degree"))).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("degree").cast("long").alias("sum_degree"),
+        )
+    )
+
+
 def all_child_edges(g: Graph, node_id: int) -> DataFrame:
     """Enumerate all of a node's edges (``allChildEdges``, ``Enum.hs:303-310``;
     the reference needs the second judy array for this — a scan is free here)."""

@@ -297,6 +297,86 @@ def pagerank_oracle_sql(
     return "\n".join(parts)
 
 
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation, made
+    deterministic (classic LPA breaks ties randomly): every node starts
+    labeled with its own id; each round it adopts the most frequent label
+    among its undirected neighbors, ties broken by the smallest label.
+    Fixed ``iters`` keeps the operator a pure function of its input, so it
+    is oracle-checkable via an unrolled-SQL twin
+    (:func:`label_propagation_oracle_sql`) — same policy as :func:`pagerank`.
+    Returns ``(id BIGINT, community BIGINT)``.
+
+    Each round is one shuffle-join (adjacency ⋈ labels on the neighbor id)
+    plus one aggregation; the argmax-with-tie-break is a single
+    ``min(struct(-count, label))`` partial-aggregable expression, not a
+    window. State is ``localCheckpoint``-ed per round.
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    # every node in the symmetric relation appears as src (both directions
+    # are materialized), so src alone enumerates the node set
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    labels = nodes.withColumn("community", F.col("id"))
+    for i in range(iters):
+        prev_state = labels
+        neigh = sym.join(
+            labels.select(F.col("id").alias("dst"), "community"), "dst"
+        ).select(F.col("src").alias("id"), "community")
+        counts = neigh.groupBy("id", "community").agg(F.count(F.lit(1)).alias("n"))
+        best = (
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("neg_n"), F.col("community").alias("c"))
+                ).alias("best")
+            )
+            .select("id", F.col("best.c").alias("community"))
+        )
+        labels = best.localCheckpoint(eager=True)
+        if i > 0:
+            _unpersist_checkpoint(prev_state)
+    _unpersist_checkpoint(sym)
+    _unpersist_checkpoint(nodes)
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iters: int = 3, prefix: str | None = None
+) -> str:
+    """ANSI-SQL twin of :func:`label_propagation`: the same fixed rounds
+    unrolled as chained CTEs over an ``edges_sql`` relation with
+    ``src``/``dst`` columns. The argmax-with-min-tie-break is a
+    ``ROW_NUMBER`` ordered by ``(count DESC, label ASC)``."""
+    head = f"{prefix},\nsym" if prefix else "WITH sym"
+    parts = [
+        f"""{head} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) t WHERE src <> dst
+),
+lp_nodes AS (SELECT DISTINCT src AS id FROM sym),
+l0 AS (SELECT id, id AS community FROM lp_nodes)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", c{k} AS (
+  SELECT e.src AS id, l.community, COUNT(*) AS n
+  FROM sym e JOIN l{k - 1} l ON e.dst = l.id
+  GROUP BY e.src, l.community
+),
+l{k} AS (
+  SELECT id, community FROM (
+    SELECT id, community,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, community) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(f"SELECT id, community FROM l{iters}")
+    return "\n".join(parts)
+
+
 def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     undirected degree ≥ k. Returns ``(id BIGINT, degree BIGINT)`` with the

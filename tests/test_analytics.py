@@ -241,3 +241,48 @@ def test_transitive_closure_random_vs_bfs(spark):
     got = {(r.src, r.dst): r.depth
            for r in AN.transitive_closure(edges_df(spark, pairs)).collect()}
     assert got == want
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: each clique converges to its
+    own min-id community; the bridge does not merge them (each bridge
+    endpoint has 3 in-clique neighbors vs 1 across)."""
+    import itertools
+
+    c1 = list(itertools.combinations([0, 1, 2, 3], 2))
+    c2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    got = {
+        r["id"]: r["community"]
+        for r in AN.label_propagation(edges_df(spark, c1 + c2 + [(3, 10)]), iters=4).collect()
+    }
+    assert {got[i] for i in (0, 1, 2, 3)} == {0}
+    assert {got[i] for i in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_random_vs_python(spark):
+    """Synchronous min-tie LPA against a straight Python simulation."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(11)
+    n = 30
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lbl = {v: v for v in adj}
+    iters = 3
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            counts = Counter(lbl[u] for u in adj[v])
+            top = max(counts.values())
+            nxt[v] = min(l for l, c in counts.items() if c == top)
+        lbl = nxt
+    got = {
+        r["id"]: r["community"]
+        for r in AN.label_propagation(edges_df(spark, pairs), iters=iters).collect()
+    }
+    assert got == lbl
