@@ -500,6 +500,41 @@ def _q_dedup_clusters(spark, sf_dir):
     return D.dedup_clusters(spark.table("documents"))
 
 
+def _q_insert_append_seq(spark, sf_dir):
+    """Counter-continuation semantics of the core upsert
+    (``insertNodeEdgeAttr`` append path, ``FastAccess.hs:293-315``):
+    re-inserting every forward PLACED edge must enumerate the new copies
+    after the existing ones — per src the seqs become exactly 1..2n."""
+    from judy_graph_db_spark.operators import mutation as M
+
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges.filter((F.col("label") == "PLACED") & ~F.col("is_back"))
+    batch = placed.select(
+        "src", "dst", "label", F.col("edge_seq").alias("ins_order")
+    )
+    g2 = M.insert_edges_df(g, batch, overwrite=False)
+    return (
+        g2.edges.filter((F.col("label") == "PLACED") & ~F.col("is_back"))
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.max("edge_seq").alias("max_seq"),
+            F.sum("edge_seq").cast("long").alias("sum_seq"),
+        )
+    )
+
+
+def _q_delete_nodes_cascade(spark, sf_dir):
+    """deleteNodes (``FastAccess.hs:356-358`` — a near-no-op there; real
+    here): removing the first ten customers cascades to all incident edges
+    (forward and back rows)."""
+    from judy_graph_db_spark.operators import mutation as M
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = M.delete_nodes(g, [3 * B + k for k in range(1, 11)])
+    return g2.edges.groupBy("label", "is_back").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------- curation
 
 def _q_hash_sample(spark, sf_dir):
@@ -660,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_cells": _q_ivf_cells,
         "lsh_bucket_sizes": _q_lsh_buckets,
+        "insert_append_seq": _q_insert_append_seq,
+        "delete_nodes_cascade": _q_delete_nodes_cascade,
         "corpus_hash_sample": _q_hash_sample,
         "corpus_split_sizes": _q_split_sizes,
         "doc_chunks": _q_doc_chunks,
@@ -856,6 +893,16 @@ FROM documents GROUP BY md5(text)""",
         # create_mem_diff: intentionally no oracle — stateful write
         # semantics (overwrite + displaced-target capture) aren't
         # SQL-expressible; the driver records a rows-only check.
+        # seqs per src become exactly 1..2n, so the rollup has a closed form
+        "insert_append_seq": f"""{P}
+SELECT src, 2*COUNT(*) AS n_edges, 2*COUNT(*) AS max_seq,
+       COUNT(*)*(2*COUNT(*) + 1) AS sum_seq
+FROM edges WHERE label = 'PLACED' AND NOT is_back GROUP BY src""",
+        "delete_nodes_cascade": f"""{P},
+del AS (SELECT CAST(3*{B} + k AS BIGINT) AS id FROM generate_series(1, 10) t(k))
+SELECT label, is_back, COUNT(*) AS n FROM edges
+WHERE src NOT IN (SELECT id FROM del) AND dst NOT IN (SELECT id FROM del)
+GROUP BY label, is_back""",
         "corpus_hash_sample": f"""
 SELECT doc_id FROM documents WHERE {O.hash_bucket_sql('doc_id')} < '40'""",
         "corpus_split_sizes": f"""
