@@ -524,6 +524,33 @@ def _q_insert_append_seq(spark, sf_dir):
     )
 
 
+def _q_update_edge_targets(spark, sf_dir):
+    """updateNodeEdges (``FastAccess.hs:442-448``): overwrite the target of
+    existing (node, label, seq) keys — the first PLACED edge of customers
+    1..5 is rewired to order 1."""
+    from judy_graph_db_spark.operators import mutation as M
+
+    g = tpch_graph(spark, sf_dir)
+    updates = [(3 * B + k, "PLACED", 1, 5 * B + 1) for k in range(1, 6)]
+    g2 = M.update_node_edges(g, updates)
+    return (
+        g2.edges.filter(
+            (F.col("label") == "PLACED") & ~F.col("is_back") & (F.col("edge_seq") == 1)
+        )
+        .select("src", "dst")
+    )
+
+
+def _q_map_nodes_relabel(spark, sf_dir):
+    """mapNodeJ / mapNodeWithKeyJ (``FastAccess.hs:518-547``): map a function
+    over every node's label (attr bits there, a plain column here)."""
+    from judy_graph_db_spark.operators import mutation as M
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = M.map_nodes(g, lambda lbl: F.lower(lbl))
+    return g2.nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_delete_nodes_cascade(spark, sf_dir):
     """deleteNodes (``FastAccess.hs:356-358`` — a near-no-op there; real
     here): removing the first ten customers cascades to all incident edges
@@ -696,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells": _q_ivf_cells,
         "lsh_bucket_sizes": _q_lsh_buckets,
         "insert_append_seq": _q_insert_append_seq,
+        "update_edge_targets": _q_update_edge_targets,
+        "map_nodes_relabel": _q_map_nodes_relabel,
         "delete_nodes_cascade": _q_delete_nodes_cascade,
         "corpus_hash_sample": _q_hash_sample,
         "corpus_split_sizes": _q_split_sizes,
@@ -898,6 +927,13 @@ FROM documents GROUP BY md5(text)""",
 SELECT src, 2*COUNT(*) AS n_edges, 2*COUNT(*) AS max_seq,
        COUNT(*)*(2*COUNT(*) + 1) AS sum_seq
 FROM edges WHERE label = 'PLACED' AND NOT is_back GROUP BY src""",
+        "update_edge_targets": f"""{P}
+SELECT src,
+       CASE WHEN src BETWEEN {3 * B + 1} AND {3 * B + 5} AND edge_seq = 1
+            THEN CAST({5 * B + 1} AS BIGINT) ELSE dst END AS dst
+FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq = 1""",
+        "map_nodes_relabel": f"""{P}
+SELECT lower(label) AS label, COUNT(*) AS n FROM nodes_g GROUP BY 1""",
         "delete_nodes_cascade": f"""{P},
 del AS (SELECT CAST(3*{B} + k AS BIGINT) AS id FROM generate_series(1, 10) t(k))
 SELECT label, is_back, COUNT(*) AS n FROM edges
