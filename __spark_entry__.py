@@ -363,6 +363,25 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (batch path: lag → gap flag → running
+    session id — the same logic `sessionize_stream` keeps in
+    applyInPandasWithState state). 30-minute gap; timestamps surface as
+    formatted strings (UTC pinned by load_tpch_views) so the hash compare
+    stays engine-stable."""
+    from judy_graph_db_spark.streaming.windows import sessionize
+
+    load_tpch_views(spark, sf_dir)
+    s = sessionize(spark.table("events"), gap_seconds=1800)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return s.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("start_s"),
+        F.date_format("session_end", fmt).alias("end_s"),
+        "n_events",
+    )
+
+
 def _q_events_hourly_stream(spark, sf_dir):
     """The events_hourly rollup executed as a REAL Structured Streaming job
     (readStream over the same parquet → watermarked windowed agg → memory
@@ -709,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": _q_orders_by_month,
         "events_hourly": _q_events_hourly,
         "events_hourly_streaming": _q_events_hourly_stream,
+        "event_sessions": _q_event_sessions,
         "text_stats": _q_text_stats,
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_fingerprint,
@@ -888,6 +908,26 @@ SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",
+        "event_sessions": """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid""",
         # identical oracle as events_hourly: the streaming execution must
         # produce the exact batch answer (stream/batch unification)
         "events_hourly_streaming": """

@@ -74,15 +74,15 @@ def chunk_documents(df: DataFrame, size: int = 200, stride: int = 150,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Split documents into fixed-size character windows (``stride`` < size
     → overlapping chunks, the usual context-window prep). Start positions
-    are 1, 1+stride, … while a full-ish window remains (every doc yields at
-    least one chunk). Pure narrow transformation: positions are generated
+    are 1, 1+stride, … through the end of the text, so the tail is always
+    covered (the last chunk may be shorter than ``size``; every doc yields
+    at least one chunk, and with ``stride == size`` the chunks partition
+    the text exactly). Pure narrow transformation: positions are generated
     and exploded inside the scan stage, no shuffle.
 
     Returns ``(id_col, chunk_idx, chunk)`` with ``chunk_idx`` 0-based."""
     t = F.col(text_col)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.length(t) - (size - 1), F.lit(1)), F.lit(stride)
-    )
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride))
     return (
         df.select(F.col(id_col), t.alias("__text"), F.explode(starts).alias("__start"))
         .select(

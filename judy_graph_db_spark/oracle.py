@@ -396,11 +396,12 @@ def chunk_documents_sql(size: int = 200, stride: int = 150,
                         id_col: str = "doc_id", text_col: str = "text",
                         table: str = "documents") -> str:
     """Twin of ``curation.chunk_documents``: same start-position series
-    (generate_series is stop-inclusive in both engines)."""
+    (generate_series is stop-inclusive in both engines; runs through the
+    text end so the tail chunk is kept)."""
     return f"""
 WITH starts AS (
   SELECT {id_col}, {text_col} AS t,
-         unnest(generate_series(1, greatest(length({text_col}) - {size - 1}, 1), {stride})) AS s
+         unnest(generate_series(1, greatest(length({text_col}), 1), {stride})) AS s
   FROM {table}
 )
 SELECT {id_col}, CAST((s - 1) // {stride} AS BIGINT) AS chunk_idx,

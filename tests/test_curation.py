@@ -91,3 +91,23 @@ def test_canonical_corpus_drops_only_non_canonical(docs, spark):
     got = {r.doc_id for r in kept.select("doc_id").collect()}
     want = {r.doc_id for r in cl.filter("is_canonical").select("doc_id").collect()}
     assert got == want
+
+
+def test_chunks_reconstruct_text_when_non_overlapping(docs):
+    """stride == size → chunks partition the text: ordered concatenation
+    rebuilds every document exactly."""
+    size = 100
+    chunks = CU.chunk_documents(docs, size=size, stride=size)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                                lambda s: s["chunk"])
+            ).alias("rebuilt")
+        )
+    )
+    bad = rebuilt.join(docs.select("doc_id", "text"), "doc_id").filter(
+        F.col("rebuilt") != F.col("text")
+    )
+    assert bad.count() == 0
