@@ -90,6 +90,23 @@ class Graph:
         self.nodes = nodes
         self.edges = edges
         self.ranges = ranges or Ranges()
+        self._label_counts: dict | None = None
+
+    def label_counts(self) -> dict:
+        """Per-label node counts — the engine's table statistics (the
+        replacement for the reference's 3-bucket cost model,
+        ``compl`` ``Cypher.hs:575-583``). Computed once per Graph (one
+        groupBy over ``nodes``, the ANALYZE step) and cached; the planner
+        (``table(quick=False)``) reads it to seed the join chain from the
+        genuinely cheaper end."""
+        if self._label_counts is None:
+            self._label_counts = {
+                r["label"]: r["n"]
+                for r in self.nodes.groupBy("label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        return self._label_counts
 
     # ------------------------------------------------------------------ build
 

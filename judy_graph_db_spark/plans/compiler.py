@@ -269,18 +269,37 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
 
 # ----------------------------------------------------------- entry points
 
+def _endpoint_cost(g: Graph, spec: N) -> int:
+    """Real-statistics endpoint cost (the reference's ``compl``/``minI``
+    pick, ``Cypher.hs:575-607``, upgraded from magic constants to cached
+    per-label node counts): explicit ids → their count; labels → summed
+    label cardinalities; anyNode → total. Falls back to the 3-bucket
+    model when stats are unavailable (e.g. nodes not yet materialized)."""
+    try:
+        counts = g.label_counts()
+    except Exception:
+        return spec.complexity()
+    if spec.ids is not None:
+        return len(spec.ids)
+    if spec.labels is not None:
+        return sum(counts.get(l, 0) for l in spec.labels)
+    return sum(counts.values()) or 100000
+
+
 def table(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
     """Evaluate a pattern → bindings DataFrame (``table``, ``Cypher.hs:423-427``).
 
     ``quick=True`` evaluates left→right as written (``evalLtoR``).
     ``quick=False`` is the cost-based strategy (``runOnE``,
-    ``Cypher.hs:717-785``): seed the join chain from the cheaper end by the
-    reference's own 3-bucket cost model, then let Catalyst/AQE do real
+    ``Cypher.hs:717-785``): seed the join chain from the cheaper end —
+    measured by the graph's cached per-label row counts
+    (:meth:`Graph.label_counts`, real statistics where the reference has
+    only the 3-bucket ``compl`` model) — then let Catalyst/AQE do
     statistics-based ordering within the chain.
     """
     if not quick:
-        first = pattern.node_specs[0].complexity()
-        last = pattern.node_specs[-1].complexity()
+        first = _endpoint_cost(g, pattern.node_specs[0])
+        last = _endpoint_cost(g, pattern.node_specs[-1])
         if last < first:
             k = len(pattern.node_specs)
             rev = compile_pattern(g, pattern.reversed())

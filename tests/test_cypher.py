@@ -218,3 +218,25 @@ def test_shortest_paths_bounded(spark):
     got = {(r.n0, r.n1): r.hops for r in
            shortest_paths(g, N(ids=[7]), label="NextVer", max_hops=2).collect()}
     assert got == {(7, 8): 1, (7, 9): 2}
+
+
+def test_cost_strategy_uses_real_label_counts(spark):
+    """quick=False seeds from the genuinely smaller end by cached label
+    cardinalities — where the reference's 3-bucket model (label-count, not
+    row-count) would pick the wrong side."""
+    from judy_graph_db_spark.graph import Graph
+
+    # 6 BIG nodes (one label) vs 2 nodes across TWO labels: the bucket
+    # model scores the two-label end as costlier (2 > 1); real stats say
+    # it is 3x cheaper (2 rows vs 6)
+    g = Graph.from_lists(
+        spark,
+        nodes=[(i, "BIG") for i in range(6)] + [(10, "S1"), (11, "S2")],
+        directed_edges=[(i, 10, "HIT") for i in range(6)],
+        add_back_edges=True,
+    )
+    assert g.label_counts() == {"BIG": 6, "S1": 1, "S2": 1}
+    pat = N(labels=["BIG"]) >> E("HIT", direction="r") >> N(labels=["S1", "S2"])
+    quick = rows(table(g, pat, quick=True), "n0", "n1")
+    cost = rows(table(g, pat, quick=False), "n0", "n1")
+    assert quick == cost == [(i, 10) for i in range(6)]
