@@ -483,6 +483,31 @@ def _q_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(spark.table("documents"))
 
 
+# -------------------------------------------------------------- multimodal
+
+def _q_media_metadata(spark, sf_dir):
+    """Multimodal metadata pass (binary payload → byte_len + content hash),
+    pure JVM columns — the step that touches ALL bytes at 100 TB, so it
+    must stay codegen'd (no Python)."""
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    load_tpch_views(spark, sf_dir)
+    media = MM.as_media_table(spark.table("documents"))
+    return MM.extract_metadata(media)
+
+
+def _q_media_decode(spark, sf_dir):
+    """The Arrow-batched ``mapInPandas`` decode path (deterministic stub
+    decoder over the payload bytes) hash-checked against a byte-level SQL
+    twin — proves the Pandas-UDF slow path computes exactly what it claims
+    (fixture text is pure ASCII, so ``ascii(substring(...))`` is the byte)."""
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    load_tpch_views(spark, sf_dir)
+    media = MM.as_media_table(spark.table("documents"))
+    return MM.decode_features(media)
+
+
 # -------------------------------------------------------------- similarity
 
 def _q_simhash_neardup(spark, sf_dir):
@@ -738,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,
+        "media_metadata": _q_media_metadata,
+        "media_decode_features": _q_media_decode,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "ivf_cells": _q_ivf_cells,
@@ -954,6 +981,24 @@ FROM documents""",
         "exact_dedup": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)""",
+        # fixture text is pure ASCII (verified octet_length == length), so
+        # md5(text)/ascii(char) equal the byte-level values the Python
+        # decoder computes on the utf-8 payload
+        "media_metadata": """
+SELECT doc_id, 'image' AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash
+FROM documents""",
+        "media_decode_features": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+                 ELSE 16 + ascii(substring(text, 1, 1)) % 64 END AS INTEGER) AS width,
+       CAST(CASE WHEN length(text) < 2 THEN 0
+                 ELSE 16 + ascii(substring(text, 2, 1)) % 64 END AS INTEGER) AS height,
+       CAST(1 + length(text) % 8 AS INTEGER) AS n_frames
+FROM documents""",
         "minhash_lsh_pairs": O.lsh_pairs_sql(),
         "dedup_clusters": O.dedup_clusters_sql(),
         "ngram_jaccard": O.ngram_jaccard_sql(),
