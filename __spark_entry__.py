@@ -496,6 +496,43 @@ def _q_media_metadata(spark, sf_dir):
     return MM.extract_metadata(media)
 
 
+def _q_media_frames(spark, sf_dir):
+    """Frame sampling (video-pipeline row explosion through the Arrow batch
+    path): every 2nd of the payload's 1+len%8 fake frames, fingerprinted."""
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    load_tpch_views(spark, sf_dir)
+    media = MM.as_media_table(spark.table("documents"))
+    return MM.frame_sample(media, every_n=2)
+
+
+def _q_persisted_roundtrip(spark, sf_dir):
+    """listToDB/fromDB round trip (``JudyGraph.hs:172-203`` — the reference
+    leaves reload TODO; real here): save the graph src-bucketed to parquet,
+    load it back, and roll up — the persisted copy must be lossless."""
+    import shutil
+    import tempfile
+
+    from judy_graph_db_spark.graph import Graph
+
+    g = tpch_graph(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="gate_roundtrip_")
+    try:
+        g.save(d, bucket_by_src=True)
+        g2 = Graph.load(spark, d)
+        return (
+            g2.edges.groupBy("label", "is_back")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("edge_seq").cast("long").alias("sum_seq"),
+                F.sum("src").cast("long").alias("sum_src"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the dir vanishes
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_media_decode(spark, sf_dir):
     """The Arrow-batched ``mapInPandas`` decode path (deterministic stub
     decoder over the payload bytes) hash-checked against a byte-level SQL
@@ -765,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "media_metadata": _q_media_metadata,
         "media_decode_features": _q_media_decode,
+        "media_frame_sample": _q_media_frames,
+        "persisted_roundtrip": _q_persisted_roundtrip,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
         "ivf_cells": _q_ivf_cells,
@@ -999,6 +1038,20 @@ SELECT doc_id,
                  ELSE 16 + ascii(substring(text, 2, 1)) % 64 END AS INTEGER) AS height,
        CAST(1 + length(text) % 8 AS INTEGER) AS n_frames
 FROM documents""",
+        "media_frame_sample": """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) % 8, 2)) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       md5(text || CAST(frame_idx AS VARCHAR)) AS frame_hash
+FROM f""",
+        "persisted_roundtrip": f"""{P}
+SELECT label, is_back, COUNT(*) AS n,
+       CAST(SUM(edge_seq) AS BIGINT) AS sum_seq,
+       CAST(SUM(src) AS BIGINT) AS sum_src
+FROM edges GROUP BY label, is_back""",
         "minhash_lsh_pairs": O.lsh_pairs_sql(),
         "dedup_clusters": O.dedup_clusters_sql(),
         "ngram_jaccard": O.ngram_jaccard_sql(),

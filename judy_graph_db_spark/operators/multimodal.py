@@ -86,7 +86,9 @@ def decode_features(media: DataFrame, decode_stub: bool = True,
 def frame_sample(media: DataFrame, every_n: int = 2, decode_stub: bool = True) -> DataFrame:
     """Frame-sampling stub: emits one row per sampled "frame" (1 + len%8
     fake frames per payload, stride ``every_n``) — the row-explosion shape a
-    video pipeline produces, via the same Arrow batch path."""
+    video pipeline produces, via the same Arrow batch path. The frame
+    fingerprint is md5 of payload ++ the decimal frame index (as bytes), so
+    the DuckDB twin is plain ``md5(text || CAST(i AS VARCHAR))``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,7 +101,7 @@ def frame_sample(media: DataFrame, every_n: int = 2, decode_stub: bool = True) -
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(i)
                     rows["frame_hash"].append(
-                        hashlib.md5(content + i.to_bytes(4, "little")).hexdigest()
+                        hashlib.md5(content + str(i).encode("utf-8")).hexdigest()
                     )
             yield pd.DataFrame(rows)
 
