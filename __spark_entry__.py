@@ -128,6 +128,28 @@ def _q_var_length_unbounded(spark, sf_dir):
     return table(g, pat)
 
 
+def _q_edge_list_ingest(spark, sf_dir):
+    """insertNodeLines (``Enum.hs:387-407``): ingest the reference's OWN
+    benchmark dataset (367,662 tab-separated int pairs, CRLF) through our
+    edge-list reader and roll up per-source — DuckDB reads the same file
+    with read_csv. Skipped shape-wise if the reference checkout is absent."""
+    import os as _os
+
+    from judy_graph_db_spark.sources.edge_list import read_edge_list
+
+    path = "/root/reference/benchmark/data.txt"
+    if not _os.path.exists(path):  # keep the gate runnable anywhere
+        return spark.range(0).select(
+            F.col("id").alias("src"), F.col("id").alias("degree")
+        )
+    g = read_edge_list(spark, path, label="MAILED")
+    return (
+        g.edges.filter(~F.col("is_back"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
 def _q_lookup_node_edge(spark, sf_dir):
     """Exact (node, edgeAttr) point lookup (``lookupNodeEdge``,
     ``FastAccess.hs:637-640``): customer 1's 2nd-placed order."""
@@ -769,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_where_seq": _q_pattern_where,
         "var_length_next_order": _q_var_length,
         "var_length_unbounded": _q_var_length_unbounded,
+        "edge_list_ingest": _q_edge_list_ingest,
         "lookup_node_edge": _q_lookup_node_edge,
         "adjacent_node_first": _q_adjacent_node_first,
         "edges_by_index": _q_edges_by_index,
@@ -869,6 +892,10 @@ walk(n0, n1, e0_depth) AS (
   SELECT w.n0, e.dst, w.e0_depth + 1 FROM walk w JOIN no e ON w.n1 = e.src
 )
 SELECT n0, n1, e0_depth FROM walk""",
+        "edge_list_ingest": """
+SELECT CAST(column0 AS BIGINT) AS src, COUNT(*) AS degree
+FROM read_csv('/root/reference/benchmark/data.txt', sep='\t', header=false)
+GROUP BY 1""",
         "lookup_node_edge": f"""{P}
 SELECT dst FROM edges
 WHERE src = {3 * B + 1} AND label = 'PLACED' AND edge_seq = 2""",
