@@ -596,6 +596,16 @@ def _q_lsh_buckets(spark, sf_dir):
     return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_knn_join(spark, sf_dir):
+    """Batch exact k-NN join (retrieval shape: probe batch × corpus):
+    the 5 lowest-id vectors against the whole embeddings table, top-10
+    cosine neighbors each."""
+    load_tpch_views(spark, sf_dir)
+    embs = spark.table("embeddings")
+    probes = embs.orderBy("vec_id").limit(5)
+    return S.knn_join(probes, embs, k=10, dim=64)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup families: LSH pairs → connected components → canonical
     min-id representative (the full corpus-dedup shape)."""
@@ -829,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persisted_roundtrip": _q_persisted_roundtrip,
         "embedding_neardup": _q_embedding_neardup,
         "cosine_topk": _q_cosine_topk,
+        "knn_join_topk": _q_knn_join,
         "ivf_cells": _q_ivf_cells,
         "lsh_bucket_sizes": _q_lsh_buckets,
         "insert_append_seq": _q_insert_append_seq,
@@ -1114,6 +1125,7 @@ FROM documents GROUP BY 1""",
         "token_budget_shards": O.shard_by_token_budget_sql(budget_tokens=10000),
         "corpus_after_dedup": O.canonical_corpus_sql(),
         "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
+        "knn_join_topk": O.knn_join_sql(n_queries=5, k=10),
         "ivf_cells": O.ivf_cells_sql(n_cells=4),
         "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),
         # NEXT_ORDER chains connect exactly each customer's orders in date

@@ -75,6 +75,38 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_id: int, k: int = 10,
     )
 
 
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """Batch exact k-NN join: for EVERY query vector, its top-k cosine
+    neighbors in the corpus — the shape a retrieval/dedup pipeline actually
+    runs (a batch of probes against a huge corpus), generalizing the
+    single-query :func:`cosine_topk_bruteforce`.
+
+    The query batch broadcasts (small side); scoring is ONE corpus scan
+    producing |corpus|·|queries| scored rows that shuffle once, keyed by
+    query id, for the per-query top-k window. Self-pairs (same id) are
+    excluded. For corpus-scale probe sets, bucket both sides first
+    (:func:`hyperplane_buckets` / :func:`ivf_assign`) and knn_join within
+    buckets. Returns (query_id, vec_id, rank, sim_micro)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .withColumn("sim_micro", cosine_sim_micro(vec_col, "_qvec", dim))
+        .select("query_id", id_col, "sim_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", id_col, "rank", "sim_micro")
+    )
+
+
 def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """LSH bucket per vector: bit i = sign(dot(v, plane_i)), planes = the

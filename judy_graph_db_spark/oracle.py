@@ -438,3 +438,27 @@ FROM {table} d
 JOIN ({dedup_clusters_sql(id_col, text_col, table)}) c
   ON d.{id_col} = c.{id_col} AND c.is_canonical
 """
+
+
+def knn_join_sql(n_queries: int = 5, k: int = 10, dim: int = 64,
+                 table: str = "embeddings") -> str:
+    """Twin of ``similarity.knn_join`` with queries = the ``n_queries``
+    lowest vec_ids."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM {table}
+  ORDER BY vec_id LIMIT {n_queries}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {cosine_micro_sql('e.embedding', 'q.qv', dim)} AS sim_micro
+  FROM {table} e, q WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY sim_micro DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, sim_micro FROM r WHERE rank <= {k}
+"""
