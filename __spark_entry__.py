@@ -266,6 +266,23 @@ def _q_flat_table(spark, sf_dir):
     return ft.select("position", F.explode("node_set").alias("node_id"))
 
 
+def _q_appl_sorted(spark, sf_dir):
+    """appl post-processing (``Cypher.hs:179-192``; the SortNodes example's
+    sort-then-reinsert, ``test/examples/SortNodes.hs:38-43``): reverse-sort
+    each flat_table node set in place; posexplode keeps the array order in
+    the output so the oracle checks the reordering itself."""
+    from judy_graph_db_spark import appl
+
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N(labels=["ORDER"])
+    ft = appl(
+        flat_table(g, pat), "node_set", lambda c: F.reverse(F.sort_array(c))
+    )
+    return ft.select(
+        "position", F.posexplode("node_set").alias("idx", "node_id")
+    )
+
+
 def _q_filter_edges_to(spark, sf_dir):
     """filterEdgesTo (FastAccess.hs:414-420): edges whose target is a PART."""
     g = tpch_graph(spark, sf_dir)
@@ -813,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "create_mem_diff": _q_create_mem_diff,
         "union_overwrite": _q_union_overwrite,
         "flat_table_positions": _q_flat_table,
+        "appl_sorted_positions": _q_appl_sorted,
         "filter_edges_to_parts": _q_filter_edges_to,
         "attr_overlap_check": _q_attr_overlap,
         "pricing_summary": _q_pricing_summary,
@@ -966,6 +984,19 @@ SELECT DISTINCT a.src, b.dst, 2 FROM no a JOIN no b ON a.dst = b.src
 UNION ALL
 SELECT DISTINCT a.src, c.dst, 3 FROM no a JOIN no b ON a.dst = b.src
                                      JOIN no c ON b.dst = c.src""",
+        "appl_sorted_positions": f"""{P},
+s AS (
+  SELECT 0 AS position, src AS node_id FROM edges
+  WHERE label = 'PLACED' AND NOT is_back GROUP BY src
+  UNION ALL
+  SELECT 1, dst FROM edges
+  WHERE label = 'PLACED' AND NOT is_back GROUP BY dst
+)
+SELECT position,
+       CAST(ROW_NUMBER() OVER (PARTITION BY position ORDER BY node_id DESC) - 1
+            AS INTEGER) AS idx,
+       node_id
+FROM s""",
         "filter_edges_to_parts": f"""{P}
 SELECT label, COUNT(*) AS n FROM edges
 WHERE dst BETWEEN {4 * B} AND {5 * B - 1} GROUP BY label""",
