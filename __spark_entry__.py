@@ -601,6 +601,16 @@ def _q_cosine_topk(spark, sf_dir):
     return S.cosine_topk_bruteforce(spark.table("embeddings"), query_id=0, k=10, dim=64)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """Multi-probe IVF search (the recall/cost knob of the billion-vector
+    layout): query 0 against its 2 closest of 4 cells, exact top-10 within
+    the probed candidates."""
+    load_tpch_views(spark, sf_dir)
+    return S.ivf_topk(
+        spark.table("embeddings"), query_id=0, k=10, n_cells=4, n_probe=2
+    )
+
+
 def _q_ivf_cells(spark, sf_dir):
     load_tpch_views(spark, sf_dir)
     assign = S.ivf_assign(spark.table("embeddings"), n_cells=4)
@@ -859,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "knn_join_topk": _q_knn_join,
         "ivf_cells": _q_ivf_cells,
+        "ivf_topk_probe2": _q_ivf_topk,
         "lsh_bucket_sizes": _q_lsh_buckets,
         "insert_append_seq": _q_insert_append_seq,
         "update_edge_targets": _q_update_edge_targets,
@@ -1158,6 +1169,7 @@ FROM documents GROUP BY 1""",
         "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
         "knn_join_topk": O.knn_join_sql(n_queries=5, k=10),
         "ivf_cells": O.ivf_cells_sql(n_cells=4),
+        "ivf_topk_probe2": O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2),
         "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so the fixpoint the iterative operator computes has a

@@ -462,3 +462,48 @@ r AS (
 )
 SELECT query_id, vec_id, rank, sim_micro FROM r WHERE rank <= {k}
 """
+
+
+def ivf_topk_sql(query_id: int = 0, k: int = 10, n_cells: int = 4,
+                 n_probe: int = 2, dim: int = 64,
+                 table: str = "embeddings") -> str:
+    """Twin of ``similarity.ivf_topk``: probe the query's ``n_probe``
+    closest cells, exact top-k within the probed candidates."""
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM {table} ORDER BY vec_id LIMIT {n_cells}
+),
+q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY {cosine_micro_sql('cv', 'qv', dim)} DESC, cid LIMIT {n_probe}
+),
+cscored AS (
+  SELECT e.vec_id, c.cid, {cosine_micro_sql('e.embedding', 'c.cv', dim)} AS sim
+  FROM {table} e, c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM {table} e
+  JOIN assign a ON e.vec_id = a.vec_id
+  JOIN probe p ON a.cell = p.cid
+  WHERE e.vec_id <> {query_id}
+),
+scored AS (
+  SELECT cand.vec_id,
+         {cosine_micro_sql('cand.embedding', 'qv', dim)} AS sim_micro
+  FROM cand, q
+),
+top AS (
+  SELECT vec_id, sim_micro,
+         CAST(ROW_NUMBER() OVER (ORDER BY sim_micro DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT vec_id, rank, sim_micro FROM top WHERE rank <= {k}
+"""
