@@ -1,0 +1,124 @@
+"""Cypher-style motif strings → :class:`Pattern`.
+
+The reference's query language is a typed Haskell EDSL (``README.md:133-137``);
+this engine's primary surface is the equivalent Python combinators
+(``N(...) >> E(...) >> N(...)``). ``parse_motif`` adds the string form most
+graph users already know (Neo4j MATCH / GraphFrames ``find`` syntax), mapped
+1:1 onto the same specifiers — a parser front end only, nothing new in
+execution:
+
+    (a)                         any node                 N()
+    (a:CUSTOMER)                label                    N(labels=["CUSTOMER"])
+    (a:REGION|NATION)           label alternatives       N(labels=[...])
+    (a=42) / (=42,43)           explicit node ids        N(ids=[42, 43])
+    -[:PLACED]->                directed labeled edge    E("PLACED", direction="r")
+    <-[:PLACED]-                reverse direction        E("PLACED", direction="l")
+    -[:A|B]-                    undirected, label union  E(attr=["A","B"])
+    -[o~BULK]->                 orth multi-label match   E(orth=["BULK"], ...)
+    -[:NEXT*1..3]->             variable length          E(..., several=(1, 3))
+    -[:NEXT*]->                 unbounded (***)          E(..., several=(1, None))
+    --> / <-- / --              unlabeled edges          E(direction=...)
+
+Node/edge variable names (the ``a`` in ``(a:...)`` / ``[e:...]``) are kept
+on the specs' ``name`` field for readability; binding columns stay
+positional (``n0, e0_…, n1, …``) as everywhere else in the engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+from judy_graph_db_spark.plans.pattern import E, N, Pattern
+
+_NODE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z_0-9]*)?\s*(:[^)=]+|=[^)]+)?\s*\)")
+_EDGE_BODY_RE = re.compile(
+    r"\[\s*([A-Za-z_][A-Za-z_0-9]*)?\s*([:~][^\]*]+)?\s*(\*[^\]]*)?\s*\]"
+)
+
+
+def _parse_node(name: str | None, body: str | None) -> N:
+    if body is None:
+        return N(name=name)
+    if body.startswith(":"):
+        labels = [t.strip() for t in body[1:].split("|") if t.strip()]
+        return N(labels=labels, name=name)
+    ids = [int(t) for t in body[1:].split(",") if t.strip()]
+    return N(ids=ids, name=name)
+
+
+def _parse_several(spec: str) -> tuple:
+    """``*``, ``*3``, ``*1..3``, ``*2..`` → (lo, hi)."""
+    body = spec[1:].strip()
+    if not body:
+        return (1, None)
+    if ".." in body:
+        lo_s, hi_s = body.split("..", 1)
+        lo = int(lo_s) if lo_s.strip() else 1
+        hi = int(hi_s) if hi_s.strip() else None
+        return (lo, hi)
+    n = int(body)
+    return (n, n)
+
+
+def _parse_edge(segment: str) -> E:
+    """``segment`` is the text between two node groups, e.g. ``-[:L]->``."""
+    s = segment.strip()
+    if not s:
+        raise ValueError("adjacent node groups with no edge between them")
+    if s in ("--", "~~"):
+        return E()
+    if s == "-->":
+        return E(direction="r")
+    if s == "<--":
+        return E(direction="l")
+    direction = None
+    if s.endswith("->"):
+        direction = "r"
+        s = s[:-2]
+    if s.startswith("<-"):
+        if direction == "r":
+            raise ValueError(f"edge {segment!r} points both ways")
+        direction = "l"
+        s = s[2:]
+    s = s.strip("- \t")
+    if not s:
+        return E(direction=direction)
+    m = _EDGE_BODY_RE.fullmatch(s)
+    if not m:
+        raise ValueError(f"cannot parse edge segment {segment!r}")
+    name, body, star = m.groups()
+    attr = orth = None
+    if body:
+        labels = [t.strip() for t in body[1:].split("|") if t.strip()]
+        if body.startswith(":"):
+            attr = labels
+        else:  # '~' — orthogonal multi-label overlay (SURVEY.md §1.6)
+            orth = labels
+    several = _parse_several(star) if star else None
+    return E(attr=attr, orth=orth, several=several, direction=direction, name=name)
+
+
+def parse_motif(motif: str) -> Pattern:
+    """Parse a motif string into a :class:`Pattern` (see module docstring
+    for the grammar). Raises ``ValueError`` on malformed input."""
+    s = motif.strip()
+    specs: list = []
+    pos = 0
+    expect_node = True
+    while pos < len(s):
+        if expect_node:
+            m = _NODE_RE.match(s, pos)
+            if not m:
+                raise ValueError(f"expected a node at {s[pos:]!r}")
+            specs.append(_parse_node(m.group(1), m.group(2)))
+            pos = m.end()
+        else:
+            nxt = s.find("(", pos)
+            if nxt < 0:
+                raise ValueError(f"dangling edge at {s[pos:]!r}")
+            specs.append(_parse_edge(s[pos:nxt]))
+            pos = nxt
+        expect_node = not expect_node
+    if not specs or isinstance(specs[-1], E):
+        raise ValueError("motif must start and end with a node group")
+    return Pattern(specs)
