@@ -225,16 +225,22 @@ def _q_graph_query_subgraph(spark, sf_dir):
 
 def _q_create_mem_diff(spark, sf_dir):
     """createMem → GraphDiff (``Cypher.hs:431-433``; ``overlaps``
-    ``Cypher.hs:868-889``): materialize a pattern's edges, report additions.
-    Non-SQL-expressible (stateful write semantics) → rows-only check."""
+    ``Cypher.hs:868-889``): 2-hop create with walked-frontier candidates —
+    hop 1 (CONTAINS) starts from hop 0's written targets, not the raw spec.
+    Output = added ∪ displaced edges, tagged ``op``; the overwrite winner /
+    displacement logic is window+anti-join SQL, twinned in DuckDB."""
     g = tpch_graph(spark, sf_dir)
     pat = (
         N(ids=[3 * B + 1, 3 * B + 2, 3 * B + 3])
-        >> E("PROMO")
-        >> N(ids=[4 * B + 1])
+        >> E("PLACED")
+        >> N(ids=[5 * B + 1])
+        >> E("CONTAINS")
+        >> N(ids=[4 * B + 1, 4 * B + 2])
     )
     _, diff = create_mem(g, pat)
-    return diff.edges_added
+    added = diff.edges_added.withColumn("op", F.lit("add"))
+    deleted = diff.edges_deleted.withColumn("op", F.lit("del"))
+    return added.unionByName(deleted).select("op", "src", "label", "dst")
 
 
 def _q_union_overwrite(spark, sf_dir):
@@ -1137,9 +1143,43 @@ FROM edges GROUP BY label, is_back""",
         "ngram_jaccard": O.ngram_jaccard_sql(),
         "simhash_neardup": O.simhash_neardup_sql(),
         "embedding_neardup": O.embedding_neardup_sql(),
-        # create_mem_diff: intentionally no oracle — stateful write
-        # semantics (overwrite + displaced-target capture) aren't
-        # SQL-expressible; the driver records a rows-only check.
+        # createMem's overwrite-winner + displaced-target capture as plain
+        # window+join SQL: per hop, the highest-dst candidate per (src,label)
+        # wins at seq 1; a differing pre-existing seq-1 target is 'del'.
+        # Hop 1 starts from hop 0's written targets (walked frontier).
+        "create_mem_diff": f"""{P},
+spec0 AS (SELECT CAST(v AS BIGINT) AS id
+          FROM (VALUES ({3 * B + 1}),({3 * B + 2}),({3 * B + 3})) t(v)),
+spec1 AS (SELECT CAST({5 * B + 1} AS BIGINT) AS id),
+spec2 AS (SELECT CAST(v AS BIGINT) AS id
+          FROM (VALUES ({4 * B + 1}),({4 * B + 2})) t(v)),
+old_placed AS (SELECT src, dst AS old_dst FROM edges
+               WHERE label = 'PLACED' AND edge_seq = 1 AND NOT is_back),
+old_contains AS (SELECT src, dst AS old_dst FROM edges
+                 WHERE label = 'CONTAINS' AND edge_seq = 1 AND NOT is_back),
+w0 AS (SELECT src, dst FROM (
+         SELECT s.id AS src, c.id AS dst,
+                ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY c.id DESC) AS rn
+         FROM spec0 s CROSS JOIN spec1 c) z WHERE rn = 1),
+a0 AS (SELECT 'add' AS op, w0.src, 'PLACED' AS label, w0.dst
+       FROM w0 LEFT JOIN old_placed o ON w0.src = o.src
+       WHERE o.old_dst IS NULL OR o.old_dst <> w0.dst),
+d0 AS (SELECT 'del' AS op, w0.src, 'PLACED' AS label, o.old_dst AS dst
+       FROM w0 JOIN old_placed o ON w0.src = o.src WHERE o.old_dst <> w0.dst),
+front1 AS (SELECT DISTINCT dst AS id FROM w0),
+w1 AS (SELECT src, dst FROM (
+         SELECT f.id AS src, c.id AS dst,
+                ROW_NUMBER() OVER (PARTITION BY f.id ORDER BY c.id DESC) AS rn
+         FROM front1 f CROSS JOIN spec2 c) z WHERE rn = 1),
+a1 AS (SELECT 'add' AS op, w1.src, 'CONTAINS' AS label, w1.dst
+       FROM w1 LEFT JOIN old_contains o ON w1.src = o.src
+       WHERE o.old_dst IS NULL OR o.old_dst <> w1.dst),
+d1 AS (SELECT 'del' AS op, w1.src, 'CONTAINS' AS label, o.old_dst AS dst
+       FROM w1 JOIN old_contains o ON w1.src = o.src WHERE o.old_dst <> w1.dst)
+SELECT op, src, label, dst FROM a0
+UNION ALL SELECT op, src, label, dst FROM d0
+UNION ALL SELECT op, src, label, dst FROM a1
+UNION ALL SELECT op, src, label, dst FROM d1""",
         # seqs per src become exactly 1..2n, so the rollup has a closed form
         "insert_append_seq": f"""{P}
 SELECT src, 2*COUNT(*) AS n_edges, 2*COUNT(*) AS max_seq,

@@ -438,7 +438,8 @@ def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def minplus_closure(
-    edges: DataFrame, keep_self: bool = False, max_iter: int = 20
+    edges: DataFrame, keep_self: bool = False, max_iter: int = 20,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """Min-plus doubling core behind :func:`transitive_closure`.
 
@@ -446,6 +447,13 @@ def minplus_closure(
     ``(c, c, cycle_length)`` pairs for nodes on cycles — which is what the
     unbounded-repeat pattern semantics need (a start node re-reached
     through a cycle IS a match at that depth, ``Cypher.hs:853-858``).
+
+    ``max_depth`` drops pairs whose shortest distance exceeds it, *during*
+    the rounds (safe: every sub-path of a shortest path ≤ cap is itself a
+    shortest sub-path ≤ cap, so the filter never cuts a needed stepping
+    stone). Callers that cap exploration (the unbounded-repeat pattern's
+    ``UNBOUNDED_MAX_HOPS``) use this so both execution strategies return
+    identical answers, and it also bounds intermediate state.
     """
     base = edges.select("src", "dst")
     if not keep_self:
@@ -479,6 +487,8 @@ def minplus_closure(
         )
         if not keep_self:
             doubled = doubled.filter(F.col("src") != F.col("dst"))
+        if max_depth is not None:
+            doubled = doubled.filter(F.col("depth") <= max_depth)
         prev_state = r
         r = (
             r.union(doubled)

@@ -148,12 +148,18 @@ def delete_edges(g: Graph, pairs: Sequence[tuple]) -> Graph:
     """Delete edges n0→n1 (``deleteEdge``/``deleteEdges``,
     ``FastAccess.hs:364-376``): anti-join on the (src,dst) pair list; the
     materialized reverse rows are removed too (the reference leaves them as
-    planned lookup failures, ``FastAccess.hs:550-556``)."""
+    planned lookup failures, ``FastAccess.hs:550-556``). Only the forward
+    n0→n1 row (``is_back=False``) and its own back row (``is_back=True`` at
+    n1→n0) are deleted — an independent forward edge n1→n0 is untouched
+    (``FastAccess.hs:364-369`` keys the delete on the n0 side only)."""
     p = g.spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "src long, dst long")
-    rev = p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = p.withColumn("is_back", F.lit(False))
+    rev = p.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("is_back")
+    )
     edges = (
-        g.edges.join(p, ["src", "dst"], "left_anti")
-        .join(rev.withColumn("_back", F.lit(True)), ["src", "dst"], "left_anti")
+        g.edges.join(fwd, ["src", "dst", "is_back"], "left_anti")
+        .join(rev, ["src", "dst", "is_back"], "left_anti")
         .select(*EDGE_COLS)
     )
     return Graph(g.spark, g.nodes, edges, g.ranges)

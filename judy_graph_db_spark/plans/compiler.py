@@ -203,6 +203,9 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
                 # depth — unless depth 0 was already reported (the loop
                 # pre-seeds the visited set in that case)
                 keep_self=(lo > 0),
+                # same exploration cap as the BFS branch, so the strategy
+                # pick never changes the answer on >cap-hop graphs
+                max_depth=UNBOUNDED_MAX_HOPS,
             )
             reach = (
                 frontier.select(*prev_cols, "_cur").distinct()
@@ -387,11 +390,21 @@ def appl(df: DataFrame, col: str, fn) -> DataFrame:
 # ------------------------------------------------------------- create_mem
 
 class GraphDiff:
-    """``GraphDiff`` (``Cypher.hs:445-461``): what a create run changed."""
+    """``GraphDiff`` (``Cypher.hs:445-461``): what a create run changed.
 
-    def __init__(self, edges_added: DataFrame, edges_deleted: DataFrame):
+    The reference's record carries node diffs too (``diffDelNodes`` /
+    ``diffNewNodes``) but never populates them (``runOnE`` threads them
+    through unchanged, ``Cypher.hs:717-737``); here ``nodes_added`` is real
+    (explicit-id specs referencing ids absent from the node table) and
+    ``nodes_deleted`` is the always-empty surface twin."""
+
+    def __init__(self, edges_added: DataFrame, edges_deleted: DataFrame,
+                 nodes_added: DataFrame | None = None,
+                 nodes_deleted: DataFrame | None = None):
         self.edges_added = edges_added
         self.edges_deleted = edges_deleted
+        self.nodes_added = nodes_added
+        self.nodes_deleted = nodes_deleted
 
 
 def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
@@ -399,22 +412,31 @@ def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
     pattern's edges into the graph with overwrite semantics, returning the
     delta (``overlaps``, ``Cypher.hs:868-889``).
 
-    Each hop's candidate edges = (nodes of spec i) × (edge label) ×
-    (nodes of spec i+1). Try-insert with overwrite=True: the candidate lands
-    at edge_seq=1; a different pre-existing seq-1 target is displaced and
-    reported deleted. Requires finite node specs and single-label,
-    non-`several` edge specs.
+    Hop candidates follow the reference's *walked-path* shape
+    (``walkPaths`` with create=True only ever hands ``overlaps`` edges
+    whose source is the current frontier, ``Cypher.hs:804-812``): hop 0
+    starts from spec 0's nodes, hop i+1 starts from the targets hop i
+    actually wrote — NOT the full spec_i × spec_{i+1} cross product, which
+    both diverges semantically on multi-hop patterns and is an O(|A|·|B|)
+    blow-up at scale. Per (src,label) the highest-dst candidate wins and
+    lands at ``edge_seq=1`` (overwrite, ``FastAccess.hs:302-311``); a
+    different pre-existing seq-1 target is displaced and reported deleted.
+    Requires finite node specs and single-label, non-`several` edge specs.
     """
     node_specs = pattern.node_specs
     edge_specs = pattern.edge_specs
     added_parts, deleted_parts = [], []
     edges = g.edges
+    frontier = None  # hop i>0 starts from hop i-1's written targets
 
     for i, espec in enumerate(edge_specs):
         if espec.several is not None or not espec.attr or len(espec.attr) != 1:
             raise ValueError("create_mem requires single-label, non-variable edge specs")
         label = espec.attr[0]
-        left = materialize_node_spec(g, node_specs[i], "src")
+        if frontier is None:
+            left = materialize_node_spec(g, node_specs[i], "src")
+        else:
+            left = frontier  # already ⊆ spec_i's node set (hop i-1's right side)
         right = materialize_node_spec(g, node_specs[i + 1], "dst")
         cand = (
             left.crossJoin(right)
@@ -422,8 +444,8 @@ def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
             .withColumn("labels", F.array(F.lit(label)))
             .withColumn("is_back", F.lit(False))
         )
-        # chain overwrite: the last candidate per (src,label) wins at seq 1;
-        # ordering = ascending dst (deterministic stand-in for spec order)
+        # overwrite: one candidate per (src,label) wins at seq 1; ordering =
+        # descending dst (deterministic stand-in for spec order)
         w = Window.partitionBy("src", "label").orderBy(F.col("dst").desc())
         winner = (
             cand.withColumn("_rn", F.row_number().over(w))
@@ -431,25 +453,22 @@ def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
             .withColumn("edge_seq", F.lit(1).cast("long"))
             .select(*EDGE_COLS)
         )
-        displaced_cand = cand.join(
-            winner.select("src", "label", "dst"), ["src", "label", "dst"], "left_anti"
-        ).select("src", "label", "dst")
-        old_first = edges.filter((F.col("label") == label) & (F.col("edge_seq") == 1) & (~F.col("is_back")))
-        displaced_old = (
-            old_first.join(winner.select("src", "label").withColumn("_w", F.lit(1)),
-                           ["src", "label"], "inner")
-            .join(winner.select("src", "label", F.col("dst").alias("_wd")), ["src", "label"])
-            .filter(F.col("dst") != F.col("_wd"))
+        old_first = edges.filter(
+            (F.col("label") == label) & (F.col("edge_seq") == 1) & (~F.col("is_back"))
+        ).select("src", "label", F.col("dst").alias("_old_dst"))
+        vs_old = winner.select("src", "label", "dst").join(old_first, ["src", "label"], "left")
+        added_parts.append(
+            vs_old.filter(F.col("_old_dst").isNull() | (F.col("_old_dst") != F.col("dst")))
             .select("src", "label", "dst")
         )
-        new_written = cand.select("src", "label", "dst").join(
-            old_first.select("src", "label", "dst"), ["src", "label", "dst"], "left_anti"
+        deleted_parts.append(
+            vs_old.filter(F.col("_old_dst").isNotNull() & (F.col("_old_dst") != F.col("dst")))
+            .select("src", "label", F.col("_old_dst").alias("dst"))
         )
-        added_parts.append(new_written)
-        deleted_parts.append(displaced_old.union(displaced_cand))
         keep = edges.join(winner.select("src", "label", "edge_seq", "is_back"),
                           ["src", "label", "edge_seq", "is_back"], "left_anti")
         edges = keep.unionByName(winner)
+        frontier = winner.select(F.col("dst").alias("src")).distinct()
 
     added = added_parts[0]
     for p in added_parts[1:]:
@@ -457,7 +476,17 @@ def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
     deleted = deleted_parts[0]
     for p in deleted_parts[1:]:
         deleted = deleted.union(p)
-    return Graph(g.spark, g.nodes, edges, g.ranges), GraphDiff(added, deleted)
+
+    # node diffs: explicit-id specs can reference ids the node table lacks
+    spec_ids = [int(i) for s in node_specs if s.ids is not None for i in s.ids]
+    if spec_ids and not g.nodes.isEmpty():
+        ids_df = g.spark.createDataFrame([(i,) for i in sorted(set(spec_ids))], "id long")
+        nodes_added = ids_df.join(g.nodes.select("id"), "id", "left_anti")
+    else:
+        nodes_added = g.spark.createDataFrame([], "id long")
+    nodes_deleted = g.spark.createDataFrame([], "id long")
+    return (Graph(g.spark, g.nodes, edges, g.ranges),
+            GraphDiff(added, deleted, nodes_added, nodes_deleted))
 
 
 def graph_create(g: Graph, pattern: Pattern) -> Graph:

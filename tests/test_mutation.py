@@ -59,6 +59,16 @@ def test_delete_edges(spark):
     assert remaining.count() == 0
 
 
+def test_delete_edges_keeps_independent_reciprocal(spark):
+    # two INDEPENDENT forward edges 1→2 and 2→1, each with its back row:
+    # deleting (1,2) must keep the forward 2→1 row and its back row 1→2
+    # (reference deleteEdge removes only n0→n1, FastAccess.hs:364-369)
+    g = Graph.from_lists(spark, nodes=[(1, "A"), (2, "A")],
+                         directed_edges=[(1, 2, "E"), (2, 1, "E")], add_back_edges=True)
+    g2 = mut.delete_edges(g, [(1, 2)])
+    assert edge_set(g2) == {(2, 1, "E", False, 1), (1, 2, "E", True, 1)}
+
+
 def test_delete_edge_keys(spark):
     g = f2_issue_tracker(spark)
     g2 = mut.delete_edge_keys(g, [(0, "Raises", 2)])
@@ -81,6 +91,26 @@ def test_create_mem_diff(spark):
     assert {(r.src, r.dst) for r in diff.edges_added.collect()} == {(0, 2)}
     assert {(r.src, r.dst) for r in diff.edges_deleted.collect()} == {(0, 1)}
     assert {(r.src, r.dst, r.edge_seq) for r in g2.edges.collect()} == {(0, 2, 1)}
+
+
+def test_create_mem_frontier_restricted(spark):
+    # hop 1 candidates start from hop 0's WRITTEN targets (walked paths,
+    # Cypher.hs:804-812) — node 1 matched spec 1 but was not written to,
+    # so it must not gain a Y edge
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A"), (2, "A"), (3, "A")])
+    pat = N(ids=[0]) >> E("X") >> N(ids=[1, 2]) >> E("Y") >> N(ids=[3])
+    g2, diff = create_mem(g, pat)
+    assert {(r.src, r.label, r.dst) for r in diff.edges_added.collect()} == {
+        (0, "X", 2), (2, "Y", 3)}
+    assert g2.edges.filter((F.col("src") == 1) & (F.col("label") == "Y")).count() == 0
+
+
+def test_create_mem_node_diffs(spark):
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A")])
+    pat = N(ids=[0]) >> E("X") >> N(ids=[9])
+    _, diff = create_mem(g, pat)
+    assert {r.id for r in diff.nodes_added.collect()} == {9}
+    assert diff.nodes_deleted.count() == 0
 
 
 def test_create_mem_noop_when_present(spark):
