@@ -90,14 +90,6 @@ def _q_pattern_backward(spark, sf_dir):
     return table(g, pat)
 
 
-def _q_var_length(spark, sf_dir):
-    """Variable-length path `several (1,3)` (Cypher.hs:127-136,853-858):
-    order chains via NEXT_ORDER."""
-    g = tpch_graph(spark, sf_dir)
-    pat = N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, 3)) >> N()
-    return table(g, pat)
-
-
 def _q_pattern_orth(spark, sf_dir):
     """Orth multi-label match (``orth``, ``Cypher.hs:265-266``; SURVEY.md
     §1.6): edges carrying the orthogonal BULK overlay, matched with
@@ -116,15 +108,6 @@ def _q_pattern_where(spark, sf_dir):
         >> E("PLACED", direction="r", where=lambda c: c["edge_seq"] <= 2)
         >> N(labels=["ORDER"])
     )
-    return table(g, pat)
-
-
-def _q_var_length_unbounded(spark, sf_dir):
-    """Unbounded repeat `***` (``Cypher.hs:135-136``): full transitive
-    closure of the NEXT_ORDER chains (reachability semantics with a
-    visited-set; cycle-safe)."""
-    g = tpch_graph(spark, sf_dir)
-    pat = N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, None)) >> N()
     return table(g, pat)
 
 
@@ -148,35 +131,6 @@ def _q_edge_list_ingest(spark, sf_dir):
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-
-
-def _q_lookup_node_edge(spark, sf_dir):
-    """Exact (node, edgeAttr) point lookup (``lookupNodeEdge``,
-    ``FastAccess.hs:637-640``): customer 1's 2nd-placed order."""
-    g = tpch_graph(spark, sf_dir)
-    return A.lookup_node_edge(g, 3 * B + 1, "PLACED", edge_seq=2)
-
-
-def _q_adjacent_node_first(spark, sf_dir):
-    """Single neighbor by attr + dir bit (``adjacentNodeByAttr``,
-    ``FastAccess.hs:587-599``): customer 1's first-inserted PLACED edge."""
-    g = tpch_graph(spark, sf_dir)
-    return A.adjacent_node_by_attr(g, 3 * B + 1, "PLACED", backwards=False)
-
-
-def _q_edges_by_index(spark, sf_dir):
-    """Enumeration-index range walk (``adjacentEdgesByIndex``,
-    ``Enum.hs:463-474``): order 1's forward edges with seq 2..4."""
-    g = tpch_graph(spark, sf_dir)
-    return A.adjacent_edges_by_index(g, 5 * B + 1, 2, 4, backwards=False)
-
-
-def _q_all_children(spark, sf_dir):
-    """Full per-node edge enumeration (``allChilds``, ``Enum.hs:323-339`` —
-    needs the second judy array there; a pushed-down src filter here):
-    every edge and target of order 1, both directions."""
-    g = tpch_graph(spark, sf_dir)
-    return A.all_children(g, 5 * B + 1)
 
 
 def _q_nodes_scan_multiplicity(spark, sf_dir):
@@ -203,15 +157,6 @@ def _q_nested_layers(spark, sf_dir):
         F.element_at("layer", 1).alias("first_id"),
         F.element_at("layer", -1).alias("last_id"),
     )
-
-
-def _q_shortest_paths(spark, sf_dir):
-    """BFS shortest-path hops (TODO in the reference, ``doc/Neo4j.md:179-197``):
-    first-reach depths over the NEXT_ORDER chains from every ORDER node."""
-    from judy_graph_db_spark import shortest_paths
-
-    g = tpch_graph(spark, sf_dir)
-    return shortest_paths(g, N(labels=["ORDER"]), label="NEXT_ORDER")
 
 
 def _q_graph_query_subgraph(spark, sf_dir):
@@ -294,13 +239,6 @@ def _q_filter_edges_to(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     kept = A.filter_edges_to(g, lambda dst: dst.between(4 * B, 5 * B - 1))
     return kept.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-
-
-def _q_attr_overlap(spark, sf_dir):
-    """attrOverlap validation (FastAccess.hs:730-742): duplicate edge keys
-    (must be empty)."""
-    g = tpch_graph(spark, sf_dir)
-    return A.attr_overlap(g)
 
 
 # ------------------------------------------------- relational parity-plus
@@ -476,79 +414,13 @@ def _q_events_hourly_stream(spark, sf_dir):
 
 # ------------------------------------------------------------ text / dedup
 
-def _q_text_stats(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    d = spark.table("documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        T.token_count(t).alias("n_tokens"),
-        T.word_token_count(t).alias("n_word_tokens"),
-        T.punct_permille(t).alias("punct_pm"),
-        T.upper_permille(t).alias("upper_pm"),
-        T.stopword_permille(t).alias("stop_pm"),
-    )
-
-
-def _q_doc_quality(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    d = spark.table("documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        T.quality_score(t).alias("quality"),
-        T.lang_id(t).alias("lang"),
-    )
-
-
-def _q_fingerprint(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    d = spark.table("documents")
-    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
-
-
-def _q_simhash(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    d = spark.table("documents")
-    return d.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
-
 
 def _q_exact_dedup(spark, sf_dir):
     load_tpch_views(spark, sf_dir)
     return D.exact_dedup(spark.table("documents"))
 
 
-def _q_lsh_pairs(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    return D.minhash_lsh_candidates(spark.table("documents"))
-
-
-def _q_ngram_jaccard(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    return D.ngram_jaccard_pairs(spark.table("documents"))
-
-
 # -------------------------------------------------------------- multimodal
-
-def _q_media_metadata(spark, sf_dir):
-    """Multimodal metadata pass (binary payload → byte_len + content hash),
-    pure JVM columns — the step that touches ALL bytes at 100 TB, so it
-    must stay codegen'd (no Python)."""
-    from judy_graph_db_spark.operators import multimodal as MM
-
-    load_tpch_views(spark, sf_dir)
-    media = MM.as_media_table(spark.table("documents"))
-    return MM.extract_metadata(media)
-
-
-def _q_media_frames(spark, sf_dir):
-    """Frame sampling (video-pipeline row explosion through the Arrow batch
-    path): every 2nd of the payload's 1+len%8 fake frames, fingerprinted."""
-    from judy_graph_db_spark.operators import multimodal as MM
-
-    load_tpch_views(spark, sf_dir)
-    media = MM.as_media_table(spark.table("documents"))
-    return MM.frame_sample(media, every_n=2)
 
 
 def _q_persisted_roundtrip(spark, sf_dir):
@@ -578,65 +450,7 @@ def _q_persisted_roundtrip(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _q_media_decode(spark, sf_dir):
-    """The Arrow-batched ``mapInPandas`` decode path (deterministic stub
-    decoder over the payload bytes) hash-checked against a byte-level SQL
-    twin — proves the Pandas-UDF slow path computes exactly what it claims
-    (fixture text is pure ASCII, so ``ascii(substring(...))`` is the byte)."""
-    from judy_graph_db_spark.operators import multimodal as MM
-
-    load_tpch_views(spark, sf_dir)
-    media = MM.as_media_table(spark.table("documents"))
-    return MM.decode_features(media)
-
-
 # -------------------------------------------------------------- similarity
-
-def _q_simhash_neardup(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    return D.simhash_neardup_pairs(spark.table("documents"))
-
-
-def _q_embedding_neardup(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    return S.cosine_neardup_pairs(spark.table("embeddings"), dim=64)
-
-
-def _q_cosine_topk(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    return S.cosine_topk_bruteforce(spark.table("embeddings"), query_id=0, k=10, dim=64)
-
-
-def _q_ivf_topk(spark, sf_dir):
-    """Multi-probe IVF search (the recall/cost knob of the billion-vector
-    layout): query 0 against its 2 closest of 4 cells, exact top-10 within
-    the probed candidates."""
-    load_tpch_views(spark, sf_dir)
-    return S.ivf_topk(
-        spark.table("embeddings"), query_id=0, k=10, n_cells=4, n_probe=2
-    )
-
-
-def _q_ivf_cells(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    assign = S.ivf_assign(spark.table("embeddings"), n_cells=4)
-    return assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-
-
-def _q_lsh_buckets(spark, sf_dir):
-    load_tpch_views(spark, sf_dir)
-    buckets = S.hyperplane_buckets(spark.table("embeddings"), n_planes=4)
-    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-
-
-def _q_knn_join(spark, sf_dir):
-    """Batch exact k-NN join (retrieval shape: probe batch × corpus):
-    the 5 lowest-id vectors against the whole embeddings table, top-10
-    cosine neighbors each."""
-    load_tpch_views(spark, sf_dir)
-    embs = spark.table("embeddings")
-    probes = embs.orderBy("vec_id").limit(5)
-    return S.knn_join(probes, embs, k=10, dim=64)
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -697,38 +511,7 @@ def _q_map_nodes_relabel(spark, sf_dir):
     return g2.nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
 
 
-def _q_delete_nodes_cascade(spark, sf_dir):
-    """deleteNodes (``FastAccess.hs:356-358`` — a near-no-op there; real
-    here): removing the first ten customers cascades to all incident edges
-    (forward and back rows)."""
-    from judy_graph_db_spark.operators import mutation as M
-
-    g = tpch_graph(spark, sf_dir)
-    g2 = M.delete_nodes(g, [3 * B + k for k in range(1, 11)])
-    return g2.edges.groupBy("label", "is_back").agg(F.count(F.lit(1)).alias("n"))
-
-
 # ---------------------------------------------------------------- curation
-
-def _q_hash_sample(spark, sf_dir):
-    """Deterministic content-hash subsample (~64/256 of the corpus) —
-    reproducible across runs/engines/cluster sizes, unlike df.sample()."""
-    from judy_graph_db_spark.operators import curation as CU
-
-    load_tpch_views(spark, sf_dir)
-    return CU.hash_sample(spark.table("documents"), 64).select("doc_id")
-
-
-def _q_split_sizes(spark, sf_dir):
-    """Deterministic train/val/test assignment by id hash; membership never
-    changes as the corpus grows."""
-    from judy_graph_db_spark.operators import curation as CU
-
-    load_tpch_views(spark, sf_dir)
-    split = CU.hash_split(
-        spark.table("documents"), {"train": 240, "val": 8, "test": 8}
-    )
-    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _q_doc_chunks(spark, sf_dir):
@@ -748,18 +531,6 @@ def _q_token_shards(spark, sf_dir):
 
     load_tpch_views(spark, sf_dir)
     return CU.shard_by_token_budget(spark.table("documents"), budget_tokens=10000)
-
-
-def _q_canonical_corpus(spark, sf_dir):
-    """The post-dedup corpus: near-dup families collapsed to their min-id
-    representative (LSH pairs → connected components → semi-join)."""
-    from judy_graph_db_spark.operators import curation as CU
-
-    load_tpch_views(spark, sf_dir)
-    docs = spark.table("documents")
-    return CU.canonical_corpus(docs).select(
-        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
-    )
 
 
 # --------------------------------------------------------- graph analytics
@@ -823,32 +594,276 @@ def _q_k_core(spark, sf_dir):
     return AN.k_core(g.edges.filter(~F.col("is_back")), k=5)
 
 
+# ---------------------------------------------------- merged gate bundles
+# The driver records at most ~50 correctness rows; same-family gates are
+# bundled into ONE union output with an `op` tag so EVERY operator keeps a
+# driver-visible oracle row — the value hash still checks each part, and a
+# wrong answer in any part fails the whole bundle.
+
+
+def _q_point_lookups(spark, sf_dir):
+    """Point-lookup family in one driver row: lookupNodeEdge
+    (``FastAccess.hs:637-640``), adjacentNodeByAttr (``:587-599``),
+    adjacentEdgesByIndex (``Enum.hs:463-474``), allChilds
+    (``Enum.hs:323-339``), attrOverlap (``FastAccess.hs:730-742``)."""
+    g = tpch_graph(spark, sf_dir)
+    sN = F.lit(None).cast("string")
+    lN = F.lit(None).cast("long")
+    bN = F.lit(None).cast("boolean")
+    parts = [
+        A.lookup_node_edge(g, 3 * B + 1, "PLACED", edge_seq=2).select(
+            F.lit("lookup_node_edge").alias("op"), sN.alias("label"),
+            lN.alias("edge_seq"), bN.alias("is_back"),
+            F.col("dst").alias("node_id")),
+        A.adjacent_node_by_attr(g, 3 * B + 1, "PLACED", backwards=False).select(
+            F.lit("adjacent_node_first").alias("op"), sN.alias("label"),
+            lN.alias("edge_seq"), bN.alias("is_back"),
+            F.col("dst").alias("node_id")),
+        A.adjacent_edges_by_index(g, 5 * B + 1, 2, 4, backwards=False).select(
+            F.lit("edges_by_index").alias("op"), "label",
+            F.col("edge_seq").cast("long").alias("edge_seq"),
+            bN.alias("is_back"), lN.alias("node_id")),
+        A.all_children(g, 5 * B + 1).select(
+            F.lit("all_children").alias("op"), "label",
+            F.col("edge_seq").cast("long").alias("edge_seq"), "is_back",
+            F.col("dst").alias("node_id")),
+        A.attr_overlap(g).select(
+            F.lit("attr_overlap").alias("op"), "label",
+            F.col("edge_seq").cast("long").alias("edge_seq"), "is_back",
+            F.col("n").cast("long").alias("node_id")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_pattern_1hop_matrix(spark, sf_dir):
+    """1-hop pattern-direction matrix in one driver row: backward traversal
+    over back rows, orth multi-label overlay, per-edge where predicate."""
+    parts = [
+        ("backward", _q_pattern_backward),
+        ("orth_bulk", _q_pattern_orth),
+        ("where_seq", _q_pattern_where),
+    ]
+    out = None
+    for tag, fn in parts:
+        d = fn(spark, sf_dir).select(
+            F.lit(tag).alias("op"), "n0", "e0_label",
+            F.col("e0_seq").cast("long").alias("e0_seq"), "n1")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _q_var_length_paths(spark, sf_dir):
+    """Variable-length family over the NEXT_ORDER chains in one driver row:
+    bounded ``several (1,3)``, unbounded ``***`` (visited-set reachability),
+    and BFS shortest-path hops."""
+    from judy_graph_db_spark import shortest_paths
+
+    g = tpch_graph(spark, sf_dir)
+    p13 = table(g, N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, 3)) >> N())
+    pun = table(g, N(labels=["ORDER"]) >> E("NEXT_ORDER", direction="r", several=(1, None)) >> N())
+    sp = shortest_paths(g, N(labels=["ORDER"]), label="NEXT_ORDER")
+    out = p13.select(F.lit("several_1_3").alias("op"), "n0", "n1",
+                     F.col("e0_depth").cast("long").alias("d"))
+    out = out.unionByName(pun.select(F.lit("unbounded").alias("op"), "n0", "n1",
+                                     F.col("e0_depth").cast("long").alias("d")))
+    out = out.unionByName(sp.select(F.lit("shortest").alias("op"), "n0", "n1",
+                                    F.col("hops").cast("long").alias("d")))
+    return out
+
+
+def _q_doc_signals(spark, sf_dir):
+    """Per-document text signals in one wide driver row: token counts,
+    punct/upper/stopword ratios, quality score, lang-id, rolling-hash
+    fingerprint, simhash."""
+    load_tpch_views(spark, sf_dir)
+    d = spark.table("documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.word_token_count(t).alias("n_word_tokens"),
+        T.punct_permille(t).alias("punct_pm"),
+        T.upper_permille(t).alias("upper_pm"),
+        T.stopword_permille(t).alias("stop_pm"),
+        T.quality_score(t).alias("quality"),
+        T.lang_id(t).alias("lang"),
+        T.fingerprint(t).alias("fp"),
+        D.simhash(t).alias("simhash"),
+    )
+
+
+def _q_neardup_pairs(spark, sf_dir):
+    """Near-duplicate pair family in one driver row: MinHash-LSH candidates,
+    n-gram Jaccard verify, SimHash hamming pairs, embedding-cosine pairs.
+    All bucketed — never all-pairs."""
+    load_tpch_views(spark, sf_dir)
+    docs = spark.table("documents")
+    embs = spark.table("embeddings")
+    lN = F.lit(None).cast("long")
+    parts = [
+        D.minhash_lsh_candidates(docs).select(
+            F.lit("lsh").alias("op"), F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"), lN.alias("v")),
+        D.ngram_jaccard_pairs(docs).select(
+            F.lit("jaccard").alias("op"), F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"),
+            F.col("jaccard_permille").cast("long").alias("v")),
+        D.simhash_neardup_pairs(docs).select(
+            F.lit("simhash").alias("op"), F.col("doc_a").alias("a"),
+            F.col("doc_b").alias("b"), F.col("hamming").cast("long").alias("v")),
+        S.cosine_neardup_pairs(embs, dim=64).select(
+            F.lit("cosine").alias("op"), F.col("vec_a").alias("a"),
+            F.col("vec_b").alias("b"), F.col("sim_micro").cast("long").alias("v")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_media_pipeline(spark, sf_dir):
+    """Multimodal pipeline in one driver row: pure-JVM metadata pass, Arrow
+    ``mapInPandas`` decode (stub codec, real plumbing), frame sampling."""
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    load_tpch_views(spark, sf_dir)
+    media = MM.as_media_table(spark.table("documents"))
+    lN = F.lit(None).cast("long")
+    meta = MM.extract_metadata(media).select(
+        F.concat(F.lit("meta_"), F.col("media_type")).alias("op"), "doc_id",
+        F.col("byte_len").cast("long").alias("a"), lN.alias("b"), lN.alias("c"),
+        lN.alias("d"), F.col("content_hash").alias("h"))
+    dec = MM.decode_features(media).select(
+        F.lit("decode").alias("op"), "doc_id",
+        F.col("byte_len").cast("long").alias("a"),
+        F.col("width").cast("long").alias("b"),
+        F.col("height").cast("long").alias("c"),
+        F.col("n_frames").cast("long").alias("d"),
+        F.col("content_hash").alias("h"))
+    frames = MM.frame_sample(media, every_n=2).select(
+        F.lit("frame").alias("op"), "doc_id",
+        F.col("frame_idx").cast("long").alias("a"), lN.alias("b"), lN.alias("c"),
+        lN.alias("d"), F.col("frame_hash").alias("h"))
+    return meta.unionByName(dec).unionByName(frames)
+
+
+def _q_corpus_curation(spark, sf_dir):
+    """Corpus curation family in one driver row: deterministic hash sample,
+    train/val/test split sizes, post-dedup canonical corpus."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    docs = spark.table("documents")
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    sample = CU.hash_sample(docs, 64).select(
+        F.lit("sample").alias("op"), "doc_id", sN.alias("split"), lN.alias("n"))
+    splits = CU.hash_split(docs, {"train": 240, "val": 8, "test": 8}).groupBy(
+        "split").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("split_sizes").alias("op"), lN.alias("doc_id"), "split", "n")
+    canon = CU.canonical_corpus(docs).select(
+        F.lit("canonical").alias("op"), "doc_id", sN.alias("split"),
+        T.token_count(F.col("text")).alias("n"))
+    return sample.unionByName(splits).unionByName(canon)
+
+
+def _q_delete_ops(spark, sf_dir):
+    """Delete family in one driver row. ``cascade``: deleteNodes removes all
+    incident edges (``FastAccess.hs:356-358``). ``reciprocal``: deleteEdge
+    keys on (src,dst,is_back) — deleting a→b must keep an INDEPENDENT
+    forward edge b→a and its back row (``FastAccess.hs:364-369`` deletes
+    only n0→n1; regression gate for the round-1 is_back bug)."""
+    from judy_graph_db_spark.operators import mutation as M
+
+    g = tpch_graph(spark, sf_dir)
+    g2 = M.delete_nodes(g, [3 * B + k for k in range(1, 11)])
+    cascade = g2.edges.groupBy("label", "is_back").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        F.lit("cascade").alias("op"), "label", "is_back",
+        F.col("n").cast("long").alias("a"), F.lit(None).cast("long").alias("b"))
+    ga = M.insert_node_edges(
+        g, [(3 * B + 1, 3 * B + 2, "KNOWS"), (3 * B + 2, 3 * B + 1, "KNOWS")],
+        add_back_edges=True)
+    gb = M.delete_edges(ga, [(3 * B + 1, 3 * B + 2)])
+    recip = gb.edges.filter(F.col("label") == "KNOWS").select(
+        F.lit("reciprocal").alias("op"), "label", "is_back",
+        F.col("src").alias("a"), F.col("dst").alias("b"))
+    return cascade.unionByName(recip)
+
+
+def _q_ann_buckets(spark, sf_dir):
+    """ANN layout family in one driver row: IVF cell sizes (partition-pruned
+    search layout) and hyperplane-LSH bucket sizes."""
+    load_tpch_views(spark, sf_dir)
+    embs = spark.table("embeddings")
+    ivf = S.ivf_assign(embs, n_cells=4).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        F.lit("ivf").alias("op"), F.col("cell").cast("string").alias("bucket"), "n")
+    lsh = S.hyperplane_buckets(embs, n_planes=4).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")).select(
+        F.lit("lsh").alias("op"), F.col("bucket").cast("string").alias("bucket"), "n")
+    return ivf.unionByName(lsh)
+
+
+def _q_ann_topk(spark, sf_dir):
+    """ANN search family in one driver row: brute-force cosine top-k
+    (baseline), multi-probe IVF top-k (recall/cost knob), batch k-NN join
+    (broadcast probes × one corpus scan)."""
+    load_tpch_views(spark, sf_dir)
+    embs = spark.table("embeddings")
+    brute = S.cosine_topk_bruteforce(embs, query_id=0, k=10, dim=64).select(
+        F.lit("brute").alias("op"), F.lit(0).cast("long").alias("query_id"),
+        "vec_id", F.col("rank").cast("int").alias("rank"), "sim_micro")
+    ivf = S.ivf_topk(embs, query_id=0, k=10, n_cells=4, n_probe=2).select(
+        F.lit("ivf_probe2").alias("op"), F.lit(0).cast("long").alias("query_id"),
+        "vec_id", F.col("rank").cast("int").alias("rank"), "sim_micro")
+    probes = embs.orderBy("vec_id").limit(5)
+    knn = S.knn_join(probes, embs, k=10, dim=64).select(
+        F.lit("knn_join").alias("op"), F.col("query_id").cast("long").alias("query_id"),
+        "vec_id", F.col("rank").cast("int").alias("rank"), "sim_micro")
+    return brute.unionByName(ivf).unionByName(knn)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # 47 entries — every operator family has a driver-visible row (the
+    # round-1 driver recorded only the first 50, so same-family gates are
+    # bundled; see "merged gate bundles" above).
     return {
+        # graph core
         "adjacency_neighbors": _q_adjacency,
         "degree_by_label": _q_degree,
         "node_label_counts": _q_node_label_counts,
         "pattern_2hop": _q_pattern_2hop,
-        "pattern_backward": _q_pattern_backward,
-        "pattern_orth_bulk": _q_pattern_orth,
-        "pattern_where_seq": _q_pattern_where,
-        "var_length_next_order": _q_var_length,
-        "var_length_unbounded": _q_var_length_unbounded,
+        "pattern_1hop_matrix": _q_pattern_1hop_matrix,
+        "var_length_paths": _q_var_length_paths,
         "edge_list_ingest": _q_edge_list_ingest,
-        "lookup_node_edge": _q_lookup_node_edge,
-        "adjacent_node_first": _q_adjacent_node_first,
-        "edges_by_index": _q_edges_by_index,
-        "all_children_of_node": _q_all_children,
+        "point_lookups": _q_point_lookups,
         "nodes_scan_multiplicity": _q_nodes_scan_multiplicity,
         "nested_layers_2hop": _q_nested_layers,
-        "shortest_paths_hops": _q_shortest_paths,
         "graph_query_subgraph": _q_graph_query_subgraph,
         "create_mem_diff": _q_create_mem_diff,
         "union_overwrite": _q_union_overwrite,
         "flat_table_positions": _q_flat_table,
         "appl_sorted_positions": _q_appl_sorted,
         "filter_edges_to_parts": _q_filter_edges_to,
-        "attr_overlap_check": _q_attr_overlap,
+        # DML
+        "insert_append_seq": _q_insert_append_seq,
+        "update_edge_targets": _q_update_edge_targets,
+        "map_nodes_relabel": _q_map_nodes_relabel,
+        "delete_ops": _q_delete_ops,
+        "persisted_roundtrip": _q_persisted_roundtrip,
+        # iterative analytics
+        "connected_components": _q_connected_components,
+        "triangle_count": _q_triangle_count,
+        "degree_histogram": _q_degree_histogram,
+        "label_communities": _q_label_propagation,
+        "pagerank_ranks": _q_pagerank,
+        "k_core_nodes": _q_k_core,
+        "closure_min_depth": _q_closure,
+        # relational parity-plus
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "orders_per_nation": _q_orders_per_nation,
@@ -858,41 +873,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_hourly_streaming": _q_events_hourly_stream,
         "event_sessions": _q_event_sessions,
-        "text_stats": _q_text_stats,
-        "doc_quality": _q_doc_quality,
-        "doc_fingerprint": _q_fingerprint,
-        "doc_simhash": _q_simhash,
+        # text / dedup / curation
+        "doc_signals": _q_doc_signals,
         "exact_dedup": _q_exact_dedup,
-        "minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_neardup": _q_simhash_neardup,
-        "media_metadata": _q_media_metadata,
-        "media_decode_features": _q_media_decode,
-        "media_frame_sample": _q_media_frames,
-        "persisted_roundtrip": _q_persisted_roundtrip,
-        "embedding_neardup": _q_embedding_neardup,
-        "cosine_topk": _q_cosine_topk,
-        "knn_join_topk": _q_knn_join,
-        "ivf_cells": _q_ivf_cells,
-        "ivf_topk_probe2": _q_ivf_topk,
-        "lsh_bucket_sizes": _q_lsh_buckets,
-        "insert_append_seq": _q_insert_append_seq,
-        "update_edge_targets": _q_update_edge_targets,
-        "map_nodes_relabel": _q_map_nodes_relabel,
-        "delete_nodes_cascade": _q_delete_nodes_cascade,
-        "corpus_hash_sample": _q_hash_sample,
-        "corpus_split_sizes": _q_split_sizes,
+        "neardup_pairs": _q_neardup_pairs,
+        "media_pipeline": _q_media_pipeline,
+        "corpus_curation": _q_corpus_curation,
         "doc_chunks": _q_doc_chunks,
         "token_budget_shards": _q_token_shards,
-        "corpus_after_dedup": _q_canonical_corpus,
-        "connected_components": _q_connected_components,
-        "triangle_count": _q_triangle_count,
-        "degree_histogram": _q_degree_histogram,
-        "label_communities": _q_label_propagation,
-        "pagerank_ranks": _q_pagerank,
-        "k_core_nodes": _q_k_core,
-        "closure_min_depth": _q_closure,
+        # similarity / ANN
+        "ann_buckets": _q_ann_buckets,
+        "ann_topk": _q_ann_topk,
     }
 
 
@@ -913,57 +905,21 @@ SELECT e1.src AS n0, e1.label AS e0_label, e1.edge_seq AS e0_seq, e1.dst AS n1,
 FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
 WHERE e1.label = 'PLACED' AND NOT e1.is_back
   AND e2.label = 'CONTAINS' AND NOT e2.is_back""",
-        "pattern_backward": f"""{P}
-SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
-FROM edges WHERE label = 'PLACED' AND is_back""",
-        "pattern_orth_bulk": f"""{P}
-SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
-FROM edges WHERE is_bulk AND NOT is_back""",
-        "pattern_where_seq": f"""{P}
-SELECT src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
+        "pattern_1hop_matrix": f"""{P}
+SELECT 'backward' AS op, src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
+FROM edges WHERE label = 'PLACED' AND is_back
+UNION ALL
+SELECT 'orth_bulk', src, label, edge_seq, dst
+FROM edges WHERE is_bulk AND NOT is_back
+UNION ALL
+SELECT 'where_seq', src, label, edge_seq, dst
 FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq <= 2""",
         # standalone (not oracle_prefix): DuckDB's WITH RECURSIVE changes CTE
         # scoping for union-shaped CTEs, breaking the nested WITH inside the
-        # edges CTE — so derive the NEXT_ORDER relation directly from orders
-        "var_length_unbounded": f"""WITH RECURSIVE no AS (
-  SELECT src, dst FROM (
-    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
-           CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst
-    FROM orders
-  ) t WHERE dst IS NOT NULL
-),
-walk(n0, n1, e0_depth) AS (
-  SELECT src, dst, 1 FROM no
-  UNION ALL
-  SELECT w.n0, e.dst, w.e0_depth + 1 FROM walk w JOIN no e ON w.n1 = e.src
-)
-SELECT n0, n1, e0_depth FROM walk""",
-        "edge_list_ingest": """
-SELECT CAST(column0 AS BIGINT) AS src, COUNT(*) AS degree
-FROM read_csv('/root/reference/benchmark/data.txt', sep='\t', header=false)
-GROUP BY 1""",
-        "lookup_node_edge": f"""{P}
-SELECT dst FROM edges
-WHERE src = {3 * B + 1} AND label = 'PLACED' AND edge_seq = 2""",
-        "adjacent_node_first": f"""{P}
-SELECT dst FROM edges
-WHERE src = {3 * B + 1} AND label = 'PLACED' AND NOT is_back AND edge_seq = 1""",
-        "edges_by_index": f"""{P}
-SELECT label, edge_seq FROM edges
-WHERE src = {5 * B + 1} AND NOT is_back AND edge_seq BETWEEN 2 AND 4""",
-        "all_children_of_node": f"""{P}
-SELECT label, edge_seq, is_back, dst FROM edges WHERE src = {5 * B + 1}""",
-        "nodes_scan_multiplicity": f"""{P}
-SELECT id, COUNT(*) AS n FROM (
-  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
-) GROUP BY id""",
-        "nested_layers_2hop": f"""{P}
-SELECT src AS n0, COUNT(DISTINCT dst) AS n_reached,
-       MIN(dst) AS first_id, MAX(dst) AS last_id
-FROM edges WHERE label = 'PLACED' AND NOT is_back GROUP BY src""",
-        # first-reach BFS = min depth per pair (same recursion caveat as
-        # var_length_unbounded: standalone WITH RECURSIVE, orders-derived)
-        "shortest_paths_hops": f"""WITH RECURSIVE no AS (
+        # edges CTE — so derive the NEXT_ORDER relation directly from orders.
+        # One UNION-dedup'd walk serves all three variants: bounded = depth
+        # filter, unbounded = every (n0,n1,depth) triple, shortest = MIN(d).
+        "var_length_paths": f"""WITH RECURSIVE no AS (
   SELECT src, dst FROM (
     SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
            CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst
@@ -975,8 +931,40 @@ walk(n0, n1, d) AS (
   UNION
   SELECT w.n0, e.dst, w.d + 1 FROM walk w JOIN no e ON w.n1 = e.src
 )
-SELECT n0, n1, CAST(MIN(d) AS BIGINT) AS hops
-FROM walk GROUP BY n0, n1""",
+SELECT 'several_1_3' AS op, n0, n1, CAST(d AS BIGINT) AS d FROM walk WHERE d <= 3
+UNION ALL
+SELECT 'unbounded', n0, n1, CAST(d AS BIGINT) FROM walk
+UNION ALL
+SELECT 'shortest', n0, n1, CAST(MIN(d) AS BIGINT) FROM walk GROUP BY n0, n1""",
+        "edge_list_ingest": """
+SELECT CAST(column0 AS BIGINT) AS src, COUNT(*) AS degree
+FROM read_csv('/root/reference/benchmark/data.txt', sep='\t', header=false)
+GROUP BY 1""",
+        "point_lookups": f"""{P}
+SELECT 'lookup_node_edge' AS op, CAST(NULL AS VARCHAR) AS label,
+       CAST(NULL AS BIGINT) AS edge_seq, CAST(NULL AS BOOLEAN) AS is_back,
+       dst AS node_id
+FROM edges WHERE src = {3 * B + 1} AND label = 'PLACED' AND edge_seq = 2
+UNION ALL
+SELECT 'adjacent_node_first', NULL, NULL, NULL, dst
+FROM edges WHERE src = {3 * B + 1} AND label = 'PLACED' AND NOT is_back AND edge_seq = 1
+UNION ALL
+SELECT 'edges_by_index', label, edge_seq, NULL, NULL
+FROM edges WHERE src = {5 * B + 1} AND NOT is_back AND edge_seq BETWEEN 2 AND 4
+UNION ALL
+SELECT 'all_children', label, edge_seq, is_back, dst FROM edges WHERE src = {5 * B + 1}
+UNION ALL
+SELECT 'attr_overlap', label, edge_seq, is_back, n FROM (
+  SELECT src, label, edge_seq, is_back, COUNT(*) AS n
+  FROM edges GROUP BY src, label, edge_seq, is_back HAVING COUNT(*) > 1) t""",
+        "nodes_scan_multiplicity": f"""{P}
+SELECT id, COUNT(*) AS n FROM (
+  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+) GROUP BY id""",
+        "nested_layers_2hop": f"""{P}
+SELECT src AS n0, COUNT(DISTINCT dst) AS n_reached,
+       MIN(dst) AS first_id, MAX(dst) AS last_id
+FROM edges WHERE label = 'PLACED' AND NOT is_back GROUP BY src""",
         "graph_query_subgraph": f"""{P}
 SELECT id, label FROM nodes_g WHERE id IN (
   SELECT src FROM edges WHERE label = 'PLACED' AND NOT is_back
@@ -993,14 +981,6 @@ WHERE label = 'PLACED' AND NOT is_back GROUP BY src
 UNION ALL
 SELECT 1 AS position, dst FROM edges
 WHERE label = 'PLACED' AND NOT is_back GROUP BY dst""",
-        "var_length_next_order": f"""{P},
-no AS (SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back)
-SELECT DISTINCT src AS n0, dst AS n1, 1 AS e0_depth FROM no
-UNION ALL
-SELECT DISTINCT a.src, b.dst, 2 FROM no a JOIN no b ON a.dst = b.src
-UNION ALL
-SELECT DISTINCT a.src, c.dst, 3 FROM no a JOIN no b ON a.dst = b.src
-                                     JOIN no c ON b.dst = c.src""",
         "appl_sorted_positions": f"""{P},
 s AS (
   SELECT 0 AS position, src AS node_id FROM edges
@@ -1017,9 +997,6 @@ FROM s""",
         "filter_edges_to_parts": f"""{P}
 SELECT label, COUNT(*) AS n FROM edges
 WHERE dst BETWEEN {4 * B} AND {5 * B - 1} GROUP BY label""",
-        "attr_overlap_check": f"""{P}
-SELECT src, label, edge_seq, is_back, COUNT(*) AS n
-FROM edges GROUP BY src, label, edge_seq, is_back HAVING COUNT(*) > 1""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -1088,61 +1065,66 @@ SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",
-        "text_stats": f"""
+        "doc_signals": f"""
 SELECT doc_id,
        {O.token_count_sql()} AS n_tokens,
        {O.word_token_count_sql()} AS n_word_tokens,
        {O.punct_permille_sql()} AS punct_pm,
        {O.upper_permille_sql()} AS upper_pm,
-       {O.stopword_permille_sql()} AS stop_pm
-FROM documents""",
-        "doc_quality": f"""
-SELECT doc_id,
+       {O.stopword_permille_sql()} AS stop_pm,
        {O.quality_score_sql()} AS quality,
-       {O.lang_id_sql()} AS lang
+       {O.lang_id_sql()} AS lang,
+       {O.fingerprint_sql()} AS fp,
+       {O.simhash_sql()} AS simhash
 FROM documents""",
-        "doc_fingerprint": f"SELECT doc_id, {O.fingerprint_sql()} AS fp FROM documents",
-        "doc_simhash": f"SELECT doc_id, {O.simhash_sql()} AS simhash FROM documents",
         "exact_dedup": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)""",
         # fixture text is pure ASCII (verified octet_length == length), so
         # md5(text)/ascii(char) equal the byte-level values the Python
         # decoder computes on the utf-8 payload
-        "media_metadata": """
-SELECT doc_id, 'image' AS media_type,
-       CAST(length(text) AS BIGINT) AS byte_len,
-       md5(text) AS content_hash
-FROM documents""",
-        "media_decode_features": """
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS byte_len,
-       md5(text) AS content_hash,
+        "media_pipeline": """
+SELECT 'meta_image' AS op, doc_id,
+       CAST(length(text) AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d,
+       md5(text) AS h
+FROM documents
+UNION ALL
+SELECT 'decode', doc_id,
+       CAST(length(text) AS BIGINT),
        CAST(CASE WHEN length(text) = 0 THEN 0
-                 ELSE 16 + ascii(substring(text, 1, 1)) % 64 END AS INTEGER) AS width,
+                 ELSE 16 + ascii(substring(text, 1, 1)) % 64 END AS BIGINT),
        CAST(CASE WHEN length(text) < 2 THEN 0
-                 ELSE 16 + ascii(substring(text, 2, 1)) % 64 END AS INTEGER) AS height,
-       CAST(1 + length(text) % 8 AS INTEGER) AS n_frames
-FROM documents""",
-        "media_frame_sample": """
-WITH f AS (
+                 ELSE 16 + ascii(substring(text, 2, 1)) % 64 END AS BIGINT),
+       CAST(1 + length(text) % 8 AS BIGINT),
+       md5(text)
+FROM documents
+UNION ALL
+SELECT 'frame', doc_id, CAST(frame_idx AS BIGINT), NULL, NULL, NULL,
+       md5(text || CAST(frame_idx AS VARCHAR))
+FROM (
   SELECT doc_id, text,
          unnest(generate_series(0, length(text) % 8, 2)) AS frame_idx
   FROM documents
-)
-SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       md5(text || CAST(frame_idx AS VARCHAR)) AS frame_hash
-FROM f""",
+) f""",
         "persisted_roundtrip": f"""{P}
 SELECT label, is_back, COUNT(*) AS n,
        CAST(SUM(edge_seq) AS BIGINT) AS sum_seq,
        CAST(SUM(src) AS BIGINT) AS sum_src
 FROM edges GROUP BY label, is_back""",
-        "minhash_lsh_pairs": O.lsh_pairs_sql(),
         "dedup_clusters": O.dedup_clusters_sql(),
-        "ngram_jaccard": O.ngram_jaccard_sql(),
-        "simhash_neardup": O.simhash_neardup_sql(),
-        "embedding_neardup": O.embedding_neardup_sql(),
+        "neardup_pairs": f"""
+SELECT 'lsh' AS op, doc_a AS a, doc_b AS b, CAST(NULL AS BIGINT) AS v
+FROM ({O.lsh_pairs_sql()}) t1
+UNION ALL
+SELECT 'jaccard', doc_a, doc_b, CAST(jaccard_permille AS BIGINT)
+FROM ({O.ngram_jaccard_sql()}) t2
+UNION ALL
+SELECT 'simhash', doc_a, doc_b, CAST(hamming AS BIGINT)
+FROM ({O.simhash_neardup_sql()}) t3
+UNION ALL
+SELECT 'cosine', vec_a, vec_b, CAST(sim_micro AS BIGINT)
+FROM ({O.embedding_neardup_sql()}) t4""",
         # createMem's overwrite-winner + displaced-target capture as plain
         # window+join SQL: per hop, the highest-dst candidate per (src,label)
         # wins at seq 1; a differing pre-existing seq-1 target is 'del'.
@@ -1192,25 +1174,48 @@ SELECT src,
 FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq = 1""",
         "map_nodes_relabel": f"""{P}
 SELECT lower(label) AS label, COUNT(*) AS n FROM nodes_g GROUP BY 1""",
-        "delete_nodes_cascade": f"""{P},
+        # cascade: closed-form anti-join rollup. reciprocal: the engine adds
+        # independent a→b and b→a KNOWS edges (+ back rows), deletes (a,b);
+        # exactly the sibling forward edge and the deleted pair's own back
+        # row must survive — a literal-VALUES twin (deterministic fixture).
+        "delete_ops": f"""{P},
 del AS (SELECT CAST(3*{B} + k AS BIGINT) AS id FROM generate_series(1, 10) t(k))
-SELECT label, is_back, COUNT(*) AS n FROM edges
+SELECT 'cascade' AS op, label, is_back, COUNT(*) AS a, CAST(NULL AS BIGINT) AS b
+FROM edges
 WHERE src NOT IN (SELECT id FROM del) AND dst NOT IN (SELECT id FROM del)
-GROUP BY label, is_back""",
-        "corpus_hash_sample": f"""
-SELECT doc_id FROM documents WHERE {O.hash_bucket_sql('doc_id')} < '40'""",
-        "corpus_split_sizes": f"""
-SELECT {O.hash_split_case_sql({'train': 240, 'val': 8, 'test': 8})} AS split,
-       COUNT(*) AS n
-FROM documents GROUP BY 1""",
+GROUP BY label, is_back
+UNION ALL
+SELECT 'reciprocal', 'KNOWS', v.is_back, v.a, v.b FROM (VALUES
+  (FALSE, CAST({3 * B + 2} AS BIGINT), CAST({3 * B + 1} AS BIGINT)),
+  (TRUE,  CAST({3 * B + 1} AS BIGINT), CAST({3 * B + 2} AS BIGINT))) v(is_back, a, b)""",
+        "corpus_curation": f"""
+SELECT 'sample' AS op, doc_id, CAST(NULL AS VARCHAR) AS split,
+       CAST(NULL AS BIGINT) AS n
+FROM documents WHERE {O.hash_bucket_sql('doc_id')} < '40'
+UNION ALL
+SELECT 'split_sizes', NULL,
+       {O.hash_split_case_sql({'train': 240, 'val': 8, 'test': 8})} AS split,
+       COUNT(*)
+FROM documents GROUP BY 3
+UNION ALL
+SELECT 'canonical', doc_id, NULL, CAST(n_tokens AS BIGINT)
+FROM ({O.canonical_corpus_sql()}) t""",
         "doc_chunks": O.chunk_documents_sql(size=200, stride=150),
         "token_budget_shards": O.shard_by_token_budget_sql(budget_tokens=10000),
-        "corpus_after_dedup": O.canonical_corpus_sql(),
-        "cosine_topk": O.cosine_topk_sql(query_id=0, k=10),
-        "knn_join_topk": O.knn_join_sql(n_queries=5, k=10),
-        "ivf_cells": O.ivf_cells_sql(n_cells=4),
-        "ivf_topk_probe2": O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2),
-        "lsh_bucket_sizes": O.lsh_bucket_sizes_sql(n_planes=4),
+        "ann_buckets": f"""
+SELECT 'ivf' AS op, CAST(cell AS VARCHAR) AS bucket, n
+FROM ({O.ivf_cells_sql(n_cells=4)}) t1
+UNION ALL
+SELECT 'lsh', bucket, n FROM ({O.lsh_bucket_sizes_sql(n_planes=4)}) t2""",
+        "ann_topk": f"""
+SELECT 'brute' AS op, CAST(0 AS BIGINT) AS query_id, vec_id, rank, sim_micro
+FROM ({O.cosine_topk_sql(query_id=0, k=10)}) t1
+UNION ALL
+SELECT 'ivf_probe2', CAST(0 AS BIGINT), vec_id, rank, sim_micro
+FROM ({O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)}) t2
+UNION ALL
+SELECT 'knn_join', CAST(query_id AS BIGINT), vec_id, rank, sim_micro
+FROM ({O.knn_join_sql(n_queries=5, k=10)}) t3""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so the fixpoint the iterative operator computes has a
         # closed form: component = the customer's minimum order id. Using
