@@ -102,11 +102,14 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
 
     The global prefix sum is the scalable two-pass shape, not one giant
     window: range-partition by id (range partition p holds a contiguous id
-    span, and partition index follows span order), sum each partition
-    (tiny driver collect: one row per partition), broadcast the per-
-    partition starting offsets back, finish with a partition-local
-    cumulative window. Wall-clock is one shuffle + one narrow pass
-    regardless of corpus size.
+    span, and partition index follows span order), aggregate each partition
+    to one subtotal row, turn the subtotals into starting offsets with a
+    cumulative window over that tiny (≤ num_partitions rows) relation, and
+    broadcast-join the offsets back on the partition id. Finish with a
+    partition-local cumulative window. Wall-clock is one shuffle + one
+    narrow pass regardless of corpus size, and — unlike a driver-side
+    ``collect`` that bakes offsets into the plan as literals — the whole
+    computation is one deterministic plan with no pinned-block dependency.
 
     Returns ``(id_col, n_tokens, shard)``."""
     spark = df.sparkSession
@@ -117,26 +120,24 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
         base.repartitionByRange(num_partitions, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
     )
-    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
-    totals = (
-        parted.groupBy("__pid").agg(F.sum("n_tokens").alias("t"))
-        .orderBy("__pid").collect()
+    # Pin the partitioning so the subtotal branch and the join-back branch
+    # observe identical __pid assignments (one materialization, two readers).
+    parted = parted.localCheckpoint(eager=True)
+    # Offsets, relationally: the exclusive prefix sum of the per-partition
+    # subtotals. The window runs over ≤ num_partitions rows — trivially
+    # single-task safe — and the result is broadcast back.
+    totals = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptotal"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        F.col("__pid"),
+        F.coalesce(F.sum("__ptotal").over(w_off), F.lit(0)).alias("__offset"),
     )
-    offsets = {}
-    acc = 0
-    for row in totals:
-        offsets[row["__pid"]] = acc
-        acc += row["t"]
-    offset_col = F.coalesce(
-        *[F.when(F.col("__pid") == pid, F.lit(off)) for pid, off in offsets.items()],
-        F.lit(0),
-    ) if offsets else F.lit(0)
     w = (
         Window.partitionBy("__pid").orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = offset_col + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return parted.select(
+    cum_before = F.col("__offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return parted.join(F.broadcast(offsets), "__pid").select(
         F.col(id_col),
         F.col("n_tokens"),
         F.floor(cum_before / budget_tokens).cast("long").alias("shard"),
