@@ -586,12 +586,16 @@ def _q_label_propagation(spark, sf_dir):
 
 
 def _q_k_core(spark, sf_dir):
-    """5-core of the whole graph (iterative peeling). No SQL twin — the
-    fixpoint depth is data-dependent (rows-only driver check, same policy
-    as create_mem_diff); unit tests cover it against a Python peeling
-    oracle."""
+    """5-core of the whole graph (iterative peeling to fixpoint). Oracle =
+    the same peeling unrolled as a FIXED number of CTE rounds — sound
+    because peeling is monotone (rounds past convergence are no-ops);
+    K_CORE_ORACLE_ROUNDS=8 exceeds the observed depth at the gate SFs
+    (5 effective rounds at sf0.01)."""
     g = tpch_graph(spark, sf_dir)
     return AN.k_core(g.edges.filter(~F.col("is_back")), k=5)
+
+
+K_CORE_ORACLE_ROUNDS = 8
 
 
 # ---------------------------------------------------- merged gate bundles
@@ -1253,6 +1257,10 @@ FROM (
         ),
         "pagerank_ranks": AN.pagerank_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
+        ),
+        "k_core_nodes": AN.k_core_oracle_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back",
+            k=5, rounds=K_CORE_ORACLE_ROUNDS, prefix=P,
         ),
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)

@@ -388,9 +388,12 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     ``localCheckpoint``-ed per round. Rounds = peeling depth (bounded by
     ``max_iter``); the edge set only shrinks, so late rounds are cheap.
 
-    No SQL twin — the fixpoint depth is data-dependent, so this operator is
-    covered by unit tests against a Python peeling oracle instead of the
-    DuckDB gate (same policy as ``create_mem``).
+    SQL twin: :func:`k_core_oracle_sql`. Peeling is *monotone* — once the
+    edge set reaches the fixpoint, further rounds are no-ops — so a fixed
+    unroll of R ≥ convergence-depth rounds computes the same core as the
+    data-dependent fixpoint loop here (each round ``AS MATERIALIZED`` so
+    the engine evaluates it once instead of inlining the whole chain into
+    an exponentially-expanded scan tree).
     """
     sym = _symmetric(edges).localCheckpoint(eager=True)
     prev_edges = sym.count()
@@ -414,6 +417,50 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
         .filter(F.col("degree") >= int(k))
         .select(F.col("src").alias("id"), "degree")
     )
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int,
+                      prefix: str | None = None) -> str:
+    """The ANSI-SQL twin of :func:`k_core`: ``rounds`` peeling rounds
+    unrolled as chained CTEs over an ``edges_sql`` relation with
+    ``src``/``dst`` columns. Because peeling is monotone, any
+    ``rounds`` ≥ the true convergence depth yields the exact fixpoint —
+    extra rounds filter nothing. Each round mirrors the Spark loop: degree
+    filter + two (semi-)joins against the surviving node set. ``prefix``
+    extends an existing ``WITH ...`` chain (same convention as
+    :func:`pagerank_oracle_sql`).
+
+    Every round CTE is ``AS MATERIALIZED``: each ``sym{{r}}`` is referenced
+    three times by round r+1, so an engine that inlines CTEs (DuckDB's
+    default for multi-referenced CTEs it deems cheap) would expand the
+    R-round chain into a 3^R-leaf scan tree — materialization keeps it
+    linear, evaluating each round exactly once like the Spark loop."""
+    head = f"{prefix},\nsym0" if prefix else "WITH sym0"
+    parts = [
+        f"""{head} AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM ({edges_sql})
+  ) WHERE src <> dst
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", keep{r} AS MATERIALIZED (
+  SELECT src FROM sym{r - 1} GROUP BY src HAVING COUNT(*) >= {int(k)}
+), sym{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM sym{r - 1} e
+  JOIN keep{r} a ON e.src = a.src
+  JOIN keep{r} b ON e.dst = b.src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS id, COUNT(*) AS degree FROM sym{rounds}
+GROUP BY src HAVING COUNT(*) >= {int(k)}"""
+    )
+    return "\n".join(parts)
 
 
 def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
