@@ -10,14 +10,21 @@ folds them into the persisted graph — the user "edge-adding function"
 ``transform`` hook.
 
 Scale notes: the per-batch edge_seq assignment shuffles only the batch (keyed
-by (src,label,is_back)); reading the current per-key max from the sink is a
-pre-aggregated parquet scan. For very hot keys at 100 TB, swap the sink for a
-Delta table and let MERGE handle concurrency.
+by (src,label,is_back)); the current per-key max comes from a compact counter
+table (``<sink>_counters``) that is updated incrementally each micro-batch —
+per-batch work is O(batch + touched keys), independent of the accumulated sink
+size. Counter versions are immutable (write-new-then-prune) and carry a
+(checkpoint, batch_id) marker so a replayed micro-batch after a failure is a
+no-op instead of a double bump. On an object store you would swap the counter
+table for a Delta table and let MERGE handle concurrency; the versioned-dir
+scheme here is the same idea expressed with plain parquet.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,13 +64,34 @@ def read_edge_csv_stream(
     return df
 
 
+def _counters_dir(edges_sink: str) -> str:
+    return edges_sink.rstrip("/") + "_counters"
+
+
+def _latest_counter_version(cdir: str) -> Optional[int]:
+    if not os.path.isdir(cdir):
+        return None
+    versions = [
+        int(d[2:]) for d in os.listdir(cdir) if d.startswith("v=") and d[2:].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
 def foreach_batch_insert(stream: DataFrame, edges_sink: str,
                          checkpoint: Optional[str] = None,
                          available_now: bool = True):
     """Fold the edge stream into a parquet edges sink with the reference's
     counter semantics: each micro-batch continues every (src,label,is_back)
-    enumeration past the sink's current max ``edge_seq`` (SURVEY.md §1.5) —
+    enumeration past that key's current max ``edge_seq`` (SURVEY.md §1.5) —
     the streaming analog of ``insertNodeEdgeAttr``'s read-counter/bump/write.
+
+    The per-key maxima live in an incrementally-maintained counter table
+    (``<sink>_counters/v=N``), NOT in a rescan of the sink: per-batch cost is
+    O(batch), not O(accumulated sink). The sink is scanned exactly once, as a
+    bootstrap, when it was primed before any counter version existed.
+    Within-batch enumeration order is the explicit (dst, row-hash) sort — a
+    deterministic function of the batch contents, stable across replays
+    (unlike ``monotonically_increasing_id``, which depends on task placement).
 
     Returns the started StreamingQuery; with ``available_now`` it drains all
     currently-visible files then stops (the batch-file use case the reference
@@ -73,9 +101,25 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         key = ["src", "label", "is_back"]
-        if os.path.exists(edges_sink) and any(
+        cdir = _counters_dir(edges_sink)
+        latest = _latest_counter_version(cdir)
+        ck_id = checkpoint or ""
+
+        if latest is not None:
+            vdir = os.path.join(cdir, f"v={latest}")
+            meta_file = os.path.join(vdir, "_batch_meta.json")
+            if os.path.exists(meta_file):
+                with open(meta_file) as fh:
+                    meta = json.load(fh)
+                if meta.get("checkpoint") == ck_id and meta.get("batch_id") == batch_id:
+                    return  # replayed micro-batch — already folded, stay idempotent
+            base = spark.read.parquet(vdir).select(
+                *key, F.col("max_seq").alias("_base")
+            )
+        elif os.path.exists(edges_sink) and any(
             f.endswith(".parquet") for f in os.listdir(edges_sink)
         ):
+            # one-time bootstrap: sink primed before counters existed
             base = (
                 spark.read.parquet(edges_sink)
                 .groupBy(*key)
@@ -83,7 +127,9 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
             )
         else:
             base = None
-        w = Window.partitionBy(*key).orderBy(F.monotonically_increasing_id())
+
+        order_hash = F.xxhash64(*[F.col(c) for c in batch.columns])
+        w = Window.partitionBy(*key).orderBy(F.col("dst"), order_hash)
         b = batch.withColumn("_rn", F.row_number().over(w))
         if base is not None:
             b = b.join(base, key, "left").withColumn(
@@ -95,6 +141,28 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
             "src", "dst", "label", "labels", "is_back", "edge_seq"
         )
         out.write.mode("append").parquet(edges_sink)
+
+        # fold the batch maxima into a NEW counter version (old one stays
+        # readable until the write completes — no overwrite-while-reading)
+        batch_max = out.groupBy(*key).agg(F.max("edge_seq").alias("max_seq"))
+        if base is not None:
+            merged = (
+                base.select(*key, F.col("_base").alias("max_seq"))
+                .unionByName(batch_max)
+                .groupBy(*key)
+                .agg(F.max("max_seq").alias("max_seq"))
+            )
+        else:
+            merged = batch_max
+        new_version = 0 if latest is None else latest + 1
+        new_vdir = os.path.join(cdir, f"v={new_version}")
+        merged.coalesce(1).write.mode("overwrite").parquet(new_vdir)
+        with open(os.path.join(new_vdir, "_batch_meta.json"), "w") as fh:
+            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        # keep the previous version as a fallback; prune anything older
+        for d in os.listdir(cdir):
+            if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < new_version - 1:
+                shutil.rmtree(os.path.join(cdir, d), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -46,6 +46,42 @@ def test_edge_csv_stream_counter_semantics(spark, tmp_path):
     assert seqs[4] == 3
 
 
+def test_counter_table_replaces_sink_rescan(spark, tmp_path):
+    """The per-key edge_seq base must come from the incremental counter table,
+    NOT a rescan of the accumulated sink: after priming, a corrupt file is
+    planted in the sink so any full-sink read would throw, and the next batch
+    must still continue the counter correctly."""
+    from judy_graph_db_spark.streaming.ingest import _counters_dir, _latest_counter_version
+
+    src = tmp_path / "in"
+    sink = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    (src / "a.csv").write_text("1,2,KNOWS\n1,3,KNOWS\n")
+    _drain(foreach_batch_insert(read_edge_csv_stream(spark, str(src)), sink, ckpt))
+
+    # a non-parquet file with a .parquet name: any spark.read.parquet(sink)
+    # now fails on the footer, so a rescan-based implementation cannot pass
+    junk = os.path.join(sink, "zzz_junk.parquet")
+    with open(junk, "w") as fh:
+        fh.write("this is not a parquet file")
+
+    (src / "b.csv").write_text("1,4,KNOWS\n")
+    _drain(foreach_batch_insert(read_edge_csv_stream(spark, str(src)), sink, ckpt))
+
+    os.remove(junk)
+    edges = spark.read.parquet(sink)
+    seqs = {r.dst: r.edge_seq for r in edges.filter("src = 1 AND label = 'KNOWS'").collect()}
+    assert seqs == {2: 1, 3: 2, 4: 3}
+
+    # counters advanced one immutable version per micro-batch
+    cdir = _counters_dir(sink)
+    assert _latest_counter_version(cdir) == 1
+    counters = spark.read.parquet(os.path.join(cdir, "v=1"))
+    got = {(r.src, r.label): r.max_seq for r in counters.collect()}
+    assert got[(1, "KNOWS")] == 3
+
+
 def test_windowed_counts_batch_equals_oracle(spark):
     from judy_graph_db_spark.sources.tpch_graph import load_tpch_views
 
