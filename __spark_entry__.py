@@ -391,6 +391,11 @@ def _q_events_hourly_stream(spark, sf_dir):
     )
     if isinstance(raw_schema["ts"].dataType, PT.LongType):
         ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif isinstance(raw_schema["ts"].dataType, PT.TimestampNTZType):
+        # Depending on the session's parquet timestamp mapping the column can
+        # surface as TIMESTAMP_NTZ, which withWatermark rejects; session tz is
+        # pinned UTC by load_tpch_views, so this cast is deterministic.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     win = windowed_event_counts(ev, window="1 hour", watermark="2 hours")
     bucket = (
         F.year("window_start") * 1000000 + F.month("window_start") * 10000

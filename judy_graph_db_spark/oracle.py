@@ -420,9 +420,9 @@ WITH toks AS (
   SELECT {id_col}, {token_count_sql(text_col)} AS n_tokens FROM {table}
 )
 SELECT {id_col}, n_tokens,
-       COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
+       CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // {budget_tokens} AS shard
+         // {budget_tokens} AS BIGINT) AS shard
 FROM toks
 """
 

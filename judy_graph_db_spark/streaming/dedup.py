@@ -36,8 +36,11 @@ def dedup_stream(stream: DataFrame, keys: Sequence[str] = ("text_hash",),
     ``delay`` of each other collapse to the first arrival; a re-occurrence
     after the horizon is treated as new (bounded state, by design).
     """
+    from judy_graph_db_spark.streaming.windows import ensure_event_time
+
     return (
-        stream.withWatermark(event_time_col, delay)
+        ensure_event_time(stream, event_time_col)
+        .withWatermark(event_time_col, delay)
         .dropDuplicatesWithinWatermark(list(keys))
     )
 

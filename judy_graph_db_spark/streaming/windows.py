@@ -12,6 +12,16 @@ from typing import Iterator, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as PT
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local timezone); parquet round trips
+    can surface the column as TIMESTAMP_NTZ depending on the session's parquet
+    mapping. Sessions here pin UTC, so the cast is a deterministic relabel."""
+    if isinstance(df.schema[ts_col].dataType, PT.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_event_counts(
@@ -25,7 +35,7 @@ def windowed_event_counts(
     """Tumbling/sliding window counts + value sum per key. On a stream the
     watermark bounds state and admits late rows up to ``watermark``
     (late-data semantics the reference cannot express)."""
-    df = events
+    df = ensure_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
@@ -136,7 +146,8 @@ def sessionize_stream(
         yield out
 
     return (
-        events.withWatermark(ts_col, watermark)
+        ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
