@@ -438,18 +438,20 @@ def create_mem(g: Graph, pattern: Pattern) -> tuple[Graph, GraphDiff]:
         else:
             left = frontier  # already ⊆ spec_i's node set (hop i-1's right side)
         right = materialize_node_spec(g, node_specs[i + 1], "dst")
-        cand = (
-            left.crossJoin(right)
+        # overwrite: one candidate per (src,label) wins at seq 1; the winner
+        # ordering (descending dst, the deterministic stand-in for spec
+        # order) is independent of src, so the frontier × spec cross product
+        # + per-src window collapses to ONE scalar aggregate of the right
+        # spec broadcast onto every frontier row (1-row build side → the
+        # nested-loop degenerates to an append-column pass) — same
+        # semantics, O(|frontier|) instead of O(|frontier|·|spec|).
+        max_dst = right.agg(F.max("dst").alias("dst"))
+        winner = (
+            left.crossJoin(F.broadcast(max_dst))
+            .filter(F.col("dst").isNotNull())  # empty spec → no candidates
             .withColumn("label", F.lit(label))
             .withColumn("labels", F.array(F.lit(label)))
             .withColumn("is_back", F.lit(False))
-        )
-        # overwrite: one candidate per (src,label) wins at seq 1; ordering =
-        # descending dst (deterministic stand-in for spec order)
-        w = Window.partitionBy("src", "label").orderBy(F.col("dst").desc())
-        winner = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
             .withColumn("edge_seq", F.lit(1).cast("long"))
             .select(*EDGE_COLS)
         )

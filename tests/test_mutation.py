@@ -121,3 +121,35 @@ def test_create_mem_noop_when_present(spark):
     assert diff.edges_added.count() == 0
     assert diff.edges_deleted.count() == 0
     assert edge_set(g2) == edge_set(g)
+
+
+def test_create_mem_no_cross_product_plan(spark):
+    # the per-hop winner is the scalar max(dst) of the right spec, so even a
+    # label-wide right side must not plan the frontier × spec cross product:
+    # no CartesianProduct, and the only nested-loop join allowed is the
+    # degenerate attach-a-scalar one (1-row aggregated build side)
+    g = Graph.from_lists(
+        spark,
+        nodes=[(i, "A") for i in range(50)] + [(i, "B") for i in range(50, 100)],
+    )
+    pat = N(labels=["A"]) >> E("X") >> N(labels=["B"])
+    g2, diff = create_mem(g, pat)
+    plan = g2.edges._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the winner subtree appears twice (anti-join + union), so allow the
+    # scalar-attach join per occurrence — but its build side must be the
+    # global max(dst) aggregate, which only exists if the collapse happened
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "functions=[max(dst" in plan or "functions=[partial_max(dst" in plan
+    # every A-node gains one X edge to the max B id
+    assert {(r.src, r.dst) for r in diff.edges_added.collect()} == {
+        (i, 99) for i in range(50)}
+
+
+def test_create_mem_empty_right_spec(spark):
+    # an empty right spec produces no candidates (not null-dst edges)
+    g = Graph.from_lists(spark, nodes=[(0, "A"), (1, "A")])
+    pat = N(ids=[0]) >> E("X") >> N(labels=["NOPE"])
+    g2, diff = create_mem(g, pat)
+    assert diff.edges_added.count() == 0
+    assert g2.edges.count() == 0

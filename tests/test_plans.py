@@ -104,6 +104,16 @@ def test_bucketed_edges_join_has_no_exchange(spark, tmp_path):
     from tests.fixtures import f2_issue_tracker
 
     g = f2_issue_tracker(spark)
+    # self-heal from a crashed previous run: a leftover managed-table
+    # LOCATION (without the catalog entry) makes saveAsTable fail with
+    # LOCATION_ALREADY_EXISTS, so clear both catalog and disk state
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bkt_test_edges", "bkt_test_nodes", "bkt_test_ranges"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     g.save_table("bkt_test", buckets=4)
     try:
         e = spark.table("bkt_test_edges")
