@@ -91,12 +91,15 @@ def _star_round(pairs: DataFrame, large: bool) -> DataFrame:
     return out if large else out.distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         nodes: DataFrame | None = None) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction — the scalable MapReduce formulation (see
     :func:`_star_round`). Returns ``(id BIGINT, component BIGINT)`` where
-    ``component`` is the minimum node id of the component. Nodes = every id
-    on a non-self-loop edge (union isolated ids afterwards if needed).
+    ``component`` is the minimum node id of the component. By default the
+    node set is every id on a non-self-loop edge; pass ``nodes`` (an ``id``
+    column) to also emit ``(id, id)`` singleton components for edge-less
+    ids — an explicit node table usually has some.
 
     Convergence test: a whp-exact fingerprint (count + sum of per-pair
     xxhash64) of the canonical edge set — stationary iff the star set
@@ -111,12 +114,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        pairs.select(F.col("a").alias("id"))
-        .union(pairs.select(F.col("b").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    id_set = pairs.select(F.col("a").alias("id")).union(
+        pairs.select(F.col("b").alias("id"))
     )
+    if nodes is not None:
+        id_set = id_set.union(nodes.select(F.col("id").cast("long")))
+    id_set = id_set.distinct().localCheckpoint(eager=True)
 
     def fingerprint(df: DataFrame) -> tuple:
         row = df.agg(
@@ -139,7 +142,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # (root, member); roots map to themselves
     membership = pairs.select(F.col("b").alias("id"), F.col("a").alias("component"))
     return (
-        nodes.join(membership, "id", "left")
+        id_set.join(membership, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
     )
 

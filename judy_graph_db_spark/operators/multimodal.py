@@ -3,12 +3,12 @@
 Media are opaque ``binary`` columns + typed metadata structs; the
 decode/feature steps run as Arrow-batched ``mapInPandas`` operators so a
 100 TB corpus streams through executors batch-by-batch without driver
-involvement. The actual codec calls are STUBBED (the image/audio libraries
-are not in this container): ``decode_stub=True`` produces deterministic fake
-features from the raw bytes; ``decode_stub=False`` raises NotImplementedError
-at the point a real decoder (PIL/torchaudio/ffmpeg) would be invoked. The
-Spark-side contract — schema, batch iteration, partitioning — is real and
-tested.
+involvement. ``decode_stub=True`` produces deterministic fake features from
+the raw bytes (exercising the full batch path with no codec dependency);
+``decode_stub=False`` decodes for real through PIL when it is importable on
+the executors, and raises NotImplementedError otherwise (the image/audio
+libraries are not in this container). The Spark-side contract — schema,
+batch iteration, partitioning — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -19,6 +19,17 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pil_image():
+    """The optional real codec: PIL's Image module, or None. Resolved inside
+    the Arrow batch fn so the import happens executor-side."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_META_SCHEMA = "doc_id long, media_type string, byte_len long, content_hash string"
 IMAGE_FEATURES_SCHEMA = (
@@ -56,26 +67,52 @@ def decode_features(media: DataFrame, decode_stub: bool = True,
 
     With ``decode_stub`` the "decoder" derives deterministic fake dimensions
     from the payload bytes (first bytes mod ranges) — exercising the real
-    batch path end-to-end. Without it, raises where PIL/ffmpeg would run.
+    batch path end-to-end. Without it, payloads are decoded through PIL
+    (width/height/frame count per image); if PIL is not importable this
+    raises NotImplementedError at first batch.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not decode_stub:
+        import io  # noqa: PLC0415
+
+        image_mod = None
+        if not decode_stub:
+            image_mod = _pil_image()
+            if image_mod is None:
                 raise NotImplementedError(
-                    "real media decoding requires PIL/torchaudio/ffmpeg — "
-                    "not available in this container; use decode_stub=True"
+                    "real media decoding requires PIL (pip install pillow) — "
+                    "not available here; use decode_stub=True"
                 )
+
+        def real_dims(b: bytes) -> tuple[int, int, int]:
+            with image_mod.open(io.BytesIO(b)) as img:
+                return img.width, img.height, int(getattr(img, "n_frames", 1))
+
+        for pdf in batches:
             contents = pdf["content"]
+            if decode_stub:
+                dims = pd.DataFrame(
+                    {
+                        # deterministic fake decode: dimensions from leading bytes
+                        "width": contents.map(lambda b: 16 + (b[0] % 64) if len(b) else 0),
+                        "height": contents.map(lambda b: 16 + (b[1] % 64) if len(b) > 1 else 0),
+                        "n_frames": contents.map(lambda b: 1 + (len(b) % 8)),
+                    }
+                )
+            else:
+                dims = pd.DataFrame(
+                    contents.map(real_dims).tolist(),
+                    columns=["width", "height", "n_frames"],
+                    index=contents.index,
+                )
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": contents.map(len).astype("int64"),
                     "content_hash": contents.map(lambda b: hashlib.md5(b).hexdigest()),
-                    # deterministic fake decode: dimensions from leading bytes
-                    "width": contents.map(lambda b: 16 + (b[0] % 64) if len(b) else 0).astype("int32"),
-                    "height": contents.map(lambda b: 16 + (b[1] % 64) if len(b) > 1 else 0).astype("int32"),
-                    "n_frames": contents.map(lambda b: 1 + (len(b) % 8)).astype("int32"),
+                    "width": dims["width"].astype("int32"),
+                    "height": dims["height"].astype("int32"),
+                    "n_frames": dims["n_frames"].astype("int32"),
                 }
             )
             yield out
@@ -91,13 +128,26 @@ def frame_sample(media: DataFrame, every_n: int = 2, decode_stub: bool = True) -
     the DuckDB twin is plain ``md5(text || CAST(i AS VARCHAR))``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io  # noqa: PLC0415
+
+        image_mod = None
+        if not decode_stub:
+            image_mod = _pil_image()
+            if image_mod is None:
+                raise NotImplementedError(
+                    "real frame decode requires PIL — use decode_stub=True"
+                )
+
+        def n_frames_of(content: bytes) -> int:
+            if decode_stub:
+                return 1 + (len(content) % 8)
+            with image_mod.open(io.BytesIO(content)) as img:
+                return int(getattr(img, "n_frames", 1))
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame decode not available here")
             rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}
             for did, content in zip(pdf["doc_id"], pdf["content"]):
-                n = 1 + (len(content) % 8)
-                for i in range(0, n, every_n):
+                for i in range(0, n_frames_of(content), every_n):
                     rows["doc_id"].append(did)
                     rows["frame_idx"].append(i)
                     rows["frame_hash"].append(

@@ -24,6 +24,15 @@ def test_connected_components_two_components(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_isolated_nodes(spark):
+    # an explicit node table adds edge-less ids as singleton components
+    e = edges_df(spark, [(1, 2)])
+    n = spark.createDataFrame([(1,), (2,), (9,)], "id BIGINT")
+    got = {(r["id"], r["component"])
+           for r in AN.connected_components(e, nodes=n).collect()}
+    assert got == {(1, 1), (2, 1), (9, 9)}
+
+
 def test_connected_components_long_chain_converges_fast(spark):
     # pointer jumping: a 64-node path must converge well under 64 rounds
     n = 64

@@ -210,10 +210,41 @@ def test_decode_features_stub_batches(docs):
     assert all(meta[r.doc_id] == r.content_hash for r in feats)
 
 
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: real decode path active")
 def test_decode_without_stub_raises(docs, spark):
     media = M.as_media_table(docs.limit(2))
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         M.decode_features(media, decode_stub=False).collect()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="real decode needs PIL")
+def test_decode_real_pil_parity_with_stub_schema(spark):
+    # a real PNG through the PIL path: same schema/row shape as the stub,
+    # but true dimensions
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image")],
+        "doc_id long, content binary, media_type string",
+    )
+    stub_schema = M.decode_features(media, decode_stub=True).schema
+    real = M.decode_features(media, decode_stub=False)
+    assert real.schema == stub_schema
+    row = real.collect()[0]
+    assert (row.width, row.height, row.n_frames) == (20, 10, 1)
 
 
 def test_frame_sample_explodes_rows(docs):
