@@ -132,7 +132,7 @@ def main() -> None:
         lambda: AN.connected_components(
             fwd.filter(F.col("label") == "NEXT_ORDER")
         ).count(),
-        repeats=1,
+        repeats=2,
     )
     run("triangle_count", lambda: AN.triangle_count(fwd).collect())
     run(
@@ -140,15 +140,15 @@ def main() -> None:
         lambda: AN.transitive_closure(
             fwd.filter(F.col("label") == "NEXT_ORDER")
         ).count(),
-        repeats=1,
+        repeats=2,
     )
-    run("pagerank_3it", lambda: AN.pagerank(fwd, iters=3).count(), repeats=1)
+    run("pagerank_3it", lambda: AN.pagerank(fwd, iters=3).count(), repeats=2)
     run(
         "label_propagation_3it",
         lambda: AN.label_propagation(
             fwd.filter(F.col("label") == "NEXT_ORDER"), iters=3
         ).count(),
-        repeats=1,
+        repeats=2,
     )
 
     run("exact_dedup", lambda: D.exact_dedup(docs).count())

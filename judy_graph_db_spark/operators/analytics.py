@@ -24,7 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -216,25 +216,39 @@ def pagerank(
     Fixed ``iters`` (not a convergence test) keeps the operator a
     deterministic function of its input, so it stays oracle-checkable via an
     unrolled-SQL twin (``pagerank_oracle_sql``).
+
+    Shuffle profile (the property that matters at 100 TB): the edge
+    relation is shuffled exactly ONCE — one ``repartition`` on ``src``
+    feeds the dedup (hash(src) already clusters (src,dst) duplicates) and
+    the windowed out-degree, and the result is ``cache``\\ d, which — unlike
+    ``localCheckpoint`` — preserves ``outputPartitioning``, so every
+    iteration's contribs join reads co-located buckets with no Exchange on
+    the edge side. Per-iteration shuffle volume is O(|nodes|) (the contrib
+    aggregation and the rank join), never O(|edges|). The loop itself stays
+    declarative (checkpoint only every 8 rounds to bound lineage), letting
+    AQE pick runtime join strategies.
     """
-    links = edges.select("src", "dst").distinct()
-    # materialize links⋈outdeg once — every round reuses it instead of
-    # re-scanning + re-shuffling the edge relation per iteration
-    ldeg = (
-        links.join(
-            links.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
-        )
-        .localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    links = (
+        edges.select("src", "dst")
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])  # partition-local: hash(src) clusters dups
     )
+    w = Window.partitionBy("src")
+    ldeg = links.withColumn("outdeg", F.count(F.lit(1)).over(w)).cache()
     nodes = (
         ldeg.select(F.col("src").alias("id"))
         .union(ldeg.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct()  # leaves hashpartitioning(id) in place for the rank joins
+        .cache()
     )
+    # materialize now: a cache whose plan is already final exposes its
+    # partitioning to every later join (an in-flight one does not)
+    ldeg.count()
+    nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
-        prev_ranks = ranks
         contribs = (
             ldeg.join(ranks, ldeg.src == ranks.id)
             .select(
@@ -244,23 +258,20 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
-        if i > 0:
-            _unpersist_checkpoint(prev_ranks)
-    # the returned DF is the final checkpoint alone — the loop inputs can go
-    _unpersist_checkpoint(ldeg)
-    _unpersist_checkpoint(nodes)
-    return ranks
+        if (i + 1) % 8 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    # detach the result from the internal caches before releasing them
+    out = ranks.localCheckpoint(eager=True)
+    ldeg.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(
