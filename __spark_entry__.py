@@ -538,6 +538,75 @@ def _q_token_shards(spark, sf_dir):
     return CU.shard_by_token_budget(spark.table("documents"), budget_tokens=10000)
 
 
+# ---------------------------------------------------------------- temporal
+
+def _q_asof_value(spark, sf_dir):
+    """As-of join: for each click event the latest purchase value at-or-
+    before it per user — union + running last(ignorenulls), ONE shuffle on
+    the key, no interval explosion (operators/temporal.py)."""
+    from judy_graph_db_spark.operators import temporal as TP
+
+    load_tpch_views(spark, sf_dir)
+    ev = spark.table("events")
+    probes = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    quotes = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = TP.asof_join(probes, quotes, on="user_id")
+    return out.select(
+        "event_id",
+        F.round(F.col("value_asof") * 100).cast("long").alias("value_asof_cents"),
+    )
+
+
+def _q_range_join_months(spark, sf_dir):
+    """Bin-bucketed range join: orders falling in the first 10 days of each
+    month (intervals derived from the same table); equi-join on day bins +
+    residual filter — never a conditional cross join."""
+    from judy_graph_db_spark.operators import temporal as TP
+
+    load_tpch_views(spark, sf_dir)
+    orders = spark.table("orders")
+    iv = (
+        orders.select(F.date_trunc("month", "o_orderdate").alias("start_ts"))
+        .distinct()
+        .select("start_ts", (F.col("start_ts") + F.expr("INTERVAL 10 DAYS")).alias("end_ts"))
+    )
+    joined = TP.range_join(
+        orders.select("o_orderdate", "o_totalprice"), iv,
+        "o_orderdate", "start_ts", "end_ts",
+    )
+    return joined.groupBy(
+        (F.year("start_ts") * 100 + F.month("start_ts")).cast("long").alias("month_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_cents"),
+    )
+
+
+def _q_funnel(spark, sf_dir):
+    """Conversion funnel view→purchase within 1h per user: min-over-
+    following-frame window pass, no self-join of the event log."""
+    from judy_graph_db_spark.operators import temporal as TP
+
+    load_tpch_views(spark, sf_dir)
+    return TP.funnel_completions(
+        spark.table("events"), "view", "purchase", within_seconds=3600
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority by (totalprice desc, orderkey asc)."""
+    from judy_graph_db_spark.operators import temporal as TP
+
+    load_tpch_views(spark, sf_dir)
+    out = TP.topk_per_group(
+        spark.table("orders"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "rank_in_group")
+
+
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
@@ -894,6 +963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / ANN
         "ann_buckets": _q_ann_buckets,
         "ann_topk": _q_ann_topk,
+        # temporal
+        "asof_value": _q_asof_value,
+        "range_join_months": _q_range_join_months,
+        "funnel_view_purchase": _q_funnel,
+        "topk_per_priority": _q_topk_per_group,
     }
 
 
@@ -1285,4 +1359,9 @@ walk(n0, n1, d) AS (
 )
 SELECT n0 AS src, n1 AS dst, CAST(MIN(d) AS BIGINT) AS depth
 FROM walk GROUP BY n0, n1""",
+        # temporal
+        "asof_value": O.asof_join_sql(),
+        "range_join_months": O.range_join_sql(days=10),
+        "funnel_view_purchase": O.funnel_sql(within_seconds=3600),
+        "topk_per_priority": O.topk_per_group_sql(k=3),
     }

@@ -1,0 +1,202 @@
+"""Temporal relational operators — as-of join, range (interval) join, and
+funnel/sequence detection.
+
+Parity-plus (SURVEY.md §2.7): the reference has no time dimension at all —
+its only temporal artifact is insert order baked into ``edge_seq``
+(``FastAccess.hs:302-311``). An event-log workload needs point-in-time and
+interval semantics as first-class operators, and none of them is a built-in
+Spark join type, so each is re-expressed as a composition whose shuffle
+profile survives 100 TB:
+
+- **as-of join**: the classic union+window formulation — tag both inputs,
+  one shuffle on the join key, and fill each probe row with the most recent
+  quote via ``last(..., ignorenulls=True)`` over a running frame. No range
+  cross product is ever materialized, no per-key driver loop; wall-clock is
+  one sort-shuffle regardless of quote frequency.
+- **range join**: equi-join on coarse time *bins* + residual filter. A naive
+  point-in-interval join is a conditional cross join (O(|L|·|R|) pairs
+  considered); binning bounds candidates to the rows sharing a bin, which
+  Catalyst executes as a plain hash/sort-merge equi-join. Intervals spanning
+  k bins are exploded k times (k is bounded by interval span / bin width —
+  caller-chosen).
+- **funnel**: per-key sequence matching (A then B within a gap) as one
+  window pass over the event log — an aggregate over a *following* frame,
+  no self-join of the event table.
+
+Every operator is deterministic (explicit tiebreaks) so each has an exact
+DuckDB SQL twin in the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every ``left`` row, attach the columns of the latest ``right``
+    row with the same key whose timestamp is at-or-before the left row's
+    (NULLs when no such row exists).
+
+    Ties: a right row at exactly the probe timestamp matches; among several
+    right rows sharing (key, ts), the one greatest under the ordering of
+    ``right_cols`` wins — fully deterministic.
+
+    Scale shape: union the tagged inputs, ONE shuffle on the key, running
+    ``last(ignorenulls)`` window per attached column. This is the plan that
+    survives 100 TB probes against 100 TB quotes: no interval explosion,
+    no broadcast, skew bounded by the busiest key like any keyed window.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rc = list(right_cols)
+    probe = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__t"),
+        F.lit(0).alias("__is_r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rc],
+        F.struct(*left.columns).alias("__row"),
+    )
+    quote = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(1).alias("__is_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in rc],
+        F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
+    )
+    # quotes sort before probes at equal ts (asc on -is_r), then by the
+    # attached columns so the last-seen quote among equal-ts ones is the max
+    order = [F.col("__t").asc(), (-F.col("__is_r")).asc()] + [
+        F.col(f"__r_{c}").asc_nulls_first() for c in rc
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = probe.unionByName(quote).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in rc
+        ],
+    )
+    out_cols = [F.col("__row")[c].alias(c) for c in left.columns] + [
+        F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in rc
+    ]
+    return filled.filter(F.col("__is_r") == 0).select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width_seconds: int = 86400,
+) -> DataFrame:
+    """Join every point row to every interval row with
+    ``start <= point < end`` — as an *equi*-join on coarse time bins plus a
+    residual filter, never a conditional cross join.
+
+    Each point lands in one bin; each interval is exploded to the bins it
+    overlaps (``span / bin_width`` rows — pick ``bin_width_seconds`` near
+    the typical interval length so the explosion factor stays ~1-2). The
+    bin equi-join shuffles both sides once on the bin key and lets AQE
+    handle hot bins; candidates are only the pairs sharing a bin.
+
+    Output: all point columns + all interval columns.
+    """
+    p_bin = F.floor(F.unix_timestamp(F.col(point_col)) / bin_width_seconds)
+    p = points.select("*", p_bin.alias("__bin"))
+    s_bin = F.floor(F.unix_timestamp(F.col(start_col)) / bin_width_seconds)
+    # end is exclusive: the last overlapped bin is the one holding end-1s
+    e_bin = F.floor(
+        (F.unix_timestamp(F.col(end_col)) - 1) / bin_width_seconds
+    )
+    iv = intervals.select(
+        "*", F.explode(F.sequence(s_bin, e_bin)).alias("__bin")
+    )
+    cond = (
+        (p["__bin"] == iv["__bin"])
+        & (p[point_col] >= iv[start_col])
+        & (p[point_col] < iv[end_col])
+    )
+    return p.join(iv, cond).drop("__bin")
+
+
+def funnel_completions(
+    events: DataFrame,
+    first_type: str,
+    then_type: str,
+    within_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Count, per key, the ``first_type`` events that are followed by a
+    ``then_type`` event within ``within_seconds`` (strictly after; the same
+    key). The standard conversion-funnel primitive.
+
+    One window pass over the (filtered) event log: for each A row, the
+    earliest B timestamp in the *following* frame; no self-join. Returns
+    ``(key_col, n_started, n_completed)`` with every key that has ≥1 A.
+    """
+    ab = events.filter(F.col(type_col).isin([first_type, then_type])).select(
+        F.col(key_col),
+        F.col(ts_col).alias("__t"),
+        (F.col(type_col) == then_type).alias("__is_b"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__t").asc(), F.col("__is_b").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_b = F.min(F.when(F.col("__is_b"), F.col("__t"))).over(w)
+    marked = ab.select(
+        key_col,
+        "__t",
+        "__is_b",
+        next_b.alias("__next_b"),
+    ).filter(~F.col("__is_b"))
+    return (
+        marked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_started"),
+            F.sum(
+                (
+                    F.col("__next_b").isNotNull()
+                    & (
+                        F.unix_timestamp("__next_b") - F.unix_timestamp("__t")
+                        <= within_seconds
+                    )
+                ).cast("long")
+            ).alias("n_completed"),
+        )
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+) -> DataFrame:
+    """Top-``k`` rows per group under ``order_cols`` (pass Column objects
+    with ``.desc()`` etc. for direction; include a unique tiebreak column
+    for determinism). One shuffle on the group key; ``row_number`` is
+    rank-based so ties never overflow k. Adds ``rank_in_group``."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )

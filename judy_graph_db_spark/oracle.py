@@ -507,3 +507,91 @@ top AS (
 )
 SELECT vec_id, rank, sim_micro FROM top WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------- temporal
+
+def asof_join_sql(probe_type: str = "click", quote_type: str = "purchase",
+                  table: str = "events") -> str:
+    """Twin of ``temporal.asof_join`` on the events table: for every
+    ``probe_type`` event, the latest ``quote_type`` value at-or-before it
+    per user — same union + last_value(IGNORE NULLS) running-window
+    formulation, same (ts, quotes-first, max-value) tiebreak."""
+    return f"""
+WITH u AS (
+  SELECT user_id, ts AS t, 0 AS is_r, CAST(NULL AS DOUBLE) AS rv, event_id
+  FROM {table} WHERE event_type = '{probe_type}'
+  UNION ALL
+  SELECT user_id, ts, 1, value, NULL
+  FROM {table} WHERE event_type = '{quote_type}'
+),
+f AS (
+  SELECT event_id, is_r,
+         LAST_VALUE(rv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY t ASC, -is_r ASC, rv ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM u
+)
+SELECT event_id, CAST(round(fv * 100) AS BIGINT) AS value_asof_cents
+FROM f WHERE is_r = 0
+"""
+
+
+def range_join_sql(days: int = 10, table: str = "orders") -> str:
+    """Twin of ``temporal.range_join`` exercised as "orders in the first
+    ``days`` days of each month": intervals derived from the same table, the
+    oracle is the plain BETWEEN join the bin equi-join must reproduce."""
+    return f"""
+WITH iv AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS start_ts,
+         date_trunc('month', o_orderdate) + INTERVAL {days} DAY AS end_ts
+  FROM {table}
+)
+SELECT CAST(year(iv.start_ts) * 100 + month(iv.start_ts) AS BIGINT) AS month_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM {table} o
+JOIN iv ON o.o_orderdate >= iv.start_ts AND o.o_orderdate < iv.end_ts
+GROUP BY 1
+"""
+
+
+def funnel_sql(first_type: str = "view", then_type: str = "purchase",
+               within_seconds: int = 3600, table: str = "events") -> str:
+    """Twin of ``temporal.funnel_completions``: per user, A-events followed
+    by a B within the gap — same min-over-following-frame formulation."""
+    return f"""
+WITH ab AS (
+  SELECT user_id, ts AS t, (event_type = '{then_type}') AS is_b
+  FROM {table} WHERE event_type IN ('{first_type}', '{then_type}')
+),
+m AS (
+  SELECT user_id, t, is_b,
+         MIN(CASE WHEN is_b THEN t END) OVER (
+           PARTITION BY user_id ORDER BY t ASC, is_b ASC
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+  FROM ab
+)
+SELECT user_id, COUNT(*) AS n_started,
+       CAST(SUM(CASE WHEN next_b IS NOT NULL
+                      AND epoch(next_b) - epoch(t) <= {within_seconds}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_completed
+FROM m WHERE NOT is_b
+GROUP BY user_id
+"""
+
+
+def topk_per_group_sql(k: int = 3, table: str = "orders") -> str:
+    """Twin of ``temporal.topk_per_group``: top-k orders per priority by
+    (totalprice desc, orderkey asc)."""
+    return f"""
+SELECT o_orderpriority, o_orderkey, rank_in_group FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER
+         ) AS rank_in_group
+  FROM {table}
+) WHERE rank_in_group <= {k}
+"""

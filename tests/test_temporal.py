@@ -1,0 +1,140 @@
+"""Temporal operators: as-of join, range join, funnel, top-k per group."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.operators import temporal as T
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0),
+            (1, ts("2024-01-01 12:00:00"), 110.0),
+            (2, ts("2024-01-01 11:00:00"), 50.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def test_asof_join_basic(spark, quotes):
+    probes = spark.createDataFrame(
+        [
+            (10, 1, ts("2024-01-01 09:00:00")),  # before any quote -> null
+            (11, 1, ts("2024-01-01 10:30:00")),  # -> 100
+            (12, 1, ts("2024-01-01 12:00:00")),  # exact ts counts -> 110
+            (13, 2, ts("2024-01-02 00:00:00")),  # -> 50
+            (14, 3, ts("2024-01-01 10:00:00")),  # key has no quotes -> null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: r.value_asof
+        for r in T.asof_join(probes, quotes, on="user_id").collect()
+    }
+    assert out == {10: None, 11: 100.0, 12: 110.0, 13: 50.0, 14: None}
+
+
+def test_asof_join_tie_is_max_of_right_cols(spark):
+    quotes = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 7.0), (1, ts("2024-01-01 10:00:00"), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    probes = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    [r] = T.asof_join(probes, quotes, on="user_id").collect()
+    assert r.value_asof == 9.0
+
+
+def test_asof_join_keeps_left_columns(spark, quotes):
+    probes = spark.createDataFrame(
+        [(11, 1, ts("2024-01-01 10:30:00"), "x")],
+        "event_id long, user_id long, ts timestamp, tag string",
+    )
+    [r] = T.asof_join(probes, quotes, on="user_id").collect()
+    assert (r.event_id, r.tag, r.value_asof) == (11, "x", 100.0)
+
+
+def test_range_join_matches_between_semantics(spark):
+    points = spark.createDataFrame(
+        [(i, ts(f"2024-01-0{d} 12:00:00")) for i, d in enumerate([1, 2, 3, 5])],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00")),  # days 1,2
+            (101, ts("2024-01-03 00:00:00"), ts("2024-01-04 00:00:00")),  # day 3
+        ],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    got = {
+        (r.pid, r.iv_id)
+        for r in T.range_join(points, iv, "ts", "start", "end").collect()
+    }
+    assert got == {(0, 100), (1, 100), (2, 101)}
+    # small bins (interval spans many bins) must give the same answer
+    got2 = {
+        (r.pid, r.iv_id)
+        for r in T.range_join(
+            points, iv, "ts", "start", "end", bin_width_seconds=3600
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_range_join_end_exclusive(spark):
+    points = spark.createDataFrame(
+        [(0, ts("2024-01-02 00:00:00"))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    assert T.range_join(points, iv, "ts", "start", "end").count() == 0
+
+
+def test_funnel_counts(spark):
+    rows = [
+        # user 1: A at 10:00 completed by B at 10:10; A at 11:00 not completed
+        (1, ts("2024-01-01 10:00:00"), "view"),
+        (1, ts("2024-01-01 10:10:00"), "purchase"),
+        (1, ts("2024-01-01 11:00:00"), "view"),
+        # user 2: B before A only -> started 1, completed 0
+        (2, ts("2024-01-01 09:00:00"), "purchase"),
+        (2, ts("2024-01-01 10:00:00"), "view"),
+        # user 3: B exactly at the gap boundary counts
+        (3, ts("2024-01-01 10:00:00"), "view"),
+        (3, ts("2024-01-01 10:30:00"), "purchase"),
+        # user 4: only B -> no row
+        (4, ts("2024-01-01 10:00:00"), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, y) for i, (u, t, y) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        r.user_id: (r.n_started, r.n_completed)
+        for r in T.funnel_completions(ev, "view", "purchase", 1800).collect()
+    }
+    assert out == {1: (2, 1), 2: (1, 0), 3: (1, 1)}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i, (i * 7) % 10) for g in ("a", "b") for i in range(5)],
+        "grp string, id long, score long",
+    )
+    out = T.topk_per_group(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()], 2
+    )
+    got = {(r.grp, r.id, r.rank_in_group) for r in out.collect()}
+    # scores: id0->0 id1->7 id2->4 id3->1 id4->8 ; top2 = id4(8), id1(7)
+    assert got == {("a", 4, 1), ("a", 1, 2), ("b", 4, 1), ("b", 1, 2)}
