@@ -607,6 +607,47 @@ def _q_topk_per_group(spark, sf_dir):
     return out.select("o_orderpriority", "o_orderkey", "rank_in_group")
 
 
+# ------------------------------------------------------------------- stats
+
+def _q_grouped_quantiles(spark, sf_dir):
+    """Exact discrete quantiles (percentile_disc semantics) of order value
+    cents per priority — one grouped window pass (operators/stats.py)."""
+    from judy_graph_db_spark.operators import stats as STT
+
+    load_tpch_views(spark, sf_dir)
+    cents = spark.table("orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return STT.grouped_quantiles(
+        cents, ["o_orderpriority"], "cents", [0.25, 0.5, 0.9]
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    """TF-IDF sufficient statistics: top-5 terms per document by
+    (tf desc, term asc) with per-term document frequency — tokenize+explode
+    in the scan stage, one shuffle on (doc, term), df aggregated from the
+    tf relation (never joined back against raw text)."""
+    from judy_graph_db_spark.operators import stats as STT
+
+    load_tpch_views(spark, sf_dir)
+    return STT.top_terms_per_doc(spark.table("documents"), k=5)
+
+
+STRATA = {"en": 64, "de": 256, "fr": 128}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing stratified subsample: per-stratum hash cutoffs
+    (25% en, all de, 50% fr, drop the rest) — stateless scan-stage filter."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    out = CU.stratified_sample(spark.table("documents"), STRATA)
+    return out.select("doc_id", "lang")
+
+
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
@@ -968,6 +1009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_months": _q_range_join_months,
         "funnel_view_purchase": _q_funnel,
         "topk_per_priority": _q_topk_per_group,
+        # stats
+        "grouped_quantiles": _q_grouped_quantiles,
+        "doc_top_terms": _q_top_terms,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1364,4 +1409,11 @@ FROM walk GROUP BY n0, n1""",
         "range_join_months": O.range_join_sql(days=10),
         "funnel_view_purchase": O.funnel_sql(within_seconds=3600),
         "topk_per_priority": O.topk_per_group_sql(k=3),
+        # stats
+        "grouped_quantiles": O.grouped_quantiles_sql(
+            "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)",
+            [0.25, 0.5, 0.9], "orders",
+        ),
+        "doc_top_terms": O.top_terms_sql(k=5),
+        "stratified_sample": O.stratified_sample_sql(STRATA),
     }

@@ -70,6 +70,33 @@ def hash_split(df: DataFrame, splits: dict[str, int], id_col: str = "doc_id",
     return df.withColumn(out, expr)
 
 
+def stratified_sample(df: DataFrame, strata: dict[str, int],
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      default_buckets: int = 0) -> DataFrame:
+    """Per-stratum deterministic subsample: ``strata`` maps a stratum value
+    to its keep-width out of 256 (e.g. ``{"en": 64, "de": 256}`` keeps ~25%
+    of English but all German docs — the usual language-rebalancing move
+    when curating a multilingual corpus). Rows in unlisted strata keep
+    ``default_buckets``/256. Same :func:`hash_bucket` membership rule as
+    :func:`hash_sample`, so per-stratum selections are stable under corpus
+    growth and nested across cutoff changes. Stateless row filter — no
+    shuffle, pushed into the scan."""
+    for name, width in strata.items():
+        if not 0 <= width <= 256:
+            raise ValueError(f"stratum {name!r}: width must be in 0..256")
+    b = hash_bucket(F.col(id_col))
+    cutoff = None
+    for name, width in strata.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(format(width, "02x") if width < 256 else "zz")
+        cutoff = F.when(cond, lit) if cutoff is None else cutoff.when(cond, lit)
+    default_lit = F.lit(
+        format(default_buckets, "02x") if default_buckets < 256 else "zz"
+    )
+    cutoff = default_lit if cutoff is None else cutoff.otherwise(default_lit)
+    return df.filter(b < cutoff)
+
+
 def chunk_documents(df: DataFrame, size: int = 200, stride: int = 150,
                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Split documents into fixed-size character windows (``stride`` < size

@@ -1,0 +1,104 @@
+"""Corpus / relational statistics — exact grouped quantiles and TF-IDF.
+
+Parity-plus (SURVEY.md §2.7): the reference computes no statistics beyond
+per-(node,label) edge counts. A curation pipeline constantly needs grouped
+distribution summaries (quantiles of doc length, price, score per stratum)
+and term statistics (TF-IDF for keyword extraction / quality filtering), so
+both are first-class here — formulated deterministically (discrete
+quantiles, integer sufficient statistics) so each has an exact DuckDB twin
+in the correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# lowercase word tokens — kept in sync with the oracle twin via import
+from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+
+
+def grouped_quantiles(df: DataFrame, group_cols: Sequence[str],
+                      value_col: str, qs: Sequence[float]) -> DataFrame:
+    """Exact *discrete* quantiles per group (``percentile_disc``
+    semantics: the smallest value whose cumulative rank reaches q — always
+    an actual data value, never an interpolation, so the result is
+    engine-portable and hash-stable).
+
+    One shuffle on the group key: a rank window + count window, then the
+    per-q positional picks fall out of a single filtered aggregation.
+    Returns one row per group with a ``q_<permille>`` column per quantile.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    wg = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    aggs = []
+    for q in qs:
+        pos = F.greatest(F.ceil(F.lit(q) * F.col("__n")), F.lit(1))
+        aggs.append(
+            F.max(F.when(F.col("__rn") == pos, F.col("__v"))).alias(
+                f"q_{int(round(q * 1000))}"
+            )
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def term_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) frequency plus per-term document frequency — the
+    exact sufficient statistics of TF-IDF (``tfidf`` derives the float
+    scores; the gate hashes these integers).
+
+    Scale shape: tokenize + explode inside the scan stage, ONE shuffle on
+    (doc, term) for tf, and the df side is a second aggregation of the
+    (already tiny) distinct (term, doc) pairs — never a join back against
+    the raw text. Returns ``(id_col, term, tf BIGINT, df BIGINT)``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(df_, "term").select(id_col, "term", "tf", "df")
+
+
+def tfidf(docs: DataFrame, id_col: str = "doc_id",
+          text_col: str = "text") -> DataFrame:
+    """TF-IDF scores: ``tf * ln(n_docs / df)`` per (doc, term). Floats —
+    for ranking/filtering use; the oracle gate checks :func:`term_stats`'s
+    integer sufficient statistics instead (cross-engine float logs are not
+    hash-stable)."""
+    stats = term_stats(docs, id_col, text_col)
+    n_docs = docs.select(id_col).distinct().count()
+    return stats.select(
+        id_col,
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+
+
+def top_terms_per_doc(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The ``k`` most frequent terms per document (ties broken
+    alphabetically) with their document frequency — deterministic keyword
+    extraction. Returns ``(id_col, term, tf, df, rank_in_doc)``."""
+    stats = term_stats(docs, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        stats.withColumn("rank_in_doc", F.row_number().over(w))
+        .filter(F.col("rank_in_doc") <= k)
+    )

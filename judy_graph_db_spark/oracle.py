@@ -595,3 +595,74 @@ SELECT o_orderpriority, o_orderkey, rank_in_group FROM (
   FROM {table}
 ) WHERE rank_in_group <= {k}
 """
+
+
+# ------------------------------------------------------------------ stats
+
+def stratified_sample_sql(strata: dict[str, int], strata_col: str = "lang",
+                          id_col: str = "doc_id",
+                          table: str = "documents") -> str:
+    """Twin of ``curation.stratified_sample``: per-stratum hash cutoff
+    (width 256 → the 'zz' sentinel that keeps every bucket)."""
+    b = hash_bucket_sql(id_col)
+    whens = " ".join(
+        f"WHEN '{name}' THEN '{format(w, '02x') if w < 256 else 'zz'}'"
+        for name, w in strata.items()
+    )
+    return f"""
+SELECT {id_col}, {strata_col}
+FROM {table}
+WHERE {b} < CASE {strata_col} {whens} ELSE '00' END
+"""
+
+
+def grouped_quantiles_sql(group_col: str, value_expr: str, qs: list[float],
+                          table: str) -> str:
+    """Twin of ``stats.grouped_quantiles`` — the same explicit
+    percentile_disc formulation (value at row_number == ceil(q*n)), not the
+    engine's quantile builtin, so both sides share one definition."""
+    q_cols = ", ".join(
+        f"MAX(CASE WHEN rn = greatest(CAST(ceil({q} * n) AS BIGINT), 1) "
+        f"THEN v END) AS q_{int(round(q * 1000))}"
+        for q in qs
+    )
+    return f"""
+WITH ranked AS (
+  SELECT {group_col}, {value_expr} AS v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY {value_expr} ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table}
+)
+SELECT {group_col}, {q_cols} FROM ranked GROUP BY {group_col}
+"""
+
+
+def top_terms_sql(k: int = 5, id_col: str = "doc_id", text_col: str = "text",
+                  table: str = "documents") -> str:
+    """Twin of ``stats.top_terms_per_doc``: word tokens (same regex as
+    ``word_token_count_sql``), tf per (doc, term), df per term, top-k by
+    (tf desc, term asc)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM toks GROUP BY {id_col}, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       rank_in_doc
+FROM (
+  SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.{id_col}
+                                 ORDER BY tf.tf DESC, tf.term ASC) AS INTEGER
+         ) AS rank_in_doc
+  FROM tf JOIN dfreq USING (term)
+)
+WHERE rank_in_doc <= {k}
+"""

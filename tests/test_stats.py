@@ -1,0 +1,64 @@
+"""Grouped quantiles, TF-IDF stats, stratified sampling."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.operators import curation as CU
+from judy_graph_db_spark.operators import stats as ST
+
+
+def test_grouped_quantiles_discrete(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [10, 20, 30, 40]] + [("b", v) for v in [5, 7, 9]],
+        "grp string, v long",
+    )
+    out = {r.grp: r for r in ST.grouped_quantiles(df, ["grp"], "v", [0.5, 1.0]).collect()}
+    # percentile_disc(0.5) over 4 values -> 2nd (20); over 3 -> 2nd (7)
+    assert (out["a"].q_500, out["a"].q_1000) == (20, 40)
+    assert (out["b"].q_500, out["b"].q_1000) == (7, 9)
+
+
+def test_term_stats_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. The cat!"), (2, "a cat")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.term): (r.tf, r.df) for r in ST.term_stats(docs).collect()}
+    assert rows[(1, "cat")] == (2, 2)
+    assert rows[(1, "the")] == (2, 1)
+    assert rows[(1, ".")] == (1, 1)
+    assert rows[(2, "cat")] == (1, 2)
+
+
+def test_tfidf_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], "doc_id long, text string"
+    )
+    vals = {(r.doc_id, r.term): r.tfidf for r in ST.tfidf(docs).collect()}
+    assert vals[(1, "x")] == 0.0  # df = n_docs -> idf 0
+    assert abs(vals[(1, "y")] - math.log(2)) < 1e-12
+
+
+def test_top_terms_per_doc_deterministic_ties(spark):
+    docs = spark.createDataFrame([(1, "b a b a c")], "doc_id long, text string")
+    out = [(r.term, r.rank_in_doc) for r in
+           ST.top_terms_per_doc(docs, k=2).orderBy("rank_in_doc").collect()]
+    assert out == [("a", 1), ("b", 2)]  # tf tie -> alphabetical
+
+
+def test_stratified_sample_widths(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = CU.stratified_sample(docs, {"en": 64, "de": 256})
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == 1000  # width 256 keeps everything
+    assert 150 < counts["en"] < 350  # ~25% of 1000
+    # unlisted strata default to 0 kept
+    assert CU.stratified_sample(docs, {"fr": 256}).count() == 0
+    # nested-subset property per stratum
+    small = {r.doc_id for r in CU.stratified_sample(docs, {"en": 32}).collect()}
+    big = {r.doc_id for r in CU.stratified_sample(docs, {"en": 64}).collect()}
+    assert small <= big
