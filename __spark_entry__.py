@@ -648,6 +648,42 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def _q_co_purchase(spark, sf_dir):
+    """Bipartite projection of the order→part containment onto parts:
+    co-ordered part pairs with support ≥ 2 — wedge join keyed on the order,
+    one shuffle + count (operators/analytics.py bipartite_projection)."""
+    load_tpch_views(spark, sf_dir)
+    e = spark.table("lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return AN.bipartite_projection(e, min_count=2)
+
+
+def _q_node_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard over the supplier~part incidence graph
+    (link-prediction signal): candidates from the common-neighbor wedge
+    join only — zero-overlap pairs never materialize."""
+    load_tpch_views(spark, sf_dir)
+    e = spark.table("lineitem").select(
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst"),
+    )
+    out = AN.jaccard_similarity(e, min_permille=100)
+    # gate on the supplier-side pairs (the part side is ~1.6M rows at
+    # sf0.01 — correct but too large to hash both engines per round)
+    return out.filter(F.col("b") < F.lit(4 * B))
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Term → posting-list fingerprint with df bounds applied before the
+    postings assemble (stats.inverted_index)."""
+    from judy_graph_db_spark.operators import stats as STT
+
+    load_tpch_views(spark, sf_dir)
+    out = STT.inverted_index(spark.table("documents"), min_df=5, max_df=400)
+    return out.select("term", "df", "posting_hash")
+
+
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
@@ -1013,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "doc_top_terms": _q_top_terms,
         "stratified_sample": _q_stratified_sample,
+        "co_purchase_pairs": _q_co_purchase,
+        "node_jaccard": _q_node_jaccard,
+        "doc_inverted_index": _q_inverted_index,
     }
 
 
@@ -1416,4 +1455,10 @@ FROM walk GROUP BY n0, n1""",
         ),
         "doc_top_terms": O.top_terms_sql(k=5),
         "stratified_sample": O.stratified_sample_sql(STRATA),
+        "co_purchase_pairs": O.bipartite_projection_sql(min_count=2),
+        "node_jaccard": O.jaccard_similarity_sql(
+            src_expr=f"l_suppkey + {2 * B}", dst_expr=f"l_partkey + {4 * B}",
+            min_permille=100, max_b=4 * B,
+        ),
+        "doc_inverted_index": O.inverted_index_sql(min_df=5, max_df=400),
     }

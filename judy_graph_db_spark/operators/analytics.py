@@ -563,3 +563,67 @@ def minplus_closure(
             break
         prev = cur
     return r
+
+
+def bipartite_projection(edges: DataFrame, min_count: int = 1) -> DataFrame:
+    """Project a bipartite edge set ``(src, dst)`` onto its ``dst`` side:
+    for every pair of dst nodes sharing ≥ ``min_count`` src neighbors, one
+    row ``(a, b, n_common)`` with ``a < b`` — the co-occurrence graph
+    (parts co-ordered, terms co-occurring, users co-visiting).
+
+    Scale notes: the wedge self-join is keyed on ``src``, so the pair
+    explosion per src is O(deg²) — the hub problem every co-occurrence
+    projection has. Degree-bound the src side first (drop srcs above a
+    ``max_degree`` with the caller's filter) when baskets can be huge; the
+    join itself is a plain equi-join + count, one shuffle each.
+    """
+    d = edges.select("src", "dst").distinct()
+    l = d.select("src", F.col("dst").alias("a"))
+    r = d.select("src", F.col("dst").alias("b"))
+    return (
+        l.join(r, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_count)
+    )
+
+
+def jaccard_similarity(edges: DataFrame, min_permille: int = 0) -> DataFrame:
+    """Neighbor-set Jaccard similarity for every node pair sharing at least
+    one neighbor in the undirected graph: ``|N(a)∩N(b)| / |N(a)∪N(b)|`` as
+    integer permille (hash-stable). The classic link-prediction /
+    entity-resolution signal.
+
+    Candidates come from the common-neighbor wedge join only — pairs with
+    zero overlap are never materialized, which is what keeps this O(Σdeg²)
+    instead of O(n²). Intersection size falls out of the wedge count;
+    union size is ``deg(a) + deg(b) - common``, attached from the tiny
+    degree relation. Returns ``(a, b, common, jaccard_permille)``.
+    """
+    sym = _symmetric(edges)  # (src=node, dst=neighbor), both directions
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wedges = (
+        sym.select(F.col("dst").alias("via"), F.col("src").alias("a"))
+        .join(
+            sym.select(F.col("dst").alias("via"), F.col("src").alias("b")),
+            "via",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        wedges.join(deg.select(F.col("src").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.floor(
+                F.col("common") * 1000
+                / (F.col("da") + F.col("db") - F.col("common"))
+            ).cast("long").alias("jaccard_permille"),
+        )
+    )
+    return out.filter(F.col("jaccard_permille") >= min_permille)

@@ -102,3 +102,44 @@ def top_terms_per_doc(docs: DataFrame, k: int = 5, id_col: str = "doc_id",
         stats.withColumn("rank_in_doc", F.row_number().over(w))
         .filter(F.col("rank_in_doc") <= k)
     )
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1,
+                   max_df: int | None = None) -> DataFrame:
+    """Term → sorted posting list over the corpus — the retrieval-side twin
+    of :func:`term_stats`. ``min_df``/``max_df`` drop rare/stopword-ish
+    terms *before* the postings are assembled (the df filter runs on the
+    tiny (term, df) relation, so a 100 TB corpus never aggregates postings
+    it will throw away). Returns ``(term, df BIGINT, postings ARRAY<LONG>)``
+    with postings ascending; ``posting_hash`` (md5 of the comma-joined
+    list) gives an engine-portable fingerprint for gating.
+    """
+    pairs = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    df_ = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_ = df_.filter(F.col("df") <= max_df)
+    df_ = df_.filter(F.col("df") >= min_df)
+    postings = (
+        pairs.join(df_, "term")  # df filter BEFORE assembling postings
+        .groupBy("term", "df")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+    return postings.select(
+        "term",
+        "df",
+        "postings",
+        F.md5(F.concat_ws(",", F.col("postings").cast("array<string>"))).alias(
+            "posting_hash"
+        ),
+    )

@@ -666,3 +666,75 @@ FROM (
 )
 WHERE rank_in_doc <= {k}
 """
+
+
+def bipartite_projection_sql(min_count: int = 2, table: str = "lineitem",
+                             src: str = "l_orderkey",
+                             dst: str = "l_partkey") -> str:
+    """Twin of ``analytics.bipartite_projection`` over the order→part
+    containment: parts co-ordered ≥ min_count times."""
+    return f"""
+WITH d AS (SELECT DISTINCT {src} AS src, {dst} AS dst FROM {table})
+SELECT l.dst AS a, r.dst AS b, COUNT(*) AS n_common
+FROM d l JOIN d r ON l.src = r.src AND l.dst < r.dst
+GROUP BY l.dst, r.dst
+HAVING COUNT(*) >= {min_count}
+"""
+
+
+def jaccard_similarity_sql(table: str = "lineitem",
+                           src_expr: str = "l_suppkey + 2000000000000",
+                           dst_expr: str = "l_partkey + 4000000000000",
+                           min_permille: int = 100,
+                           max_b: int | None = None) -> str:
+    """Twin of ``analytics.jaccard_similarity`` on the supplier~part
+    incidence graph (ids offset into the shared node-id space)."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST({src_expr} AS BIGINT) AS src,
+         CAST({dst_expr} AS BIGINT) AS dst
+  FROM {table}
+),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e WHERE src <> dst
+),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+wedge AS (
+  SELECT l.src AS a, r.src AS b, COUNT(*) AS common
+  FROM sym l JOIN sym r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY l.src, r.src
+)
+SELECT w.a, w.b, w.common,
+       CAST(floor(w.common * 1000 / (da.d + db.d - w.common)) AS BIGINT)
+         AS jaccard_permille
+FROM wedge w
+JOIN deg da ON w.a = da.src
+JOIN deg db ON w.b = db.src
+WHERE floor(w.common * 1000 / (da.d + db.d - w.common)) >= {min_permille}
+{f'AND w.b < {max_b}' if max_b is not None else ''}
+"""
+
+
+def inverted_index_sql(min_df: int = 5, max_df: int = 400,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents") -> str:
+    """Twin of ``stats.inverted_index``: (term, df, md5 of the comma-joined
+    ascending posting list)."""
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT {id_col},
+         unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})) AS term
+  FROM {table}
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM pairs GROUP BY term
+  HAVING COUNT(*) BETWEEN {min_df} AND {max_df}
+)
+SELECT p.term, CAST(d.df AS BIGINT) AS df,
+       md5(string_agg(CAST(p.{id_col} AS VARCHAR), ',' ORDER BY p.{id_col}))
+         AS posting_hash
+FROM pairs p JOIN dfreq d USING (term)
+GROUP BY p.term, d.df
+"""

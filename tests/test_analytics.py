@@ -295,3 +295,28 @@ def test_label_propagation_random_vs_python(spark):
         for r in AN.label_propagation(edges_df(spark, pairs), iters=iters).collect()
     }
     assert got == lbl
+
+
+def test_bipartite_projection(spark):
+    # orders (src) containing parts (dst): parts co-ordered
+    e = edges_df(spark, [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)])
+    got = {(r.a, r.b): r.n_common for r in AN.bipartite_projection(e).collect()}
+    assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+    strong = {(r.a, r.b) for r in AN.bipartite_projection(e, min_count=2).collect()}
+    assert strong == {(10, 11)}
+
+
+def test_jaccard_similarity(spark):
+    # path 1-2-3 plus 1-3: N(1)={2,3}, N(2)={1,3}, N(3)={1,2}
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    got = {(r.a, r.b): (r.common, r.jaccard_permille)
+           for r in AN.jaccard_similarity(e).collect()}
+    # every pair shares exactly one neighbor; union = 2+2-1 = 3 -> 333
+    assert got == {(1, 2): (1, 333), (1, 3): (1, 333), (2, 3): (1, 333)}
+
+
+def test_jaccard_identical_neighborhoods(spark):
+    # 4 and 5 both connect to {1,2} only -> jaccard(4,5) = 1000
+    e = edges_df(spark, [(4, 1), (4, 2), (5, 1), (5, 2)])
+    got = {(r.a, r.b): r.jaccard_permille for r in AN.jaccard_similarity(e).collect()}
+    assert got[(4, 5)] == 1000

@@ -62,3 +62,19 @@ def test_stratified_sample_widths(spark):
     small = {r.doc_id for r in CU.stratified_sample(docs, {"en": 32}).collect()}
     big = {r.doc_id for r in CU.stratified_sample(docs, {"en": 64}).collect()}
     assert small <= big
+
+
+def test_inverted_index(spark):
+    docs = spark.createDataFrame(
+        [(3, "cat dog"), (1, "cat cat"), (2, "dog fish")],
+        "doc_id long, text string",
+    )
+    out = {r.term: (r.df, r.postings) for r in ST.inverted_index(docs).collect()}
+    assert out["cat"] == (2, [1, 3])
+    assert out["dog"] == (2, [2, 3])
+    assert out["fish"] == (1, [2])
+    # df bounds filter terms before postings assemble
+    only = {r.term for r in ST.inverted_index(docs, min_df=2).collect()}
+    assert only == {"cat", "dog"}
+    rare = {r.term for r in ST.inverted_index(docs, max_df=1).collect()}
+    assert rare == {"fish"}
