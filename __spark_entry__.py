@@ -417,6 +417,53 @@ def _q_events_hourly_stream(spark, sf_dir):
     return spark.table(qname)
 
 
+def _q_stream_interval_join(spark, sf_dir):
+    """click×purchase attribution executed as a REAL stream-stream interval
+    join (two watermarked readStreams over the same parquet, availableNow,
+    append sink) — must equal the batch range-predicate join the oracle
+    runs. Bounded state: each side buffers only its watermark horizon
+    (streaming/joins.py)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as PT
+
+    from judy_graph_db_spark.streaming.joins import interval_join
+
+    load_tpch_views(spark, sf_dir)
+    p = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(p).schema
+
+    def side(event_type):
+        ev = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(raw_schema["ts"].dataType, PT.LongType):
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return ev.filter(F.col("event_type") == event_type).select(
+            "event_id", "user_id", "ts"
+        )
+
+    joined = interval_join(
+        side("click"), side("purchase"), within_seconds=1800
+    ).select("l_event_id", "r_event_id")
+    qname = f"sij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sij_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 # ------------------------------------------------------------ text / dedup
 
 
@@ -1028,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_hourly_streaming": _q_events_hourly_stream,
         "event_sessions": _q_event_sessions,
+        "stream_interval_join": _q_stream_interval_join,
         # text / dedup / curation
         "doc_signals": _q_doc_signals,
         "exact_dedup": _q_exact_dedup,
@@ -1232,6 +1280,13 @@ SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS
        COUNT(*) AS n,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2""",
+        "stream_interval_join": """
+SELECT c.event_id AS l_event_id, p.event_id AS r_event_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1800 SECOND
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
         "doc_signals": f"""
 SELECT doc_id,
        {O.token_count_sql()} AS n_tokens,

@@ -214,3 +214,60 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
         ("hello world", "2024-01-01 00:00:00"),
         ("something else", "2024-01-01 00:02:00"),
     ]
+
+
+def test_interval_join_batch_semantics(spark):
+    from datetime import datetime as DT
+
+    from judy_graph_db_spark.streaming.joins import interval_join
+
+    def t(m):
+        return DT(2024, 1, 1, 10, m)
+
+    clicks = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(40)), (3, 2, t(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    buys = spark.createDataFrame(
+        [(10, 1, t(0)),   # not strictly after click 1 -> excluded
+         (11, 1, t(30)),  # within 30min of click 1 (inclusive bound)
+         (12, 1, t(45)),  # within of click 2 only
+         (13, 3, t(5))],  # other user
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = interval_join(clicks, buys, within_seconds=1800)
+    got = {(r.l_event_id, r.r_event_id) for r in out.collect()}
+    assert got == {(1, 11), (2, 12)}
+
+
+def test_interval_join_streaming_matches_batch(spark, tmp_path):
+    from judy_graph_db_spark.streaming.joins import interval_join
+
+    ev = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(1704067200 + F.col("id") * 300).alias("ts"),
+        (F.col("id") % 3).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("purchase").alias("event_type"),
+    )
+    p = str(tmp_path / "events")
+    ev.write.parquet(p)
+    schema = spark.read.parquet(p).schema
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "purchase"))
+
+    bl, br = split(spark.read.parquet(p))
+    expect = {(r.l_event_id, r.r_event_id)
+              for r in interval_join(bl, br, within_seconds=1800).collect()}
+    assert expect  # non-trivial fixture
+
+    sl, sr = split(spark.readStream.schema(schema).parquet(p))
+    q = (interval_join(sl, sr, within_seconds=1800)
+         .writeStream.format("memory").queryName("ij_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.l_event_id, r.r_event_id) for r in spark.table("ij_test").collect()}
+    assert got == expect
