@@ -321,23 +321,36 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     (:func:`label_propagation_oracle_sql`) — same policy as :func:`pagerank`.
     Returns ``(id BIGINT, community BIGINT)``.
 
-    Each round is one shuffle-join (adjacency ⋈ labels on the neighbor id)
-    plus one aggregation; the argmax-with-tie-break is a single
+    Shuffle profile (same discipline as :func:`pagerank`): the symmetric
+    adjacency is shuffled ONCE onto the neighbor key and ``cache``\\ d —
+    cache preserves ``outputPartitioning``, so every round's
+    adjacency ⋈ labels join reads co-located buckets with no Exchange on
+    the O(|E|) side. Inside a round, one explicit ``repartition`` on the
+    node id serves BOTH aggregations (hash(id) satisfies the (id, label)
+    clustering), so per-round shuffle volume is the partial-aggregated
+    label counts, not the adjacency. The argmax-with-tie-break is a single
     ``min(struct(-count, label))`` partial-aggregable expression, not a
-    window. State is ``localCheckpoint``-ed per round.
+    window.
     """
-    sym = _symmetric(edges).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = _symmetric(edges).repartition(num_partitions, "dst").cache()
     # every node in the symmetric relation appears as src (both directions
     # are materialized), so src alone enumerates the node set
-    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("id")).distinct().cache()
+    sym.count()
+    nodes.count()
     labels = nodes.withColumn("community", F.col("id"))
     for i in range(iters):
-        prev_state = labels
         neigh = sym.join(
             labels.select(F.col("id").alias("dst"), "community"), "dst"
         ).select(F.col("src").alias("id"), "community")
-        counts = neigh.groupBy("id", "community").agg(F.count(F.lit(1)).alias("n"))
-        best = (
+        counts = (
+            neigh.repartition(num_partitions, "id")  # serves both aggs below
+            .groupBy("id", "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
             counts.groupBy("id")
             .agg(
                 F.min(
@@ -346,12 +359,12 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
             .select("id", F.col("best.c").alias("community"))
         )
-        labels = best.localCheckpoint(eager=True)
-        if i > 0:
-            _unpersist_checkpoint(prev_state)
-    _unpersist_checkpoint(sym)
-    _unpersist_checkpoint(nodes)
-    return labels
+        if (i + 1) % 8 == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def label_propagation_oracle_sql(

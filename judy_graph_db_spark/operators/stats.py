@@ -56,10 +56,12 @@ def term_stats(docs: DataFrame, id_col: str = "doc_id",
     exact sufficient statistics of TF-IDF (``tfidf`` derives the float
     scores; the gate hashes these integers).
 
-    Scale shape: tokenize + explode inside the scan stage, ONE shuffle on
-    (doc, term) for tf, and the df side is a second aggregation of the
-    (already tiny) distinct (term, doc) pairs — never a join back against
-    the raw text. Returns ``(id_col, term, tf BIGINT, df BIGINT)``.
+    Scale shape: tokenize + explode inside the scan stage, one shuffle on
+    (doc, term) for tf, then ``df`` as a COUNT window over the term key —
+    one pipeline, ONE corpus scan. (The tempting ``tf.join(tf.groupBy(...))``
+    formulation re-scans and re-tokenizes the whole corpus: Catalyst does
+    not share common subplans across a self-join.) Returns
+    ``(id_col, term, tf BIGINT, df BIGINT)``.
     """
     toks = docs.select(
         F.col(id_col),
@@ -70,8 +72,10 @@ def term_stats(docs: DataFrame, id_col: str = "doc_id",
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(df_, "term").select(id_col, "term", "tf", "df")
+    wdf = Window.partitionBy("term")
+    return tf.select(
+        id_col, "term", "tf", F.count(F.lit(1)).over(wdf).alias("df")
+    )
 
 
 def tfidf(docs: DataFrame, id_col: str = "doc_id",
@@ -126,14 +130,17 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
         )
         .distinct()
     )
-    df_ = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over the term key — one pipeline, one corpus scan
+    # (a pairs⋈pairs.groupBy join would tokenize the corpus twice), and the
+    # df filter still runs BEFORE the postings assemble
+    wdf = Window.partitionBy("term")
+    with_df = pairs.select(
+        id_col, "term", F.count(F.lit(1)).over(wdf).alias("df")
+    ).filter(F.col("df") >= min_df)
     if max_df is not None:
-        df_ = df_.filter(F.col("df") <= max_df)
-    df_ = df_.filter(F.col("df") >= min_df)
-    postings = (
-        pairs.join(df_, "term")  # df filter BEFORE assembling postings
-        .groupBy("term", "df")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+        with_df = with_df.filter(F.col("df") <= max_df)
+    postings = with_df.groupBy("term", "df").agg(
+        F.sort_array(F.collect_list(id_col)).alias("postings")
     )
     return postings.select(
         "term",

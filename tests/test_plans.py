@@ -177,3 +177,45 @@ def test_token_shards_single_range_exchange(spark):
         "range partitioning"
     )
     assert "Window" in plan
+
+
+def test_term_stats_scans_corpus_once(spark):
+    """tf+df must come out of ONE corpus scan — a tf⋈tf.groupBy self-join
+    would re-tokenize the whole corpus (no common-subplan reuse)."""
+    from judy_graph_db_spark.operators import stats as ST
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(ST.term_stats(docs))
+    assert plan.count("documents.parquet") == 1, plan[:2000]
+    plan2 = plan_of(ST.inverted_index(docs, min_df=2))
+    assert plan2.count("documents.parquet") == 1, plan2[:2000]
+
+
+def test_asof_join_single_key_exchange(spark):
+    """The as-of join is one union + one keyed window: exactly one
+    hashpartitioning exchange on the key, no join operator at all."""
+    from judy_graph_db_spark.operators import temporal as TP
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    probes = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    quotes = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = plan_of(TP.asof_join(probes, quotes, on="user_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_range_join_is_equi_join(spark):
+    """Bin bucketing must turn the interval predicate into a hash/SMJ
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin."""
+    from judy_graph_db_spark.operators import temporal as TP
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    iv = (
+        orders.select(F.date_trunc("month", "o_orderdate").alias("start_ts"))
+        .distinct()
+        .select("start_ts", (F.col("start_ts") + F.expr("INTERVAL 10 DAYS")).alias("end_ts"))
+    )
+    plan = plan_of(
+        TP.range_join(orders.select("o_orderdate"), iv, "o_orderdate", "start_ts", "end_ts")
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
