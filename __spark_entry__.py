@@ -22,6 +22,7 @@ from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
 from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
+from judy_graph_db_spark.operators import sampling as SA_ORACLE
 from judy_graph_db_spark.operators import similarity as S
 from judy_graph_db_spark.sources.tpch_graph import (
     B,
@@ -731,6 +732,36 @@ def _q_inverted_index(spark, sf_dir):
     return out.select("term", "df", "posting_hash")
 
 
+def _q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style fanout cap: ≤2 parts per order chosen by md5 rank —
+    reproducible across partitionings (operators/sampling.py)."""
+    from judy_graph_db_spark.operators import sampling as SA
+
+    load_tpch_views(spark, sf_dir)
+    e = spark.table("lineitem").select(
+        (F.col("l_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst"),
+    )
+    return SA.sample_neighbors(e, k=2, seed=7)
+
+
+def _q_random_walks(spark, sf_dir):
+    """node2vec-corpus walks (length 3, hash-deterministic transitions)
+    over the symmetrized supplier~part incidence, started from suppliers;
+    adjacency cached pre-partitioned on src, per-step shuffle is O(walks)."""
+    from judy_graph_db_spark.operators import sampling as SA
+
+    load_tpch_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst"),
+    )
+    sym = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    starts = li.select((F.col("l_suppkey") + F.lit(2 * B)).alias("id")).distinct()
+    return SA.random_walks(sym, length=3, seed=11, starts=starts)
+
+
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
@@ -1100,6 +1131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_purchase_pairs": _q_co_purchase,
         "node_jaccard": _q_node_jaccard,
         "doc_inverted_index": _q_inverted_index,
+        # sampling
+        "neighbor_sample": _q_neighbor_sample,
+        "graph_random_walks": _q_random_walks,
     }
 
 
@@ -1516,4 +1550,17 @@ FROM walk GROUP BY n0, n1""",
             min_permille=100, max_b=4 * B,
         ),
         "doc_inverted_index": O.inverted_index_sql(min_df=5, max_df=400),
+        "neighbor_sample": SA_ORACLE.sample_neighbors_oracle_sql(
+            k=2, seed=7,
+            edges_sql=f"SELECT l_orderkey + {5 * B} AS src, "
+                      f"l_partkey + {4 * B} AS dst FROM lineitem",
+        ),
+        "graph_random_walks": SA_ORACLE.random_walks_oracle_sql(
+            edges_sql=f"SELECT l_suppkey + {2 * B} AS src, "
+                      f"l_partkey + {4 * B} AS dst FROM lineitem "
+                      f"UNION ALL SELECT l_partkey + {4 * B}, "
+                      f"l_suppkey + {2 * B} FROM lineitem",
+            length=3, seed=11,
+            starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id FROM lineitem",
+        ),
     }

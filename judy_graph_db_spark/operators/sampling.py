@@ -1,0 +1,164 @@
+"""Graph sampling for GNN / embedding training-data prep — deterministic
+neighbor sampling and fixed-length random walks.
+
+Parity-plus (SURVEY.md §2.7): the reference has no sampling surface at all.
+GraphSAGE-style neighbor sampling and node2vec-style walk corpora are the
+standard export from a 100 TB graph into a trainer, and both need to be
+*reproducible* across re-runs and cluster sizes — so "random" here is a
+content hash (md5 over seed + position + edge), never an RNG: the same
+graph + seed always yields byte-identical samples on any partitioning.
+
+Scale shapes:
+- ``sample_neighbors`` is one ``row_number`` window keyed on the source
+  node — a single shuffle, and the per-node fanout cap is exactly the skew
+  bound (hubs emit k rows, not deg rows).
+- ``random_walks`` keeps the adjacency cached and pre-partitioned on the
+  source key (cache preserves partitioning, so every step's join reads
+  co-located buckets on the adjacency side); each step shuffles only the
+  O(|walks|) frontier. The per-step argmin-by-hash is the same
+  partial-aggregable ``min(struct(...))`` trick the analytics use — no
+  window over the frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _edge_hash(seed, *cols) -> "F.Column":
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), *[c.cast("string") for c in cols]))
+
+
+def sample_neighbors(edges: DataFrame, k: int, seed: int = 0) -> DataFrame:
+    """Keep at most ``k`` neighbors per source node, chosen by md5 rank
+    (uniform, reproducible, engine-portable). The GraphSAGE fanout cap:
+    output degree is min(deg, k) for every node, which also bounds hub
+    skew in everything built downstream. Returns
+    ``(src, dst, sample_rank)`` with rank 1..k."""
+    d = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy(
+        _edge_hash(seed, F.col("src"), F.col("dst")).asc(), F.col("dst").asc()
+    )
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def random_walks(edges: DataFrame, length: int = 3, seed: int = 0,
+                 starts: DataFrame | None = None,
+                 num_partitions: int | None = None) -> DataFrame:
+    """One fixed-length walk from every node (or from ``starts``' ``id``
+    column): at step ``s`` the walker at ``cur`` moves to the neighbor
+    minimizing ``md5(seed, walk_id, s, cur, dst)`` — a uniform,
+    reproducible choice that differs per walk and per step (so walks from
+    the same node at different steps decorrelate). Walkers stop early at
+    sink nodes. Returns ``(walk_id, step, node)`` with step 0 = the start.
+
+    This is the node2vec-corpus shape (p=q=1); biased transitions would
+    weight the hash rank, same plan.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    adj = (
+        edges.select("src", "dst").distinct()
+        .repartition(num_partitions, "src")
+        .cache()
+    )
+    adj.count()  # materialize so the per-step joins see the partitioning
+    if starts is None:
+        starts = adj.select(F.col("src").alias("id")).distinct()
+    frontier = starts.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("cur")
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for s in range(1, length + 1):
+        h = _edge_hash(
+            seed, F.col("walk_id"), F.lit(s), F.col("src"), F.col("dst")
+        )
+        step = (
+            frontier.join(adj, frontier.cur == adj.src)
+            .select(
+                "walk_id",
+                F.struct(h.alias("h"), F.col("dst").alias("d")).alias("pick"),
+            )
+            .groupBy("walk_id")
+            .agg(F.min("pick").alias("pick"))
+            .select("walk_id", F.col("pick.d").alias("cur"))
+        )
+        frontier = step.localCheckpoint(eager=True)  # flat lineage per hop
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(s).cast("long").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    result = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return result
+
+
+def random_walks_oracle_sql(edges_sql: str, length: int = 3, seed: int = 0,
+                            starts_sql: str | None = None,
+                            prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`random_walks`: the fixed steps unrolled as
+    chained CTEs, each picking the argmin-by-md5 neighbor with a
+    ROW_NUMBER — same hash, same tiebreak. ``starts_sql`` selects an ``id``
+    column (default: every node)."""
+    head = f"{prefix},\nrw_adj" if prefix else "WITH rw_adj"
+    w0 = (
+        f"SELECT id AS walk_id, id AS cur FROM ({starts_sql})"
+        if starts_sql is not None
+        else "SELECT DISTINCT src AS walk_id, src AS cur FROM rw_adj"
+    )
+    parts = [
+        f"""{head} AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+),
+w0 AS ({w0})""",
+    ]
+    for s in range(1, length + 1):
+        parts.append(
+            f""", w{s} AS (
+  SELECT walk_id, cur FROM (
+    SELECT f.walk_id, a.dst AS cur,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.walk_id
+             ORDER BY md5(concat_ws('|', '{seed}', CAST(f.walk_id AS VARCHAR),
+                          '{s}', CAST(a.src AS VARCHAR),
+                          CAST(a.dst AS VARCHAR))) ASC, a.dst ASC) AS rn
+    FROM w{s - 1} f JOIN rw_adj a ON f.cur = a.src
+  ) WHERE rn = 1
+)"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, cur AS node FROM w{s}"
+        for s in range(0, length + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
+    return "\n".join(parts)
+
+
+def sample_neighbors_oracle_sql(k: int, seed: int = 0,
+                                edges_sql: str = "SELECT src, dst FROM edges",
+                                prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`sample_neighbors`."""
+    head = f"{prefix},\nsn_d" if prefix else "WITH sn_d"
+    return f"""{head} AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+)
+SELECT src, dst, sample_rank FROM (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY src
+           ORDER BY md5(concat_ws('|', '{seed}', CAST(src AS VARCHAR),
+                        CAST(dst AS VARCHAR))) ASC, dst ASC) AS INTEGER
+         ) AS sample_rank
+  FROM sn_d
+) WHERE sample_rank <= {k}
+"""
