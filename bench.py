@@ -178,6 +178,39 @@ def main() -> None:
         .groupBy("h", "event_type").agg(F.count(F.lit(1)), F.sum("value")).count(),
     )
 
+    # temporal / stats / sampling (round-5 surface)
+    from judy_graph_db_spark.operators import sampling as SA
+    from judy_graph_db_spark.operators import stats as ST
+    from judy_graph_db_spark.operators import temporal as TP
+
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    run("asof_join", lambda: TP.asof_join(clicks, buys, on="user_id").count())
+    run("funnel", lambda: TP.funnel_completions(events, "view", "purchase", 3600).count())
+    run("term_stats", lambda: ST.term_stats(docs).count())
+    run(
+        "neighbor_sample",
+        lambda: SA.sample_neighbors(
+            g.edges.filter((F.col("label") == "CONTAINS") & ~F.col("is_back")), k=2
+        ).count(),
+    )
+    # walk corpus from a 1/16 hash sample of customers over their order
+    # chains — representative fan-out without dominating the suite
+    walk_starts = (
+        spark.table("orders")
+        .select((F.col("o_orderkey") + 5 * B).alias("id"))
+        .filter(F.substring(F.md5(F.col("id").cast("string")), 1, 1) == "0")
+    )
+    run(
+        "random_walks",
+        lambda: SA.random_walks(
+            g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back")),
+            length=3,
+            starts=walk_starts,
+        ).count(),
+        repeats=1,
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",

@@ -335,12 +335,15 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     spark = edges.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sym = _symmetric(edges).repartition(num_partitions, "dst").cache()
-    # every node in the symmetric relation appears as src (both directions
-    # are materialized), so src alone enumerates the node set
-    nodes = sym.select(F.col("src").alias("id")).distinct().cache()
-    sym.count()
-    nodes.count()
-    labels = nodes.withColumn("community", F.col("id"))
+    sym.count()  # materialized cache exposes its partitioning to the loop
+    # every node appears as src (both directions are materialized), so src
+    # alone enumerates the node set; labels₀ is derived per-plan from the
+    # cached sym — unlike pagerank's nodes it is used only once, so a
+    # second cache would be pure materialization overhead
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("community", F.col("id"))
+    )
     for i in range(iters):
         neigh = sym.join(
             labels.select(F.col("id").alias("dst"), "community"), "dst"
@@ -363,7 +366,6 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             labels = labels.localCheckpoint(eager=True)
     out = labels.localCheckpoint(eager=True)
     sym.unpersist()
-    nodes.unpersist()
     return out
 
 
