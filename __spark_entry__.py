@@ -732,6 +732,39 @@ def _q_inverted_index(spark, sf_dir):
     return out.select("term", "df", "posting_hash")
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingest dedup: documents hash-split into an existing
+    corpus (bucket < '80') and a new batch; the batch is exact-deduped and
+    LSH-screened against the corpus WITHOUT re-tokenizing corpus text for
+    the exact path (hash-only probe). Bundled row: exact flags
+    (code = dup_of_existing·2 + keep) + (new, old) + within-batch LSH
+    candidate pairs (operators/dedup.py incremental_*)."""
+    from judy_graph_db_spark.operators.curation import hash_bucket
+
+    load_tpch_views(spark, sf_dir)
+    docs = spark.table("documents")
+    new = docs.filter(hash_bucket(F.col("doc_id")) >= "80")
+    old = docs.filter(hash_bucket(F.col("doc_id")) < "80")
+    ex = D.incremental_exact_dedup(new, old)
+    exact_part = ex.select(
+        F.lit("exact").alias("op"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        (
+            F.col("dup_of_existing").cast("long") * 2
+            + F.col("keep").cast("long")
+        ).alias("code"),
+    )
+    cand = D.incremental_lsh_candidates(new, old)
+    lsh_part = cand.select(
+        F.when(F.col("vs_existing"), "lsh_old").otherwise("lsh_new").alias("op"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("vs_existing").cast("long").alias("code"),
+    )
+    return exact_part.unionByName(lsh_part)
+
+
 def _q_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style fanout cap: ≤2 parts per order chosen by md5 rank —
     reproducible across partitionings (operators/sampling.py)."""
@@ -1131,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_purchase_pairs": _q_co_purchase,
         "node_jaccard": _q_node_jaccard,
         "doc_inverted_index": _q_inverted_index,
+        "incremental_dedup": _q_incremental_dedup,
         # sampling
         "neighbor_sample": _q_neighbor_sample,
         "graph_random_walks": _q_random_walks,
@@ -1550,6 +1584,7 @@ FROM walk GROUP BY n0, n1""",
             min_permille=100, max_b=4 * B,
         ),
         "doc_inverted_index": O.inverted_index_sql(min_df=5, max_df=400),
+        "incremental_dedup": O.incremental_dedup_sql(split="80"),
         "neighbor_sample": SA_ORACLE.sample_neighbors_oracle_sql(
             k=2, seed=7,
             edges_sql=f"SELECT l_orderkey + {5 * B} AS src, "

@@ -15,7 +15,7 @@ table. Scale design (100 TB corpora):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_LEN = 8
@@ -325,3 +325,85 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """Materialized exact-dedup: keep one row per distinct text (min id)."""
     keep = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))
     return docs.join(keep, id_col, "left_semi")
+
+
+def incremental_exact_dedup(new_docs: DataFrame, existing_docs: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Dedup a NEW batch against an already-deduped corpus without
+    reprocessing the corpus — the shape every continuously-ingesting
+    pipeline needs (the batch is small; the corpus is 100 TB).
+
+    A new doc is kept iff (a) its content hash matches nothing in the
+    existing corpus — one hash equi-join, in which the huge side is only
+    scanned for its hash column, never re-tokenized — and (b) it is the
+    min-id holder of its hash within the batch. Returns the new rows plus
+    ``(text_hash, dup_of_existing BOOLEAN, keep BOOLEAN)``.
+
+    In production the corpus side is the stored hash column of the sink
+    table, so the join probes a (possibly bucketed) 16-byte key — the
+    batch never touches corpus text.
+    """
+    h = F.md5(F.col(text_col))
+    new_h = new_docs.withColumn("text_hash", h)
+    seen = existing_docs.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    flagged = (
+        new_h.join(
+            seen.withColumn("__seen", F.lit(True)), "text_hash", "left"
+        )
+        .withColumn("dup_of_existing", F.coalesce(F.col("__seen"), F.lit(False)))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "keep", ~F.col("dup_of_existing") & (F.col("__rn") == 1)
+        )
+        .drop("__seen", "__rn")
+    )
+    return flagged
+
+
+def incremental_lsh_candidates(new_docs: DataFrame, existing_docs: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_hashes: int = NUM_HASHES,
+                               band_rows: int = BAND_ROWS) -> DataFrame:
+    """Near-dup candidates of a NEW batch against the existing corpus:
+    (new_id, existing_id) pairs sharing an LSH band bucket, plus
+    within-batch pairs (new_id < new_id'). The corpus side's band hashes
+    are recomputed here for self-containment; in production they are the
+    stored ``band_hashes`` column of the sink table, so the incremental
+    cost is O(|batch| + matching buckets), independent of corpus size.
+    Returns ``(doc_a, doc_b, vs_existing BOOLEAN)`` with doc_a = new id.
+    """
+
+    def bands_of(docs):
+        return (
+            minhash_signatures(docs, text_col, id_col, num_hashes)
+            .withColumn("bands", band_hashes("minhash", band_rows, num_hashes))
+            .select(id_col, F.posexplode("bands").alias("band_idx", "band_hash"))
+        )
+
+    nb = bands_of(new_docs)
+    eb = bands_of(existing_docs)
+    vs_old = (
+        nb.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            eb.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("vs_existing", F.lit(True))
+    )
+    within = (
+        nb.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            nb.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("vs_existing", F.lit(False))
+    )
+    return vs_old.unionByName(within)

@@ -738,3 +738,47 @@ SELECT p.term, CAST(d.df AS BIGINT) AS df,
 FROM pairs p JOIN dfreq d USING (term)
 GROUP BY p.term, d.df
 """
+
+
+def incremental_dedup_sql(split: str = "80", id_col: str = "doc_id",
+                          text_col: str = "text",
+                          table: str = "documents") -> str:
+    """Twin of the incremental-dedup bundle: the corpus is split by hash
+    bucket into existing (< split) and a new batch (>= split); the exact
+    part flags each new doc (code = dup_of_existing·2 + keep), the LSH part
+    lists (new, existing) and within-batch band-bucket candidates."""
+    b = hash_bucket_sql(id_col)
+    chain = _lsh_cte_chain(id_col, text_col, table, NUM_HASHES, BAND_ROWS)
+    return f"""
+WITH {chain},
+newdocs AS (SELECT {id_col}, {text_col} FROM {table} WHERE {b} >= '{split}'),
+olddocs AS (SELECT {id_col}, {text_col} FROM {table} WHERE {b} < '{split}'),
+exact AS (
+  SELECT n.{id_col} AS a,
+         (EXISTS (SELECT 1 FROM olddocs o WHERE md5(o.{text_col}) = md5(n.{text_col})))
+           AS dup_of_existing,
+         ROW_NUMBER() OVER (PARTITION BY md5(n.{text_col})
+                            ORDER BY n.{id_col} ASC) AS rn
+  FROM newdocs n
+),
+nb AS (SELECT bd.* FROM bands bd JOIN newdocs USING ({id_col})),
+eb AS (SELECT bd.* FROM bands bd JOIN olddocs USING ({id_col})),
+lsh_old AS (
+  SELECT DISTINCT nb.{id_col} AS a, eb.{id_col} AS b2
+  FROM nb JOIN eb USING (band_idx, band_hash)
+),
+lsh_new AS (
+  SELECT DISTINCT x.{id_col} AS a, y.{id_col} AS b2
+  FROM nb x JOIN nb y USING (band_idx, band_hash)
+  WHERE x.{id_col} < y.{id_col}
+)
+SELECT 'exact' AS op, a, CAST(NULL AS BIGINT) AS b,
+       CAST(CASE WHEN dup_of_existing THEN 2 ELSE 0 END
+            + CASE WHEN NOT dup_of_existing AND rn = 1 THEN 1 ELSE 0 END
+         AS BIGINT) AS code
+FROM exact
+UNION ALL
+SELECT 'lsh_old', a, b2, CAST(1 AS BIGINT) FROM lsh_old
+UNION ALL
+SELECT 'lsh_new', a, b2, CAST(0 AS BIGINT) FROM lsh_new
+"""

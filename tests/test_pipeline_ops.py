@@ -296,3 +296,34 @@ def test_dedup_clusters_lsh_end_to_end(spark):
     )
     rows = {r.doc_id: r.cluster_id for r in D.dedup_clusters(df).collect()}
     assert rows[1] == 1 and rows[2] == 1 and rows[9] == 9
+
+
+def test_incremental_exact_dedup(spark):
+    existing = spark.createDataFrame(
+        [(1, "known text"), (2, "other text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "known text"),    # dup of existing -> reject
+         (11, "fresh"),        # genuinely new -> keep
+         (12, "fresh"),        # within-batch dup, higher id -> reject
+         (13, "also new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.dup_of_existing, r.keep)
+           for r in D.incremental_exact_dedup(new, existing).collect()}
+    assert out == {10: (True, False), 11: (False, True),
+                   12: (False, False), 13: (False, True)}
+
+
+def test_incremental_lsh_candidates(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    existing = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, base + "tail"), (11, base + "tail!"), (12, "completely different " * 8)],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b, r.vs_existing)
+            for r in D.incremental_lsh_candidates(new, existing).collect()}
+    assert (10, 1, True) in rows      # near-dup of corpus
+    assert (10, 11, False) in rows    # within-batch near-dups
+    assert not any(a == 12 or b == 12 for a, b, _ in rows)
