@@ -732,6 +732,21 @@ def _q_inverted_index(spark, sf_dir):
     return out.select("term", "df", "posting_hash")
 
 
+def _q_weighted_paths(spark, sf_dir):
+    """All-pairs weighted shortest paths (min-plus doubling with a weight
+    column — Dijkstra for every pair relationally) over the NEXT_ORDER
+    chains, weight = whole days between consecutive orders."""
+    load_tpch_views(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = spark.table("orders").select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.lead("o_orderkey").over(w) + F.lit(5 * B)).alias("dst"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+        .cast("long").alias("weight"),
+    ).filter(F.col("dst").isNotNull())
+    return AN.weighted_shortest_paths(o, weight_col="weight")
+
+
 def _q_incremental_dedup(spark, sf_dir):
     """Continuous-ingest dedup: documents hash-split into an existing
     corpus (bucket < '80') and a new batch; the batch is exact-deduped and
@@ -1165,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_jaccard": _q_node_jaccard,
         "doc_inverted_index": _q_inverted_index,
         "incremental_dedup": _q_incremental_dedup,
+        "weighted_paths": _q_weighted_paths,
         # sampling
         "neighbor_sample": _q_neighbor_sample,
         "graph_random_walks": _q_random_walks,
@@ -1584,6 +1600,22 @@ FROM walk GROUP BY n0, n1""",
             min_permille=100, max_b=4 * B,
         ),
         "doc_inverted_index": O.inverted_index_sql(min_df=5, max_df=400),
+        "weighted_paths": f"""WITH RECURSIVE wo AS (
+  SELECT src, dst, w FROM (
+    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+           CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst,
+           CAST(date_diff('day', o_orderdate,
+                LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS BIGINT) AS w
+    FROM orders
+  ) t WHERE dst IS NOT NULL
+),
+wwalk(n0, n1, d) AS (
+  SELECT src, dst, w FROM wo
+  UNION
+  SELECT ww.n0, e.dst, ww.d + e.w FROM wwalk ww JOIN wo e ON ww.n1 = e.src
+)
+SELECT n0 AS src, n1 AS dst, CAST(MIN(d) AS BIGINT) AS dist
+FROM wwalk GROUP BY n0, n1""",
         "incremental_dedup": O.incremental_dedup_sql(split="80"),
         "neighbor_sample": SA_ORACLE.sample_neighbors_oracle_sql(
             k=2, seed=7,

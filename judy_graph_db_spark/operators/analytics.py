@@ -527,7 +527,7 @@ def transitive_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def minplus_closure(
     edges: DataFrame, keep_self: bool = False, max_iter: int = 20,
-    max_depth: int | None = None,
+    max_depth: int | None = None, weight_col: str | None = None,
 ) -> DataFrame:
     """Min-plus doubling core behind :func:`transitive_closure`.
 
@@ -542,13 +542,25 @@ def minplus_closure(
     stone). Callers that cap exploration (the unbounded-repeat pattern's
     ``UNBOUNDED_MAX_HOPS``) use this so both execution strategies return
     identical answers, and it also bounds intermediate state.
+
+    ``weight_col`` generalizes hop counting to weighted shortest paths
+    (non-negative integer weights; parallel edges collapse to their
+    minimum): min-plus squaring is distance-metric-agnostic, so the same
+    O(log L) rounds (L = most edges on any shortest path) compute
+    Dijkstra's answer for every pair at once — the relational form of
+    all-pairs shortest paths.
     """
-    base = edges.select("src", "dst")
+    if weight_col is None:
+        base = edges.select("src", "dst", F.lit(1).cast("long").alias("depth"))
+    else:
+        base = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("depth")
+        )
     if not keep_self:
         base = base.filter(F.col("src") != F.col("dst"))
     r = (
-        base.distinct()
-        .withColumn("depth", F.lit(1).cast("long"))
+        base.groupBy("src", "dst")
+        .agg(F.min("depth").alias("depth"))
         .localCheckpoint(eager=True)
     )
 
@@ -654,3 +666,16 @@ def jaccard_similarity(edges: DataFrame, min_permille: int = 0) -> DataFrame:
         )
     )
     return out.filter(F.col("jaccard_permille") >= min_permille)
+
+
+def weighted_shortest_paths(edges: DataFrame, weight_col: str = "weight",
+                            max_iter: int = 20,
+                            max_dist: int | None = None) -> DataFrame:
+    """All-pairs weighted shortest paths over non-negative integer weights
+    (Dijkstra's answer for every pair, relationally): min-plus doubling on
+    the weighted relation — see :func:`minplus_closure`. Returns
+    ``(src, dst, dist BIGINT)``, one row per reachable ordered pair."""
+    return minplus_closure(
+        edges, keep_self=False, max_iter=max_iter, max_depth=max_dist,
+        weight_col=weight_col,
+    ).withColumnRenamed("depth", "dist")

@@ -320,3 +320,19 @@ def test_jaccard_identical_neighborhoods(spark):
     e = edges_df(spark, [(4, 1), (4, 2), (5, 1), (5, 2)])
     got = {(r.a, r.b): r.jaccard_permille for r in AN.jaccard_similarity(e).collect()}
     assert got[(4, 5)] == 1000
+
+
+def test_weighted_shortest_paths(spark):
+    # triangle with a shortcut: 1->2 (10), 2->3 (10), 1->3 (25) -> best 1->3 is 20
+    e = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 10), (1, 3, 25)], "src BIGINT, dst BIGINT, weight BIGINT"
+    )
+    got = {(r.src, r.dst): r.dist for r in AN.weighted_shortest_paths(e).collect()}
+    assert got == {(1, 2): 10, (2, 3): 10, (1, 3): 20}
+    # parallel edges collapse to the min; long chains converge via doubling
+    e2 = spark.createDataFrame(
+        [(1, 2, 7), (1, 2, 3)] + [(i, i + 1, 1) for i in range(2, 10)],
+        "src BIGINT, dst BIGINT, weight BIGINT",
+    )
+    got2 = {(r.src, r.dst): r.dist for r in AN.weighted_shortest_paths(e2).collect()}
+    assert got2[(1, 2)] == 3 and got2[(1, 10)] == 3 + 8
