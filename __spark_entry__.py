@@ -1108,10 +1108,141 @@ def _q_ann_topk(spark, sf_dir):
     return brute.unionByName(ivf).unionByName(knn)
 
 
+def _q_temporal_ops(spark, sf_dir):
+    """Temporal family in one driver row: as-of join, bin-bucketed range
+    join, funnel completions, top-k per group — each part hash-checked
+    under its ``op`` tag."""
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    asof = _q_asof_value(spark, sf_dir).select(
+        F.lit("asof").alias("op"), sN.alias("s"),
+        F.col("event_id").cast("long").alias("a"),
+        F.col("value_asof_cents").alias("b"), lN.alias("c"))
+    rng = _q_range_join_months(spark, sf_dir).select(
+        F.lit("range").alias("op"), sN.alias("s"),
+        F.col("month_bucket").alias("a"),
+        F.col("n").cast("long").alias("b"),
+        F.col("sum_price_cents").alias("c"))
+    fn = _q_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("op"), sN.alias("s"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("n_started").cast("long").alias("b"),
+        F.col("n_completed").cast("long").alias("c"))
+    tk = _q_topk_per_group(spark, sf_dir).select(
+        F.lit("topk").alias("op"), F.col("o_orderpriority").alias("s"),
+        F.col("o_orderkey").cast("long").alias("a"),
+        F.col("rank_in_group").cast("long").alias("b"), lN.alias("c"))
+    return asof.unionByName(rng).unionByName(fn).unionByName(tk)
+
+
+def _q_stats_ops(spark, sf_dir):
+    """Stats family in one driver row: grouped exact quantiles, TF-IDF top
+    terms, inverted-index fingerprints, stratified sampling."""
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    qt = _q_grouped_quantiles(spark, sf_dir).select(
+        F.lit("quantiles").alias("op"), F.col("o_orderpriority").alias("s"),
+        sN.alias("t"), F.col("q_250").alias("a"), F.col("q_500").alias("b"),
+        F.col("q_900").alias("c"), lN.alias("d"))
+    tt = _q_top_terms(spark, sf_dir).select(
+        F.lit("top_terms").alias("op"), F.col("term").alias("s"),
+        sN.alias("t"), F.col("doc_id").alias("a"),
+        F.col("tf").cast("long").alias("b"),
+        F.col("df").cast("long").alias("c"),
+        F.col("rank_in_doc").cast("long").alias("d"))
+    inv = _q_inverted_index(spark, sf_dir).select(
+        F.lit("inverted").alias("op"), F.col("term").alias("s"),
+        F.col("posting_hash").alias("t"), lN.alias("a"),
+        F.col("df").cast("long").alias("b"), lN.alias("c"), lN.alias("d"))
+    st = _q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("op"), F.col("lang").alias("s"),
+        sN.alias("t"), F.col("doc_id").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    return qt.unionByName(tt).unionByName(inv).unionByName(st)
+
+
+def _q_graph_similarity(spark, sf_dir):
+    """Graph-similarity family in one driver row: bipartite co-purchase
+    projection, neighbor-set Jaccard, weighted all-pairs shortest paths."""
+    lN = F.lit(None).cast("long")
+    cp = _q_co_purchase(spark, sf_dir).select(
+        F.lit("co_purchase").alias("op"), F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n_common").cast("long").alias("c"), lN.alias("d"))
+    ja = _q_node_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("op"), F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("common").cast("long").alias("c"),
+        F.col("jaccard_permille").alias("d"))
+    wp = _q_weighted_paths(spark, sf_dir).select(
+        F.lit("weighted").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), F.col("dist").alias("c"), lN.alias("d"))
+    return cp.unionByName(ja).unionByName(wp)
+
+
+def _q_sampling_ops(spark, sf_dir):
+    """Sampling/incremental family in one driver row: GraphSAGE neighbor
+    sampling, random walks, incremental dedup (exact + LSH probes)."""
+    ns = _q_neighbor_sample(spark, sf_dir).select(
+        F.lit("neighbor").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), F.col("sample_rank").cast("long").alias("c"))
+    rw = _q_random_walks(spark, sf_dir).select(
+        F.lit("walk").alias("op"), F.col("walk_id").alias("a"),
+        F.col("step").alias("b"), F.col("node").alias("c"))
+    inc = _q_incremental_dedup(spark, sf_dir).select(
+        "op", "a", "b", F.col("code").alias("c"))
+    return ns.unionByName(rw).unionByName(inc)
+
+
+def _q_ann_search(spark, sf_dir):
+    """ANN family in one driver row: IVF/LSH bucket layouts plus brute,
+    multi-probe-IVF, and batch-kNN top-k search."""
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    bk = _q_ann_buckets(spark, sf_dir).select(
+        "op", F.col("bucket").alias("s"), lN.alias("a"), lN.alias("b"),
+        lN.alias("c"), F.col("n").cast("long").alias("d"))
+    tk = _q_ann_topk(spark, sf_dir).select(
+        "op", sN.alias("s"), F.col("query_id").alias("a"),
+        F.col("vec_id").alias("b"), F.col("rank").cast("long").alias("c"),
+        F.col("sim_micro").cast("long").alias("d"))
+    return bk.unionByName(tk)
+
+
+def _q_events_hourly_both(spark, sf_dir):
+    """The hourly rollup under BOTH executions in one driver row: the batch
+    plan and the real Structured Streaming run must produce the identical
+    answer (stream/batch unification)."""
+    b = _q_events_hourly(spark, sf_dir).select(
+        F.lit("batch").alias("op"), "hour_bucket", "event_type", "n",
+        "sum_value_cents")
+    s = _q_events_hourly_stream(spark, sf_dir).select(
+        F.lit("stream").alias("op"), "hour_bucket", "event_type", "n",
+        "sum_value_cents")
+    return b.unionByName(s)
+
+
+def _q_chunk_shard(spark, sf_dir):
+    """Context-window prep in one driver row: overlapping character chunks
+    + token-budget sharding (two-pass distributed prefix sum)."""
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    ch = _q_doc_chunks(spark, sf_dir).select(
+        F.lit("chunk").alias("op"), "doc_id",
+        F.col("chunk_idx").cast("long").alias("a"),
+        F.col("chunk").alias("s"), lN.alias("b"))
+    sh = _q_token_shards(spark, sf_dir).select(
+        F.lit("shard").alias("op"), "doc_id",
+        F.col("shard").cast("long").alias("a"), sN.alias("s"),
+        F.col("n_tokens").cast("long").alias("b"))
+    return ch.unionByName(sh)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 47 entries — every operator family has a driver-visible row (the
-    # round-1 driver recorded only the first 50, so same-family gates are
-    # bundled; see "merged gate bundles" above).
+    # 49 entries (assert_gate_count test pins this) — the driver records at
+    # most ~50 correctness rows, so same-family gates are bundled into union
+    # rows with `op` tags; every registered operator keeps a driver-visible
+    # hash-checked row. See "merged gate bundles" above.
     return {
         # graph core
         "adjacency_neighbors": _q_adjacency,
@@ -1151,8 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "events_json": _q_events_json,
         "orders_by_month": _q_orders_by_month,
-        "events_hourly": _q_events_hourly,
-        "events_hourly_streaming": _q_events_hourly_stream,
+        "events_hourly_batch_stream": _q_events_hourly_both,
         "event_sessions": _q_event_sessions,
         "stream_interval_join": _q_stream_interval_join,
         # text / dedup / curation
@@ -1162,28 +1292,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_pairs": _q_neardup_pairs,
         "media_pipeline": _q_media_pipeline,
         "corpus_curation": _q_corpus_curation,
-        "doc_chunks": _q_doc_chunks,
-        "token_budget_shards": _q_token_shards,
+        "chunk_shard_ops": _q_chunk_shard,
         # similarity / ANN
-        "ann_buckets": _q_ann_buckets,
-        "ann_topk": _q_ann_topk,
+        "ann_search": _q_ann_search,
         # temporal
-        "asof_value": _q_asof_value,
-        "range_join_months": _q_range_join_months,
-        "funnel_view_purchase": _q_funnel,
-        "topk_per_priority": _q_topk_per_group,
+        "temporal_ops": _q_temporal_ops,
         # stats
-        "grouped_quantiles": _q_grouped_quantiles,
-        "doc_top_terms": _q_top_terms,
-        "stratified_sample": _q_stratified_sample,
-        "co_purchase_pairs": _q_co_purchase,
-        "node_jaccard": _q_node_jaccard,
-        "doc_inverted_index": _q_inverted_index,
-        "incremental_dedup": _q_incremental_dedup,
-        "weighted_paths": _q_weighted_paths,
-        # sampling
-        "neighbor_sample": _q_neighbor_sample,
-        "graph_random_walks": _q_random_walks,
+        "stats_ops": _q_stats_ops,
+        "graph_similarity": _q_graph_similarity,
+        # sampling / incremental
+        "sampling_ops": _q_sampling_ops,
     }
 
 
@@ -1330,12 +1448,19 @@ FROM events GROUP BY event_type""",
 SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
        COUNT(*) AS n
 FROM orders GROUP BY 1""",
-        "events_hourly": """
-SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS BIGINT) AS hour_bucket,
-       event_type,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-FROM events GROUP BY 1, 2""",
+        # both execution modes against one twin: the stream must compute the
+        # exact batch answer (stream/batch unification)
+        "events_hourly_batch_stream": """
+WITH hourly AS (
+  SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS BIGINT) AS hour_bucket,
+         event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT 'batch' AS op, hour_bucket, event_type, n, sum_value_cents FROM hourly
+UNION ALL
+SELECT 'stream', hour_bucket, event_type, n, sum_value_cents FROM hourly""",
         "event_sessions": """
 WITH marked AS (
   SELECT user_id, ts,
@@ -1356,14 +1481,6 @@ SELECT user_id,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, sid""",
-        # identical oracle as events_hourly: the streaming execution must
-        # produce the exact batch answer (stream/batch unification)
-        "events_hourly_streaming": """
-SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS BIGINT) AS hour_bucket,
-       event_type,
-       COUNT(*) AS n,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-FROM events GROUP BY 1, 2""",
         "stream_interval_join": """
 SELECT c.event_id AS l_event_id, p.event_id AS r_event_id
 FROM events c JOIN events p
@@ -1506,22 +1623,34 @@ FROM documents GROUP BY 3
 UNION ALL
 SELECT 'canonical', doc_id, NULL, CAST(n_tokens AS BIGINT)
 FROM ({O.canonical_corpus_sql()}) t""",
-        "doc_chunks": O.chunk_documents_sql(size=200, stride=150),
-        "token_budget_shards": O.shard_by_token_budget_sql(budget_tokens=10000),
-        "ann_buckets": f"""
-SELECT 'ivf' AS op, CAST(cell AS VARCHAR) AS bucket, n
-FROM ({O.ivf_cells_sql(n_cells=4)}) t1
+        "chunk_shard_ops": f"""
+SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
+       CAST(NULL AS BIGINT) AS b
+FROM ({O.chunk_documents_sql(size=200, stride=150)}) t1
 UNION ALL
-SELECT 'lsh', bucket, n FROM ({O.lsh_bucket_sizes_sql(n_planes=4)}) t2""",
-        "ann_topk": f"""
-SELECT 'brute' AS op, CAST(0 AS BIGINT) AS query_id, vec_id, rank, sim_micro
-FROM ({O.cosine_topk_sql(query_id=0, k=10)}) t1
+SELECT 'shard', doc_id, shard, NULL, n_tokens
+FROM ({O.shard_by_token_budget_sql(budget_tokens=10000)}) t2""",
+        "ann_search": f"""
+SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS c, n AS d
+FROM (
+  SELECT 'ivf' AS op, CAST(cell AS VARCHAR) AS bucket, n
+  FROM ({O.ivf_cells_sql(n_cells=4)}) t1
+  UNION ALL
+  SELECT 'lsh', bucket, n FROM ({O.lsh_bucket_sizes_sql(n_planes=4)}) t2
+) buckets
 UNION ALL
-SELECT 'ivf_probe2', CAST(0 AS BIGINT), vec_id, rank, sim_micro
-FROM ({O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)}) t2
-UNION ALL
-SELECT 'knn_join', CAST(query_id AS BIGINT), vec_id, rank, sim_micro
-FROM ({O.knn_join_sql(n_queries=5, k=10)}) t3""",
+SELECT op, NULL, query_id, vec_id, CAST(rank AS BIGINT), sim_micro
+FROM (
+  SELECT 'brute' AS op, CAST(0 AS BIGINT) AS query_id, vec_id, rank, sim_micro
+  FROM ({O.cosine_topk_sql(query_id=0, k=10)}) t3
+  UNION ALL
+  SELECT 'ivf_probe2', CAST(0 AS BIGINT), vec_id, rank, sim_micro
+  FROM ({O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)}) t4
+  UNION ALL
+  SELECT 'knn_join', CAST(query_id AS BIGINT), vec_id, rank, sim_micro
+  FROM ({O.knn_join_sql(n_queries=5, k=10)}) t5
+) topk""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so the fixpoint the iterative operator computes has a
         # closed form: component = the customer's minimum order id. Using
@@ -1582,25 +1711,52 @@ walk(n0, n1, d) AS (
 )
 SELECT n0 AS src, n1 AS dst, CAST(MIN(d) AS BIGINT) AS depth
 FROM walk GROUP BY n0, n1""",
-        # temporal
-        "asof_value": O.asof_join_sql(),
-        "range_join_months": O.range_join_sql(days=10),
-        "funnel_view_purchase": O.funnel_sql(within_seconds=3600),
-        "topk_per_priority": O.topk_per_group_sql(k=3),
-        # stats
-        "grouped_quantiles": O.grouped_quantiles_sql(
+        # temporal family bundle
+        "temporal_ops": f"""
+SELECT 'asof' AS op, CAST(NULL AS VARCHAR) AS s, CAST(event_id AS BIGINT) AS a,
+       value_asof_cents AS b, CAST(NULL AS BIGINT) AS c
+FROM ({O.asof_join_sql()}) t1
+UNION ALL
+SELECT 'range', NULL, month_bucket, n, sum_price_cents
+FROM ({O.range_join_sql(days=10)}) t2
+UNION ALL
+SELECT 'funnel', NULL, CAST(user_id AS BIGINT), n_started, n_completed
+FROM ({O.funnel_sql(within_seconds=3600)}) t3
+UNION ALL
+SELECT 'topk', o_orderpriority, CAST(o_orderkey AS BIGINT),
+       CAST(rank_in_group AS BIGINT), NULL
+FROM ({O.topk_per_group_sql(k=3)}) t4""",
+        # stats family bundle
+        "stats_ops": f"""
+SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,
+       q_250 AS a, q_500 AS b, q_900 AS c, CAST(NULL AS BIGINT) AS d
+FROM ({O.grouped_quantiles_sql(
             "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)",
             [0.25, 0.5, 0.9], "orders",
-        ),
-        "doc_top_terms": O.top_terms_sql(k=5),
-        "stratified_sample": O.stratified_sample_sql(STRATA),
-        "co_purchase_pairs": O.bipartite_projection_sql(min_count=2),
-        "node_jaccard": O.jaccard_similarity_sql(
+        )}) t1
+UNION ALL
+SELECT 'top_terms', term, NULL, doc_id, tf, df, CAST(rank_in_doc AS BIGINT)
+FROM ({O.top_terms_sql(k=5)}) t2
+UNION ALL
+SELECT 'inverted', term, posting_hash, NULL, df, NULL, NULL
+FROM ({O.inverted_index_sql(min_df=5, max_df=400)}) t3
+UNION ALL
+SELECT 'stratified', lang, NULL, doc_id, NULL, NULL, NULL
+FROM ({O.stratified_sample_sql(STRATA)}) t4""",
+        # graph-similarity family bundle
+        "graph_similarity": f"""
+SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       n_common AS c, CAST(NULL AS BIGINT) AS d
+FROM ({O.bipartite_projection_sql(min_count=2)}) t1
+UNION ALL
+SELECT 'jaccard', a, b, common, jaccard_permille
+FROM ({O.jaccard_similarity_sql(
             src_expr=f"l_suppkey + {2 * B}", dst_expr=f"l_partkey + {4 * B}",
             min_permille=100, max_b=4 * B,
-        ),
-        "doc_inverted_index": O.inverted_index_sql(min_df=5, max_df=400),
-        "weighted_paths": f"""WITH RECURSIVE wo AS (
+        )}) t2
+UNION ALL
+SELECT 'weighted', src, dst, dist, NULL
+FROM (WITH RECURSIVE wo AS (
   SELECT src, dst, w FROM (
     SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
            CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst,
@@ -1615,19 +1771,26 @@ wwalk(n0, n1, d) AS (
   SELECT ww.n0, e.dst, ww.d + e.w FROM wwalk ww JOIN wo e ON ww.n1 = e.src
 )
 SELECT n0 AS src, n1 AS dst, CAST(MIN(d) AS BIGINT) AS dist
-FROM wwalk GROUP BY n0, n1""",
-        "incremental_dedup": O.incremental_dedup_sql(split="80"),
-        "neighbor_sample": SA_ORACLE.sample_neighbors_oracle_sql(
+FROM wwalk GROUP BY n0, n1) t3""",
+        # sampling / incremental family bundle
+        "sampling_ops": f"""
+SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c
+FROM ({SA_ORACLE.sample_neighbors_oracle_sql(
             k=2, seed=7,
             edges_sql=f"SELECT l_orderkey + {5 * B} AS src, "
                       f"l_partkey + {4 * B} AS dst FROM lineitem",
-        ),
-        "graph_random_walks": SA_ORACLE.random_walks_oracle_sql(
+        )}) t1
+UNION ALL
+SELECT 'walk', walk_id, step, node
+FROM ({SA_ORACLE.random_walks_oracle_sql(
             edges_sql=f"SELECT l_suppkey + {2 * B} AS src, "
                       f"l_partkey + {4 * B} AS dst FROM lineitem "
                       f"UNION ALL SELECT l_partkey + {4 * B}, "
                       f"l_suppkey + {2 * B} FROM lineitem",
             length=3, seed=11,
             starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id FROM lineitem",
-        ),
+        )}) t2
+UNION ALL
+SELECT op, a, b, code
+FROM ({O.incremental_dedup_sql(split="80")}) t3""",
     }

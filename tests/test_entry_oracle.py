@@ -35,6 +35,17 @@ def test_every_query_has_oracle():
     assert not missing, f"queries without oracle twins: {missing}"
 
 
+def test_gate_count_under_driver_cap():
+    # the recording driver keeps only the first 50 correctness rows; every
+    # registered gate must stay visible (round-5 verdict: 62 entries silently
+    # dropped 12). Bundle same-family gates into union rows instead of
+    # growing past the cap.
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} gates > driver cap of 50 — bundle same-family "
+        "gates (see 'merged gate bundles' in __spark_entry__.py)"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
