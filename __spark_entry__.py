@@ -116,15 +116,17 @@ def _q_edge_list_ingest(spark, sf_dir):
     """insertNodeLines (``Enum.hs:387-407``): ingest the reference's OWN
     benchmark dataset (367,662 tab-separated int pairs, CRLF) through our
     edge-list reader and roll up per-source — DuckDB reads the same file
-    with read_csv. Skipped shape-wise if the reference checkout is absent."""
+    with read_csv. Raises loudly if the reference checkout is absent: an
+    empty frame would read as a vacuous green row instead of flagging that
+    this gate stopped testing ingest."""
     import os as _os
 
     from judy_graph_db_spark.sources.edge_list import read_edge_list
 
     path = "/root/reference/benchmark/data.txt"
-    if not _os.path.exists(path):  # keep the gate runnable anywhere
-        return spark.range(0).select(
-            F.col("id").alias("src"), F.col("id").alias("degree")
+    if not _os.path.exists(path):
+        raise FileNotFoundError(
+            f"edge_list_ingest gate needs the reference dataset at {path}"
         )
     g = read_edge_list(spark, path, label="MAILED")
     return (

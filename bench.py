@@ -86,7 +86,12 @@ def main() -> None:
         def miw_ref():
             read_edge_list(spark, ref_data, label="MAILED").edges.count()
 
-        run("miw_ref_data_txt", miw_ref, repeats=1)
+        # best-of-2 (nothing is cached inside — each repeat re-reads and
+        # re-builds): single-shot timing of a sub-second load swung 0.91 →
+        # 1.28s across rounds on identical code; an interleaved 8-sample
+        # A/B measured 0.53–0.76s steady-state with a 3.7s first-run
+        # outlier, i.e. the swing was VM + JIT noise, not a regression
+        run("miw_ref_data_txt", miw_ref, repeats=2)
 
         gref = read_edge_list(spark, ref_data, label="MAILED")
         gref.edges = gref.edges.cache()

@@ -563,6 +563,19 @@ def minplus_closure(
         .agg(F.min("depth").alias("depth"))
         .localCheckpoint(eager=True)
     )
+    if weight_col is not None:
+        # min-plus correctness requires non-negative, non-null weights —
+        # NULLs silently vanish into the min() aggregates and a negative
+        # edge makes "shortest" undefined under doubling. Probe the raw
+        # relation (pushed-down filter, short-circuits at the first bad
+        # row) so a NULL hiding behind a valid parallel edge still fails.
+        wcol = F.col(weight_col).cast("long")
+        bad = edges.filter(wcol.isNull() | (wcol < 0)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"minplus_closure: weight column {weight_col!r} must be "
+                "non-negative and non-null"
+            )
 
     def fingerprint(df: DataFrame) -> tuple:
         row = df.agg(
@@ -604,7 +617,8 @@ def minplus_closure(
     return r
 
 
-def bipartite_projection(edges: DataFrame, min_count: int = 1) -> DataFrame:
+def bipartite_projection(edges: DataFrame, min_count: int = 1,
+                         max_degree: int | None = None) -> DataFrame:
     """Project a bipartite edge set ``(src, dst)`` onto its ``dst`` side:
     for every pair of dst nodes sharing ≥ ``min_count`` src neighbors, one
     row ``(a, b, n_common)`` with ``a < b`` — the co-occurrence graph
@@ -612,11 +626,22 @@ def bipartite_projection(edges: DataFrame, min_count: int = 1) -> DataFrame:
 
     Scale notes: the wedge self-join is keyed on ``src``, so the pair
     explosion per src is O(deg²) — the hub problem every co-occurrence
-    projection has. Degree-bound the src side first (drop srcs above a
-    ``max_degree`` with the caller's filter) when baskets can be huge; the
-    join itself is a plain equi-join + count, one shuffle each.
+    projection has. ``max_degree`` drops srcs (baskets) above that degree
+    BEFORE the wedge join (one count-window pass, same shuffle key the
+    join needs anyway — the skew guard mirroring
+    ``dedup.minhash_lsh_candidates(max_bucket_size=)``); on a skewed
+    100 TB graph leave it set or hubs straggle the stage. Note capping
+    changes the answer for pairs that co-occur only inside huge baskets —
+    the standard co-occurrence trade; the default None is exact.
     """
     d = edges.select("src", "dst").distinct()
+    if max_degree is not None:
+        wd = Window.partitionBy("src")
+        d = (
+            d.withColumn("__deg", F.count(F.lit(1)).over(wd))
+            .filter(F.col("__deg") <= max_degree)
+            .drop("__deg")
+        )
     l = d.select("src", F.col("dst").alias("a"))
     r = d.select("src", F.col("dst").alias("b"))
     return (
@@ -628,7 +653,8 @@ def bipartite_projection(edges: DataFrame, min_count: int = 1) -> DataFrame:
     )
 
 
-def jaccard_similarity(edges: DataFrame, min_permille: int = 0) -> DataFrame:
+def jaccard_similarity(edges: DataFrame, min_permille: int = 0,
+                       max_degree: int | None = None) -> DataFrame:
     """Neighbor-set Jaccard similarity for every node pair sharing at least
     one neighbor in the undirected graph: ``|N(a)∩N(b)| / |N(a)∪N(b)|`` as
     integer permille (hash-stable). The classic link-prediction /
@@ -639,13 +665,28 @@ def jaccard_similarity(edges: DataFrame, min_permille: int = 0) -> DataFrame:
     instead of O(n²). Intersection size falls out of the wedge count;
     union size is ``deg(a) + deg(b) - common``, attached from the tiny
     degree relation. Returns ``(a, b, common, jaccard_permille)``.
+
+    ``max_degree`` excludes hub *via* nodes (wedge pivots with more than
+    that many neighbors) from candidate generation — the O(deg²) blowup
+    guard for skewed graphs, mirroring ``bipartite_projection``. Capping
+    is an approximation: pairs whose only common neighbors are hubs are
+    missed, and surviving pairs' ``common`` counts exclude hub wedges
+    (full degrees still feed the union size). Default None is exact.
     """
     sym = _symmetric(edges)  # (src=node, dst=neighbor), both directions
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wedge_base = sym
+    if max_degree is not None:
+        wv = Window.partitionBy("dst")  # dst = the wedge pivot (via)
+        wedge_base = (
+            sym.withColumn("__vd", F.count(F.lit(1)).over(wv))
+            .filter(F.col("__vd") <= max_degree)
+            .drop("__vd")
+        )
     wedges = (
-        sym.select(F.col("dst").alias("via"), F.col("src").alias("a"))
+        wedge_base.select(F.col("dst").alias("via"), F.col("src").alias("a"))
         .join(
-            sym.select(F.col("dst").alias("via"), F.col("src").alias("b")),
+            wedge_base.select(F.col("dst").alias("via"), F.col("src").alias("b")),
             "via",
         )
         .filter(F.col("a") < F.col("b"))

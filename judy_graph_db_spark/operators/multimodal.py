@@ -5,10 +5,11 @@ decode/feature steps run as Arrow-batched ``mapInPandas`` operators so a
 100 TB corpus streams through executors batch-by-batch without driver
 involvement. ``decode_stub=True`` produces deterministic fake features from
 the raw bytes (exercising the full batch path with no codec dependency);
-``decode_stub=False`` decodes for real through PIL when it is importable on
-the executors, and raises NotImplementedError otherwise (the image/audio
-libraries are not in this container). The Spark-side contract — schema,
-batch iteration, partitioning — is identical on both paths.
+``decode_stub=False`` decodes for real: through PIL when it is importable
+on the executors, else through the built-in pure-stdlib header parser
+(PNG/GIF/BMP/JPEG/PPM dimensions — no pixel decode), raising ValueError on
+unrecognized payloads. The Spark-side contract — schema, batch iteration,
+partitioning — is identical on all paths.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from pyspark.sql import functions as F
 
 
 def _pil_image():
-    """The optional real codec: PIL's Image module, or None. Resolved inside
+    """The optional full codec: PIL's Image module, or None. Resolved inside
     the Arrow batch fn so the import happens executor-side."""
     try:
         from PIL import Image  # noqa: PLC0415
@@ -30,6 +31,62 @@ def _pil_image():
         return Image
     except ImportError:
         return None
+
+
+def _builtin_dims(b: bytes) -> tuple[int, int, int]:
+    """Dependency-free image *header* decode → (width, height, n_frames).
+
+    Real format parsing (not a stub): PNG IHDR, GIF logical screen
+    descriptor, BMP info header, JPEG SOFn segment walk, binary PPM/PGM
+    header — the formats' published layouts, no pixel decompression. Frame
+    count is 1 (animated-frame walks are full-codec territory — PIL path).
+    Raises ValueError on payloads that are none of these.
+    """
+    import re  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])  # IHDR is always first
+        return w, h, 1
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h, 1
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return w, abs(h), 1  # negative height = top-down rows
+    if b[:2] == b"\xff\xd8":  # JPEG: walk segments to the first SOFn
+        i = 2
+        while i + 9 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return w, h, 1
+            i += 2 + seg_len
+        raise ValueError("JPEG payload without a SOF marker")
+    m = re.match(rb"P[56]\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s", b[:128])
+    if m:
+        return int(m.group(1)), int(m.group(2)), 1
+    raise ValueError(f"unrecognized image payload (magic {bytes(b[:8])!r})")
+
+
+def _real_dims_fn():
+    """The real-decode dimension function: PIL when importable (full codec,
+    true frame counts), else the built-in header parser."""
+    image_mod = _pil_image()
+    if image_mod is None:
+        return lambda b: _builtin_dims(bytes(b))
+
+    import io  # noqa: PLC0415
+
+    def dims(b: bytes) -> tuple[int, int, int]:
+        with image_mod.open(io.BytesIO(b)) as img:
+            return img.width, img.height, int(getattr(img, "n_frames", 1))
+
+    return dims
 
 MEDIA_META_SCHEMA = "doc_id long, media_type string, byte_len long, content_hash string"
 IMAGE_FEATURES_SCHEMA = (
@@ -67,26 +124,14 @@ def decode_features(media: DataFrame, decode_stub: bool = True,
 
     With ``decode_stub`` the "decoder" derives deterministic fake dimensions
     from the payload bytes (first bytes mod ranges) — exercising the real
-    batch path end-to-end. Without it, payloads are decoded through PIL
-    (width/height/frame count per image); if PIL is not importable this
-    raises NotImplementedError at first batch.
+    batch path end-to-end on non-image fixtures. Without it, payloads are
+    decoded for real: PIL when importable, else the built-in pure-stdlib
+    header parser (``_builtin_dims``); unrecognized payloads raise
+    ValueError in the executor batch.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io  # noqa: PLC0415
-
-        image_mod = None
-        if not decode_stub:
-            image_mod = _pil_image()
-            if image_mod is None:
-                raise NotImplementedError(
-                    "real media decoding requires PIL (pip install pillow) — "
-                    "not available here; use decode_stub=True"
-                )
-
-        def real_dims(b: bytes) -> tuple[int, int, int]:
-            with image_mod.open(io.BytesIO(b)) as img:
-                return img.width, img.height, int(getattr(img, "n_frames", 1))
+        real_dims = None if decode_stub else _real_dims_fn()
 
         for pdf in batches:
             contents = pdf["content"]
@@ -128,21 +173,12 @@ def frame_sample(media: DataFrame, every_n: int = 2, decode_stub: bool = True) -
     the DuckDB twin is plain ``md5(text || CAST(i AS VARCHAR))``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io  # noqa: PLC0415
-
-        image_mod = None
-        if not decode_stub:
-            image_mod = _pil_image()
-            if image_mod is None:
-                raise NotImplementedError(
-                    "real frame decode requires PIL — use decode_stub=True"
-                )
+        real_dims = None if decode_stub else _real_dims_fn()
 
         def n_frames_of(content: bytes) -> int:
             if decode_stub:
                 return 1 + (len(content) % 8)
-            with image_mod.open(io.BytesIO(content)) as img:
-                return int(getattr(img, "n_frames", 1))
+            return real_dims(content)[2]
 
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "frame_hash": []}

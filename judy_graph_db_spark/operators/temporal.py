@@ -57,13 +57,21 @@ def asof_join(
     survives 100 TB probes against 100 TB quotes: no interval explosion,
     no broadcast, skew bounded by the busiest key like any keyed window.
     """
+    from pyspark.sql.types import StructType
+
     keys = [on] if isinstance(on, str) else list(on)
     rc = list(right_cols)
+    # the attached columns travel as ONE struct filled by ONE
+    # last(ignorenulls) so they always come from the same right row — the
+    # per-column-fill formulation mixes values from different right rows
+    # whenever a right row holds a NULL in one of right_cols
+    rs_type = StructType([right.schema[c] for c in rc])
     probe = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("__t"),
         F.lit(0).alias("__is_r"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rc],
+        F.lit(None).cast(rs_type).alias("__rs"),
         F.struct(*left.columns).alias("__row"),
     )
     quote = right.select(
@@ -71,10 +79,13 @@ def asof_join(
         F.col(right_ts).alias("__t"),
         F.lit(1).alias("__is_r"),
         *[F.col(c).alias(f"__r_{c}") for c in rc],
+        F.struct(*[F.col(c).alias(c) for c in rc]).alias("__rs"),
         F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
     )
     # quotes sort before probes at equal ts (asc on -is_r), then by the
     # attached columns so the last-seen quote among equal-ts ones is the max
+    # (ordering stays on the plain __r_ columns — NULL-field struct ordering
+    # is not engine-portable)
     order = [F.col("__t").asc(), (-F.col("__is_r")).asc()] + [
         F.col(f"__r_{c}").asc_nulls_first() for c in rc
     ]
@@ -84,14 +95,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = probe.unionByName(quote).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in rc
-        ],
+        "*", F.last("__rs", ignorenulls=True).over(w).alias("__f")
     )
     out_cols = [F.col("__row")[c].alias(c) for c in left.columns] + [
-        F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in rc
+        F.col("__f")[c].alias(f"{c}{suffix}") for c in rc
     ]
     return filled.filter(F.col("__is_r") == 0).select(*out_cols)
 
@@ -156,9 +163,12 @@ def funnel_completions(
         F.col(ts_col).alias("__t"),
         (F.col(type_col) == then_type).alias("__is_b"),
     )
+    # B rows sort BEFORE A rows at equal timestamps (is_b desc), so a B at
+    # exactly the A's timestamp is outside the A row's following frame —
+    # "strictly after" really means strictly after
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col("__t").asc(), F.col("__is_b").asc())
+        .orderBy(F.col("__t").asc(), F.col("__is_b").desc())
         .rowsBetween(1, Window.unboundedFollowing)
     )
     next_b = F.min(F.when(F.col("__is_b"), F.col("__t"))).over(w)

@@ -516,24 +516,26 @@ def asof_join_sql(probe_type: str = "click", quote_type: str = "purchase",
     """Twin of ``temporal.asof_join`` on the events table: for every
     ``probe_type`` event, the latest ``quote_type`` value at-or-before it
     per user — same union + last_value(IGNORE NULLS) running-window
-    formulation, same (ts, quotes-first, max-value) tiebreak."""
+    formulation over ONE struct (all attached columns from the same right
+    row), same (ts, quotes-first, max-value) tiebreak on plain columns."""
     return f"""
 WITH u AS (
-  SELECT user_id, ts AS t, 0 AS is_r, CAST(NULL AS DOUBLE) AS rv, event_id
+  SELECT user_id, ts AS t, 0 AS is_r, CAST(NULL AS DOUBLE) AS rv,
+         NULL AS rs, event_id
   FROM {table} WHERE event_type = '{probe_type}'
   UNION ALL
-  SELECT user_id, ts, 1, value, NULL
+  SELECT user_id, ts, 1, value, {{'value': value}}, NULL
   FROM {table} WHERE event_type = '{quote_type}'
 ),
 f AS (
   SELECT event_id, is_r,
-         LAST_VALUE(rv IGNORE NULLS) OVER (
+         LAST_VALUE(rs IGNORE NULLS) OVER (
            PARTITION BY user_id
            ORDER BY t ASC, -is_r ASC, rv ASC NULLS FIRST
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fr
   FROM u
 )
-SELECT event_id, CAST(round(fv * 100) AS BIGINT) AS value_asof_cents
+SELECT event_id, CAST(round(fr.value * 100) AS BIGINT) AS value_asof_cents
 FROM f WHERE is_r = 0
 """
 
@@ -560,7 +562,8 @@ GROUP BY 1
 def funnel_sql(first_type: str = "view", then_type: str = "purchase",
                within_seconds: int = 3600, table: str = "events") -> str:
     """Twin of ``temporal.funnel_completions``: per user, A-events followed
-    by a B within the gap — same min-over-following-frame formulation."""
+    by a B *strictly* after within the gap — same min-over-following-frame
+    formulation, same B-before-A order at equal timestamps."""
     return f"""
 WITH ab AS (
   SELECT user_id, ts AS t, (event_type = '{then_type}') AS is_b
@@ -569,7 +572,7 @@ WITH ab AS (
 m AS (
   SELECT user_id, t, is_b,
          MIN(CASE WHEN is_b THEN t END) OVER (
-           PARTITION BY user_id ORDER BY t ASC, is_b ASC
+           PARTITION BY user_id ORDER BY t ASC, is_b DESC
            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
   FROM ab
 )

@@ -289,31 +289,68 @@ def _endpoint_cost(g: Graph, spec: N) -> int:
     return sum(counts.values()) or 100000
 
 
+def _remap_bindings(b: DataFrame, node_map, edge_map) -> DataFrame:
+    """Rename a compiled sub-pattern's positional columns (n{j} / e{j}_*)
+    into the full pattern's orientation via the position-index maps."""
+    mapping = {}
+    for j, tgt in node_map.items():
+        mapping[f"n{j}"] = f"n{tgt}"
+    for j, tgt in edge_map.items():
+        for suffix in ("label", "seq", "depth"):
+            mapping[f"e{j}_{suffix}"] = f"e{tgt}_{suffix}"
+    return b.select([F.col(c).alias(mapping.get(c, c)) for c in b.columns])
+
+
+def _binding_col_order(c: str) -> tuple:
+    """Canonical binding column order: n0, e0_*, n1, e1_*, …"""
+    if c.startswith("n") and c[1:].isdigit():
+        return (2 * int(c[1:]), 0, c)
+    return (2 * int(c[1:].split("_")[0]) + 1, 1, c)
+
+
 def table(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
     """Evaluate a pattern → bindings DataFrame (``table``, ``Cypher.hs:423-427``).
 
     ``quick=True`` evaluates left→right as written (``evalLtoR``).
     ``quick=False`` is the cost-based strategy (``runOnE``,
-    ``Cypher.hs:717-785``): seed the join chain from the cheaper end —
-    measured by the graph's cached per-label row counts
-    (:meth:`Graph.label_counts`, real statistics where the reference has
-    only the 3-bucket ``compl`` model) — then let Catalyst/AQE do
-    statistics-based ordering within the chain.
+    ``Cypher.hs:717-785``): seed the join chain from the cheapest node spec
+    ANYWHERE in the chain — the reference's ``minI`` picks any column
+    (``Cypher.hs:586-607``), not just an end — measured by the graph's
+    cached per-label row counts (:meth:`Graph.label_counts`, real
+    statistics where the reference has only the 3-bucket ``compl`` model).
+    An interior minimum splits the pattern at that node and compiles
+    outward both ways (each side's join chain starts from the selective
+    frontier), joining the halves back on the shared node; Catalyst/AQE
+    does statistics-based ordering within each chain.
     """
     if not quick:
-        first = _endpoint_cost(g, pattern.node_specs[0])
-        last = _endpoint_cost(g, pattern.node_specs[-1])
-        if last < first:
-            k = len(pattern.node_specs)
+        costs = [_endpoint_cost(g, s) for s in pattern.node_specs]
+        k = len(costs)
+        i = min(range(k), key=lambda j: costs[j])  # ties → leftmost
+        if i == k - 1 and k > 1:
             rev = compile_pattern(g, pattern.reversed())
-            # map reversed column names back to the original orientation
-            mapping = {}
-            for j in range(k):
-                mapping[f"n{j}"] = f"n{k-1-j}"
-            for j in range(k - 1):
-                for suffix in ("label", "seq", "depth"):
-                    mapping[f"e{j}_{suffix}"] = f"e{k-2-j}_{suffix}"
-            return rev.select([F.col(c).alias(mapping.get(c, c)) for c in rev.columns])
+            return _remap_bindings(
+                rev,
+                {j: k - 1 - j for j in range(k)},
+                {j: k - 2 - j for j in range(k - 1)},
+            )
+        if 0 < i < k - 1:
+            # split at the cheap interior node: left half reversed (seeded
+            # at i, walking back to 0), right half as written (seeded at i)
+            left = Pattern(pattern.specs[: 2 * i + 1]).reversed()
+            right = Pattern(pattern.specs[2 * i:])
+            lb = _remap_bindings(
+                compile_pattern(g, left),
+                {j: i - j for j in range(i + 1)},
+                {j: i - 1 - j for j in range(i)},
+            )
+            rb = _remap_bindings(
+                compile_pattern(g, right),
+                {j: i + j for j in range(k - i)},
+                {j: i + j for j in range(k - 1 - i)},
+            )
+            joined = lb.join(rb, on=[f"n{i}"], how="inner")
+            return joined.select(sorted(joined.columns, key=_binding_col_order))
     return compile_pattern(g, pattern)
 
 
@@ -371,9 +408,12 @@ def shortest_paths(g: Graph, start: N, label: str | None = None,
     pat = Pattern([start, E(attr=[label] if label else None, direction=direction,
                             several=(1, max_hops)), N()])
     b = compile_pattern(g, pat)
-    return b.select(
-        "n0", "n1", F.col("e0_depth").cast("long").alias("hops")
-    ) if max_hops is None else b.groupBy("n0", "n1").agg(
+    # Aggregate min(depth) UNCONDITIONALLY: with max_hops=None both the BFS
+    # visited-set branch and the min-plus closure branch already emit one
+    # min-depth row per pair, but relying on that keeps correctness coupled
+    # to both strategies' dedup behavior staying aligned — the groupBy is a
+    # no-op on already-minimal rows and makes the contract explicit.
+    return b.groupBy("n0", "n1").agg(
         F.min("e0_depth").cast("long").alias("hops")
     )
 

@@ -156,7 +156,28 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
             merged = batch_max
         new_version = 0 if latest is None else latest + 1
         new_vdir = os.path.join(cdir, f"v={new_version}")
-        merged.coalesce(1).write.mode("overwrite").parquet(new_vdir)
+        # the counter relation is O(distinct (src,label,is_back)) — node
+        # scale on a big graph — so write it hash-partitioned on the key
+        # (a coalesce(1) single file would serialize every micro-batch
+        # through one task); the partition count tracks the session's
+        # shuffle parallelism with a floor of 4 files. The micro-batch
+        # session's AQE coalesces even an explicit repartition(n, cols)
+        # down to one partition on small batches (observed on pyspark 4.1:
+        # foreachBatch plans coalesce where identical batch plans don't),
+        # so partition coalescing is scoped off around this one write —
+        # the explicit n then sticks.
+        n_files = max(
+            4, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
+        )
+        coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+        prev_coalesce = spark.conf.get(coalesce_key, "true")
+        spark.conf.set(coalesce_key, "false")
+        try:
+            merged.repartition(n_files, *key).write.mode("overwrite").parquet(
+                new_vdir
+            )
+        finally:
+            spark.conf.set(coalesce_key, prev_coalesce)
         with open(os.path.join(new_vdir, "_batch_meta.json"), "w") as fh:
             json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
         # keep the previous version as a fallback; prune anything older

@@ -306,6 +306,51 @@ def test_bipartite_projection(spark):
     assert strong == {(10, 11)}
 
 
+def test_bipartite_projection_max_degree_excludes_hub(spark):
+    # basket 1 is a hub (4 items); basket 2 is small. With max_degree=2 the
+    # hub basket contributes no wedges — only basket 2's pair survives.
+    e = edges_df(
+        spark, [(1, 10), (1, 11), (1, 12), (1, 13), (2, 10), (2, 11)]
+    )
+    full = {(r.a, r.b): r.n_common for r in AN.bipartite_projection(e).collect()}
+    assert full[(10, 11)] == 2 and (12, 13) in full
+    capped = {
+        (r.a, r.b): r.n_common
+        for r in AN.bipartite_projection(e, max_degree=2).collect()
+    }
+    assert capped == {(10, 11): 1}  # hub wedges gone, count drops to 1
+
+
+def test_jaccard_max_degree_excludes_hub_pivot(spark):
+    # star: hub 1 connects to 2,3,4 (deg 3); plus 2-3 via private node 5.
+    # Capping the wedge pivot at degree 2 removes every wedge through 1.
+    e = edges_df(spark, [(1, 2), (1, 3), (1, 4), (2, 5), (3, 5)])
+    full = {(r.a, r.b) for r in AN.jaccard_similarity(e).collect()}
+    assert (2, 4) in full and (3, 4) in full  # hub-only wedges present
+    capped = {
+        (r.a, r.b): r.common
+        for r in AN.jaccard_similarity(e, max_degree=2).collect()
+    }
+    assert (2, 4) not in capped and (3, 4) not in capped
+    # 2-3 survives via pivot 5 (deg 2), common excludes the hub wedge
+    assert capped[(2, 3)] == 1
+
+
+def test_weighted_paths_rejects_bad_weights(spark):
+    import pytest as _pt
+
+    neg = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, -1)], "src BIGINT, dst BIGINT, weight BIGINT"
+    )
+    with _pt.raises(ValueError, match="non-negative"):
+        AN.weighted_shortest_paths(neg)
+    withnull = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, None)], "src BIGINT, dst BIGINT, weight BIGINT"
+    )
+    with _pt.raises(ValueError, match="non-null"):
+        AN.weighted_shortest_paths(withnull)
+
+
 def test_jaccard_similarity(spark):
     # path 1-2-3 plus 1-3: N(1)={2,3}, N(2)={1,3}, N(3)={1,2}
     e = edges_df(spark, [(1, 2), (2, 3), (1, 3)])

@@ -210,6 +210,69 @@ def test_shortest_paths_chain(spark):
     assert got == {(7, 8): 1, (7, 9): 2, (7, 10): 3}
 
 
+def test_cost_strategy_seeds_from_interior_min(spark, monkeypatch):
+    """A selective MID-pattern spec drives the join order: quick=False
+    splits the chain at the interior minimum and compiles outward both
+    ways, each sub-chain seeded at the selective node."""
+    import judy_graph_db_spark.plans.compiler as C
+    from judy_graph_db_spark.graph import Graph
+
+    # BIG(6) -HIT-> MID(1 explicit id) -HIT-> BIG2(6): both endpoints cost
+    # 6, the middle explicit id costs 1
+    g = Graph.from_lists(
+        spark,
+        nodes=[(i, "BIG") for i in range(6)]
+        + [(10, "MID")]
+        + [(20 + i, "BIG2") for i in range(6)],
+        directed_edges=[(i, 10, "HIT") for i in range(6)]
+        + [(10, 20 + i, "HIT") for i in range(6)],
+        add_back_edges=True,
+    )
+    pat = (
+        N(labels=["BIG"]) >> E("HIT", direction="r") >> N(ids=[10])
+        >> E("HIT", direction="r") >> N(labels=["BIG2"])
+    )
+    compiled = []
+    orig = C.compile_pattern
+    monkeypatch.setattr(
+        C, "compile_pattern",
+        lambda g2, p: compiled.append(p) or orig(g2, p),
+    )
+    cost = C.table(g, pat, quick=False)
+    # two sub-chains, both seeded at the selective interior node
+    assert len(compiled) == 2
+    assert all(p.node_specs[0].ids == [10] for p in compiled)
+    # canonical column layout and identical answer to the LtoR plan
+    assert cost.columns[:4] == ["n0", "e0_label", "e0_seq", "n1"]
+    quick = rows(table(g, pat), "n0", "n1", "n2")
+    assert rows(cost, "n0", "n1", "n2") == quick
+    assert len(quick) == 36
+
+
+def test_shortest_paths_strategy_branches_agree_on_cycle(spark):
+    """The unbounded walk dispatches BFS (selective frontier) or min-plus
+    closure (broad frontier) by runtime stats; both must return identical
+    min-depth rows on a cyclic graph."""
+    from judy_graph_db_spark import shortest_paths
+    from judy_graph_db_spark.graph import Graph
+
+    n = 10  # directed 10-cycle 0→1→…→9→0
+    g = Graph.from_lists(
+        spark,
+        nodes=[(i, "NODE") for i in range(n)],
+        directed_edges=[(i, (i + 1) % n, "NEXT") for i in range(n)],
+    )
+    # broad frontier (all 10 srcs): 4*10 >= 10 -> min-plus branch
+    broad = {(r.n0, r.n1): r.hops for r in
+             shortest_paths(g, N(), label="NEXT").collect()}
+    # selective frontier (1 src vs 10): 4*1 < 10 -> BFS visited-set branch
+    sel = {(r.n0, r.n1): r.hops for r in
+           shortest_paths(g, N(ids=[0]), label="NEXT").collect()}
+    assert sel == {k: v for k, v in broad.items() if k[0] == 0}
+    # min depth on the cycle: (0,j) = j hops, (0,0) = full loop
+    assert sel[(0, 5)] == 5 and sel[(0, 0)] == n
+
+
 def test_shortest_paths_bounded(spark):
     from judy_graph_db_spark import shortest_paths
     from tests.fixtures import f3_package_graph

@@ -219,10 +219,65 @@ def _has_pil():
         return False
 
 
-@pytest.mark.skipif(_has_pil(), reason="PIL present: real decode path active")
-def test_decode_without_stub_raises(docs, spark):
-    media = M.as_media_table(docs.limit(2))
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+def _tiny_png(w, h):
+    # a real (if minimal) PNG: signature + IHDR + one zlib IDAT + IEND
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: that path has its own parity test")
+def test_decode_real_builtin_header_parser(spark):
+    """decode_stub=False works WITHOUT PIL: the built-in header parser reads
+    true dimensions from real PNG/GIF/BMP/PPM payloads. (The minimal GIF/BMP
+    fixtures here carry valid headers but truncated bodies, which a full
+    codec would reject — this test pins the no-PIL path only.)"""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 40, 30) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 7, -9) + b"\x00" * 30
+    ppm = b"P6\n# c\n12 34\n255\n" + b"\x00" * (12 * 34 * 3)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_tiny_png(20, 10)), "image"),
+            (2, bytearray(gif), "image"),
+            (3, bytearray(bmp), "image"),
+            (4, bytearray(ppm), "image"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.n_frames)
+        for r in M.decode_features(media, decode_stub=False).collect()
+    }
+    assert got == {
+        1: (20, 10, 1),
+        2: (40, 30, 1),
+        3: (7, 9, 1),  # negative BMP height = top-down
+        4: (12, 34, 1),
+    }
+
+
+def test_decode_real_rejects_non_image_payloads(docs, spark):
+    media = M.as_media_table(docs.limit(2))  # text bytes, not images
+    ctx = (
+        pytest.raises(Exception, match="unrecognized image payload")
+        if not _has_pil()
+        else pytest.raises(Exception)  # PIL raises its own decode error
+    )
+    with ctx:
         M.decode_features(media, decode_stub=False).collect()
 
 

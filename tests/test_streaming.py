@@ -81,6 +81,33 @@ def test_counter_table_replaces_sink_rescan(spark, tmp_path):
     got = {(r.src, r.label): r.max_seq for r in counters.collect()}
     assert got[(1, "KNOWS")] == 3
 
+    # the counter relation is node-scale at 100 TB: the write must be
+    # hash-partitioned (multiple files), never a coalesce(1) bottleneck
+    # (asserted with enough keys in test_counter_table_write_is_partitioned;
+    # here the 2 keys can legitimately hash into one non-empty partition)
+
+
+def test_counter_table_write_is_partitioned(spark, tmp_path):
+    """With many counter keys the versioned counter write must spread over
+    multiple files — a coalesce(1) write would serialize every micro-batch
+    of a node-scale relation through one task."""
+    from judy_graph_db_spark.streaming.ingest import _counters_dir
+
+    src = tmp_path / "in"
+    sink = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    lines = "".join(f"{i},{i + 100},KNOWS\n" for i in range(1, 25))
+    (src / "a.csv").write_text(lines)
+    _drain(foreach_batch_insert(read_edge_csv_stream(spark, str(src)), sink, ckpt))
+
+    vdir = os.path.join(_counters_dir(sink), "v=0")
+    files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert len(files) > 1, f"counter table wrote a single file: {files}"
+    # and the relation itself is intact
+    got = {r.src: r.max_seq for r in spark.read.parquet(vdir).collect()}
+    assert got == {i: 1 for i in range(1, 25)}
+
 
 def test_windowed_counts_batch_equals_oracle(spark):
     from judy_graph_db_spark.sources.tpch_graph import load_tpch_views

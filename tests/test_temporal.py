@@ -63,6 +63,28 @@ def test_asof_join_keeps_left_columns(spark, quotes):
     assert (r.event_id, r.tag, r.value_asof) == (11, "x", 100.0)
 
 
+def test_asof_join_null_right_col_stays_row_consistent(spark):
+    # a later quote with a NULL in one right col must NOT inherit that
+    # column from an earlier quote — all attached columns come from the
+    # same (latest) right row
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0, "early"),
+            (1, ts("2024-01-01 11:00:00"), None, "late"),
+        ],
+        "user_id long, ts timestamp, value double, src string",
+    )
+    probes = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 12:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    [r] = T.asof_join(
+        probes, quotes, on="user_id", right_cols=("value", "src")
+    ).collect()
+    assert r.src_asof == "late"
+    assert r.value_asof is None  # NOT 100.0 from the 'early' row
+
+
 def test_range_join_matches_between_semantics(spark):
     points = spark.createDataFrame(
         [(i, ts(f"2024-01-0{d} 12:00:00")) for i, d in enumerate([1, 2, 3, 5])],
@@ -125,6 +147,22 @@ def test_funnel_counts(spark):
         for r in T.funnel_completions(ev, "view", "purchase", 1800).collect()
     }
     assert out == {1: (2, 1), 2: (1, 0), 3: (1, 1)}
+
+
+def test_funnel_equal_ts_b_is_not_strictly_after(spark):
+    ev = spark.createDataFrame(
+        [
+            # B at exactly the A timestamp -> NOT a completion
+            (0, 1, ts("2024-01-01 10:00:00"), "view"),
+            (1, 1, ts("2024-01-01 10:00:00"), "purchase"),
+            # a later strict B still completes a later A
+            (2, 1, ts("2024-01-01 11:00:00"), "view"),
+            (3, 1, ts("2024-01-01 11:00:01"), "purchase"),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    [r] = T.funnel_completions(ev, "view", "purchase", 1800).collect()
+    assert (r.n_started, r.n_completed) == (2, 1)
 
 
 def test_topk_per_group(spark):
