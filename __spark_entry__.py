@@ -839,6 +839,29 @@ def _q_pagerank(spark, sf_dir):
     )
 
 
+def _q_link_analysis(spark, sf_dir):
+    """Link-analysis family in one driver row: HITS hubs/authorities (3
+    rounds, L1-normalized) and personalized PageRank restarted onto the
+    first three supplier nodes — both fixed-iteration, hash-checked
+    against unrolled-CTE twins at e9/e6 fixed point."""
+    g = tpch_graph(spark, sf_dir)
+    fwd = g.edges.filter(~F.col("is_back"))
+    lN = F.lit(None).cast("long")
+    h = AN.hits(fwd, iters=3).select(
+        F.lit("hits").alias("op"), "id",
+        F.floor(F.col("auth") * 1000000000).cast("long").alias("a"),
+        F.floor(F.col("hub") * 1000000000).cast("long").alias("b"),
+    )
+    p = AN.personalized_pagerank(
+        fwd, seeds=[2 * B + 1, 2 * B + 2, 2 * B + 3], iters=3
+    ).select(
+        F.lit("ppr").alias("op"), "id",
+        F.floor(F.col("rank") * 1000000).cast("long").alias("a"),
+        lN.alias("b"),
+    )
+    return h.unionByName(p)
+
+
 def _q_closure(spark, sf_dir):
     """Min-plus path-doubling reachability over the NEXT_ORDER chains:
     same semantics as the unbounded-repeat pattern loop but O(log d)
@@ -972,6 +995,8 @@ def _q_doc_signals(spark, sf_dir):
         T.upper_permille(t).alias("upper_pm"),
         T.stopword_permille(t).alias("stop_pm"),
         T.quality_score(t).alias("quality"),
+        T.dup_line_permille(t).alias("dup_line_pm"),
+        T.dup_token_permille(t).alias("dup_token_pm"),
         T.lang_id(t).alias("lang"),
         T.fingerprint(t).alias("fp"),
         D.simhash(t).alias("simhash"),
@@ -1035,7 +1060,9 @@ def _q_media_pipeline(spark, sf_dir):
 
 def _q_corpus_curation(spark, sf_dir):
     """Corpus curation family in one driver row: deterministic hash sample,
-    train/val/test split sizes, post-dedup canonical corpus."""
+    train/val/test split sizes, post-dedup canonical corpus, and benchmark
+    decontamination (every 20th doc plays the eval set; the rest is the
+    corpus scanned once against its broadcast shingle set)."""
     from judy_graph_db_spark.operators import curation as CU
 
     load_tpch_views(spark, sf_dir)
@@ -1043,14 +1070,24 @@ def _q_corpus_curation(spark, sf_dir):
     lN = F.lit(None).cast("long")
     sN = F.lit(None).cast("string")
     sample = CU.hash_sample(docs, 64).select(
-        F.lit("sample").alias("op"), "doc_id", sN.alias("split"), lN.alias("n"))
+        F.lit("sample").alias("op"), "doc_id", sN.alias("split"), lN.alias("n"),
+        lN.alias("a"), lN.alias("b"))
     splits = CU.hash_split(docs, {"train": 240, "val": 8, "test": 8}).groupBy(
         "split").agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("split_sizes").alias("op"), lN.alias("doc_id"), "split", "n")
+        F.lit("split_sizes").alias("op"), lN.alias("doc_id"), "split", "n",
+        lN.alias("a"), lN.alias("b"))
     canon = CU.canonical_corpus(docs).select(
         F.lit("canonical").alias("op"), "doc_id", sN.alias("split"),
-        T.token_count(F.col("text")).alias("n"))
-    return sample.unionByName(splits).unionByName(canon)
+        T.token_count(F.col("text")).alias("n"), lN.alias("a"), lN.alias("b"))
+    contam = D.ngram_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    ).select(
+        F.lit("contam").alias("op"), "doc_id", sN.alias("split"),
+        F.col("n_shingles").alias("n"), F.col("n_hits").alias("a"),
+        F.col("contam_permille").alias("b"))
+    return (sample.unionByName(splits).unionByName(canon)
+            .unionByName(contam))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -1275,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "label_communities": _q_label_propagation,
         "pagerank_ranks": _q_pagerank,
+        "link_analysis": _q_link_analysis,
         "k_core_nodes": _q_k_core,
         "closure_min_depth": _q_closure,
         # relational parity-plus
@@ -1498,6 +1536,8 @@ SELECT doc_id,
        {O.upper_permille_sql()} AS upper_pm,
        {O.stopword_permille_sql()} AS stop_pm,
        {O.quality_score_sql()} AS quality,
+       {O.dup_line_permille_sql()} AS dup_line_pm,
+       {O.dup_token_permille_sql()} AS dup_token_pm,
        {O.lang_id_sql()} AS lang,
        {O.fingerprint_sql()} AS fp,
        {O.simhash_sql()} AS simhash
@@ -1615,16 +1655,22 @@ SELECT 'reciprocal', 'KNOWS', v.is_back, v.a, v.b FROM (VALUES
   (TRUE,  CAST({3 * B + 1} AS BIGINT), CAST({3 * B + 2} AS BIGINT))) v(is_back, a, b)""",
         "corpus_curation": f"""
 SELECT 'sample' AS op, doc_id, CAST(NULL AS VARCHAR) AS split,
-       CAST(NULL AS BIGINT) AS n
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS a,
+       CAST(NULL AS BIGINT) AS b
 FROM documents WHERE {O.hash_bucket_sql('doc_id')} < '40'
 UNION ALL
 SELECT 'split_sizes', NULL,
        {O.hash_split_case_sql({'train': 240, 'val': 8, 'test': 8})} AS split,
-       COUNT(*)
+       COUNT(*), NULL, NULL
 FROM documents GROUP BY 3
 UNION ALL
-SELECT 'canonical', doc_id, NULL, CAST(n_tokens AS BIGINT)
-FROM ({O.canonical_corpus_sql()}) t""",
+SELECT 'canonical', doc_id, NULL, CAST(n_tokens AS BIGINT), NULL, NULL
+FROM ({O.canonical_corpus_sql()}) t
+UNION ALL
+SELECT 'contam', doc_id, NULL, n_shingles, n_hits, contam_permille
+FROM ({O.ngram_contamination_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0")}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b
@@ -1691,6 +1737,18 @@ FROM (
         "pagerank_ranks": AN.pagerank_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
         ),
+        # each half is a self-contained unrolled-CTE statement (its own
+        # WITH chain over the graph prefix), combined as derived tables
+        "link_analysis": f"""
+SELECT 'hits' AS op, id, auth_e9 AS a, hub_e9 AS b FROM (
+{AN.hits_oracle_sql("SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P)}
+)
+UNION ALL
+SELECT 'ppr' AS op, id, rank_e6 AS a, CAST(NULL AS BIGINT) AS b FROM (
+{AN.personalized_pagerank_oracle_sql(
+    "SELECT src, dst FROM edges WHERE NOT is_back",
+    seeds=[2 * B + 1, 2 * B + 2, 2 * B + 3], iters=3, prefix=P)}
+)""",
         "k_core_nodes": AN.k_core_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back",
             k=5, rounds=K_CORE_ORACLE_ROUNDS, prefix=P,

@@ -112,6 +112,30 @@ def lang_id(text: Column) -> Column:
     return out
 
 
+def dup_line_permille(text: Column) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1, "duplicate
+    line fraction"): per-1000 share of non-empty lines that repeat an
+    earlier line. Pure codegen — split + ``array_distinct`` inside one
+    projection, no shuffle, no UDF."""
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+    n = F.size(lines)
+    dups = n - F.size(F.array_distinct(lines))
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.floor(dups * 1000 / n)
+    ).cast("long")
+
+
+def dup_token_permille(text: Column) -> Column:
+    """Per-1000 share of whitespace tokens that repeat an earlier token —
+    the cheap detector for degenerate "same word over and over" documents."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = token_count(text)
+    dups = n - F.size(F.array_distinct(toks))
+    return F.when(n == 0, F.lit(0)).otherwise(
+        F.floor(dups * 1000 / n)
+    ).cast("long")
+
+
 def fingerprint(text: Column, window: int = 8, stride: int = 16) -> Column:
     """Document fingerprint: min of md5 over strided character 8-grams — a
     rolling-hash-style content signature, O(len/stride) work, pure codegen."""

@@ -24,6 +24,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -319,6 +321,240 @@ def pagerank_oracle_sql(
         parts.append("")
     parts.append(
         f"SELECT id, CAST(ROUND(rank * 10000) AS BIGINT) AS rank_e4 FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) by fixed-round mutual
+    recursion: ``auth ∝ Σ_{j→i} hub(j)``, ``hub ∝ Σ_{i→j} auth(j)``,
+    L1-normalized to sum 1 ONCE at the end — per-round rescaling is a
+    scalar factor that cancels under the final normalization, so skipping
+    it gives the identical result while removing 2·iters driver-blocking
+    scalar jobs (each scalar broadcast forces a full upstream
+    materialization). Parallel edges collapse to simple links first.
+    Fixed ``iters`` keeps the operator a deterministic function of its
+    input (same oracle-checkability policy as :func:`pagerank`; twin:
+    :func:`hits_oracle_sql`). Returns ``(id BIGINT, auth DOUBLE,
+    hub DOUBLE)`` over every node that appears as a source or target.
+
+    Shuffle profile: the edge relation is shuffled exactly once
+    (``repartition`` on ``src`` feeding the dedup) and ``cache``\\ d so its
+    partitioning survives into every iteration; per-half-round shuffle
+    volume is O(|nodes|) (the contrib aggregation), and each half-round is
+    ``localCheckpoint``\\ ed so no round ever recomputes its predecessor.
+    The two L1 totals are 1-row aggregates attached by broadcast at the
+    very end — never a wide join.
+    """
+    spark = edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    links = (
+        edges.select("src", "dst")
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
+        .cache()
+    )
+    nodes = (
+        links.select(F.col("src").alias("id"))
+        .union(links.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    links.count()
+    nodes.count()
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = nodes.withColumn("auth", F.lit(0.0))
+    for i in range(iters):
+        a_raw = (
+            links.join(hub, links.src == hub.id)
+            .select(F.col("dst").alias("id"), F.col("hub").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("raw"))
+        )
+        prev_auth = auth
+        auth = (
+            nodes.join(a_raw, "id", "left")
+            .select("id", F.coalesce(F.col("raw"), F.lit(0.0)).alias("auth"))
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(prev_auth)
+        h_raw = (
+            links.join(auth, links.dst == auth.id)
+            .select(F.col("src").alias("id"), F.col("auth").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("raw"))
+        )
+        prev_hub = hub
+        hub = (
+            nodes.join(h_raw, "id", "left")
+            .select("id", F.coalesce(F.col("raw"), F.lit(0.0)).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(prev_hub)
+    a_tot = auth.agg(F.sum("auth").alias("t_a"))
+    h_tot = hub.agg(F.sum("hub").alias("t_h"))
+    out = (
+        auth.join(hub, "id")
+        .crossJoin(F.broadcast(a_tot))
+        .crossJoin(F.broadcast(h_tot))
+        .select(
+            "id",
+            (F.col("auth") / F.col("t_a")).alias("auth"),
+            (F.col("hub") / F.col("t_h")).alias("hub"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _unpersist_checkpoint(auth)
+    _unpersist_checkpoint(hub)
+    links.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits_oracle_sql(
+    edges_sql: str, iters: int = 3, prefix: str | None = None
+) -> str:
+    """ANSI-SQL twin of :func:`hits`: the same fixed half-rounds unrolled as
+    chained CTEs, unnormalized until the final select (identical formula to
+    the Spark side so the fixed-point rounding agrees); auth/hub come back
+    as ``floor(x * 1e9)`` BIGINTs — compare the Spark side with the same
+    scaling."""
+    head = f"{prefix},\nlinks" if prefix else "WITH links"
+    parts = [
+        f"{head} AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", a{k} AS (
+  SELECT n.id, COALESCE(r.raw, 0.0) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT l.dst AS id, SUM(h.hub) AS raw
+    FROM links l JOIN h{k - 1} h ON h.id = l.src GROUP BY l.dst
+  ) r ON r.id = n.id
+), h{k} AS (
+  SELECT n.id, COALESCE(r.raw, 0.0) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT l.src AS id, SUM(a.auth) AS raw
+    FROM links l JOIN a{k} a ON a.id = l.dst GROUP BY l.src
+  ) r ON r.id = n.id
+)"""
+        )
+    parts.append(
+        f"""SELECT a.id,
+       CAST(FLOOR(a.auth / (SELECT SUM(auth) FROM a{iters}) * 1000000000) AS BIGINT) AS auth_e9,
+       CAST(FLOOR(h.hub / (SELECT SUM(hub) FROM h{iters}) * 1000000000) AS BIGINT) AS hub_e9
+FROM a{iters} a JOIN h{iters} h ON h.id = a.id"""
+    )
+    return "\n".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart onto a seed set —
+    ``rank = (1-d)·1[id ∈ seeds]/|seeds| + d·Σ_{in} rank/outdeg``, ranks
+    started at the restart vector. The workhorse of "related items" /
+    topic-conditioned relevance on large graphs. Same fixed-iteration,
+    dangling-mass-not-redistributed policy as :func:`pagerank` so the
+    unrolled twin (:func:`personalized_pagerank_oracle_sql`) hash-matches.
+    Returns ``(id BIGINT, rank DOUBLE)``.
+
+    Scale shape: identical to :func:`pagerank` — one edge shuffle, cached
+    partitioning reused every round, O(|nodes|) per-iteration shuffle. The
+    seed membership test is a literal IN over a (small) id list, pure
+    codegen; for seed sets too large for a literal, join a broadcast seed
+    frame instead.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    spark = edges.sparkSession
+    num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    links = (
+        edges.select("src", "dst")
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src")
+    ldeg = links.withColumn("outdeg", F.count(F.lit(1)).over(w)).cache()
+    nodes = (
+        ldeg.select(F.col("src").alias("id"))
+        .union(ldeg.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    ldeg.count()
+    nodes.count()
+    seed_mass = F.when(
+        F.col("id").isin([int(s) for s in seeds]), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.withColumn("rank", seed_mass)
+    for i in range(iters):
+        contribs = (
+            ldeg.join(ranks, ldeg.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * seed_mass
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % 8 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.localCheckpoint(eager=True)
+    ldeg.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds: Sequence[int],
+    iters: int = 3,
+    damping: float = 0.85,
+    prefix: str | None = None,
+) -> str:
+    """ANSI-SQL twin of :func:`personalized_pagerank`, unrolled like
+    :func:`pagerank_oracle_sql`; ranks come back as ``floor(rank * 1e6)``
+    BIGINTs."""
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    mass = (
+        f"(CASE WHEN n.id IN ({seed_list}) "
+        f"THEN CAST({1.0 / len(seeds)} AS DOUBLE) ELSE 0.0 END)"
+    )
+    head = f"{prefix},\nlinks" if prefix else "WITH links"
+    parts = [
+        f"{head} AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),",
+        "nodes AS (SELECT src AS id FROM links UNION SELECT dst FROM links),",
+        f"r0 AS (SELECT n.id, {mass} AS rank FROM nodes n)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", r{k} AS (
+  SELECT n.id,
+         {1.0 - damping} * {mass}
+         + {damping} * COALESCE(SUM(r.rank / d.outdeg), 0.0) AS rank
+  FROM nodes n
+  LEFT JOIN links l ON l.dst = n.id
+  LEFT JOIN deg d ON d.src = l.src
+  LEFT JOIN r{k - 1} r ON r.id = l.src
+  GROUP BY n.id
+)"""
+        )
+    parts.append(
+        f"SELECT id, CAST(FLOOR(rank * 1000000) AS BIGINT) AS rank_e6 FROM r{iters}"
     )
     return "\n".join(parts)
 

@@ -321,6 +321,57 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = SHINGLE_LEN,
+    stride: int = SHINGLE_STRIDE,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct character n-gram shingles appear in ANY benchmark/eval
+    document. The standard pre-training hygiene pass — drop or downweight
+    docs whose ``contam_permille`` is high before the eval set leaks into
+    the training corpus. Returns
+    ``(doc_id, n_shingles, n_hits, contam_permille)`` with one row per
+    corpus document (0 hits kept, so the pass is auditable).
+
+    Scale shape (100 TB corpus, benchmark ≪ corpus — the realistic
+    asymmetry): the benchmark side collapses to its DISTINCT shingle set
+    and is broadcast, so the corpus is scanned ONCE, exploded, and
+    partially aggregated per doc — no shuffle of corpus text, no join of
+    two big relations. If the benchmark set ever outgrows broadcast range,
+    swap the hint for a bloom-filter pushdown; the join key (the shingle
+    itself) already supports it.
+    """
+    c = with_shingles(corpus, text_col).select(
+        F.col(id_col), F.explode("shingles").alias("sh")
+    )
+    b = (
+        with_shingles(benchmark, text_col)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        c.join(F.broadcast(b), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.floor(F.col("n_hits") * 1000 / F.col("n_shingles"))
+        .cast("long")
+        .alias("contam_permille"),
+    )
+
+
 def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialized exact-dedup: keep one row per distinct text (min id)."""
     keep = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))

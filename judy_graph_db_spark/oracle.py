@@ -126,6 +126,27 @@ def lang_id_sql(col: str = "text") -> str:
     return out
 
 
+def dup_line_permille_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.dup_line_permille``."""
+    lines = f"list_filter(string_split({col}, chr(10)), x -> length(x) > 0)"
+    return (
+        f"CAST(CASE WHEN len({lines}) = 0 THEN 0 ELSE "
+        f"floor((len({lines}) - len(list_distinct({lines}))) * 1000.0"
+        f" / len({lines})) END AS BIGINT)"
+    )
+
+
+def dup_token_permille_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.dup_token_permille``."""
+    toks = f"regexp_split_to_array(trim({col}), '\\s+')"
+    n = token_count_sql(col)
+    return (
+        f"CAST(CASE WHEN {n} = 0 THEN 0 ELSE "
+        f"floor(({n} - len(list_distinct({toks}))) * 1000.0 / {n})"
+        f" END AS BIGINT)"
+    )
+
+
 def fingerprint_sql(col: str = "text", window: int = 8, stride: int = 16) -> str:
     return (
         f"list_min(list_transform("
@@ -237,6 +258,34 @@ SELECT d.{id_col} AS doc_id,
        d.{id_col} = COALESCE(c.comp, d.{id_col}) AS is_canonical
 FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
 """
+
+
+def ngram_contamination_sql(
+    corpus_sql: str,
+    benchmark_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    length: int = SHINGLE_LEN,
+    stride: int = SHINGLE_STRIDE,
+) -> str:
+    """Twin of ``operators.dedup.ngram_contamination``: per corpus doc, its
+    distinct-shingle count and how many shingles the benchmark set shares."""
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS doc_id,
+         unnest({shingles_sql(text_col, length, stride)}) AS sh
+  FROM ({corpus_sql})
+),
+b AS (
+  SELECT DISTINCT unnest({shingles_sql(text_col, length, stride)}) AS sh
+  FROM ({benchmark_sql})
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(b.sh) AS BIGINT) AS n_hits,
+       CAST(FLOOR(COUNT(b.sh) * 1000.0 / COUNT(*)) AS BIGINT) AS contam_permille
+FROM c LEFT JOIN b ON b.sh = c.sh
+GROUP BY c.doc_id"""
 
 
 def ngram_jaccard_sql(id_col: str = "doc_id", text_col: str = "text",

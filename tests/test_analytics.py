@@ -381,3 +381,45 @@ def test_weighted_shortest_paths(spark):
     )
     got2 = {(r.src, r.dst): r.dist for r in AN.weighted_shortest_paths(e2).collect()}
     assert got2[(1, 2)] == 3 and got2[(1, 10)] == 3 + 8
+
+
+def test_hits_star(spark):
+    # 1->3, 2->3: node 3 is the sole authority; 1 and 2 split hub mass
+    e = edges_df(spark, [(1, 3), (2, 3)])
+    got = {r.id: (round(r.auth, 9), round(r.hub, 9)) for r in AN.hits(e, iters=3).collect()}
+    assert got[3] == (1.0, 0.0)
+    assert got[1] == (0.0, 0.5) and got[2] == (0.0, 0.5)
+
+
+def test_hits_prefers_hub_pointing_at_authorities(spark):
+    # 10 points at both authorities, 11 at one: hub(10) > hub(11); the
+    # doubly-cited authority outranks the singly-cited one
+    e = edges_df(spark, [(10, 1), (10, 2), (11, 1), (1, 99), (2, 98)])
+    got = {r.id: (r.auth, r.hub) for r in AN.hits(e, iters=3).collect()}
+    assert got[10][1] > got[11][1]
+    assert got[1][0] > got[2][0]
+    # L1 normalization: each measure sums to 1
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_chain(spark):
+    # 1->2->3 seeded at 1: closed form after 2 rounds
+    e = edges_df(spark, [(1, 2), (2, 3)])
+    got = {r.id: round(r.rank, 9) for r in
+           AN.personalized_pagerank(e, seeds=[1], iters=2).collect()}
+    assert got[1] == round(0.15, 9)
+    assert got[2] == round(0.85 * 0.15, 9)
+    assert got[3] == round(0.85 * 0.85, 9)
+
+
+def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
+    # two disjoint pairs; only the seeded pair carries any mass
+    e = edges_df(spark, [(1, 2), (8, 9)])
+    got = {r.id: r.rank for r in
+           AN.personalized_pagerank(e, seeds=[1], iters=3).collect()}
+    assert got[8] == 0.0 and got[9] == 0.0
+    assert got[1] > 0 and got[2] > 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty seed"):
+        AN.personalized_pagerank(e, seeds=[])

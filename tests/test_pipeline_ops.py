@@ -382,3 +382,52 @@ def test_incremental_lsh_candidates(spark):
     assert (10, 1, True) in rows      # near-dup of corpus
     assert (10, 11, False) in rows    # within-batch near-dups
     assert not any(a == 12 or b == 12 for a, b, _ in rows)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aaa\naaa\nbbb"),          # 3 lines, one repeat -> 333
+            (2, "aaa\n\naaa"),             # empty line dropped -> 2 lines -> 500
+            (3, "x x y"),                  # 3 tokens, one repeat -> 333
+            (4, ""),                       # degenerate -> 0 / 0
+            (5, "spam spam spam spam"),    # 4 tokens, 3 repeats -> 750
+        ],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    rows = {
+        r.doc_id: (r.dl, r.dt)
+        for r in df.select(
+            "doc_id",
+            T.dup_line_permille(t).alias("dl"),
+            T.dup_token_permille(t).alias("dt"),
+        ).collect()
+    }
+    assert rows[1][0] == 333
+    assert rows[2][0] == 500
+    assert rows[3] == (0, 333)
+    assert rows[4] == (0, 0)
+    assert rows[5][1] == 750
+
+
+def test_ngram_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim leak
+            (2, "zzz qqq vvv totally unrelated corpus content"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.contam_permille)
+        for r in D.ngram_contamination(corpus, bench).collect()
+    }
+    assert set(rows) == {1, 2}            # every corpus doc keeps a row
+    assert rows[1][2] == 1000             # exact copy: fully contaminated
+    assert rows[2][1] == 0 and rows[2][2] == 0
+    assert rows[1][0] > 0
