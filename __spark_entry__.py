@@ -815,12 +815,31 @@ def _q_random_walks(spark, sf_dir):
 # --------------------------------------------------------- graph analytics
 
 def _q_connected_components(spark, sf_dir):
-    """Large-star/small-star CC over the NEXT_ORDER chains; oracle is the
-    closed form (component = customer's min order id) the chain structure
-    implies."""
+    """Component family in one driver row. ``cc``: large-star/small-star
+    weak components over the NEXT_ORDER chains. ``scc``: STRONG components
+    on the directed graph made of the same chains plus a closing
+    last→first edge for even-custkey customers — their order cycle becomes
+    one SCC while odd-custkey chains stay singletons, so direction
+    sensitivity is what the hash actually checks (weak CC would merge
+    every chain). Both oracles are closed forms implied by the chain
+    structure, independent of the iteration logic under test."""
     g = tpch_graph(spark, sf_dir)
     chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
-    return AN.connected_components(chains)
+    cc = AN.connected_components(chains).select(
+        F.lit("cc").alias("op"), "id", F.col("component").alias("component"))
+    per = spark.table("orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("_fst"),
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("_lst"),
+    )
+    closing = per.filter((F.col("o_custkey") % 2 == 0) & (F.col("n") >= 2)).select(
+        (F.col("_lst.o_orderkey") + 5 * B).alias("src"),
+        (F.col("_fst.o_orderkey") + 5 * B).alias("dst"),
+    )
+    directed = chains.select("src", "dst").unionByName(closing)
+    scc = AN.strongly_connected_components(directed).select(
+        F.lit("scc").alias("op"), "id", F.col("scc").alias("component"))
+    return cc.unionByName(scc)
 
 
 def _q_triangle_count(spark, sf_dir):
@@ -1086,8 +1105,12 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("contam").alias("op"), "doc_id", sN.alias("split"),
         F.col("n_shingles").alias("n"), F.col("n_hits").alias("a"),
         F.col("contam_permille").alias("b"))
+    qf = CU.quality_percentile_filter(docs, keep_permille=500).select(
+        F.lit("quality_filter").alias("op"), "doc_id",
+        F.col("lang").alias("split"), F.col("q_score").alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
-            .unionByName(contam))
+            .unionByName(contam).unionByName(qf))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -1234,8 +1257,11 @@ def _q_sampling_ops(spark, sf_dir):
 
 
 def _q_ann_search(spark, sf_dir):
-    """ANN family in one driver row: IVF/LSH bucket layouts plus brute,
-    multi-probe-IVF, and batch-kNN top-k search."""
+    """ANN + clustering family in one driver row: IVF/LSH bucket layouts,
+    brute / multi-probe-IVF / batch-kNN top-k search, trained k-means
+    cluster sizes, and SemDeDup semantic near-duplicate pruning."""
+    from judy_graph_db_spark.operators import clustering as CL
+
     lN = F.lit(None).cast("long")
     sN = F.lit(None).cast("string")
     bk = _q_ann_buckets(spark, sf_dir).select(
@@ -1245,7 +1271,19 @@ def _q_ann_search(spark, sf_dir):
         "op", sN.alias("s"), F.col("query_id").alias("a"),
         F.col("vec_id").alias("b"), F.col("rank").cast("long").alias("c"),
         F.col("sim_micro").cast("long").alias("d"))
-    return bk.unionByName(tk)
+    load_tpch_views(spark, sf_dir)
+    embs = spark.table("embeddings")
+    km = CL.kmeans_sizes(embs, k=8, iters=2, dim=64).select(
+        F.lit("kmeans").alias("op"), F.col("cluster").cast("string").alias("s"),
+        lN.alias("a"), lN.alias("b"), lN.alias("c"),
+        F.col("n").cast("long").alias("d"))
+    sd = CL.semantic_dedup(embs, threshold_micro=350000, k=8, iters=2,
+                           dim=64).select(
+        F.lit("semdedup").alias("op"), sN.alias("s"),
+        F.col("vec_id").cast("long").alias("a"),
+        F.col("cluster").cast("long").alias("b"),
+        F.col("kept").cast("long").alias("c"), lN.alias("d"))
+    return bk.unionByName(tk).unionByName(km).unionByName(sd)
 
 
 def _q_events_hourly_both(spark, sf_dir):
@@ -1278,7 +1316,7 @@ def _q_chunk_shard(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 49 entries (assert_gate_count test pins this) — the driver records at
+    # 50 entries (assert_gate_count test pins this) — the driver records at
     # most ~50 correctness rows, so same-family gates are bundled into union
     # rows with `op` tags; every registered operator keeps a driver-visible
     # hash-checked row. See "merged gate bundles" above.
@@ -1670,7 +1708,10 @@ UNION ALL
 SELECT 'contam', doc_id, NULL, n_shingles, n_hits, contam_permille
 FROM ({O.ngram_contamination_sql(
     "SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0",
-    "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0")}) t""",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0")}) t
+UNION ALL
+SELECT 'quality_filter', doc_id, lang, q_score, NULL, NULL
+FROM ({O.quality_percentile_filter_sql(keep_permille=500)}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b
@@ -1698,12 +1739,22 @@ FROM (
   UNION ALL
   SELECT 'knn_join', CAST(query_id AS BIGINT), vec_id, rank, sim_micro
   FROM ({O.knn_join_sql(n_queries=5, k=10)}) t5
-) topk""",
+) topk
+UNION ALL
+SELECT 'kmeans', CAST(cluster AS VARCHAR), NULL, NULL, NULL, n
+FROM ({O.kmeans_sizes_sql(k=8, iters=2, dim=64)}) t6
+UNION ALL
+SELECT 'semdedup', NULL, vec_id, cluster,
+       CAST(kept AS BIGINT), NULL
+FROM ({O.semantic_dedup_sql(threshold_micro=350000, k=8, iters=2, dim=64)}) t7""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
-        # order, so the fixpoint the iterative operator computes has a
-        # closed form: component = the customer's minimum order id. Using
-        # the closed form (not a recursive CTE) makes the oracle independent
-        # of the iteration logic under test.
+        # order, so both fixpoints have closed forms: weak component = the
+        # customer's minimum order id; with the last→first closing edge
+        # added for even custkeys, the strong component is that same min
+        # for even customers (the whole chain is one cycle) but the node
+        # itself for odd ones (chains are acyclic). Closed forms (not
+        # recursive CTEs) keep the oracle independent of the iteration
+        # logic under test.
         "connected_components": f"""
 WITH chained AS (
   SELECT o_custkey, o_orderkey,
@@ -1711,8 +1762,13 @@ WITH chained AS (
          COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
   FROM orders
 )
-SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+SELECT 'cc' AS op, CAST(5*{B} + o_orderkey AS BIGINT) AS id,
        CAST(5*{B} + min_key AS BIGINT) AS component
+FROM chained WHERE n_orders >= 2
+UNION ALL
+SELECT 'scc', CAST(5*{B} + o_orderkey AS BIGINT),
+       CAST(CASE WHEN o_custkey % 2 = 0 THEN 5*{B} + min_key
+                 ELSE 5*{B} + o_orderkey END AS BIGINT)
 FROM chained WHERE n_orders >= 2""",
         "triangle_count": f"""{P},
 und AS (

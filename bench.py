@@ -216,6 +216,28 @@ def main() -> None:
         repeats=1,
     )
 
+    # clustering / semantic dedup / SCC (round-6 surface)
+    from judy_graph_db_spark.operators import clustering as CL
+
+    run("semantic_dedup", lambda: CL.semantic_dedup(embs, k=8, iters=2, dim=64).count())
+    # directed SCC input: each even-custkey customer's order chain closed
+    # into a cycle (the same construction the correctness gate hashes)
+    orders = spark.table("orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("_fst"),
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("_lst"),
+    )
+    closing = per_cust.filter((F.col("o_custkey") % 2 == 0) & (F.col("n") >= 2)).select(
+        (F.col("_lst.o_orderkey") + 5 * B).alias("src"),
+        (F.col("_fst.o_orderkey") + 5 * B).alias("dst"),
+    )
+    directed = (
+        fwd.filter(F.col("label") == "NEXT_ORDER").select("src", "dst")
+        .unionByName(closing)
+    )
+    run("scc", lambda: AN.strongly_connected_components(directed).count(), repeats=1)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",

@@ -956,3 +956,49 @@ def weighted_shortest_paths(edges: DataFrame, weight_col: str = "weight",
         edges, keep_self=False, max_iter=max_iter, max_depth=max_dist,
         weight_col=weight_col,
     ).withColumnRenamed("depth", "dist")
+
+
+def strongly_connected_components(edges: DataFrame,
+                                  max_iter: int = 20) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge set ``(src, dst)``:
+    every node labeled with the minimum node id of its SCC (nodes not on
+    any cycle are singleton components labeled with themselves). Unlike
+    :func:`connected_components`, direction matters — two chains meeting at
+    a node share a weak component but not a strong one.
+
+    Parity-plus: the reference has no component algorithms at all; this
+    completes the suite (CC / SCC / k-core / triangles / PageRank / HITS /
+    LPA / closure) a graph-shaped corpus audit runs.
+
+    Shape: mutual reachability over the min-plus doubling closure —
+    ``R ∩ Rᵀ`` (reach intersected with its transpose) groups exactly the
+    co-cyclic pairs, O(log diameter) rounds. Intermediates are
+    closure-sized, the same trade :func:`transitive_closure` documents:
+    right for lineage/version/workflow graphs whose closure fits; for
+    sparse giant graphs where it does not, the standard distributed
+    alternative is FW-BW-coloring (Slota et al. 2014) — pivot per color,
+    forward ∩ backward BFS, peel — which trades O(#peel levels) extra
+    rounds for edge-linear state.
+    """
+    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    nodes = (
+        base.select(F.col("src").alias("id"))
+        .union(base.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    reach = minplus_closure(base, keep_self=False, max_iter=max_iter).select(
+        "src", "dst"
+    )
+    # transpose-intersect: (v, m) survives iff v reaches m AND m reaches v
+    mutual = reach.join(
+        reach.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    )
+    partner_min = mutual.groupBy("src").agg(F.min("dst").alias("_mm"))
+    return (
+        nodes.join(partner_min, nodes.id == partner_min.src, "left")
+        .select(
+            "id",
+            F.least(F.col("id"), F.coalesce(F.col("_mm"), F.col("id"))).alias("scc"),
+        )
+    )

@@ -1,0 +1,173 @@
+"""Embedding clustering and semantic deduplication.
+
+Parity-plus (SURVEY.md §2.7): the reference has no vector operations at
+all; a pretraining-data pipeline needs both a clustering pass (corpus
+mapping, IVF centroid training, cluster-balanced sampling) and semantic
+near-duplicate pruning (SemDeDup, Abbas et al. 2023: k-means the embedding
+space, then drop all-but-one of each within-cluster high-cosine group).
+
+Design for 100 TB:
+
+- **k-means (Lloyd)** with deterministic seeding (the ``k`` lowest-id
+  vectors — same convention as ``similarity.ivf_assign``'s stand-in
+  centroids, so trained centroids drop straight into the IVF layout).
+  Centroids are a k-row relation that BROADCASTS; the assignment step is a
+  map-side broadcast join + an argmin aggregation that reuses the base
+  table's hash partitioning on the id (no per-iteration exchange of the
+  big side — the same partitioning-reuse shape as ``analytics.pagerank``).
+  The only per-iteration shuffle is the k-group centroid update, which
+  partial-aggregates map-side to ``k`` rows per partition.
+- Updated centroid coordinates are quantized to 1e-6 (``round(avg·1e6)/
+  1e6``) so the DuckDB oracle twin reproduces them bit-for-bit: a raw
+  double group-average depends on row visit order in its last ulp; on the
+  1e-6 grid both engines land on the same value.
+- **semantic_dedup** never scores a cross-cluster pair: the pairwise
+  cosine join is keyed on the cluster id, so the candidate count is
+  O(n²/k) not O(n²) — the same bucket-constrained shape as
+  ``similarity.cosine_neardup_pairs`` (clusters play the LSH buckets).
+  Per-vector norms are computed once before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark.operators.similarity import norm
+
+
+def _sqdist(vec_col: str, cent_col: str, dim: int):
+    """Squared Euclidean distance, emitted as an explicit ``dim``-term sum:
+    pure whole-stage codegen, and the strict left-to-right summation order
+    makes the double bit-identical to the oracle twin's ``list_sum`` fold."""
+    terms = " + ".join(
+        f"(cast({vec_col}[{i}] as double) - {cent_col}[{i}]) * "
+        f"(cast({vec_col}[{i}] as double) - {cent_col}[{i}])"
+        for i in range(dim)
+    )
+    return F.expr(terms)
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                  dim: int = 64, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means with deterministic init: centroids start as the ``k``
+    lowest-id vectors, then ``iters`` rounds of (assign to nearest centroid,
+    recompute centroid as the member mean). Ties in the argmin break toward
+    the lower centroid id. Returns ``(id_col, cluster)``.
+
+    A cluster that loses every member keeps its previous centroid (the
+    LEFT-JOIN/COALESCE below), so ``k`` never silently shrinks.
+    """
+    base = embeddings.select(id_col, vec_col)
+    cents = (
+        base.orderBy(id_col).limit(int(k))
+        .select(
+            F.col(id_col).alias("_cid"),
+            F.expr(
+                "transform(%s, x -> cast(x as double))" % vec_col
+            ).alias("_cvec"),
+        )
+    )
+    # rebind the centroid id to a dense 0..k-1 rank so the SQL twin (which
+    # orders by vec_id) agrees on ids regardless of the raw key values
+    from pyspark.sql import Window
+
+    cents = cents.withColumn(
+        "_cid", F.row_number().over(Window.orderBy("_cid")) - 1
+    )
+
+    assigned = None
+    for _ in range(int(iters)):
+        scored = base.join(F.broadcast(cents)).withColumn(
+            "_d", _sqdist(vec_col, "_cvec", dim)
+        )
+        assigned = (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("_d"), F.col("_cid"))).alias("_m"),
+                F.first(vec_col).alias(vec_col),
+            )
+            .select(id_col, F.col("_m._cid").alias("cluster"), vec_col)
+        )
+        new_cents = assigned.groupBy("cluster").agg(
+            *[
+                (F.round(F.avg(F.col(vec_col)[i].cast("double")) * 1e6) / 1e6).alias(
+                    f"_a{i}"
+                )
+                for i in range(dim)
+            ]
+        ).select(
+            F.col("cluster").alias("_cid"),
+            F.array(*[F.col(f"_a{i}") for i in range(dim)]).alias("_cvec"),
+        )
+        cents = (
+            cents.withColumnRenamed("_cvec", "_ov")
+            .join(new_cents.withColumnRenamed("_cvec", "_nv"), "_cid", "left")
+            .select("_cid", F.coalesce("_nv", "_ov").alias("_cvec"))
+        )
+    return assigned.select(id_col, "cluster")
+
+
+def kmeans_sizes(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster member counts after :func:`kmeans_assign` — the corpus
+    map a curation run reports. Returns ``(cluster, n)``."""
+    return (
+        kmeans_assign(embeddings, k, iters, dim, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, clusters: DataFrame | None = None,
+                   threshold_micro: int = 350000, k: int = 8, iters: int = 2,
+                   dim: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within each k-means cluster, drop every
+    vector that has a LOWER-id neighbor at cosine ≥ ``threshold_micro``
+    micro-units — each high-similarity group keeps exactly its lowest id
+    (the same canonical-representative rule as ``dedup.exact_dedup``).
+
+    Pass a precomputed ``clusters`` frame (``(id_col, cluster)``) to reuse
+    an assignment; otherwise :func:`kmeans_assign` runs with the given
+    ``k``/``iters``. Pairs are generated per cluster only — candidates are
+    O(n²/k), and the pair join's equi-key is the cluster id, so skewed
+    mega-clusters are visible (and salt-able) in the shuffle plan.
+
+    Returns ``(id_col, cluster, kept)`` for every input vector.
+    """
+    if clusters is None:
+        clusters = kmeans_assign(embeddings, k, iters, dim, id_col, vec_col)
+    e = (
+        embeddings.select(id_col, vec_col)
+        .join(clusters, id_col)
+        .withColumn("_nrm", norm(vec_col, dim))
+    )
+    a = e.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+                 F.col("_nrm").alias("_na"), "cluster")
+    b = e.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+                 F.col("_nrm").alias("_nb"), "cluster")
+    from judy_graph_db_spark.operators.similarity import dot
+
+    sim = F.round(dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")) * 1e6).cast(
+        "long"
+    )
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= int(threshold_micro))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        clusters.join(
+            drops.withColumn("_dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col, "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -184,3 +184,47 @@ def canonical_corpus(df: DataFrame, clusters: DataFrame | None = None,
         clusters = dedup_clusters(df, text_col=text_col, id_col=id_col)
     keep = clusters.filter(F.col("is_canonical")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def quality_percentile_filter(df: DataFrame, keep_permille: int = 500,
+                              group_col: str = "lang",
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """CDF-based quality filtering: keep the documents whose
+    :func:`~judy_graph_db_spark.functions.text.quality_score` reaches their
+    group's ``keep_permille`` discrete percentile — the standard
+    "keep the top half per language" curation move, with the cutoff
+    *derived from the corpus itself* instead of a hand-tuned constant (a
+    fixed threshold that is right for English over-filters low-resource
+    languages; a per-group percentile self-calibrates).
+
+    Cutoff semantics match :func:`~judy_graph_db_spark.operators.stats.grouped_quantiles`
+    (``percentile_disc``: the value at position ``ceil(p·n)``, always an
+    actual score), computed with two windows over ONE shuffle on the group
+    key — no self-join, no separate aggregate-and-join-back pass.
+    Returns ``(id_col, group_col, q_score)`` for the kept rows.
+    """
+    from judy_graph_db_spark.functions.text import quality_score
+
+    scored = df.select(
+        id_col, group_col, quality_score(F.col(text_col)).alias("q_score")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("q_score").asc(), F.col(id_col).asc()
+    )
+    wg = Window.partitionBy(group_col)
+    ranked = scored.select(
+        id_col, group_col, "q_score",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    pos = F.greatest(
+        F.ceil(F.lit(int(keep_permille)) * F.col("__n") / F.lit(1000.0)),
+        F.lit(1),
+    )
+    cutoff = F.max(F.when(F.col("__rn") == pos, F.col("q_score"))).over(wg)
+    return (
+        ranked.withColumn("__cut", cutoff)
+        .filter(F.col("q_score") >= F.col("__cut"))
+        .select(id_col, group_col, "q_score")
+    )

@@ -834,3 +834,115 @@ SELECT 'lsh_old', a, b2, CAST(1 AS BIGINT) FROM lsh_old
 UNION ALL
 SELECT 'lsh_new', a, b2, CAST(0 AS BIGINT) FROM lsh_new
 """
+
+
+# ---------------------------------------------------- clustering / semdedup
+
+
+def _sqdist_sql(e: str, c: str, dim: int = 64) -> str:
+    """Twin of ``clustering._sqdist`` — same strict left-to-right fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * "
+        f"(CAST({e}[i] AS DOUBLE) - {c}[i])))"
+    )
+
+
+def kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
+                table: str = "embeddings") -> tuple[str, str]:
+    """Unrolled-CTE twin of ``clustering.kmeans_assign``: one
+    assign/update pair per Lloyd round, centroid coordinates quantized to
+    the same 1e-6 grid. Returns ``(cte_chain, final_assign_cte_name)`` so
+    callers compose it under their own WITH."""
+    avgs = ", ".join(
+        f"ROUND(AVG(CAST(e.embedding[{i + 1}] AS DOUBLE)) * 1e6) / 1e6"
+        for i in range(dim)
+    )
+    parts = [f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
+)"""]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""s{it} AS (
+  SELECT e.vec_id, c.cid, {_sqdist_sql('e.embedding', 'c.cv', dim)} AS d
+  FROM {table} e, {prev} c
+)""")
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM s{it}) WHERE rn = 1
+)""")
+        if it < iters:
+            parts.append(f"""m{it} AS (
+  SELECT a.cluster AS cid, list_value({avgs}) AS cv
+  FROM a{it} a JOIN {table} e USING (vec_id)
+  GROUP BY a.cluster
+)""")
+            parts.append(f"""c{it} AS (
+  SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN m{it} m USING (cid)
+)""")
+    return ",\n".join(parts), f"a{iters}"
+
+
+def kmeans_sizes_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                     table: str = "embeddings") -> str:
+    ctes, fin = kmeans_ctes(k, iters, dim, table)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT cluster, COUNT(*) AS n FROM {fin} GROUP BY cluster"
+    )
+
+
+def semantic_dedup_sql(threshold_micro: int = 350000, k: int = 8,
+                       iters: int = 2, dim: int = 64,
+                       table: str = "embeddings") -> str:
+    """Twin of ``clustering.semantic_dedup``: within-cluster lower-id
+    neighbor at cosine ≥ threshold → dropped."""
+    ctes, fin = kmeans_ctes(k, iters, dim, table)
+    return f"""WITH {ctes},
+e2 AS (
+  SELECT e.vec_id, e.embedding, a.cluster,
+         sqrt({dot_sql('e.embedding', 'e.embedding', dim)}) AS nrm
+  FROM {table} e JOIN {fin} a USING (vec_id)
+),
+drops AS (
+  SELECT DISTINCT y.vec_id
+  FROM e2 x JOIN e2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE CAST(ROUND({dot_sql('x.embedding', 'y.embedding', dim)} /
+             (x.nrm * y.nrm) * 1e6) AS BIGINT) >= {threshold_micro}
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+FROM {fin} a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
+
+
+def quality_percentile_filter_sql(keep_permille: int = 500,
+                                  group_col: str = "lang",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  table: str = "documents") -> str:
+    """Twin of ``curation.quality_percentile_filter`` (percentile_disc
+    cutoff at ceil(p·n), same tiebreaks)."""
+    return f"""
+WITH s AS (
+  SELECT {id_col}, {group_col}, {quality_score_sql(text_col)} AS q_score
+  FROM {table}
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY q_score, {id_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM s
+),
+c AS (
+  SELECT *,
+         MAX(CASE WHEN rn = GREATEST(
+               CAST(CEIL({int(keep_permille)} * n / 1000.0) AS BIGINT), 1)
+             THEN q_score END) OVER (PARTITION BY {group_col}) AS cut
+  FROM r
+)
+SELECT {id_col}, {group_col}, q_score FROM c WHERE q_score >= cut"""

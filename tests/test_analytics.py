@@ -423,3 +423,38 @@ def test_personalized_pagerank_mass_concentrates_near_seeds(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-empty seed"):
         AN.personalized_pagerank(e, seeds=[])
+
+
+def test_scc_cycle_vs_chain(spark):
+    # a->b->c->a is one SCC; the dangling chain c->d->e stays singletons
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["id"]: r["scc"] for r in
+           AN.strongly_connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_scc_direction_matters(spark):
+    # two cycles bridged ONE WAY stay separate SCCs (weak CC would merge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10), (2, 10)], "src long, dst long"
+    )
+    out = {r["id"]: r["scc"] for r in
+           AN.strongly_connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 10: 10, 11: 10}
+    cc = {r["id"]: r["component"] for r in
+          AN.connected_components(
+              edges.select("src", "dst")).collect()}
+    assert len(set(cc.values())) == 1  # the contrast the gate relies on
+
+
+def test_scc_self_loop_and_isolated_pair(spark):
+    # self-loops are filtered (src==dst); an edge a->b with no return path
+    # leaves both as singletons
+    edges = spark.createDataFrame(
+        [(7, 7), (8, 9)], "src long, dst long"
+    )
+    out = {r["id"]: r["scc"] for r in
+           AN.strongly_connected_components(edges).collect()}
+    assert out == {8: 8, 9: 9}

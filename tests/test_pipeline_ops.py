@@ -431,3 +431,34 @@ def test_ngram_contamination(spark):
     assert rows[1][2] == 1000             # exact copy: fully contaminated
     assert rows[2][1] == 0 and rows[2][2] == 0
     assert rows[1][0] > 0
+
+
+def test_quality_percentile_filter_per_group_cutoff(spark):
+    from judy_graph_db_spark.operators.curation import quality_percentile_filter
+
+    # group "hi": half good half junk -> a 600-permille cutoff (position
+    # ceil(0.6*8)=5, i.e. the lowest GOOD score) drops exactly the junk.
+    # group "lo": every doc identical -> cutoff == the common score, all kept
+    # (a fixed global threshold would have zeroed the whole group).
+    good = "the of and to a in is it you that " * 12     # stopword-rich, long
+    junk = "!!!???;;;###"                                 # short, punct-heavy
+    rows = [(i, good + str(i), "hi") for i in range(4)]
+    rows += [(10 + i, junk, "hi") for i in range(4)]
+    rows += [(20 + i, good, "lo") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_percentile_filter(docs, keep_permille=600)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {0, 1, 2, 3, 20, 21, 22, 23}
+
+
+def test_quality_percentile_filter_top_only(spark):
+    from judy_graph_db_spark.operators.curation import quality_percentile_filter
+
+    # keep_permille=1000 -> cutoff is the group's max score: only max-score
+    # docs survive
+    good = "the of and to a in is it you that " * 12
+    rows = [(0, good, "en"), (1, good, "en"), (2, "### ###", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r["doc_id"]
+            for r in quality_percentile_filter(docs, keep_permille=1000).collect()}
+    assert kept == {0, 1}
