@@ -1074,7 +1074,19 @@ def _q_media_pipeline(spark, sf_dir):
         F.lit("frame").alias("op"), "doc_id",
         F.col("frame_idx").cast("long").alias("a"), lN.alias("b"), lN.alias("c"),
         lN.alias("d"), F.col("frame_hash").alias("h"))
-    return meta.unionByName(dec).unionByName(frames)
+    audio = MM.audio_features(media).select(
+        F.lit("audio").alias("op"), "doc_id",
+        F.col("byte_len").cast("long").alias("a"),
+        F.col("sample_rate").cast("long").alias("b"),
+        F.col("n_channels").cast("long").alias("c"),
+        F.col("duration_ms").cast("long").alias("d"),
+        F.col("content_hash").alias("h"))
+    wins = MM.audio_window_sample(media, window_ms=1000).select(
+        F.lit("awindow").alias("op"), "doc_id",
+        F.col("window_idx").cast("long").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"), F.col("window_hash").alias("h"))
+    return (meta.unionByName(dec).unionByName(frames)
+            .unionByName(audio).unionByName(wins))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -1224,8 +1236,11 @@ def _q_stats_ops(spark, sf_dir):
 
 
 def _q_graph_similarity(spark, sf_dir):
-    """Graph-similarity family in one driver row: bipartite co-purchase
-    projection, neighbor-set Jaccard, weighted all-pairs shortest paths."""
+    """Graph-similarity/centrality family in one driver row: bipartite
+    co-purchase projection, neighbor-set Jaccard, weighted all-pairs
+    shortest paths, and out-closeness centrality (whose oracle is the
+    closed form the chain structure implies: node at position i of an
+    L-chain reaches L-i nodes over (L-i)(L-i+1)/2 total hops)."""
     lN = F.lit(None).cast("long")
     cp = _q_co_purchase(spark, sf_dir).select(
         F.lit("co_purchase").alias("op"), F.col("a").cast("long").alias("a"),
@@ -1239,7 +1254,16 @@ def _q_graph_similarity(spark, sf_dir):
     wp = _q_weighted_paths(spark, sf_dir).select(
         F.lit("weighted").alias("op"), F.col("src").alias("a"),
         F.col("dst").alias("b"), F.col("dist").alias("c"), lN.alias("d"))
-    return cp.unionByName(ja).unionByName(wp)
+    g = tpch_graph(spark, sf_dir)
+    chains = g.edges.filter(
+        (F.col("label") == "NEXT_ORDER") & ~F.col("is_back")
+    ).select("src", "dst")
+    cl = AN.closeness_centrality(chains).select(
+        F.lit("closeness").alias("op"), F.col("id").alias("a"),
+        F.col("n_reach").cast("long").alias("b"),
+        F.col("sum_depth").cast("long").alias("c"),
+        F.col("closeness_micro").alias("d"))
+    return cp.unionByName(ja).unionByName(wp).unionByName(cl)
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -1609,7 +1633,30 @@ FROM (
   SELECT doc_id, text,
          unnest(generate_series(0, length(text) % 8, 2)) AS frame_idx
   FROM documents
-) f""",
+) f
+UNION ALL
+SELECT 'audio', doc_id, CAST(length(text) AS BIGINT), sr, ch,
+       CAST(FLOOR(length(text) * 100000.0 / sr) AS BIGINT), md5(text)
+FROM (
+  SELECT doc_id, text,
+         CAST(CASE WHEN length(text) = 0 THEN 8000
+              ELSE 8000 * (1 + ascii(substring(text, 1, 1)) % 3) END AS BIGINT) AS sr,
+         CAST(CASE WHEN length(text) < 2 THEN 1
+              ELSE 1 + ascii(substring(text, 2, 1)) % 2 END AS BIGINT) AS ch
+  FROM documents
+) am
+UNION ALL
+SELECT 'awindow', doc_id, CAST(window_idx AS BIGINT), NULL, NULL, NULL,
+       md5(text || CAST(window_idx AS VARCHAR))
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(GREATEST(
+           CEIL(FLOOR(length(text) * 100000.0 /
+             (CASE WHEN length(text) = 0 THEN 8000
+              ELSE 8000 * (1 + ascii(substring(text, 1, 1)) % 3) END)) / 1000.0),
+           1) AS BIGINT) - 1)) AS window_idx
+  FROM documents
+) aw""",
         "persisted_roundtrip": f"""{P}
 SELECT label, is_back, COUNT(*) AS n,
        CAST(SUM(edge_seq) AS BIGINT) AS sum_seq,
@@ -1887,7 +1934,22 @@ wwalk(n0, n1, d) AS (
   SELECT ww.n0, e.dst, ww.d + e.w FROM wwalk ww JOIN wo e ON ww.n1 = e.src
 )
 SELECT n0 AS src, n1 AS dst, CAST(MIN(d) AS BIGINT) AS dist
-FROM wwalk GROUP BY n0, n1) t3""",
+FROM wwalk GROUP BY n0, n1) t3
+UNION ALL
+SELECT 'closeness', id, n_reach, sum_depth, closeness_micro
+FROM (WITH pos AS (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+       CAST(L - i AS BIGINT) AS n_reach,
+       CAST((L - i) * (L - i + 1) / 2 AS BIGINT) AS sum_depth,
+       CAST(FLOOR((L - i) * 1e6 / ((L - i) * (L - i + 1) / 2)) AS BIGINT)
+         AS closeness_micro
+FROM pos WHERE i < L) t4""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

@@ -958,7 +958,7 @@ def weighted_shortest_paths(edges: DataFrame, weight_col: str = "weight",
     ).withColumnRenamed("depth", "dist")
 
 
-def strongly_connected_components(edges: DataFrame,
+def strongly_connected_components(edges: DataFrame, method: str = "auto",
                                   max_iter: int = 20) -> DataFrame:
     """Strongly connected components of a DIRECTED edge set ``(src, dst)``:
     every node labeled with the minimum node id of its SCC (nodes not on
@@ -970,25 +970,67 @@ def strongly_connected_components(edges: DataFrame,
     completes the suite (CC / SCC / k-core / triangles / PageRank / HITS /
     LPA / closure) a graph-shaped corpus audit runs.
 
-    Shape: mutual reachability over the min-plus doubling closure —
-    ``R ∩ Rᵀ`` (reach intersected with its transpose) groups exactly the
-    co-cyclic pairs, O(log diameter) rounds. Intermediates are
-    closure-sized, the same trade :func:`transitive_closure` documents:
-    right for lineage/version/workflow graphs whose closure fits; for
-    sparse giant graphs where it does not, the standard distributed
-    alternative is FW-BW-coloring (Slota et al. 2014) — pivot per color,
-    forward ∩ backward BFS, peel — which trades O(#peel levels) extra
-    rounds for edge-linear state.
+    Two physical strategies (``method``), same answer:
+
+    - ``"closure"``: mutual reachability over the min-plus doubling
+      closure — ``R ∩ Rᵀ`` (reach intersected with its transpose) groups
+      exactly the co-cyclic pairs, O(log diameter) rounds. Intermediates
+      are closure-sized, the trade :func:`transitive_closure` documents:
+      right for lineage/version/workflow graphs whose closure fits.
+    - ``"coloring"``: FW-BW coloring (Orzan 2004 / Slota et al. 2014) —
+      forward min-label propagation partitions the graph into color
+      classes, the backward sweep inside each class extracts the SCC of
+      its root, settled nodes peel off, repeat. State is NODE+EDGE LINEAR
+      every round — the 100 TB path — at the cost of O(peel levels)
+      extra rounds (a pure n-chain peels one node per level; real web-
+      /social-shaped graphs settle in a handful).
+    - ``"auto"``: coloring when the edge count exceeds ~5M (closure-sized
+      intermediates stop being safe), else closure — the same runtime-
+      stats dispatch the pattern compiler uses for unbounded repeats.
     """
-    base = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    base = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if method == "auto":
+        method = "coloring" if base.count() > 5_000_000 else "closure"
+    if method == "closure":
+        return _scc_closure(base, max_iter)
+    if method == "coloring":
+        return _scc_coloring(base)
+    raise ValueError(f"unknown SCC method {method!r}")
+
+
+def _scc_closure(base: DataFrame, max_iter: int = 20) -> DataFrame:
     nodes = (
         base.select(F.col("src").alias("id"))
         .union(base.select(F.col("dst").alias("id")))
         .distinct()
     )
-    reach = minplus_closure(base, keep_self=False, max_iter=max_iter).select(
-        "src", "dst"
-    )
+    # reachability-only doubling: SCC needs the pair SET, not min depths —
+    # two columns and a distinct() per round shuffle ~1/3 less than the
+    # (src, dst, depth) groupBy-min the metric closure pays, and the
+    # convergence test is a bare count (pairs only ever grow)
+    reach = base.localCheckpoint(eager=True)
+    prev_n = reach.count()
+    for _ in range(max_iter):
+        doubled = (
+            reach.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+            .join(
+                reach.select(F.col("src").alias("m"), F.col("dst").alias("b")),
+                "m",
+            )
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        prev_state = reach
+        reach = reach.union(doubled).distinct().localCheckpoint(eager=True)
+        _unpersist_checkpoint(prev_state)
+        n = reach.count()
+        if n == prev_n:
+            break
+        prev_n = n
     # transpose-intersect: (v, m) survives iff v reaches m AND m reaches v
     mutual = reach.join(
         reach.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
@@ -1000,5 +1042,127 @@ def strongly_connected_components(edges: DataFrame,
         .select(
             "id",
             F.least(F.col("id"), F.coalesce(F.col("_mm"), F.col("id"))).alias("scc"),
+        )
+    )
+
+
+def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
+                  max_prop_iter: int = 10_000) -> DataFrame:
+    """FW-BW coloring; see :func:`strongly_connected_components`.
+
+    Invariants driving convergence (each is a cheap scalar fingerprint,
+    never a row collect): forward colors only decrease, the backward
+    in-SCC set only grows, and every peel round settles at least each
+    color class's root — so the outer loop strictly shrinks the active
+    node set and termination is guaranteed without a round budget.
+    """
+    active_edges = base.localCheckpoint(eager=True)
+    active_nodes = (
+        active_edges.select(F.col("src").alias("id"))
+        .union(active_edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled: DataFrame | None = None
+    for _ in range(max_peel_rounds):
+        if active_nodes.limit(1).count() == 0:
+            break
+        # 1. forward sweep: color(v) = min id that reaches v (within the
+        # active subgraph), by synchronous min propagation along edges
+        colors = active_nodes.select("id", F.col("id").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        prev_sum = colors.agg(F.sum("color")).collect()[0][0]
+        for _ in range(max_prop_iter):
+            pushed = active_edges.join(
+                colors.withColumnRenamed("id", "src"), "src"
+            ).select(F.col("dst").alias("id"), "color")
+            old = colors
+            colors = (
+                colors.union(pushed)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(old)
+            cur_sum = colors.agg(F.sum("color")).collect()[0][0]
+            if cur_sum == prev_sum:  # colors only decrease; count is fixed
+                break
+            prev_sum = cur_sum
+        # 2. backward sweep inside each color class: grow from the root
+        # (id == color) along reversed edges restricted to equal colors
+        in_scc = colors.filter(F.col("id") == F.col("color")).localCheckpoint(
+            eager=True
+        )
+        prev_n = in_scc.count()
+        while True:
+            grown = (
+                active_edges.join(
+                    in_scc.select(
+                        F.col("id").alias("dst"), F.col("color").alias("_wc")
+                    ),
+                    "dst",
+                )
+                .select(F.col("src").alias("id"), F.col("_wc").alias("color"))
+                .join(colors.withColumnRenamed("color", "_uc"), "id")
+                .filter(F.col("color") == F.col("_uc"))
+                .select("id", "color")
+            )
+            old = in_scc
+            in_scc = (
+                in_scc.union(grown)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(old)
+            n = in_scc.count()
+            if n == prev_n:
+                break
+            prev_n = n
+        done = in_scc.select("id", F.col("color").alias("scc"))
+        settled = done if settled is None else settled.union(done)
+        settled = settled.localCheckpoint(eager=True)
+        # 3. peel: drop settled nodes and their incident edges
+        ids = in_scc.select("id")
+        old_nodes, old_edges = active_nodes, active_edges
+        active_nodes = active_nodes.join(ids, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        active_edges = (
+            active_edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        for df in (old_nodes, old_edges, colors, in_scc):
+            _unpersist_checkpoint(df)
+    return settled if settled is not None else base.sparkSession.createDataFrame(
+        [], "id long, scc long"
+    )
+
+
+def closeness_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Out-closeness per node over a directed edge set: from the hop
+    closure, ``n_reach`` (nodes reachable), ``sum_depth`` (total shortest
+    hops to them), and ``closeness_micro = floor(n_reach·1e6 /
+    sum_depth)`` — integer micro-units so the result hashes identically
+    across engines (house float rule). Nodes that reach nothing have no
+    row (no closure pairs), matching the oracle's support.
+
+    One aggregation over :func:`transitive_closure` — the closure is the
+    cost (documented there); when only a seed set's centrality matters,
+    run the frontier BFS per seed instead.
+    """
+    cl = transitive_closure(edges, max_iter=max_iter)
+    return (
+        cl.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_reach"),
+            F.sum("depth").alias("sum_depth"),
+        )
+        .select(
+            F.col("src").alias("id"), "n_reach", "sum_depth",
+            F.floor(F.col("n_reach") * 1e6 / F.col("sum_depth"))
+            .cast("long").alias("closeness_micro"),
         )
     )

@@ -192,3 +192,126 @@ def frame_sample(media: DataFrame, every_n: int = 2, decode_stub: bool = True) -
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema="doc_id long, frame_idx int, frame_hash string")
+
+
+# ------------------------------------------------------------------- audio
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, byte_len long, content_hash string, sample_rate int, "
+    "n_channels int, bits_per_sample int, n_samples long, duration_ms long"
+)
+
+
+def _wav_meta(b: bytes) -> tuple[int, int, int, int]:
+    """Dependency-free WAV *header* decode → (sample_rate, n_channels,
+    bits_per_sample, n_samples). Real RIFF chunk walking (the format's
+    published layout), no sample decompression; raises ValueError on
+    non-WAV payloads. The full-codec analogue (MP3/FLAC/OGG) is
+    deliberately out of scope in this container — same split as the image
+    path's PIL-vs-header-parser."""
+    import struct  # noqa: PLC0415
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"unrecognized audio payload (magic {bytes(b[:4])!r})")
+    rate = channels = bits = None
+    data_len = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            _, channels, rate = struct.unpack("<HHI", b[i + 8:i + 16])
+            bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif cid == b"data":
+            data_len = size
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    frame_bytes = max(1, channels * (bits // 8))
+    return rate, channels, bits, data_len // frame_bytes
+
+
+def audio_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Audio metadata/feature extraction via the same Arrow ``mapInPandas``
+    path as :func:`decode_features`. Stub mode derives deterministic fake
+    parameters from the payload bytes (SQL-twinnable byte arithmetic);
+    real mode parses WAV headers (``_wav_meta``). ``duration_ms`` =
+    ``floor(n_samples · 1000 / sample_rate)``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = pdf["content"]
+            if decode_stub:
+                meta = pd.DataFrame(
+                    {
+                        "sample_rate": contents.map(
+                            lambda b: 8000 * (1 + b[0] % 3) if len(b) else 8000
+                        ),
+                        "n_channels": contents.map(
+                            lambda b: 1 + (b[1] % 2) if len(b) > 1 else 1
+                        ),
+                        "bits_per_sample": contents.map(lambda b: 16),
+                        "n_samples": contents.map(lambda b: len(b) * 100),
+                    }
+                )
+            else:
+                meta = pd.DataFrame(
+                    contents.map(lambda b: _wav_meta(bytes(b))).tolist(),
+                    columns=[
+                        "sample_rate", "n_channels", "bits_per_sample",
+                        "n_samples",
+                    ],
+                    index=contents.index,
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": contents.map(len).astype("int64"),
+                    "content_hash": contents.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "sample_rate": meta["sample_rate"].astype("int32"),
+                    "n_channels": meta["n_channels"].astype("int32"),
+                    "bits_per_sample": meta["bits_per_sample"].astype("int32"),
+                    "n_samples": meta["n_samples"].astype("int64"),
+                    "duration_ms": (
+                        meta["n_samples"] * 1000 // meta["sample_rate"]
+                    ).astype("int64"),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def audio_window_sample(media: DataFrame, window_ms: int = 1000,
+                        decode_stub: bool = True) -> DataFrame:
+    """One row per ``window_ms`` slice of each clip — the row-explosion
+    shape a speech pipeline produces (feature windows / ASR chunks),
+    mirroring :func:`frame_sample` for video. Window fingerprint = md5 of
+    payload ++ decimal window index, so the DuckDB twin is plain string
+    concatenation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "window_idx": [], "window_hash": []}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                content = bytes(content)
+                if decode_stub:
+                    rate = 8000 * (1 + content[0] % 3) if content else 8000
+                    n_samples = len(content) * 100
+                else:
+                    rate, _, _, n_samples = _wav_meta(content)
+                duration_ms = n_samples * 1000 // rate
+                n_windows = max(1, -(-duration_ms // window_ms))  # ceil
+                for i in range(n_windows):
+                    rows["doc_id"].append(did)
+                    rows["window_idx"].append(i)
+                    rows["window_hash"].append(
+                        hashlib.md5(content + str(i).encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run, schema="doc_id long, window_idx int, window_hash string"
+    )

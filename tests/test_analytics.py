@@ -458,3 +458,47 @@ def test_scc_self_loop_and_isolated_pair(spark):
     out = {r["id"]: r["scc"] for r in
            AN.strongly_connected_components(edges).collect()}
     assert out == {8: 8, 9: 9}
+
+
+def test_scc_coloring_matches_closure_on_random_graphs(spark):
+    # the two physical strategies must agree; seeded graphs with mixed
+    # cycles, chains, and cross-links exercise multi-round peeling
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        n = 40
+        pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+        )
+        a = sorted((r["id"], r["scc"]) for r in
+                   AN.strongly_connected_components(edges, method="closure").collect())
+        b = sorted((r["id"], r["scc"]) for r in
+                   AN.strongly_connected_components(edges, method="coloring").collect())
+        assert a == b, f"seed {seed}: strategies disagree"
+
+
+def test_scc_coloring_peels_chain(spark):
+    # pure chain = worst case for peeling (one root per round); small n
+    # keeps it fast while proving multi-round termination
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    out = {r["id"]: r["scc"] for r in
+           AN.strongly_connected_components(edges, method="coloring").collect()}
+    assert out == {i: i for i in range(7)}
+
+
+def test_closeness_centrality_star_and_chain(spark):
+    # star center reaches 3 nodes in 1 hop each; chain head 1->2->3:
+    # n_reach 2, sum_depth 3
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 11), (0, 12), (1, 2), (2, 3)], "src long, dst long"
+    )
+    out = {r["id"]: (r["n_reach"], r["sum_depth"], r["closeness_micro"])
+           for r in AN.closeness_centrality(edges).collect()}
+    assert out[0] == (3, 3, 1000000)
+    assert out[1] == (2, 3, 666666)
+    assert out[2] == (1, 1, 1000000)
+    assert 10 not in out and 3 not in out  # sinks reach nothing -> no row

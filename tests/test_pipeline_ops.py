@@ -462,3 +462,60 @@ def test_quality_percentile_filter_top_only(spark):
     kept = {r["doc_id"]
             for r in quality_percentile_filter(docs, keep_permille=1000).collect()}
     assert kept == {0, 1}
+
+
+def _wav_bytes(rate=16000, channels=2, n_frames=800, bits=16):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * (bits // 8)))
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_parse(spark):
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, _wav_bytes(16000, 2, 800), "audio"),
+         (2, _wav_bytes(8000, 1, 4000), "audio")],
+        "doc_id long, content binary, media_type string",
+    )
+    out = {r["doc_id"]: r for r in
+           MM.audio_features(media, decode_stub=False).collect()}
+    assert (out[1]["sample_rate"], out[1]["n_channels"],
+            out[1]["bits_per_sample"], out[1]["n_samples"]) == (16000, 2, 16, 800)
+    assert out[1]["duration_ms"] == 800 * 1000 // 16000  # 50 ms
+    assert (out[2]["sample_rate"], out[2]["n_samples"]) == (8000, 4000)
+    assert out[2]["duration_ms"] == 500
+
+
+def test_audio_features_rejects_non_wav(spark):
+    import pytest as _pt
+
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, b"definitely not audio", "audio")],
+        "doc_id long, content binary, media_type string",
+    )
+    with _pt.raises(Exception, match="unrecognized audio payload"):
+        MM.audio_features(media, decode_stub=False).collect()
+
+
+def test_audio_window_sample_counts(spark):
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    # real WAV of 2.5 s in 1 s windows -> 3 windows (ceil)
+    media = spark.createDataFrame(
+        [(1, _wav_bytes(8000, 1, 20000), "audio")],
+        "doc_id long, content binary, media_type string",
+    )
+    rows = MM.audio_window_sample(media, window_ms=1000,
+                                  decode_stub=False).collect()
+    assert sorted(r["window_idx"] for r in rows) == [0, 1, 2]
+    assert len({r["window_hash"] for r in rows}) == 3
