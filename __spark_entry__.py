@@ -1232,7 +1232,14 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("stratified").alias("op"), F.col("lang").alias("s"),
         sN.alias("t"), F.col("doc_id").alias("a"), lN.alias("b"),
         lN.alias("c"), lN.alias("d"))
-    return qt.unionByName(tt).unionByName(inv).unionByName(st)
+    from judy_graph_db_spark.operators import stats as STT
+
+    cm = STT.token_commonness(spark.table("documents")).select(
+        F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
+        F.col("commonness_micro").alias("c"), lN.alias("d"))
+    return (qt.unionByName(tt).unionByName(inv).unionByName(st)
+            .unionByName(cm))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -1905,7 +1912,10 @@ SELECT 'inverted', term, posting_hash, NULL, df, NULL, NULL
 FROM ({O.inverted_index_sql(min_df=5, max_df=400)}) t3
 UNION ALL
 SELECT 'stratified', lang, NULL, doc_id, NULL, NULL, NULL
-FROM ({O.stratified_sample_sql(STRATA)}) t4""",
+FROM ({O.stratified_sample_sql(STRATA)}) t4
+UNION ALL
+SELECT 'commonness', NULL, NULL, doc_id, n_tokens, commonness_micro, NULL
+FROM ({O.token_commonness_sql()}) t5""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -150,3 +150,52 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
             "posting_hash"
         ),
     )
+
+
+def token_commonness(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document corpus-frequency score: the average relative corpus
+    frequency of the document's tokens, in integer micro-units —
+    ``floor(1e6 · Σ tf(t)·c(t) / (n_tokens · T))`` where ``c(t)`` is the
+    term's total corpus count and ``T`` the corpus token count.
+
+    This is the integer-exact stand-in for unigram-LM perplexity scoring
+    (the CCNet-style filter): LOW commonness = rare-token-heavy documents
+    (jargon, noise, other-language leakage), HIGH = stopword soup. It is
+    kept log-free on purpose — ln/log2 are not bit-identical across
+    engines, so a log-based score could not be hash-gated; the ordering a
+    filter consumes is preserved.
+
+    One corpus scan: tokenize+explode → (doc, term) tf, corpus counts as a
+    SUM window over the term key, one per-doc aggregation, and the corpus
+    total attached as a broadcast 1-row join (the scalar-attach house
+    pattern). At extreme corpus sizes the ``·1e6`` product should move to
+    DECIMAL before the divide; the double form here is deterministic but
+    rounds above 2^53. Returns ``(id_col, n_tokens, commonness_micro)``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    wterm = Window.partitionBy("term")
+    per_doc = (
+        tf.withColumn("c", F.sum("tf").over(wterm))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("c")).alias("_wsum"),
+        )
+    )
+    total = per_doc.agg(F.sum("n_tokens").alias("_T"))
+    return per_doc.join(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        F.floor(
+            F.col("_wsum") * 1e6 / (F.col("n_tokens") * F.col("_T"))
+        ).cast("long").alias("commonness_micro"),
+    )

@@ -946,3 +946,25 @@ c AS (
   FROM r
 )
 SELECT {id_col}, {group_col}, q_score FROM c WHERE q_score >= cut"""
+
+
+def token_commonness_sql(id_col: str = "doc_id", text_col: str = "text",
+                         table: str = "documents") -> str:
+    """Twin of ``stats.token_commonness``."""
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})) AS term
+    FROM {table}
+  ) t GROUP BY 1, 2
+),
+wc AS (SELECT *, SUM(tf) OVER (PARTITION BY term) AS c FROM tf),
+pd AS (
+  SELECT {id_col}, SUM(tf) AS n_tokens, SUM(tf * c) AS wsum
+  FROM wc GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS T FROM pd)
+SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(wsum * 1e6 / (n_tokens * T)) AS BIGINT) AS commonness_micro
+FROM pd, tot"""

@@ -519,3 +519,19 @@ def test_audio_window_sample_counts(spark):
                                   decode_stub=False).collect()
     assert sorted(r["window_idx"] for r in rows) == [0, 1, 2]
     assert len({r["window_hash"] for r in rows}) == 3
+
+
+def test_token_commonness_ranks_common_above_rare(spark):
+    from judy_graph_db_spark.operators.stats import token_commonness
+
+    # doc 1 repeats the corpus-dominant token; doc 2 is all hapaxes
+    rows = [(1, "aaa aaa aaa aaa"), (2, "qq ww ee rr"), (3, "aaa aaa zz yy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["commonness_micro"])
+           for r in token_commonness(docs).collect()}
+    assert out[1][0] == 4 and out[2][0] == 4 and out[3][0] == 4
+    # corpus: aaa x6, each other token x1, T=12
+    # doc1: 4*6/(4*12) = 0.5 -> 500000; doc2: 4*1/(4*12) -> 83333
+    assert out[1][1] == 500000
+    assert out[2][1] == 83333
+    assert out[1][1] > out[3][1] > out[2][1]
