@@ -464,7 +464,48 @@ def _q_stream_interval_join(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table(qname)
+    lN = F.lit(None).cast("long")
+    ij = spark.table(qname).select(
+        F.lit("ijoin").alias("op"), F.col("l_event_id").alias("a"),
+        F.col("r_event_id").alias("b"), F.lit(None).cast("string").alias("s"))
+
+    # streaming dedup as a REAL stream: dropDuplicatesWithinWatermark keyed
+    # on (user_id, event_type), horizon wider than the fixture's time span,
+    # so exactly one row per key survives — the deterministic fixpoint the
+    # batch DISTINCT oracle states. Only the key columns are emitted
+    # (which duplicate row is kept depends on arrival order; the KEY SET
+    # does not).
+    from judy_graph_db_spark.streaming.dedup import dedup_stream
+
+    ev_all = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, PT.LongType):
+        ev_all = ev_all.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    elif isinstance(raw_schema["ts"].dataType, PT.TimestampNTZType):
+        ev_all = ev_all.withColumn("ts", F.col("ts").cast("timestamp"))
+    dd = dedup_stream(
+        ev_all.select("user_id", "event_type", "ts"),
+        keys=("user_id", "event_type"), delay="3650 days",
+    ).select("user_id", "event_type")
+    dname = f"sdd_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        dd.writeStream.format("memory")
+        .queryName(dname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    dd_rows = spark.table(dname).select(
+        F.lit("dedup").alias("op"), F.col("user_id").cast("long").alias("a"),
+        lN.alias("b"), F.col("event_type").alias("s"))
+    return ij.unionByName(dd_rows)
 
 
 # ------------------------------------------------------------ text / dedup
@@ -1331,19 +1372,28 @@ def _q_events_hourly_both(spark, sf_dir):
 
 
 def _q_chunk_shard(spark, sf_dir):
-    """Context-window prep in one driver row: overlapping character chunks
-    + token-budget sharding (two-pass distributed prefix sum)."""
+    """Context-window prep in one driver row: overlapping character chunks,
+    token-budget sharding, and concat-and-chunk sequence packing (both on
+    the two-pass distributed prefix sum)."""
+    from judy_graph_db_spark.operators.curation import pack_sequences
+
     lN = F.lit(None).cast("long")
     sN = F.lit(None).cast("string")
     ch = _q_doc_chunks(spark, sf_dir).select(
         F.lit("chunk").alias("op"), "doc_id",
         F.col("chunk_idx").cast("long").alias("a"),
         F.col("chunk").alias("s"), lN.alias("b"))
+    load_tpch_views(spark, sf_dir)
+    pk = pack_sequences(spark.table("documents"), seq_len=512).select(
+        F.lit("pack").alias("op"), "doc_id",
+        F.col("seq_first").alias("a"),
+        F.col("offset_in_first").cast("string").alias("s"),
+        F.col("seq_last").alias("b"))
     sh = _q_token_shards(spark, sf_dir).select(
         F.lit("shard").alias("op"), "doc_id",
         F.col("shard").cast("long").alias("a"), sN.alias("s"),
         F.col("n_tokens").cast("long").alias("b"))
-    return ch.unionByName(sh)
+    return ch.unionByName(sh).unionByName(pk)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1591,12 +1641,15 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, sid""",
         "stream_interval_join": """
-SELECT c.event_id AS l_event_id, p.event_id AS r_event_id
+SELECT 'ijoin' AS op, c.event_id AS a, p.event_id AS b,
+       CAST(NULL AS VARCHAR) AS s
 FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND p.ts > c.ts
  AND p.ts <= c.ts + INTERVAL 1800 SECOND
-WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+UNION ALL
+SELECT DISTINCT 'dedup', user_id, NULL, event_type FROM events""",
         "doc_signals": f"""
 SELECT doc_id,
        {O.token_count_sql()} AS n_tokens,
@@ -1772,7 +1825,10 @@ SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
 FROM ({O.chunk_documents_sql(size=200, stride=150)}) t1
 UNION ALL
 SELECT 'shard', doc_id, shard, NULL, n_tokens
-FROM ({O.shard_by_token_budget_sql(budget_tokens=10000)}) t2""",
+FROM ({O.shard_by_token_budget_sql(budget_tokens=10000)}) t2
+UNION ALL
+SELECT 'pack', doc_id, seq_first, CAST(offset_in_first AS VARCHAR), seq_last
+FROM ({O.pack_sequences_sql(seq_len=512)}) t3""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

@@ -139,6 +139,19 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
     computation is one deterministic plan with no pinned-block dependency.
 
     Returns ``(id_col, n_tokens, shard)``."""
+    pre = _token_prefix(df, id_col, text_col, num_partitions)
+    return pre.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor(F.col("__start") / budget_tokens).cast("long").alias("shard"),
+    )
+
+
+def _token_prefix(df: DataFrame, id_col: str, text_col: str,
+                  num_partitions: int | None) -> DataFrame:
+    """Global exclusive token prefix sum in ``id_col`` order —
+    ``(id_col, n_tokens, __start)`` — via the scalable two-pass shape (see
+    :func:`shard_by_token_budget`'s docstring)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -165,9 +178,42 @@ def shard_by_token_budget(df: DataFrame, budget_tokens: int,
     )
     cum_before = F.col("__offset") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return parted.join(F.broadcast(offsets), "__pid").select(
+        F.col(id_col), F.col("n_tokens"), cum_before.alias("__start")
+    )
+
+
+def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: all documents' tokens are (logically) concatenated in
+    ``id_col`` order and cut into fixed ``seq_len``-token training
+    sequences, so no sequence has padding and documents may straddle a
+    boundary. Per document this yields its placement:
+    ``seq_first``/``seq_last`` (the sequence ids it lands in) and
+    ``offset_in_first`` (token position where it starts) — exactly what a
+    loader needs to materialize example k by slicing the docs with
+    ``seq_first ≤ k ≤ seq_last``.
+
+    Same two-pass distributed prefix sum as :func:`shard_by_token_budget`
+    (one shuffle + one narrow pass at any corpus size); token-less
+    documents are dropped (they occupy no positions). Contrast with
+    :func:`shard_by_token_budget`, which bins WHOLE documents and never
+    splits one. Returns ``(id_col, n_tokens, seq_first, seq_last,
+    offset_in_first)``.
+    """
+    pre = _token_prefix(df, id_col, text_col, num_partitions).filter(
+        F.col("n_tokens") > 0
+    )
+    start = F.col("__start")
+    return pre.select(
         F.col(id_col),
         F.col("n_tokens"),
-        F.floor(cum_before / budget_tokens).cast("long").alias("shard"),
+        F.floor(start / seq_len).cast("long").alias("seq_first"),
+        F.floor((start + F.col("n_tokens") - 1) / seq_len).cast("long").alias(
+            "seq_last"
+        ),
+        (start % seq_len).cast("long").alias("offset_in_first"),
     )
 
 

@@ -968,3 +968,24 @@ tot AS (SELECT SUM(n_tokens) AS T FROM pd)
 SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(FLOOR(wsum * 1e6 / (n_tokens * T)) AS BIGINT) AS commonness_micro
 FROM pd, tot"""
+
+
+def pack_sequences_sql(seq_len: int, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       table: str = "documents") -> str:
+    """Twin of ``curation.pack_sequences``."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {token_count_sql(text_col)} AS n_tokens FROM {table}
+),
+pre AS (
+  SELECT {id_col}, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM toks
+)
+SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // {seq_len} AS BIGINT) AS seq_first,
+       CAST((start + n_tokens - 1) // {seq_len} AS BIGINT) AS seq_last,
+       CAST(start % {seq_len} AS BIGINT) AS offset_in_first
+FROM pre WHERE n_tokens > 0"""

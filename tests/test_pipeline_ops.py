@@ -535,3 +535,30 @@ def test_token_commonness_ranks_common_above_rare(spark):
     assert out[1][1] == 500000
     assert out[2][1] == 83333
     assert out[1][1] > out[3][1] > out[2][1]
+
+
+def test_pack_sequences_layout(spark):
+    from judy_graph_db_spark.operators.curation import pack_sequences
+
+    # token stream (L=4): doc1 3 toks [0,3), doc2 4 toks [3,7), doc3 2 [7,9)
+    rows = [(1, "a b c"), (2, "d e f g"), (3, "h i"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["seq_first"], r["seq_last"], r["offset_in_first"])
+           for r in pack_sequences(docs, seq_len=4).collect()}
+    assert out == {1: (0, 0, 0), 2: (0, 1, 3), 3: (1, 2, 3)}
+    assert 4 not in out  # token-less docs occupy no positions
+
+
+def test_pack_sequences_agrees_with_shard_boundaries(spark):
+    from judy_graph_db_spark.operators.curation import (
+        pack_sequences, shard_by_token_budget)
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # a doc's shard under budget B equals the sequence id its FIRST token
+    # lands in under seq_len B
+    sh = {r["doc_id"]: r["shard"]
+          for r in shard_by_token_budget(docs, 16).collect()}
+    pk = {r["doc_id"]: r["seq_first"]
+          for r in pack_sequences(docs, 16).collect()}
+    assert sh == pk
