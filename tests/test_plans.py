@@ -219,3 +219,60 @@ def test_range_join_is_equi_join(spark):
         TP.range_join(orders.select("o_orderdate"), iv, "o_orderdate", "start_ts", "end_ts")
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:3000]
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Every Lloyd round must broadcast the k-row centroid relation; a
+    shuffled centroid join would exchange the full embedding table per
+    iteration."""
+    from judy_graph_db_spark.operators import clustering as CL
+
+    load_tpch_views(spark, SF_DIR)
+    plan = plan_of(CL.kmeans_assign(spark.table("embeddings"), k=4, iters=2, dim=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_are_cluster_equi_join(spark):
+    """The pairwise cosine join must be keyed on the cluster id — an
+    unkeyed (cross) pair join is the O(n²) shape this operator exists to
+    avoid."""
+    from judy_graph_db_spark.operators import clustering as CL
+
+    load_tpch_views(spark, SF_DIR)
+    plan = plan_of(CL.semantic_dedup(spark.table("embeddings"), k=4, iters=1, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "cluster" in plan  # the equi-key survives into the physical join
+
+
+def test_pack_sequences_prefix_sum_shape(spark):
+    """The prefix sum's post-checkpoint exchanges move only the narrow
+    (id, n_tokens, pid) projection — the text column is reduced to a count
+    BEFORE the range materialization, so the corpus bytes never shuffle —
+    and the offsets come back as a broadcast of the tiny subtotal relation,
+    never a global single-partition window over the data."""
+    from judy_graph_db_spark.operators.curation import pack_sequences
+
+    load_tpch_views(spark, SF_DIR)
+    plan = plan_of(pack_sequences(spark.table("documents"), seq_len=512))
+    # offsets side joins back as a broadcast of the tiny subtotal relation
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the only SinglePartition exchange is the <=P-row subtotal window,
+    # fed by a partial (map-side) aggregate — never the full relation
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "partial_sum" in plan
+    # text is projected away before every exchange
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "text" not in first_line
+
+
+def test_quality_filter_single_group_exchange(spark):
+    """Both windows (rank/count and the cutoff max) must share the one
+    hash exchange on the group key."""
+    from judy_graph_db_spark.operators.curation import quality_percentile_filter
+
+    load_tpch_views(spark, SF_DIR)
+    plan = plan_of(quality_percentile_filter(spark.table("documents")))
+    assert plan.count("Exchange hashpartitioning") == 1
