@@ -884,9 +884,16 @@ def _q_connected_components(spark, sf_dir):
 
 
 def _q_triangle_count(spark, sf_dir):
-    """Ordered 3-way self-join triangle count over the whole graph."""
+    """Motif-count family in one driver row: degree-oriented triangle
+    count plus diagonal-codegree 4-cycle (square) count over the whole
+    graph."""
     g = tpch_graph(spark, sf_dir)
-    return AN.triangle_count(g.edges.filter(~F.col("is_back")))
+    fwd = g.edges.filter(~F.col("is_back"))
+    tri = AN.triangle_count(fwd).select(
+        F.lit("triangles").alias("op"), F.col("triangles").alias("n"))
+    sq = AN.square_count(fwd).select(
+        F.lit("squares").alias("op"), F.col("squares").alias("n"))
+    return tri.unionByName(sq)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -1884,11 +1891,22 @@ FROM chained WHERE n_orders >= 2""",
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
   FROM edges WHERE NOT is_back AND src <> dst
+),
+sym AS (
+  SELECT a AS via, b AS nb FROM und UNION ALL SELECT b, a FROM und
+),
+cd AS (
+  SELECT x.nb AS a, y.nb AS b, COUNT(*) AS c
+  FROM sym x JOIN sym y ON x.via = y.via AND x.nb < y.nb
+  GROUP BY 1, 2
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+SELECT 'triangles' AS op, CAST(COUNT(*) AS BIGINT) AS n
 FROM und e1
 JOIN und e2 ON e1.b = e2.a
-JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b""",
+JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+UNION ALL
+SELECT 'squares', CAST(COALESCE(SUM(c * (c - 1) / 2) / 2, 0) AS BIGINT)
+FROM cd""",
         "degree_histogram": f"""{P}
 SELECT label, CAST(length(bin(degree)) AS BIGINT) AS bucket,
        COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS sum_degree

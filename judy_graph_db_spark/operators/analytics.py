@@ -1172,3 +1172,44 @@ def closeness_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .cast("long").alias("closeness_micro"),
         )
     )
+
+
+def square_count(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """Global 4-cycle (square) count over the undirected simple graph —
+    with :func:`triangle_count` the standard motif pair a graph-shaped
+    corpus audit reports (C4 density separates bipartite-ish co-occurrence
+    structure that triangles are blind to).
+
+    Formula: every 4-cycle is determined by its two diagonals, so
+    ``#C4 = Σ_{u<v} C(codeg(u,v), 2) / 2`` with codeg = common-neighbor
+    count. One wedge join keyed on the shared neighbor (the via node)
+    produces the codegree relation; hubs make the wedge O(deg²), so
+    ``max_degree`` drops high-degree via nodes first — the same skew guard
+    (and the same candidate-bound caveat) as ``bipartite_projection``.
+    Returns a single row ``(squares BIGINT)``.
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    wedge_base = sym
+    if max_degree is not None:
+        wv = Window.partitionBy("src")  # src = the wedge pivot (via)
+        wedge_base = (
+            sym.withColumn("__vd", F.count(F.lit(1)).over(wv))
+            .filter(F.col("__vd") <= max_degree)
+            .drop("__vd")
+        )
+    codeg = (
+        wedge_base.select(F.col("src").alias("via"), F.col("dst").alias("a"))
+        .join(
+            wedge_base.select(F.col("src").alias("via"), F.col("dst").alias("b")),
+            "via",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return codeg.agg(
+        F.coalesce(
+            (F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("squares")
+    )

@@ -502,3 +502,19 @@ def test_closeness_centrality_star_and_chain(spark):
     assert out[1] == (2, 3, 666666)
     assert out[2] == (1, 1, 1000000)
     assert 10 not in out and 3 not in out  # sinks reach nothing -> no row
+
+
+def test_square_count_known_graphs(spark):
+    def sq(pairs, **kw):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return AN.square_count(e, **kw).collect()[0]["squares"]
+
+    assert sq([(1, 2), (2, 3), (3, 4), (4, 1)]) == 1          # C4
+    assert sq([(1, 2), (2, 3), (3, 1)]) == 0                  # triangle
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert sq(k4) == 3                                        # K4: 3 squares
+    # hub cap: a star has no squares; capping the hub must not crash or
+    # invent any
+    star = [(0, i) for i in range(1, 8)]
+    assert sq(star) == 0
+    assert sq(star, max_degree=3) == 0
