@@ -1169,8 +1169,12 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("quality_filter").alias("op"), "doc_id",
         F.col("lang").alias("split"), F.col("q_score").alias("n"),
         lN.alias("a"), lN.alias("b"))
+    cap = CU.cap_per_group(docs, "source", n=40).select(
+        F.lit("cap").alias("op"), "doc_id", F.col("source").alias("split"),
+        F.col("rank_in_group").cast("long").alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
-            .unionByName(contam).unionByName(qf))
+            .unionByName(contam).unionByName(qf).unionByName(cap))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -1254,7 +1258,15 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("topk").alias("op"), F.col("o_orderpriority").alias("s"),
         F.col("o_orderkey").cast("long").alias("a"),
         F.col("rank_in_group").cast("long").alias("b"), lN.alias("c"))
-    return asof.unionByName(rng).unionByName(fn).unionByName(tk)
+    from judy_graph_db_spark.operators.temporal import cohort_retention
+
+    co = cohort_retention(spark.table("events"), period_days=7).select(
+        F.lit("cohort").alias("op"), sN.alias("s"),
+        F.col("cohort_period").alias("a"),
+        F.col("period_offset").alias("b"),
+        F.col("n_active").alias("c"))
+    return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
+            .unionByName(co))
 
 
 def _q_stats_ops(spark, sf_dir):
@@ -1825,7 +1837,10 @@ FROM ({O.ngram_contamination_sql(
     "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0")}) t
 UNION ALL
 SELECT 'quality_filter', doc_id, lang, q_score, NULL, NULL
-FROM ({O.quality_percentile_filter_sql(keep_permille=500)}) t""",
+FROM ({O.quality_percentile_filter_sql(keep_permille=500)}) t
+UNION ALL
+SELECT 'cap', doc_id, source, rank_in_group, NULL, NULL
+FROM ({O.cap_per_group_sql(group_col='source', n=40)}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b
@@ -1969,7 +1984,10 @@ FROM ({O.funnel_sql(within_seconds=3600)}) t3
 UNION ALL
 SELECT 'topk', o_orderpriority, CAST(o_orderkey AS BIGINT),
        CAST(rank_in_group AS BIGINT), NULL
-FROM ({O.topk_per_group_sql(k=3)}) t4""",
+FROM ({O.topk_per_group_sql(k=3)}) t4
+UNION ALL
+SELECT 'cohort', NULL, cohort_period, period_offset, n_active
+FROM ({O.cohort_retention_sql(period_days=7)}) t5""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

@@ -274,3 +274,24 @@ def quality_percentile_filter(df: DataFrame, keep_permille: int = 500,
         .filter(F.col("q_score") >= F.col("__cut"))
         .select(id_col, group_col, "q_score")
     )
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by md5
+    rank over the id — the per-source/per-domain cap every large corpus
+    applies (C4-style: no single domain may dominate the mix). The
+    md5-rank pick is a uniform "random" ``n`` with no RNG state; unlike
+    :func:`hash_sample`'s fixed-cutoff membership, the kept SET here
+    shifts as a group grows (rank is relative), which is the point — the
+    cap is a quota, not a sample. One shuffle on the group key.
+
+    Returns the input columns plus ``rank_in_group``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= int(n))
+    )

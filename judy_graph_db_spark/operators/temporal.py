@@ -210,3 +210,40 @@ def topk_per_group(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= k)
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users are grouped into cohorts by the
+    period of their FIRST activity; each cell counts the cohort's users
+    still active ``period_offset`` periods later. Periods are absolute
+    ``period_days`` bins of days-since-epoch (calendar-free integer
+    arithmetic — engine-portable, unlike week-of-year, which disagrees
+    across locales/engines).
+
+    Two aggregations over one event scan: per-user first-period (min), a
+    distinct user-period activity relation, then the (cohort, offset)
+    rollup — all shuffles keyed on the user. Returns
+    ``(cohort_period, period_offset, n_active)`` with one row per
+    non-empty cell (offset 0 row = cohort size, since the first-activity
+    period is itself active).
+    """
+    per = (F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
+           / period_days)
+    acts = events.select(
+        F.col(user_col).alias("__u"),
+        F.floor(per).cast("long").alias("__p"),
+    ).distinct()
+    first = acts.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    return (
+        acts.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

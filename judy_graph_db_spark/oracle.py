@@ -989,3 +989,35 @@ SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST((start + n_tokens - 1) // {seq_len} AS BIGINT) AS seq_last,
        CAST(start % {seq_len} AS BIGINT) AS offset_in_first
 FROM pre WHERE n_tokens > 0"""
+
+
+def cohort_retention_sql(period_days: int = 7, user_col: str = "user_id",
+                         ts_col: str = "ts", table: str = "events") -> str:
+    """Twin of ``temporal.cohort_retention`` (absolute days-since-epoch
+    period bins, calendar-free)."""
+    return f"""
+WITH acts AS (
+  SELECT DISTINCT {user_col} AS u,
+         CAST(FLOOR(date_diff('day', DATE '1970-01-01',
+              CAST({ts_col} AS DATE)) / {period_days}) AS BIGINT) AS p
+  FROM {table}
+),
+firsts AS (SELECT u, MIN(p) AS cohort FROM acts GROUP BY u)
+SELECT cohort AS cohort_period, p - cohort AS period_offset,
+       COUNT(*) AS n_active
+FROM acts JOIN firsts USING (u)
+GROUP BY 1, 2"""
+
+
+def cap_per_group_sql(group_col: str, n: int, id_col: str = "doc_id",
+                      table: str = "documents") -> str:
+    """Twin of ``curation.cap_per_group`` (md5-rank quota per group)."""
+    return f"""
+SELECT {id_col}, {group_col}, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM (
+  SELECT {id_col}, {group_col},
+         ROW_NUMBER() OVER (
+           PARTITION BY {group_col}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rank_in_group
+  FROM {table}
+) r WHERE rank_in_group <= {int(n)}"""

@@ -176,3 +176,39 @@ def test_topk_per_group(spark):
     got = {(r.grp, r.id, r.rank_in_group) for r in out.collect()}
     # scores: id0->0 id1->7 id2->4 id3->1 id4->8 ; top2 = id4(8), id1(7)
     assert got == {("a", 4, 1), ("a", 1, 2), ("b", 4, 1), ("b", 1, 2)}
+
+
+def test_cohort_retention_matrix(spark):
+    from judy_graph_db_spark.operators.temporal import cohort_retention
+
+    # user 1 first active in period of 2024-01-01, returns 2 weeks later;
+    # user 2 active only once; periods are 7-day bins of days-since-epoch
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-15 09:00:00"),
+        (2, "2024-01-02 11:00:00"),
+        (3, "2024-01-16 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = {(r["cohort_period"], r["period_offset"]): r["n_active"]
+           for r in cohort_retention(ev, period_days=7).collect()}
+    base = (19723) // 7  # 2024-01-01 is day 19723 since epoch
+    assert out[(base, 0)] == 2          # users 1 and 2 start together
+    assert out[(base, 2)] == 1          # user 1 returns two periods on
+    assert out[(base + 2, 0)] == 1      # user 3 is a later cohort
+    assert sum(v for (c, o), v in out.items() if o == 0) == 3
+
+
+def test_cap_per_group_quota(spark):
+    from judy_graph_db_spark.operators.curation import cap_per_group
+
+    rows = [(i, "x", "web" if i < 20 else "books") for i in range(26)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = cap_per_group(docs, "source", n=5)
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["web"]) == 5 and len(by_src["books"]) == 5
+    # deterministic: same pick every run
+    again = {r["doc_id"] for r in cap_per_group(docs, "source", n=5).collect()}
+    assert again == {d for v in by_src.values() for d in v}
