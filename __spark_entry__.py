@@ -71,7 +71,11 @@ def _q_node_label_counts(spark, sf_dir):
 
 
 def _q_pattern_2hop(spark, sf_dir):
-    """table(quickStrat) 2-hop join chain (evalLtoR, Cypher.hs:653-695)."""
+    """The 2-hop join chain under BOTH strategies in one driver row:
+    ``quick`` (left-to-right, evalLtoR ``Cypher.hs:653-695``) and the
+    cost-based path (``runOnE``/``minI``, ``Cypher.hs:586-607`` — seeds
+    from the cheapest node spec, possibly interior, and compiles outward)
+    must produce the identical binding set."""
     g = tpch_graph(spark, sf_dir)
     pat = (
         N(labels=["CUSTOMER"])
@@ -80,7 +84,9 @@ def _q_pattern_2hop(spark, sf_dir):
         >> E("CONTAINS", direction="r")
         >> N(labels=["PART"])
     )
-    return table(g, pat)
+    q = table(g, pat, quick=True).withColumn("op", F.lit("quick"))
+    c = table(g, pat, quick=False).withColumn("op", F.lit("cost"))
+    return q.unionByName(c)
 
 
 def _q_pattern_backward(spark, sf_dir):
@@ -1494,12 +1500,18 @@ SELECT src, label, COUNT(*) AS degree FROM edges
 WHERE NOT is_back GROUP BY src, label""",
         "node_label_counts": f"""{P}
 SELECT label AS range_label, COUNT(*) AS n FROM nodes_g GROUP BY label""",
-        "pattern_2hop": f"""{P}
-SELECT e1.src AS n0, e1.label AS e0_label, e1.edge_seq AS e0_seq, e1.dst AS n1,
-       e2.label AS e1_label, e2.edge_seq AS e1_seq, e2.dst AS n2
-FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
-WHERE e1.label = 'PLACED' AND NOT e1.is_back
-  AND e2.label = 'CONTAINS' AND NOT e2.is_back""",
+        "pattern_2hop": f"""{P},
+hops AS (
+  SELECT e1.src AS n0, e1.label AS e0_label, e1.edge_seq AS e0_seq,
+         e1.dst AS n1, e2.label AS e1_label, e2.edge_seq AS e1_seq,
+         e2.dst AS n2
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+  WHERE e1.label = 'PLACED' AND NOT e1.is_back
+    AND e2.label = 'CONTAINS' AND NOT e2.is_back
+)
+SELECT *, 'quick' AS op FROM hops
+UNION ALL
+SELECT *, 'cost' AS op FROM hops""",
         "pattern_1hop_matrix": f"""{P}
 SELECT 'backward' AS op, src AS n0, label AS e0_label, edge_seq AS e0_seq, dst AS n1
 FROM edges WHERE label = 'PLACED' AND is_back
