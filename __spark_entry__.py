@@ -1380,7 +1380,13 @@ def _q_ann_search(spark, sf_dir):
         F.col("vec_id").cast("long").alias("a"),
         F.col("cluster").cast("long").alias("b"),
         F.col("kept").cast("long").alias("c"), lN.alias("d"))
-    return bk.unionByName(tk).unionByName(km).unionByName(sd)
+    qt = S.quantize_embeddings(embs).select(
+        F.lit("quant").alias("op"), F.col("q_hash").alias("s"),
+        F.col("vec_id").cast("long").alias("a"),
+        F.col("scale_micro").alias("b"),
+        F.col("n_dims").cast("long").alias("c"), lN.alias("d"))
+    return (bk.unionByName(tk).unionByName(km).unionByName(sd)
+            .unionByName(qt))
 
 
 def _q_events_hourly_both(spark, sf_dir):
@@ -1890,7 +1896,10 @@ FROM ({O.kmeans_sizes_sql(k=8, iters=2, dim=64)}) t6
 UNION ALL
 SELECT 'semdedup', NULL, vec_id, cluster,
        CAST(kept AS BIGINT), NULL
-FROM ({O.semantic_dedup_sql(threshold_micro=350000, k=8, iters=2, dim=64)}) t7""",
+FROM ({O.semantic_dedup_sql(threshold_micro=350000, k=8, iters=2, dim=64)}) t7
+UNION ALL
+SELECT 'quant', q_hash, vec_id, scale_micro, CAST(n_dims AS BIGINT), NULL
+FROM ({O.quantize_embeddings_sql()}) t8""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so both fixpoints have closed forms: weak component = the
         # customer's minimum order id; with the last→first closing edge

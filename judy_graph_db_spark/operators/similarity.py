@@ -232,3 +232,35 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_cells: int = 4
         .drop("cell", "_cid")
     )
     return cosine_topk_bruteforce(cell, query_id, k, id_col, vec_col)
+
+
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 scalar quantization, per vector: ``scale = max(|v|)/
+    127``, ``q[i] = round(v[i]/scale)`` — the standard 4× storage shrink a
+    100 TB embedding corpus takes before ANN serving (recall loss at int8
+    is typically <1% for cosine ranking). Pure codegen ``transform``
+    expressions, no shuffle, no UDF.
+
+    The scale surfaces as integer micro-units and each quantized vector as
+    its comma-joined md5, so the whole transform is hash-gated exactly
+    (house float rule). Zero vectors quantize to all-zeros with scale 0.
+    Returns ``(id_col, scale_micro, n_dims, q_hash)``.
+    """
+    amax = F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+    scale = amax / 127.0
+    q = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) / "
+        f"(aggregate({vec_col}, cast(0.0 as double), "
+        f"(acc, y) -> greatest(acc, abs(cast(y as double)))) / 127.0)) as bigint))"
+    )
+    qz = F.when(amax == 0, F.expr(f"transform({vec_col}, x -> cast(0 as bigint))")).otherwise(q)
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale * 1e6).cast("long").alias("scale_micro"),
+        F.size(F.col(vec_col)).alias("n_dims"),
+        F.md5(F.concat_ws(",", qz.cast("array<string>"))).alias("q_hash"),
+    )

@@ -1021,3 +1021,19 @@ FROM (
            ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rank_in_group
   FROM {table}
 ) r WHERE rank_in_group <= {int(n)}"""
+
+
+def quantize_embeddings_sql(id_col: str = "vec_id", vec_col: str = "embedding",
+                            table: str = "embeddings") -> str:
+    """Twin of ``similarity.quantize_embeddings``."""
+    amax = (f"list_max(list_transform({vec_col}, "
+            f"x -> abs(CAST(x AS DOUBLE))))")
+    return f"""
+SELECT {id_col},
+       CAST(ROUND({amax} / 127.0 * 1e6) AS BIGINT) AS scale_micro,
+       CAST(len({vec_col}) AS INTEGER) AS n_dims,
+       md5(array_to_string(list_transform({vec_col},
+         x -> CASE WHEN {amax} = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(ROUND(CAST(x AS DOUBLE) / ({amax} / 127.0)) AS BIGINT)
+              END), ',')) AS q_hash
+FROM {table}"""

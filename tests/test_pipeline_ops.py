@@ -562,3 +562,18 @@ def test_pack_sequences_agrees_with_shard_boundaries(spark):
     pk = {r["doc_id"]: r["seq_first"]
           for r in pack_sequences(docs, 16).collect()}
     assert sh == pk
+
+
+def test_quantize_embeddings_zero_and_extremes(spark):
+    from judy_graph_db_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -1.0]), (3, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["scale_micro"] == 0       # zero vector -> scale 0, q=0s
+    # max |v|=1 -> scale=1/127; extremes quantize to ±127
+    assert out[2]["scale_micro"] == round(1 / 127 * 1e6)
+    assert out[1]["q_hash"] != out[2]["q_hash"]
+    assert all(r["n_dims"] == 2 for r in out.values())
