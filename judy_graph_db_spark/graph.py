@@ -268,20 +268,24 @@ class Graph:
 
     # --------------------------------------------------------- persistence
 
-    def save(self, path: str, mode: str = "overwrite", bucket_by_src: bool = False) -> None:
-        """Persist (``listToDB``/``emptyDB``, ``JudyGraph.hs:160-192``) as
-        parquet. At scale pass ``bucket_by_src=True`` to write ``edges``
-        repartitioned on ``src`` so adjacency filters prune files."""
+    def save(self, path: str, mode: str = "overwrite", bucket_by_src: bool = False,
+             fmt: str = "parquet") -> None:
+        """Persist (``listToDB``/``emptyDB``, ``JudyGraph.hs:160-192``).
+        ``fmt`` is any Spark batch format with min/max column statistics —
+        ``parquet`` (default) or ``orc``. At scale pass
+        ``bucket_by_src=True`` to write ``edges`` repartitioned on ``src``
+        so adjacency filters prune files."""
         e = self.edges
         if bucket_by_src:
-            # hash-distribute by src and sort inside each file: parquet
-            # row-group min/max stats on (src, label) then prune point
+            # hash-distribute by src and sort inside each file: row-group /
+            # stripe min/max stats on (src, label) then prune point
             # lookups and adjacency scans — the on-disk replacement for the
             # reference's judy index (FastAccess.hs:602-634)
             e = e.repartition("src").sortWithinPartitions("src", "label")
-        e.write.mode(mode).parquet(os.path.join(path, "edges"))
-        self.nodes.write.mode(mode).parquet(os.path.join(path, "nodes"))
-        self.ranges_df().write.mode(mode).parquet(os.path.join(path, "ranges"))
+        e.write.mode(mode).format(fmt).save(os.path.join(path, "edges"))
+        self.nodes.write.mode(mode).format(fmt).save(os.path.join(path, "nodes"))
+        self.ranges_df().write.mode(mode).format(fmt).save(
+            os.path.join(path, "ranges"))
 
     def save_table(self, name: str, buckets: int = 0, mode: str = "overwrite") -> None:
         """Persist as catalog tables ``{name}_edges/_nodes/_ranges``. With
@@ -309,12 +313,12 @@ class Graph:
         return cls(spark, nodes, edges, ranges)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "Graph":
+    def load(cls, spark: SparkSession, path: str, fmt: str = "parquet") -> "Graph":
         """Reopen a persisted graph (``fromDB``, ``JudyGraph.hs:195-203`` —
         which the reference left TODO; here it fully restores)."""
-        edges = spark.read.parquet(os.path.join(path, "edges"))
-        nodes = spark.read.parquet(os.path.join(path, "nodes"))
-        rows = spark.read.parquet(os.path.join(path, "ranges")).collect()
+        edges = spark.read.format(fmt).load(os.path.join(path, "edges"))
+        nodes = spark.read.format(fmt).load(os.path.join(path, "nodes"))
+        rows = spark.read.format(fmt).load(os.path.join(path, "ranges")).collect()
         ranges = Ranges.of(*[(r.range_start, r.range_len, r.label, tuple(r.valid_edge_labels or ())) for r in rows])
         return cls(spark, nodes, edges, ranges)
 

@@ -102,3 +102,16 @@ def test_json_edges_roundtrip_and_edge_list_export(spark, tmp_path):
     g2 = read_edge_list(spark, out, label="X", sep="\t")
     assert g2.edges.count() == 3
     assert {(r.src, r.dst) for r in g2.edges.collect()} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_save_load_roundtrip_orc(spark, tmp_path):
+    # same persistence contract through the ORC writer (stripe stats play
+    # the role of parquet row-group stats for pruning)
+    g = f2_issue_tracker(spark)
+    path = str(tmp_path / "g_orc")
+    g.save(path, fmt="orc", bucket_by_src=True)
+    g2 = Graph.load(spark, path, fmt="orc")
+    assert g2.edges.count() == g.edges.count()
+    assert sorted(r.src for r in g2.edges.filter("NOT is_back").collect()) == \
+        sorted(r.src for r in g.edges.filter("NOT is_back").collect())
+    assert g2.ranges.label_of(5) == "ISSUE"
