@@ -1304,8 +1304,15 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    ou = STT.grouped_outliers(
+        spark.table("events"), "user_id", "value", "event_id", k=2
+    ).select(
+        F.lit("outliers").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("event_id").cast("long").alias("b"),
+        F.col("value_cents").alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
-            .unionByName(cm))
+            .unionByName(cm).unionByName(ou))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -2028,7 +2035,10 @@ SELECT 'stratified', lang, NULL, doc_id, NULL, NULL, NULL
 FROM ({O.stratified_sample_sql(STRATA)}) t4
 UNION ALL
 SELECT 'commonness', NULL, NULL, doc_id, n_tokens, commonness_micro, NULL
-FROM ({O.token_commonness_sql()}) t5""",
+FROM ({O.token_commonness_sql()}) t5
+UNION ALL
+SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
+FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

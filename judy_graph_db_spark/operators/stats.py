@@ -199,3 +199,40 @@ def token_commonness(docs: DataFrame, id_col: str = "doc_id",
             F.col("_wsum") * 1e6 / (F.col("n_tokens") * F.col("_T"))
         ).cast("long").alias("commonness_micro"),
     )
+
+
+def grouped_outliers(df: DataFrame, group_col: str, value_col: str,
+                     id_col: str, k: int = 3) -> DataFrame:
+    """Rows whose value deviates from their GROUP mean by more than ``k``
+    population standard deviations — the cheap per-entity anomaly flag
+    (fraud-ish spend spikes, corrupted metric rows) a curation pass runs
+    before aggregating.
+
+    Exact integer arithmetic throughout: values are taken in cents
+    (``round(value·100)``) and the test is the cross-multiplied form
+    ``(n·x − S)² > k²·(n·SS − S²)`` (with S = Σx, SS = Σx² per group),
+    which is ``(x − μ)² > k²σ²`` cleared of divisions — so there is no
+    float variance to disagree across engines and the result hash-gates
+    exactly. Two window passes over ONE shuffle on the group key; no
+    join-back. Singleton and constant groups flag nothing (both sides 0).
+
+    Magnitude bound: ``(n·x)²`` must fit a BIGINT — fine to ~3·10⁹ in
+    n·cents (e.g. 10⁵ rows of $300k); at genuinely larger group-scales
+    move S/SS to DECIMAL(38,0). Returns flagged rows only:
+    ``(group_col, id_col, value_cents)``.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    wg = Window.partitionBy(group_col)
+    base = df.select(
+        F.col(group_col), F.col(id_col), cents.alias("value_cents")
+    ).select(
+        group_col, id_col, "value_cents",
+        F.count(F.lit(1)).over(wg).alias("__n"),
+        F.sum("value_cents").over(wg).alias("__s"),
+        F.sum(F.col("value_cents") * F.col("value_cents")).over(wg).alias("__ss"),
+    )
+    dev = F.col("__n") * F.col("value_cents") - F.col("__s")
+    var_n2 = F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    return base.filter(dev * dev > F.lit(int(k) * int(k)) * var_n2).select(
+        group_col, id_col, "value_cents"
+    )

@@ -1037,3 +1037,26 @@ SELECT {id_col},
               ELSE CAST(ROUND(CAST(x AS DOUBLE) / ({amax} / 127.0)) AS BIGINT)
               END), ',')) AS q_hash
 FROM {table}"""
+
+
+def grouped_outliers_sql(group_col: str, value_col: str, id_col: str,
+                         k: int = 3, table: str = "events") -> str:
+    """Twin of ``stats.grouped_outliers`` (integer cross-multiplied
+    z-test; DuckDB's HUGEINT sums cast back for the BIGINT compare)."""
+    return f"""
+WITH b AS (
+  SELECT {group_col}, {id_col},
+         CAST(ROUND({value_col} * 100) AS BIGINT) AS value_cents
+  FROM {table}
+),
+w AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n,
+         CAST(SUM(value_cents) OVER (PARTITION BY {group_col}) AS BIGINT) AS s,
+         CAST(SUM(value_cents * value_cents)
+              OVER (PARTITION BY {group_col}) AS BIGINT) AS ss
+  FROM b
+)
+SELECT {group_col}, {id_col}, value_cents
+FROM w
+WHERE (n * value_cents - s) * (n * value_cents - s) > {int(k) * int(k)} * (n * ss - s * s)"""

@@ -577,3 +577,22 @@ def test_quantize_embeddings_zero_and_extremes(spark):
     assert out[2]["scale_micro"] == round(1 / 127 * 1e6)
     assert out[1]["q_hash"] != out[2]["q_hash"]
     assert all(r["n_dims"] == 2 for r in out.values())
+
+
+def test_grouped_outliers_exact_flagging(spark):
+    from judy_graph_db_spark.operators.stats import grouped_outliers
+
+    # user 1: nine 10.00s and one 1000.00 -> the spike flags at k=2 (a
+    # single spike's z-score is bounded by (n-1)/sqrt(n) ~ 2.85 at n=10,
+    # so k=3 mathematically CANNOT fire here — the classic z-bound);
+    # user 2: constant values -> sigma 0, nothing flags;
+    # user 3: a single row -> never flags (x == mean)
+    rows = [(1, i, 10.0) for i in range(9)] + [(1, 99, 1000.0)]
+    rows += [(2, 200 + i, 5.0) for i in range(4)]
+    rows += [(3, 300, 123.45)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = [(r["user_id"], r["event_id"], r["value_cents"])
+           for r in grouped_outliers(ev, "user_id", "value", "event_id", k=2).collect()]
+    assert out == [(1, 99, 100000)]
+    none = grouped_outliers(ev, "user_id", "value", "event_id", k=3).collect()
+    assert none == []
