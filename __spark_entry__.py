@@ -1377,11 +1377,13 @@ def _q_ann_search(spark, sf_dir):
         F.col("sim_micro").cast("long").alias("d"))
     load_tpch_views(spark, sf_dir)
     embs = spark.table("embeddings")
-    km = CL.kmeans_sizes(embs, k=8, iters=2, dim=64).select(
+    # one Lloyd run feeds both parts (sizes + dedup reuse the assignment)
+    clusters = CL.kmeans_assign(embs, k=8, iters=2, dim=64)
+    km = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("kmeans").alias("op"), F.col("cluster").cast("string").alias("s"),
         lN.alias("a"), lN.alias("b"), lN.alias("c"),
         F.col("n").cast("long").alias("d"))
-    sd = CL.semantic_dedup(embs, threshold_micro=350000, k=8, iters=2,
+    sd = CL.semantic_dedup(embs, clusters=clusters, threshold_micro=350000,
                            dim=64).select(
         F.lit("semdedup").alias("op"), sN.alias("s"),
         F.col("vec_id").cast("long").alias("a"),

@@ -596,3 +596,45 @@ def test_grouped_outliers_exact_flagging(spark):
     assert out == [(1, 99, 100000)]
     none = grouped_outliers(ev, "user_id", "value", "event_id", k=3).collect()
     assert none == []
+
+
+def test_pack_sequences_token_stream_is_contiguous(docs):
+    from judy_graph_db_spark.operators.curation import pack_sequences
+
+    rows = sorted(
+        pack_sequences(docs, seq_len=256).collect(),
+        key=lambda r: r["seq_first"] * 256 + r["offset_in_first"],
+    )
+    pos = 0
+    for r in rows:
+        start = r["seq_first"] * 256 + r["offset_in_first"]
+        assert start == pos, "gap or overlap in the packed token stream"
+        end = start + r["n_tokens"] - 1
+        assert r["seq_last"] == end // 256
+        pos = start + r["n_tokens"]
+
+
+def test_quality_filter_monotone_in_percentile(docs):
+    from judy_graph_db_spark.operators.curation import quality_percentile_filter
+
+    lo = {r["doc_id"] for r in
+          quality_percentile_filter(docs, keep_permille=300).collect()}
+    hi = {r["doc_id"] for r in
+          quality_percentile_filter(docs, keep_permille=800).collect()}
+    assert hi <= lo  # raising the percentile can only shrink the kept set
+    assert len(hi) > 0
+
+
+def test_semantic_dedup_every_cluster_keeps_its_min(embs):
+    from judy_graph_db_spark.operators import clustering as CL
+
+    out = CL.semantic_dedup(embs, k=4, iters=1, dim=64,
+                            threshold_micro=200000).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for c, rows in by_cluster.items():
+        mn = min(r["vec_id"] for r in rows)
+        kept = {r["vec_id"] for r in rows if r["kept"]}
+        assert mn in kept, f"cluster {c} dropped its canonical min id"
+        assert kept, f"cluster {c} emptied out"
