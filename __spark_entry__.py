@@ -1179,8 +1179,15 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("cap").alias("op"), "doc_id", F.col("source").alias("split"),
         F.col("rank_in_group").cast("long").alias("n"),
         lN.alias("a"), lN.alias("b"))
+    mx = CU.plan_mixture(
+        docs, {"src0": 300, "src1": 100, "src2": 50}
+    ).select(
+        F.lit("mixture").alias("op"), lN.alias("doc_id"),
+        F.col("source").alias("split"), F.col("n_tokens").alias("n"),
+        F.col("target_permille").alias("a"), F.col("keep_permille").alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
-            .unionByName(contam).unionByName(qf).unionByName(cap))
+            .unionByName(contam).unionByName(qf).unionByName(cap)
+            .unionByName(mx))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -1867,7 +1874,10 @@ SELECT 'quality_filter', doc_id, lang, q_score, NULL, NULL
 FROM ({O.quality_percentile_filter_sql(keep_permille=500)}) t
 UNION ALL
 SELECT 'cap', doc_id, source, rank_in_group, NULL, NULL
-FROM ({O.cap_per_group_sql(group_col='source', n=40)}) t""",
+FROM ({O.cap_per_group_sql(group_col='source', n=40)}) t
+UNION ALL
+SELECT 'mixture', NULL, source, n_tokens, target_permille, keep_permille
+FROM ({O.plan_mixture_sql({'src0': 300, 'src1': 100, 'src2': 50})}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

@@ -295,3 +295,51 @@ def cap_per_group(df: DataFrame, group_col: str, n: int,
         df.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= int(n))
     )
+
+
+def plan_mixture(df: DataFrame, targets: dict[str, int],
+                 source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Domain-mixture planning: given target token SHARES per source (in
+    permille), compute the per-source keep rates that realize the mix at
+    the largest achievable scale — the water-filling answer with hard
+    caps at 1000‰ (you cannot upsample a source you do not have; the
+    scarcest targeted source is the bottleneck, every other source
+    downsamples proportionally). Feed the resulting ``keep_permille``
+    straight into :func:`stratified_sample`-style per-stratum cutoffs.
+
+    Exact integer arithmetic (``div``, never float division):
+    ``K = min_s(1000·tokens_s div target_s)`` over targeted sources is the
+    achievable mixed-corpus token size; ``keep_s = min(1000,
+    (target_s·K) div (1000·tokens_s) ·1000)``. Untargeted sources get 0.
+    One token-count aggregation + a broadcast 1-row scalar attach.
+    Returns ``(source_col, n_tokens, target_permille, keep_permille)``.
+    """
+    if not targets or any(v <= 0 for v in targets.values()):
+        raise ValueError("targets must be a non-empty map of positive permille")
+    tok = df.select(
+        F.col(source_col), token_count(F.col(text_col)).alias("__nt")
+    ).groupBy(source_col).agg(F.sum("__nt").alias("n_tokens"))
+    pairs = []
+    for s, pm in targets.items():
+        pairs += [F.lit(s), F.lit(int(pm))]
+    tmap = F.create_map(*pairs)
+    t = tok.withColumn(
+        "target_permille",
+        F.coalesce(tmap[F.col(source_col)], F.lit(0)).cast("long"),
+    )
+    kmax = (
+        t.filter(F.col("target_permille") > 0)
+        .select(
+            F.expr("(n_tokens * 1000) div target_permille").alias("__cap")
+        )
+        .agg(F.min("__cap").alias("__kmax"))
+    )
+    return t.join(F.broadcast(kmax)).select(
+        source_col, "n_tokens", "target_permille",
+        F.when(F.col("target_permille") == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr("(target_permille * __kmax) div n_tokens"),
+            )
+        ).alias("keep_permille"),
+    )

@@ -1060,3 +1060,30 @@ w AS (
 SELECT {group_col}, {id_col}, value_cents
 FROM w
 WHERE (n * value_cents - s) * (n * value_cents - s) > {int(k) * int(k)} * (n * ss - s * s)"""
+
+
+def plan_mixture_sql(targets: dict[str, int], source_col: str = "source",
+                     text_col: str = "text", table: str = "documents") -> str:
+    """Twin of ``curation.plan_mixture``."""
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(pm)}" for s, pm in targets.items()
+    )
+    return f"""
+WITH tok AS (
+  SELECT {source_col}, SUM({token_count_sql(text_col)}) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+t AS (
+  SELECT {source_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(CASE {source_col} {case} ELSE 0 END AS BIGINT) AS target_permille
+  FROM tok
+),
+k AS (
+  SELECT MIN((n_tokens * 1000) // target_permille) AS kmax
+  FROM t WHERE target_permille > 0
+)
+SELECT {source_col}, n_tokens, target_permille,
+       CAST(CASE WHEN target_permille = 0 THEN 0
+            ELSE LEAST(1000, (target_permille * kmax) // n_tokens)
+            END AS BIGINT) AS keep_permille
+FROM t, k"""

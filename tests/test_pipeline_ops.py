@@ -638,3 +638,21 @@ def test_semantic_dedup_every_cluster_keeps_its_min(embs):
         kept = {r["vec_id"] for r in rows if r["kept"]}
         assert mn in kept, f"cluster {c} dropped its canonical min id"
         assert kept, f"cluster {c} emptied out"
+
+
+def test_plan_mixture_water_filling(spark):
+    from judy_graph_db_spark.operators.curation import plan_mixture
+
+    # sources A (100 toks), B (400 toks); equal 500/500 target -> A is the
+    # bottleneck (kept whole), B downsamples to ~A's size
+    rows = [(1, "w " * 100, "A"), (2, "w " * 400, "B"), (3, "w " * 50, "C")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: (r["n_tokens"], r["target_permille"], r["keep_permille"])
+           for r in plan_mixture(docs, {"A": 500, "B": 500}).collect()}
+    assert out["A"] == (100, 500, 1000)
+    assert out["B"][2] == (500 * ((100 * 1000) // 500)) // 400  # = 250
+    assert out["C"] == (50, 0, 0)  # untargeted source excluded from the mix
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        plan_mixture(docs, {})
