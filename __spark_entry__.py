@@ -886,7 +886,16 @@ def _q_connected_components(spark, sf_dir):
     directed = chains.select("src", "dst").unionByName(closing)
     scc = AN.strongly_connected_components(directed).select(
         F.lit("scc").alias("op"), "id", F.col("scc").alias("component"))
-    return cc.unionByName(scc)
+    # incremental: label the even-src half of the chain edges first, then
+    # fold the odd-src half in as a "new batch" — the merged labeling must
+    # equal the full closed form (continuous-ingest path, quotient-graph
+    # recompute only)
+    half_old = chains.filter(F.col("src") % 2 == 0).select("src", "dst")
+    half_new = chains.filter(F.col("src") % 2 != 0).select("src", "dst")
+    inc = AN.incremental_connected_components(
+        AN.connected_components(half_old), half_new
+    ).select(F.lit("incremental").alias("op"), "id", "component")
+    return cc.unionByName(scc).unionByName(inc)
 
 
 def _q_triangle_count(spark, sf_dir):
@@ -1941,6 +1950,10 @@ UNION ALL
 SELECT 'scc', CAST(5*{B} + o_orderkey AS BIGINT),
        CAST(CASE WHEN o_custkey % 2 = 0 THEN 5*{B} + min_key
                  ELSE 5*{B} + o_orderkey END AS BIGINT)
+FROM chained WHERE n_orders >= 2
+UNION ALL
+SELECT 'incremental', CAST(5*{B} + o_orderkey AS BIGINT),
+       CAST(5*{B} + min_key AS BIGINT)
 FROM chained WHERE n_orders >= 2""",
         "triangle_count": f"""{P},
 und AS (

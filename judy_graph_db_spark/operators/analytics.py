@@ -1213,3 +1213,58 @@ def square_count(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("squares")
     )
+
+
+def incremental_connected_components(labels: DataFrame,
+                                     new_edges: DataFrame,
+                                     max_iter: int = 50) -> DataFrame:
+    """Fold a batch of NEW edges into an existing component labeling
+    without re-scanning the labeled graph — the continuous-ingest
+    companion to :func:`connected_components` (same shape as the
+    incremental dedup operators: probe what exists, recompute only what
+    the batch touches).
+
+    ``labels`` is ``(id, component)`` from a previous run (components
+    labeled by their min id — the fixpoint this module produces); the
+    update maps each new edge endpoint through its existing label
+    (fresh nodes map to themselves), runs the O(log n) star contraction
+    on that QUOTIENT graph — whose size is O(|batch| + touched
+    components), independent of the full graph — and joins the quotient
+    result back. Labels stay min-id-canonical, so iterating per batch is
+    associative: the result equals a full recompute over old ∪ new.
+
+    Returns the complete updated labeling ``(id, component)`` (old nodes
+    re-labeled where merged, new nodes appended).
+    """
+    lab = labels.select("id", "component")
+    def through(col):  # endpoint → its existing component, or itself
+        side = lab.select(F.col("id").alias(col),
+                          F.col("component").alias(f"__c_{col}"))
+        return side
+    q_edges = (
+        new_edges.select("src", "dst")
+        .join(through("src"), "src", "left")
+        .join(through("dst"), "dst", "left")
+        .select(
+            F.coalesce(F.col("__c_src"), F.col("src")).alias("src"),
+            F.coalesce(F.col("__c_dst"), F.col("dst")).alias("dst"),
+        )
+    )
+    q = connected_components(q_edges, max_iter=max_iter).select(
+        F.col("id").alias("_qid"), F.col("component").alias("_qcomp")
+    )
+    updated_old = (
+        lab.join(q, lab.component == F.col("_qid"), "left")
+        .select(
+            "id", F.coalesce(F.col("_qcomp"), F.col("component")).alias("component")
+        )
+    )
+    fresh = (
+        new_edges.select(F.col("src").alias("id"))
+        .union(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(lab.select("id"), "id", "left_anti")
+        .join(q, F.col("id") == F.col("_qid"), "left")
+        .select("id", F.coalesce(F.col("_qcomp"), F.col("id")).alias("component"))
+    )
+    return updated_old.unionByName(fresh)

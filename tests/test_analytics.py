@@ -518,3 +518,33 @@ def test_square_count_known_graphs(spark):
     star = [(0, i) for i in range(1, 8)]
     assert sq(star) == 0
     assert sq(star, max_degree=3) == 0
+
+
+def test_incremental_cc_matches_full_recompute(spark):
+    import random
+
+    rng = random.Random(5)
+    all_edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    old, new = all_edges[:20], all_edges[20:]
+    old_df = spark.createDataFrame(old, "src long, dst long")
+    new_df = spark.createDataFrame(new, "src long, dst long")
+    full_df = spark.createDataFrame(all_edges, "src long, dst long")
+
+    labels = AN.connected_components(old_df)
+    inc = sorted((r["id"], r["component"]) for r in
+                 AN.incremental_connected_components(labels, new_df).collect())
+    full = sorted((r["id"], r["component"]) for r in
+                  AN.connected_components(full_df).collect())
+    assert inc == full
+
+
+def test_incremental_cc_bridges_and_fresh_nodes(spark):
+    # old: two components {1,2} and {10,11}; new edges bridge them AND
+    # introduce brand-new nodes 100-101
+    old_df = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+    new_df = spark.createDataFrame([(2, 10), (100, 101)], "src long, dst long")
+    labels = AN.connected_components(old_df)
+    out = {r["id"]: r["component"] for r in
+           AN.incremental_connected_components(labels, new_df).collect()}
+    assert out == {1: 1, 2: 1, 10: 1, 11: 1, 100: 100, 101: 100}
