@@ -1280,15 +1280,22 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("topk").alias("op"), F.col("o_orderpriority").alias("s"),
         F.col("o_orderkey").cast("long").alias("a"),
         F.col("rank_in_group").cast("long").alias("b"), lN.alias("c"))
-    from judy_graph_db_spark.operators.temporal import cohort_retention
+    from judy_graph_db_spark.operators.temporal import (cohort_retention,
+                                                        funnel_steps)
 
     co = cohort_retention(spark.table("events"), period_days=7).select(
         F.lit("cohort").alias("op"), sN.alias("s"),
         F.col("cohort_period").alias("a"),
         F.col("period_offset").alias("b"),
         F.col("n_active").alias("c"))
+    f3 = funnel_steps(
+        spark.table("events"), ["view", "click", "purchase"], 86400
+    ).select(
+        F.lit("funnel3").alias("op"), sN.alias("s"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("steps_completed").alias("b"), lN.alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
-            .unionByName(co))
+            .unionByName(co).unionByName(f3))
 
 
 def _q_stats_ops(spark, sf_dir):
@@ -2040,7 +2047,10 @@ SELECT 'topk', o_orderpriority, CAST(o_orderkey AS BIGINT),
 FROM ({O.topk_per_group_sql(k=3)}) t4
 UNION ALL
 SELECT 'cohort', NULL, cohort_period, period_offset, n_active
-FROM ({O.cohort_retention_sql(period_days=7)}) t5""",
+FROM ({O.cohort_retention_sql(period_days=7)}) t5
+UNION ALL
+SELECT 'funnel3', NULL, CAST(user_id AS BIGINT), steps_completed, NULL
+FROM ({O.funnel_steps_sql(['view', 'click', 'purchase'], 86400)}) t6""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

@@ -247,3 +247,55 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-stage funnel: per key, how far along the ordered sequence
+    ``steps`` it progressed, where each stage must occur strictly after
+    the previous one and within ``within_seconds`` of it — the k-step
+    generalization of :func:`funnel_completions`.
+
+    Earliest-first greedy per stage (the standard funnel semantics, and
+    provably optimal here: taking the EARLIEST qualifying event for stage
+    i can only loosen every later deadline). Each stage is one filtered
+    aggregation joined against the previous stage's per-key timestamp —
+    k−1 small keyed joins, never a k-way self-join of the event log.
+    Returns ``(key_col, steps_completed BIGINT)`` for every key that hit
+    stage 1; ``steps_completed`` ∈ 1..len(steps).
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two funnel steps")
+    prev = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = prev.select(key_col, F.lit(1).cast("long").alias("steps_completed"))
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(key_col, F.col(ts_col).alias("_ts"))
+            .join(prev, key_col)
+            .filter(
+                (F.col("_ts") > F.col("_t"))
+                & (F.col("_ts")
+                   <= F.col("_t") + F.expr(f"INTERVAL {int(within_seconds)} SECOND"))
+            )
+            .groupBy(key_col)
+            .agg(F.min("_ts").alias("_t"))
+        )
+        out = out.join(nxt.select(key_col, F.lit(1).alias("_hit")),
+                       key_col, "left").select(
+            key_col,
+            (F.col("steps_completed") + F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long").alias("steps_completed"),
+        )
+        prev = nxt
+    return out

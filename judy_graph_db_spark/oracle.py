@@ -1087,3 +1087,34 @@ SELECT {source_col}, n_tokens, target_permille,
             ELSE LEAST(1000, (target_permille * kmax) // n_tokens)
             END AS BIGINT) AS keep_permille
 FROM t, k"""
+
+
+def funnel_steps_sql(steps, within_seconds: int, key_col: str = "user_id",
+                     ts_col: str = "ts", type_col: str = "event_type",
+                     table: str = "events") -> str:
+    """Twin of ``temporal.funnel_steps`` (earliest-first greedy stages)."""
+    parts = [f"""s0 AS (
+  SELECT {key_col}, MIN({ts_col}) AS t FROM {table}
+  WHERE {type_col} = '{steps[0]}' GROUP BY 1
+)"""]
+    for i, step in enumerate(steps[1:], start=1):
+        parts.append(f"""s{i} AS (
+  SELECT e.{key_col}, MIN(e.{ts_col}) AS t
+  FROM {table} e JOIN s{i - 1} p ON e.{key_col} = p.{key_col}
+   AND e.{ts_col} > p.t
+   AND e.{ts_col} <= p.t + INTERVAL {int(within_seconds)} SECOND
+  WHERE e.{type_col} = '{step}' GROUP BY 1
+)""")
+    hits = " + ".join(
+        f"(CASE WHEN s{i}.{key_col} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(1, len(steps))
+    )
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON s0.{key_col} = s{i}.{key_col}"
+        for i in range(1, len(steps))
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT s0.{key_col}, CAST(1 + {hits} AS BIGINT) AS steps_completed"
+        + f"\nFROM s0 {joins}"
+    )

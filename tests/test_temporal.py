@@ -212,3 +212,29 @@ def test_cap_per_group_quota(spark):
     # deterministic: same pick every run
     again = {r["doc_id"] for r in cap_per_group(docs, "source", n=5).collect()}
     assert again == {d for v in by_src.values() for d in v}
+
+
+def test_funnel_steps_greedy_and_deadlines(spark):
+    from judy_graph_db_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # user 1 completes view->click->buy, each within 60s
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:00:30"),
+        (1, "buy", "2024-01-01 10:01:00"),
+        # user 2: click comes too late -> stops at stage 1
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 10:05:00"),
+        # user 3: greedy earliest view (10:00) makes the 10:00:50 click
+        # qualify even though a later view (10:04) also exists
+        (3, "view", "2024-01-01 10:00:00"),
+        (3, "view", "2024-01-01 10:04:00"),
+        (3, "click", "2024-01-01 10:00:50"),
+        # user 4: never views -> absent
+        (4, "click", "2024-01-01 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["user_id"]: r["steps_completed"] for r in
+           funnel_steps(ev, ["view", "click", "buy"], 60).collect()}
+    assert out == {1: 3, 2: 1, 3: 2}
