@@ -1294,8 +1294,14 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("funnel3").alias("op"), sN.alias("s"),
         F.col("user_id").cast("long").alias("a"),
         F.col("steps_completed").alias("b"), lN.alias("c"))
+    from judy_graph_db_spark.operators.temporal import resample_counts
+
+    rs = resample_counts(spark.table("events"), 3600).select(
+        F.lit("resample").alias("op"), F.col("event_type").alias("s"),
+        F.col("period").alias("a"), F.col("n").alias("b"),
+        F.col("sum_cents").alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
-            .unionByName(co).unionByName(f3))
+            .unionByName(co).unionByName(f3).unionByName(rs))
 
 
 def _q_stats_ops(spark, sf_dir):
@@ -2050,7 +2056,10 @@ SELECT 'cohort', NULL, cohort_period, period_offset, n_active
 FROM ({O.cohort_retention_sql(period_days=7)}) t5
 UNION ALL
 SELECT 'funnel3', NULL, CAST(user_id AS BIGINT), steps_completed, NULL
-FROM ({O.funnel_steps_sql(['view', 'click', 'purchase'], 86400)}) t6""",
+FROM ({O.funnel_steps_sql(['view', 'click', 'purchase'], 86400)}) t6
+UNION ALL
+SELECT 'resample', event_type, period, n, sum_cents
+FROM ({O.resample_counts_sql(3600)}) t7""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

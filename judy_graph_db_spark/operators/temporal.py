@@ -299,3 +299,44 @@ def funnel_steps(
         )
         prev = nxt
     return out
+
+
+def resample_counts(
+    events: DataFrame,
+    period_seconds: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Gap-filled resampling: per ``key_col`` and fixed ``period_seconds``
+    bucket, event count and value sum — INCLUDING explicit zero rows for
+    every empty bucket between the key's first and last activity. A plain
+    groupBy silently drops empty periods, which is exactly wrong for
+    time-series models and charts (missing-row ≠ zero); the fill is a
+    per-key ``sequence`` + ``explode`` over the key's own span (narrow,
+    no driver ranges), left-joined with the actual aggregates.
+
+    Buckets are epoch-seconds ``div`` period (absolute, calendar-free);
+    value sums surface in integer cents. Returns
+    ``(key_col, period, n BIGINT, sum_cents BIGINT)``.
+    """
+    p = F.expr(f"unix_timestamp({ts_col}) div {int(period_seconds)}")
+    base = events.select(
+        F.col(key_col), p.alias("period"),
+        (F.round(F.col(value_col) * 100).cast("long") if value_col
+         else F.lit(0).cast("long")).alias("_cents"),
+    )
+    agg = base.groupBy(key_col, "period").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_cents").alias("sum_cents")
+    )
+    spans = base.groupBy(key_col).agg(
+        F.min("period").alias("_lo"), F.max("period").alias("_hi")
+    )
+    grid = spans.select(
+        key_col, F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("period")
+    )
+    return grid.join(agg, [key_col, "period"], "left").select(
+        key_col, "period",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("sum_cents"), F.lit(0)).cast("long").alias("sum_cents"),
+    )

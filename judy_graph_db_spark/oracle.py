@@ -1118,3 +1118,33 @@ def funnel_steps_sql(steps, within_seconds: int, key_col: str = "user_id",
         + f"\nSELECT s0.{key_col}, CAST(1 + {hits} AS BIGINT) AS steps_completed"
         + f"\nFROM s0 {joins}"
     )
+
+
+def resample_counts_sql(period_seconds: int, key_col: str = "event_type",
+                        ts_col: str = "ts", value_col: str = "value",
+                        table: str = "events") -> str:
+    """Twin of ``temporal.resample_counts`` (zero-filled period grid)."""
+    # seconds via date_diff (complete-second count = truncation), NOT
+    # epoch()::BIGINT — that cast ROUNDS sub-second fractions up and shifts
+    # boundary events into the next bucket, where Spark's unix_timestamp
+    # truncates
+    return f"""
+WITH b AS (
+  SELECT {key_col},
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', {ts_col})
+           // {int(period_seconds)} AS period,
+         CAST(ROUND({value_col} * 100) AS BIGINT) AS cents
+  FROM {table}
+),
+a AS (
+  SELECT {key_col}, period, COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM b GROUP BY 1, 2
+),
+g AS (
+  SELECT {key_col}, unnest(generate_series(MIN(period), MAX(period))) AS period
+  FROM b GROUP BY {key_col}
+)
+SELECT g.{key_col}, g.period,
+       COALESCE(a.n, 0) AS n, COALESCE(a.sum_cents, 0) AS sum_cents
+FROM g LEFT JOIN a ON g.{key_col} = a.{key_col} AND g.period = a.period"""

@@ -238,3 +238,24 @@ def test_funnel_steps_greedy_and_deadlines(spark):
     out = {r["user_id"]: r["steps_completed"] for r in
            funnel_steps(ev, ["view", "click", "buy"], 60).collect()}
     assert out == {1: 3, 2: 1, 3: 2}
+
+
+def test_resample_counts_fills_gaps_with_zeros(spark):
+    from judy_graph_db_spark.operators.temporal import resample_counts
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 03:20:00", 2.5),   # hours 1 and 2 are EMPTY
+        ("b", "2024-01-01 05:00:00", 4.0),   # single-bucket key: no fill
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts string, value double") \
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = {(r["event_type"], r["period"]): (r["n"], r["sum_cents"])
+           for r in resample_counts(ev, 3600).collect()}
+    base = 473352  # 2024-01-01 00:00 UTC in hours since epoch
+    assert out[("a", base)] == (1, 100)
+    assert out[("a", base + 1)] == (0, 0)
+    assert out[("a", base + 2)] == (0, 0)
+    assert out[("a", base + 3)] == (1, 250)
+    assert out[("b", base + 5)] == (1, 400)
+    assert len(out) == 5
