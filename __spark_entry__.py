@@ -1194,9 +1194,27 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("mixture").alias("op"), lN.alias("doc_id"),
         F.col("source").alias("split"), F.col("n_tokens").alias("n"),
         F.col("target_permille").alias("a"), F.col("keep_permille").alias("b"))
+    # snapshot diff: "crawl N+1" = docs minus every 25th id, every 20th id
+    # mutated, every 30th re-added under a shifted id
+    snap_new = (
+        docs.filter(F.col("doc_id") % 25 != 1)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0,
+                   F.concat(F.col("text"), F.lit("x")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 30 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+    )
+    df_ = CU.snapshot_diff(docs.select("doc_id", "text"), snap_new).select(
+        F.lit("diff").alias("op"), "doc_id", F.col("status").alias("split"),
+        lN.alias("n"), lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
-            .unionByName(mx))
+            .unionByName(mx).unionByName(df_))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -1535,6 +1553,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     P = oracle_prefix()
+    snap_new_sql = (
+        "SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || 'x' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 25 != 1 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 30 = 0"
+    )
+    snap_diff_sql = O.snapshot_diff_sql(
+        "SELECT doc_id, text FROM documents", snap_new_sql
+    )
     return {
         "adjacency_neighbors": f"""{P}
 SELECT dst, edge_seq FROM edges
@@ -1899,7 +1926,10 @@ SELECT 'cap', doc_id, source, rank_in_group, NULL, NULL
 FROM ({O.cap_per_group_sql(group_col='source', n=40)}) t
 UNION ALL
 SELECT 'mixture', NULL, source, n_tokens, target_permille, keep_permille
-FROM ({O.plan_mixture_sql({'src0': 300, 'src1': 100, 'src2': 50})}) t""",
+FROM ({O.plan_mixture_sql({'src0': 300, 'src1': 100, 'src2': 50})}) t
+UNION ALL
+SELECT 'diff', doc_id, status, NULL, NULL, NULL
+FROM ({snap_diff_sql}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

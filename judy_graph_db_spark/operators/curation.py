@@ -343,3 +343,28 @@ def plan_mixture(df: DataFrame, targets: dict[str, int],
             )
         ).alias("keep_permille"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Content-level diff of two corpus snapshots — the dataset-versioning
+    primitive behind "what changed between crawl N and N+1": every doc id
+    classified ``added`` (new only), ``removed`` (old only), or
+    ``changed`` (present in both with different content hash); unchanged
+    docs are dropped (at 100 TB the interesting set is the delta, and the
+    unchanged majority never leaves the join). One full-outer equi-join
+    of two hash projections — the text columns reduce to md5 before the
+    shuffle. Returns ``(id_col, status)``.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("__ho"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__hn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -1148,3 +1148,21 @@ g AS (
 SELECT g.{key_col}, g.period,
        COALESCE(a.n, 0) AS n, COALESCE(a.sum_cents, 0) AS sum_cents
 FROM g LEFT JOIN a ON g.{key_col} = a.{key_col} AND g.period = a.period"""
+
+
+def snapshot_diff_sql(old_sql: str, new_sql: str,
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Twin of ``curation.snapshot_diff``."""
+    return f"""
+WITH o AS (SELECT {id_col}, md5({text_col}) AS ho FROM ({old_sql}) t),
+n AS (SELECT {id_col}, md5({text_col}) AS hn FROM ({new_sql}) t),
+j AS (
+  SELECT COALESCE(o.{id_col}, n.{id_col}) AS {id_col}, o.ho, n.hn
+  FROM o FULL OUTER JOIN n ON o.{id_col} = n.{id_col}
+)
+SELECT {id_col},
+       CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed' END AS status
+FROM j
+WHERE ho IS NULL OR hn IS NULL OR ho <> hn"""

@@ -656,3 +656,14 @@ def test_plan_mixture_water_filling(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         plan_mixture(docs, {})
+
+
+def test_snapshot_diff_classifies(spark):
+    from judy_graph_db_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d")], "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged: dropped
