@@ -899,16 +899,21 @@ def _q_connected_components(spark, sf_dir):
 
 
 def _q_triangle_count(spark, sf_dir):
-    """Motif-count family in one driver row: degree-oriented triangle
-    count plus diagonal-codegree 4-cycle (square) count over the whole
-    graph."""
+    """Motif family in one driver row: degree-oriented global triangle
+    count, diagonal-codegree 4-cycle (square) count, and per-node local
+    clustering coefficients."""
+    lN = F.lit(None).cast("long")
     g = tpch_graph(spark, sf_dir)
     fwd = g.edges.filter(~F.col("is_back"))
     tri = AN.triangle_count(fwd).select(
-        F.lit("triangles").alias("op"), F.col("triangles").alias("n"))
+        F.lit("triangles").alias("op"), lN.alias("id"),
+        F.col("triangles").alias("n"))
     sq = AN.square_count(fwd).select(
-        F.lit("squares").alias("op"), F.col("squares").alias("n"))
-    return tri.unionByName(sq)
+        F.lit("squares").alias("op"), lN.alias("id"),
+        F.col("squares").alias("n"))
+    lcc = AN.local_clustering(fwd).select(
+        F.lit("lcc").alias("op"), "id", F.col("lcc_permille").alias("n"))
+    return tri.unionByName(sq).unionByName(lcc)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -2011,13 +2016,29 @@ cd AS (
   FROM sym x JOIN sym y ON x.via = y.via AND x.nb < y.nb
   GROUP BY 1, 2
 )
-SELECT 'triangles' AS op, CAST(COUNT(*) AS BIGINT) AS n
+SELECT 'triangles' AS op, CAST(NULL AS BIGINT) AS id,
+       CAST(COUNT(*) AS BIGINT) AS n
 FROM und e1
 JOIN und e2 ON e1.b = e2.a
 JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
 UNION ALL
-SELECT 'squares', CAST(COALESCE(SUM(c * (c - 1) / 2) / 2, 0) AS BIGINT)
-FROM cd""",
+SELECT 'squares', NULL,
+       CAST(COALESCE(SUM(c * (c - 1) / 2) / 2, 0) AS BIGINT)
+FROM cd
+UNION ALL
+SELECT 'lcc', id,
+       CAST(CASE WHEN d < 2 THEN 0
+            ELSE FLOOR(COALESCE(t, 0) * 2 * 1000 / (d * (d - 1)))
+            END AS BIGINT)
+FROM (SELECT via AS id, COUNT(*) AS d FROM sym GROUP BY 1) degs
+LEFT JOIN (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT unnest([e1.a, e1.b, e2.b]) AS node
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+  ) GROUP BY 1
+) tn ON degs.id = tn.node""",
         "degree_histogram": f"""{P}
 SELECT label, CAST(length(bin(degree)) AS BIGINT) AS bucket,
        COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS sum_degree

@@ -1268,3 +1268,62 @@ def incremental_connected_components(labels: DataFrame,
         .select("id", F.coalesce(F.col("_qcomp"), F.col("id")).alias("component"))
     )
     return updated_old.unionByName(fresh)
+
+
+def local_clustering(edges: DataFrame,
+                     max_degree: int | None = None) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: ``lcc(u) = 2·t(u) / (deg(u)·(deg(u)−1))`` in integer permille,
+    where ``t(u)`` counts edges among u's neighbors — the standard
+    "how clique-like is this node's neighborhood" signal (with
+    :func:`triangle_count`/:func:`square_count` the local third of the
+    motif family). Nodes of degree < 2 score 0 by convention.
+
+    Shape: triangles enumerated once via the wedge join keyed on the
+    pivot, then each triangle credits its three corners through one
+    explode + count — never a per-node neighborhood self-join.
+    ``max_degree`` caps the wedge pivot exactly as in
+    :func:`square_count`. Returns ``(id, degree, triangles, lcc_permille)``.
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    wedge_base = sym
+    if max_degree is not None:
+        wv = Window.partitionBy("src")
+        wedge_base = (
+            sym.withColumn("__vd", F.count(F.lit(1)).over(wv))
+            .filter(F.col("__vd") <= max_degree)
+            .drop("__vd")
+        )
+    wedges = (
+        wedge_base.select(F.col("src").alias("via"), F.col("dst").alias("a"))
+        .join(
+            wedge_base.select(F.col("src").alias("via"), F.col("dst").alias("b")),
+            "via",
+        )
+        .filter(F.col("a") < F.col("b"))
+    )
+    closing = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"])  # (via, a, b): one row per corner view
+    # each triangle appears exactly 3 times in `tri` (once per pivot), so
+    # counting pivot credits IS the per-node triangle count
+    t = tri.groupBy(F.col("via").alias("id")).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+    return (
+        deg.join(t, "id", "left")
+        .select(
+            "id", "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") < 2, F.lit(0).cast("long")
+            ).otherwise(
+                F.floor(
+                    F.coalesce(F.col("triangles"), F.lit(0)) * 2 * 1000
+                    / (F.col("degree") * (F.col("degree") - 1))
+                ).cast("long")
+            ).alias("lcc_permille"),
+        )
+    )

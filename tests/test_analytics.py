@@ -548,3 +548,21 @@ def test_incremental_cc_bridges_and_fresh_nodes(spark):
     out = {r["id"]: r["component"] for r in
            AN.incremental_connected_components(labels, new_df).collect()}
     assert out == {1: 1, 2: 1, 10: 1, 11: 1, 100: 100, 101: 100}
+
+
+def test_local_clustering_known_graphs(spark):
+    def lcc(pairs, **kw):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return {r["id"]: (r["degree"], r["triangles"], r["lcc_permille"])
+                for r in AN.local_clustering(e, **kw).collect()}
+
+    # triangle: every node fully clustered
+    out = lcc([(1, 2), (2, 3), (3, 1)])
+    assert all(v == (2, 1, 1000) for v in out.values())
+    # triangle with a pendant: node 3 has deg 3, 1 triangle of 3 pairs
+    out = lcc([(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert out[3] == (3, 1, 333)
+    assert out[4] == (1, 0, 0)       # degree-1 convention
+    # star: hub neighbors unconnected
+    out = lcc([(0, i) for i in range(1, 5)])
+    assert out[0] == (4, 0, 0)
