@@ -220,6 +220,12 @@ def main() -> None:
     from judy_graph_db_spark.operators import clustering as CL
 
     run("semantic_dedup", lambda: CL.semantic_dedup(embs, k=8, iters=2, dim=64).count())
+    run("quantize_embs", lambda: S.quantize_embeddings(embs).count())
+    run("pack_sequences", lambda: CU.pack_sequences(docs, 512).count())
+    run("funnel3", lambda: TP.funnel_steps(
+        events, ["view", "click", "purchase"], 86400).count())
+    run("resample_hourly", lambda: TP.resample_counts(events, 3600).count())
+    run("token_commonness", lambda: ST.token_commonness(docs).count())
     # directed SCC input: each even-custkey customer's order chain closed
     # into a cycle (the same construction the correctness gate hashes)
     orders = spark.table("orders")
