@@ -1329,7 +1329,9 @@ def _q_temporal_ops(spark, sf_dir):
 
 def _q_stats_ops(spark, sf_dir):
     """Stats family in one driver row: grouped exact quantiles, TF-IDF top
-    terms, inverted-index fingerprints, stratified sampling."""
+    terms, inverted-index fingerprints, stratified sampling, plus the
+    deterministic sketch surface (count-min over word tokens, HLL distinct
+    registers, Bloom membership, integer-exact Gram matrix via Arrow)."""
     lN = F.lit(None).cast("long")
     sN = F.lit(None).cast("string")
     qt = _q_grouped_quantiles(spark, sf_dir).select(
@@ -1363,8 +1365,41 @@ def _q_stats_ops(spark, sf_dir):
         F.col("user_id").cast("long").alias("a"),
         F.col("event_id").cast("long").alias("b"),
         F.col("value_cents").alias("c"), lN.alias("d"))
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+    from judy_graph_db_spark.operators import sketch as SKT
+
+    docs = spark.table("documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(WORD_TOKEN_RE), F.lit(0)
+        )).alias("tok"))
+    cms = SKT.count_min(toks, "tok", width=128, depth=3).select(
+        F.lit("cms").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("d").cast("long").alias("a"), F.col("w").alias("b"),
+        F.col("cnt").alias("c"), lN.alias("d"))
+    hll = SKT.hll_registers(
+        spark.table("events").select("user_id"), "user_id", p=8
+    ).select(
+        F.lit("hll").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("bucket").alias("a"), F.col("max_rho").cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bl = SKT.bloom_probe(
+        docs.select("doc_id", "text"), "text",
+        SKT.bloom_build(corpus, "text", m_bits=1 << 14, k=4),
+        m_bits=1 << 14, k=4, id_col="doc_id",
+    ).select(
+        F.lit("bloom").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"),
+        F.col("maybe_member").cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    gm = SKT.gram_matrix(spark.table("embeddings"), dim=64).select(
+        F.lit("gram").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("i").alias("a"), F.col("j").alias("b"), F.col("s").alias("c"),
+        lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
-            .unionByName(cm).unionByName(ou))
+            .unionByName(cm).unionByName(ou).unionByName(cms)
+            .unionByName(hll).unionByName(bl).unionByName(gm))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -2133,7 +2168,29 @@ SELECT 'commonness', NULL, NULL, doc_id, n_tokens, commonness_micro, NULL
 FROM ({O.token_commonness_sql()}) t5
 UNION ALL
 SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
-FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6""",
+FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6
+UNION ALL
+SELECT 'cms', NULL, NULL, CAST(d AS BIGINT), w, cnt, NULL
+FROM ({O.count_min_sql(
+            "tok",
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), "
+            f"{O.WORD_TOKEN_RE_SQL})) AS tok FROM documents) tk",
+            width=128, depth=3,
+        )}) t7
+UNION ALL
+SELECT 'hll', NULL, NULL, bucket, CAST(max_rho AS BIGINT), NULL, NULL
+FROM ({O.hll_registers_sql("CAST(user_id AS VARCHAR)", "FROM events",
+                           p=8)}) t8
+UNION ALL
+SELECT 'bloom', NULL, NULL, id, CAST(maybe_member AS BIGINT), NULL, NULL
+FROM ({O.bloom_probe_sql(
+            "doc_id", "text", "FROM documents", "text",
+            "FROM documents WHERE doc_id % 5 != 0",
+            m_bits=1 << 14, k=4,
+        )}) t9
+UNION ALL
+SELECT 'gram', NULL, NULL, i, j, s, NULL
+FROM ({O.gram_matrix_sql(dim=64)}) t10""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

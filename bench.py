@@ -244,6 +244,26 @@ def main() -> None:
     )
     run("scc", lambda: AN.strongly_connected_components(directed).count(), repeats=1)
 
+    # sketches (round-6 surface): corpus summaries that broadcast at 100 TB
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+    from judy_graph_db_spark.operators import sketch as SK
+
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(WORD_TOKEN_RE), F.lit(0)
+        )).alias("tok"))
+    run("gram_matrix", lambda: SK.gram_matrix(embs, dim=64).count())
+
+    def _sketches():
+        SK.count_min(toks, "tok", width=256, depth=4).count()
+        SK.hll_registers(events.select("user_id"), "user_id", p=8).count()
+        SK.bloom_probe(
+            docs.select("doc_id", "text"), "text",
+            SK.bloom_build(docs, "text"), id_col="doc_id",
+        ).count()
+
+    run("bloom_cms_hll", _sketches)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",

@@ -1166,3 +1166,118 @@ SELECT {id_col},
             WHEN ho <> hn THEN 'changed' END AS status
 FROM j
 WHERE ho IS NULL OR hn IS NULL OR ho <> hn"""
+
+
+# --- sketch family (operators/sketch.py) ------------------------------------
+
+def _h60_sql(expr: str, seed: str) -> str:
+    """Twin of ``sketch._h60``: 60-bit int from the first 15 hex chars of a
+    seeded md5 (probed: identical values in Spark and DuckDB)."""
+    return (f"CAST(CAST('0x' || substring(md5('{seed}:' || {expr}), 1, 15)"
+            f" AS UBIGINT) AS BIGINT)")
+
+
+def bloom_build_sql(expr: str, from_clause: str, m_bits: int = 1 << 16,
+                    k: int = 4) -> str:
+    """Twin of ``sketch.bloom_build`` (63-bit words, k seeded positions)."""
+    pos_selects = " UNION ALL ".join(
+        f"SELECT {_h60_sql(expr, f'bloom{i}')} % {m_bits} AS pos {from_clause}"
+        for i in range(k)
+    )
+    return f"""
+WITH p AS ({pos_selects}),
+wb AS (SELECT DISTINCT pos // 63 AS word, pos % 63 AS bit FROM p)
+SELECT word, SUM(CAST(1 AS BIGINT) << bit) AS bits
+FROM wb GROUP BY word"""
+
+
+def bloom_probe_sql(id_expr: str, expr: str, probe_from: str,
+                    build_expr: str, build_from: str,
+                    m_bits: int = 1 << 16, k: int = 4) -> str:
+    """Twin of ``sketch.bloom_probe``: 1 iff all k bits present."""
+    pos_selects = " UNION ALL ".join(
+        f"SELECT {id_expr} AS id, {_h60_sql(expr, f'bloom{i}')} % {m_bits} "
+        f"AS pos {probe_from}"
+        for i in range(k)
+    )
+    return f"""
+WITH bloom AS ({bloom_build_sql(build_expr, build_from, m_bits, k)}),
+pp AS ({pos_selects}),
+pb AS (SELECT id, pos // 63 AS word, pos % 63 AS bit FROM pp),
+h AS (
+  SELECT pb.id,
+         CASE WHEN COALESCE((b.bits >> pb.bit) % 2, 0) = 1 THEN 1 ELSE 0 END
+           AS hit
+  FROM pb LEFT JOIN bloom b ON pb.word = b.word
+)
+SELECT id, MIN(hit) AS maybe_member FROM h GROUP BY id"""
+
+
+def count_min_sql(expr: str, from_clause: str, width: int = 256,
+                  depth: int = 4) -> str:
+    """Twin of ``sketch.count_min``."""
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_h60_sql(expr, f'cms{d}')} % {width} AS w "
+        f"{from_clause}"
+        for d in range(depth)
+    )
+    return f"""
+WITH c AS ({cell_selects})
+SELECT d, w, COUNT(*) AS cnt FROM c GROUP BY d, w"""
+
+
+def cms_lookup_sql(item_expr: str, items_from: str, build_expr: str,
+                   build_from: str, width: int = 256, depth: int = 4,
+                   out_col: str = "item") -> str:
+    """Twin of ``sketch.cms_lookup`` (min over depth counters, miss=0)."""
+    probe_selects = " UNION ALL ".join(
+        f"SELECT {out_col}, {d} AS d, "
+        f"{_h60_sql(out_col, f'cms{d}')} % {width} AS w FROM it"
+        for d in range(depth)
+    )
+    return f"""
+WITH cms AS ({count_min_sql(build_expr, build_from, width, depth)}),
+it AS (SELECT DISTINCT {item_expr} AS {out_col} {items_from}),
+pr AS ({probe_selects})
+SELECT pr.{out_col}, MIN(COALESCE(cms.cnt, 0)) AS est
+FROM pr LEFT JOIN cms ON pr.d = cms.d AND pr.w = cms.w
+GROUP BY pr.{out_col}"""
+
+
+def hll_registers_sql(expr: str, from_clause: str, p: int = 8,
+                      w: int = 48) -> str:
+    """Twin of ``sketch.hll_registers``: rho from length(bin(r)) — pure
+    integer/string ops, no floating log2."""
+    h = _h60_sql(expr, "hll")
+    return f"""
+WITH h AS (
+  SELECT {h} % {1 << p} AS bucket,
+         ({h} // {1 << p}) % {1 << w} AS r
+  {from_clause}
+)
+SELECT bucket,
+       MAX(CASE WHEN r = 0 THEN {w + 1}
+                ELSE {w + 1} - length(bin(r)) END) AS max_rho
+FROM h GROUP BY bucket"""
+
+
+def gram_matrix_sql(vec_col: str = "embedding", dim: int = 64,
+                    scale_pow2: int = 10, id_col: str = "vec_id",
+                    table: str = "embeddings") -> str:
+    """Twin of ``sketch.gram_matrix``: floor(float64(x)·2^s) quantization
+    (power-of-two scale ⇒ exact in every precision), upper-triangle
+    integer sums."""
+    scale = 1 << scale_pow2
+    return f"""
+WITH q AS (
+  SELECT {id_col}, list_transform({vec_col},
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS qv
+  FROM {table}
+),
+e AS (
+  SELECT {id_col}, t.i - 1 AS i, qv[t.i] AS v
+  FROM q, range(1, {dim} + 1) t(i)
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
+FROM e a JOIN e b ON a.{id_col} = b.{id_col} AND a.i <= b.i
+GROUP BY a.i, b.i"""

@@ -1,0 +1,160 @@
+"""Sketch family: Bloom, count-min, HLL registers, Gram matrix — semantics
+plus cross-engine (Spark vs DuckDB twin) equality at fixture scale."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from judy_graph_db_spark import oracle as O
+from judy_graph_db_spark.operators import sketch as SK
+
+from tests.oracle_utils import compare
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _names(spark):
+    return spark.createDataFrame(
+        [(i, f"name{i % 40}") for i in range(200)], "id long, s string"
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    df = _names(spark)
+    bloom = SK.bloom_build(df, "s", m_bits=1 << 12, k=4)
+    probe = SK.bloom_probe(df, "s", bloom, m_bits=1 << 12, k=4)
+    # every inserted value must probe positive
+    assert probe.filter(F.col("maybe_member") == 0).count() == 0
+
+
+def test_bloom_rejects_most_absent(spark):
+    df = _names(spark)
+    bloom = SK.bloom_build(df, "s", m_bits=1 << 14, k=4)
+    absent = spark.createDataFrame(
+        [(i, f"missing{i}") for i in range(200)], "id long, s string"
+    )
+    probe = SK.bloom_probe(absent, "s", bloom, m_bits=1 << 14, k=4)
+    # 40 distinct values * 4 bits in 16384 -> fp rate well under 10%
+    assert probe.filter(F.col("maybe_member") == 1).count() < 20
+
+
+def test_bloom_matches_duckdb(spark, duck):
+    df = _names(spark)
+    df.createOrReplaceTempView("_bl")
+    duck.sql("CREATE TABLE _bl AS " + " UNION ALL ".join(
+        f"SELECT {i} AS id, 'name{i % 40}' AS s" for i in range(200)
+    ))
+    out = SK.bloom_build(df, "s", m_bits=1 << 12, k=3)
+    sql = O.bloom_build_sql("s", "FROM _bl", m_bits=1 << 12, k=3)
+    ok, msg = compare(out, duck, sql)
+    assert ok, msg
+    probe = SK.bloom_probe(
+        df, "s", SK.bloom_build(df, "s", m_bits=1 << 12, k=3),
+        m_bits=1 << 12, k=3,
+    ).withColumnRenamed("id", "id")
+    psql = O.bloom_probe_sql(
+        "id", "s", "FROM _bl", "s", "FROM _bl", m_bits=1 << 12, k=3
+    )
+    ok, msg = compare(probe, duck, psql)
+    assert ok, msg
+
+
+def test_count_min_overestimates(spark):
+    df = spark.createDataFrame(
+        [(f"t{i % 10}",) for i in range(100)], "tok string"
+    )
+    cms = SK.count_min(df, "tok", width=64, depth=3)
+    est = SK.cms_lookup(cms, df.select("tok").distinct(), "tok",
+                        width=64, depth=3)
+    rows = {r.tok: r.est for r in est.collect()}
+    # true count of every token is 10; CMS never underestimates
+    assert all(v >= 10 for v in rows.values())
+    # with 10 distinct keys in 64*3 counters, collisions are rare
+    assert sum(v for v in rows.values()) <= 110
+
+
+def test_count_min_matches_duckdb(spark, duck):
+    df = spark.createDataFrame(
+        [(f"t{i % 13}",) for i in range(117)], "tok string"
+    )
+    duck.sql("CREATE TABLE _toks AS SELECT 't' || CAST(i % 13 AS VARCHAR) "
+             "AS tok FROM range(117) t(i)")
+    cms = SK.count_min(df, "tok", width=32, depth=4)
+    ok, msg = compare(cms, duck, O.count_min_sql("tok", "FROM _toks",
+                                                 width=32, depth=4))
+    assert ok, msg
+    est = SK.cms_lookup(cms, df, "tok", width=32, depth=4)
+    ok, msg = compare(
+        est.withColumnRenamed("tok", "item"), duck,
+        O.cms_lookup_sql("tok", "FROM _toks", "tok", "FROM _toks",
+                         width=32, depth=4),
+    )
+    assert ok, msg
+
+
+def test_hll_registers_match_duckdb_and_estimate(spark, duck):
+    n = 3000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    duck.sql(f"CREATE TABLE _v AS SELECT i AS v FROM range({n}) t(i)")
+    regs = SK.hll_registers(df, "v", p=8)
+    ok, msg = compare(regs, duck, O.hll_registers_sql("v", "FROM _v", p=8))
+    assert ok, msg
+    est = SK.hll_estimate(regs, p=8)
+    # standard error ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.2
+
+
+def test_hll_merge_equals_union(spark):
+    a = spark.range(0, 2000).select(F.col("id").alias("v"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("v"))
+    direct = SK.hll_registers(a.unionByName(b), "v", p=6)
+    merged = (
+        SK.hll_registers(a, "v", p=6)
+        .unionByName(SK.hll_registers(b, "v", p=6))
+        .groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_gram_matrix_arrow_equals_relational(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g_arrow = SK.gram_matrix(df, dim=8, use_arrow=True)
+    g_rel = SK.gram_matrix(df, dim=8, use_arrow=False)
+    assert sorted(map(tuple, g_arrow.collect())) == sorted(
+        map(tuple, g_rel.collect())
+    )
+    # exactness vs numpy on the same quantization
+    q = np.floor(
+        np.stack([np.asarray(v, dtype=np.float32).astype(np.float64)
+                  for _, v in rows]) * 1024
+    ).astype(np.int64)
+    expect = q.T @ q
+    got = {(r.i, r.j): r.s for r in g_arrow.collect()}
+    for i in range(8):
+        for j in range(i, 8):
+            assert got[(i, j)] == expect[i, j]
+
+
+def test_pca_components_against_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 6) * np.array([5.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    gram = SK.gram_matrix(df, dim=6)
+    comps = SK.pca_components(gram, dim=6, n_rows=60, n_components=1)
+    v = np.array(comps[0])
+    # top second-moment direction should be dominated by coordinate 0
+    assert abs(v[0]) > 0.9
