@@ -1070,10 +1070,18 @@ def _q_var_length_paths(spark, sf_dir):
 def _q_doc_signals(spark, sf_dir):
     """Per-document text signals in one wide driver row: token counts,
     punct/upper/stopword ratios, quality score, lang-id, rolling-hash
-    fingerprint, simhash."""
+    fingerprint, simhash, plus PII counts + redaction fingerprint over a
+    deterministically PII-injected variant of the text (the fixture corpus
+    itself contains no emails/SSNs, so the injection is what proves the
+    patterns and the redaction chain actually fire)."""
     load_tpch_views(spark, sf_dir)
     d = spark.table("documents")
     t = F.col("text")
+    pii_t = F.concat(
+        t, F.lit(" user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com 10.0.0.1 555-12-3456 +1 (415) 555-01"),
+        ((F.col("doc_id") % 90) + 10).cast("string"),
+    )
     return d.select(
         "doc_id",
         T.token_count(t).alias("n_tokens"),
@@ -1087,6 +1095,11 @@ def _q_doc_signals(spark, sf_dir):
         T.lang_id(t).alias("lang"),
         T.fingerprint(t).alias("fp"),
         D.simhash(t).alias("simhash"),
+        T.pii_count(pii_t, "email").alias("n_emails"),
+        T.pii_count(pii_t, "ipv4").alias("n_ipv4"),
+        T.pii_count(pii_t, "ssn").alias("n_ssn"),
+        T.pii_count(pii_t, "phone").alias("n_phones"),
+        F.md5(T.redact_pii(pii_t)).alias("redacted_md5"),
     )
 
 
@@ -1593,6 +1606,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     P = oracle_prefix()
+    # PII-injected text twin of _q_doc_signals' pii_t
+    PII_T_SQL = ("(text || ' user' || CAST(doc_id AS VARCHAR) || "
+                 "'@example.com 10.0.0.1 555-12-3456 +1 (415) 555-01' || "
+                 "CAST(doc_id % 90 + 10 AS VARCHAR))")
     snap_new_sql = (
         "SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || 'x' "
         "ELSE text END AS text FROM documents WHERE doc_id % 25 != 1 "
@@ -1804,7 +1821,12 @@ SELECT doc_id,
        {O.dup_token_permille_sql()} AS dup_token_pm,
        {O.lang_id_sql()} AS lang,
        {O.fingerprint_sql()} AS fp,
-       {O.simhash_sql()} AS simhash
+       {O.simhash_sql()} AS simhash,
+       {O.pii_count_sql("email", PII_T_SQL)} AS n_emails,
+       {O.pii_count_sql("ipv4", PII_T_SQL)} AS n_ipv4,
+       {O.pii_count_sql("ssn", PII_T_SQL)} AS n_ssn,
+       {O.pii_count_sql("phone", PII_T_SQL)} AS n_phones,
+       md5({O.redact_pii_sql(PII_T_SQL)}) AS redacted_md5
 FROM documents""",
         "exact_dedup": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

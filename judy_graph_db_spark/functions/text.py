@@ -175,3 +175,37 @@ def lang_id_sql(col: str = "text") -> str:
             f"THEN '{lang}' ELSE {out} END"
         )
     return out
+
+
+# --- PII detection / scrubbing ----------------------------------------------
+# Deliberately ASCII-explicit character classes (no \d, no unicode classes)
+# so Java regex (Spark) and RE2 (DuckDB) agree on every match; all four
+# patterns produce identical leftmost-greedy matches in both engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # digits interleaved with ()/-/space, 9+ chars; overlaps ssn by design
+    # (counts are per-pattern independent; redaction order disambiguates)
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+# redaction applies in this order so earlier tokens (digit-free) can't be
+# re-matched by later patterns; the same order is baked into the SQL twin
+PII_REDACT_ORDER = ("email", "ipv4", "ssn", "phone")
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern kind (see ``PII_PATTERNS``)."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a ``<KIND>`` token, in
+    ``PII_REDACT_ORDER`` (email → ipv4 → ssn → phone, so the digit-free
+    tokens never feed later patterns). Pure codegen — a chain of
+    ``regexp_replace``; no UDF, safe in the scan stage of a 100 TB read."""
+    out = text
+    for kind in PII_REDACT_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

@@ -1281,3 +1281,27 @@ e AS (
 SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
 FROM e a JOIN e b ON a.{id_col} = b.{id_col} AND a.i <= b.i
 GROUP BY a.i, b.i"""
+
+
+# --- PII detection / scrubbing (functions/text.py) --------------------------
+
+def pii_count_sql(kind: str, col: str = "text") -> str:
+    """Twin of ``text.pii_count``."""
+    from judy_graph_db_spark.functions.text import PII_PATTERNS
+
+    return (f"CAST(len(regexp_extract_all({col}, "
+            f"{_sql_quote_regex(PII_PATTERNS[kind])})) AS BIGINT)")
+
+
+def redact_pii_sql(col: str = "text") -> str:
+    """Twin of ``text.redact_pii`` — same patterns, same order, global
+    replace ('g')."""
+    from judy_graph_db_spark.functions.text import (PII_PATTERNS,
+                                                    PII_REDACT_ORDER)
+
+    out = col
+    for kind in PII_REDACT_ORDER:
+        out = (f"regexp_replace({out}, "
+               f"{_sql_quote_regex(PII_PATTERNS[kind])}, "
+               f"'<{kind.upper()}>', 'g')")
+    return out

@@ -158,3 +158,58 @@ def test_pca_components_against_numpy(spark):
     v = np.array(comps[0])
     # top second-moment direction should be dominated by coordinate 0
     assert abs(v[0]) > 0.9
+
+
+# --- PII detection / scrubbing (functions/text.py additions) ----------------
+
+def test_pii_counts_and_redaction(spark):
+    from judy_graph_db_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e-f.org, ip 192.168.0.1, "
+             "ssn 123-45-6789, call +1 (415) 555-0199 now")],
+        "id long, text string",
+    )
+    row = df.select(
+        T.pii_count(F.col("text"), "email").alias("e"),
+        T.pii_count(F.col("text"), "ipv4").alias("i"),
+        T.pii_count(F.col("text"), "ssn").alias("s"),
+        T.pii_count(F.col("text"), "phone").alias("p"),
+        T.redact_pii(F.col("text")).alias("r"),
+    ).collect()[0]
+    assert (row.e, row.i, row.s) == (2, 1, 1)
+    # ssn also matches the looser phone pattern (documented overlap)
+    assert row.p == 2
+    assert "@" not in row.r and "123-45-6789" not in row.r
+    assert "<EMAIL>" in row.r and "<IPV4>" in row.r
+    assert "<SSN>" in row.r and "<PHONE>" in row.r
+
+
+def test_pii_matches_duckdb(spark, duck):
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.functions import text as T
+
+    texts = [
+        (1, "plain text no pii 123"),
+        (2, "x@y.io 10.0.0.255 999-88-7777 +44 20 7946 0958 end"),
+        (3, "dots.1.2.3.4.5 and 1.2.3.4 edge +1-..-2"),
+        (4, "a@@b a@b a@b.c a@b.cc 000-00-0000"),
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    duck.sql("CREATE TABLE _pii(id BIGINT, text VARCHAR)")
+    for i, s in texts:
+        duck.execute("INSERT INTO _pii VALUES (?, ?)", [i, s])
+    out = df.select(
+        "id",
+        T.pii_count(F.col("text"), "email").alias("e"),
+        T.pii_count(F.col("text"), "ipv4").alias("i"),
+        T.pii_count(F.col("text"), "ssn").alias("s"),
+        T.pii_count(F.col("text"), "phone").alias("p"),
+        F.md5(T.redact_pii(F.col("text"))).alias("r"),
+    )
+    sql = f"""SELECT id, {O.pii_count_sql('email')} AS e,
+       {O.pii_count_sql('ipv4')} AS i, {O.pii_count_sql('ssn')} AS s,
+       {O.pii_count_sql('phone')} AS p, md5({O.redact_pii_sql()}) AS r
+       FROM _pii"""
+    ok, msg = compare(out, duck, sql)
+    assert ok, msg
