@@ -975,16 +975,44 @@ def _q_label_propagation(spark, sf_dir):
 
 
 def _q_k_core(spark, sf_dir):
-    """5-core of the whole graph (iterative peeling to fixpoint). Oracle =
-    the same peeling unrolled as a FIXED number of CTE rounds — sound
-    because peeling is monotone (rounds past convergence are no-ops);
-    K_CORE_ORACLE_ROUNDS=8 exceeds the observed depth at the gate SFs
-    (5 effective rounds at sf0.01)."""
+    """Core-decomposition family in one driver row — three monotone
+    fixpoints, each oracle a FIXED unroll (sound because rounds past
+    convergence are no-ops): ``core`` = 5-core node peeling
+    (K_CORE_ORACLE_ROUNDS=8 > the 5 observed at sf0.01); ``truss`` =
+    3-truss edge-support peeling over the lineitem order–part–supplier
+    triangle graph (one triangle per lineitem row; TRUSS_ORACLE_ROUNDS=4 >
+    the 2 observed); ``mis`` = deterministic Luby maximal independent set
+    over the order chains (MIS_ORACLE_ROUNDS=8 > the 3 observed — Luby
+    rounds are O(log n), so the margin holds across gate SFs)."""
     g = tpch_graph(spark, sf_dir)
-    return AN.k_core(g.edges.filter(~F.col("is_back")), k=5)
+    lN = F.lit(None).cast("long")
+    core = AN.k_core(g.edges.filter(~F.col("is_back")), k=5).select(
+        F.lit("core").alias("op"), F.col("id").alias("a"),
+        F.col("degree").cast("long").alias("b"), lN.alias("c"))
+    li = spark.table("lineitem").filter(F.col("l_partkey") % 5 == 0)
+    tri_edges = (
+        li.select((F.col("l_suppkey") + 2 * B).alias("src"),
+                  (F.col("l_partkey") + 4 * B).alias("dst"))
+        .unionByName(li.select((F.col("l_orderkey") + 5 * B).alias("src"),
+                               (F.col("l_partkey") + 4 * B).alias("dst")))
+        .unionByName(li.select((F.col("l_orderkey") + 5 * B).alias("src"),
+                               (F.col("l_suppkey") + 2 * B).alias("dst")))
+    )
+    truss = AN.k_truss(tri_edges, k=3).select(
+        F.lit("truss").alias("op"), F.col("a"), F.col("b"),
+        F.col("support").alias("c"))
+    chains = g.edges.filter(
+        (F.col("label") == "NEXT_ORDER") & ~F.col("is_back")
+    ).select("src", "dst")
+    mis = AN.maximal_independent_set(chains, seed=7).select(
+        F.lit("mis").alias("op"), F.col("id").alias("a"),
+        F.col("round").alias("b"), lN.alias("c"))
+    return core.unionByName(truss).unionByName(mis)
 
 
 K_CORE_ORACLE_ROUNDS = 8
+TRUSS_ORACLE_ROUNDS = 4
+MIS_ORACLE_ROUNDS = 8
 
 
 # ---------------------------------------------------- merged gate bundles
@@ -2122,10 +2150,33 @@ SELECT 'ppr' AS op, id, rank_e6 AS a, CAST(NULL AS BIGINT) AS b FROM (
     "SELECT src, dst FROM edges WHERE NOT is_back",
     seeds=[2 * B + 1, 2 * B + 2, 2 * B + 3], iters=3, prefix=P)}
 )""",
-        "k_core_nodes": AN.k_core_oracle_sql(
+        "k_core_nodes": f"""
+SELECT 'core' AS op, id AS a, CAST(degree AS BIGINT) AS b,
+       CAST(NULL AS BIGINT) AS c
+FROM ({AN.k_core_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back",
             k=5, rounds=K_CORE_ORACLE_ROUNDS, prefix=P,
-        ),
+        )}) t1
+UNION ALL
+SELECT 'truss', a, b, support
+FROM ({AN.k_truss_oracle_sql(
+            f"SELECT l_suppkey + {2 * B} AS src, l_partkey + {4 * B} AS dst "
+            f"FROM lineitem WHERE l_partkey % 5 = 0 "
+            f"UNION ALL SELECT l_orderkey + {5 * B}, l_partkey + {4 * B} "
+            f"FROM lineitem WHERE l_partkey % 5 = 0 "
+            f"UNION ALL SELECT l_orderkey + {5 * B}, l_suppkey + {2 * B} "
+            f"FROM lineitem WHERE l_partkey % 5 = 0",
+            k=3, rounds=TRUSS_ORACLE_ROUNDS,
+        )}) t2
+UNION ALL
+SELECT 'mis', id, round, NULL
+FROM ({AN.mis_oracle_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            seed=7, rounds=MIS_ORACLE_ROUNDS,
+        )}) t3""",
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)
         # per reachable pair — the doubling operator must agree with the

@@ -1327,3 +1327,210 @@ def local_clustering(edges: DataFrame,
             ).alias("lcc_permille"),
         )
     )
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge closes
+    at least ``k-2`` triangles. Returns ``(a BIGINT, b BIGINT,
+    support BIGINT)`` with ``a < b`` and support measured inside the truss.
+
+    A strictly stronger cohesion filter than :func:`k_core` (every k-truss
+    edge is in the (k-1)-core) — the standard community-core primitive.
+    Iterative support peeling: enumerate triangles over the surviving
+    canonical ``a<b`` edge set via the ``a<b<c`` wedge join, credit each
+    triangle to its three edges, drop edges under ``k-2``, repeat to
+    fixpoint. Each round = one wedge self-join + one closing semi-join +
+    one (a,b) aggregation, all keyed joins on the shrinking edge relation;
+    per-round state is ``localCheckpoint``-ed. Peeling is monotone, so the
+    SQL twin (:func:`k_truss_oracle_sql`) is a fixed unroll, exactly the
+    :func:`k_core` scheme.
+
+    Scale note: the wedge join is the triangle-counting join — O(Σ deg²)
+    on the raw ordering; hub-heavy graphs should pre-filter with
+    ``k_core(edges, k-1)`` (cheap, provably lossless for the k-truss) to
+    shrink the relation before peeling starts.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_n = und.count()
+    support = None
+    for _ in range(max_iter):
+        e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        tri = (
+            e1.join(e2, "y")
+            .join(und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+                  ["x", "z"], "left_semi")
+        )
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        )
+        kept = (
+            und.join(sup, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("support", F.lit(0)).alias("support"))
+            .filter(F.col("support") >= int(k) - 2)
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(und)
+        und = kept.select("a", "b").localCheckpoint(eager=True)
+        support = kept
+        cur = und.count()
+        if cur == prev_n:
+            break
+        prev_n = cur
+    return support.select("a", "b", F.col("support").cast("long"))
+
+
+def k_truss_oracle_sql(edges_sql: str, k: int, rounds: int,
+                       prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`k_truss`: ``rounds`` support-peeling rounds
+    unrolled as materialized CTEs (monotone ⇒ any rounds ≥ convergence
+    depth is exact; the final round recomputes support inside the truss).
+    """
+    head = f"{prefix},\ntr0" if prefix else "WITH tr0"
+    parts = [f"""{head} AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", sup{r} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS support FROM (
+    SELECT e1.a AS a, e1.b AS b FROM tr{r - 1} e1
+      JOIN tr{r - 1} e2 ON e1.b = e2.a
+      JOIN tr{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e2.a, e2.b FROM tr{r - 1} e1
+      JOIN tr{r - 1} e2 ON e1.b = e2.a
+      JOIN tr{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e3.a, e3.b FROM tr{r - 1} e1
+      JOIN tr{r - 1} e2 ON e1.b = e2.a
+      JOIN tr{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) GROUP BY a, b
+), tr{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM tr{r - 1} e JOIN sup{r} s
+    ON e.a = s.a AND e.b = s.b AND s.support >= {int(k) - 2}
+)""")
+    parts.append(f"""
+SELECT e.a, e.b, CAST(s.support AS BIGINT) AS support
+FROM tr{rounds} e JOIN sup{rounds} s ON e.a = s.a AND e.b = s.b""")
+    return "\n".join(parts)
+
+
+def maximal_independent_set(edges: DataFrame, seed: int = 7,
+                            max_rounds: int = 64) -> DataFrame:
+    """Deterministic Luby maximal independent set over the undirected
+    graph: ``(id BIGINT, round BIGINT)`` — every returned node has no
+    returned neighbor, and every non-returned node has a returned neighbor
+    (maximality). ``round`` is the Luby round that admitted the node.
+
+    "Random" priorities are ``md5(seed:round:id)`` (the engine-wide
+    content-hash-as-randomness convention), so the result is byte-identical
+    across partitionings and engines — each round admits the strict local
+    minima of the round's priority among still-active neighbors, then
+    deactivates them and their neighbors. Expected O(log n) rounds (Luby
+    1986); each round is one neighbor-min aggregation + two anti-join
+    style filters over the shrinking active edge set. SQL twin:
+    :func:`mis_oracle_sql` (fixed unroll; rounds past convergence are
+    no-ops because the active set is empty).
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    active_nodes = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    mis_parts = []
+    for r in range(1, max_rounds + 1):
+        if active_nodes.limit(1).count() == 0:
+            break
+        pri = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(str(r)),
+                                          F.col("id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        withp = active_nodes.select("id", pri.alias("p"))
+        act_edges = (
+            sym.join(withp.select(F.col("id").alias("src"),
+                                  F.col("p").alias("sp")), "src")
+            .join(withp.select(F.col("id").alias("dst"),
+                               F.col("p").alias("dp"),), "dst")
+        )
+        # strict (p, id) tuple order — md5-collision-proof determinism
+        nbr_min = act_edges.groupBy("src").agg(
+            F.min(F.struct(F.col("dp").alias("p"),
+                           F.col("dst").alias("i"))).alias("nmin"))
+        winners = (
+            withp.join(nbr_min, withp.id == nbr_min.src, "left")
+            .filter(
+                F.col("nmin").isNull()
+                | (F.struct(F.col("p"), F.col("id").alias("i"))
+                   < F.col("nmin"))
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners.select("id", F.lit(r).cast("long").alias("round")))
+        # deactivate winners and their neighbors
+        removed = winners.unionByName(
+            sym.join(winners.withColumnRenamed("id", "src"), "src",
+                     "left_semi").select(F.col("dst").alias("id"))
+        ).distinct()
+        nxt = active_nodes.join(removed, "id", "left_anti").localCheckpoint(eager=True)
+        _unpersist_checkpoint(active_nodes)
+        active_nodes = nxt
+        sym = sym.join(active_nodes.withColumnRenamed("id", "src"), "src",
+                       "left_semi") \
+                 .join(active_nodes.withColumnRenamed("id", "dst"), "dst",
+                       "left_semi").localCheckpoint(eager=True)
+    out = mis_parts[0]
+    for p in mis_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mis_oracle_sql(edges_sql: str, seed: int = 7, rounds: int = 24,
+                   prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`maximal_independent_set`: fixed Luby-round
+    unroll with the same md5 priorities and (p, id) tuple order."""
+    def pri(r, col):
+        return (f"CAST(CAST('0x' || substring(md5('{seed}' || ':' || '{r}'"
+                f" || ':' || CAST({col} AS VARCHAR)), 1, 15) AS UBIGINT)"
+                f" AS BIGINT)")
+
+    head = f"{prefix},\nsym AS" if prefix else "WITH sym AS"
+    parts = [f"""{head} MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+), act0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", mn{r} AS MATERIALIZED (
+  SELECT e.src AS id, MIN(ROW({pri(r, 'e.dst')}, e.dst)) AS nmin
+  FROM sym e
+  JOIN act{r - 1} a ON e.src = a.id JOIN act{r - 1} b ON e.dst = b.id
+  GROUP BY e.src
+), win{r} AS MATERIALIZED (
+  SELECT a.id FROM act{r - 1} a LEFT JOIN mn{r} m ON a.id = m.id
+  WHERE m.id IS NULL OR ROW({pri(r, 'a.id')}, a.id) < m.nmin
+), act{r} AS MATERIALIZED (
+  SELECT id FROM act{r - 1}
+  WHERE id NOT IN (SELECT id FROM win{r})
+    AND id NOT IN (SELECT e.dst FROM sym e
+                   JOIN win{r} w ON e.src = w.id)
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT id, CAST({r} AS BIGINT) AS round FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + selects)
+    return "\n".join(parts)

@@ -566,3 +566,83 @@ def test_local_clustering_known_graphs(spark):
     # star: hub neighbors unconnected
     out = lcc([(0, i) for i in range(1, 5)])
     assert out[0] == (4, 0, 0)
+
+
+# --- k-truss ----------------------------------------------------------------
+
+def test_k_truss_clique_plus_tail(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # K4 on 1-4 plus a dangling triangle 4-5-6 plus a tail 6-7
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (4, 6), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    t4 = {(r.a, r.b): r.support for r in AN.k_truss(edges, k=4).collect()}
+    # 4-truss = the K4 only; every K4 edge closes 2 triangles inside it
+    assert set(t4) == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    assert all(s == 2 for s in t4.values())
+    t3 = {(r.a, r.b) for r in AN.k_truss(edges, k=3).collect()}
+    # 3-truss keeps the dangling triangle, drops only the tail
+    assert t3 == set(t4) | {(4, 5), (4, 6), (5, 6)}
+
+
+def test_k_truss_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import analytics as AN
+    from tests.oracle_utils import compare
+
+    # deterministic clustered graph: ring of 30 nodes + chord triangles
+    rows = [(i, (i + 1) % 30) for i in range(30)]
+    rows += [(i, (i + 2) % 30) for i in range(0, 30, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    for s, d in rows:
+        con.execute("INSERT INTO e VALUES (?, ?)", [s, d])
+    out = AN.k_truss(edges, k=3)
+    sql = AN.k_truss_oracle_sql("SELECT src, dst FROM e", k=3, rounds=4)
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
+
+
+# --- maximal independent set ------------------------------------------------
+
+def test_mis_is_independent_and_maximal(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    rows = [(i, i + 1) for i in range(50)]          # path
+    rows += [(10, 30), (5, 45), (20, 40)]           # chords
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    mis = {r.id for r in AN.maximal_independent_set(edges).collect()}
+    adj = {}
+    for s, d in rows:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # independent: no two MIS nodes adjacent
+    for v in mis:
+        assert not (adj[v] & mis), f"node {v} has MIS neighbor"
+    # maximal: every non-MIS node has an MIS neighbor
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, f"non-MIS node {v} uncovered"
+
+
+def test_mis_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import analytics as AN
+    from tests.oracle_utils import compare
+
+    rows = [(i, i + 1) for i in range(40)] + [(i, i + 7) for i in range(0, 33, 5)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    for s, d in rows:
+        con.execute("INSERT INTO e VALUES (?, ?)", [s, d])
+    out = AN.maximal_independent_set(edges, seed=7)
+    sql = AN.mis_oracle_sql("SELECT src, dst FROM e", seed=7, rounds=12)
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
