@@ -1240,6 +1240,12 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("mixture").alias("op"), lN.alias("doc_id"),
         F.col("source").alias("split"), F.col("n_tokens").alias("n"),
         F.col("target_permille").alias("a"), F.col("keep_permille").alias("b"))
+    ls = CU.leakage_safe_split(
+        docs.select("doc_id"), D.dedup_clusters(docs),
+        {"train": 240, "val": 8, "test": 8},
+    ).select(
+        F.lit("lsplit").alias("op"), "doc_id", F.col("split"),
+        lN.alias("n"), lN.alias("a"), lN.alias("b"))
     # snapshot diff: "crawl N+1" = docs minus every 25th id, every 20th id
     # mutated, every 30th re-added under a shifted id
     snap_new = (
@@ -1260,7 +1266,7 @@ def _q_corpus_curation(spark, sf_dir):
         lN.alias("n"), lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
-            .unionByName(mx).unionByName(df_))
+            .unionByName(mx).unionByName(df_).unionByName(ls))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -2019,7 +2025,10 @@ SELECT 'mixture', NULL, source, n_tokens, target_permille, keep_permille
 FROM ({O.plan_mixture_sql({'src0': 300, 'src1': 100, 'src2': 50})}) t
 UNION ALL
 SELECT 'diff', doc_id, status, NULL, NULL, NULL
-FROM ({snap_diff_sql}) t""",
+FROM ({snap_diff_sql}) t
+UNION ALL
+SELECT 'lsplit', doc_id, split, NULL, NULL, NULL
+FROM ({O.leakage_safe_split_sql({'train': 240, 'val': 8, 'test': 8})}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

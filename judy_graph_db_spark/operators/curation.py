@@ -368,3 +368,43 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
         j.select(F.col(id_col), status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+def leakage_safe_split(df: DataFrame, clusters: DataFrame,
+                       splits: dict[str, int], id_col: str = "doc_id",
+                       cluster_col: str = "cluster_id",
+                       out: str = "split") -> DataFrame:
+    """Train/val/test assignment that never separates near-duplicates:
+    the split bucket is hashed on the document's *dedup-cluster id*
+    (``dedup.dedup_clusters`` output, or any ``(id, cluster)`` map), so
+    every member of a near-dup family lands in the same split — the
+    standard guard against train→test leakage through paraphrased or
+    boilerplate-shared documents. Docs absent from ``clusters`` split on
+    their own id (singleton semantics, identical to :func:`hash_split`).
+
+    One broadcast-able join (the cluster map is |corpus|-keyed but thin)
+    plus the same stateless md5-bucket CASE as :func:`hash_split` — the
+    assignment is stable under corpus growth as long as cluster canonical
+    ids are (dedup_clusters keeps min-id canonicals, which only change if
+    an even-lower id joins the family).
+    """
+    if sum(splits.values()) != 256:
+        raise ValueError("split widths must sum to 256")
+    keyed = (
+        df.join(
+            clusters.select(F.col(id_col), F.col(cluster_col).alias("__cl")),
+            id_col, "left",
+        )
+        .withColumn("__k", F.coalesce(F.col("__cl"), F.col(id_col)))
+    )
+    b = hash_bucket(F.col("__k"))
+    expr = None
+    hi = 0
+    items = list(splits.items())
+    for name, width in items[:-1]:
+        hi += width
+        cond = b < F.lit(format(hi, "02x"))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return keyed.withColumn(out, expr).drop("__cl", "__k")

@@ -1305,3 +1305,17 @@ def redact_pii_sql(col: str = "text") -> str:
                f"{_sql_quote_regex(PII_PATTERNS[kind])}, "
                f"'<{kind.upper()}>', 'g')")
     return out
+
+
+def leakage_safe_split_sql(splits: dict[str, int], id_col: str = "doc_id",
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    """Twin of ``curation.leakage_safe_split`` over ``dedup_clusters``
+    families: the split CASE hashed on the cluster id."""
+    case = hash_split_case_sql(splits, col="__k")
+    return f"""
+WITH cl AS ({dedup_clusters_sql(id_col, text_col, table)})
+SELECT {id_col}, split FROM (
+  SELECT cl.{id_col}, cl.cluster_id AS __k FROM cl
+) t
+CROSS JOIN LATERAL (SELECT {case} AS split) s"""

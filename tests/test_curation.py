@@ -111,3 +111,35 @@ def test_chunks_reconstruct_text_when_non_overlapping(docs):
         F.col("rebuilt") != F.col("text")
     )
     assert bad.count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from judy_graph_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    # three near-dup families + singletons
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in (1, 17, 63, 99)]
+        + [(i, 2) for i in (2, 40)]
+        + [(i, i) for i in range(100) if i not in (1, 17, 63, 99, 2, 40)],
+        "doc_id long, cluster_id long",
+    )
+    out = CU.leakage_safe_split(
+        docs, clusters, {"train": 128, "val": 64, "test": 64}
+    )
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 100
+    # family members always co-located
+    assert len({rows[i] for i in (1, 17, 63, 99)}) == 1
+    assert len({rows[i] for i in (2, 40)}) == 1
+    # docs missing from the map still split (on their own id)
+    out2 = CU.leakage_safe_split(
+        docs, clusters.filter(F.col("doc_id") != 5),
+        {"train": 128, "val": 64, "test": 64},
+    )
+    assert {r.doc_id for r in out2.collect()} == set(range(100))
+    # a singleton's split equals plain hash_split (same md5 bucket rule)
+    plain = {r.doc_id: r.split for r in CU.hash_split(
+        docs, {"train": 128, "val": 64, "test": 64}).collect()}
+    for i in range(3, 16):
+        assert rows[i] == plain[i]
