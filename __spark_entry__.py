@@ -1477,7 +1477,12 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("n_reach").cast("long").alias("b"),
         F.col("sum_depth").cast("long").alias("c"),
         F.col("closeness_micro").alias("d"))
-    return cp.unionByName(ja).unionByName(wp).unionByName(cl)
+    hm = AN.harmonic_centrality(chains).select(
+        F.lit("harmonic").alias("op"), F.col("id").alias("a"),
+        F.col("n_reach").cast("long").alias("b"),
+        F.col("harmonic_micro").alias("c"), lN.alias("d"))
+    return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
+            .unionByName(hm))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -2316,7 +2321,22 @@ SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
        CAST((L - i) * (L - i + 1) / 2 AS BIGINT) AS sum_depth,
        CAST(FLOOR((L - i) * 1e6 / ((L - i) * (L - i + 1) / 2)) AS BIGINT)
          AS closeness_micro
-FROM pos WHERE i < L) t4""",
+FROM pos WHERE i < L) t4
+UNION ALL
+SELECT 'harmonic', id, n_reach, harmonic_micro, NULL
+FROM (WITH pos AS (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+       CAST(L - i AS BIGINT) AS n_reach,
+       CAST(list_sum(list_transform(generate_series(1, L - i),
+                                    d -> 1000000 // d)) AS BIGINT)
+         AS harmonic_micro
+FROM pos WHERE i < L) t5""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

@@ -1534,3 +1534,25 @@ def mis_oracle_sql(edges_sql: str, seed: int = 7, rounds: int = 24,
     )
     parts.append("\n" + selects)
     return "\n".join(parts)
+
+
+def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Out-harmonic centrality per node: ``Σ 1/d(u,v)`` over reachable
+    nodes, in exact integer micro-units (``1000000 div d`` per pair — both
+    engines' integer division, no float path at all, unlike closeness
+    where the single final ratio is floored). Harmonic handles
+    disconnected graphs gracefully (unreachable pairs contribute 0 rather
+    than poisoning the mean) — the variant recommended for centrality on
+    fragmented 100 TB graphs. Returns ``(id, n_reach, harmonic_micro)``;
+    one aggregation over :func:`transitive_closure` (the closure is the
+    documented cost)."""
+    cl = transitive_closure(edges, max_iter=max_iter)
+    return (
+        cl.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_reach"),
+            F.sum(F.expr("1000000 div depth")).alias("harmonic_micro"),
+        )
+        .select(F.col("src").alias("id"), "n_reach",
+                F.col("harmonic_micro").cast("long"))
+    )

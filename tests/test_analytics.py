@@ -646,3 +646,19 @@ def test_mis_matches_duckdb(spark):
     sql = AN.mis_oracle_sql("SELECT src, dst FROM e", seed=7, rounds=12)
     ok, msg = compare(out, con, sql)
     assert ok, msg
+
+
+def test_harmonic_centrality_chain(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # directed path 1 -> 2 -> 3 -> 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r.id: (r.n_reach, r.harmonic_micro)
+            for r in AN.harmonic_centrality(edges).collect()}
+    # node 1 reaches 2,3,4 at d=1,2,3 -> 1000000 + 500000 + 333333
+    assert rows[1] == (3, 1833333)
+    assert rows[2] == (2, 1500000)
+    assert rows[3] == (1, 1000000)
+    assert 4 not in rows  # reaches nothing -> no row (oracle support)
