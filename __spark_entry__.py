@@ -1481,8 +1481,38 @@ def _q_graph_similarity(spark, sf_dir):
         F.lit("harmonic").alias("op"), F.col("id").alias("a"),
         F.col("n_reach").cast("long").alias("b"),
         F.col("harmonic_micro").alias("c"), lN.alias("d"))
+    # Borůvka MSF over day-gap-weighted order chains, even-custkey chains
+    # closed into cycles; weights are distinct inside every cycle
+    # (daygap·10^7 + orderkey%10^7, orderkey unique per chain; the closing
+    # edge has daygap 0 and a src no chain edge uses), so the MST is
+    # unique and the oracle is the cycle property in closed form: every
+    # cycle drops exactly its max-(w,a,b) edge, trees keep everything.
+    wnd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = spark.table("orders")
+    wch = orders.select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.lead("o_orderkey").over(wnd) + F.lit(5 * B)).alias("dst"),
+        (F.datediff(F.lead("o_orderdate").over(wnd), F.col("o_orderdate"))
+         .cast("long") * F.lit(10_000_000)
+         + F.col("o_orderkey") % 10_000_000).alias("weight"),
+    ).filter(F.col("dst").isNotNull())
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("_fst"),
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("_lst"),
+    )
+    closing = per_cust.filter(
+        (F.col("o_custkey") % 2 == 0) & (F.col("n") >= 2)
+    ).select(
+        (F.col("_lst.o_orderkey") + 5 * B).alias("src"),
+        (F.col("_fst.o_orderkey") + 5 * B).alias("dst"),
+        (F.col("_lst.o_orderkey") % 10_000_000).alias("weight"),
+    )
+    mst = AN.minimum_spanning_forest(wch.unionByName(closing)).select(
+        F.lit("mst").alias("op"), F.col("a"), F.col("b"),
+        F.col("weight").alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
-            .unionByName(hm))
+            .unionByName(hm).unionByName(mst))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -2336,7 +2366,44 @@ SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
        CAST(list_sum(list_transform(generate_series(1, L - i),
                                     d -> 1000000 // d)) AS BIGINT)
          AS harmonic_micro
-FROM pos WHERE i < L) t5""",
+FROM pos WHERE i < L) t5
+UNION ALL
+SELECT 'mst', a, b, w, NULL
+FROM (WITH ch AS (
+  SELECT o_custkey,
+         CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+         CAST(5*{B} + LEAD(o_orderkey) OVER wd AS BIGINT) AS dst,
+         CAST(date_diff('day', o_orderdate, LEAD(o_orderdate) OVER wd)
+              AS BIGINT) * 10000000 + o_orderkey % 10000000 AS w
+  FROM orders
+  WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  QUALIFY dst IS NOT NULL
+),
+pc AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         (MIN(struct_pack(d := o_orderdate, k := o_orderkey))).k AS fk,
+         (MAX(struct_pack(d := o_orderdate, k := o_orderkey))).k AS lk
+  FROM orders GROUP BY o_custkey
+),
+clo AS (
+  SELECT o_custkey, CAST(5*{B} + lk AS BIGINT) AS src,
+         CAST(5*{B} + fk AS BIGINT) AS dst,
+         CAST(lk % 10000000 AS BIGINT) AS w
+  FROM pc WHERE o_custkey % 2 = 0 AND n >= 2
+),
+alle AS (
+  SELECT o_custkey, LEAST(src, dst) AS a, GREATEST(src, dst) AS b, w
+  FROM (SELECT * FROM ch UNION ALL SELECT * FROM clo)
+),
+mx AS (
+  SELECT e.o_custkey, MAX(ROW(e.w, e.a, e.b)) AS m
+  FROM alle e JOIN clo USING (o_custkey)
+  GROUP BY e.o_custkey
+)
+SELECT e.a, e.b, e.w
+FROM alle e LEFT JOIN mx
+  ON e.o_custkey = mx.o_custkey AND ROW(e.w, e.a, e.b) = mx.m
+WHERE mx.o_custkey IS NULL) t6""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

@@ -264,6 +264,22 @@ def main() -> None:
 
     run("bloom_cms_hll", _sketches)
 
+    # Borůvka MSF over day-gap-weighted order chains + even-custkey cycles
+    wnd = __import__("pyspark.sql.window", fromlist=["Window"]).Window \
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wch = orders.select(
+        (F.col("o_orderkey") + 5 * B).alias("src"),
+        (F.lead("o_orderkey").over(wnd) + 5 * B).alias("dst"),
+        (F.datediff(F.lead("o_orderdate").over(wnd), F.col("o_orderdate"))
+         .cast("long") * 10_000_000
+         + F.col("o_orderkey") % 10_000_000).alias("weight"),
+    ).filter(F.col("dst").isNotNull())
+    wcl = closing.select("src", "dst",
+                         (F.col("src") % 10_000_000).alias("weight"))
+    run("min_spanning_forest",
+        lambda: AN.minimum_spanning_forest(wch.unionByName(wcl)).count(),
+        repeats=1)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",

@@ -1556,3 +1556,88 @@ def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .select(F.col("src").alias("id"), "n_reach",
                 F.col("harmonic_micro").cast("long"))
     )
+
+
+def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
+                            max_iter: int = 20) -> DataFrame:
+    """Borůvka minimum spanning forest over an undirected weighted edge
+    set: ``(a BIGINT, b BIGINT, weight BIGINT)``, the MST of every
+    connected component. Deterministic under ties — the per-component
+    pick minimizes the ``(weight, a, b)`` tuple, so the result is a
+    well-defined forest even with repeated weights (and THE unique MST
+    whenever cycle weights are distinct).
+
+    Classic O(log n)-round Borůvka, all relational: canonicalize to the
+    min-weight ``a<b`` edge per pair; each round every component selects
+    its lightest outgoing edge (one groupBy on the component label over
+    the cross-component edge set), the selected edges join the forest,
+    and components contract by running :func:`connected_components` on
+    the selected COMPONENT-level graph — whose size is O(#components),
+    halving every round, so the inner contraction is cheap even though
+    it is itself iterative. Cross edges at least halve per round; the
+    loop ends when none remain.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    comp = (
+        canon.select(F.col("a").alias("id"))
+        .union(canon.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    forest_parts = []
+    for _ in range(max_iter):
+        lab = (
+            canon.join(comp.select(F.col("id").alias("a"),
+                                   F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"),
+                              F.col("comp").alias("cb")), "b")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        if lab.limit(1).count() == 0:
+            break
+        # both endpoints' components bid on the edge; dedup after selection
+        bids = lab.select(F.col("ca").alias("c"), "a", "b", "w").unionByName(
+            lab.select(F.col("cb").alias("c"), "a", "b", "w"))
+        picked = (
+            bids.groupBy("c")
+            .agg(F.min(F.struct(F.col("w").alias("w"), F.col("a").alias("a"),
+                                F.col("b").alias("b"))).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
+                    F.col("m.w").alias("w"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        forest_parts.append(picked)
+        # contract on the component-level selected graph (O(#components))
+        cedges = (
+            picked.join(comp.select(F.col("id").alias("a"),
+                                    F.col("comp").alias("ca")), "a")
+            .join(comp.select(F.col("id").alias("b"),
+                              F.col("comp").alias("cb")), "b")
+            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        )
+        merged = connected_components(cedges)  # (id=old comp, component=new)
+        nxt = (
+            comp.join(merged.withColumnRenamed("id", "comp"), "comp", "left")
+            .select("id", F.coalesce("component", F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(comp)
+        comp = nxt
+    if not forest_parts:
+        return canon.filter(F.lit(False)).select(
+            "a", "b", F.col("w").alias("weight"))
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().select("a", "b", F.col("w").alias("weight"))

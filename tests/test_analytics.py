@@ -662,3 +662,57 @@ def test_harmonic_centrality_chain(spark):
     assert rows[2] == (2, 1500000)
     assert rows[3] == (1, 1000000)
     assert 4 not in rows  # reaches nothing -> no row (oracle support)
+
+
+# --- minimum spanning forest ------------------------------------------------
+
+def _kruskal(rows):
+    """Reference MST with the same (w, a, b) tie order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for w, a, b in sorted((w, min(a, b), max(a, b)) for a, b, w in rows):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.append((a, b, w))
+    return forest
+
+
+def test_msf_matches_kruskal_distinct_weights(spark):
+    import random
+
+    from judy_graph_db_spark.operators import analytics as AN
+
+    rng = random.Random(13)
+    n = 40
+    rows = [(i, i + 1, 0) for i in range(n)]            # path
+    rows += [(rng.randrange(n), rng.randrange(n), 0) for _ in range(60)]
+    rows = [(a, b, 0) for a, b in {(a, b) for a, b, _ in rows if a != b}]
+    # distinct weights -> unique MST
+    weights = rng.sample(range(1, 10000), len(rows))
+    rows = [(a, b, w) for (a, b, _), w in zip(rows, weights)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    got = sorted((r.a, r.b, r.weight)
+                 for r in AN.minimum_spanning_forest(edges).collect())
+    want = sorted(_kruskal(rows))
+    assert got == want
+
+
+def test_msf_forest_on_disconnected_graph(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # two components: a triangle (drop the heavy edge) and one edge
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7), (1, 3, 9), (10, 11, 1)],
+        "src long, dst long, weight long",
+    )
+    got = sorted((r.a, r.b, r.weight)
+                 for r in AN.minimum_spanning_forest(edges).collect())
+    assert got == [(1, 2, 5), (2, 3, 7), (10, 11, 1)]
