@@ -1194,8 +1194,15 @@ def _q_media_pipeline(spark, sf_dir):
         F.lit("awindow").alias("op"), "doc_id",
         F.col("window_idx").cast("long").alias("a"), lN.alias("b"),
         lN.alias("c"), lN.alias("d"), F.col("window_hash").alias("h"))
+    video = MM.video_features(media).select(
+        F.lit("video").alias("op"), "doc_id",
+        F.col("byte_len").cast("long").alias("a"),
+        F.col("width").cast("long").alias("b"),
+        F.col("height").cast("long").alias("c"),
+        F.col("duration_ms").cast("long").alias("d"),
+        F.col("content_hash").alias("h"))
     return (meta.unionByName(dec).unionByName(frames)
-            .unionByName(audio).unionByName(wins))
+            .unionByName(audio).unionByName(wins).unionByName(video))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -1949,7 +1956,23 @@ FROM (
               ELSE 8000 * (1 + ascii(substring(text, 1, 1)) % 3) END)) / 1000.0),
            1) AS BIGINT) - 1)) AS window_idx
   FROM documents
-) aw""",
+) aw
+UNION ALL
+SELECT 'video', doc_id, CAST(length(text) AS BIGINT), w, h,
+       CAST(length(text) * 2 * 1000 //
+            (CASE WHEN length(text) < 3 THEN 24
+             ELSE 24 + ascii(substring(text, 3, 1)) % 8 END) AS BIGINT),
+       md5(text)
+FROM (
+  SELECT doc_id, text,
+         CAST(CASE WHEN length(text) = 0 THEN 160
+              ELSE 160 * (1 + ascii(substring(text, 1, 1)) % 4) END
+              AS BIGINT) AS w,
+         CAST(CASE WHEN length(text) < 2 THEN 120
+              ELSE 120 * (1 + ascii(substring(text, 2, 1)) % 4) END
+              AS BIGINT) AS h
+  FROM documents
+) vm""",
         "persisted_roundtrip": f"""{P}
 SELECT label, is_back, COUNT(*) AS n,
        CAST(SUM(edge_seq) AS BIGINT) AS sum_seq,

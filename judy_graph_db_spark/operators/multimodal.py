@@ -315,3 +315,136 @@ def audio_window_sample(media: DataFrame, window_ms: int = 1000,
     return media.mapInPandas(
         run, schema="doc_id long, window_idx int, window_hash string"
     )
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id long, byte_len long, content_hash string, width int, "
+    "height int, timescale long, n_frames long, duration_ms long"
+)
+
+
+def _mp4_meta(b: bytes) -> tuple[int, int, int, int, int]:
+    """Dependency-free ISO-BMFF (MP4/MOV) *container* decode →
+    (width, height, timescale, n_frames, duration_ms). Real top-level box
+    walking per the published ISO/IEC 14496-12 layout: ``moov/mvhd`` gives
+    timescale+duration, the first visual ``trak/tkhd`` gives the 16.16
+    fixed-point width/height, ``stts`` entry counts sum to the frame
+    count. No sample decoding — the same header-only split as the image
+    (PNG/JPEG dims) and audio (RIFF/WAV) parsers; a full codec (H.264
+    etc.) is deliberately out of scope in this container. Raises
+    ValueError on non-MP4 payloads."""
+    import struct  # noqa: PLC0415
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError(f"unrecognized video payload (magic {bytes(b[4:8])!r})")
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i:i + 4])[0]
+            typ = b[i + 4:i + 8]
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", b[i + 8:i + 16])[0]
+            if size < 8 or i + size > hi:
+                break
+            yield typ, i + 8, i + size
+            i += size
+
+    width = height = None
+    timescale = duration = None
+    n_frames = 0
+    for typ, lo, hi in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in boxes(lo, hi):
+            if t2 == b"mvhd":
+                ver = b[lo2]
+                if ver == 1:
+                    timescale = struct.unpack(">I", b[lo2 + 20:lo2 + 24])[0]
+                    duration = struct.unpack(">Q", b[lo2 + 24:lo2 + 32])[0]
+                else:
+                    timescale = struct.unpack(">I", b[lo2 + 12:lo2 + 16])[0]
+                    duration = struct.unpack(">I", b[lo2 + 16:lo2 + 20])[0]
+            elif t2 == b"trak":
+                for t3, lo3, hi3 in boxes(lo2, hi2):
+                    if t3 == b"tkhd":
+                        ver = b[lo3]
+                        off = hi3 - 8  # width/height are the LAST 8 bytes
+                        w = struct.unpack(">I", b[off:off + 4])[0] >> 16
+                        h = struct.unpack(">I", b[off + 4:off + 8])[0] >> 16
+                        if w and h and width is None:
+                            width, height = w, h
+                    elif t3 == b"mdia":
+                        for t4, lo4, hi4 in boxes(lo3, hi3):
+                            if t4 != b"minf":
+                                continue
+                            for t5, lo5, hi5 in boxes(lo4, hi4):
+                                if t5 != b"stbl":
+                                    continue
+                                for t6, lo6, hi6 in boxes(lo5, hi5):
+                                    if t6 == b"stts":
+                                        n = struct.unpack(
+                                            ">I", b[lo6 + 4:lo6 + 8])[0]
+                                        for e in range(n):
+                                            cnt = struct.unpack(
+                                                ">I",
+                                                b[lo6 + 8 + e * 8:
+                                                  lo6 + 12 + e * 8])[0]
+                                            n_frames += cnt
+    if timescale is None:
+        raise ValueError("MP4 payload missing moov/mvhd")
+    duration_ms = duration * 1000 // max(timescale, 1)
+    return (width or 0, height or 0, timescale, n_frames, duration_ms)
+
+
+def video_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Video container metadata via the same Arrow ``mapInPandas`` path as
+    :func:`decode_features`/:func:`audio_features` — completes the
+    image/audio/video triad. Stub mode derives deterministic parameters
+    from the payload bytes (SQL-twinnable byte arithmetic); real mode
+    parses MP4 boxes (``_mp4_meta``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = pdf["content"]
+            if decode_stub:
+                meta = pd.DataFrame(
+                    {
+                        "width": contents.map(
+                            lambda b: 160 * (1 + b[0] % 4) if len(b) else 160
+                        ),
+                        "height": contents.map(
+                            lambda b: 120 * (1 + b[1] % 4) if len(b) > 1 else 120
+                        ),
+                        "timescale": contents.map(lambda b: 1000),
+                        "n_frames": contents.map(lambda b: len(b) * 2),
+                    }
+                )
+                fps = contents.map(
+                    lambda b: 24 + (b[2] % 8) if len(b) > 2 else 24
+                )
+                duration_ms = meta["n_frames"] * 1000 // fps
+            else:
+                meta = pd.DataFrame(
+                    contents.map(lambda b: _mp4_meta(bytes(b))).tolist(),
+                    columns=["width", "height", "timescale", "n_frames",
+                             "duration_ms"],
+                    index=contents.index,
+                )
+                duration_ms = meta["duration_ms"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": contents.map(len).astype("int64"),
+                    "content_hash": contents.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "width": meta["width"].astype("int32"),
+                    "height": meta["height"].astype("int32"),
+                    "timescale": meta["timescale"].astype("int64"),
+                    "n_frames": meta["n_frames"].astype("int64"),
+                    "duration_ms": duration_ms.astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)
