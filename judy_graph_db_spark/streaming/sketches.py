@@ -1,0 +1,107 @@
+"""Streaming maintenance of mergeable corpus sketches.
+
+The batch sketches (``operators/sketch.py``) are built to MERGE: count-min
+counters add, HLL registers max, Bloom words OR. That is exactly the
+property a continuously-ingesting corpus needs — each micro-batch folds its
+batch-local sketch into a tiny versioned store, and the running sketch is
+always byte-identical to the batch sketch over everything ingested so far
+(asserted by the batch-equivalence tests, the same contract the windowed
+aggregation and interval-join streams are held to).
+
+Store layout mirrors ``streaming/ingest.py``'s counter table: one
+``v=N`` directory per fold with ``_batch_meta.json`` carrying
+(checkpoint, batch_id) for replay idempotence — a replayed micro-batch is
+detected and skipped, never double-counted (CMS sums would silently drift
+otherwise; this is the sketch analogue of the ingest counter's
+exactly-once fold).
+
+At 100 TB: per batch the stream writes O(width·depth + 2^p + m/63) rows —
+independent of corpus size — so the store stays broadcastable forever; the
+expensive relation (the corpus) is touched only by the incoming batch scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from judy_graph_db_spark.operators.sketch import (bloom_build, count_min,
+                                                  hll_registers)
+
+
+def _store_versions(store: str) -> Optional[int]:
+    if not os.path.isdir(store):
+        return None
+    vs = [int(d[2:]) for d in os.listdir(store)
+          if d.startswith("v=") and d[2:].isdigit()]
+    return max(vs) if vs else None
+
+
+def read_sketches(spark, store: str) -> Optional[dict[str, DataFrame]]:
+    """Load the latest folded sketch relations, or None before any fold."""
+    latest = _store_versions(store)
+    if latest is None:
+        return None
+    vdir = os.path.join(store, f"v={latest}")
+    return {
+        name: spark.read.parquet(os.path.join(vdir, name))
+        for name in ("cms", "hll", "bloom")
+    }
+
+
+def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
+                           checkpoint: Optional[str] = None,
+                           width: int = 256, depth: int = 4, p: int = 8,
+                           m_bits: int = 1 << 16, k: int = 4,
+                           available_now: bool = True):
+    """Fold a document stream into the three mergeable sketches over
+    ``col``: CMS (frequency, counters ADD), HLL (distinct, registers MAX),
+    Bloom (membership, words OR). Returns the started StreamingQuery."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = _store_versions(store)
+        ck_id = checkpoint or ""
+        prev = None
+        if latest is not None:
+            vdir = os.path.join(store, f"v={latest}")
+            meta_file = os.path.join(vdir, "_batch_meta.json")
+            if os.path.exists(meta_file):
+                with open(meta_file) as fh:
+                    meta = json.load(fh)
+                if (meta.get("checkpoint") == ck_id
+                        and meta.get("batch_id") == batch_id):
+                    return  # replayed micro-batch — already folded
+            prev = {
+                name: spark.read.parquet(os.path.join(vdir, name))
+                for name in ("cms", "hll", "bloom")
+            }
+
+        cms_b = count_min(batch, col, width=width, depth=depth)
+        hll_b = hll_registers(batch, col, p=p)
+        bloom_b = bloom_build(batch, col, m_bits=m_bits, k=k)
+        if prev is not None:
+            cms_b = (prev["cms"].unionByName(cms_b)
+                     .groupBy("d", "w").agg(F.sum("cnt").alias("cnt")))
+            hll_b = (prev["hll"].unionByName(hll_b)
+                     .groupBy("bucket").agg(F.max("max_rho").alias("max_rho")))
+            bloom_b = (prev["bloom"].unionByName(bloom_b)
+                       .groupBy("word")
+                       .agg(F.bit_or("bits").alias("bits")))
+
+        new_version = 0 if latest is None else latest + 1
+        new_vdir = os.path.join(store, f"v={new_version}")
+        for name, df in (("cms", cms_b), ("hll", hll_b), ("bloom", bloom_b)):
+            df.write.mode("overwrite").parquet(os.path.join(new_vdir, name))
+        with open(os.path.join(new_vdir, "_batch_meta.json"), "w") as fh:
+            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -298,3 +298,69 @@ def test_interval_join_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = {(r.l_event_id, r.r_event_id) for r in spark.table("ij_test").collect()}
     assert got == expect
+
+
+def test_streaming_sketches_equal_batch(spark, tmp_path):
+    """Folded stream sketches must be byte-identical to batch sketches over
+    the union of all ingested batches (CMS adds, HLL maxes, Bloom ORs)."""
+    from judy_graph_db_spark.operators import sketch as SK
+    from judy_graph_db_spark.streaming.sketches import (
+        foreach_batch_sketches, read_sketches)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "sk")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(f"tok{i % 17}" for i in range(200)))
+
+    def stream():
+        return (spark.readStream.format("text")
+                .schema("value string").load(str(src))
+                .withColumnRenamed("value", "tok"))
+
+    _drain(foreach_batch_sketches(stream(), store, "tok", ckpt,
+                                  width=64, depth=3, p=6, m_bits=1 << 12))
+    (src / "b.txt").write_text("\n".join(f"tok{i % 29}" for i in range(150)))
+    _drain(foreach_batch_sketches(stream(), store, "tok", ckpt,
+                                  width=64, depth=3, p=6, m_bits=1 << 12))
+
+    got = read_sketches(spark, store)
+    assert got is not None
+    full = spark.read.format("text").schema("value string").load(
+        str(src)).withColumnRenamed("value", "tok")
+    want_cms = SK.count_min(full, "tok", width=64, depth=3)
+    want_hll = SK.hll_registers(full, "tok", p=6)
+    want_bloom = SK.bloom_build(full, "tok", m_bits=1 << 12, k=4)
+    for name, want in (("cms", want_cms), ("hll", want_hll),
+                       ("bloom", want_bloom)):
+        a = sorted(map(tuple, got[name].collect()))
+        b = sorted(map(tuple, want.collect()))
+        assert a == b, f"{name} diverged: {a[:3]} vs {b[:3]}"
+
+
+def test_streaming_sketches_replay_idempotent(spark, tmp_path):
+    """Re-delivering the same (checkpoint, batch_id) must not double-count
+    CMS sums."""
+    from judy_graph_db_spark.streaming.sketches import (
+        _store_versions, foreach_batch_sketches, read_sketches)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "sk")
+    src.mkdir()
+    (src / "a.txt").write_text("x\nx\ny\n")
+
+    def stream():
+        return (spark.readStream.format("text")
+                .schema("value string").load(str(src))
+                .withColumnRenamed("value", "tok"))
+
+    # same checkpoint id + same batch_id 0 twice = one logical delivery
+    _drain(foreach_batch_sketches(stream(), store, "tok", "ck-a", width=16,
+                                  depth=2, p=4, m_bits=1 << 10))
+    v1 = _store_versions(store)
+    _drain(foreach_batch_sketches(stream(), store, "tok", "ck-a", width=16,
+                                  depth=2, p=4, m_bits=1 << 10))
+    assert _store_versions(store) == v1  # replay detected, no new version
+    got = read_sketches(spark, store)
+    total = sum(r.cnt for r in got["cms"].collect())
+    assert total == 3 * 2  # 3 rows x depth 2, counted once
