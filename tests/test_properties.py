@@ -119,3 +119,94 @@ def test_insert_then_delete_roundtrip(spark, edges, seq):
     g3 = M.delete_edge_keys(g2, [(r.src, r.label, r.edge_seq) for r in added])
     after = sorted(map(tuple, g3.edges.collect()))
     assert before == after
+
+
+pair_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=pair_edges_strategy)
+@settings(**SETTINGS)
+def test_mis_independent_and_maximal_random(spark, edges):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    mis = {r.id for r in AN.maximal_independent_set(df).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in mis:
+        assert not (adj.get(v, set()) & mis)
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis
+
+
+@given(edges=pair_edges_strategy, k=st.integers(min_value=3, max_value=4))
+@settings(**SETTINGS)
+def test_k_truss_support_invariant_and_core_containment(spark, edges, k):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    truss = AN.k_truss(df, k=k).collect()
+    # every surviving edge meets the support bound, measured inside
+    for r in truss:
+        assert r.support >= k - 2
+    # k-truss nodes are contained in the (k-1)-core
+    truss_nodes = {r.a for r in truss} | {r.b for r in truss}
+    core = {r.id for r in AN.k_core(df, k=k - 1).collect()}
+    assert truss_nodes <= core
+
+
+@given(edges=pair_edges_strategy)
+@settings(**SETTINGS)
+def test_msf_spans_components_acyclically(spark, edges):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [(a, b, (a * 7 + b * 13) % 97 + 1) for a, b in edges],
+        "src long, dst long, weight long",
+    )
+    forest = [(r.a, r.b) for r in AN.minimum_spanning_forest(df).collect()]
+    # same connectivity as the input, with exactly n - #components edges
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {v for e in edges for v in e}
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    n_comp = len({find(v) for v in nodes})
+    assert len(set(forest)) == len(nodes) - n_comp
+    parent2 = {}
+
+    def find2(x):
+        while parent2.setdefault(x, x) != x:
+            parent2[x] = parent2[parent2[x]]
+            x = parent2[x]
+        return x
+
+    for a, b in forest:
+        assert find2(a) != find2(b), "forest contains a cycle"
+        parent2[find2(a)] = find2(b)
+    assert len({find2(v) for v in nodes}) == n_comp
