@@ -1451,9 +1451,19 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("gram").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("i").alias("a"), F.col("j").alias("b"), F.col("s").alias("c"),
         lN.alias("d"))
+    vb = STT.build_vocab(docs, min_count=3, max_size=200)
+    voc = vb.select(
+        F.lit("vocab").alias("op"), F.col("token").alias("s"), sN.alias("t"),
+        F.col("token_id").alias("a"), F.col("count").alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    enc = STT.encode_tokens(docs, vb).select(
+        F.lit("encode").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("pos").alias("b"),
+        F.col("token_id").alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(ou).unionByName(cms)
-            .unionByName(hll).unionByName(bl).unionByName(gm))
+            .unionByName(hll).unionByName(bl).unionByName(gm)
+            .unionByName(voc).unionByName(enc))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -2330,7 +2340,13 @@ FROM ({O.bloom_probe_sql(
         )}) t9
 UNION ALL
 SELECT 'gram', NULL, NULL, i, j, s, NULL
-FROM ({O.gram_matrix_sql(dim=64)}) t10""",
+FROM ({O.gram_matrix_sql(dim=64)}) t10
+UNION ALL
+SELECT 'vocab', token, NULL, token_id, count, NULL, NULL
+FROM ({O.build_vocab_sql(min_count=3, max_size=200)}) t11
+UNION ALL
+SELECT 'encode', NULL, NULL, doc_id, pos, token_id, NULL
+FROM ({O.encode_tokens_sql(min_count=3, max_size=200)}) t12""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -236,3 +236,67 @@ def grouped_outliers(df: DataFrame, group_col: str, value_col: str,
     return base.filter(dev * dev > F.lit(int(k) * int(k)) * var_n2).select(
         group_col, id_col, "value_cents"
     )
+
+
+def build_vocab(docs: DataFrame, min_count: int = 1,
+                max_size: int | None = None, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Tokenizer-prep vocabulary: ``(token, token_id, count)`` with dense
+    ids assigned by ``(count DESC, token ASC)`` rank — the deterministic
+    frequency order every tokenizer build step wants, so id 0 is always
+    the corpus's most common token and re-runs (or a DuckDB twin) emit
+    byte-identical tables. ``min_count`` drops the long tail *before* the
+    rank window; ``max_size`` caps the vocabulary after it.
+
+    Scale shape: tokenize + explode in the scan stage, one (token) shuffle
+    for counts, then ONE global rank window — over the already-aggregated
+    vocabulary relation (|vocab| rows, not |corpus| tokens), which is the
+    only place a global window is acceptable; for vocabularies too big for
+    one task, rank by (count bucket, token) two-pass instead.
+    """
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("token")
+    )
+    counts = (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= int(min_count))
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    vocab = counts.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "count",
+    )
+    if max_size is not None:
+        vocab = vocab.filter(F.col("token_id") < int(max_size))
+    return vocab
+
+
+def encode_tokens(docs: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  unk_id: int = -1) -> DataFrame:
+    """Encode each document against a :func:`build_vocab` table:
+    ``(doc_id, pos, token_id)`` with out-of-vocabulary tokens mapped to
+    ``unk_id``. The vocab side broadcasts (it is capped by construction);
+    the corpus streams through one scan-stage tokenize + posexplode."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "token"),
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("token", "token_id")), "token",
+                  "left")
+        .select(
+            id_col, F.col("pos").cast("long"),
+            F.coalesce("token_id", F.lit(int(unk_id)).cast("long"))
+            .alias("token_id"),
+        )
+    )

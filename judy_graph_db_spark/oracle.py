@@ -1319,3 +1319,47 @@ SELECT {id_col}, split FROM (
   SELECT cl.{id_col}, cl.cluster_id AS __k FROM cl
 ) t
 CROSS JOIN LATERAL (SELECT {case} AS split) s"""
+
+
+def build_vocab_sql(min_count: int = 1, max_size: int | None = None,
+                    text_col: str = "text",
+                    table: str = "documents") -> str:
+    """Twin of ``stats.build_vocab`` ((count DESC, token ASC) dense ids)."""
+    cap = f"WHERE token_id < {int(max_size)}" if max_size is not None else ""
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower({text_col}),
+                {WORD_TOKEN_RE_SQL})) AS token
+  FROM {table}
+),
+c AS (
+  SELECT token, COUNT(*) AS count FROM toks GROUP BY token
+  HAVING COUNT(*) >= {int(min_count)}
+)
+SELECT token, token_id, count FROM (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) - 1
+              AS BIGINT) AS token_id,
+         count
+  FROM c
+) t {cap}"""
+
+
+def encode_tokens_sql(min_count: int = 1, max_size: int | None = None,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      table: str = "documents", unk_id: int = -1) -> str:
+    """Twin of ``stats.encode_tokens`` over a ``build_vocab`` table."""
+    return f"""
+WITH vocab AS ({build_vocab_sql(min_count, max_size, text_col, table)}),
+tk AS (
+  SELECT {id_col}, unnest(ts) AS token,
+         unnest(generate_series(1, len(ts))) - 1 AS pos
+  FROM (
+    SELECT {id_col},
+           regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}) AS ts
+    FROM {table}
+  )
+)
+SELECT tk.{id_col}, CAST(tk.pos AS BIGINT) AS pos,
+       COALESCE(v.token_id, {int(unk_id)}) AS token_id
+FROM tk LEFT JOIN vocab v ON tk.token = v.token"""

@@ -78,3 +78,28 @@ def test_inverted_index(spark):
     assert only == {"cat", "dog"}
     rare = {r.term for r in ST.inverted_index(docs, max_df=1).collect()}
     assert rare == {"fish"}
+
+
+def test_build_vocab_rank_and_cap(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], "doc_id long, text string"
+    )
+    v = {r.token: (r.token_id, r["count"])
+         for r in ST.build_vocab(docs).collect()}
+    # a and b both count 3 -> tie broken by token asc
+    assert v["a"] == (0, 3) and v["b"] == (1, 3)
+    assert v["c"] == (2, 1) and v["d"] == (3, 1)
+    capped = ST.build_vocab(docs, min_count=2, max_size=1).collect()
+    assert [(r.token, r.token_id) for r in capped] == [("a", 0)]
+
+
+def test_encode_tokens_with_unk(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], "doc_id long, text string"
+    )
+    vocab = ST.build_vocab(docs, min_count=2)  # keeps a, b only
+    enc = {(r.doc_id, r.pos): r.token_id
+           for r in ST.encode_tokens(docs, vocab).collect()}
+    assert enc[(1, 0)] == 1 and enc[(1, 3)] == 0
+    assert enc[(1, 5)] == -1  # 'c' below min_count -> unk
+    assert enc[(2, 1)] == -1  # 'd' -> unk
