@@ -20,6 +20,7 @@ from judy_graph_db_spark import N, E, create_mem, flat_table, graph_query, table
 from judy_graph_db_spark import oracle as O
 from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
+from judy_graph_db_spark.operators import bpe as BPE
 from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
 from judy_graph_db_spark.operators import sampling as SA_ORACLE
@@ -1619,7 +1620,18 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("shard").alias("op"), "doc_id",
         F.col("shard").cast("long").alias("a"), sN.alias("s"),
         F.col("n_tokens").cast("long").alias("b"))
-    return ch.unionByName(sh).unionByName(pk)
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    merges, bvocab = bpe_train(spark.table("documents"), n_merges=8)
+    bm = merges.select(
+        F.lit("bpe_merge").alias("op"), F.col("rank").alias("doc_id"),
+        F.col("count").alias("a"), F.concat_ws("|", "a", "b").alias("s"),
+        lN.alias("b"))
+    bv = bvocab.select(
+        F.lit("bpe_vocab").alias("op"), lN.alias("doc_id"),
+        F.col("freq").alias("a"), F.col("symbol").alias("s"), lN.alias("b"))
+    return (ch.unionByName(sh).unionByName(pk)
+            .unionByName(bm).unionByName(bv))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2106,7 +2118,12 @@ SELECT 'shard', doc_id, shard, NULL, n_tokens
 FROM ({O.shard_by_token_budget_sql(budget_tokens=10000)}) t2
 UNION ALL
 SELECT 'pack', doc_id, seq_first, CAST(offset_in_first AS VARCHAR), seq_last
-FROM ({O.pack_sequences_sql(seq_len=512)}) t3""",
+FROM ({O.pack_sequences_sql(seq_len=512)}) t3
+UNION ALL
+SELECT CASE WHEN op = 'merge' THEN 'bpe_merge' ELSE 'bpe_vocab' END,
+       rank, cnt, CASE WHEN op = 'merge' THEN a || '|' || b ELSE a END,
+       NULL
+FROM ({BPE.bpe_train_oracle_sql(n_merges=8)}) t4""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

@@ -103,3 +103,50 @@ def test_encode_tokens_with_unk(spark):
     assert enc[(1, 0)] == 1 and enc[(1, 3)] == 0
     assert enc[(1, 5)] == -1  # 'c' below min_count -> unk
     assert enc[(2, 1)] == -1  # 'd' -> unk
+
+
+# --- BPE merge training -----------------------------------------------------
+
+def test_bpe_train_learns_expected_merges(spark):
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(docs, n_merges=3)
+    got = [(r.rank, r.a, r.b, r["count"]) for r in
+           sorted(merges.collect(), key=lambda r: r.rank)]
+    # (l,o) and (o,w) tie at 3; lexicographic tiebreak picks (l,o)
+    assert got == [(0, "l", "o", 3), (1, "lo", "w", 3),
+                   (2, "low", "</w>", 2)]
+    v = {r.symbol: r.freq for r in vocab.collect()}
+    assert v["low</w>"] == 2      # 'low' fully merged
+    assert v["low"] == 1          # prefix of 'lower'
+    assert v["e"] == 1 and v["r"] == 1 and v["</w>"] == 1
+
+
+def test_bpe_train_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators.bpe import (bpe_train,
+                                                   bpe_train_oracle_sql)
+    from tests.oracle_utils import compare
+
+    texts = [(1, "the cat sat on the mat"), (2, "that hat is flat"),
+             (3, "cats chatter")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in texts:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    merges, vocab = bpe_train(docs, n_merges=6)
+    out = merges.select(
+        F.lit("merge").alias("op"), "rank", "a", "b",
+        F.col("count").alias("cnt"),
+    ).unionByName(vocab.select(
+        F.lit("vocab").alias("op"), F.lit(None).cast("long").alias("rank"),
+        F.col("symbol").alias("a"), F.lit(None).cast("string").alias("b"),
+        F.col("freq").alias("cnt"),
+    ))
+    ok, msg = compare(out, con, bpe_train_oracle_sql(n_merges=6))
+    assert ok, msg
