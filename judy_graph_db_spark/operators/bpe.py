@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
 
-__all__ = ["bpe_train", "bpe_train_oracle_sql"]
+__all__ = ["bpe_train", "bpe_train_oracle_sql", "bpe_encode"]
 
 
 def _merge_fold(syms: Column, a: str, b: str) -> Column:
@@ -167,3 +167,41 @@ SELECT 'vocab', NULL, symbol, NULL, CAST(SUM(freq) AS BIGINT)
 FROM (SELECT freq, unnest(syms) AS symbol FROM w{n_merges})
 GROUP BY symbol""")
     return "\n".join(parts)
+
+
+def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]] | DataFrame",
+               id_col: str = "doc_id", text_col: str = "text",
+               end_of_word: str = "</w>") -> DataFrame:
+    """Apply a learned merge table to text: ``(doc_id, word_pos, sym_pos,
+    symbol)`` — each word segmented by replaying the merges in rank order.
+
+    The merge table is tiny by construction (``n_merges`` rows), so it
+    rides into the plan as literals: the whole encode is ONE narrow pass —
+    tokenize, char-split, then ``n_merges`` chained folds, all inside the
+    scan stage with zero shuffles (verified: the plan has no Exchange).
+    That is the property a 100 TB tokenization pass needs — embarrassingly
+    parallel, no driver round-trips per row.
+    """
+    if isinstance(merges, DataFrame):
+        rules = [(r["a"], r["b"]) for r in
+                 sorted(merges.collect(), key=lambda r: r["rank"])]
+    else:
+        rules = list(merges)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("word_pos", "word"),
+    )
+    syms = F.concat(
+        F.expr("regexp_extract_all(word, '.', 0)"),
+        F.array(F.lit(end_of_word)),
+    )
+    for a, b in rules:
+        syms = _merge_fold(syms, a, b)
+    return toks.select(
+        id_col, F.col("word_pos").cast("long"),
+        F.posexplode(syms).alias("sym_pos", "symbol"),
+    ).select(id_col, "word_pos", F.col("sym_pos").cast("long"), "symbol")

@@ -150,3 +150,23 @@ def test_bpe_train_matches_duckdb(spark):
     ))
     ok, msg = compare(out, con, bpe_train_oracle_sql(n_merges=6))
     assert ok, msg
+
+
+def test_bpe_encode_replays_merges(spark):
+    from judy_graph_db_spark.operators.bpe import bpe_encode, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "low low lower")], "doc_id long, text string"
+    )
+    merges, _ = bpe_train(train, n_merges=3)
+    # merges: (l,o), (lo,w), (low,</w>)
+    new = spark.createDataFrame([(9, "low slow")], "doc_id long, text string")
+    out = sorted(
+        (r.word_pos, r.sym_pos, r.symbol)
+        for r in bpe_encode(new, merges).collect()
+    )
+    # 'low' -> ['low</w>']; 'slow' -> ['s','low</w>'] (merges apply inside)
+    assert out == [(0, 0, "low</w>"), (1, 0, "s"), (1, 1, "low</w>")]
+    # encode is shuffle-free: no Exchange in the physical plan
+    plan = bpe_encode(new, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
