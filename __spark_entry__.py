@@ -1461,10 +1461,13 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("encode").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("pos").alias("b"),
         F.col("token_id").alias("c"), lN.alias("d"))
+    ng = STT.ngram_counts(docs, n=2, min_count=3).select(
+        F.lit("ngram").alias("op"), F.col("gram").alias("s"), sN.alias("t"),
+        F.col("count").alias("a"), lN.alias("b"), lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(ou).unionByName(cms)
             .unionByName(hll).unionByName(bl).unionByName(gm)
-            .unionByName(voc).unionByName(enc))
+            .unionByName(voc).unionByName(enc).unionByName(ng))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -2363,7 +2366,10 @@ SELECT 'vocab', token, NULL, token_id, count, NULL, NULL
 FROM ({O.build_vocab_sql(min_count=3, max_size=200)}) t11
 UNION ALL
 SELECT 'encode', NULL, NULL, doc_id, pos, token_id, NULL
-FROM ({O.encode_tokens_sql(min_count=3, max_size=200)}) t12""",
+FROM ({O.encode_tokens_sql(min_count=3, max_size=200)}) t12
+UNION ALL
+SELECT 'ngram', gram, NULL, count, NULL, NULL, NULL
+FROM ({O.ngram_counts_sql(n=2, min_count=3)}) t13""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -300,3 +300,31 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
             .alias("token_id"),
         )
     )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 1,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus n-gram frequencies over word tokens: ``(gram, count)`` with
+    the gram space-joined — the sufficient statistics of an n-gram
+    language model (and the standard decontamination / novelty unit).
+
+    Grams materialize inside the scan stage (a ``transform`` over token
+    positions + explode); the single shuffle is the (gram) count, map-side
+    combined. ``min_count`` trims the long tail after aggregation.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+    )
+    # sequence(1, 0) in Spark yields [1, 0] (descending auto-step), so the
+    # too-short case needs an explicit empty-array branch
+    grams = F.expr(
+        f"CASE WHEN size(__toks) < {int(n)} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(__toks) - {int(n) - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {int(n)}))) END"
+    )
+    return (
+        docs.select(toks.alias("__toks"))
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram").agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= int(min_count))
+    )

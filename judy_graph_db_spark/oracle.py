@@ -1363,3 +1363,21 @@ tk AS (
 SELECT tk.{id_col}, CAST(tk.pos AS BIGINT) AS pos,
        COALESCE(v.token_id, {int(unk_id)}) AS token_id
 FROM tk LEFT JOIN vocab v ON tk.token = v.token"""
+
+
+def ngram_counts_sql(n: int = 2, min_count: int = 1, text_col: str = "text",
+                     table: str = "documents") -> str:
+    """Twin of ``stats.ngram_counts``."""
+    return f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}) AS ts
+  FROM {table}
+),
+g AS (
+  SELECT unnest(list_transform(
+           generate_series(1, GREATEST(len(ts) - {int(n) - 1}, 0)),
+           i -> array_to_string(ts[i:i + {int(n) - 1}], ' '))) AS gram
+  FROM t
+)
+SELECT gram, COUNT(*) AS count FROM g GROUP BY gram
+HAVING COUNT(*) >= {int(min_count)}"""

@@ -170,3 +170,32 @@ def test_bpe_encode_replays_merges(spark):
     # encode is shuffle-free: no Exchange in the physical plan
     plan = bpe_encode(new, merges)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ngram_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b")], "doc_id long, text string"
+    )
+    bi = {r.gram: r["count"] for r in ST.ngram_counts(docs, n=2).collect()}
+    assert bi["a b"] == 3 and bi["b c"] == 1 and bi["c a"] == 1
+    tri = {r.gram: r["count"] for r in ST.ngram_counts(docs, n=3).collect()}
+    assert tri == {"a b c": 1, "b c a": 1, "c a b": 1}
+    # a 1-token doc yields no bigrams (greatest() guard)
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert ST.ngram_counts(one, n=2).count() == 0
+
+
+def test_ngram_counts_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from tests.oracle_utils import compare
+
+    texts = [(1, "the cat sat on the cat mat"), (2, "the cat! sat.")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in texts:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    ok, msg = compare(ST.ngram_counts(docs, n=2), con, O.ngram_counts_sql(n=2))
+    assert ok, msg
