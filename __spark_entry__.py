@@ -873,8 +873,18 @@ def _q_connected_components(spark, sf_dir):
     structure, independent of the iteration logic under test."""
     g = tpch_graph(spark, sf_dir)
     chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
-    cc = AN.connected_components(chains).select(
+    cc_labels = AN.connected_components(chains)
+    cc = cc_labels.select(
         F.lit("cc").alias("op"), "id", F.col("component").alias("component"))
+    # exact integer modularity of the CC labeling (each chain is one
+    # community): q_scaled = 2m·2·in_c − tot_c², closed form from chain
+    # lengths in the oracle
+    mod = AN.modularity_scaled(
+        chains.select("src", "dst"),
+        cc_labels.withColumnRenamed("component", "community"),
+    ).select(
+        F.lit("modularity").alias("op"), F.col("community").alias("id"),
+        F.col("q_scaled").alias("component"))
     per = spark.table("orders").groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.struct("o_orderdate", "o_orderkey")).alias("_fst"),
@@ -896,7 +906,7 @@ def _q_connected_components(spark, sf_dir):
     inc = AN.incremental_connected_components(
         AN.connected_components(half_old), half_new
     ).select(F.lit("incremental").alias("op"), "id", "component")
-    return cc.unionByName(scc).unionByName(inc)
+    return cc.unionByName(scc).unionByName(inc).unionByName(mod)
 
 
 def _q_triangle_count(spark, sf_dir):
@@ -2184,7 +2194,20 @@ FROM chained WHERE n_orders >= 2
 UNION ALL
 SELECT 'incremental', CAST(5*{B} + o_orderkey AS BIGINT),
        CAST(5*{B} + min_key AS BIGINT)
-FROM chained WHERE n_orders >= 2""",
+FROM chained WHERE n_orders >= 2
+UNION ALL
+SELECT 'modularity', CAST(5*{B} + mk AS BIGINT),
+       CAST(2 * mm.m * 2 * (L - 1) - (2 * (L - 1)) * (2 * (L - 1))
+            AS BIGINT)
+FROM (
+  SELECT o_custkey, COUNT(*) AS L, MIN(o_orderkey) AS mk
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2
+) ch, (
+  SELECT CAST(SUM(n_ch - 1) AS BIGINT) AS m FROM (
+    SELECT COUNT(*) AS n_ch FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+  )
+) mm""",
         "triangle_count": f"""{P},
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b

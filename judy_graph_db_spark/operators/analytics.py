@@ -1641,3 +1641,59 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
     for p in forest_parts[1:]:
         out = out.unionByName(p)
     return out.distinct().select("a", "b", F.col("w").alias("weight"))
+
+
+def modularity_scaled(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Exact integer modularity per community: for an undirected graph with
+    m canonical edges and a ``(id, community)`` assignment, returns one row
+    per community ``(community, n_nodes, in_edges, tot_degree, q_scaled)``
+    where ``q_scaled = 2m·(2·in_c) − tot_c²`` — the community's term of
+    Newman modularity multiplied by ``(2m)²``, so ``Q = Σ q_scaled/(2m)²``
+    with no float touching the relation (house rule: hash-stable outputs;
+    the caller divides once at the end if it wants the familiar [-1, 1]
+    number).
+
+    One shuffle keyed on the node to attach labels, one on the community
+    for the per-community sums — the standard "score this clustering"
+    pass to run after :func:`label_propagation` / :func:`connected_components`
+    on a 100 TB graph, where sampling-free exact evaluation is otherwise
+    fragile in floating point.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    lab = und.join(la, "a").join(lb, "b")
+    m = und.count()
+    in_c = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("in_edges"))
+    )
+    deg = (
+        lab.select(F.col("ca").alias("community"))
+        .unionByName(lab.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("tot_degree"))
+    )
+    nn = (
+        labels.groupBy(F.col("community"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        nn.join(deg, "community", "left").join(in_c, "community", "left")
+        .select(
+            "community", "n_nodes",
+            F.coalesce("in_edges", F.lit(0)).cast("long").alias("in_edges"),
+            F.coalesce("tot_degree", F.lit(0)).cast("long").alias("tot_degree"),
+            (F.lit(2 * m) * 2 * F.coalesce("in_edges", F.lit(0))
+             - F.coalesce("tot_degree", F.lit(0))
+             * F.coalesce("tot_degree", F.lit(0))).cast("long")
+            .alias("q_scaled"),
+        )
+    )

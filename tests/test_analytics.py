@@ -716,3 +716,28 @@ def test_msf_forest_on_disconnected_graph(spark):
     got = sorted((r.a, r.b, r.weight)
                  for r in AN.minimum_spanning_forest(edges).collect())
     assert got == [(1, 2, 5), (2, 3, 7), (10, 11, 1)]
+
+
+def test_modularity_two_cliques(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # two triangles joined by one bridge: communities = the triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 2) for i in range(1, 7)],
+        "id long, community long",
+    )
+    rows = {r.community: r for r in
+            AN.modularity_scaled(edges, labels).collect()}
+    m = 7
+    # community 1: in=3, tot = 2*3 (internal) + 1 (bridge end at node 3)
+    assert rows[1].in_edges == 3 and rows[1].tot_degree == 7
+    assert rows[2].in_edges == 3 and rows[2].tot_degree == 7
+    for c in (1, 2):
+        assert rows[c].q_scaled == 2 * m * 2 * 3 - 7 * 7
+    # Q = sum/(2m)^2 matches the textbook value
+    q = sum(r.q_scaled for r in rows.values()) / (2 * m) ** 2
+    assert abs(q - (2 * (6 / 14 - (7 / 14) ** 2))) < 1e-12
