@@ -535,22 +535,41 @@ def _q_persisted_roundtrip(spark, sf_dir):
 
     from judy_graph_db_spark.graph import Graph
 
+    from judy_graph_db_spark.sources.layout import zorder_value
+
     g = tpch_graph(spark, sf_dir)
     d = tempfile.mkdtemp(prefix="gate_roundtrip_")
     try:
         g.save(d, bucket_by_src=True)
         g2 = Graph.load(spark, d)
-        return (
+        rt = (
             g2.edges.groupBy("label", "is_back")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("edge_seq").cast("long").alias("sum_seq"),
                 F.sum("src").cast("long").alias("sum_src"),
             )
+            .select(F.lit("roundtrip").alias("op"), "label",
+                    F.col("is_back").cast("long").alias("n1"),
+                    F.col("n").alias("n2"), F.col("sum_seq").alias("n3"),
+                    F.col("sum_src").alias("n4"))
             .localCheckpoint(eager=True)  # materialize before the dir vanishes
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+    # z-order layout: the Morton value is deterministic (integer-exact
+    # rank quantiles), so the clustering key itself is hash-checkable
+    zv = zorder_value(
+        spark.table("orders").select(
+            "o_orderkey", "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+        ),
+        ["o_custkey", "o_cents"], bits=8,
+    ).select(
+        F.lit("zorder").alias("op"), F.lit(None).cast("string").alias("label"),
+        F.col("o_orderkey").alias("n1"), F.col("zvalue").alias("n2"),
+        F.lit(None).cast("long").alias("n3"), F.lit(None).cast("long").alias("n4"))
+    return rt.unionByName(zv)
 
 
 # -------------------------------------------------------------- similarity
@@ -2009,10 +2028,40 @@ FROM (
   FROM documents
 ) vm""",
         "persisted_roundtrip": f"""{P}
-SELECT label, is_back, COUNT(*) AS n,
-       CAST(SUM(edge_seq) AS BIGINT) AS sum_seq,
-       CAST(SUM(src) AS BIGINT) AS sum_src
-FROM edges GROUP BY label, is_back""",
+SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
+       COUNT(*) AS n2,
+       CAST(SUM(edge_seq) AS BIGINT) AS n3,
+       CAST(SUM(src) AS BIGINT) AS n4
+FROM edges GROUP BY label, is_back
+UNION ALL
+SELECT 'zorder', NULL, o_orderkey, zvalue, NULL, NULL
+FROM (
+  WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+    FROM orders
+  ),
+  r0 AS (
+    SELECT v, (DENSE_RANK() OVER (ORDER BY v) - 1) * 256
+             // (SELECT COUNT(DISTINCT o_custkey) FROM o) AS q
+    FROM (SELECT DISTINCT o_custkey AS v FROM o)
+  ),
+  r1 AS (
+    SELECT v, (DENSE_RANK() OVER (ORDER BY v) - 1) * 256
+             // (SELECT COUNT(DISTINCT o_cents) FROM o) AS q
+    FROM (SELECT DISTINCT o_cents AS v FROM o)
+  ),
+  q AS (
+    SELECT o.o_orderkey, r0.q AS q0, r1.q AS q1
+    FROM o JOIN r0 ON o.o_custkey = r0.v JOIN r1 ON o.o_cents = r1.v
+  )
+  SELECT o_orderkey,
+         CAST({" + ".join(
+             f"(((q{j} >> {i}) % 2) << {i * 2 + j})"
+             for i in range(8) for j in range(2)
+         )} AS BIGINT) AS zvalue
+  FROM q
+) z""",
         "dedup_clusters": O.dedup_clusters_sql(),
         "neardup_pairs": f"""
 SELECT 'lsh' AS op, doc_a AS a, doc_b AS b, CAST(NULL AS BIGINT) AS v

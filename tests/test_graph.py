@@ -115,3 +115,54 @@ def test_save_load_roundtrip_orc(spark, tmp_path):
     assert sorted(r.src for r in g2.edges.filter("NOT is_back").collect()) == \
         sorted(r.src for r in g.edges.filter("NOT is_back").collect())
     assert g2.ranges.label_of(5) == "ISSUE"
+
+
+# --- z-order layout ----------------------------------------------------------
+
+def test_zorder_value_interleaves_quantiles(spark):
+    from judy_graph_db_spark.sources.layout import zorder_value
+
+    # 4 distinct values per column, bits=2 -> quantile == value index
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {(r.x, r.y): r.zvalue
+           for r in zorder_value(df, ["x", "y"], bits=2).collect()}
+    # Morton: bit i*2 from x, bit i*2+1 from y
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in out.items():
+        assert z == morton(x, y), (x, y, z)
+    # neighbors in (x, y) are near in z: the classic locality property
+    assert out[(0, 0)] == 0 and out[(3, 3)] == 15
+
+
+def test_zorder_by_improves_per_file_ranges(spark, tmp_path):
+    """After z-ordering, each output partition spans a small sub-rectangle
+    of the (x, y) domain — the property that makes parquet row-group
+    min/max stats selective on BOTH columns."""
+    import random
+
+    from judy_graph_db_spark.sources.layout import zorder_by
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    clustered = zorder_by(df, ["x", "y"], n_partitions=16)
+    spans = (
+        clustered.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg((F.max("x") - F.min("x")).alias("sx"),
+             (F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    avg_span = sum((r.sx + r.sy) / 2 for r in spans) / len(spans)
+    # unordered random partitions would span ~255 on both axes; z-order
+    # partitions cover sub-rectangles (~2/16 of the domain per axis here)
+    assert avg_span < 160, avg_span
+    assert clustered.count() == 4096  # nothing lost, helper column dropped
+    assert "zvalue" not in clustered.columns
