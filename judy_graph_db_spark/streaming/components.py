@@ -1,0 +1,92 @@
+"""Streaming maintenance of connected-component labels.
+
+The batch operator ``analytics.incremental_connected_components`` folds a
+batch of new edges into an existing min-id labeling by contracting only
+the QUOTIENT graph the batch touches; because labels stay min-id-canonical
+the fold is associative, which is exactly what a micro-batch stream needs:
+fold per batch, and the running labels always equal a full recompute over
+everything ingested (asserted by the batch-equivalence test, the same
+contract the sketch and windowed-aggregation streams are held to).
+
+Store layout mirrors ``streaming/sketches.py``: a versioned ``v=N`` labels
+relation with ``_batch_meta.json`` replay detection — re-delivered
+micro-batches are skipped, never double-folded.
+
+At 100 TB: per batch the contraction runs on O(|batch| + touched
+components) rows; the full graph is never re-scanned. The labels relation
+is node-scale — it is the *product*, not overhead — and is written
+hash-partitioned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from judy_graph_db_spark.operators.analytics import (
+    connected_components, incremental_connected_components)
+
+
+def _latest_version(store: str) -> Optional[int]:
+    if not os.path.isdir(store):
+        return None
+    vs = [int(d[2:]) for d in os.listdir(store)
+          if d.startswith("v=") and d[2:].isdigit()]
+    return max(vs) if vs else None
+
+
+def read_labels(spark, store: str) -> Optional[DataFrame]:
+    """Latest folded ``(id, component)`` labeling, or None before any."""
+    latest = _latest_version(store)
+    if latest is None:
+        return None
+    return spark.read.parquet(os.path.join(store, f"v={latest}", "labels"))
+
+
+def foreach_batch_components(stream: DataFrame, store: str,
+                             checkpoint: Optional[str] = None,
+                             available_now: bool = True):
+    """Fold an edge stream (``src``, ``dst`` columns) into a continuously
+    maintained component labeling. Returns the started StreamingQuery."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = _latest_version(store)
+        ck_id = checkpoint or ""
+        prev = None
+        if latest is not None:
+            vdir = os.path.join(store, f"v={latest}")
+            meta_file = os.path.join(vdir, "_batch_meta.json")
+            if os.path.exists(meta_file):
+                with open(meta_file) as fh:
+                    meta = json.load(fh)
+                if (meta.get("checkpoint") == ck_id
+                        and meta.get("batch_id") == batch_id):
+                    return  # replayed micro-batch — already folded
+            prev = spark.read.parquet(os.path.join(vdir, "labels"))
+
+        edges = batch.select("src", "dst")
+        if prev is None:
+            labels = connected_components(edges)
+        else:
+            labels = incremental_connected_components(prev, edges)
+
+        new_version = 0 if latest is None else latest + 1
+        vdir = os.path.join(store, f"v={new_version}")
+        labels.repartition(
+            max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+                // 4),
+            "id",
+        ).write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
+        with open(os.path.join(vdir, "_batch_meta.json"), "w") as fh:
+            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
