@@ -948,12 +948,18 @@ def _q_triangle_count(spark, sf_dir):
 
 def _q_pagerank(spark, sf_dir):
     """3-round power iteration, GraphX semantics; ranks rounded to 1e-4 so
-    the unrolled-SQL twin hash-matches across engines."""
+    the unrolled-SQL twin hash-matches across engines. ``wpr`` is the
+    weighted variant (contributions ∝ edge weight; weight = edge_seq, an
+    integer, so the weight sums are float-exact in both engines)."""
     g = tpch_graph(spark, sf_dir)
-    pr = AN.pagerank(g.edges.filter(~F.col("is_back")), iters=3)
-    return pr.select(
-        "id", F.round(F.col("rank") * 10000).cast("long").alias("rank_e4")
-    )
+    fwd = g.edges.filter(~F.col("is_back"))
+    pr = AN.pagerank(fwd, iters=3).select(
+        F.lit("pr").alias("op"), "id",
+        F.round(F.col("rank") * 10000).cast("long").alias("rank_e4"))
+    wpr = AN.pagerank(fwd, iters=3, weight_col="edge_seq").select(
+        F.lit("wpr").alias("op"), "id",
+        F.round(F.col("rank") * 10000).cast("long").alias("rank_e4"))
+    return pr.unionByName(wpr)
 
 
 def _q_link_analysis(spark, sf_dir):
@@ -2304,9 +2310,17 @@ FROM (
             "SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back",
             iters=3, prefix=P,
         ),
-        "pagerank_ranks": AN.pagerank_oracle_sql(
+        "pagerank_ranks": f"""
+SELECT 'pr' AS op, id, rank_e4
+FROM ({AN.pagerank_oracle_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
-        ),
+        )}) t1
+UNION ALL
+SELECT 'wpr', id, rank_e4
+FROM ({AN.pagerank_oracle_sql(
+            "SELECT src, dst, edge_seq AS w FROM edges WHERE NOT is_back",
+            iters=3, prefix=P, weighted=True,
+        )}) t2""",
         # each half is a self-contained unrolled-CTE statement (its own
         # WITH chain over the graph prefix), combined as derived tables
         "link_analysis": f"""

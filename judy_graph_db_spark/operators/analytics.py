@@ -219,7 +219,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 3, damping: float = 0.85
+    edges: DataFrame, iters: int = 3, damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank by fixed-round power iteration, GraphX semantics:
     ``rank = (1-d) + d * Σ_{in-neighbors} rank/outdeg`` starting from 1.0,
@@ -244,13 +245,27 @@ def pagerank(
     """
     spark = edges.sparkSession
     num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    links = (
-        edges.select("src", "dst")
-        .repartition(num_partitions, "src")
-        .dropDuplicates(["src", "dst"])  # partition-local: hash(src) clusters dups
-    )
-    w = Window.partitionBy("src")
-    ldeg = links.withColumn("outdeg", F.count(F.lit(1)).over(w)).cache()
+    if weight_col is None:
+        links = (
+            edges.select("src", "dst")
+            .repartition(num_partitions, "src")
+            .dropDuplicates(["src", "dst"])  # partition-local: hash(src) clusters dups
+        )
+        w = Window.partitionBy("src")
+        ldeg = links.withColumn("outdeg", F.count(F.lit(1)).over(w)).cache()
+    else:
+        # weighted variant: parallel edges sum their weights; contributions
+        # are weight-proportional (rank · w / Σw(src)) — same single edge
+        # shuffle, the aggregation replaces the dedup
+        links = (
+            edges.select("src", "dst",
+                         F.col(weight_col).cast("double").alias("__w"))
+            .repartition(num_partitions, "src")
+            .groupBy("src", "dst").agg(F.sum("__w").alias("__w"))
+        )
+        w = Window.partitionBy("src")
+        ldeg = links.withColumn("outdeg", F.sum("__w").over(w) / F.col("__w")) \
+                    .cache()
     nodes = (
         ldeg.select(F.col("src").alias("id"))
         .union(ldeg.select(F.col("dst").alias("id")))
@@ -290,7 +305,7 @@ def pagerank(
 
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 3, damping: float = 0.85,
-    prefix: str | None = None,
+    prefix: str | None = None, weighted: bool = False,
 ) -> str:
     """The ANSI-SQL twin of :func:`pagerank`: the same fixed number of power
     iterations unrolled as chained CTEs, over an ``edges_sql`` relation with
@@ -300,9 +315,23 @@ def pagerank_oracle_sql(
     to extend instead of opening a new one.
     """
     head = f"{prefix},\nlinks" if prefix else "WITH links"
+    if weighted:
+        # mirror the Spark operator's exact float expression shape:
+        # outdeg = wsum / w per (src, dst), contribution = rank / outdeg
+        links_cte = (
+            f"{head} AS (SELECT src, dst, CAST(SUM(w) AS DOUBLE) AS w "
+            f"FROM ({edges_sql}) GROUP BY src, dst),"
+        )
+        deg_cte = ("deg AS (SELECT src, dst, "
+                   "SUM(w) OVER (PARTITION BY src) / w AS outdeg FROM links),")
+        deg_join = "LEFT JOIN deg d ON d.src = l.src AND d.dst = l.dst"
+    else:
+        links_cte = f"{head} AS (SELECT DISTINCT src, dst FROM ({edges_sql})),"
+        deg_cte = "deg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),"
+        deg_join = "LEFT JOIN deg d ON d.src = l.src"
     parts = [
-        f"{head} AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
-        "deg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),",
+        links_cte,
+        deg_cte,
         "nodes AS (SELECT src AS id FROM links UNION SELECT dst FROM links),",
         "r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
     ]
@@ -313,7 +342,7 @@ def pagerank_oracle_sql(
          {1.0 - damping} + {damping} * COALESCE(SUM(r.rank / d.outdeg), 0.0) AS rank
   FROM nodes n
   LEFT JOIN links l ON l.dst = n.id
-  LEFT JOIN deg d ON d.src = l.src
+  {deg_join}
   LEFT JOIN r{k - 1} r ON r.id = l.src
   GROUP BY n.id
 )"""

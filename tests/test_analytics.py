@@ -741,3 +741,52 @@ def test_modularity_two_cliques(spark):
     # Q = sum/(2m)^2 matches the textbook value
     q = sum(r.q_scaled for r in rows.values()) / (2 * m) ** 2
     assert abs(q - (2 * (6 / 14 - (7 / 14) ** 2))) < 1e-12
+
+
+def test_weighted_pagerank_unit_weights_match_plain(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 1)],
+        "src long, dst long, w long",
+    )
+    plain = {r.id: round(r.rank, 9)
+             for r in AN.pagerank(edges, iters=4).collect()}
+    weighted = {r.id: round(r.rank, 9)
+                for r in AN.pagerank(edges, iters=4, weight_col="w").collect()}
+    assert plain == weighted
+
+
+def test_weighted_pagerank_follows_weight_mass(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # node 1 sends 9x more mass to 2 than to 3
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, w long"
+    )
+    r = {row.id: row.rank
+         for row in AN.pagerank(edges, iters=1, weight_col="w").collect()}
+    assert abs(r[2] - (0.15 + 0.85 * 0.9)) < 1e-12
+    assert abs(r[3] - (0.15 + 0.85 * 0.1)) < 1e-12
+
+
+def test_weighted_pagerank_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import analytics as AN
+    from tests.oracle_utils import compare
+
+    rows = [(i, (i * 3 + 1) % 20, (i % 5) + 1) for i in range(40)]
+    rows += [(i, (i * 7 + 2) % 20, (i % 3) + 1) for i in range(20)]
+    rows = [(a, b, w) for a, b, w in rows if a != b]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT, w BIGINT)")
+    for t in rows:
+        con.execute("INSERT INTO e VALUES (?, ?, ?)", list(t))
+    out = AN.pagerank(edges, iters=3, weight_col="w").select(
+        "id", F.round(F.col("rank") * 10000).cast("long").alias("rank_e4"))
+    sql = AN.pagerank_oracle_sql("SELECT src, dst, w FROM e", iters=3,
+                                 weighted=True)
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
