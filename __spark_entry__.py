@@ -1002,12 +1002,19 @@ def _q_degree_histogram(spark, sf_dir):
 
 
 def _q_label_propagation(spark, sf_dir):
-    """Deterministic synchronous label propagation (3 rounds, min-label
-    ties) over the NEXT_ORDER chains; oracle = the same rounds unrolled as
-    chained SQL CTEs."""
+    """Community family in one driver row: deterministic synchronous label
+    propagation (3 rounds, min-label ties) and Louvain-style greedy
+    modularity moves (3 sweeps, exact integer gains, md5 independent-set
+    gating) — both over the NEXT_ORDER chains, both with the same rounds
+    unrolled as chained SQL CTEs."""
     g = tpch_graph(spark, sf_dir)
     chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
-    return AN.label_propagation(chains, iters=3)
+    lpa = AN.label_propagation(chains, iters=3).select(
+        F.lit("lpa").alias("op"), "id", F.col("community"))
+    gm = AN.greedy_modularity_moves(
+        chains.select("src", "dst"), rounds=3
+    ).select(F.lit("greedy").alias("op"), "id", F.col("community"))
+    return lpa.unionByName(gm)
 
 
 def _q_k_core(spark, sf_dir):
@@ -2306,10 +2313,18 @@ FROM (
   SELECT src, label, COUNT(*) AS degree FROM edges
   WHERE NOT is_back GROUP BY src, label
 ) GROUP BY 1, 2""",
-        "label_communities": AN.label_propagation_oracle_sql(
+        "label_communities": f"""
+SELECT 'lpa' AS op, id, community
+FROM ({AN.label_propagation_oracle_sql(
             "SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back",
             iters=3, prefix=P,
-        ),
+        )}) t1
+UNION ALL
+SELECT 'greedy', id, community
+FROM ({AN.greedy_moves_oracle_sql(
+            "SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back",
+            rounds=3, prefix=P,
+        )}) t2""",
         "pagerank_ranks": f"""
 SELECT 'pr' AS op, id, rank_e4
 FROM ({AN.pagerank_oracle_sql(

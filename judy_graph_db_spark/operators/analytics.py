@@ -1726,3 +1726,176 @@ def modularity_scaled(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .alias("q_scaled"),
         )
     )
+
+
+def greedy_modularity_moves(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Louvain-style local moves, deterministic and synchronous: every node
+    simultaneously evaluates joining each neighboring community by EXACT
+    integer modularity gain and takes the best (ties → smallest community
+    id); ``rounds`` fixed sweeps. Returns ``(id, community)``.
+
+    The gain of node i joining community c is, up to the constant 1/(2m)²
+    and i's self-terms, ``score(i,c) = 4m·k_in(i,c) − 2·k_i·tot_c^{−i}``
+    where ``k_in(i,c)`` counts i's edges into c and ``tot_c^{−i}``
+    excludes i's own degree when i ∈ c — comparing scores across c
+    (including i's current community) reproduces the Louvain move rule
+    with no float anywhere, so the sweep is engine-portable (the same
+    reason :func:`modularity_scaled` stays scaled). Synchronous sweeps are
+    the standard distributed Louvain relaxation (sequential Louvain is
+    inherently order-dependent); fixed ``rounds`` keeps the operator a
+    deterministic function of its input like :func:`label_propagation`.
+
+    Per round: one labels join onto the symmetric edge set, one
+    (node, neighbor-community) aggregation, one argmax — all keyed
+    shuffles, state checkpointed.
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    m = sym.count() // 2
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("k")).localCheckpoint(eager=True)
+    labels = deg.select("id", F.col("id").alias("community"))
+    for _round in range(rounds):
+        lab_s = labels.select(F.col("id").alias("src"),
+                              F.col("community").alias("__c_src"))
+        lab_d = labels.select(F.col("id").alias("dst"),
+                              F.col("community").alias("__c_dst"))
+        tot = (
+            labels.join(deg, "id")
+            .groupBy("community").agg(F.sum("k").alias("tot"))
+        )
+        cur = labels.select("id", F.col("community").alias("__cur"))
+        kin = (
+            sym.join(lab_d, "dst")
+            .select(F.col("src").alias("id"),
+                    F.col("__c_dst").alias("cand"), F.lit(1).alias("__one"))
+            # the node's CURRENT community is always a candidate (k_in may
+            # be 0 — without this row a community-isolated node would be
+            # forced into a losing move)
+            .unionByName(cur.select("id", F.col("__cur").alias("cand"),
+                                    F.lit(0).alias("__one")))
+            .groupBy("id", "cand")
+            .agg(F.sum("__one").alias("k_in"))
+        )
+        scored = (
+            kin.join(deg, "id")
+            .join(cur, "id")
+            .join(tot.withColumnRenamed("community", "cand"), "cand")
+            .select(
+                "id", "cand", "__cur",
+                (F.lit(4 * m) * F.col("k_in")
+                 - 2 * F.col("k")
+                 * (F.col("tot")
+                    - F.when(F.col("cand") == F.col("__cur"), F.col("k"))
+                    .otherwise(F.lit(0)))).alias("score"),
+            )
+        )
+        # best candidate per node: max score, ties -> smallest community id;
+        # a node moves only on STRICT improvement over staying
+        stay = scored.filter(F.col("cand") == F.col("__cur")).select(
+            "id", F.col("score").alias("__stay"))
+        best = (
+            scored.groupBy("id")
+            .agg(F.max(F.struct(F.col("score"),
+                                (-F.col("cand")).alias("negc"))).alias("m"))
+            .select("id", (-F.col("m.negc")).alias("__best"),
+                    F.col("m.score").alias("__bscore"))
+            .join(stay, "id")
+            .select("id", F.when(F.col("__bscore") > F.col("__stay"),
+                                 F.col("__best")).alias("community"))
+        )
+        # synchronous-swap guard: only an INDEPENDENT SET moves per round —
+        # nodes whose md5(round:id) priority is a strict local minimum among
+        # neighbors (deterministic Luby trick, same as maximal_independent_set)
+        # — so no two adjacent nodes relabel simultaneously and each applied
+        # move's frozen-neighborhood gain is the true gain
+        pri = F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(str(_round)), F.col("id").cast("string"))), 1, 15),
+            16, 10).cast("long")
+        withp = labels.select("id", pri.alias("__p"))
+        nbr_min = (
+            sym.join(withp.select(F.col("id").alias("dst"),
+                                  F.col("__p").alias("__dp")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("__dp").alias("__nmin"))
+        )
+        movers = (
+            withp.join(nbr_min, "id", "left")
+            .filter(F.col("__nmin").isNull() | (F.col("__p") < F.col("__nmin")))
+            .select("id")
+        )
+        nxt = (
+            labels.select("id")
+            .join(best.join(movers, "id", "left_semi"), "id", "left")
+            .join(cur, "id")
+            .select("id",
+                    F.coalesce("community", F.col("__cur")).alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(labels)
+        labels = nxt
+    return labels
+
+
+def greedy_moves_oracle_sql(edges_sql: str, rounds: int = 3,
+                            prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`greedy_modularity_moves`: fixed unrolled
+    sweeps with the same integer scores, md5 independent-set gating, and
+    strict-improvement rule."""
+    def pri(r, col):
+        return (f"CAST(CAST('0x' || substring(md5('{r}' || ':' || "
+                f"CAST({col} AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)")
+
+    head = f"{prefix},\ngsym AS" if prefix else "WITH gsym AS"
+    parts = [f"""{head} MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+), gdeg AS MATERIALIZED (
+  SELECT src AS id, COUNT(*) AS k FROM gsym GROUP BY src
+), gm AS (SELECT COUNT(*) // 2 AS m FROM gsym),
+gl0 AS MATERIALIZED (SELECT id, id AS community FROM gdeg)"""]
+    for r in range(1, rounds + 1):
+        r0 = r - 1  # the operator seeds priorities with the 0-based round
+        parts.append(f""", gtot{r} AS (
+  SELECT l.community, SUM(d.k) AS tot
+  FROM gl{r - 1} l JOIN gdeg d ON l.id = d.id GROUP BY l.community
+), gkin{r} AS (
+  SELECT id, cand, SUM(one) AS k_in FROM (
+    SELECT e.src AS id, ld.community AS cand, 1 AS one
+    FROM gsym e JOIN gl{r - 1} ld ON e.dst = ld.id
+    UNION ALL SELECT id, community, 0 FROM gl{r - 1}
+  ) GROUP BY id, cand
+), gsc{r} AS (
+  SELECT kin.id, kin.cand, cur.community AS curc,
+         4 * gm.m * kin.k_in
+           - 2 * d.k * (t.tot - CASE WHEN kin.cand = cur.community
+                                     THEN d.k ELSE 0 END) AS score
+  FROM gkin{r} kin
+  JOIN gdeg d ON kin.id = d.id
+  JOIN gl{r - 1} cur ON kin.id = cur.id
+  JOIN gtot{r} t ON kin.cand = t.community
+  CROSS JOIN gm
+), gbs{r} AS (
+  SELECT id, MAX(ROW(score, -cand)) AS mb FROM gsc{r} GROUP BY id
+), gnm{r} AS (
+  SELECT e.src AS id, MIN({pri(r0, 'e.dst')}) AS nmin
+  FROM gsym e GROUP BY e.src
+), gmv{r} AS (
+  SELECT d.id FROM gdeg d LEFT JOIN gnm{r} n ON d.id = n.id
+  WHERE n.id IS NULL OR {pri(r0, 'd.id')} < n.nmin
+), gl{r} AS MATERIALIZED (
+  SELECT cur.id,
+         CASE WHEN mo.id IS NOT NULL
+                   AND struct_extract(b.mb, 1) > st.score
+              THEN -struct_extract(b.mb, 2)
+              ELSE cur.community END AS community
+  FROM gl{r - 1} cur
+  LEFT JOIN gmv{r} mo ON cur.id = mo.id
+  LEFT JOIN gbs{r} b ON cur.id = b.id
+  LEFT JOIN (SELECT id, score FROM gsc{r} WHERE cand = curc) st
+    ON cur.id = st.id
+)""")
+    parts.append(f"\nSELECT id, CAST(community AS BIGINT) AS community "
+                 f"FROM gl{rounds}")
+    return "\n".join(parts)

@@ -790,3 +790,96 @@ def test_weighted_pagerank_matches_duckdb(spark):
                                  weighted=True)
     ok, msg = compare(out, con, sql)
     assert ok, msg
+
+
+def _greedy_moves_reference(edge_list, rounds):
+    """Pure-Python replica of greedy_modularity_moves (same md5
+    priorities, same integer scores) — the cross-implementation oracle."""
+    import hashlib
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    k = {v: len(adj[v]) for v in nodes}
+    m = len({(min(a, b), max(a, b)) for a, b in edge_list})
+    lab = {v: v for v in nodes}
+
+    def pri(r, v):
+        return int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:15], 16)
+
+    for r in range(rounds):
+        tot = {}
+        for v in nodes:
+            tot[lab[v]] = tot.get(lab[v], 0) + k[v]
+        new = dict(lab)
+        for v in nodes:
+            if any(pri(r, u) <= pri(r, v) for u in adj[v]):
+                continue
+            kin = {lab[v]: 0}
+            for u in adj[v]:
+                kin[lab[u]] = kin.get(lab[u], 0) + 1
+
+            def score(c):
+                t = tot.get(c, 0) - (k[v] if lab[v] == c else 0)
+                return 4 * m * kin.get(c, 0) - 2 * k[v] * t
+
+            best = max(kin, key=lambda c: (score(c), -c))
+            if score(best) > score(lab[v]):
+                new[v] = best
+        lab = new
+    return lab
+
+
+def test_greedy_modularity_finds_cliques(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # two 4-cliques joined by one bridge — the canonical community case
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 5)], "src long, dst long")
+    labels = {r.id: r.community
+              for r in AN.greedy_modularity_moves(edges, rounds=9).collect()}
+    assert len({labels[i] for i in (1, 2, 3, 4)}) == 1
+    assert len({labels[i] for i in (5, 6, 7, 8)}) == 1
+    assert labels[1] != labels[5]
+    # byte-identical to the pure-Python replica (same priorities + scores)
+    assert labels == _greedy_moves_reference(c1 + c2 + [(4, 5)], rounds=9)
+
+
+def test_greedy_modularity_improves_over_singletons(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    rows = [(i, i + 1) for i in range(20)] + [(0, 10), (5, 15)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    labels = AN.greedy_modularity_moves(edges, rounds=3) \
+        .withColumnRenamed("community", "community")
+    q_moves = sum(
+        r.q_scaled for r in AN.modularity_scaled(edges, labels).collect())
+    singles = labels.select("id").withColumn("community", F.col("id"))
+    q_single = sum(
+        r.q_scaled for r in AN.modularity_scaled(edges, singles).collect())
+    assert q_moves > q_single
+    # deterministic: a re-run is byte-identical
+    again = {(r.id, r.community) for r in
+             AN.greedy_modularity_moves(edges, rounds=3).collect()}
+    assert again == {(r.id, r.community) for r in labels.collect()}
+
+
+def test_greedy_moves_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import analytics as AN
+    from tests.oracle_utils import compare
+
+    rows = [(i, i + 1) for i in range(25)] + [(0, 5), (10, 15), (3, 20)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    for a, b in rows:
+        con.execute("INSERT INTO e VALUES (?, ?)", [a, b])
+    out = AN.greedy_modularity_moves(edges, rounds=3)
+    sql = AN.greedy_moves_oracle_sql("SELECT src, dst FROM e", rounds=3)
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
