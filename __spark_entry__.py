@@ -1506,10 +1506,17 @@ def _q_stats_ops(spark, sf_dir):
     ng = STT.ngram_counts(docs, n=2, min_count=3).select(
         F.lit("ngram").alias("op"), F.col("gram").alias("s"), sN.alias("t"),
         F.col("count").alias("a"), lN.alias("b"), lN.alias("c"), lN.alias("d"))
+    hg = SKT.hll_registers_grouped(
+        spark.table("events"), "user_id", ["event_type"], p=6
+    ).select(
+        F.lit("hllg").alias("op"), F.col("event_type").alias("s"),
+        sN.alias("t"), F.col("bucket").alias("a"),
+        F.col("max_rho").cast("long").alias("b"), lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(ou).unionByName(cms)
             .unionByName(hll).unionByName(bl).unionByName(gm)
-            .unionByName(voc).unionByName(enc).unionByName(ng))
+            .unionByName(voc).unionByName(enc).unionByName(ng)
+            .unionByName(hg))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -2470,7 +2477,12 @@ SELECT 'encode', NULL, NULL, doc_id, pos, token_id, NULL
 FROM ({O.encode_tokens_sql(min_count=3, max_size=200)}) t12
 UNION ALL
 SELECT 'ngram', gram, NULL, count, NULL, NULL, NULL
-FROM ({O.ngram_counts_sql(n=2, min_count=3)}) t13""",
+FROM ({O.ngram_counts_sql(n=2, min_count=3)}) t13
+UNION ALL
+SELECT 'hllg', event_type, NULL, bucket, CAST(max_rho AS BIGINT), NULL, NULL
+FROM ({O.hll_registers_grouped_sql(
+            "CAST(user_id AS VARCHAR)", "event_type", "FROM events", p=6,
+        )}) t14""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -53,6 +53,7 @@ __all__ = [
     "count_min",
     "cms_lookup",
     "hll_registers",
+    "hll_registers_grouped",
     "hll_estimate",
     "gram_matrix",
     "pca_components",
@@ -180,6 +181,26 @@ def cms_lookup(cms: DataFrame, items: DataFrame, col: str,
 # the bucket bits are removed; 48 keeps it clear of the bucket even at
 # p=12 while staying far beyond any realistic register value.
 _HLL_W = 48
+
+
+def hll_registers_grouped(df: DataFrame, col: str, group_cols,
+                          p: int = 8) -> DataFrame:
+    """Per-group HLL registers: ``(*group_cols, bucket, max_rho)`` —
+    distinct-count sketches for every key in one pass (the "distinct users
+    per day/domain" question at 100 TB: one shuffle keyed on
+    (group, bucket), at most 2^p rows per group out). Merge across
+    shards/batches exactly like :func:`hll_registers` (union + max)."""
+    h = _h60(F.col(col), "hll")
+    bucket = (h % (1 << p)).alias("bucket")
+    r = F.floor(h / (1 << p)).cast("long") % (1 << _HLL_W)
+    rho = F.when(r == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin(r))
+    ).alias("rho")
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
 
 
 def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:

@@ -328,3 +328,57 @@ def ngram_counts(docs: DataFrame, n: int = 2, min_count: int = 1,
         .groupBy("gram").agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= int(min_count))
     )
+
+
+def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
+                k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Okapi BM25 retrieval scores for a term query: ``(doc_id, score)``
+    over documents containing at least one query term (Robertson/Sparck
+    Jones; the Lucene ``idf = ln(1 + (N−df+0.5)/(df+0.5))`` variant, always
+    positive). Float-valued — unit-tested against a hand-computed oracle
+    rather than hash-gated (the house float rule).
+
+    Scale shape: one tokenize pass builds (doc, term) tfs and doc lengths;
+    document frequencies come from the tf relation (never re-scanning
+    text); the query-term filter is a literal IN pushed into the scan; the
+    corpus-level scalars (N, avgdl) attach via a 1-row broadcast
+    cross join, not a driver round trip.
+    """
+    import math
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats_ = dl.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats_))
+        .select(
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf")
+                   + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("_s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("_s").alias("score"))

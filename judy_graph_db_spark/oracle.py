@@ -1381,3 +1381,19 @@ g AS (
 )
 SELECT gram, COUNT(*) AS count FROM g GROUP BY gram
 HAVING COUNT(*) >= {int(min_count)}"""
+
+
+def hll_registers_grouped_sql(expr: str, group_cols: str, from_clause: str,
+                              p: int = 8, w: int = 48) -> str:
+    """Twin of ``sketch.hll_registers_grouped``."""
+    h = _h60_sql(expr, "hll")
+    return f"""
+WITH h AS (
+  SELECT {group_cols}, {h} % {1 << p} AS bucket,
+         ({h} // {1 << p}) % {1 << w} AS r
+  {from_clause}
+)
+SELECT {group_cols}, bucket,
+       MAX(CASE WHEN r = 0 THEN {w + 1}
+                ELSE {w + 1} - length(bin(r)) END) AS max_rho
+FROM h GROUP BY {group_cols}, bucket"""

@@ -213,3 +213,23 @@ def test_pii_matches_duckdb(spark, duck):
        FROM _pii"""
     ok, msg = compare(out, duck, sql)
     assert ok, msg
+
+
+def test_hll_grouped_matches_duckdb_and_global(spark, duck):
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i % 500) for i in range(2000)], "g string, v long"
+    )
+    duck.sql("CREATE TABLE _gv AS SELECT 'g' || CAST(i % 3 AS VARCHAR) AS g, "
+             "i % 500 AS v FROM range(2000) t(i)")
+    regs = SK.hll_registers_grouped(df, "v", ["g"], p=6)
+    ok, msg = compare(
+        regs, duck,
+        O.hll_registers_grouped_sql("CAST(v AS VARCHAR)", "g", "FROM _gv", p=6),
+    )
+    assert ok, msg
+    # a single group's registers equal the ungrouped sketch of its rows
+    only_g0 = {(r.bucket, r.max_rho)
+               for r in regs.filter(F.col("g") == "g0").collect()}
+    direct = {(r.bucket, r.max_rho) for r in SK.hll_registers(
+        df.filter(F.col("g") == "g0"), "v", p=6).collect()}
+    assert only_g0 == direct

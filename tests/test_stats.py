@@ -199,3 +199,27 @@ def test_ngram_counts_matches_duckdb(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
     ok, msg = compare(ST.ngram_counts(docs, n=2), con, O.ngram_counts_sql(n=2))
     assert ok, msg
+
+
+def test_bm25_scores_match_hand_computation(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish"), (3, "bird bird bird bird")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score
+           for r in ST.bm25_scores(docs, ["cat", "dog"]).collect()}
+    N, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = bm25(2, 2, 3) + bm25(1, 1, 3)   # cat x2, dog x1
+    want2 = bm25(1, 2, 2)                   # cat x1
+    assert abs(got[1] - want1) < 1e-12
+    assert abs(got[2] - want2) < 1e-12
+    assert 3 not in got                     # no query terms -> no row
+    # relevance ordering: doc 1 (both terms) above doc 2
+    assert got[1] > got[2]
