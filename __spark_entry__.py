@@ -1581,8 +1581,13 @@ def _q_graph_similarity(spark, sf_dir):
     mst = AN.minimum_spanning_forest(wch.unionByName(closing)).select(
         F.lit("mst").alias("op"), F.col("a"), F.col("b"),
         F.col("weight").alias("c"), lN.alias("d"))
+    # stress centrality over the chains: position p of an L-chain mediates
+    # (p-1)(L-p) shortest paths — the closed form the oracle uses
+    strs = AN.stress_centrality(chains).select(
+        F.lit("stress").alias("op"), F.col("id").alias("a"),
+        F.col("stress").alias("b"), lN.alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
-            .unionByName(hm).unionByName(mst))
+            .unionByName(hm).unionByName(mst).unionByName(strs))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -2578,7 +2583,19 @@ mx AS (
 SELECT e.a, e.b, e.w
 FROM alle e LEFT JOIN mx
   ON e.o_custkey = mx.o_custkey AND ROW(e.w, e.a, e.b) = mx.m
-WHERE mx.o_custkey IS NULL) t6""",
+WHERE mx.o_custkey IS NULL) t6
+UNION ALL
+SELECT 'stress', id, stress, NULL, NULL
+FROM (WITH pos AS (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+       CAST((i - 1) * (L - i) AS BIGINT) AS stress
+FROM pos WHERE i > 1 AND i < L) t7""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

@@ -1647,15 +1647,37 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
             .localCheckpoint(eager=True)
         )
         forest_parts.append(picked)
-        # contract on the component-level selected graph (O(#components))
+        # contract on the component-level selected graph (O(#components)).
+        # Runtime-stats dispatch (the SCC `auto` pattern): the selected
+        # relation has ≤ #components rows and halves every round, so once
+        # it fits comfortably on the driver a local union-find beats ~8
+        # latency-bound distributed CC rounds; the first rounds of a
+        # 100 TB run stay distributed.
         cedges = (
             picked.join(comp.select(F.col("id").alias("a"),
                                     F.col("comp").alias("ca")), "a")
             .join(comp.select(F.col("id").alias("b"),
                               F.col("comp").alias("cb")), "b")
             .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
-        )
-        merged = connected_components(cedges)  # (id=old comp, component=new)
+        ).localCheckpoint(eager=True)
+        if cedges.count() <= 500_000:
+            parent: dict = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in cedges.collect():
+                ra, rb = find(row["src"]), find(row["dst"])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            mapping = [(c, find(c)) for c in parent]
+            merged = picked.sparkSession.createDataFrame(
+                mapping, "id long, component long")
+        else:
+            merged = connected_components(cedges)  # (id=old comp, component=new)
         nxt = (
             comp.join(merged.withColumnRenamed("id", "comp"), "comp", "left")
             .select("id", F.coalesce("component", F.col("comp")).alias("comp"))
@@ -1899,3 +1921,79 @@ gl0 AS MATERIALIZED (SELECT id, id AS community FROM gdeg)"""]
     parts.append(f"\nSELECT id, CAST(community AS BIGINT) AS community "
                  f"FROM gl{rounds}")
     return "\n".join(parts)
+
+
+def shortest_path_counts(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """All-pairs shortest-path COUNTS over a directed simple graph:
+    ``(src, dst, depth, sigma)`` — depth = min hops, sigma = number of
+    distinct shortest paths (the σ of Brandes' betweenness). Exact
+    integers, so unlike fractional betweenness the result hash-gates.
+
+    All-sources simultaneous BFS carrying path counts: frontier k+1 =
+    frontier k ⋈ edges with ``sum(sigma)`` per (src, dst), anti-joined
+    against already-settled pairs (first settlement = min depth, and all
+    depth-k paths arrive in round k, so the sum is complete when written).
+    State is closure-sized — the :func:`transitive_closure` trade; rounds
+    = diameter (the loop exits on an empty frontier, so a generous
+    ``max_iter`` costs nothing after convergence — unlike the DOUBLING
+    closure this frontier is linear, one round per hop).
+    """
+    base = (
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    settled = base.select(
+        "src", "dst", F.lit(1).cast("long").alias("depth"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for k in range(2, max_iter + 2):
+        nxt = (
+            frontier.join(
+                base.select(F.col("src").alias("dst"),
+                            F.col("dst").alias("_to")), "dst")
+            .groupBy("src", F.col("_to").alias("dst"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .filter(F.col("src") != F.col("dst"))
+            .join(settled.select("src", "dst"), ["src", "dst"], "left_anti")
+            .select("src", "dst", F.lit(k).cast("long").alias("depth"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        prev = settled
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        _unpersist_checkpoint(prev)
+        _unpersist_checkpoint(frontier)
+        frontier = nxt
+    return settled
+
+
+def stress_centrality(edges: DataFrame, max_iter: int = 100) -> DataFrame:
+    """Stress centrality per node: the number of shortest paths passing
+    THROUGH the node (Shimbel 1953) — the integer-exact member of the
+    betweenness family (Brandes' betweenness divides by σ(s,t); stress
+    does not, so it hash-gates). Returns ``(id, stress BIGINT)`` for nodes
+    with stress > 0.
+
+    Composition over the σ closure: a path s→t of length d(s,t) passes
+    through v iff d(s,v)+d(v,t) = d(s,t), contributing σ(s,v)·σ(v,t);
+    three keyed joins of the closure relation (on v, then on (s,t)) and
+    one aggregation. Closure-sized intermediates — the documented trade.
+    """
+    C = shortest_path_counts(edges, max_iter=max_iter).localCheckpoint(
+        eager=True)
+    a = C.select(F.col("src").alias("s"), F.col("dst").alias("v"),
+                 F.col("depth").alias("d1"), F.col("sigma").alias("sig1"))
+    b = C.select(F.col("src").alias("v"), F.col("dst").alias("t"),
+                 F.col("depth").alias("d2"), F.col("sigma").alias("sig2"))
+    st = C.select(F.col("src").alias("s"), F.col("dst").alias("t"),
+                  F.col("depth").alias("dst_d"))
+    return (
+        a.join(b, "v")
+        .filter(F.col("s") != F.col("t"))
+        .join(st, ["s", "t"])
+        .filter(F.col("d1") + F.col("d2") == F.col("dst_d"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("sig1") * F.col("sig2")).alias("stress"))
+    )

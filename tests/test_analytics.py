@@ -883,3 +883,42 @@ def test_greedy_moves_matches_duckdb(spark):
     sql = AN.greedy_moves_oracle_sql("SELECT src, dst FROM e", rounds=3)
     ok, msg = compare(out, con, sql)
     assert ok, msg
+
+
+def test_shortest_path_counts_diamond(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    # diamond: 1->2->4, 1->3->4 (two shortest paths 1->4), plus 4->5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {(r.src, r.dst): (r.depth, r.sigma)
+           for r in AN.shortest_path_counts(edges).collect()}
+    assert got[(1, 4)] == (2, 2)
+    assert got[(1, 5)] == (3, 2)
+    assert got[(2, 5)] == (2, 1)
+    assert got[(1, 2)] == (1, 1)
+
+
+def test_stress_centrality_diamond_and_chain(spark):
+    from judy_graph_db_spark.operators import analytics as AN
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.id: r.stress for r in AN.stress_centrality(edges).collect()}
+    # node 4 carries 1->5 (sigma 2), 2->5, 3->5, 1->... plus endpoints of
+    # pairs it mediates: (1,5):2, (2,5):1, (3,5):1 => stress 4; nodes 2 and
+    # 3 each carry one of the two 1->4 paths and one 1->5 path each
+    assert got[4] == 4
+    assert got[2] == 2 and got[3] == 2
+    assert 5 not in got and 1 not in got
+
+    # directed chain 1->2->3->4->5: interior position p of length-L chain
+    # mediates (p-1)(L-p) pairs
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long"
+    )
+    got_c = {r.id: r.stress
+             for r in AN.stress_centrality(chain).collect()}
+    assert got_c == {2: 1 * 3, 3: 2 * 2, 4: 3 * 1}
