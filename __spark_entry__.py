@@ -1542,12 +1542,16 @@ def _q_graph_similarity(spark, sf_dir):
     chains = g.edges.filter(
         (F.col("label") == "NEXT_ORDER") & ~F.col("is_back")
     ).select("src", "dst")
-    cl = AN.closeness_centrality(chains).select(
+    # ONE materialized hop closure feeds both centralities (they are two
+    # aggregations of the same relation — recomputing it would double the
+    # gate's dominant cost)
+    closure = AN.transitive_closure(chains).localCheckpoint(eager=True)
+    cl = AN.closeness_centrality(chains, closure=closure).select(
         F.lit("closeness").alias("op"), F.col("id").alias("a"),
         F.col("n_reach").cast("long").alias("b"),
         F.col("sum_depth").cast("long").alias("c"),
         F.col("closeness_micro").alias("d"))
-    hm = AN.harmonic_centrality(chains).select(
+    hm = AN.harmonic_centrality(chains, closure=closure).select(
         F.lit("harmonic").alias("op"), F.col("id").alias("a"),
         F.col("n_reach").cast("long").alias("b"),
         F.col("harmonic_micro").alias("c"), lN.alias("d"))

@@ -242,7 +242,9 @@ def main() -> None:
         fwd.filter(F.col("label") == "NEXT_ORDER").select("src", "dst")
         .unionByName(closing)
     )
-    run("scc", lambda: AN.strongly_connected_components(directed).count(), repeats=1)
+    # best-of-2: single-shot SCC swung 12.5 -> 25.6s across same-code runs
+    # (cold whole-stage-codegen per entry + VM noise)
+    run("scc", lambda: AN.strongly_connected_components(directed).count(), repeats=2)
 
     # sketches (round-6 surface): corpus summaries that broadcast at 100 TB
     from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
@@ -278,7 +280,7 @@ def main() -> None:
                          (F.col("src") % 10_000_000).alias("weight"))
     run("min_spanning_forest",
         lambda: AN.minimum_spanning_forest(wch.unionByName(wcl)).count(),
-        repeats=1)
+        repeats=2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

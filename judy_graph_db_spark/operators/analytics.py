@@ -1176,7 +1176,8 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
     )
 
 
-def closeness_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def closeness_centrality(edges: DataFrame, max_iter: int = 20,
+                         closure: DataFrame | None = None) -> DataFrame:
     """Out-closeness per node over a directed edge set: from the hop
     closure, ``n_reach`` (nodes reachable), ``sum_depth`` (total shortest
     hops to them), and ``closeness_micro = floor(n_reach·1e6 /
@@ -1186,9 +1187,12 @@ def closeness_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     One aggregation over :func:`transitive_closure` — the closure is the
     cost (documented there); when only a seed set's centrality matters,
-    run the frontier BFS per seed instead.
+    run the frontier BFS per seed instead. Pass ``closure=`` to share one
+    materialized closure across closeness/harmonic (they aggregate the
+    same relation).
     """
-    cl = transitive_closure(edges, max_iter=max_iter)
+    cl = closure if closure is not None else transitive_closure(
+        edges, max_iter=max_iter)
     return (
         cl.groupBy("src")
         .agg(
@@ -1565,7 +1569,8 @@ def mis_oracle_sql(edges_sql: str, seed: int = 7, rounds: int = 24,
     return "\n".join(parts)
 
 
-def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def harmonic_centrality(edges: DataFrame, max_iter: int = 20,
+                        closure: DataFrame | None = None) -> DataFrame:
     """Out-harmonic centrality per node: ``Σ 1/d(u,v)`` over reachable
     nodes, in exact integer micro-units (``1000000 div d`` per pair — both
     engines' integer division, no float path at all, unlike closeness
@@ -1575,7 +1580,8 @@ def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     fragmented 100 TB graphs. Returns ``(id, n_reach, harmonic_micro)``;
     one aggregation over :func:`transitive_closure` (the closure is the
     documented cost)."""
-    cl = transitive_closure(edges, max_iter=max_iter)
+    cl = closure if closure is not None else transitive_closure(
+        edges, max_iter=max_iter)
     return (
         cl.groupBy("src")
         .agg(
