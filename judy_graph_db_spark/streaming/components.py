@@ -48,14 +48,16 @@ def read_labels(spark, store: str) -> Optional[DataFrame]:
 
 def foreach_batch_components(stream: DataFrame, store: str,
                              checkpoint: Optional[str] = None,
-                             available_now: bool = True):
+                             available_now: bool = True,
+                             replay_id: Optional[str] = None):
     """Fold an edge stream (``src``, ``dst`` columns) into a continuously
     maintained component labeling. Returns the started StreamingQuery."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         latest = _latest_version(store)
-        ck_id = checkpoint or ""
+        # replay identity defaults to the checkpoint path (see sketches.py)
+        ck_id = replay_id if replay_id is not None else (checkpoint or "")
         prev = None
         if latest is not None:
             vdir = os.path.join(store, f"v={latest}")

@@ -56,7 +56,8 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
                            checkpoint: Optional[str] = None,
                            width: int = 256, depth: int = 4, p: int = 8,
                            m_bits: int = 1 << 16, k: int = 4,
-                           available_now: bool = True):
+                           available_now: bool = True,
+                           replay_id: Optional[str] = None):
     """Fold a document stream into the three mergeable sketches over
     ``col``: CMS (frequency, counters ADD), HLL (distinct, registers MAX),
     Bloom (membership, words OR). Returns the started StreamingQuery."""
@@ -64,7 +65,10 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         latest = _store_versions(store)
-        ck_id = checkpoint or ""
+        # the replay identity defaults to the checkpoint path; pass an
+        # explicit replay_id when the checkpoint location may change while
+        # the logical stream stays the same (e.g. checkpoint migration)
+        ck_id = replay_id if replay_id is not None else (checkpoint or "")
         prev = None
         if latest is not None:
             vdir = os.path.join(store, f"v={latest}")

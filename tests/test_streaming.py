@@ -339,8 +339,9 @@ def test_streaming_sketches_equal_batch(spark, tmp_path):
 
 
 def test_streaming_sketches_replay_idempotent(spark, tmp_path):
-    """Re-delivering the same (checkpoint, batch_id) must not double-count
-    CMS sums."""
+    """Re-delivering the same (replay_id, batch_id) must not double-count
+    CMS sums: two FRESH checkpoints both deliver batch 0, but the shared
+    replay identity makes the second fold a detected no-op."""
     from judy_graph_db_spark.streaming.sketches import (
         _store_versions, foreach_batch_sketches, read_sketches)
 
@@ -354,12 +355,17 @@ def test_streaming_sketches_replay_idempotent(spark, tmp_path):
                 .schema("value string").load(str(src))
                 .withColumnRenamed("value", "tok"))
 
-    # same checkpoint id + same batch_id 0 twice = one logical delivery
-    _drain(foreach_batch_sketches(stream(), store, "tok", "ck-a", width=16,
-                                  depth=2, p=4, m_bits=1 << 10))
+    _drain(foreach_batch_sketches(stream(), store, "tok",
+                                  str(tmp_path / "ck1"), width=16,
+                                  depth=2, p=4, m_bits=1 << 10,
+                                  replay_id="stream-a"))
     v1 = _store_versions(store)
-    _drain(foreach_batch_sketches(stream(), store, "tok", "ck-a", width=16,
-                                  depth=2, p=4, m_bits=1 << 10))
+    # fresh checkpoint -> Spark re-delivers batch 0; same replay_id ->
+    # the fold must detect it and skip
+    _drain(foreach_batch_sketches(stream(), store, "tok",
+                                  str(tmp_path / "ck2"), width=16,
+                                  depth=2, p=4, m_bits=1 << 10,
+                                  replay_id="stream-a"))
     assert _store_versions(store) == v1  # replay detected, no new version
     got = read_sketches(spark, store)
     total = sum(r.cnt for r in got["cms"].collect())
