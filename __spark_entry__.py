@@ -1642,8 +1642,15 @@ def _q_ann_search(spark, sf_dir):
         F.col("vec_id").cast("long").alias("a"),
         F.col("scale_micro").alias("b"),
         F.col("n_dims").cast("long").alias("c"), lN.alias("d"))
+    # chunk→doc mean pooling (label plays the document key); the hashed
+    # fingerprint is the per-element integer-division mean, never a float
+    pool = S.mean_pool_embeddings(embs, "label").select(
+        F.lit("pool").alias("op"), F.col("label").cast("string").alias("s"),
+        F.posexplode("pooled_q").alias("a", "b"),
+        F.col("n_vecs").alias("c"), lN.alias("d")
+    ).select("op", "s", F.col("a").cast("long"), "b", "c", "d")
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
-            .unionByName(qt))
+            .unionByName(qt).unionByName(pool))
 
 
 def _q_events_hourly_both(spark, sf_dir):
@@ -2245,7 +2252,10 @@ SELECT 'semdedup', NULL, vec_id, cluster,
 FROM ({O.semantic_dedup_sql(threshold_micro=350000, k=8, iters=2, dim=64)}) t7
 UNION ALL
 SELECT 'quant', q_hash, vec_id, scale_micro, CAST(n_dims AS BIGINT), NULL
-FROM ({O.quantize_embeddings_sql()}) t8""",
+FROM ({O.quantize_embeddings_sql()}) t8
+UNION ALL
+SELECT 'pool', CAST(grp AS VARCHAR), CAST(i AS BIGINT), q, n_vecs, NULL
+FROM ({O.mean_pool_sql("label", "FROM embeddings")}) t9""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so both fixpoints have closed forms: weak component = the
         # customer's minimum order id; with the last→first closing edge

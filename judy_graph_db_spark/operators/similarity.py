@@ -264,3 +264,47 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
         F.size(F.col(vec_col)).alias("n_dims"),
         F.md5(F.concat_ws(",", qz.cast("array<string>"))).alias("q_hash"),
     )
+
+
+def mean_pool_embeddings(embs: DataFrame, group_col: str,
+                         vec_col: str = "embedding",
+                         scale_pow2: int = 20) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→document aggregation every
+    long-document embedding pipeline needs (embed chunks, pool to one doc
+    vector before ANN indexing). Returns ``(group_col, n_vecs, pooled
+    ARRAY<DOUBLE>, pooled_q ARRAY<LONG>)``.
+
+    Element-wise sums via ``posexplode`` + one (group, dim) partial-agg
+    shuffle (the CollapseProject-safe shape — a zip_with fold would
+    re-inline per element). ``pooled_q`` never touches a float: each
+    element quantizes to ``floor(float64(v)·2^10)`` FIRST (power-of-two,
+    engine-exact on the raw value), the integers sum (order-free, unlike
+    float sums), and the mean is the integer division
+    ``(Σq · 2^(scale_pow2-10)) div n`` — so the float-valued ``pooled``
+    column gets an integer fingerprint the gate can hash.
+    """
+    up = 1 << (scale_pow2 - 10)
+    parts = (
+        embs.select(F.col(group_col), F.posexplode(vec_col).alias("i", "v"))
+        .groupBy(group_col, "i")
+        .agg(F.sum(F.col("v").cast("double")).alias("s"),
+             F.sum(F.floor(F.col("v").cast("double") * 1024).cast("long"))
+             .alias("qs"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        parts.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct(
+                    "i", (F.col("s") / F.col("n")).alias("m"),
+                    F.expr(f"(qs * {up}) div n").alias("q")))
+            ).alias("_sm"),
+        )
+        .select(
+            group_col, F.col("n_vecs").cast("long"),
+            F.expr("transform(_sm, x -> x.m)").alias("pooled"),
+            F.expr("transform(_sm, x -> x.q)").alias("pooled_q"),
+        )
+    )

@@ -1397,3 +1397,27 @@ SELECT {group_cols}, bucket,
        MAX(CASE WHEN r = 0 THEN {w + 1}
                 ELSE {w + 1} - length(bin(r)) END) AS max_rho
 FROM h GROUP BY {group_cols}, bucket"""
+
+
+def mean_pool_sql(group_expr: str, from_clause: str,
+                  vec_col: str = "embedding", scale_pow2: int = 20,
+                  out_group: str = "grp") -> str:
+    """Twin of ``similarity.mean_pool_embeddings``'s integer fingerprint:
+    per-element floor(x·2^10) quantization, integer sums, integer-division
+    mean; emits (group, n_vecs, i, q) rows (the exploded form hashes the
+    same information as the array column)."""
+    up = 1 << (scale_pow2 - 10)
+    return f"""
+WITH e AS (
+  SELECT {group_expr} AS {out_group},
+         unnest(generate_series(1, len({vec_col}))) - 1 AS i,
+         CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1024) AS BIGINT) AS q
+  {from_clause}
+),
+a AS (
+  SELECT {out_group}, i, SUM(q) AS qs, COUNT(*) AS n
+  FROM e GROUP BY {out_group}, i
+)
+SELECT {out_group}, CAST(n AS BIGINT) AS n_vecs, i,
+       CAST((qs * {up}) // n AS BIGINT) AS q
+FROM a"""

@@ -233,3 +233,27 @@ def test_hll_grouped_matches_duckdb_and_global(spark, duck):
     direct = {(r.bucket, r.max_rho) for r in SK.hll_registers(
         df.filter(F.col("g") == "g0"), "v", p=6).collect()}
     assert only_g0 == direct
+
+
+def test_mean_pool_embeddings(spark, duck):
+    from judy_graph_db_spark.operators import similarity as S2
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]), (1, [3.0, 0.0, 0.5]),   # doc 1: two chunks
+        (2, [-1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc long, embedding array<float>")
+    out = {r.doc: r for r in
+           S2.mean_pool_embeddings(df, "doc").collect()}
+    assert out[1].n_vecs == 2 and out[2].n_vecs == 1
+    assert out[1].pooled == [2.0, -1.0, 0.5]
+    assert out[1].pooled_q == [2 << 20, -(1 << 20), 1 << 19]
+    # cross-engine: exploded integer fingerprint
+    duck.sql("CREATE TABLE _mp(doc BIGINT, embedding FLOAT[])")
+    for d, v in rows:
+        duck.execute("INSERT INTO _mp VALUES (?, ?)", [d, v])
+    flat = S2.mean_pool_embeddings(df, "doc").select(
+        F.col("doc").alias("grp"), "n_vecs",
+        F.posexplode("pooled_q").alias("i", "q"))
+    ok, msg = compare(flat, duck, O.mean_pool_sql("doc", "FROM _mp"))
+    assert ok, msg
