@@ -1420,8 +1420,15 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("resample").alias("op"), F.col("event_type").alias("s"),
         F.col("period").alias("a"), F.col("n").alias("b"),
         F.col("sum_cents").alias("c"))
+    from judy_graph_db_spark.operators.temporal import transition_counts
+
+    mk = transition_counts(spark.table("events")).select(
+        F.lit("markov").alias("op"),
+        F.concat_ws(">", "from_type", "to_type").alias("s"),
+        F.col("n").alias("a"), lN.alias("b"), lN.alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
-            .unionByName(co).unionByName(f3).unionByName(rs))
+            .unionByName(co).unionByName(f3).unionByName(rs)
+            .unionByName(mk))
 
 
 def _q_stats_ops(spark, sf_dir):
@@ -2442,7 +2449,10 @@ SELECT 'funnel3', NULL, CAST(user_id AS BIGINT), steps_completed, NULL
 FROM ({O.funnel_steps_sql(['view', 'click', 'purchase'], 86400)}) t6
 UNION ALL
 SELECT 'resample', event_type, period, n, sum_cents
-FROM ({O.resample_counts_sql(3600)}) t7""",
+FROM ({O.resample_counts_sql(3600)}) t7
+UNION ALL
+SELECT 'markov', from_type || '>' || to_type, n, NULL, NULL
+FROM ({O.transition_counts_sql()}) t8""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

@@ -43,6 +43,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = ("value",),
     suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For every ``left`` row, attach the columns of the latest ``right``
     row with the same key whose timestamp is at-or-before the left row's
@@ -50,7 +51,11 @@ def asof_join(
 
     Ties: a right row at exactly the probe timestamp matches; among several
     right rows sharing (key, ts), the one greatest under the ordering of
-    ``right_cols`` wins — fully deterministic.
+    ``right_cols`` wins — fully deterministic. ``tolerance_seconds`` bounds
+    staleness: a matched quote older than the tolerance yields NULLs (the
+    match is still computed by the same window — the bound is a post-fill
+    predicate on the matched quote's own timestamp, so the plan shape is
+    unchanged).
 
     Scale shape: union the tagged inputs, ONE shuffle on the key, running
     ``last(ignorenulls)`` window per attached column. This is the plan that
@@ -95,10 +100,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = probe.unionByName(quote).select(
-        "*", F.last("__rs", ignorenulls=True).over(w).alias("__f")
+        "*", F.last("__rs", ignorenulls=True).over(w).alias("__f"),
+        F.last(F.when(F.col("__is_r") == 1, F.col("__t")),
+               ignorenulls=True).over(w).alias("__qt"),
     )
+    f = F.col("__f")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__t").cast("long") - F.col("__qt").cast("long")
+        ) <= int(tolerance_seconds)
+        f = F.when(fresh, F.col("__f"))
     out_cols = [F.col("__row")[c].alias(c) for c in left.columns] + [
-        F.col("__f")[c].alias(f"{c}{suffix}") for c in rc
+        f[c].alias(f"{c}{suffix}") for c in rc
     ]
     return filled.filter(F.col("__is_r") == 0).select(*out_cols)
 
@@ -339,4 +352,29 @@ def resample_counts(
         key_col, "period",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.col("sum_cents"), F.lit(0)).cast("long").alias("sum_cents"),
+    )
+
+
+def transition_counts(events: DataFrame, key_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts over per-key event sequences:
+    ``(from_type, to_type, n)`` — the sufficient statistics of a behavior
+    model (next-event prediction, anomaly scoring, funnel discovery).
+
+    One keyed window (``lead`` over the deterministic (ts, id) order —
+    the same full-tiebreak rule every sequence operator here uses) + one
+    map-side-combined count. Terminal events (no successor) are dropped;
+    count them separately if end-of-sequence mass matters.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(id_col).asc())
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

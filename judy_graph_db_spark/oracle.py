@@ -1421,3 +1421,19 @@ a AS (
 SELECT {out_group}, CAST(n AS BIGINT) AS n_vecs, i,
        CAST((qs * {up}) // n AS BIGINT) AS q
 FROM a"""
+
+
+def transition_counts_sql(key_col: str = "user_id",
+                          type_col: str = "event_type", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          table: str = "events") -> str:
+    """Twin of ``temporal.transition_counts``."""
+    return f"""
+WITH s AS (
+  SELECT {type_col} AS from_type,
+         LEAD({type_col}) OVER (PARTITION BY {key_col}
+                                ORDER BY {ts_col}, {id_col}) AS to_type
+  FROM {table}
+)
+SELECT from_type, to_type, COUNT(*) AS n
+FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""

@@ -259,3 +259,53 @@ def test_resample_counts_fills_gaps_with_zeros(spark):
     assert out[("a", base + 3)] == (1, 250)
     assert out[("b", base + 5)] == (1, 400)
     assert len(out) == 5
+
+
+def test_asof_tolerance_nulls_stale_quotes(spark):
+    from judy_graph_db_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 500)], "k long, ts long"
+    ).select("k", F.timestamp_seconds("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 90, 7.0)], "k long, ts long, value double"
+    ).select("k", F.timestamp_seconds("ts").alias("ts"), "value")
+    # without tolerance both probes match the ts=90 quote
+    out = {r.ts.timestamp(): r.value_asof
+           for r in asof_join(left, right, on="k").collect()}
+    assert out[100.0] == 7.0 and out[500.0] == 7.0
+    # 60s tolerance: the ts=500 probe's match is 410s stale -> NULL
+    out2 = {r.ts.timestamp(): r.value_asof
+            for r in asof_join(left, right, on="k",
+                               tolerance_seconds=60).collect()}
+    assert out2[100.0] == 7.0 and out2[500.0] is None
+
+
+def test_transition_counts(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.operators.temporal import transition_counts
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, 10, 1, "view"), (2, 20, 1, "click"), (3, 30, 1, "view"),
+        (4, 15, 2, "view"), (5, 25, 2, "purchase"),
+        (6, 40, 3, "view"),  # terminal only
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string"
+    ).select("event_id", F.timestamp_seconds("t").alias("ts"),
+             "user_id", "event_type")
+    got = {(r.from_type, r.to_type): r.n
+           for r in transition_counts(ev).collect()}
+    assert got == {("view", "click"): 1, ("click", "view"): 1,
+                   ("view", "purchase"): 1}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, "
+            "user_id BIGINT, event_type VARCHAR)")
+    for eid, t, u, ty in rows:
+        con.execute("INSERT INTO events VALUES (?, to_timestamp(?), ?, ?)",
+                    [eid, t, u, ty])
+    ok, msg = compare(transition_counts(ev), con, O.transition_counts_sql())
+    assert ok, msg
