@@ -1524,6 +1524,9 @@ def maximal_independent_set(edges: DataFrame, seed: int = 7,
                        "left_semi") \
                  .join(active_nodes.withColumnRenamed("id", "dst"), "dst",
                        "left_semi").localCheckpoint(eager=True)
+    if not mis_parts:  # no edges → no rounds ran; empty typed result
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id BIGINT, round BIGINT")
     out = mis_parts[0]
     for p in mis_parts[1:]:
         out = out.unionByName(p)

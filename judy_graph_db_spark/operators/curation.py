@@ -57,6 +57,10 @@ def hash_split(df: DataFrame, splits: dict[str, int], id_col: str = "doc_id",
     own id."""
     if sum(splits.values()) != 256:
         raise ValueError("split widths must sum to 256")
+    if any(w <= 0 for w in splits.values()):
+        # same guard as leakage_safe_split: a zero width lets an interior
+        # cutoff reach 256 → '100', which string-compares below 'a0'..'ff'
+        raise ValueError("split widths must all be positive")
     b = hash_bucket(F.col(id_col))
     expr = None
     hi = 0
@@ -390,6 +394,11 @@ def leakage_safe_split(df: DataFrame, clusters: DataFrame,
     """
     if sum(splits.values()) != 256:
         raise ValueError("split widths must sum to 256")
+    if any(w <= 0 for w in splits.values()):
+        # a zero-width split would push an interior cutoff to 256 →
+        # '100', and the 2-char hex bucket string-compares below '100',
+        # silently misrouting buckets 'a0'..'ff'
+        raise ValueError("split widths must all be positive")
     keyed = (
         df.join(
             clusters.select(F.col(id_col), F.col(cluster_col).alias("__cl")),

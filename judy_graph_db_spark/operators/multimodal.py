@@ -366,16 +366,27 @@ def _mp4_meta(b: bytes) -> tuple[int, int, int, int, int]:
                     timescale = struct.unpack(">I", b[lo2 + 12:lo2 + 16])[0]
                     duration = struct.unpack(">I", b[lo2 + 16:lo2 + 20])[0]
             elif t2 == b"trak":
+                # accumulate per-track, commit only for the video track:
+                # summing stts across audio/hint tracks would inflate
+                # n_frames by their sample counts.
+                trak_frames = 0
+                handler = None
+                trak_w = trak_h = 0
                 for t3, lo3, hi3 in boxes(lo2, hi2):
                     if t3 == b"tkhd":
                         ver = b[lo3]
                         off = hi3 - 8  # width/height are the LAST 8 bytes
                         w = struct.unpack(">I", b[off:off + 4])[0] >> 16
                         h = struct.unpack(">I", b[off + 4:off + 8])[0] >> 16
+                        trak_w, trak_h = w, h
                         if w and h and width is None:
                             width, height = w, h
                     elif t3 == b"mdia":
                         for t4, lo4, hi4 in boxes(lo3, hi3):
+                            if t4 == b"hdlr":
+                                # version+flags(4) + pre_defined(4), then
+                                # the 4-byte handler type
+                                handler = b[lo4 + 8:lo4 + 12]
                             if t4 != b"minf":
                                 continue
                             for t5, lo5, hi5 in boxes(lo4, hi4):
@@ -390,7 +401,13 @@ def _mp4_meta(b: bytes) -> tuple[int, int, int, int, int]:
                                                 ">I",
                                                 b[lo6 + 8 + e * 8:
                                                   lo6 + 12 + e * 8])[0]
-                                            n_frames += cnt
+                                            trak_frames += cnt
+                # a trak is the video track if hdlr says so, or — for
+                # headerless fixtures without hdlr — if tkhd carries
+                # nonzero visual dimensions (audio tkhd dims are 0)
+                if handler == b"vide" or (handler is None
+                                          and trak_w and trak_h):
+                    n_frames += trak_frames
     if timescale is None:
         raise ValueError("MP4 payload missing moov/mvhd")
     duration_ms = duration * 1000 // max(timescale, 1)

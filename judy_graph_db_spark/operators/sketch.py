@@ -192,7 +192,10 @@ def hll_registers_grouped(df: DataFrame, col: str, group_cols,
     shards/batches exactly like :func:`hll_registers` (union + max)."""
     h = _h60(F.col(col), "hll")
     bucket = (h % (1 << p)).alias("bucket")
-    r = F.floor(h / (1 << p)).cast("long") % (1 << _HLL_W)
+    # shiftright == exact integer // for the non-negative 60-bit hash;
+    # double division would round the low bits (h > 2^53) and drift ±1
+    # from the DuckDB twin's integer `//` at register boundaries.
+    r = F.shiftright(h, p) % (1 << _HLL_W)
     rho = F.when(r == 0, F.lit(_HLL_W + 1)).otherwise(
         F.lit(_HLL_W + 1) - F.length(F.bin(r))
     ).alias("rho")
@@ -216,7 +219,8 @@ def hll_registers(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     """
     h = _h60(F.col(col), "hll")
     bucket = (h % (1 << p)).alias("bucket")
-    r = F.floor(h / (1 << p)).cast("long") % (1 << _HLL_W)
+    # Integer shift, not double division — see hll_registers_grouped.
+    r = F.shiftright(h, p) % (1 << _HLL_W)
     rho = F.when(r == 0, F.lit(_HLL_W + 1)).otherwise(
         F.lit(_HLL_W + 1) - F.length(F.bin(r))
     ).alias("rho")

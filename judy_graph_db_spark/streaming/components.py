@@ -31,10 +31,15 @@ from judy_graph_db_spark.operators.analytics import (
 
 
 def _latest_version(store: str) -> Optional[int]:
+    """Latest COMPLETE version — dirs without ``_batch_meta.json`` are
+    crash leftovers (parquet landed, meta did not) and are skipped so a
+    replayed batch folds against ``v=N-1`` and overwrites ``v=N`` instead
+    of folding the half-written labels twice (see sketches.py)."""
     if not os.path.isdir(store):
         return None
     vs = [int(d[2:]) for d in os.listdir(store)
-          if d.startswith("v=") and d[2:].isdigit()]
+          if d.startswith("v=") and d[2:].isdigit()
+          and os.path.exists(os.path.join(store, d, "_batch_meta.json"))]
     return max(vs) if vs else None
 
 

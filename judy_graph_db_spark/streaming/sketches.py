@@ -33,10 +33,17 @@ from judy_graph_db_spark.operators.sketch import (bloom_build, count_min,
 
 
 def _store_versions(store: str) -> Optional[int]:
+    """Latest COMPLETE version. A fold is complete only once
+    ``_batch_meta.json`` lands (it is written after the parquet), so a
+    crash between the parquet write and the meta write leaves an
+    incomplete ``v=N`` that is skipped here: replay then reads prev from
+    ``v=N-1`` and overwrites ``v=N`` instead of folding the half-written
+    version a second time (which would double CMS counts)."""
     if not os.path.isdir(store):
         return None
     vs = [int(d[2:]) for d in os.listdir(store)
-          if d.startswith("v=") and d[2:].isdigit()]
+          if d.startswith("v=") and d[2:].isdigit()
+          and os.path.exists(os.path.join(store, d, "_batch_meta.json"))]
     return max(vs) if vs else None
 
 

@@ -922,3 +922,14 @@ def test_stress_centrality_diamond_and_chain(spark):
     got_c = {r.id: r.stress
              for r in AN.stress_centrality(chain).collect()}
     assert got_c == {2: 1 * 3, 3: 2 * 2, 4: 3 * 1}
+
+
+def test_mis_empty_edges(spark):
+    """No edges → no Luby rounds; must return an empty typed relation,
+    not crash indexing an empty round list."""
+    from judy_graph_db_spark.operators import analytics as AN
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = AN.maximal_independent_set(empty)
+    assert out.columns == ["id", "round"]
+    assert out.count() == 0

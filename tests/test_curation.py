@@ -143,3 +143,19 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         docs, {"train": 128, "val": 64, "test": 64}).collect()}
     for i in range(3, 16):
         assert rows[i] == plain[i]
+
+
+def test_split_widths_must_be_positive(spark):
+    """A zero-width split pushes an interior hex cutoff to '100', which
+    string-compares below 'a0'..'ff' and silently misroutes ~37% of rows —
+    both split builders must reject it loudly."""
+    import pytest as _pytest
+
+    from judy_graph_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    clusters = spark.createDataFrame([(0, 0)], "doc_id long, cluster_id long")
+    with _pytest.raises(ValueError, match="positive"):
+        CU.hash_split(docs, {"train": 256, "val": 0})
+    with _pytest.raises(ValueError, match="positive"):
+        CU.leakage_safe_split(docs, clusters, {"train": 256, "val": 0})

@@ -696,6 +696,37 @@ def _tiny_mp4(width=320, height=240, timescale=600, duration=1800,
     return ftyp + moov
 
 
+def _trak(width, height, frame_counts, handler=None) -> bytes:
+    import struct
+
+    tkhd = _box(b"tkhd", bytes(4) + bytes(72)
+                + struct.pack(">II", width << 16, height << 16))
+    stts = _box(b"stts", bytes(4) + struct.pack(">I", len(frame_counts))
+                + b"".join(struct.pack(">II", c, 25) for c in frame_counts))
+    mdia_kids = b""
+    if handler is not None:
+        mdia_kids += _box(b"hdlr", bytes(8) + handler + bytes(12))
+    mdia_kids += _box(b"minf", _box(b"stbl", stts))
+    return _box(b"trak", tkhd + _box(b"mdia", mdia_kids))
+
+
+def test_mp4_meta_ignores_audio_track_samples():
+    """n_frames counts only the 'vide' track — an MP4 with sound must not
+    inflate the frame count by its audio sample count."""
+    import struct
+
+    from judy_graph_db_spark.operators.multimodal import _mp4_meta
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = _box(b"mvhd", bytes(12) + struct.pack(">II", 600, 1800)
+                + bytes(80))
+    video = _trak(320, 240, (24, 6), handler=b"vide")
+    audio = _trak(0, 0, (44100,), handler=b"soun")
+    w, h, ts, nf, ms = _mp4_meta(ftyp + _box(b"moov", mvhd + video + audio))
+    assert (w, h, ts) == (320, 240, 600)
+    assert nf == 30  # NOT 30 + 44100
+
+
 def test_mp4_meta_parses_real_boxes():
     from judy_graph_db_spark.operators.multimodal import _mp4_meta
 

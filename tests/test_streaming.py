@@ -404,3 +404,73 @@ def test_streaming_components_equal_batch(spark, tmp_path):
     want = {r.id: r.component for r in connected_components(full).collect()}
     assert got2 == want  # merged chain re-labeled to min id 1
     assert got2[11] == 1 and got2[20] == 20
+
+
+def test_streaming_sketches_crash_recovery_no_double_fold(spark, tmp_path):
+    """A crash between the parquet write and the _batch_meta.json write
+    leaves an incomplete v=N. On replay the incomplete version must be
+    treated as absent (prev = v=N-1 / None) and OVERWRITTEN — folding it
+    as prev would double every CMS count."""
+    import os
+
+    from judy_graph_db_spark.streaming.sketches import (
+        _store_versions, foreach_batch_sketches, read_sketches)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "sk")
+    src.mkdir()
+    (src / "a.txt").write_text("x\nx\ny\n")
+
+    def stream():
+        return (spark.readStream.format("text")
+                .schema("value string").load(str(src))
+                .withColumnRenamed("value", "tok"))
+
+    _drain(foreach_batch_sketches(stream(), store, "tok",
+                                  str(tmp_path / "ck1"), width=16,
+                                  depth=2, p=4, m_bits=1 << 10,
+                                  replay_id="stream-a"))
+    assert _store_versions(store) == 0
+    # simulate the crash window: parquet for v=0 landed, meta did not
+    os.remove(os.path.join(store, "v=0", "_batch_meta.json"))
+    assert _store_versions(store) is None  # incomplete → invisible
+
+    # fresh checkpoint re-delivers batch 0 under the same replay identity;
+    # the fold must start from scratch (prev=None) and overwrite v=0
+    _drain(foreach_batch_sketches(stream(), store, "tok",
+                                  str(tmp_path / "ck2"), width=16,
+                                  depth=2, p=4, m_bits=1 << 10,
+                                  replay_id="stream-a"))
+    assert _store_versions(store) == 0
+    got = read_sketches(spark, store)
+    total = sum(r.cnt for r in got["cms"].collect())
+    assert total == 3 * 2  # 3 rows x depth 2 — counted ONCE, not doubled
+
+
+def test_streaming_components_crash_recovery(spark, tmp_path):
+    """Same crash-window contract for the CC label store: an incomplete
+    v=N is skipped and overwritten on replay."""
+    import os
+
+    from judy_graph_db_spark.streaming.components import (
+        _latest_version, foreach_batch_components, read_labels)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "cc")
+    src.mkdir()
+    (src / "a.csv").write_text("1,2\n2,3\n")
+
+    def stream():
+        return spark.readStream.schema("src long, dst long").csv(str(src))
+
+    _drain(foreach_batch_components(stream(), store, str(tmp_path / "ck1"),
+                                    replay_id="cc-a"))
+    assert _latest_version(store) == 0
+    os.remove(os.path.join(store, "v=0", "_batch_meta.json"))
+    assert _latest_version(store) is None
+
+    _drain(foreach_batch_components(stream(), store, str(tmp_path / "ck2"),
+                                    replay_id="cc-a"))
+    assert _latest_version(store) == 0
+    got = {r.id: r.component for r in read_labels(spark, store).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
