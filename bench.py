@@ -53,7 +53,16 @@ def main() -> None:
     def run(name: str, fn, repeats: int = 3) -> None:
         """criterion-style steady-state timing (the reference benchmarks with
         criterion, benchmark/Bench.hs): best of ``repeats`` runs — first-run
-        whole-stage-codegen JIT cost amortizes away on a long-lived cluster."""
+        whole-stage-codegen JIT cost amortizes away on a long-lived cluster.
+
+        Round-7 cross-round calibration: the r5→r6 swings on miw_load
+        (+73%) / connected_components (+46%) / pagerank_3it (+35%) were
+        A/B'd by running the r5 checkout and HEAD alternately in 6 fresh
+        JVMs (3 pairs) on the same day. r5 CODE measured 7.4-8.1 / 7.5-8.7
+        / 6.1-7.7s — i.e. at r6-recorded speeds, nowhere near its own
+        r5-recorded 4.5 / 5.8 / 4.6s, with the two distributions
+        overlapping. The swing is VM-generation speed, not code; compare
+        entries ACROSS rounds only via a same-day interleaved A/B."""
         best = None
         for _ in range(repeats):
             t0 = time.time()

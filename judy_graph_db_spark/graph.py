@@ -91,6 +91,7 @@ class Graph:
         self.edges = edges
         self.ranges = ranges or Ranges()
         self._label_counts: dict | None = None
+        self._label_edge_counts: dict | None = None
 
     def label_counts(self) -> dict:
         """Per-label node counts — the engine's table statistics (the
@@ -107,6 +108,24 @@ class Graph:
                 .collect()
             }
         return self._label_counts
+
+    def label_edge_counts(self) -> dict:
+        """Per-node-label OUTGOING edge counts (back rows included, so an
+        undirected incidence counts from both sides) — the fan-out half
+        of the planner's statistics: a label with few nodes but huge
+        degree is a BAD seed because its first hop explodes, which node
+        counts alone cannot see. One broadcast-able label join + groupBy,
+        computed once per Graph and cached like :meth:`label_counts`."""
+        if self._label_edge_counts is None:
+            lab = self.nodes.select("id", F.col("label").alias("_nl"))
+            self._label_edge_counts = {
+                r["_nl"]: r["n"]
+                for r in self.edges.select(F.col("src").alias("id"))
+                .join(F.broadcast(lab), "id")
+                .groupBy("_nl").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        return self._label_edge_counts
 
     # ------------------------------------------------------------------ build
 

@@ -1007,12 +1007,14 @@ def strongly_connected_components(edges: DataFrame, method: str = "auto",
       are closure-sized, the trade :func:`transitive_closure` documents:
       right for lineage/version/workflow graphs whose closure fits.
     - ``"coloring"``: FW-BW coloring (Orzan 2004 / Slota et al. 2014) —
-      forward min-label propagation partitions the graph into color
-      classes, the backward sweep inside each class extracts the SCC of
-      its root, settled nodes peel off, repeat. State is NODE+EDGE LINEAR
-      every round — the 100 TB path — at the cost of O(peel levels)
-      extra rounds (a pure n-chain peels one node per level; real web-
-      /social-shaped graphs settle in a handful).
+      iterative trimming first settles every in-degree-0/out-degree-0
+      node as a singleton SCC (acyclic tails — and entire chain-shaped
+      graphs — never enter propagation), then forward min-label
+      propagation partitions the remainder into color classes, the
+      backward sweep inside each class extracts the SCC of its root,
+      settled nodes peel off, repeat. State is NODE+EDGE LINEAR every
+      round — the 100 TB path; real web-/social-shaped graphs settle in
+      a handful of FW-BW rounds and chains in zero.
     - ``"auto"``: coloring when the edge count exceeds ~5M (closure-sized
       intermediates stop being safe), else closure — the same runtime-
       stats dispatch the pattern compiler uses for unbounded repeats.
@@ -1082,7 +1084,8 @@ def _scc_closure(base: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
-                  max_prop_iter: int = 10_000) -> DataFrame:
+                  max_prop_iter: int = 10_000,
+                  stats: dict | None = None) -> DataFrame:
     """FW-BW coloring; see :func:`strongly_connected_components`.
 
     Invariants driving convergence (each is a cheap scalar fingerprint,
@@ -1090,6 +1093,18 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
     in-SCC set only grows, and every peel round settles at least each
     color class's root — so the outer loop strictly shrinks the active
     node set and termination is guaranteed without a round budget.
+
+    Before each FW-BW round, TRIM to fixpoint (Slota et al. 2014's
+    Multistep prelude): a node with in-degree 0 or out-degree 0 in the
+    active subgraph is on no cycle → a singleton SCC, settled by two
+    anti-joins instead of a forward propagation whose synchronous
+    min-push costs O(diameter) jobs. Chain-shaped graphs (version/
+    lineage histories — the 100 TB corpus case) trim away COMPLETELY, so
+    FW-BW runs zero rounds on them; without trimming a pure n-chain paid
+    O(n) peel rounds × O(n) propagation jobs each.
+
+    ``stats``, when given, receives ``{"fw_bw_rounds": int,
+    "trim_iters": int}`` (test/diagnostic hook).
     """
     active_edges = base.localCheckpoint(eager=True)
     active_nodes = (
@@ -1099,9 +1114,43 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
         .localCheckpoint(eager=True)
     )
     settled: DataFrame | None = None
+    fw_bw_rounds = trim_iters = 0
     for _ in range(max_peel_rounds):
+        # 0. trim: settle degree-0-in-or-out nodes until none remain
+        while True:
+            if active_nodes.limit(1).count() == 0:
+                break
+            has_in = active_edges.select(F.col("dst").alias("id")).distinct()
+            has_out = active_edges.select(F.col("src").alias("id")).distinct()
+            trivial = (
+                active_nodes.join(has_in, "id", "left_anti")
+                .union(active_nodes.join(has_out, "id", "left_anti"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if trivial.limit(1).count() == 0:
+                _unpersist_checkpoint(trivial)
+                break
+            trim_iters += 1
+            done = trivial.select("id", F.col("id").alias("scc"))
+            settled = done if settled is None else settled.union(done)
+            settled = settled.localCheckpoint(eager=True)
+            old_nodes, old_edges = active_nodes, active_edges
+            active_nodes = active_nodes.join(
+                trivial, "id", "left_anti").localCheckpoint(eager=True)
+            active_edges = (
+                active_edges.join(trivial.withColumnRenamed("id", "src"),
+                                  "src", "left_anti")
+                .join(trivial.withColumnRenamed("id", "dst"),
+                      "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            for df in (old_nodes, old_edges, trivial):
+                _unpersist_checkpoint(df)
         if active_nodes.limit(1).count() == 0:
             break
+        fw_bw_rounds += 1
         # 1. forward sweep: color(v) = min id that reaches v (within the
         # active subgraph), by synchronous min propagation along edges
         colors = active_nodes.select("id", F.col("id").alias("color"))
@@ -1171,6 +1220,9 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
         )
         for df in (old_nodes, old_edges, colors, in_scc):
             _unpersist_checkpoint(df)
+    if stats is not None:
+        stats["fw_bw_rounds"] = fw_bw_rounds
+        stats["trim_iters"] = trim_iters
     return settled if settled is not None else base.sparkSession.createDataFrame(
         [], "id long, scc long"
     )

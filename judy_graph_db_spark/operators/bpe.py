@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
 
-__all__ = ["bpe_train", "bpe_train_oracle_sql", "bpe_encode"]
+__all__ = ["bpe_train", "bpe_train_oracle_sql", "bpe_encode",
+           "bpe_encode_oracle_sql"]
 
 
 def _merge_fold(syms: Column, a: str, b: str) -> Column:
@@ -49,8 +50,62 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _apply_merge_local(syms: list, a: str, b: str) -> list:
+    """Python twin of :func:`_merge_fold` — identical greedy semantics."""
+    out: list = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _train_merges_local(words: list, n_merges: int) -> list:
+    """Classic in-memory BPE merge loop (Sennrich et al. 2016 `learn_bpe`)
+    with incremental pair-count maintenance: each merge touches only the
+    words that contain the merged pair (inverted index), not the whole
+    table. ``words`` is a list of ``[syms, freq]`` mutated in place;
+    returns ``[(rank, a, b, count), ...]`` with the same
+    ``(count DESC, a ASC, b ASC)`` best-pair order as the relational path.
+    """
+    from collections import defaultdict  # noqa: PLC0415
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for idx, (syms, freq) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += freq
+            pair_words[p].add(idx)
+    merges = []
+    for rank in range(n_merges):
+        best, maxc = None, 0
+        for p, c in pair_counts.items():
+            if c > maxc or (c == maxc and c > 0 and p < best):
+                best, maxc = p, c
+        if best is None:
+            break
+        a, b = best
+        merges.append((rank, a, b, maxc))
+        # stale indices (word no longer contains the pair) are harmless:
+        # the decrement/apply/increment below nets to zero for them
+        for idx in list(pair_words.pop(best, ())):
+            syms, freq = words[idx]
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] -= freq
+            new = _apply_merge_local(syms, a, b)
+            words[idx] = [new, freq]
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += freq
+                pair_words[p].add(idx)
+    return merges
+
+
 def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
-              end_of_word: str = "</w>") -> tuple[DataFrame, DataFrame]:
+              end_of_word: str = "</w>",
+              strategy: str = "auto") -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns ``(merges, symbol_vocab)``:
     ``merges(rank, a, b, count)`` in learned order and
     ``symbol_vocab(symbol, freq)`` — the corpus frequency of every symbol
@@ -58,7 +113,28 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
 
     Words carry an ``end_of_word`` marker symbol so merges can learn
     suffix units, per the original formulation.
+
+    ``strategy``: after the one distributed corpus scan into the
+    word-frequency table, the merge loop itself runs either
+
+    - ``"relational"`` — one adjacent-pair aggregation + fold per round
+      over the |vocab|-row relation (the SQL-twinned path; right for
+      small ``n_merges``), or
+    - ``"local"`` — collect the word-frequency table ONCE and train the
+      merge sequence in memory with incremental pair counts (how
+      HF-tokenizers/YouTokenToMe train). A production tokenizer is
+      30k–50k merges: that would be tens of thousands of sequential Spark
+      jobs relationally, while the collected table is |distinct words|-
+      sized (~10-50M rows for a 100 TB natural-language corpus — a
+      driver-memory-bounded collect, NOT corpus-sized), so local is the
+      scale path. Byte-identical merges to the relational loop by
+      construction (same tiebreak, same greedy fold).
+    - ``"auto"`` (default): local above 32 merges.
     """
+    if strategy not in ("auto", "relational", "local"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "local" if n_merges > 32 else "relational"
     spark = docs.sparkSession
     words = (
         docs.select(
@@ -78,6 +154,21 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
         )
         .localCheckpoint(eager=True)
     )
+    if strategy == "local":
+        local_words = [[list(r["syms"]), int(r["freq"])]
+                       for r in words.select("syms", "freq").collect()]
+        merges = _train_merges_local(local_words, n_merges)
+        merges_df = spark.createDataFrame(
+            merges or [], "rank long, a string, b string, count long"
+        )
+        sym_freq: dict = {}
+        for syms, freq in local_words:
+            for s in syms:
+                sym_freq[s] = sym_freq.get(s, 0) + freq
+        vocab = spark.createDataFrame(
+            sorted(sym_freq.items()), "symbol string, freq long"
+        )
+        return merges_df, vocab
     merges = []
     for rank in range(n_merges):
         pairs = (
@@ -114,18 +205,12 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
     return merges_df, vocab
 
 
-def bpe_train_oracle_sql(n_merges: int, text_col: str = "text",
-                         table: str = "documents",
-                         end_of_word: str = "</w>",
-                         word_token_re_sql: str | None = None) -> str:
-    """DuckDB twin of :func:`bpe_train`: the merge loop unrolled as CTE
-    rounds — per round an adjacent-pair count, a 1-row best pick with the
-    same (count, a, b) order, and the same greedy fold via ``list_reduce``
-    over singleton-list symbols. Emits ``op='merge'`` rows (the learned
-    table) and ``op='vocab'`` rows (the induced subword vocabulary)."""
-    from judy_graph_db_spark.oracle import WORD_TOKEN_RE_SQL
-
-    wre = word_token_re_sql or WORD_TOKEN_RE_SQL
+def _bpe_cte_chain_sql(n_merges: int, text_col: str, table: str,
+                       end_of_word: str, wre: str) -> str:
+    """The shared WITH-chain of the BPE twins: word-freq table ``w0``,
+    then per round a pair count ``p{r}``, best pick ``b{r}``, and folded
+    words ``w{r}`` — ending at ``w{n_merges}`` (every word's final
+    segmentation), which both the train and the encode twins read."""
     parts = [f"""WITH w0 AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq,
          list_concat(regexp_extract_all(word, '.'), ['{end_of_word}']) AS syms
@@ -155,18 +240,62 @@ def bpe_train_oracle_sql(n_merges: int, text_col: str = "text",
          END AS syms
   FROM w{r - 1} LEFT JOIN b{r} b ON TRUE
 )""")
+    return "\n".join(parts)
+
+
+def bpe_train_oracle_sql(n_merges: int, text_col: str = "text",
+                         table: str = "documents",
+                         end_of_word: str = "</w>",
+                         word_token_re_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`bpe_train`: the merge loop unrolled as CTE
+    rounds — per round an adjacent-pair count, a 1-row best pick with the
+    same (count, a, b) order, and the same greedy fold via ``list_reduce``
+    over singleton-list symbols. Emits ``op='merge'`` rows (the learned
+    table) and ``op='vocab'`` rows (the induced subword vocabulary)."""
+    from judy_graph_db_spark.oracle import WORD_TOKEN_RE_SQL
+
+    wre = word_token_re_sql or WORD_TOKEN_RE_SQL
+    chain = _bpe_cte_chain_sql(n_merges, text_col, table, end_of_word, wre)
     merge_rows = " UNION ALL ".join(
         f"SELECT 'merge' AS op, CAST({r - 1} AS BIGINT) AS rank, a, b, cnt "
         f"FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    parts.append(f"""
+    return f"""{chain}
 SELECT * FROM ({merge_rows})
 UNION ALL
 SELECT 'vocab', NULL, symbol, NULL, CAST(SUM(freq) AS BIGINT)
 FROM (SELECT freq, unnest(syms) AS symbol FROM w{n_merges})
-GROUP BY symbol""")
-    return "\n".join(parts)
+GROUP BY symbol"""
+
+
+def bpe_encode_oracle_sql(n_merges: int, where: str = "TRUE",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          table: str = "documents",
+                          end_of_word: str = "</w>",
+                          word_token_re_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`bpe_encode` with merges trained by the same
+    unrolled loop: the chain's final ``w{n}`` relation IS each word's
+    post-merge segmentation, so encoding = tokenize the target docs and
+    join word → syms (parallel unnests align word/sym positions)."""
+    from judy_graph_db_spark.oracle import WORD_TOKEN_RE_SQL
+
+    wre = word_token_re_sql or WORD_TOKEN_RE_SQL
+    chain = _bpe_cte_chain_sql(n_merges, text_col, table, end_of_word, wre)
+    return f"""{chain}
+, subdocs AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(lower({text_col}), {wre})) AS word,
+         unnest(generate_series(
+           1, len(regexp_extract_all(lower({text_col}), {wre})))) - 1
+           AS word_pos
+  FROM {table} WHERE {where}
+)
+SELECT s.{id_col} AS {id_col}, CAST(s.word_pos AS BIGINT) AS word_pos,
+       CAST(unnest(generate_series(1, len(w.syms))) - 1 AS BIGINT)
+         AS sym_pos,
+       unnest(w.syms) AS symbol
+FROM subdocs s JOIN w{n_merges} w ON s.word = w.word"""
 
 
 def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]] | DataFrame",

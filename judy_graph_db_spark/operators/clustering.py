@@ -50,7 +50,8 @@ def _sqdist(vec_col: str, cent_col: str, dim: int):
 
 def kmeans_assign(embeddings: DataFrame, k: int = 8, iters: int = 2,
                   dim: int = 64, id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
+                  vec_col: str = "embedding",
+                  target_cluster_size: int | None = None) -> DataFrame:
     """Lloyd's k-means with deterministic init: centroids start as the ``k``
     lowest-id vectors, then ``iters`` rounds of (assign to nearest centroid,
     recompute centroid as the member mean). Ties in the argmin break toward
@@ -58,8 +59,19 @@ def kmeans_assign(embeddings: DataFrame, k: int = 8, iters: int = 2,
 
     A cluster that loses every member keeps its previous centroid (the
     LEFT-JOIN/COALESCE below), so ``k`` never silently shrinks.
+
+    **Scale ``k`` with the corpus.** The fixture default ``k=8`` is a
+    small-data convenience; the O(n²/k) within-cluster pair bound that
+    downstream :func:`semantic_dedup` relies on is only real when k grows
+    with n (SemDeDup uses k ≈ 0.1%·n, i.e. ~1000-vector clusters). Pass
+    ``target_cluster_size`` to derive ``k = max(2, n // target)`` from a
+    corpus count instead of hand-picking it.
     """
     base = embeddings.select(id_col, vec_col)
+    if target_cluster_size is not None:
+        if target_cluster_size <= 0:
+            raise ValueError("target_cluster_size must be positive")
+        k = max(2, base.count() // int(target_cluster_size))
     cents = (
         base.orderBy(id_col).limit(int(k))
         .select(
@@ -124,7 +136,8 @@ def kmeans_sizes(embeddings: DataFrame, k: int = 8, iters: int = 2,
 def semantic_dedup(embeddings: DataFrame, clusters: DataFrame | None = None,
                    threshold_micro: int = 350000, k: int = 8, iters: int = 2,
                    dim: int = 64, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   target_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): within each k-means cluster, drop every
     vector that has a LOWER-id neighbor at cosine ≥ ``threshold_micro``
     micro-units — each high-similarity group keeps exactly its lowest id
@@ -137,9 +150,14 @@ def semantic_dedup(embeddings: DataFrame, clusters: DataFrame | None = None,
     mega-clusters are visible (and salt-able) in the shuffle plan.
 
     Returns ``(id_col, cluster, kept)`` for every input vector.
+
+    The O(n²/k) candidate bound requires k to SCALE with the corpus —
+    prefer ``target_cluster_size`` (SemDeDup's k ≈ 0.1%·n means ~1000-row
+    clusters) over the small-fixture default ``k=8`` on real data.
     """
     if clusters is None:
-        clusters = kmeans_assign(embeddings, k, iters, dim, id_col, vec_col)
+        clusters = kmeans_assign(embeddings, k, iters, dim, id_col, vec_col,
+                                 target_cluster_size=target_cluster_size)
     e = (
         embeddings.select(id_col, vec_col)
         .join(clusters, id_col)

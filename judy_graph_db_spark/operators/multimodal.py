@@ -328,8 +328,10 @@ def _mp4_meta(b: bytes) -> tuple[int, int, int, int, int]:
     (width, height, timescale, n_frames, duration_ms). Real top-level box
     walking per the published ISO/IEC 14496-12 layout: ``moov/mvhd`` gives
     timescale+duration, the first visual ``trak/tkhd`` gives the 16.16
-    fixed-point width/height, ``stts`` entry counts sum to the frame
-    count. No sample decoding — the same header-only split as the image
+    fixed-point width/height, and the VIDEO track's ``stts`` entry counts
+    sum to the frame count (track selected by ``mdia/hdlr`` = 'vide', or
+    nonzero tkhd dims when hdlr is absent — audio/hint sample counts are
+    excluded). No sample decoding — the same header-only split as the image
     (PNG/JPEG dims) and audio (RIFF/WAV) parsers; a full codec (H.264
     etc.) is deliberately out of scope in this container. Raises
     ValueError on non-MP4 payloads."""

@@ -275,18 +275,24 @@ def _walk_several(g: Graph, bindings: DataFrame, espec: E, cur: str, nxt: str,
 def _endpoint_cost(g: Graph, spec: N) -> int:
     """Real-statistics endpoint cost (the reference's ``compl``/``minI``
     pick, ``Cypher.hs:575-607``, upgraded from magic constants to cached
-    per-label node counts): explicit ids → their count; labels → summed
-    label cardinalities; anyNode → total. Falls back to the 3-bucket
-    model when stats are unavailable (e.g. nodes not yet materialized)."""
+    statistics): seed cost ≈ expected FIRST-JOIN work = the spec's node
+    cardinality PLUS its labels' outgoing-edge counts — a low-node-count/
+    high-degree hub label is a bad seed because its first hop fans out to
+    every incident edge, which node counts alone cannot see. Explicit ids
+    → their count (degrees unknowable without a per-id probe); anyNode →
+    totals. Falls back to the 3-bucket model when stats are unavailable
+    (e.g. nodes not yet materialized)."""
     try:
         counts = g.label_counts()
+        ecounts = g.label_edge_counts()
     except Exception:
         return spec.complexity()
     if spec.ids is not None:
         return len(spec.ids)
     if spec.labels is not None:
-        return sum(counts.get(l, 0) for l in spec.labels)
-    return sum(counts.values()) or 100000
+        return sum(counts.get(l, 0) + ecounts.get(l, 0)
+                   for l in spec.labels)
+    return (sum(counts.values()) + sum(ecounts.values())) or 100000
 
 
 def _remap_bindings(b: DataFrame, node_map, edge_map) -> DataFrame:

@@ -9,10 +9,10 @@ column partial locality — the technique behind Delta/Iceberg's
 Morton 1966). This module implements it with plain DataFrame ops so any
 parquet sink gets multi-column row-group pruning:
 
-- per column, a rank → fixed-width integer quantile (``ntile``-style),
-  computed with ONE window over the column's value-count aggregate
-  (|distinct| rows, not |table|) so the global window never sees the
-  corpus;
+- per column, a rank → fixed-width integer quantile (``ntile``-style):
+  exact ranks over the distinct-value relation when it is small, else
+  hash-sampled quantile boundaries (bounded ~16k-row window + literal
+  range map) so NO window ever scales with the column's cardinality;
 - bit interleave via codegen ``shiftleft``/``|`` expressions (no UDF);
 - ``repartitionByRange + sortWithinPartitions`` on the z-value, which
   samples ranges distributedly (no global sort barrier beyond Spark's
@@ -32,15 +32,60 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["zorder_value", "zorder_by"]
 
 
+def _sampled_boundaries(vals: DataFrame, n_distinct: int, bits: int,
+                        oversample: int = 64) -> list:
+    """2^bits - 1 quantile boundary values from a DETERMINISTIC hash
+    sample of the distinct-value relation. The sample targets
+    ``2^bits * oversample`` values regardless of |distinct| (32-bit md5
+    bucket cutoff scaled by the exact distinct count), so the only
+    single-task step — ranking the sample — is bounded at ~16k rows even
+    for a 100 TB high-cardinality column. Layout quantiles don't need
+    exact ranks; they need boundaries that split the distribution into
+    roughly equal buckets, which a 64× oversample gives to well under a
+    bucket's width of error (Vitter-style sample-quantile bound)."""
+    target = (1 << bits) * oversample
+    cutoff = max(1, (target * (1 << 32)) // max(n_distinct, 1))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("zb:"), F.col("__v").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    sample = vals.filter(h < F.lit(cutoff))
+    m = sample.count()
+    if m < (1 << bits):
+        # pathological under-sampling — widen to the full distinct set
+        sample, m = vals, n_distinct
+    w = Window.orderBy(F.col("__v").asc())
+    ranked = sample.select("__v", F.row_number().over(w).alias("__r"))
+    # boundary k sits at sample rank floor(k*m / 2^bits), k = 1..2^bits-1
+    positions = sorted({(k * m) // (1 << bits) for k in range(1, 1 << bits)}
+                       - {0})
+    rows = (ranked.filter(F.col("__r").isin(positions))
+            .orderBy("__r").collect())
+    return [r["__v"] for r in rows]
+
+
 def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 8,
-                 out: str = "zvalue") -> DataFrame:
+                 out: str = "zvalue",
+                 max_exact_distinct: int = 1 << 14) -> DataFrame:
     """Attach the Morton z-value of ``cols`` as ``out``.
 
     Each column maps to a ``bits``-wide integer quantile of its value
-    distribution: ``floor((dense_rank-1) * 2^bits / n_distinct)`` — exact
-    integer arithmetic over the per-column distinct-value relation (tiny),
-    then broadcast back. Bits interleave column-major: output bit
-    ``i*len(cols)+j`` is bit ``i`` of column ``j``'s quantile.
+    distribution. Two paths per column, picked by the exact distinct
+    count (one distributed agg):
+
+    - ``|distinct| <= max_exact_distinct``: exact
+      ``floor((dense_rank-1) * 2^bits / n_distinct)`` over the tiny
+      distinct-value relation, broadcast back — deterministic and
+      SQL-twinnable (this is the gate-checked path);
+    - above: sampled boundaries (:func:`_sampled_boundaries`) embedded as
+      a literal array and mapped per row with ``size(filter(bnds,
+      b -> b <= value))`` — pure codegen, no window ever sees more than
+      ~2^bits·64 rows, no |table|-sized broadcast. A global ``dense_rank``
+      here would serialize a 100 TB timestamp/id column through ONE task;
+      bucket-exactness is not needed for layout, only approximate
+      equal-mass splits.
+
+    Bits interleave column-major: output bit ``i*len(cols)+j`` is bit
+    ``i`` of column ``j``'s quantile.
     """
     n = len(cols)
     if not 1 <= n * bits <= 63:
@@ -48,20 +93,29 @@ def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 8,
     keyed = df
     for j, c in enumerate(cols):
         vals = df.select(F.col(c).alias("__v")).distinct()
-        w = Window.orderBy(F.col("__v").asc())
-        ranked = vals.select(
-            "__v",
-            (F.dense_rank().over(w) - 1).alias("__r"),
-        )
         n_distinct = vals.count()
-        # integer division keeps the quantile exact in every engine (a
-        # float floor(a*b/c) can round differently at bucket boundaries)
-        ranked = ranked.select(
-            F.col("__v").alias(c),
-            F.expr(f"(__r * {1 << bits}) div {int(n_distinct)}")
-            .cast("long").alias(f"__q{j}"),
-        )
-        keyed = keyed.join(F.broadcast(ranked), c, "left")
+        if n_distinct <= max_exact_distinct:
+            w = Window.orderBy(F.col("__v").asc())
+            ranked = vals.select(
+                "__v",
+                (F.dense_rank().over(w) - 1).alias("__r"),
+            )
+            # integer division keeps the quantile exact in every engine (a
+            # float floor(a*b/c) can round differently at bucket boundaries)
+            ranked = ranked.select(
+                F.col("__v").alias(c),
+                F.expr(f"(__r * {1 << bits}) div {int(n_distinct)}")
+                .cast("long").alias(f"__q{j}"),
+            )
+            keyed = keyed.join(F.broadcast(ranked), c, "left")
+        else:
+            bounds = _sampled_boundaries(vals, n_distinct, bits)
+            arr = F.array(*[F.lit(b) for b in bounds])
+            keyed = keyed.withColumn(
+                f"__q{j}",
+                F.size(F.filter(arr, lambda b: b <= F.col(c)))
+                .cast("long"),
+            )
     interleave = None
     for i in range(bits):
         for j in range(n):

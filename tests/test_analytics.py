@@ -480,14 +480,36 @@ def test_scc_coloring_matches_closure_on_random_graphs(spark):
 
 
 def test_scc_coloring_peels_chain(spark):
-    # pure chain = worst case for peeling (one root per round); small n
-    # keeps it fast while proving multi-round termination
+    # a pure chain is all-acyclic: trimming must settle EVERY node with
+    # zero FW-BW rounds (pre-trim, this cost one full forward
+    # propagation per node — O(n^2) jobs on lineage-chain graphs)
+    from judy_graph_db_spark.operators.analytics import _scc_coloring
+
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "src long, dst long"
     )
-    out = {r["id"]: r["scc"] for r in
-           AN.strongly_connected_components(edges, method="coloring").collect()}
+    stats = {}
+    out = {r["id"]: r["scc"]
+           for r in _scc_coloring(edges, stats=stats).collect()}
     assert out == {i: i for i in range(7)}
+    assert stats["fw_bw_rounds"] == 0
+    assert stats["trim_iters"] >= 1
+
+
+def test_scc_coloring_trim_then_one_fwbw_round(spark):
+    # chain tail feeding a cycle: the tail trims away, the cycle needs
+    # exactly one FW-BW round
+    from judy_graph_db_spark.operators.analytics import _scc_coloring
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 3)],
+        "src long, dst long",
+    )
+    stats = {}
+    out = {r["id"]: r["scc"]
+           for r in _scc_coloring(edges, stats=stats).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 3, 5: 3}
+    assert stats["fw_bw_rounds"] == 1
 
 
 def test_closeness_centrality_star_and_chain(spark):

@@ -79,3 +79,19 @@ def test_kmeans_sizes_sum_to_input(spark):
     rows = [(i, [float(i % 5), float(i % 3)]) for i in range(30)]
     sizes = CL.kmeans_sizes(_embs(spark, rows), k=4, iters=2, dim=2)
     assert sizes.agg(F.sum("n")).collect()[0][0] == 30
+
+
+def test_kmeans_target_cluster_size_derives_k(spark):
+    """target_cluster_size derives k from the corpus count: with n rows
+    and target t, clusters number ~n//t — the SemDeDup scaling rule
+    (k ~ 0.1% of n) instead of a fixed small k."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(4)])
+            for i in range(20)]
+    df = _embs(spark, rows)
+    out = CL.kmeans_assign(df, dim=4, target_cluster_size=4)  # k = 20//4
+    k_seen = out.select("cluster").distinct().count()
+    assert 2 <= k_seen <= 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        CL.kmeans_assign(df, dim=4, target_cluster_size=0)

@@ -303,3 +303,40 @@ def test_cost_strategy_uses_real_label_counts(spark):
     quick = rows(table(g, pat, quick=True), "n0", "n1")
     cost = rows(table(g, pat, quick=False), "n0", "n1")
     assert quick == cost == [(i, 10) for i in range(6)]
+
+
+def test_cost_strategy_penalizes_hub_labels(spark, monkeypatch):
+    """Seed cost ranks by expected first-join fan-out (nodes + incident
+    edges), not node counts alone: a 2-node hub label with 12 outgoing
+    edges must LOSE the seed position to a 5-node leaf label with 5."""
+    import judy_graph_db_spark.plans.compiler as C
+    from judy_graph_db_spark.graph import Graph
+
+    # HUB: 2 nodes fanning out to 12 LEAF nodes; LEAF2: 5 nodes hanging
+    # off 5 of the leaves. Node counts alone would seed at HUB (2 < 5).
+    g = Graph.from_lists(
+        spark,
+        nodes=[(0, "HUB"), (1, "HUB")]
+        + [(10 + i, "LEAF") for i in range(12)]
+        + [(30 + i, "LEAF2") for i in range(5)],
+        directed_edges=[(j, 10 + i, "HIT") for j in (0, 1) for i in range(6)]
+        + [(10 + i, 30 + i, "NEXT") for i in range(5)],
+    )
+    # back edges count from their own src side: LEAF carries 5 fwd + 12
+    # reciprocal, LEAF2 the 5 reciprocal NEXT rows
+    assert g.label_edge_counts() == {"HUB": 12, "LEAF": 17, "LEAF2": 5}
+    # costs: HUB = 2 + 12 = 14, LEAF = 12 + 17 = 29, LEAF2 = 5 + 5 = 10
+    pat = (N(labels=["HUB"]) >> E("HIT", direction="r") >> N(labels=["LEAF"])
+           >> E("NEXT", direction="r") >> N(labels=["LEAF2"]))
+    compiled = []
+    orig = C.compile_pattern
+    monkeypatch.setattr(
+        C, "compile_pattern",
+        lambda g2, p: compiled.append(p) or orig(g2, p),
+    )
+    cost = rows(C.table(g, pat, quick=False), "n0", "n1", "n2")
+    # seeded at the far end (LEAF2): one reversed compile, starting there
+    assert len(compiled) == 1
+    assert compiled[0].node_specs[0].labels == ["LEAF2"]
+    assert cost == rows(table(g, pat), "n0", "n1", "n2")
+    assert len(cost) == 10  # 2 hubs x 5 leaf-with-tail chains

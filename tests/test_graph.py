@@ -166,3 +166,43 @@ def test_zorder_by_improves_per_file_ranges(spark, tmp_path):
     assert avg_span < 160, avg_span
     assert clustered.count() == 4096  # nothing lost, helper column dropped
     assert "zvalue" not in clustered.columns
+
+
+def test_zorder_high_cardinality_uses_sampled_boundaries(spark):
+    """Above max_exact_distinct the quantile map must come from sampled
+    boundaries: NO window/global sort in the returned plan (a global
+    dense_rank would serialize a 100 TB id column through one task), and
+    buckets must still be monotonic and roughly balanced."""
+    from judy_graph_db_spark.sources.layout import zorder_value
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 20000).alias("y"))
+    out = zorder_value(df, ["x", "y"], bits=4, max_exact_distinct=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # sampled path: literal range map only
+    rows = out.select("x", "zvalue").collect()
+    # x occupies even interleave bits -> extracting them recovers x's bucket
+    def xbucket(z):
+        return sum(((z >> (2 * i)) & 1) << i for i in range(4))
+    got = sorted((r.x, xbucket(r.zvalue)) for r in rows)
+    buckets = [b for _, b in got]
+    assert buckets == sorted(buckets)  # monotonic in x
+    from collections import Counter
+    sizes = Counter(buckets)
+    assert len(sizes) == 16
+    assert max(sizes.values()) < 3 * (20000 // 16)  # no degenerate bucket
+
+
+def test_zorder_exact_and_sampled_agree_on_uniform_data(spark):
+    """On a column whose distinct values are uniform, the sampled path's
+    buckets land within one bucket of the exact path's for ~every row."""
+    from judy_graph_db_spark.sources.layout import zorder_value
+
+    df = spark.range(0, 4096).select(F.col("id").alias("x"))
+    exact = {r.x: r.zvalue for r in zorder_value(
+        df, ["x"], bits=3, max_exact_distinct=1 << 14).collect()}
+    sampled = {r.x: r.zvalue for r in zorder_value(
+        df, ["x"], bits=3, max_exact_distinct=100).collect()}
+    off = [abs(exact[x] - sampled[x]) for x in exact]
+    assert max(off) <= 1
+    assert sum(1 for d in off if d == 0) > len(off) * 0.7

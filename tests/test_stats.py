@@ -223,3 +223,45 @@ def test_bm25_scores_match_hand_computation(spark):
     assert 3 not in got                     # no query terms -> no row
     # relevance ordering: doc 1 (both terms) above doc 2
     assert got[1] > got[2]
+
+
+def test_bpe_train_local_matches_relational(spark):
+    """The local (collected word-table) trainer must produce byte-identical
+    merges and vocab to the relational per-round loop — same (count, a, b)
+    tiebreak, same greedy fold."""
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest newest newer new"),
+         (2, "widest wide wider new lower")],
+        "doc_id long, text string",
+    )
+    m_rel, v_rel = bpe_train(docs, n_merges=12, strategy="relational")
+    m_loc, v_loc = bpe_train(docs, n_merges=12, strategy="local")
+    rel = [(r.rank, r.a, r.b, r["count"]) for r in
+           sorted(m_rel.collect(), key=lambda r: r.rank)]
+    loc = [(r.rank, r.a, r.b, r["count"]) for r in
+           sorted(m_loc.collect(), key=lambda r: r.rank)]
+    assert rel == loc
+    assert sorted(map(tuple, v_rel.collect())) == \
+        sorted(map(tuple, v_loc.collect()))
+
+
+def test_bpe_train_many_merges_is_fast(spark):
+    """256 merges must complete in seconds — the local trainer runs ONE
+    distributed word count then an in-memory incremental merge loop, not
+    256 sequential Spark jobs (a 50k-merge production tokenizer would be
+    hours of job-launch overhead relationally)."""
+    import time
+
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    text = " ".join(f"token{i % 97}ish{i % 13}suffix" for i in range(3000))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    merges, vocab = bpe_train(docs, n_merges=256)  # auto -> local
+    n = merges.count()
+    dt = time.time() - t0
+    assert n > 100  # enough pairs existed to keep merging
+    assert vocab.count() > 0
+    assert dt < 30, f"local BPE training took {dt:.1f}s"
