@@ -1431,6 +1431,19 @@ def _q_temporal_ops(spark, sf_dir):
             .unionByName(mk))
 
 
+# hll_estimate twin expression — ONE string evaluated by both engines
+# (Spark F.expr and DuckDB) over (zs, zeros): zs = Σ 2^(49-rho) exact
+# BIGINT, so the bias-corrected estimate is a single identical float
+# expression; the small-range ln-correction branch is the same CASE text.
+_HLL_EST_SQL = ("(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * "
+                "562949953421312.0 / (zs + zeros * 562949953421312)")
+_HLLE_CASE_SQL = (
+    f"CAST(CASE WHEN ({_HLL_EST_SQL}) <= 640.0 AND zeros > 0 "
+    f"THEN floor(256.0 * ln(256.0 / zeros)) "
+    f"ELSE floor({_HLL_EST_SQL}) END AS BIGINT)"
+)
+
+
 def _q_stats_ops(spark, sf_dir):
     """Stats family in one driver row: grouped exact quantiles, TF-IDF top
     terms, inverted-index fingerprints, stratified sampling, plus the
@@ -1477,15 +1490,52 @@ def _q_stats_ops(spark, sf_dir):
         F.explode(F.regexp_extract_all(
             F.lower(F.col("text")), F.lit(WORD_TOKEN_RE), F.lit(0)
         )).alias("tok"))
-    cms = SKT.count_min(toks, "tok", width=128, depth=3).select(
+    cms_raw = SKT.count_min(toks, "tok", width=128, depth=3)
+    cms = cms_raw.select(
         F.lit("cms").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("d").cast("long").alias("a"), F.col("w").alias("b"),
         F.col("cnt").alias("c"), lN.alias("d"))
-    hll = SKT.hll_registers(
-        spark.table("events").select("user_id"), "user_id", p=8
-    ).select(
+    # cms_lookup: probe a deterministic doc subset's tokens against the
+    # SAME sketch — min-over-depth estimates, misses counted as 0
+    probe_items = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(WORD_TOKEN_RE), F.lit(0)
+        )).alias("tok"))
+    cmq = SKT.cms_lookup(cms_raw, probe_items, "tok",
+                         width=128, depth=3).select(
+        F.lit("cmsq").alias("op"), F.col("tok").alias("s"), sN.alias("t"),
+        F.col("est").cast("long").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    hll_raw = SKT.hll_registers(
+        spark.table("events").select("user_id"), "user_id", p=8)
+    hll = hll_raw.select(
         F.lit("hll").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("bucket").alias("a"), F.col("max_rho").cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    # hll_estimate, gated through its exact dyadic components: z scaled by
+    # 2^49 is an exact BIGINT (register terms 2^(49-rho), zero buckets
+    # 2^49 each — order-free, unlike a float 2^-rho sum), and the
+    # bias-corrected estimate is ONE identical float expression in both
+    # engines. The Python hll_estimate() is cross-checked loudly below.
+    hlle_rel = hll_raw.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 49 - max_rho)"))
+        .alias("zs"),
+        (F.lit(256) - F.count(F.lit(1))).cast("long").alias("zeros"),
+    ).select("zs", "zeros", F.expr(_HLLE_CASE_SQL).alias("est_floor"))
+    _h_row = hlle_rel.collect()[0]
+    _est_py = SKT.hll_estimate(hll_raw, p=8)
+    if abs(_est_py - float(_h_row["est_floor"])) > 1.0:
+        raise AssertionError(
+            f"hll_estimate {_est_py} diverged from relational twin "
+            f"{_h_row['est_floor']}")
+    hle = hlle_rel.select(
+        F.lit("hlle").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("zs").alias("a"), F.col("zeros").alias("b"),
+        F.col("est_floor").alias("c"), lN.alias("d"))
+    bm = STT.bm25_scores(docs, ["join", "hash", "scan"]).select(
+        F.lit("bm25").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"),
+        F.floor(F.col("score") * 1000).cast("long").alias("b"),
         lN.alias("c"), lN.alias("d"))
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     bl = SKT.bloom_probe(
@@ -1497,10 +1547,38 @@ def _q_stats_ops(spark, sf_dir):
         F.col("doc_id").alias("a"),
         F.col("maybe_member").cast("long").alias("b"),
         lN.alias("c"), lN.alias("d"))
-    gm = SKT.gram_matrix(spark.table("embeddings"), dim=64).select(
+    embs_t = spark.table("embeddings")
+    gram_raw = SKT.gram_matrix(embs_t, dim=64).localCheckpoint(eager=True)
+    gm = gram_raw.select(
         F.lit("gram").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("i").alias("a"), F.col("j").alias("b"), F.col("s").alias("c"),
         lN.alias("d"))
+    # pca_components is a float eigensolve (no SQL twin exists); its
+    # driver gate is algebraic: the components must be unit-norm,
+    # mutually orthogonal, and Rayleigh-ordered over the SAME gram
+    # relation whose integer trace the row hashes — a pca regression
+    # raises here and turns the whole stats_ops row red.
+    _nr = embs_t.count()
+    _comps = SKT.pca_components(gram_raw, dim=64, n_rows=_nr,
+                                n_components=2)
+    import numpy as _np
+    _g = _np.zeros((64, 64))
+    for _r in gram_raw.collect():
+        _g[_r["i"], _r["j"]] = _r["s"]
+        _g[_r["j"], _r["i"]] = _r["s"]
+    _g /= max(_nr, 1)
+    _v1, _v2 = _np.array(_comps[0]), _np.array(_comps[1])
+    if not (abs(_np.linalg.norm(_v1) - 1) < 1e-8
+            and abs(_np.linalg.norm(_v2) - 1) < 1e-8
+            and abs(float(_v1 @ _v2)) < 1e-8
+            and float(_v1 @ _g @ _v1) >= float(_v2 @ _g @ _v2) > 0):
+        raise AssertionError("pca_components invariants violated")
+    pca = gram_raw.filter(F.col("i") == F.col("j")).agg(
+        F.sum("s").alias("_tr")
+    ).select(
+        F.lit("pca").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("_tr").alias("a"), F.lit(2).cast("long").alias("b"),
+        F.lit(64).cast("long").alias("c"), lN.alias("d"))
     vb = STT.build_vocab(docs, min_count=3, max_size=200)
     voc = vb.select(
         F.lit("vocab").alias("op"), F.col("token").alias("s"), sN.alias("t"),
@@ -1521,9 +1599,10 @@ def _q_stats_ops(spark, sf_dir):
         F.col("max_rho").cast("long").alias("b"), lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(ou).unionByName(cms)
-            .unionByName(hll).unionByName(bl).unionByName(gm)
-            .unionByName(voc).unionByName(enc).unionByName(ng)
-            .unionByName(hg))
+            .unionByName(cmq).unionByName(hll).unionByName(hle)
+            .unionByName(bm).unionByName(bl).unionByName(gm)
+            .unionByName(pca).unionByName(voc).unionByName(enc)
+            .unionByName(ng).unionByName(hg))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -1597,8 +1676,16 @@ def _q_graph_similarity(spark, sf_dir):
     strs = AN.stress_centrality(chains).select(
         F.lit("stress").alias("op"), F.col("id").alias("a"),
         F.col("stress").alias("b"), lN.alias("c"), lN.alias("d"))
+    # σ shortest-path counts (Brandes' sigma) on the chains: each ordered
+    # chain pair has exactly one shortest path of depth = position gap —
+    # the closed form the oracle states independently of the BFS logic
+    sig = AN.shortest_path_counts(chains).select(
+        F.lit("sigma").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), F.col("depth").alias("c"),
+        F.col("sigma").alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
-            .unionByName(hm).unionByName(mst).unionByName(strs))
+            .unionByName(hm).unionByName(mst).unionByName(strs)
+            .unionByName(sig))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -1660,17 +1747,96 @@ def _q_ann_search(spark, sf_dir):
             .unionByName(qt).unionByName(pool))
 
 
+def _q_stream_maintain(spark, sf_dir):
+    """Streaming maintenance folds, driver-gated: the events stream folds
+    into the three mergeable sketches (CMS/HLL/Bloom versioned store) and
+    the NEXT_ORDER edge stream folds into incrementally-maintained CC
+    labels — both split into 2 micro-batches (maxFilesPerTrigger=1,
+    availableNow), then the STORES are read back and hashed against the
+    batch twins over the full data (the batch-equivalence contract; the
+    CC oracle is the chain closed form). Streaming state per batch is
+    sketch-/node-sized, never corpus-sized."""
+    import shutil
+    import tempfile
+
+    from judy_graph_db_spark.streaming.components import (
+        foreach_batch_components, read_labels)
+    from judy_graph_db_spark.streaming.sketches import (
+        foreach_batch_sketches, read_sketches)
+
+    load_tpch_views(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="smaint_")
+    try:
+        ev_in = f"{base}/ev_in"
+        spark.table("events").select("user_id").repartition(2) \
+            .write.mode("overwrite").parquet(ev_in)
+        ev_stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1).parquet(ev_in)
+        )
+        q1 = foreach_batch_sketches(
+            ev_stream, f"{base}/sk", "user_id", checkpoint=f"{base}/ck1",
+            width=64, depth=2, p=6, m_bits=1 << 12, k=4)
+        q1.awaitTermination(600)
+
+        g = tpch_graph(spark, sf_dir)
+        chains = g.edges.filter(
+            (F.col("label") == "NEXT_ORDER") & ~F.col("is_back")
+        ).select("src", "dst")
+        cc_in = f"{base}/cc_in"
+        chains.repartition(2).write.mode("overwrite").parquet(cc_in)
+        cc_stream = (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", 1).parquet(cc_in)
+        )
+        q2 = foreach_batch_components(cc_stream, f"{base}/cc",
+                                      checkpoint=f"{base}/ck2")
+        q2.awaitTermination(600)
+
+        sN = F.lit(None).cast("string")
+        lN = F.lit(None).cast("long")
+        sk = read_sketches(spark, f"{base}/sk")
+        cms = sk["cms"].select(
+            F.lit("sk_cms").alias("op"), F.col("w").cast("long").alias(
+                "hour_bucket"), F.col("d").cast("string").alias("event_type"),
+            F.col("cnt").cast("long").alias("n"),
+            lN.alias("sum_value_cents"))
+        hll = sk["hll"].select(
+            F.lit("sk_hll").alias("op"),
+            F.col("bucket").cast("long").alias("hour_bucket"),
+            sN.alias("event_type"),
+            F.col("max_rho").cast("long").alias("n"),
+            lN.alias("sum_value_cents"))
+        bloom = sk["bloom"].select(
+            F.lit("sk_bloom").alias("op"),
+            F.col("word").cast("long").alias("hour_bucket"),
+            sN.alias("event_type"), F.col("bits").cast("long").alias("n"),
+            lN.alias("sum_value_cents"))
+        cc = read_labels(spark, f"{base}/cc").select(
+            F.lit("sk_cc").alias("op"),
+            F.col("id").cast("long").alias("hour_bucket"),
+            sN.alias("event_type"),
+            F.col("component").cast("long").alias("n"),
+            lN.alias("sum_value_cents"))
+        return (cms.unionByName(hll).unionByName(bloom).unionByName(cc)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_events_hourly_both(spark, sf_dir):
-    """The hourly rollup under BOTH executions in one driver row: the batch
-    plan and the real Structured Streaming run must produce the identical
-    answer (stream/batch unification)."""
+    """The hourly rollup under BOTH executions in one driver row — the
+    batch plan and the real Structured Streaming run must produce the
+    identical answer (stream/batch unification) — plus the streaming
+    maintenance folds (sketch store + incremental CC labels), hashed
+    against their batch twins."""
     b = _q_events_hourly(spark, sf_dir).select(
         F.lit("batch").alias("op"), "hour_bucket", "event_type", "n",
         "sum_value_cents")
     s = _q_events_hourly_stream(spark, sf_dir).select(
         F.lit("stream").alias("op"), "hour_bucket", "event_type", "n",
         "sum_value_cents")
-    return b.unionByName(s)
+    return b.unionByName(s).unionByName(_q_stream_maintain(spark, sf_dir))
 
 
 def _q_chunk_shard(spark, sf_dir):
@@ -1695,7 +1861,7 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("shard").alias("op"), "doc_id",
         F.col("shard").cast("long").alias("a"), sN.alias("s"),
         F.col("n_tokens").cast("long").alias("b"))
-    from judy_graph_db_spark.operators.bpe import bpe_train
+    from judy_graph_db_spark.operators.bpe import bpe_encode, bpe_train
 
     merges, bvocab = bpe_train(spark.table("documents"), n_merges=8)
     bm = merges.select(
@@ -1705,8 +1871,19 @@ def _q_chunk_shard(spark, sf_dir):
     bv = bvocab.select(
         F.lit("bpe_vocab").alias("op"), lN.alias("doc_id"),
         F.col("freq").alias("a"), F.col("symbol").alias("s"), lN.alias("b"))
+    # encode a deterministic doc subset with the learned merges: the
+    # shuffle-free literal-fold tokenization pass, hash-checked against
+    # the oracle's word→final-segmentation join
+    be = bpe_encode(
+        spark.table("documents").filter(F.col("doc_id") % 17 == 0), merges
+    ).select(
+        F.lit("bpe_enc").alias("op"), "doc_id",
+        F.col("word_pos").alias("a"),
+        F.concat_ws("@", F.col("symbol"),
+                    F.col("sym_pos").cast("string")).alias("s"),
+        F.col("sym_pos").alias("b"))
     return (ch.unionByName(sh).unionByName(pk)
-            .unionByName(bm).unionByName(bv))
+            .unionByName(bm).unionByName(bv).unionByName(be))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1941,7 +2118,7 @@ SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
 FROM orders GROUP BY 1""",
         # both execution modes against one twin: the stream must compute the
         # exact batch answer (stream/batch unification)
-        "events_hourly_batch_stream": """
+        "events_hourly_batch_stream": f"""
 WITH hourly AS (
   SELECT CAST(year(ts) * 1000000 + month(ts) * 10000 + day(ts) * 100 + hour(ts) AS BIGINT) AS hour_bucket,
          event_type,
@@ -1951,7 +2128,28 @@ WITH hourly AS (
 )
 SELECT 'batch' AS op, hour_bucket, event_type, n, sum_value_cents FROM hourly
 UNION ALL
-SELECT 'stream', hour_bucket, event_type, n, sum_value_cents FROM hourly""",
+SELECT 'stream', hour_bucket, event_type, n, sum_value_cents FROM hourly
+UNION ALL
+SELECT 'sk_cms', w, CAST(d AS VARCHAR), cnt, NULL
+FROM ({O.count_min_sql("CAST(user_id AS VARCHAR)", "FROM events",
+                       width=64, depth=2)}) sm1
+UNION ALL
+SELECT 'sk_hll', bucket, NULL, CAST(max_rho AS BIGINT), NULL
+FROM ({O.hll_registers_sql("CAST(user_id AS VARCHAR)", "FROM events",
+                           p=6)}) sm2
+UNION ALL
+SELECT 'sk_bloom', word, NULL, CAST(bits AS BIGINT), NULL
+FROM ({O.bloom_build_sql("CAST(user_id AS VARCHAR)", "FROM events",
+                         m_bits=1 << 12, k=4)}) sm3
+UNION ALL
+SELECT 'sk_cc', CAST(5*{B} + o_orderkey AS BIGINT), NULL,
+       CAST(5*{B} + min_key AS BIGINT), NULL
+FROM (
+  SELECT o_orderkey,
+         MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS min_key,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+) smcc WHERE n_orders >= 2""",
         "event_sessions": """
 WITH marked AS (
   SELECT user_id, ts,
@@ -2228,7 +2426,11 @@ UNION ALL
 SELECT CASE WHEN op = 'merge' THEN 'bpe_merge' ELSE 'bpe_vocab' END,
        rank, cnt, CASE WHEN op = 'merge' THEN a || '|' || b ELSE a END,
        NULL
-FROM ({BPE.bpe_train_oracle_sql(n_merges=8)}) t4""",
+FROM ({BPE.bpe_train_oracle_sql(n_merges=8)}) t4
+UNION ALL
+SELECT 'bpe_enc', doc_id, word_pos,
+       symbol || '@' || CAST(sym_pos AS VARCHAR), sym_pos
+FROM ({BPE.bpe_encode_oracle_sql(n_merges=8, where="doc_id % 17 = 0")}) t5""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d
@@ -2485,9 +2687,37 @@ FROM ({O.count_min_sql(
             width=128, depth=3,
         )}) t7
 UNION ALL
+SELECT 'cmsq', tok, NULL, est, NULL, NULL, NULL
+FROM ({O.cms_lookup_sql(
+            "tok",
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), "
+            f"{O.WORD_TOKEN_RE_SQL})) AS tok FROM documents "
+            "WHERE doc_id % 101 = 0) pq",
+            "tok",
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), "
+            f"{O.WORD_TOKEN_RE_SQL})) AS tok FROM documents) bq",
+            width=128, depth=3, out_col="tok",
+        )}) t7b
+UNION ALL
 SELECT 'hll', NULL, NULL, bucket, CAST(max_rho AS BIGINT), NULL, NULL
 FROM ({O.hll_registers_sql("CAST(user_id AS VARCHAR)", "FROM events",
                            p=8)}) t8
+UNION ALL
+SELECT 'hlle', NULL, NULL, zs, zeros, {_HLLE_CASE_SQL}, NULL
+FROM (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT) AS zs,
+         CAST(256 - COUNT(*) AS BIGINT) AS zeros
+  FROM ({O.hll_registers_sql("CAST(user_id AS VARCHAR)", "FROM events",
+                             p=8)}) hr
+) t8b
+UNION ALL
+SELECT 'bm25', NULL, NULL, doc_id, score_scaled, NULL, NULL
+FROM ({O.bm25_sql(["join", "hash", "scan"], scale=1000)}) t8c
+UNION ALL
+SELECT 'pca', NULL, NULL,
+       (SELECT CAST(SUM(s) AS BIGINT) FROM ({O.gram_matrix_sql(dim=64)}) gg
+        WHERE i = j),
+       2, 64, NULL
 UNION ALL
 SELECT 'bloom', NULL, NULL, id, CAST(maybe_member AS BIGINT), NULL, NULL
 FROM ({O.bloom_probe_sql(
@@ -2619,7 +2849,21 @@ FROM (WITH pos AS (
 )
 SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
        CAST((i - 1) * (L - i) AS BIGINT) AS stress
-FROM pos WHERE i > 1 AND i < L) t7""",
+FROM pos WHERE i > 1 AND i < L) t7
+UNION ALL
+SELECT 'sigma', src, dst, depth, sigma
+FROM (WITH pos AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i
+  FROM orders
+)
+SELECT CAST(5*{B} + pa.o_orderkey AS BIGINT) AS src,
+       CAST(5*{B} + pb.o_orderkey AS BIGINT) AS dst,
+       CAST(pb.i - pa.i AS BIGINT) AS depth,
+       CAST(1 AS BIGINT) AS sigma
+FROM pos pa JOIN pos pb
+  ON pa.o_custkey = pb.o_custkey AND pb.i > pa.i) t8""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

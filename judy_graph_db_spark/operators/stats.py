@@ -356,8 +356,12 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
         ).alias("term"),
     )
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # avgdl as exact-long-sum / count (ONE float division): Spark's
+    # avg(long) sums doubles in partition order, which drifts a ulp from
+    # the SQL twin's exact-integer mean; this form is order-free in both
     stats_ = dl.agg(
-        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
     qt = [t.lower() for t in query_terms]
     tf = (
         toks.filter(F.col("term").isin(qt))

@@ -948,6 +948,40 @@ c AS (
 SELECT {id_col}, {group_col}, q_score FROM c WHERE q_score >= cut"""
 
 
+def bm25_sql(query_terms, k1: float = 1.2, b: float = 0.75,
+             id_col: str = "doc_id", text_col: str = "text",
+             table: str = "documents", scale: int = 1000) -> str:
+    """Twin of ``stats.bm25_scores`` at ``floor(score·scale)`` integer
+    precision. Float-identical by construction: avgdl is exact-long-sum /
+    count (one division) on both sides, every float op appears in the
+    same textual order, and the ln argument is a rational of integers —
+    the only cross-engine exposure is ln's last ulp, ~1e-13 odds of
+    flipping a milli-floor."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+WITH btoks AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}))
+           AS term
+  FROM {table}
+),
+bdl AS (SELECT {id_col}, COUNT(*) AS dl FROM btoks GROUP BY {id_col}),
+bst AS (SELECT COUNT(*) AS N,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM bdl),
+btf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM btoks
+        WHERE term IN ({terms}) GROUP BY {id_col}, term),
+bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY term)
+SELECT btf.{id_col} AS {id_col},
+       CAST(FLOOR(SUM(
+         ln(1.0 + (bst.N - bdf.df + 0.5) / (bdf.df + 0.5))
+         * (btf.tf * {k1 + 1!r})
+         / (btf.tf + {k1!r} * (1 - {b!r} + {b!r} * bdl.dl / bst.avgdl))
+       ) * {scale}) AS BIGINT) AS score_scaled
+FROM btf
+JOIN bdf USING (term) JOIN bdl USING ({id_col}) CROSS JOIN bst
+GROUP BY btf.{id_col}"""
+
+
 def token_commonness_sql(id_col: str = "doc_id", text_col: str = "text",
                          table: str = "documents") -> str:
     """Twin of ``stats.token_commonness``."""
