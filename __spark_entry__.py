@@ -558,13 +558,17 @@ def _q_persisted_roundtrip(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     # z-order layout: the Morton value is deterministic (integer-exact
-    # rank quantiles), so the clustering key itself is hash-checkable
+    # rank quantiles), so the clustering key itself is hash-checkable.
+    # max_exact_distinct is pinned ABOVE any fixture cardinality (o_cents
+    # has ~150k distinct at sf0.1) because the DuckDB twin is the exact
+    # dense_rank form — the sampled high-cardinality path is approximate
+    # by design and covered by its own plan/agreement tests instead.
     zv = zorder_value(
         spark.table("orders").select(
             "o_orderkey", "o_custkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
         ),
-        ["o_custkey", "o_cents"], bits=8,
+        ["o_custkey", "o_cents"], bits=8, max_exact_distinct=1 << 24,
     ).select(
         F.lit("zorder").alias("op"), F.lit(None).cast("string").alias("label"),
         F.col("o_orderkey").alias("n1"), F.col("zvalue").alias("n2"),
@@ -1490,7 +1494,10 @@ def _q_stats_ops(spark, sf_dir):
         F.explode(F.regexp_extract_all(
             F.lower(F.col("text")), F.lit(WORD_TOKEN_RE), F.lit(0)
         )).alias("tok"))
-    cms_raw = SKT.count_min(toks, "tok", width=128, depth=3)
+    # checkpointed: feeds both the 'cms' rows and the cms_lookup probe —
+    # without it the full-corpus tokenize+count re-runs per consumer
+    cms_raw = SKT.count_min(toks, "tok", width=128, depth=3) \
+        .localCheckpoint(eager=True)
     cms = cms_raw.select(
         F.lit("cms").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("d").cast("long").alias("a"), F.col("w").alias("b"),
@@ -1506,8 +1513,11 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("cmsq").alias("op"), F.col("tok").alias("s"), sN.alias("t"),
         F.col("est").cast("long").alias("a"), lN.alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # checkpointed: consumed by the 'hll' rows, the hlle_rel collect, and
+    # the final union's 'hlle' rows
     hll_raw = SKT.hll_registers(
-        spark.table("events").select("user_id"), "user_id", p=8)
+        spark.table("events").select("user_id"), "user_id", p=8) \
+        .localCheckpoint(eager=True)
     hll = hll_raw.select(
         F.lit("hll").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("bucket").alias("a"), F.col("max_rho").cast("long").alias("b"),
@@ -1562,11 +1572,7 @@ def _q_stats_ops(spark, sf_dir):
     _comps = SKT.pca_components(gram_raw, dim=64, n_rows=_nr,
                                 n_components=2)
     import numpy as _np
-    _g = _np.zeros((64, 64))
-    for _r in gram_raw.collect():
-        _g[_r["i"], _r["j"]] = _r["s"]
-        _g[_r["j"], _r["i"]] = _r["s"]
-    _g /= max(_nr, 1)
+    _g = SKT.gram_to_dense(gram_raw, dim=64, n_rows=_nr)
     _v1, _v2 = _np.array(_comps[0]), _np.array(_comps[1])
     if not (abs(_np.linalg.norm(_v1) - 1) < 1e-8
             and abs(_np.linalg.norm(_v2) - 1) < 1e-8

@@ -114,15 +114,21 @@ class Graph:
         undirected incidence counts from both sides) — the fan-out half
         of the planner's statistics: a label with few nodes but huge
         degree is a BAD seed because its first hop explodes, which node
-        counts alone cannot see. One broadcast-able label join + groupBy,
-        computed once per Graph and cached like :meth:`label_counts`."""
+        counts alone cannot see. One degree pre-aggregation + distributed
+        label join, computed once per Graph and cached like
+        :meth:`label_counts`."""
         if self._label_edge_counts is None:
+            # pre-aggregate edges to per-src degrees (edge scan with
+            # map-side combine), then a plain distributed join to labels
+            # — NO broadcast of the node-sized relation; only the
+            # |labels|-row result reaches the driver
+            deg = self.edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("_d"))
             lab = self.nodes.select("id", F.col("label").alias("_nl"))
             self._label_edge_counts = {
                 r["_nl"]: r["n"]
-                for r in self.edges.select(F.col("src").alias("id"))
-                .join(F.broadcast(lab), "id")
-                .groupBy("_nl").agg(F.count(F.lit(1)).alias("n"))
+                for r in deg.join(lab, "id")
+                .groupBy("_nl").agg(F.sum("_d").alias("n"))
                 .collect()
             }
         return self._label_edge_counts

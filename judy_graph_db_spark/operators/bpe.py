@@ -65,25 +65,44 @@ def _train_merges_local(words: list, n_merges: int) -> list:
     """Classic in-memory BPE merge loop (Sennrich et al. 2016 `learn_bpe`)
     with incremental pair-count maintenance: each merge touches only the
     words that contain the merged pair (inverted index), not the whole
-    table. ``words`` is a list of ``[syms, freq]`` mutated in place;
-    returns ``[(rank, a, b, count), ...]`` with the same
-    ``(count DESC, a ASC, b ASC)`` best-pair order as the relational path.
+    table. Best-pair selection is a lazy-invalidation max-heap (the
+    HF-tokenizers structure): every count change pushes a fresh
+    ``(-count, a, b)`` entry, and pops discard entries whose count no
+    longer matches — O(log |pairs|) selection per round instead of a full
+    dict scan, which is what makes 30k-50k production merges tractable.
+    The heap key reproduces the relational ``(count DESC, a ASC, b ASC)``
+    order exactly. ``words`` is a list of ``[syms, freq]`` mutated in
+    place; returns ``[(rank, a, b, count), ...]``.
     """
+    import heapq  # noqa: PLC0415
     from collections import defaultdict  # noqa: PLC0415
 
     pair_counts: dict = defaultdict(int)
     pair_words: dict = defaultdict(set)
+    heap: list = []
+
+    def bump(p: tuple, delta: int) -> None:
+        c = pair_counts[p] + delta
+        pair_counts[p] = c
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
+
     for idx, (syms, freq) in enumerate(words):
         for i in range(len(syms) - 1):
             p = (syms[i], syms[i + 1])
             pair_counts[p] += freq
             pair_words[p].add(idx)
+    for p, c in pair_counts.items():
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
     merges = []
     for rank in range(n_merges):
         best, maxc = None, 0
-        for p, c in pair_counts.items():
-            if c > maxc or (c == maxc and c > 0 and p < best):
-                best, maxc = p, c
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:  # live entry
+                best, maxc = p, -negc
+                break
         if best is None:
             break
         a, b = best
@@ -93,13 +112,14 @@ def _train_merges_local(words: list, n_merges: int) -> list:
         for idx in list(pair_words.pop(best, ())):
             syms, freq = words[idx]
             for i in range(len(syms) - 1):
-                pair_counts[(syms[i], syms[i + 1])] -= freq
+                bump((syms[i], syms[i + 1]), -freq)
             new = _apply_merge_local(syms, a, b)
             words[idx] = [new, freq]
             for i in range(len(new) - 1):
                 p = (new[i], new[i + 1])
-                pair_counts[p] += freq
+                bump(p, freq)
                 pair_words[p].add(idx)
+        pair_counts.pop(best, None)
     return merges
 
 

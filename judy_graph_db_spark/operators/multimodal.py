@@ -381,8 +381,6 @@ def _mp4_meta(b: bytes) -> tuple[int, int, int, int, int]:
                         w = struct.unpack(">I", b[off:off + 4])[0] >> 16
                         h = struct.unpack(">I", b[off + 4:off + 8])[0] >> 16
                         trak_w, trak_h = w, h
-                        if w and h and width is None:
-                            width, height = w, h
                     elif t3 == b"mdia":
                         for t4, lo4, hi4 in boxes(lo3, hi3):
                             if t4 == b"hdlr":
@@ -406,10 +404,15 @@ def _mp4_meta(b: bytes) -> tuple[int, int, int, int, int]:
                                             trak_frames += cnt
                 # a trak is the video track if hdlr says so, or — for
                 # headerless fixtures without hdlr — if tkhd carries
-                # nonzero visual dimensions (audio tkhd dims are 0)
+                # nonzero visual dimensions (audio tkhd dims are 0).
+                # BOTH dims and frames commit under this test: subtitle/
+                # chapter tracks also carry nonzero tkhd dims, so "first
+                # nonzero dims" alone would report a caption box's size.
                 if handler == b"vide" or (handler is None
                                           and trak_w and trak_h):
                     n_frames += trak_frames
+                    if trak_w and trak_h and width is None:
+                        width, height = trak_w, trak_h
     if timescale is None:
         raise ValueError("MP4 payload missing moov/mvhd")
     duration_ms = duration * 1000 // max(timescale, 1)

@@ -304,6 +304,21 @@ def gram_matrix(embs: DataFrame, vec_col: str = "embedding", dim: int = 64,
     return part.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
 
+def gram_to_dense(gram: DataFrame, dim: int, n_rows: int):
+    """Collect a ``gram_matrix`` relation into the dense symmetric
+    second-moment numpy matrix (divided by ``n_rows``) — the single
+    reconstruction shared by :func:`pca_components` and the driver gate's
+    invariant checks, so the normalization can't drift between them."""
+    import numpy as np
+
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in gram.collect():
+        g[r["i"], r["j"]] = r["s"]
+        g[r["j"], r["i"]] = r["s"]
+    g /= max(n_rows, 1)
+    return g
+
+
 def pca_components(gram: DataFrame, dim: int, n_rows: int,
                    n_components: int = 2) -> "list[list[float]]":
     """Driver-side top eigenvectors of the (centered-free) second-moment
@@ -313,11 +328,7 @@ def pca_components(gram: DataFrame, dim: int, n_rows: int,
     oracle-hashed (eigensolves are float)."""
     import numpy as np
 
-    g = np.zeros((dim, dim), dtype=np.float64)
-    for r in gram.collect():
-        g[r["i"], r["j"]] = r["s"]
-        g[r["j"], r["i"]] = r["s"]
-    g /= max(n_rows, 1)
+    g = gram_to_dense(gram, dim, n_rows)
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:n_components]
     return [vecs[:, k].tolist() for k in order]

@@ -282,13 +282,13 @@ def _endpoint_cost(g: Graph, spec: N) -> int:
     → their count (degrees unknowable without a per-id probe); anyNode →
     totals. Falls back to the 3-bucket model when stats are unavailable
     (e.g. nodes not yet materialized)."""
+    if spec.ids is not None:  # no stats needed — don't trigger ANALYZE
+        return len(spec.ids)
     try:
         counts = g.label_counts()
         ecounts = g.label_edge_counts()
     except Exception:
         return spec.complexity()
-    if spec.ids is not None:
-        return len(spec.ids)
     if spec.labels is not None:
         return sum(counts.get(l, 0) + ecounts.get(l, 0)
                    for l in spec.labels)

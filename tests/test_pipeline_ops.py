@@ -717,11 +717,15 @@ def test_mp4_meta_ignores_audio_track_samples():
     ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
     mvhd = _box(b"mvhd", bytes(12) + struct.pack(">II", 600, 1800)
                 + bytes(80))
+    # subtitle track FIRST, with nonzero tkhd dims (caption boxes do
+    # carry dims) — neither its dims nor its samples may win
+    subs = _trak(640, 60, (99,), handler=b"text")
     video = _trak(320, 240, (24, 6), handler=b"vide")
     audio = _trak(0, 0, (44100,), handler=b"soun")
-    w, h, ts, nf, ms = _mp4_meta(ftyp + _box(b"moov", mvhd + video + audio))
-    assert (w, h, ts) == (320, 240, 600)
-    assert nf == 30  # NOT 30 + 44100
+    w, h, ts, nf, ms = _mp4_meta(
+        ftyp + _box(b"moov", mvhd + subs + video + audio))
+    assert (w, h, ts) == (320, 240, 600)  # NOT the 640x60 caption box
+    assert nf == 30  # NOT 30 + 44100 + 99
 
 
 def test_mp4_meta_parses_real_boxes():
