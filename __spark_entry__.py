@@ -1157,6 +1157,18 @@ def _q_doc_signals(spark, sf_dir):
         F.lit("@example.com 10.0.0.1 555-12-3456 +1 (415) 555-01"),
         ((F.col("doc_id") % 90) + 10).cast("string"),
     )
+    # URL-injected variant (fixture text has no URLs) — proves the
+    # extraction patterns fire; the bare plain.example.com must NOT count
+    url_t = F.concat(
+        t, F.lit(" http://d"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/a x https://www.site"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".org/path?q=1 plain.example.com"),
+    )
+    # line-structured variant (fixture docs are single-line): a repeated
+    # full line + a prefix line; the intra-doc dedup must keep 2 lines
+    from judy_graph_db_spark.operators.curation import dedup_lines_col
+    lined_t = F.concat_ws("\n", t, t, F.substring(t, 1, 40), t)
     return d.select(
         "doc_id",
         T.token_count(t).alias("n_tokens"),
@@ -1175,6 +1187,11 @@ def _q_doc_signals(spark, sf_dir):
         T.pii_count(pii_t, "ssn").alias("n_ssn"),
         T.pii_count(pii_t, "phone").alias("n_phones"),
         F.md5(T.redact_pii(pii_t)).alias("redacted_md5"),
+        T.url_count(url_t).alias("n_urls"),
+        F.array_join(T.url_domains(url_t), "|").alias("domains"),
+        F.size(F.split(dedup_lines_col(lined_t), "\n"))
+        .cast("long").alias("n_uniq_lines"),
+        F.md5(dedup_lines_col(lined_t)).alias("stripped_md5"),
     )
 
 
@@ -1966,6 +1983,13 @@ def oracle_sql() -> dict[str, str]:
     PII_T_SQL = ("(text || ' user' || CAST(doc_id AS VARCHAR) || "
                  "'@example.com 10.0.0.1 555-12-3456 +1 (415) 555-01' || "
                  "CAST(doc_id % 90 + 10 AS VARCHAR))")
+    # URL- and line-injected twins of _q_doc_signals' url_t / lined_t
+    URL_T_SQL = ("(text || ' http://d' || CAST(doc_id % 7 AS VARCHAR) || "
+                 "'.example.com/a x https://www.site' || "
+                 "CAST(doc_id % 3 AS VARCHAR) || "
+                 "'.org/path?q=1 plain.example.com')")
+    LINED_T_SQL = ("(text || chr(10) || text || chr(10) || "
+                   "substr(text, 1, 40) || chr(10) || text)")
     snap_new_sql = (
         "SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || 'x' "
         "ELSE text END AS text FROM documents WHERE doc_id % 25 != 1 "
@@ -2203,7 +2227,13 @@ SELECT doc_id,
        {O.pii_count_sql("ipv4", PII_T_SQL)} AS n_ipv4,
        {O.pii_count_sql("ssn", PII_T_SQL)} AS n_ssn,
        {O.pii_count_sql("phone", PII_T_SQL)} AS n_phones,
-       md5({O.redact_pii_sql(PII_T_SQL)}) AS redacted_md5
+       md5({O.redact_pii_sql(PII_T_SQL)}) AS redacted_md5,
+       {O.url_count_sql(URL_T_SQL)} AS n_urls,
+       COALESCE(array_to_string({O.url_domains_sql(URL_T_SQL)}, '|'), '')
+         AS domains,
+       CAST(len(string_split({O.dedup_lines_sql(LINED_T_SQL)}, chr(10)))
+            AS BIGINT) AS n_uniq_lines,
+       md5({O.dedup_lines_sql(LINED_T_SQL)}) AS stripped_md5
 FROM documents""",
         "exact_dedup": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -209,3 +209,28 @@ def redact_pii(text: Column) -> Column:
     for kind in PII_REDACT_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# --- URL / domain signals -----------------------------------------------------
+# ASCII-only classes (no \w, no unicode) so Java regex and RE2 agree; the
+# scheme match is case-normalized by lowering the text first.
+URL_RE = r"https?://[a-z0-9][a-z0-9.\-]*(?:/[a-z0-9._/?=&%\-]*)?"
+URL_DOMAIN_RE = r"https?://([a-z0-9.\-]+)"
+
+
+def url_count(text: Column) -> Column:
+    """Number of http(s) URLs in the text — the signal behind URL-based
+    dedup and per-domain corpus caps. Pure codegen (one regexp over the
+    lowered text), scan-stage at any scale."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(URL_RE), F.lit(0))
+    ).cast("long")
+
+
+def url_domains(text: Column) -> Column:
+    """Array of the domains of every http(s) URL in the text, in document
+    order (duplicates kept — callers aggregate). Feeds per-domain quota
+    caps (`curation.cap_per_group`) and domain-mixture planning without a
+    separate URL table."""
+    return F.regexp_extract_all(F.lower(text), F.lit(URL_DOMAIN_RE),
+                                F.lit(1))

@@ -24,7 +24,7 @@ Design notes for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from judy_graph_db_spark.functions.text import token_count
@@ -417,3 +417,32 @@ def leakage_safe_split(df: DataFrame, clusters: DataFrame,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return keyed.withColumn(out, expr).drop("__cl", "__k")
+
+
+def dedup_lines_col(text: Column) -> Column:
+    """Column form of :func:`strip_repeated_lines`: the text with every
+    line that exactly repeats an EARLIER line removed (first occurrence
+    kept, order preserved) — the Gopher-style intra-document cleanup that
+    `functions.text.dup_line_permille` only measures.
+
+    Pure codegen: one ``aggregate`` fold over the split array whose
+    accumulator is the kept-lines array (membership check per element —
+    O(lines²) per document, zero shuffle, runs in the scan stage of a
+    100 TB read; boilerplate-heavy docs have few distinct lines, which is
+    exactly when the quadratic term collapses). SQL twin: the identical
+    fold via DuckDB ``list_reduce`` over singleton lists
+    (``oracle.dedup_lines_sql``)."""
+    kept = F.aggregate(
+        F.split(text, "\n"),
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc)
+        .otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.array_join(kept, "\n")
+
+
+def strip_repeated_lines(docs: DataFrame, text_col: str = "text",
+                         out_col: str = "clean_text") -> DataFrame:
+    """Remove intra-document repeated lines (see :func:`dedup_lines_col`)
+    as a table transform: adds ``out_col`` with the cleaned text."""
+    return docs.withColumn(out_col, dedup_lines_col(F.col(text_col)))

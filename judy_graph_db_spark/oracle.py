@@ -948,6 +948,39 @@ c AS (
 SELECT {id_col}, {group_col}, q_score FROM c WHERE q_score >= cut"""
 
 
+def url_count_sql(col: str = "text") -> str:
+    """Twin of ``text.url_count``."""
+    from judy_graph_db_spark.functions.text import URL_RE
+
+    return (f"CAST(len(regexp_extract_all(lower({col}), "
+            f"{_sql_quote_regex(URL_RE)})) AS BIGINT)")
+
+
+def url_domains_sql(col: str = "text") -> str:
+    """Twin of ``text.url_domains`` (returns a list; callers join/unnest)."""
+    from judy_graph_db_spark.functions.text import URL_DOMAIN_RE
+
+    return (f"regexp_extract_all(lower({col}), "
+            f"{_sql_quote_regex(URL_DOMAIN_RE)}, 1)")
+
+
+def dedup_lines_sql(col: str = "text") -> str:
+    """Twin of ``curation.dedup_lines_col``: the same keep-first fold via
+    ``list_reduce`` over singleton lists (DuckDB's reduce seeds from the
+    first element, which equals Spark's empty-seed fold here because the
+    first line is always kept). The skip branch appends ``x[2:]`` (empty,
+    correctly typed) instead of returning ``acc`` verbatim — DuckDB 1.0's
+    list_reduce mis-evaluates a CASE branch that yields the accumulator
+    unchanged once a later element takes the other branch."""
+    return (
+        f"array_to_string(list_reduce("
+        f"list_transform(string_split({col}, chr(10)), s -> [s]), "
+        f"(acc, x) -> list_concat(acc, "
+        f"CASE WHEN list_contains(acc, x[1]) THEN x[2:] ELSE x END)), "
+        f"chr(10))"
+    )
+
+
 def bm25_sql(query_terms, k1: float = 1.2, b: float = 0.75,
              id_col: str = "doc_id", text_col: str = "text",
              table: str = "documents", scale: int = 1000) -> str:

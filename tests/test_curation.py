@@ -159,3 +159,44 @@ def test_split_widths_must_be_positive(spark):
         CU.hash_split(docs, {"train": 256, "val": 0})
     with _pytest.raises(ValueError, match="positive"):
         CU.leakage_safe_split(docs, clusters, {"train": 256, "val": 0})
+
+
+def test_strip_repeated_lines(spark):
+    """Keep-first intra-document line dedup: order preserved, later exact
+    repeats dropped, distinct lines untouched; cross-checked against the
+    DuckDB list_reduce twin."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import dedup_lines_sql
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\nd"),
+            (2, "same\nsame\nsame"),
+            (3, "only one line"),
+            (4, "x\n\ny\n\nx"),  # empty lines dedup like any other line
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.clean_text
+           for r in CU.strip_repeated_lines(docs).collect()}
+    assert out == {1: "a\nb\nc\nd", 2: "same", 3: "only one line",
+                   4: "x\n\ny"}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    for i, s in [(1, "a\nb\na\nc\nb\nd"), (2, "same\nsame\nsame"),
+                 (3, "only one line"), (4, "x\n\ny\n\nx")]:
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    twin = dict(con.execute(
+        f"SELECT doc_id, {dedup_lines_sql('text')} FROM t").fetchall())
+    assert twin == out
+
+
+def test_strip_repeated_lines_is_shuffle_free(spark):
+    from judy_graph_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = CU.strip_repeated_lines(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-stage fold

@@ -774,3 +774,37 @@ def test_video_features_stub_deterministic(spark):
     assert a.n_frames == 12
     assert a.duration_ms == 12 * 1000 // (24 + ord("c") % 8)
     assert rows[2].width == 160 and rows[2].n_frames == 0
+
+
+def test_url_signals(spark):
+    """URL count + domain extraction: scheme required (bare domains don't
+    count), case-normalized, document order preserved."""
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see HTTP://A.Example.COM/path and https://b.org plus c.net"),
+            (2, "no urls at all"),
+            (3, "https://x.io/a?q=1&r=2 https://x.io/b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n, r.d) for r in docs.select(
+        "doc_id", T.url_count(F.col("text")).alias("n"),
+        F.array_join(T.url_domains(F.col("text")), "|").alias("d")).collect()}
+    assert got == {1: (2, "a.example.com|b.org"), 2: (0, ""),
+                   3: (2, "x.io|x.io")}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    for i, s in [(1, "see HTTP://A.Example.COM/path and https://b.org plus c.net"),
+                 (2, "no urls at all"), (3, "https://x.io/a?q=1&r=2 https://x.io/b")]:
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, s])
+    twin = {r[0]: (r[1], r[2]) for r in con.execute(
+        f"SELECT doc_id, {O.url_count_sql('text')}, "
+        f"COALESCE(array_to_string({O.url_domains_sql('text')}, '|'), '') "
+        f"FROM t"
+    ).fetchall()}
+    assert twin == got

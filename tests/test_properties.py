@@ -210,3 +210,52 @@ def test_msf_spans_components_acyclically(spark, edges):
         assert find2(a) != find2(b), "forest contains a cycle"
         parent2[find2(a)] = find2(b)
     assert len({find2(v) for v in nodes}) == n_comp
+
+
+# --- local BPE trainer: heap selection == brute-force scan -------------------
+
+def _bpe_bruteforce(words, n_merges):
+    """Reference implementation: full pair recount + full scan per round,
+    same (count DESC, a ASC, b ASC) selection and greedy fold."""
+    from judy_graph_db_spark.operators.bpe import _apply_merge_local
+
+    words = [list(w) for w in words]
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        live = [(c, p) for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        maxc = max(c for c, _ in live)
+        best = min(p for c, p in live if c == maxc)
+        merges.append((rank, best[0], best[1], maxc))
+        for i, (syms, freq) in enumerate(words):
+            words[i] = [_apply_merge_local(syms, *best), freq]
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_merges=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_local_bpe_heap_matches_bruteforce(words, n_merges):
+    """The lazy-invalidation heap + incremental pair counts must pick the
+    exact same merge sequence as a full recount-and-scan every round —
+    including pair reappearance after merges and duplicate words."""
+    from judy_graph_db_spark.operators.bpe import _train_merges_local
+
+    table = [[list(w) + ["</w>"], f] for w, f in words]
+    got = _train_merges_local([[syms[:], f] for syms, f in table], n_merges)
+    want = _bpe_bruteforce([[syms[:], f] for syms, f in table], n_merges)
+    assert got == want
