@@ -1335,9 +1335,26 @@ def _q_corpus_curation(spark, sf_dir):
     df_ = CU.snapshot_diff(docs.select("doc_id", "text"), snap_new).select(
         F.lit("diff").alias("op"), "doc_id", F.col("status").alias("split"),
         lN.alias("n"), lN.alias("a"), lN.alias("b"))
+    # corpus-wide boilerplate removal over a line-structured variant (the
+    # fixture is single-line): injected banner/footer lines are shared by
+    # every doc; the text line and its 30-char prefix are shared only
+    # between exact-duplicate docs — both kinds must vanish, unique lines
+    # must survive in order
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("(c) example corp - all rights reserved"),
+            F.col("text"), F.lit("cookie notice: this site uses cookies"),
+            F.substring(F.col("text"), 1, 30)).alias("text"))
+    bo = CU.remove_boilerplate_lines(lined).select(
+        F.lit("boiler").alias("op"), "doc_id",
+        F.md5(F.col("clean_text")).alias("split"),
+        F.size(F.split(F.col("clean_text"), "\n")).cast("long").alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
-            .unionByName(mx).unionByName(df_).unionByName(ls))
+            .unionByName(mx).unionByName(df_).unionByName(ls)
+            .unionByName(bo))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -1620,12 +1637,17 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("hllg").alias("op"), F.col("event_type").alias("s"),
         sN.alias("t"), F.col("bucket").alias("a"),
         F.col("max_rho").cast("long").alias("b"), lN.alias("c"), lN.alias("d"))
+    rep = STT.repetition_signals(docs).select(
+        F.lit("rep").alias("op"), F.col("n_grams").cast("string").alias("s"),
+        sN.alias("t"), F.col("doc_id").alias("a"), F.col("n").alias("b"),
+        F.col("top_gram_permille").alias("c"),
+        F.col("dup_gram_permille").alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(ou).unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
-            .unionByName(ng).unionByName(hg))
+            .unionByName(ng).unionByName(hg).unionByName(rep))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -1713,16 +1735,25 @@ def _q_graph_similarity(spark, sf_dir):
 
 def _q_sampling_ops(spark, sf_dir):
     """Sampling/incremental family in one driver row: GraphSAGE neighbor
-    sampling, random walks, incremental dedup (exact + LSH probes)."""
+    sampling, random walks + their skip-gram training pairs, incremental
+    dedup (exact + LSH probes)."""
+    from judy_graph_db_spark.operators import sampling as SA
+
     ns = _q_neighbor_sample(spark, sf_dir).select(
         F.lit("neighbor").alias("op"), F.col("src").alias("a"),
         F.col("dst").alias("b"), F.col("sample_rank").cast("long").alias("c"))
-    rw = _q_random_walks(spark, sf_dir).select(
+    # walks are localCheckpoint'd by random_walks — the skip-gram corpus
+    # reuses them instead of re-walking
+    walks = _q_random_walks(spark, sf_dir)
+    rw = walks.select(
         F.lit("walk").alias("op"), F.col("walk_id").alias("a"),
         F.col("step").alias("b"), F.col("node").alias("c"))
+    sg = SA.walk_skipgram_pairs(walks, window=2).select(
+        F.lit("skipgram").alias("op"), F.col("center").alias("a"),
+        F.col("context").alias("b"), F.col("n_pairs").alias("c"))
     inc = _q_incremental_dedup(spark, sf_dir).select(
         "op", "a", "b", F.col("code").alias("c"))
-    return ns.unionByName(rw).unionByName(inc)
+    return ns.unionByName(rw).unionByName(sg).unionByName(inc)
 
 
 def _q_ann_search(spark, sf_dir):
@@ -2447,7 +2478,15 @@ SELECT 'diff', doc_id, status, NULL, NULL, NULL
 FROM ({snap_diff_sql}) t
 UNION ALL
 SELECT 'lsplit', doc_id, split, NULL, NULL, NULL
-FROM ({O.leakage_safe_split_sql({'train': 240, 'val': 8, 'test': 8})}) t""",
+FROM ({O.leakage_safe_split_sql({'train': 240, 'val': 8, 'test': 8})}) t
+UNION ALL
+SELECT 'boiler', doc_id, md5(clean_text),
+       CAST(len(string_split(clean_text, chr(10))) AS BIGINT), NULL, NULL
+FROM ({O.remove_boilerplate_sql(
+    table="(SELECT doc_id, concat_ws(chr(10), "
+          "'(c) example corp - all rights reserved', text, "
+          "'cookie notice: this site uses cookies', "
+          "substr(text, 1, 30)) AS text FROM documents)")}) t""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b
@@ -2777,7 +2816,11 @@ UNION ALL
 SELECT 'hllg', event_type, NULL, bucket, CAST(max_rho AS BIGINT), NULL, NULL
 FROM ({O.hll_registers_grouped_sql(
             "CAST(user_id AS VARCHAR)", "event_type", "FROM events", p=6,
-        )}) t14""",
+        )}) t14
+UNION ALL
+SELECT 'rep', CAST(n_grams AS VARCHAR), NULL, doc_id, n,
+       CAST(top_gram_permille AS BIGINT), CAST(dup_gram_permille AS BIGINT)
+FROM ({O.repetition_signals_sql()}) t15""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
@@ -2918,6 +2961,20 @@ FROM ({SA_ORACLE.random_walks_oracle_sql(
             length=3, seed=11,
             starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id FROM lineitem",
         )}) t2
+UNION ALL
+SELECT 'skipgram', center, context, n_pairs
+FROM ({SA_ORACLE.walk_skipgram_oracle_sql(
+            SA_ORACLE.random_walks_oracle_sql(
+                edges_sql=f"SELECT l_suppkey + {2 * B} AS src, "
+                          f"l_partkey + {4 * B} AS dst FROM lineitem "
+                          f"UNION ALL SELECT l_partkey + {4 * B}, "
+                          f"l_suppkey + {2 * B} FROM lineitem",
+                length=3, seed=11,
+                starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id "
+                           f"FROM lineitem",
+            ),
+            window=2,
+        )}) t4
 UNION ALL
 SELECT op, a, b, code
 FROM ({O.incremental_dedup_sql(split="80")}) t3""",

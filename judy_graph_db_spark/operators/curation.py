@@ -446,3 +446,50 @@ def strip_repeated_lines(docs: DataFrame, text_col: str = "text",
     """Remove intra-document repeated lines (see :func:`dedup_lines_col`)
     as a table transform: adds ``out_col`` with the cleaned text."""
     return docs.withColumn(out_col, dedup_lines_col(F.col(text_col)))
+
+
+def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             out_col: str = "clean_text") -> DataFrame:
+    """Corpus-wide boilerplate line removal (the CCNet / RefinedWeb
+    cleanup): a line whose exact text appears in at least ``min_docs``
+    DISTINCT documents is boilerplate (nav bars, cookie banners, license
+    footers) and every occurrence is dropped; all other lines keep their
+    original order. Complements :func:`strip_repeated_lines`, which only
+    sees repeats WITHIN one document. Returns ``docs`` plus ``out_col``
+    ('' when every line was boilerplate).
+
+    Scale shape: one explode pass, a groupBy on the line text for the
+    distinct-doc counts (map-side combined; the surviving "common" relation
+    is boilerplate-sized, tiny relative to the corpus), a second shuffle on
+    the line key for the anti-join, then one doc-keyed rollup to reassemble
+    — never a per-document collect, and no driver round-trip. 100 TB of
+    text is ~3 corpus-sized shuffles, each on a compact key.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be positive")
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    common = (
+        lines.groupBy("__line")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(common, "__line", "left_anti")
+    clean = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return (
+        docs.join(clean, docs[id_col] == clean["__id"], "left")
+        .select(*docs.columns,
+                F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

@@ -162,3 +162,50 @@ SELECT src, dst, sample_rank FROM (
   FROM sn_d
 ) WHERE sample_rank <= {k}
 """
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) co-occurrence counts within ±``window`` steps of
+    the same walk — the skip-gram training corpus DeepWalk (Perozzi et al.
+    2014) / node2vec (Grover & Leskovec 2016) feed to word2vec. Input is
+    :func:`random_walks` output ``(walk_id, step, node)``; returns
+    ``(center, context, n_pairs)`` (both directions counted, a center
+    never pairs with itself-at-the-same-step).
+
+    Scale shape: each walk row fans out into ≤ 2·window shifted probes
+    (an explode inside the scan stage), one equi-join back on
+    ``(walk_id, step)`` — walk-sized keys, never node² — and one
+    map-side-combined count on (center, context). Total work is
+    O(walks · length · window), the exact size of the corpus a word2vec
+    trainer would consume."""
+    if window < 1:
+        raise ValueError("window must be positive")
+    offs = [o for o in range(-window, window + 1) if o != 0]
+    shifted = walks.select(
+        "walk_id", "step", F.col("node").alias("center"),
+        F.explode(F.array(*[F.lit(o) for o in offs])).alias("__off"),
+    ).select(
+        "walk_id", (F.col("step") + F.col("__off")).alias("step"), "center",
+    )
+    ctx = walks.select("walk_id", "step", F.col("node").alias("context"))
+    return (
+        shifted.join(ctx, ["walk_id", "step"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def walk_skipgram_oracle_sql(walks_sql: str, window: int = 2) -> str:
+    """ANSI-SQL twin of :func:`walk_skipgram_pairs` over a walks query
+    (e.g. :func:`random_walks_oracle_sql` wrapped as a subquery)."""
+    offs = ", ".join(str(o) for o in range(-window, window + 1) if o != 0)
+    return f"""WITH sg_w AS (
+  SELECT * FROM ({walks_sql})
+),
+sg_sh AS (
+  SELECT walk_id, step + unnest([{offs}]) AS step, node AS center
+  FROM sg_w
+)
+SELECT s.center, c.node AS context, COUNT(*) AS n_pairs
+FROM sg_sh s JOIN sg_w c ON s.walk_id = c.walk_id AND s.step = c.step
+GROUP BY s.center, c.node"""

@@ -386,3 +386,76 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str],
         )
     )
     return scored.groupBy(id_col).agg(F.sum("_s").alias("score"))
+
+
+def repetition_signals(docs: DataFrame, ns: Sequence[int] = (2, 3, 4),
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document n-gram repetition measures — the Gopher repetition
+    filters (Rae et al. 2021, Table A1) in occurrence form: for each
+    ``n`` in ``ns``,
+
+    - ``top_gram_permille``  = 1000 · max-count ÷ #grams — the share of
+      n-gram slots taken by the single most frequent n-gram;
+    - ``dup_gram_permille``  = 1000 · Σ count>1 ÷ #grams — the share of
+      n-gram slots whose gram occurs more than once in the document.
+
+    (Gopher weights by characters; the occurrence form is the same
+    monotone signal with exact integer arithmetic, so it hash-gates.)
+    Returns ``(id, n, n_grams, top_gram_permille, dup_gram_permille)``;
+    documents with fewer than ``n`` tokens emit no row for that ``n``.
+
+    Scale shape: tokenize ONCE per document (``posexplode`` — never an
+    array lambda over the token array, which CollapseProject would
+    re-inline per element), then every requested n-gram length falls out
+    of ONE doc-partitioned window pass via ``lead``; the only further
+    shuffles are the (doc, n, gram) count and the (doc, n) rollup.
+    Per-document state is never materialized as a whole — a 1 GB document
+    streams through the window like any other rows.
+    """
+    ns = sorted(set(int(n) for n in ns))
+    if not ns or ns[0] < 2:
+        raise ValueError("ns must be >= 2")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("__pos", "__w"),
+    )
+    led = toks.select(
+        "__id", "__w",
+        *[F.lead("__w", k).over(w).alias(f"__w{k}")
+          for k in range(1, ns[-1])],
+    )
+    # stack the n-gram columns into (n, gram) rows; a NULL last word means
+    # the window ran off the document end → no gram of that length there
+    per_n = []
+    for n in ns:
+        gram = F.concat_ws(
+            " ", F.col("__w"), *[F.col(f"__w{k}") for k in range(1, n)])
+        per_n.append(
+            led.filter(F.col(f"__w{n - 1}").isNotNull())
+            .select("__id", F.lit(n).cast("long").alias("n"),
+                    gram.alias("gram")))
+    grams = per_n[0]
+    for p in per_n[1:]:
+        grams = grams.unionByName(p)
+    gc = grams.groupBy("__id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("__c"))
+    return (
+        gc.groupBy("__id", "n")
+        .agg(
+            F.sum("__c").alias("n_grams"),
+            F.max("__c").alias("__mx"),
+            F.sum(F.when(F.col("__c") > 1, F.col("__c"))
+                  .otherwise(F.lit(0))).alias("__dup"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "n", "n_grams",
+            F.expr("1000 * __mx div n_grams").alias("top_gram_permille"),
+            F.expr("1000 * __dup div n_grams").alias("dup_gram_permille"),
+        )
+    )

@@ -1504,3 +1504,75 @@ WITH s AS (
 )
 SELECT from_type, to_type, COUNT(*) AS n
 FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
+
+
+def repetition_signals_sql(ns=(2, 3, 4), id_col: str = "doc_id",
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    """Twin of ``stats.repetition_signals``: the same one-window ``lead``
+    n-gram construction (parallel ``unnest`` + ``generate_series`` for
+    positions — DuckDB has no WITH ORDINALITY) and integer permille
+    rollup."""
+    ns = sorted(set(int(n) for n in ns))
+    leads = ", ".join(
+        f"lead(w, {k}) OVER (PARTITION BY __id ORDER BY pos) AS w{k}"
+        for k in range(1, ns[-1]))
+    gram_selects = []
+    for n in ns:
+        gram = " || ' ' || ".join(["w"] + [f"w{k}" for k in range(1, n)])
+        gram_selects.append(
+            f"SELECT __id, CAST({n} AS BIGINT) AS n, {gram} AS gram "
+            f"FROM led WHERE w{n - 1} IS NOT NULL")
+    grams = "\nUNION ALL\n".join(gram_selects)
+    return f"""WITH rs_t AS (
+  SELECT {id_col} AS __id,
+         regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}) AS ws
+  FROM {table}
+),
+toks AS (
+  SELECT __id, unnest(ws) AS w,
+         unnest(generate_series(1, len(ws))) AS pos
+  FROM rs_t
+),
+led AS (SELECT __id, pos, w, {leads} FROM toks),
+grams AS ({grams}),
+gc AS (
+  SELECT __id, n, gram, COUNT(*) AS c FROM grams GROUP BY __id, n, gram
+)
+SELECT __id AS {id_col}, n, SUM(c) AS n_grams,
+       1000 * MAX(c) // SUM(c) AS top_gram_permille,
+       1000 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END) // SUM(c)
+         AS dup_gram_permille
+FROM gc GROUP BY __id, n"""
+
+
+def remove_boilerplate_sql(min_docs: int = 2, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           out_col: str = "clean_text",
+                           table: str = "documents") -> str:
+    """Twin of ``curation.remove_boilerplate_lines``. Positions come from
+    the parallel-unnest idiom; empty results COALESCE to '' (DuckDB
+    string_agg over zero rows is NULL, Spark array_join of [] is '')."""
+    return f"""WITH rb_t AS (
+  SELECT {id_col} AS __id, string_split({text_col}, chr(10)) AS __ls
+  FROM {table}
+),
+rb_l AS (
+  SELECT __id, unnest(__ls) AS __line,
+         unnest(generate_series(1, len(__ls))) AS __pos
+  FROM rb_t
+),
+rb_common AS (
+  SELECT __line FROM rb_l GROUP BY __line
+  HAVING COUNT(DISTINCT __id) >= {int(min_docs)}
+),
+rb_kept AS (
+  SELECT l.__id, l.__pos, l.__line FROM rb_l l
+  ANTI JOIN rb_common c ON l.__line = c.__line
+),
+rb_clean AS (
+  SELECT __id, string_agg(__line, chr(10) ORDER BY __pos) AS __clean
+  FROM rb_kept GROUP BY __id
+)
+SELECT d.*, COALESCE(c.__clean, '') AS {out_col}
+FROM {table} d LEFT JOIN rb_clean c ON d.{id_col} = c.__id"""

@@ -200,3 +200,40 @@ def test_strip_repeated_lines_is_shuffle_free(spark):
     plan = CU.strip_repeated_lines(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # pure scan-stage fold
+
+
+def test_remove_boilerplate_lines(spark):
+    """Corpus-wide boilerplate: lines shared by >= min_docs distinct docs
+    vanish everywhere, intra-doc-only repeats survive, all-boilerplate
+    docs come back as ''; DuckDB twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import remove_boilerplate_sql
+
+    rows = [
+        (1, "COOKIE BANNER\nunique one\nfooter (c) corp"),
+        (2, "COOKIE BANNER\nunique two\nfooter (c) corp"),
+        (3, "all mine\nno shared lines here"),
+        (4, "COOKIE BANNER\nfooter (c) corp"),
+        (5, "repeated inside\nrepeated inside"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.clean_text
+           for r in CU.remove_boilerplate_lines(docs).collect()}
+    assert got == {1: "unique one", 2: "unique two",
+                   3: "all mine\nno shared lines here", 4: "",
+                   5: "repeated inside\nrepeated inside"}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {r[0]: r[2]
+            for r in con.execute(remove_boilerplate_sql()).fetchall()}
+    assert twin == got
+    # min_docs=4: banner and footer each span only 3 docs -> nothing is
+    # boilerplate any more, every doc survives verbatim
+    got4 = {r.doc_id: r.clean_text
+            for r in CU.remove_boilerplate_lines(docs, min_docs=4).collect()}
+    assert got4 == dict(rows)
+    with pytest.raises(ValueError, match="positive"):
+        CU.remove_boilerplate_lines(docs, min_docs=0)

@@ -64,3 +64,28 @@ def test_walks_match_unrolled_sql_oracle(spark):
     sql = SA.random_walks_oracle_sql("SELECT src, dst FROM ed", length=3, seed=5)
     want = set(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_walk_skipgram_pairs(spark):
+    """Hand-checked window-2 co-occurrence counts plus the DuckDB twin;
+    symmetric counts, no self-pair at the same step, no cross-walk pair."""
+    import duckdb
+
+    rows = [(1, 0, 10), (1, 1, 20), (1, 2, 30), (1, 3, 10),
+            (2, 0, 20), (2, 1, 10),
+            (3, 0, 7)]
+    walks = spark.createDataFrame(rows, "walk_id long, step long, node long")
+    got = sorted(tuple(r)
+                 for r in SA.walk_skipgram_pairs(walks, window=2).collect())
+    d = {(a, b): c for a, b, c in got}
+    # walk1 [10,20,30,10]: (10,20) at steps (0,1),(3,1); walk2 [20,10]: (1,0)
+    assert d[(10, 20)] == 3 and d[(20, 10)] == 3
+    assert d[(10, 30)] == 2          # steps (0,2) and (3,2)
+    assert (7, 7) not in d           # singleton walk emits nothing
+    assert (10, 10) not in d         # steps 0 and 3 are outside window 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (walk_id BIGINT, step BIGINT, node BIGINT)")
+    con.executemany("INSERT INTO w VALUES (?, ?, ?)", rows)
+    twin = sorted(con.execute(
+        SA.walk_skipgram_oracle_sql("SELECT * FROM w", window=2)).fetchall())
+    assert got == [tuple(t) for t in twin]

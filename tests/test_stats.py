@@ -265,3 +265,35 @@ def test_bpe_train_many_merges_is_fast(spark):
     assert n > 100  # enough pairs existed to keep merging
     assert vocab.count() > 0
     assert dt < 30, f"local BPE training took {dt:.1f}s"
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition permilles: hand-checked values on known
+    texts, no row when the doc is shorter than n, DuckDB twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.oracle import repetition_signals_sql
+
+    rows = [
+        (1, "the cat sat on the cat sat again the cat sat"),
+        (2, "one two"),
+        (3, "tiny"),
+        (4, "a a a a a a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in ST.repetition_signals(docs).collect())
+    # doc1: 10 bigram slots, "the cat"x3 + "cat sat"x3 duplicated -> 600
+    assert (1, 2, 10, 300, 600) in got
+    assert (4, 2, 5, 1000, 1000) in got        # degenerate "a a ..." doc
+    assert (2, 2, 1, 1000, 0) in got           # single bigram, no dup
+    assert not any(r[0] == 3 for r in got)     # 1 token -> no rows at all
+    assert not any(r[0] == 2 and r[1] > 2 for r in got)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = sorted(tuple(t)
+                  for t in con.execute(repetition_signals_sql()).fetchall())
+    assert got == twin
+    import pytest
+    with pytest.raises(ValueError, match=">= 2"):
+        ST.repetition_signals(docs, ns=(1, 2))
