@@ -1797,8 +1797,27 @@ def _q_ann_search(spark, sf_dir):
         F.posexplode("pooled_q").alias("a", "b"),
         F.col("n_vecs").alias("c"), lN.alias("d")
     ).select("op", "s", F.col("a").cast("long"), "b", "c", "d")
+    # PQ: per-subspace codes + asymmetric-distance top-k for the lowest-id
+    # vector as the query; codes checkpointed — they feed both parts
+    pq_codes = CL.pq_train_encode(embs, m=4, k=8, iters=2, dim=64) \
+        .localCheckpoint(eager=True)
+    pqc = pq_codes.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select(
+        F.lit("pq").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
+        F.col("sub").cast("long").alias("b"), F.col("code").alias("c"),
+        lN.alias("d"))
+    pqt = CL.pq_adc_topk(
+        pq_codes, CL.pq_codebooks(embs, pq_codes, m=4, dim=64),
+        embs.orderBy("vec_id").limit(1).select("embedding"),
+        m=4, dim=64, topk=10,
+    ).select(
+        F.lit("pqtop").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
+        F.col("dist_q").alias("b"), F.col("rank").cast("long").alias("c"),
+        lN.alias("d"))
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
-            .unionByName(qt).unionByName(pool))
+            .unionByName(qt).unionByName(pool).unionByName(pqc)
+            .unionByName(pqt))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -2539,7 +2558,13 @@ SELECT 'quant', q_hash, vec_id, scale_micro, CAST(n_dims AS BIGINT), NULL
 FROM ({O.quantize_embeddings_sql()}) t8
 UNION ALL
 SELECT 'pool', CAST(grp AS VARCHAR), CAST(i AS BIGINT), q, n_vecs, NULL
-FROM ({O.mean_pool_sql("label", "FROM embeddings")}) t9""",
+FROM ({O.mean_pool_sql("label", "FROM embeddings")}) t9
+UNION ALL
+SELECT 'pq', NULL, vec_id, sub, code, NULL
+FROM ({O.pq_codes_sql(m=4, k=8, iters=2, dim=64)}) t10
+UNION ALL
+SELECT 'pqtop', NULL, vec_id, dist_q, CAST(rank AS BIGINT), NULL
+FROM ({O.pq_adc_topk_sql(m=4, k=8, iters=2, dim=64, topk=10)}) t11""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so both fixpoints have closed forms: weak component = the
         # customer's minimum order id; with the last→first closing edge

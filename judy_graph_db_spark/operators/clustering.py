@@ -189,3 +189,126 @@ def semantic_dedup(embeddings: DataFrame, clusters: DataFrame | None = None,
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------- product
+# quantization (Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into m subvectors, run
+# k-means per subspace, store only the m centroid codes (dim·4 bytes →
+# m bytes per vector), and answer queries with asymmetric distance
+# computation (ADC) over a broadcastable m·k lookup table.
+
+def pq_train_encode(embeddings: DataFrame, m: int = 4, k: int = 16,
+                    iters: int = 2, dim: int = 64, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Train per-subspace codebooks and encode every vector:
+    ``(id_col, codes)`` where ``codes[s]`` is the nearest-centroid id of
+    subvector ``s`` (deterministic Lloyd via :func:`kmeans_assign`, so the
+    whole pipeline hash-gates).
+
+    Scale shape: ``m`` independent k-means runs over dim/m-wide slices —
+    each inherits kmeans_assign's broadcast-centroid plan (the corpus is
+    never reshuffled per iteration), then ONE id-keyed rollup assembles
+    the code arrays. The output is the 100 TB serving artifact: at
+    m=8, k=256 a 64-dim float corpus shrinks 32× before ANN serving.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must be divisible by m")
+    d = dim // m
+    parts = []
+    for s in range(m):
+        sub = embeddings.select(
+            id_col, F.slice(vec_col, s * d + 1, d).alias(vec_col))
+        a = kmeans_assign(sub, k=k, iters=iters, dim=d,
+                          id_col=id_col, vec_col=vec_col)
+        parts.append(a.select(
+            id_col, F.lit(s).cast("long").alias("__sub"),
+            F.col("cluster").alias("__code")))
+    codes = parts[0]
+    for p in parts[1:]:
+        codes = codes.unionByName(p)
+    return (
+        codes.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(
+            F.struct("__sub", "__code"))).alias("__sc"))
+        .select(id_col,
+                F.transform(F.col("__sc"), lambda x: x["__code"])
+                .alias("codes"))
+    )
+
+
+def pq_codebooks(embeddings: DataFrame, codes: DataFrame, m: int = 4,
+                 dim: int = 64, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Final codebooks implied by an encoding: centroid ``(sub, code)`` =
+    mean of its members' subvectors, on the same 1e-6 grid as
+    ``kmeans_assign`` (one extra Lloyd update — the standard PQ training
+    output). Returns ``(sub, code, cvec)`` — m·k rows, broadcast-sized at
+    any corpus scale."""
+    d = dim // m
+    j = embeddings.select(id_col, vec_col).join(codes, id_col)
+    out = None
+    for s in range(m):
+        g = (
+            j.select(
+                F.col("codes")[s].alias("code"),
+                F.slice(vec_col, s * d + 1, d).alias("__sv"))
+            .groupBy("code")
+            .agg(*[
+                (F.round(F.avg(F.col("__sv")[i].cast("double")) * 1e6)
+                 / 1e6).alias(f"__a{i}")
+                for i in range(d)
+            ])
+            .select(F.lit(s).cast("long").alias("sub"), "code",
+                    F.array(*[F.col(f"__a{i}") for i in range(d)])
+                    .alias("cvec"))
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
+                m: int = 4, dim: int = 64, topk: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query (a 1-row frame
+    with ``vec_col``) meets each codebook centroid once, giving an m·k
+    distance table whose entries quantize to exact integers
+    (``floor(d² · 2^20)`` — power-of-two scaling of a bit-identical
+    double, so both engines agree); per-vector distance is then an
+    ORDER-FREE integer sum of m table lookups. Returns
+    ``(id_col, dist_q, rank)`` for the ``topk`` nearest (rank 1 = best,
+    ties break toward the lower id).
+
+    Scale shape: the distance table broadcasts (m·k rows); the scan side
+    explodes each code array into m lookups and partial-aggregates the
+    integer sum map-side — one corpus-sized shuffle on the id, then a
+    global top-k which Spark executes as per-partition heaps + a
+    driver-sized merge."""
+    d = dim // m
+    qsubs = None
+    for s in range(m):
+        q = query.select(
+            F.lit(s).cast("long").alias("sub"),
+            F.transform(F.slice(vec_col, s * d + 1, d),
+                        lambda x: x.cast("double")).alias("__qv"))
+        qsubs = q if qsubs is None else qsubs.unionByName(q)
+    dtable = (
+        codebooks.join(F.broadcast(qsubs), "sub")
+        .withColumn("__dd", _sqdist("__qv", "cvec", d))
+        .select("sub", "code",
+                F.floor(F.col("__dd") * (1 << 20)).cast("long").alias("__dq"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        codes.select(id_col, F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("__dq").alias("dist_q"))
+    )
+    w = Window.orderBy(F.col("dist_q").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

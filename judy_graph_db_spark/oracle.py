@@ -849,43 +849,46 @@ def _sqdist_sql(e: str, c: str, dim: int = 64) -> str:
 
 
 def kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
-                table: str = "embeddings") -> tuple[str, str]:
+                table: str = "embeddings",
+                prefix: str = "") -> tuple[str, str]:
     """Unrolled-CTE twin of ``clustering.kmeans_assign``: one
     assign/update pair per Lloyd round, centroid coordinates quantized to
     the same 1e-6 grid. Returns ``(cte_chain, final_assign_cte_name)`` so
-    callers compose it under their own WITH."""
+    callers compose it under their own WITH; ``prefix`` namespaces the CTE
+    names so several chains (e.g. one per PQ subspace) coexist in one
+    query."""
     avgs = ", ".join(
         f"ROUND(AVG(CAST(e.embedding[{i + 1}] AS DOUBLE)) * 1e6) / 1e6"
         for i in range(dim)
     )
-    parts = [f"""c0 AS (
+    parts = [f"""{prefix}c0 AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
   FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})
 )"""]
     for it in range(1, iters + 1):
-        prev = f"c{it - 1}"
-        parts.append(f"""s{it} AS (
+        prev = f"{prefix}c{it - 1}"
+        parts.append(f"""{prefix}s{it} AS (
   SELECT e.vec_id, c.cid, {_sqdist_sql('e.embedding', 'c.cv', dim)} AS d
   FROM {table} e, {prev} c
 )""")
-        parts.append(f"""a{it} AS (
+        parts.append(f"""{prefix}a{it} AS (
   SELECT vec_id, cid AS cluster FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-    FROM s{it}) WHERE rn = 1
+    FROM {prefix}s{it}) WHERE rn = 1
 )""")
         if it < iters:
-            parts.append(f"""m{it} AS (
+            parts.append(f"""{prefix}m{it} AS (
   SELECT a.cluster AS cid, list_value({avgs}) AS cv
-  FROM a{it} a JOIN {table} e USING (vec_id)
+  FROM {prefix}a{it} a JOIN {table} e USING (vec_id)
   GROUP BY a.cluster
 )""")
-            parts.append(f"""c{it} AS (
+            parts.append(f"""{prefix}c{it} AS (
   SELECT c.cid, COALESCE(m.cv, c.cv) AS cv
-  FROM {prev} c LEFT JOIN m{it} m USING (cid)
+  FROM {prev} c LEFT JOIN {prefix}m{it} m USING (cid)
 )""")
-    return ",\n".join(parts), f"a{iters}"
+    return ",\n".join(parts), f"{prefix}a{iters}"
 
 
 def kmeans_sizes_sql(k: int = 8, iters: int = 2, dim: int = 64,
@@ -1576,3 +1579,79 @@ rb_clean AS (
 )
 SELECT d.*, COALESCE(c.__clean, '') AS {out_col}
 FROM {table} d LEFT JOIN rb_clean c ON d.{id_col} = c.__id"""
+
+
+def pq_ctes(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+            table: str = "embeddings") -> tuple[str, str]:
+    """Twin of ``clustering.pq_train_encode``: one prefixed
+    ``kmeans_ctes`` chain per subspace over the sliced vectors, unioned
+    into ``pq_codes (vec_id, sub, code)``. Returns (cte_chain, name)."""
+    d = dim // m
+    chains, finals = [], []
+    for s in range(m):
+        sub_table = (f"(SELECT vec_id, embedding[{s * d + 1}:{(s + 1) * d}] "
+                     f"AS embedding FROM {table})")
+        ctes, fin = kmeans_ctes(k, iters, d, sub_table, prefix=f"pq{s}_")
+        chains.append(ctes)
+        finals.append(f"SELECT vec_id, CAST({s} AS BIGINT) AS sub, "
+                      f"cluster AS code FROM {fin}")
+    chain = (",\n".join(chains) + ",\npq_codes AS (\n"
+             + "\nUNION ALL\n".join(finals) + "\n)")
+    return chain, "pq_codes"
+
+
+def pq_codes_sql(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+                 table: str = "embeddings") -> str:
+    chain, name = pq_ctes(m, k, iters, dim, table)
+    return f"WITH {chain}\nSELECT vec_id, sub, code FROM {name}"
+
+
+def pq_adc_topk_sql(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
+                    topk: int = 10, table: str = "embeddings",
+                    query_sql: str | None = None) -> str:
+    """Twin of ``clustering.pq_codebooks`` + ``pq_adc_topk``: final-Lloyd
+    codebooks per (sub, code), the query's m·k integer distance table
+    (``FLOOR(d² · 2^20)`` of the same strict-order double), and the
+    order-free integer sum ranked with QUALIFY."""
+    d = dim // m
+    if query_sql is None:
+        query_sql = (f"SELECT embedding FROM {table} "
+                     f"ORDER BY vec_id LIMIT 1")
+    chain, codes = pq_ctes(m, k, iters, dim, table)
+    parts = [chain, f"pq_q AS ({query_sql})"]
+    dts = []
+    for s in range(m):
+        avgs = ", ".join(
+            f"ROUND(AVG(CAST(e.embedding[{s * d + i + 1}] AS DOUBLE)) * 1e6)"
+            f" / 1e6"
+            for i in range(d)
+        )
+        parts.append(f"""pqcb{s} AS (
+  SELECT c.code, list_value({avgs}) AS cv
+  FROM {codes} c JOIN {table} e USING (vec_id)
+  WHERE c.sub = {s}
+  GROUP BY c.code
+)""")
+        parts.append(f"""pqqs{s} AS (
+  SELECT list_transform(embedding[{s * d + 1}:{(s + 1) * d}],
+                        x -> CAST(x AS DOUBLE)) AS qv
+  FROM pq_q
+)""")
+        parts.append(f"""pqdt{s} AS (
+  SELECT CAST({s} AS BIGINT) AS sub, b.code,
+         CAST(FLOOR({_sqdist_sql('q.qv', 'b.cv', d)} * 1048576) AS BIGINT)
+           AS dq
+  FROM pqcb{s} b, pqqs{s} q
+)""")
+        dts.append(f"SELECT * FROM pqdt{s}")
+    parts.append("pq_dt AS (\n" + "\nUNION ALL\n".join(dts) + "\n)")
+    all_ctes = ",\n".join(parts)
+    return f"""WITH {all_ctes}
+SELECT vec_id, dist_q,
+       CAST(ROW_NUMBER() OVER (ORDER BY dist_q, vec_id) AS INTEGER) AS rank
+FROM (
+  SELECT c.vec_id, SUM(t.dq) AS dist_q
+  FROM {codes} c JOIN pq_dt t ON c.sub = t.sub AND c.code = t.code
+  GROUP BY c.vec_id
+)
+QUALIFY rank <= {topk}"""

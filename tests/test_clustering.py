@@ -95,3 +95,40 @@ def test_kmeans_target_cluster_size_derives_k(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         CL.kmeans_assign(df, dim=4, target_cluster_size=0)
+
+
+def test_pq_pipeline_matches_twin_and_recalls_query(spark):
+    """PQ codes + codebooks + ADC top-k: codes agree with the m-chain
+    kmeans twin, the ADC ranking agrees with the SQL twin, and a corpus
+    vector used as its own query comes back at rank 1 (its quantized
+    distance is the minimum by construction)."""
+    import random
+
+    import duckdb
+
+    from judy_graph_db_spark.oracle import pq_adc_topk_sql, pq_codes_sql
+
+    random.seed(3)
+    DIM, M, K = 16, 4, 4
+    rows = [(i, [round(random.uniform(-1, 1), 3) for _ in range(DIM)])
+            for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = pq_codes = CL.pq_train_encode(embs, m=M, k=K, iters=2, dim=DIM)
+    flat = sorted((r.vec_id, s, c) for r in codes.collect()
+                  for s, c in enumerate(r.codes))
+    cbs = CL.pq_codebooks(embs, pq_codes, m=M, dim=DIM)
+    top = sorted(tuple(r) for r in CL.pq_adc_topk(
+        pq_codes, cbs, embs.orderBy("vec_id").limit(1).select("embedding"),
+        m=M, dim=DIM, topk=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    assert flat == sorted(tuple(t) for t in con.execute(
+        pq_codes_sql(m=M, k=K, iters=2, dim=DIM)).fetchall())
+    assert top == sorted(tuple(t) for t in con.execute(
+        pq_adc_topk_sql(m=M, k=K, iters=2, dim=DIM, topk=5)).fetchall())
+    by_rank = {r: v for v, _, r in top}
+    assert by_rank[1] == 0  # the query vector itself wins
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        CL.pq_train_encode(embs, m=5, dim=DIM)
