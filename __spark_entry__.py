@@ -1642,12 +1642,23 @@ def _q_stats_ops(spark, sf_dir):
         sN.alias("t"), F.col("doc_id").alias("a"), F.col("n").alias("b"),
         F.col("top_gram_permille").alias("c"),
         F.col("dup_gram_permille").alias("d"))
+    # winnowing fingerprints, rolled up to one (count, md5-of-sorted-set)
+    # row per doc so the whole selected set hash-gates compactly
+    wf = D.winnow_fingerprints(docs, k=8, w=16).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("pos"), F.col("fp")))), "|")).alias("__s"),
+    ).select(
+        F.lit("winnow").alias("op"), F.col("__s").alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("__n").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(ou).unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
-            .unionByName(ng).unionByName(hg).unionByName(rep))
+            .unionByName(ng).unionByName(hg).unionByName(rep)
+            .unionByName(wf))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -2845,7 +2856,15 @@ FROM ({O.hll_registers_grouped_sql(
 UNION ALL
 SELECT 'rep', CAST(n_grams AS VARCHAR), NULL, doc_id, n,
        CAST(top_gram_permille AS BIGINT), CAST(dup_gram_permille AS BIGINT)
-FROM ({O.repetition_signals_sql()}) t15""",
+FROM ({O.repetition_signals_sql()}) t15
+UNION ALL
+SELECT 'winnow', sig, NULL, doc_id, n_fps, NULL, NULL
+FROM (
+  SELECT doc_id, COUNT(*) AS n_fps,
+         md5(string_agg(CAST(pos AS VARCHAR) || ':' || fp, '|'
+             ORDER BY CAST(pos AS VARCHAR) || ':' || fp)) AS sig
+  FROM ({O.winnow_fingerprints_sql(k=8, w=16)}) wfs GROUP BY doc_id
+) t16""",
         # graph-similarity family bundle
         "graph_similarity": f"""
 SELECT 'co_purchase' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -458,3 +458,52 @@ def incremental_lsh_candidates(new_docs: DataFrame, existing_docs: DataFrame,
         .withColumn("vs_existing", F.lit(False))
     )
     return vs_old.unionByName(within)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS scheme): hash every character ``k``-gram, slide a
+    ``w``-hash window, and keep each window's minimum hash (rightmost on
+    ties, via min over ``(hash, -pos)``). Guarantee: two documents
+    sharing any substring of length ≥ ``k + w − 1`` share a fingerprint,
+    with ~2/(w+1) of the grams kept — the principled density/recall
+    trade the strided :func:`judy_graph_db_spark.functions.text.
+    fingerprint` only approximates. Returns distinct
+    ``(id_col, pos, fp)`` with ``pos`` the 0-based gram offset.
+
+    Scale shape: gram hashes explode inside the scan stage; selection is
+    ONE doc-partitioned ordered window (a sliding min + an unbounded
+    count over the same key — one exchange total) plus the distinct.
+    Documents stream through the frame; per-doc state is w rows.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be positive")
+    hs = F.expr(
+        f"CASE WHEN length({text_col}) < {k} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> md5(substring({text_col}, i, {k}))) END"
+    )
+    g = docs.select(F.col(id_col).alias("__id"),
+                    F.posexplode(hs).alias("__j", "__h"))
+    wp = Window.partitionBy("__id")
+    ws = Window.partitionBy("__id").orderBy("__j").rowsBetween(0, w - 1)
+    sel = (
+        g.select(
+            "__id", "__j",
+            F.count(F.lit(1)).over(wp).alias("__n"),
+            F.min(F.struct(F.col("__h").alias("h"),
+                           (-F.col("__j")).alias("nj"))).over(ws).alias("__m"),
+        )
+        # only full windows select (trailing short frames would add
+        # spurious minima); a doc with fewer than w grams is one window
+        .filter(F.col("__j") <= F.greatest(F.col("__n") - w, F.lit(0)))
+        .select(F.col("__id").alias(id_col),
+                (-F.col("__m.nj")).cast("long").alias("pos"),
+                F.col("__m.h").alias("fp"))
+        .distinct()
+    )
+    return sel

@@ -1655,3 +1655,36 @@ FROM (
   GROUP BY c.vec_id
 )
 QUALIFY rank <= {topk}"""
+
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 16, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            table: str = "documents") -> str:
+    """Twin of ``dedup.winnow_fingerprints``: same gram hashes (1-based
+    position aligned back to Spark's 0-based), same sliding-min window
+    with the rightmost-tie struct, same full-window guard."""
+    return f"""WITH wf_g AS (
+  SELECT __id, unnest(hs) AS h,
+         unnest(generate_series(1, len(hs))) AS j
+  FROM (
+    SELECT {id_col} AS __id,
+           CASE WHEN length({text_col}) < {k} THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(
+                    generate_series(1, length({text_col}) - {k - 1}),
+                    i -> md5(substr({text_col}, i, {k})))
+           END AS hs
+    FROM {table}
+  )
+),
+wf_s AS (
+  SELECT __id, j,
+         COUNT(*) OVER (PARTITION BY __id) AS n,
+         MIN({{'h': h, 'nj': -(j - 1)}}) OVER (
+           PARTITION BY __id ORDER BY j
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m
+  FROM wf_g
+)
+SELECT DISTINCT __id AS {id_col}, CAST(-((m).nj) AS BIGINT) AS pos,
+       (m).h AS fp
+FROM wf_s
+WHERE j - 1 <= GREATEST(n - {w}, 0)"""

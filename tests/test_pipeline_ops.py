@@ -808,3 +808,40 @@ def test_url_signals(spark):
         f"FROM t"
     ).fetchall()}
     assert twin == got
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing invariants: identical docs select identical (pos, fp)
+    sets, density ≈ 2/(w+1), sub-k docs select nothing, sub-w docs select
+    exactly one; DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from judy_graph_db_spark.oracle import winnow_fingerprints_sql
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "a very different document about graph databases and spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (4, "short"),
+        (5, "tiny doc ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r)
+                 for r in D.winnow_fingerprints(docs, k=8, w=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = sorted(tuple(t) for t in con.execute(
+        winnow_fingerprints_sql(k=8, w=4)).fetchall())
+    assert got == twin
+    by_doc = {}
+    for d, p, f_ in got:
+        by_doc.setdefault(d, set()).add((p, f_))
+    assert by_doc[1] == by_doc[3]
+    assert 4 not in by_doc          # 5 chars < k=8: no grams
+    assert len(by_doc[5]) == 1      # 4 grams < w: single window
+    n_grams = len(rows[0][1]) - 7
+    assert 0.2 < len(by_doc[1]) / n_grams < 0.6   # ~2/(w+1) = 0.4
+    # the winnowing guarantee: docs 1 and 3 share a >= k+w-1 substring,
+    # so they MUST share at least one fingerprint hash
+    assert {f_ for _, f_ in by_doc[1]} & {f_ for _, f_ in by_doc[3]}
