@@ -25,6 +25,7 @@ from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
 from judy_graph_db_spark.operators import sampling as SA_ORACLE
 from judy_graph_db_spark.operators import similarity as S
+from judy_graph_db_spark.operators import temporal as TEMPORAL
 from judy_graph_db_spark.sources.tpch_graph import (
     B,
     load_tpch_views,
@@ -986,7 +987,12 @@ def _q_link_analysis(spark, sf_dir):
         F.floor(F.col("rank") * 1000000).cast("long").alias("a"),
         lN.alias("b"),
     )
-    return h.unionByName(p)
+    # truncated Katz (α=1/2, K=3) — integer-exact walk-count weighting,
+    # no float fixed point to mirror
+    kz = AN.katz_centrality(fwd, alpha_pow2=1, iters=3).select(
+        F.lit("katz").alias("op"), "id",
+        F.col("katz_scaled").alias("a"), lN.alias("b"))
+    return h.unionByName(p).unionByName(kz)
 
 
 def _q_closure(spark, sf_dir):
@@ -1054,12 +1060,19 @@ def _q_k_core(spark, sf_dir):
     mis = AN.maximal_independent_set(chains, seed=7).select(
         F.lit("mis").alias("op"), F.col("id").alias("a"),
         F.col("round").alias("b"), lN.alias("c"))
-    return core.unionByName(truss).unionByName(mis)
+    # deterministic maximal matching over the same chains
+    # (MATCHING_ORACLE_ROUNDS=10 > the rounds observed at sf0.01; same
+    # fixed-unroll soundness — rounds past convergence are no-ops)
+    mat = AN.maximal_matching(chains, seed=7).select(
+        F.lit("matching").alias("op"), F.col("a"), F.col("b"),
+        F.col("round").alias("c"))
+    return core.unionByName(truss).unionByName(mis).unionByName(mat)
 
 
 K_CORE_ORACLE_ROUNDS = 8
 TRUSS_ORACLE_ROUNDS = 4
 MIS_ORACLE_ROUNDS = 8
+MATCHING_ORACLE_ROUNDS = 10
 
 
 # ---------------------------------------------------- merged gate bundles
@@ -1464,9 +1477,27 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("markov").alias("op"),
         F.concat_ws(">", "from_type", "to_type").alias("s"),
         F.col("n").alias("a"), lN.alias("b"), lN.alias("c"))
+    # time-respecting earliest arrival over the per-user event-type
+    # transition graph (edge timestamp = arrival at the later event,
+    # epoch seconds; min_wait=1 = strictly increasing)
+    from judy_graph_db_spark.operators.temporal import (
+        time_respecting_reachability,
+    )
+
+    wtr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    trans = spark.table("events").select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wtr).alias("dst"),
+        F.lead(F.expr("unix_timestamp(ts)")).over(wtr).alias("t"),
+    ).filter(F.col("dst").isNotNull())
+    tre = time_respecting_reachability(trans, ts_col="t", min_wait=1).select(
+        F.lit("treach").alias("op"),
+        F.concat_ws(">", "src", "dst").alias("s"),
+        F.col("t_arr").alias("a"), lN.alias("b"), lN.alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
-            .unionByName(mk))
+            .unionByName(mk).unionByName(tre))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -1739,9 +1770,19 @@ def _q_graph_similarity(spark, sf_dir):
         F.lit("sigma").alias("op"), F.col("src").alias("a"),
         F.col("dst").alias("b"), F.col("depth").alias("c"),
         F.col("sigma").alias("d"))
+    # resource-allocation + preferential-attachment link prediction on the
+    # same supplier~part incidence graph as the jaccard part (supplier-side
+    # pairs only — the part side is the row-budget blowup)
+    ra = AN.resource_allocation(
+        spark.table("lineitem").select(
+            (F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+            (F.col("l_partkey") + F.lit(4 * B)).alias("dst"))
+    ).filter(F.col("b") < F.lit(4 * B)).select(
+        F.lit("ra").alias("op"), F.col("a"), F.col("b"),
+        F.col("ra_micro").alias("c"), F.col("pa").alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
-            .unionByName(sig))
+            .unionByName(sig).unionByName(ra))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -1759,12 +1800,45 @@ def _q_sampling_ops(spark, sf_dir):
     rw = walks.select(
         F.lit("walk").alias("op"), F.col("walk_id").alias("a"),
         F.col("step").alias("b"), F.col("node").alias("c"))
-    sg = SA.walk_skipgram_pairs(walks, window=2).select(
+    sgp = SA.walk_skipgram_pairs(walks, window=2) \
+        .localCheckpoint(eager=True)  # feeds both skipgram and negsamp rows
+    sg = sgp.select(
         F.lit("skipgram").alias("op"), F.col("center").alias("a"),
         F.col("context").alias("b"), F.col("n_pairs").alias("c"))
+    # word2vec negatives: unigram table = walk visit counts, a center
+    # subset keeps the row budget bounded; slot folds into c reversibly
+    freqs = walks.groupBy(F.col("node")).agg(F.count(F.lit(1)).alias("freq"))
+    neg = SA.sampled_negatives(
+        sgp.filter(F.col("center") % 7 == 0).select("center", "context"),
+        freqs, k=1, seed=3,
+    ).select(
+        F.lit("negsamp").alias("op"), F.col("center").alias("a"),
+        F.col("context").alias("b"),
+        (F.col("negative") * 4 + F.col("slot")).alias("c"))
     inc = _q_incremental_dedup(spark, sf_dir).select(
         "op", "a", "b", F.col("code").alias("c"))
-    return ns.unionByName(rw).unionByName(sg).unionByName(inc)
+    # GraphSAGE-style 2-hop feature aggregation over the NEXT_ORDER
+    # chains (order features = totalprice cents); one row per op keeps
+    # count+sum and the integer-micro mean both hash-visible
+    wnd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = spark.table("orders")
+    chains = orders.select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.lead("o_orderkey").over(wnd) + F.lit(5 * B)).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    feats = orders.select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("node"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("f"))
+    na = SA.neighbor_feature_agg(chains, feats, hops=2) \
+        .localCheckpoint(eager=True)  # feeds both nagg and naggm rows
+    nag = na.select(
+        F.lit("nagg").alias("op"), F.col("id").alias("a"),
+        F.col("n_paths").alias("b"), F.col("sum_f").alias("c"))
+    nagm = na.select(
+        F.lit("naggm").alias("op"), F.col("id").alias("a"),
+        F.col("mean_micro").alias("b"), F.lit(None).cast("long").alias("c"))
+    return (ns.unionByName(rw).unionByName(sg).unionByName(neg)
+            .unionByName(inc).unionByName(nag).unionByName(nagm))
 
 
 def _q_ann_search(spark, sf_dir):
@@ -1826,9 +1900,27 @@ def _q_ann_search(spark, sf_dir):
         F.lit("pqtop").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
         F.col("dist_q").alias("b"), F.col("rank").cast("long").alias("c"),
         lN.alias("d"))
+    # recall@k of the probe-limited IVF search vs the brute-force truth,
+    # plus reciprocal-rank fusion of the two lists (the hybrid-retrieval
+    # combiner) — both run over the k-row top-k relations only
+    brute10 = S.cosine_topk_bruteforce(embs, query_id=0, k=10, dim=64) \
+        .withColumn("query_id", F.lit(0).cast("long"))
+    ivf10 = S.ivf_topk(embs, query_id=0, k=10, n_cells=4, n_probe=2) \
+        .withColumn("query_id", F.lit(0).cast("long"))
+    rec = S.topk_recall(ivf10, brute10, query_col="query_id",
+                        id_col="vec_id").select(
+        F.lit("recall").alias("op"), sN.alias("s"),
+        F.col("query_id").alias("a"), F.col("n_exact").cast("long").alias("b"),
+        F.col("n_hit").cast("long").alias("c"),
+        F.col("recall_permille").alias("d"))
+    rrf = S.rrf_fuse([brute10, ivf10], id_col="vec_id",
+                     rank_col="rank").select(
+        F.lit("rrf").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
+        F.col("n_lists").cast("long").alias("b"),
+        F.col("rrf_micro").alias("c"), lN.alias("d"))
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
             .unionByName(qt).unionByName(pool).unionByName(pqc)
-            .unionByName(pqt))
+            .unionByName(pqt).unionByName(rec).unionByName(rrf))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -2041,6 +2133,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     P = oracle_prefix()
     # PII-injected text twin of _q_doc_signals' pii_t
+    WALKS_SQL = SA_ORACLE.random_walks_oracle_sql(
+        edges_sql=f"SELECT l_suppkey + {2 * B} AS src, "
+                  f"l_partkey + {4 * B} AS dst FROM lineitem "
+                  f"UNION ALL SELECT l_partkey + {4 * B}, "
+                  f"l_suppkey + {2 * B} FROM lineitem",
+        length=3, seed=11,
+        starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id FROM lineitem",
+    )
+    NAGG_SQL = SA_ORACLE.neighbor_feature_agg_oracle_sql(
+        edges_sql=f"SELECT src, dst FROM ("
+                  f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+                  f"CAST(5*{B} + LEAD(o_orderkey) OVER ("
+                  f"PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+                  f") AS BIGINT) AS dst FROM orders) WHERE dst IS NOT NULL",
+        feats_sql=f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS node, "
+                  f"CAST(ROUND(o_totalprice * 100) AS BIGINT) AS f "
+                  f"FROM orders",
+        hops=2,
+    )
     PII_T_SQL = ("(text || ' user' || CAST(doc_id AS VARCHAR) || "
                  "'@example.com 10.0.0.1 555-12-3456 +1 (415) 555-01' || "
                  "CAST(doc_id % 90 + 10 AS VARCHAR))")
@@ -2575,7 +2686,22 @@ SELECT 'pq', NULL, vec_id, sub, code, NULL
 FROM ({O.pq_codes_sql(m=4, k=8, iters=2, dim=64)}) t10
 UNION ALL
 SELECT 'pqtop', NULL, vec_id, dist_q, CAST(rank AS BIGINT), NULL
-FROM ({O.pq_adc_topk_sql(m=4, k=8, iters=2, dim=64, topk=10)}) t11""",
+FROM ({O.pq_adc_topk_sql(m=4, k=8, iters=2, dim=64, topk=10)}) t11
+UNION ALL
+SELECT 'recall', NULL, query_id, n_exact, n_hit, recall_permille
+FROM ({S.topk_recall_oracle_sql(
+            approx_sql="SELECT 0 AS query_id, vec_id FROM ("
+                       + O.ivf_topk_sql(query_id=0, k=10, n_cells=4,
+                                        n_probe=2) + ")",
+            exact_sql="SELECT 0 AS query_id, vec_id FROM ("
+                      + O.cosine_topk_sql(query_id=0, k=10) + ")",
+            query_col="query_id", id_col="vec_id")}) t12
+UNION ALL
+SELECT 'rrf', NULL, vec_id, n_lists, rrf_micro, NULL
+FROM ({S.rrf_fuse_oracle_sql(
+            [O.cosine_topk_sql(query_id=0, k=10),
+             O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)],
+            id_col="vec_id", rank_col="rank")}) t13""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so both fixpoints have closed forms: weak component = the
         # customer's minimum order id; with the last→first closing edge
@@ -2693,6 +2819,11 @@ SELECT 'ppr' AS op, id, rank_e6 AS a, CAST(NULL AS BIGINT) AS b FROM (
 {AN.personalized_pagerank_oracle_sql(
     "SELECT src, dst FROM edges WHERE NOT is_back",
     seeds=[2 * B + 1, 2 * B + 2, 2 * B + 3], iters=3, prefix=P)}
+)
+UNION ALL
+SELECT 'katz' AS op, id, katz_scaled AS a, CAST(NULL AS BIGINT) AS b FROM (
+{AN.katz_oracle_sql("SELECT src, dst FROM edges WHERE NOT is_back",
+                    alpha_pow2=1, iters=3, prefix=P)}
 )""",
         "k_core_nodes": f"""
 SELECT 'core' AS op, id AS a, CAST(degree AS BIGINT) AS b,
@@ -2720,7 +2851,16 @@ FROM ({AN.mis_oracle_sql(
             f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
             f"FROM orders QUALIFY dst IS NOT NULL",
             seed=7, rounds=MIS_ORACLE_ROUNDS,
-        )}) t3""",
+        )}) t3
+UNION ALL
+SELECT 'matching', a, b, round
+FROM ({AN.matching_oracle_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            seed=7, rounds=MATCHING_ORACLE_ROUNDS,
+        )}) t4""",
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)
         # per reachable pair — the doubling operator must agree with the
@@ -2765,7 +2905,20 @@ SELECT 'resample', event_type, period, n, sum_cents
 FROM ({O.resample_counts_sql(3600)}) t7
 UNION ALL
 SELECT 'markov', from_type || '>' || to_type, n, NULL, NULL
-FROM ({O.transition_counts_sql()}) t8""",
+FROM ({O.transition_counts_sql()}) t8
+UNION ALL
+SELECT 'treach', src || '>' || dst, t_arr, NULL, NULL
+FROM ({TEMPORAL.time_respecting_reachability_sql(
+            "SELECT src, dst, t AS ts FROM ("
+            "SELECT event_type AS src, "
+            "LEAD(event_type) OVER wu AS dst, "
+            "LEAD(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)) "
+            "OVER wu AS t "
+            "FROM events WINDOW wu AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id)"
+            ") WHERE dst IS NOT NULL",
+            min_wait=1,
+        )}) t9""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,
@@ -2986,7 +3139,13 @@ SELECT CAST(5*{B} + pa.o_orderkey AS BIGINT) AS src,
        CAST(pb.i - pa.i AS BIGINT) AS depth,
        CAST(1 AS BIGINT) AS sigma
 FROM pos pa JOIN pos pb
-  ON pa.o_custkey = pb.o_custkey AND pb.i > pa.i) t8""",
+  ON pa.o_custkey = pb.o_custkey AND pb.i > pa.i) t8
+UNION ALL
+SELECT 'ra', a, b, ra_micro, pa
+FROM ({O.resource_allocation_sql(
+            src_expr=f"l_suppkey + {2 * B}", dst_expr=f"l_partkey + {4 * B}",
+            max_b=4 * B,
+        )}) t9""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c
@@ -2997,29 +3156,25 @@ FROM ({SA_ORACLE.sample_neighbors_oracle_sql(
         )}) t1
 UNION ALL
 SELECT 'walk', walk_id, step, node
-FROM ({SA_ORACLE.random_walks_oracle_sql(
-            edges_sql=f"SELECT l_suppkey + {2 * B} AS src, "
-                      f"l_partkey + {4 * B} AS dst FROM lineitem "
-                      f"UNION ALL SELECT l_partkey + {4 * B}, "
-                      f"l_suppkey + {2 * B} FROM lineitem",
-            length=3, seed=11,
-            starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id FROM lineitem",
-        )}) t2
+FROM ({WALKS_SQL}) t2
 UNION ALL
 SELECT 'skipgram', center, context, n_pairs
-FROM ({SA_ORACLE.walk_skipgram_oracle_sql(
-            SA_ORACLE.random_walks_oracle_sql(
-                edges_sql=f"SELECT l_suppkey + {2 * B} AS src, "
-                          f"l_partkey + {4 * B} AS dst FROM lineitem "
-                          f"UNION ALL SELECT l_partkey + {4 * B}, "
-                          f"l_suppkey + {2 * B} FROM lineitem",
-                length=3, seed=11,
-                starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id "
-                           f"FROM lineitem",
-            ),
-            window=2,
-        )}) t4
+FROM ({SA_ORACLE.walk_skipgram_oracle_sql(WALKS_SQL, window=2)}) t4
+UNION ALL
+SELECT 'negsamp', center, context, negative * 4 + slot
+FROM ({SA_ORACLE.sampled_negatives_oracle_sql(
+            pairs_sql="SELECT center, context FROM ("
+                      + SA_ORACLE.walk_skipgram_oracle_sql(WALKS_SQL, window=2)
+                      + ") WHERE center % 7 = 0",
+            freqs_sql="SELECT node, COUNT(*) AS freq FROM ("
+                      + WALKS_SQL + ") GROUP BY node",
+            k=1, seed=3,
+        )}) t5
 UNION ALL
 SELECT op, a, b, code
-FROM ({O.incremental_dedup_sql(split="80")}) t3""",
+FROM ({O.incremental_dedup_sql(split="80")}) t3
+UNION ALL
+SELECT 'nagg', id, n_paths, sum_f FROM ({NAGG_SQL}) t6
+UNION ALL
+SELECT 'naggm', id, mean_micro, NULL FROM ({NAGG_SQL}) t7""",
     }

@@ -294,12 +294,19 @@ class Graph:
     # --------------------------------------------------------- persistence
 
     def save(self, path: str, mode: str = "overwrite", bucket_by_src: bool = False,
-             fmt: str = "parquet") -> None:
+             fmt: str = "parquet",
+             partition_by: tuple[str, ...] | None = None) -> None:
         """Persist (``listToDB``/``emptyDB``, ``JudyGraph.hs:160-192``).
         ``fmt`` is any Spark batch format with min/max column statistics —
         ``parquet`` (default) or ``orc``. At scale pass
         ``bucket_by_src=True`` to write ``edges`` repartitioned on ``src``
-        so adjacency filters prune files."""
+        so adjacency filters prune files, and/or
+        ``partition_by=("label",)`` for hive-style directory partitioning:
+        a label-filtered pattern hop then prunes whole directories at file
+        listing (``PartitionFilters`` in the scan) — at 100 TB, a
+        one-label query reads 1/|labels| of the files before any row-group
+        stats apply. The two compose (directories by label, files
+        clustered by src within each)."""
         e = self.edges
         if bucket_by_src:
             # hash-distribute by src and sort inside each file: row-group /
@@ -307,7 +314,10 @@ class Graph:
             # lookups and adjacency scans — the on-disk replacement for the
             # reference's judy index (FastAccess.hs:602-634)
             e = e.repartition("src").sortWithinPartitions("src", "label")
-        e.write.mode(mode).format(fmt).save(os.path.join(path, "edges"))
+        ew = e.write.mode(mode).format(fmt)
+        if partition_by:
+            ew = ew.partitionBy(*partition_by)
+        ew.save(os.path.join(path, "edges"))
         self.nodes.write.mode(mode).format(fmt).save(os.path.join(path, "nodes"))
         self.ranges_df().write.mode(mode).format(fmt).save(
             os.path.join(path, "ranges"))
@@ -342,6 +352,12 @@ class Graph:
         """Reopen a persisted graph (``fromDB``, ``JudyGraph.hs:195-203`` —
         which the reference left TODO; here it fully restores)."""
         edges = spark.read.format(fmt).load(os.path.join(path, "edges"))
+        if set(EDGE_COLS) <= set(edges.columns):
+            # partitioned layouts read partition columns back LAST —
+            # restore the canonical order so positional set ops
+            # (intersect/exceptAll) still line up across graphs
+            extras = [c for c in edges.columns if c not in EDGE_COLS]
+            edges = edges.select(*EDGE_COLS, *extras)
         nodes = spark.read.format(fmt).load(os.path.join(path, "nodes"))
         rows = spark.read.format(fmt).load(os.path.join(path, "ranges")).collect()
         ranges = Ranges.of(*[(r.range_start, r.range_len, r.label, tuple(r.valid_edge_labels or ())) for r in rows])

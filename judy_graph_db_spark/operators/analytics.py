@@ -974,6 +974,112 @@ def jaccard_similarity(edges: DataFrame, min_permille: int = 0,
     return out.filter(F.col("jaccard_permille") >= min_permille)
 
 
+def katz_centrality(edges: DataFrame, alpha_pow2: int = 1,
+                    iters: int = 3) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953) with a power-of-two damping
+    ``α = 2^-alpha_pow2``, scaled to an exact integer: ``katz_scaled(v) =
+    Σ_{k=1..K} paths_k(v) · 2^(alpha_pow2·(K-k))`` where ``paths_k(v)``
+    counts length-k walks ending at v — i.e. ``katz·2^(alpha_pow2·K)``
+    with no float anywhere, so the relation hash-gates. Returns
+    ``(id, katz_scaled)``; PageRank's damping-by-outdegree sibling that
+    weights *all* walks, not just the stationary flow.
+
+    One equi-join + dst-keyed partial agg per hop over the walk-count
+    relation (O(nodes) rows) — the same per-iteration shape as
+    ``personalized_pagerank``, never materializing the walks themselves.
+    Truncation at K hops is the textbook distributed form; callers pick K
+    so ``max_paths·2^(alpha_pow2·K)`` stays inside int64 (the chain/DAG
+    graphs this gates on are nowhere near the bound).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    pk = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("c"))
+    total = pk.select(
+        "id", (F.col("c") * F.lit(1 << (alpha_pow2 * (iters - 1)))).alias("k"))
+    for k in range(2, iters + 1):
+        pk = (
+            pk.join(e.withColumnRenamed("src", "id"), "id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("c"))
+        )
+        w = 1 << (alpha_pow2 * (iters - k))
+        total = total.unionByName(
+            pk.select("id", (F.col("c") * F.lit(w)).alias("k")))
+    return total.groupBy("id").agg(F.sum("k").alias("katz_scaled"))
+
+
+def katz_oracle_sql(edges_sql: str, alpha_pow2: int = 1, iters: int = 3,
+                    prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`katz_centrality`: the hop recurrences
+    unrolled as chained CTEs."""
+    head = f"{prefix},\nkz_e" if prefix else "WITH kz_e"
+    parts = [f"{head} AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+             "kz_p1 AS (SELECT dst AS id, COUNT(*) AS c FROM kz_e"
+             " GROUP BY dst),"]
+    for k in range(2, iters + 1):
+        parts.append(
+            f"kz_p{k} AS (SELECT e.dst AS id, SUM(p.c) AS c "
+            f"FROM kz_p{k - 1} p JOIN kz_e e ON p.id = e.src "
+            f"GROUP BY e.dst),")
+    terms = "\nUNION ALL\n".join(
+        f"SELECT id, c * {1 << (alpha_pow2 * (iters - k))} AS k FROM kz_p{k}"
+        for k in range(1, iters + 1))
+    parts.append(
+        f"kz_all AS (\n{terms}\n)\n"
+        "SELECT id, CAST(SUM(k) AS BIGINT) AS katz_scaled "
+        "FROM kz_all GROUP BY id")
+    return "\n".join(parts)
+
+
+def resource_allocation(edges: DataFrame, min_micro: int = 0,
+                        max_degree: int | None = None) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lü & Zhang 2009 —
+    the log-free sibling of Adamic–Adar) plus preferential attachment, for
+    every node pair sharing a neighbor: ``RA(a,b) = Σ_{w∈N(a)∩N(b)}
+    1/deg(w)`` in exact integer micro-units (``1000000 div deg(w)`` — no
+    float path, so Spark and the DuckDB twin agree bit-for-bit), and
+    ``PA(a,b) = deg(a)·deg(b)`` riding along for free off the same degree
+    relation. Returns ``(a, b, common, ra_micro, pa)``.
+
+    Same candidate shape as :func:`jaccard_similarity`: pairs come from
+    the common-neighbor wedge join only — zero-overlap pairs never
+    materialize, keeping this O(Σdeg²) not O(n²); ``max_degree`` excludes
+    hub pivots from wedge generation (the skew guard — hubs contribute
+    ≤ 1000000/max_degree each anyway, so capping loses little signal,
+    unlike the count-based indices where it is a real approximation).
+    """
+    sym = _symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wedge_base = sym.join(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("__vd")), "dst")
+    if max_degree is not None:
+        wedge_base = wedge_base.filter(F.col("__vd") <= max_degree)
+    wedges = (
+        wedge_base.select(F.col("dst").alias("via"), F.col("src").alias("a"),
+                          F.col("__vd"))
+        .join(
+            wedge_base.select(F.col("dst").alias("via"),
+                              F.col("src").alias("b")),
+            "via",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.sum(F.expr("1000000 div __vd")).alias("ra_micro"))
+    )
+    out = (
+        wedges.join(deg.select(F.col("src").alias("a"),
+                               F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("b"),
+                         F.col("d").alias("db")), "b")
+        .select("a", "b", "common", "ra_micro",
+                (F.col("da") * F.col("db")).alias("pa"))
+    )
+    return out.filter(F.col("ra_micro") >= min_micro)
+
+
 def weighted_shortest_paths(edges: DataFrame, weight_col: str = "weight",
                             max_iter: int = 20,
                             max_dist: int | None = None) -> DataFrame:
@@ -1620,6 +1726,116 @@ def mis_oracle_sql(edges_sql: str, seed: int = 7, rounds: int = 24,
         f"SELECT id, CAST({r} AS BIGINT) AS round FROM win{r}"
         for r in range(1, rounds + 1)
     )
+    parts.append("\n" + selects)
+    return "\n".join(parts)
+
+
+def maximal_matching(edges: DataFrame, seed: int = 7,
+                     max_rounds: int = 64) -> DataFrame:
+    """Deterministic greedy maximal matching (Luby-style local minima on
+    the *edge* hash, i.e. Israeli–Itai 1986's symmetry-breaking made
+    reproducible): ``(a BIGINT, b BIGINT, round BIGINT)`` with ``a < b``
+    — no two returned edges share a node, and every remaining edge
+    touches a matched node (maximality). The building block for
+    entity-pair assignment, graph coarsening, and 1-1 dedup pairing.
+
+    Priorities are ``md5(seed:round:a:b)`` (the engine-wide content-hash
+    convention): a round selects every active edge that is the strict
+    ``(p, a, b)``-minimum among the edges incident to BOTH its endpoints
+    — the global minimum always qualifies, so progress is guaranteed, and
+    local minima give the expected O(log m) rounds. Each round is one
+    endpoint-min aggregation (the incident relation is the edge set
+    exploded twice — map-side-combinable) + two semi-join removals over
+    the shrinking active set; state never exceeds the edge relation. SQL
+    twin: :func:`matching_oracle_sql` (fixed unroll; rounds past
+    convergence are no-ops on the empty active set).
+    """
+    und = (
+        _symmetric(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for r in range(1, max_rounds + 1):
+        if und.limit(1).count() == 0:
+            break
+        pri = F.conv(
+            F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(seed)), F.lit(str(r)),
+                F.col("a").cast("string"), F.col("b").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        wp = und.select("a", "b", pri.alias("p"))
+        incid = wp.select(F.col("a").alias("node"), "p", "a", "b").unionByName(
+            wp.select(F.col("b").alias("node"), "p", "a", "b"))
+        nmin = incid.groupBy("node").agg(
+            F.min(F.struct("p", "a", "b")).alias("nm"))
+        key = F.struct("p", "a", "b")
+        sel = (
+            wp.join(nmin.select(F.col("node").alias("a"),
+                                F.col("nm").alias("na")), "a")
+            .join(nmin.select(F.col("node").alias("b"),
+                              F.col("nm").alias("nb")), "b")
+            .filter((key == F.col("na")) & (key == F.col("nb")))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        parts.append(sel.select("a", "b", F.lit(r).cast("long").alias("round")))
+        matched = sel.select(F.col("a").alias("node")).unionByName(
+            sel.select(F.col("b").alias("node"))).distinct()
+        nxt = (
+            und.join(matched.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(matched.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(und)
+        und = nxt
+    if not parts:
+        return edges.sparkSession.createDataFrame(
+            [], "a BIGINT, b BIGINT, round BIGINT")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def matching_oracle_sql(edges_sql: str, seed: int = 7, rounds: int = 16,
+                        prefix: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`maximal_matching`: fixed-round unroll with
+    the same md5 edge priorities and (p, a, b) tuple order."""
+    def pri(r, a, b):
+        return (f"CAST(CAST('0x' || substring(md5('{seed}' || ':' || '{r}'"
+                f" || ':' || CAST({a} AS VARCHAR) || ':' ||"
+                f" CAST({b} AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)")
+
+    head = f"{prefix},\nmm0 AS" if prefix else "WITH mm0 AS"
+    parts = [f"""{head} MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+)"""]
+    for r in range(1, rounds + 1):
+        p = pri(r, "a", "b")
+        parts.append(f""", mp{r} AS MATERIALIZED (
+  SELECT a, b, {p} AS p FROM mm{r - 1}
+), mn{r} AS MATERIALIZED (
+  SELECT node, MIN(ROW(p, a, b)) AS nm FROM (
+    SELECT a AS node, p, a, b FROM mp{r}
+    UNION ALL SELECT b AS node, p, a, b FROM mp{r}
+  ) GROUP BY node
+), ms{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM mp{r} e
+  JOIN mn{r} na ON e.a = na.node AND ROW(e.p, e.a, e.b) = na.nm
+  JOIN mn{r} nb ON e.b = nb.node AND ROW(e.p, e.a, e.b) = nb.nm
+), mm{r} AS MATERIALIZED (
+  SELECT a, b FROM mm{r - 1}
+  WHERE a NOT IN (SELECT a FROM ms{r}) AND a NOT IN (SELECT b FROM ms{r})
+    AND b NOT IN (SELECT a FROM ms{r}) AND b NOT IN (SELECT b FROM ms{r})
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT a, b, CAST({r} AS BIGINT) AS round FROM ms{r}"
+        for r in range(1, rounds + 1))
     parts.append("\n" + selects)
     return "\n".join(parts)
 

@@ -209,3 +209,195 @@ sg_sh AS (
 SELECT s.center, c.node AS context, COUNT(*) AS n_pairs
 FROM sg_sh s JOIN sg_w c ON s.walk_id = c.walk_id AND s.step = c.step
 GROUP BY s.center, c.node"""
+
+
+def sampled_negatives(pairs: DataFrame, freqs: DataFrame, k: int = 3,
+                      seed: int = 0, n_bins: int = 1 << 12,
+                      num_partitions: int | None = None) -> DataFrame:
+    """Deterministic word2vec negative sampling (Mikolov et al. 2013) for
+    skip-gram pairs: slot ``i`` of pair ``(center, context)`` draws node
+    ``j`` with probability ``freq_j / Σfreq`` — the draw is the node whose
+    cumulative-frequency interval contains ``md5-hash mod Σfreq``, so the
+    output is reproducible and hash-gates. ``freqs`` is ``(node, freq)``
+    (integer weights; pre-scale by ``freq^0.75`` upstream if the word2vec
+    smoothing is wanted — kept out of here so the operator stays
+    integer-exact). Returns ``(center, context, slot, negative)``; draws
+    that collide with the pair's own center/context are KEPT (word2vec
+    resamples, but resampling would make row i depend on draw i-1 —
+    callers filter instead).
+
+    Scale shape: the cumulative intervals come from the same two-pass
+    distributed prefix sum as ``curation.shard_by_token_budget`` (a
+    per-partition window + a broadcast ≤P-row offset table — never a
+    single-task global window over the node table); interval→draw lookup
+    is a bin-bucketed range join (intervals explode into ~W/B bins, probes
+    hash to one bin), so no all-pairs comparison at any corpus size. The
+    Σfreq and bin-width scalars ride along as 1-row broadcast joins, not
+    driver round-trips.
+    """
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    if k < 1:
+        raise ValueError("k must be positive")
+    spark = pairs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = freqs.select(F.col("node"), F.col("freq").cast("long").alias("freq"))
+    parted = (
+        base.repartitionByRange(num_partitions, F.col("node"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin __pid for both readers
+    )
+    totals = parted.groupBy("__pid").agg(F.sum("freq").alias("__pt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__pt").over(w_off), F.lit(0)).alias("__off"))
+    w_in = (Window.partitionBy("__pid").orderBy("node")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (
+        parted.join(F.broadcast(offsets), "__pid")
+        .select(
+            "node", "freq",
+            (F.col("__off")
+             + F.coalesce(F.sum("freq").over(w_in), F.lit(0))).alias("lo"))
+        .withColumn("hi", F.col("lo") + F.col("freq"))
+    )
+    scal = base.agg(F.sum("freq").alias("__W")).select(
+        "__W", F.greatest(F.expr(f"__W div {int(n_bins)}"),
+                          F.lit(1)).alias("__B"))
+    cand = (
+        cum.crossJoin(F.broadcast(scal))
+        .select(
+            "node", "lo", "hi",
+            F.explode(F.sequence(F.expr("lo div __B"),
+                                 F.expr("(hi - 1) div __B"))).alias("bin"))
+    )
+    probes = (
+        pairs.select("center", "context")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "center", "context", "__W", "__B",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("slot"))
+        .withColumn(
+            "__h",
+            _h60(F.concat_ws("|", "center", "context", "slot"),
+                 f"neg{int(seed)}") % F.col("__W"))
+        .withColumn("bin", F.expr("__h div __B"))
+    )
+    return (
+        probes.join(cand, "bin")
+        .filter((F.col("lo") <= F.col("__h")) & (F.col("__h") < F.col("hi")))
+        .select("center", "context", "slot", F.col("node").alias("negative"))
+    )
+
+
+def sampled_negatives_oracle_sql(pairs_sql: str, freqs_sql: str, k: int = 3,
+                                 seed: int = 0,
+                                 n_bins: int = 1 << 12) -> str:
+    """ANSI-SQL twin of :func:`sampled_negatives` (DuckDB): plain window
+    prefix sum (the scale concern the Spark side's two-pass shape answers
+    doesn't apply to the oracle)."""
+    h_expr = ("CAST(center AS VARCHAR) || '|' || CAST(context AS VARCHAR) "
+              "|| '|' || CAST(slot AS VARCHAR)")
+    from judy_graph_db_spark.oracle import _h60_sql
+
+    return f"""WITH ns_f AS ({freqs_sql}),
+ns_cum AS (
+  SELECT node, freq,
+         CAST(COALESCE(SUM(freq) OVER (ORDER BY node
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS lo
+  FROM ns_f
+),
+ns_scal AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS w,
+         CAST(GREATEST(SUM(freq) // {int(n_bins)}, 1) AS BIGINT) AS b
+  FROM ns_f
+),
+ns_cand AS (
+  SELECT c.node, c.lo, c.lo + c.freq AS hi,
+         unnest(generate_series(c.lo // s.b, (c.lo + c.freq - 1) // s.b))
+           AS bin
+  FROM ns_cum c, ns_scal s
+),
+ns_pr AS (
+  SELECT p.center, p.context, sl.slot,
+         {_h60_sql(h_expr, f'neg{int(seed)}')} % s.w AS h,
+         {_h60_sql(h_expr, f'neg{int(seed)}')} % s.w // s.b AS bin
+  FROM ({pairs_sql}) p,
+       (SELECT unnest(generate_series(1, {int(k)})) AS slot) sl,
+       ns_scal s
+)
+SELECT p.center, p.context, p.slot, c.node AS negative
+FROM ns_pr p JOIN ns_cand c
+  ON p.bin = c.bin AND c.lo <= p.h AND p.h < c.hi"""
+
+
+def neighbor_feature_agg(edges: DataFrame, features: DataFrame,
+                         hops: int = 1, id_col: str = "node",
+                         feat_col: str = "f",
+                         max_fanout: int | None = None) -> DataFrame:
+    """GraphSAGE-style neighbor feature aggregation (Hamilton et al.
+    2017's mean aggregator, path-multiplicity semantics): for every node,
+    the sum / count / integer-micro mean of its ``hops``-hop neighbors'
+    integer feature, each neighbor weighted by the number of length-
+    ``hops`` paths reaching it. Returns ``(id, n_paths, sum_f,
+    mean_micro)`` with ``mean_micro = (1000000·sum_f) div n_paths`` —
+    integer-exact, so the relation hash-gates against the SQL twin.
+
+    This is the feature-propagation pass a GNN trainer pre-computes at
+    corpus scale (SGC / "graph-augmented features"): each hop is ONE
+    equi-join frontier→edges plus a map-side-combinable (id, node) partial
+    agg — O(paths) state, never a node² product. ``max_fanout`` routes
+    the frontier through :func:`sample_neighbors` first (seed 0), which
+    is the skew guard GraphSAGE itself prescribes: hub explosion is
+    bounded by k^hops per node.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    if max_fanout is not None:
+        e = sample_neighbors(edges, k=max_fanout).select("src", "dst")
+    fr = e.select(F.col("src").alias("id"), F.col("dst").alias("node"),
+                  F.lit(1).cast("long").alias("c"))
+    for _ in range(hops - 1):
+        fr = (
+            fr.join(e.withColumnRenamed("src", "node"), "node")
+            .select("id", F.col("dst").alias("node"), "c")
+            .groupBy("id", "node")
+            .agg(F.sum("c").alias("c"))
+        )
+    feats = features.select(F.col(id_col).alias("node"),
+                            F.col(feat_col).cast("long").alias("__f"))
+    return (
+        fr.join(feats, "node")
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_paths"),
+             F.sum(F.col("c") * F.col("__f")).alias("sum_f"))
+        .select("id", "n_paths", "sum_f",
+                F.expr("(1000000 * sum_f) div n_paths").alias("mean_micro"))
+    )
+
+
+def neighbor_feature_agg_oracle_sql(edges_sql: str, feats_sql: str,
+                                    hops: int = 1, id_col: str = "node",
+                                    feat_col: str = "f") -> str:
+    """ANSI-SQL twin of :func:`neighbor_feature_agg` (DuckDB): the hop
+    joins unrolled (no sampling path — twin of ``max_fanout=None``)."""
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    joins = "".join(
+        f" JOIN nfa_e e{i} ON e{i - 1}.dst = e{i}.src" for i in range(1, hops))
+    return f"""WITH nfa_e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+nfa_fr AS (
+  SELECT e0.src AS id, e{hops - 1}.dst AS node, COUNT(*) AS c
+  FROM nfa_e e0{joins}
+  GROUP BY e0.src, e{hops - 1}.dst
+)
+SELECT fr.id, CAST(SUM(c) AS BIGINT) AS n_paths,
+       CAST(SUM(c * ft.{feat_col}) AS BIGINT) AS sum_f,
+       CAST(1000000 * SUM(c * ft.{feat_col}) // SUM(c) AS BIGINT)
+         AS mean_micro
+FROM nfa_fr fr JOIN ({feats_sql}) ft ON fr.node = ft.{id_col}
+GROUP BY fr.id"""

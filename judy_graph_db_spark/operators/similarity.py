@@ -266,6 +266,93 @@ def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
+def rrf_fuse(rankings: "list[DataFrame]", id_col: str = "id",
+             rank_col: str = "rank", k0: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of N
+    ranked lists — the standard hybrid-retrieval combiner (BM25 lexical +
+    ANN dense, or any mix): ``score(d) = Σ_lists 1/(k0 + rank_d)``, here
+    in exact integer micro-units (``1000000 div (k0 + rank)``) so the
+    fused scores hash identically across engines. Returns
+    ``(id_col, n_lists, rrf_micro)``; callers order by
+    ``(rrf_micro DESC, id)`` for a deterministic fused ranking.
+
+    Scale shape: each input list is already small (top-k per query — the
+    expensive retrieval happened upstream); fusion is one union + one
+    id-keyed partial-agg shuffle, independent of corpus size. k0=60 is
+    the published default.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(F.col(id_col),
+                 F.col(rank_col).cast("long").alias("__rank"))
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return (
+        allr.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_lists"),
+             F.sum(F.expr(f"1000000 div ({int(k0)} + __rank)"))
+             .alias("rrf_micro"))
+    )
+
+
+def rrf_fuse_oracle_sql(rank_sqls: "list[str]", id_col: str = "id",
+                        rank_col: str = "rank", k0: int = 60) -> str:
+    """ANSI-SQL twin of :func:`rrf_fuse` for DuckDB."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, CAST({rank_col} AS BIGINT) AS r FROM ({s})"
+        for s in rank_sqls)
+    return f"""SELECT {id_col}, COUNT(*) AS n_lists,
+       CAST(SUM(1000000 // ({int(k0)} + r)) AS BIGINT) AS rrf_micro
+FROM ({union}) GROUP BY {id_col}"""
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame,
+                query_col: str = "query_id", id_col: str = "id") -> DataFrame:
+    """Recall@k of an approximate top-k retrieval against the exact
+    (brute-force) top-k, per query — the acceptance metric every ANN
+    index (IVF/LSH/PQ) ships with. Returns ``(query_col, n_exact, n_hit,
+    recall_permille)`` with ``recall_permille = 1000·|approx ∩ exact|
+    div |exact|`` (integer-exact).
+
+    Both inputs are top-k relations (O(queries·k) rows), so the whole
+    evaluation is one equi-join + one query-keyed aggregation — no touch
+    of the corpus. A left join from exact keeps queries the approx side
+    missed entirely (recall 0) visible.
+    """
+    a = approx.select(F.col(query_col), F.col(id_col)).distinct()
+    hits = (
+        exact.select(F.col(query_col), F.col(id_col))
+        .join(a.withColumn("__hit", F.lit(1)), [query_col, id_col], "left")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.count("__hit").alias("n_hit"))
+    )
+    return hits.select(
+        query_col, "n_exact", "n_hit",
+        F.expr("1000 * n_hit div n_exact").alias("recall_permille"))
+
+
+def topk_recall_oracle_sql(approx_sql: str, exact_sql: str,
+                           query_col: str = "query_id",
+                           id_col: str = "id") -> str:
+    """ANSI-SQL twin of :func:`topk_recall` for DuckDB."""
+    return f"""WITH ap AS (
+  SELECT DISTINCT {query_col}, {id_col} FROM ({approx_sql})
+),
+ex AS (SELECT {query_col}, {id_col} FROM ({exact_sql}))
+SELECT e.{query_col}, COUNT(*) AS n_exact,
+       COUNT(a.{id_col}) AS n_hit,
+       CAST(1000 * COUNT(a.{id_col}) // COUNT(*) AS BIGINT)
+         AS recall_permille
+FROM ex e LEFT JOIN ap a
+  ON e.{query_col} = a.{query_col} AND e.{id_col} = a.{id_col}
+GROUP BY e.{query_col}"""
+
+
 def mean_pool_embeddings(embs: DataFrame, group_col: str,
                          vec_col: str = "embedding",
                          scale_pow2: int = 20) -> DataFrame:

@@ -378,3 +378,87 @@ def transition_counts(events: DataFrame, key_col: str = "user_id",
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def time_respecting_reachability(edges: DataFrame, src_col: str = "src",
+                                 dst_col: str = "dst", ts_col: str = "ts",
+                                 min_wait: int = 0,
+                                 max_iter: int = 20) -> DataFrame:
+    """Earliest-arrival reachability over a temporal graph (Holme &
+    Saramäki 2012): ``(src, dst, t_arr)`` for every pair connected by a
+    *time-respecting* path — consecutive edges must depart at or after
+    the previous arrival plus ``min_wait`` (``min_wait=1`` on integer
+    timestamps = strictly increasing). Static reachability over-reports
+    on temporal data (an edge that fired *before* you arrived cannot
+    carry you); this is the correct closure for contact networks,
+    message/citation flows, and dependency-ordered pipelines.
+
+    State is ONE row per reachable pair (the earliest arrival): an
+    earlier arrival permits a superset of continuations, so min-pruning
+    is lossless — the same monotone-fingerprint convergence as
+    ``minplus_closure`` (pairs only grow, arrivals only shrink). Each
+    round is one equi-join on the intermediate node (the range predicate
+    on ``ts`` rides the same shuffle as a post-join filter) + one
+    (src, dst) partial-agg min — O(pairs) state, rounds = longest
+    time-respecting shortest chain.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                     F.col(ts_col).cast("long").alias("t"))
+    r = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst").agg(F.min("t").alias("t_arr"))
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("t_arr").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], int(row["s"] or 0))
+
+    prev = fingerprint(r)
+    for _ in range(max_iter):
+        step = (
+            r.join(e.select(F.col("src").alias("mid"),
+                            F.col("dst").alias("nxt"), "t"),
+                   F.col("dst") == F.col("mid"))
+            .filter(F.col("t") >= F.col("t_arr") + F.lit(int(min_wait)))
+            .filter(F.col("src") != F.col("nxt"))
+            .select("src", F.col("nxt").alias("dst"),
+                    F.col("t").alias("t_arr"))
+        )
+        prev_state = r
+        r = (
+            r.union(step)
+            .groupBy("src", "dst").agg(F.min("t_arr").alias("t_arr"))
+            .localCheckpoint(eager=True)
+        )
+        try:
+            prev_state.unpersist()
+        except Exception:
+            pass
+        cur = fingerprint(r)
+        if cur == prev:
+            break
+        prev = cur
+    return r
+
+
+def time_respecting_reachability_sql(edges_sql: str,
+                                     min_wait: int = 0) -> str:
+    """ANSI-SQL twin of :func:`time_respecting_reachability` (DuckDB
+    recursive CTE; the UNION dedups (src, dst, t) triples so the
+    recursion terminates on cyclic temporal graphs)."""
+    return f"""WITH RECURSIVE tre AS (
+  SELECT src, dst, CAST(ts AS BIGINT) AS t FROM ({edges_sql})
+),
+trw(src, dst, t) AS (
+  SELECT src, dst, t FROM tre WHERE src <> dst
+  UNION
+  SELECT w.src, e.dst, e.t
+  FROM trw w JOIN tre e
+    ON w.dst = e.src AND e.t >= w.t + {int(min_wait)} AND w.src <> e.dst
+)
+SELECT src, dst, CAST(MIN(t) AS BIGINT) AS t_arr
+FROM trw GROUP BY src, dst"""

@@ -769,6 +769,43 @@ WHERE floor(w.common * 1000 / (da.d + db.d - w.common)) >= {min_permille}
 """
 
 
+def resource_allocation_sql(table: str = "lineitem",
+                            src_expr: str = "l_suppkey + 2000000000000",
+                            dst_expr: str = "l_partkey + 4000000000000",
+                            min_micro: int = 0,
+                            max_b: int | None = None) -> str:
+    """Twin of ``analytics.resource_allocation`` (RA micro + preferential
+    attachment over common-neighbor candidate pairs)."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST({src_expr} AS BIGINT) AS src,
+         CAST({dst_expr} AS BIGINT) AS dst
+  FROM {table}
+),
+sym AS (
+  SELECT src, dst FROM e WHERE src <> dst
+  UNION
+  SELECT dst, src FROM e WHERE src <> dst
+),
+deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
+wedge AS (
+  SELECT l.src AS a, r.src AS b, COUNT(*) AS common,
+         SUM(1000000 // dv.d) AS ra_micro
+  FROM sym l
+  JOIN sym r ON l.dst = r.dst AND l.src < r.src
+  JOIN deg dv ON l.dst = dv.src
+  GROUP BY l.src, r.src
+)
+SELECT w.a, w.b, w.common, CAST(w.ra_micro AS BIGINT) AS ra_micro,
+       CAST(da.d * db.d AS BIGINT) AS pa
+FROM wedge w
+JOIN deg da ON w.a = da.src
+JOIN deg db ON w.b = db.src
+WHERE w.ra_micro >= {min_micro}
+{f'AND w.b < {max_b}' if max_b is not None else ''}
+"""
+
+
 def inverted_index_sql(min_df: int = 5, max_df: int = 400,
                        id_col: str = "doc_id", text_col: str = "text",
                        table: str = "documents") -> str:

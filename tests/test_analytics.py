@@ -336,6 +336,43 @@ def test_jaccard_max_degree_excludes_hub_pivot(spark):
     assert capped[(2, 3)] == 1
 
 
+def test_resource_allocation(spark):
+    # path 1-2-3 plus 1-3: every pair shares exactly one neighbor of
+    # degree 2 -> RA = 500000; PA = 2·2 = 4
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    got = {(r.a, r.b): (r.common, r.ra_micro, r.pa)
+           for r in AN.resource_allocation(e).collect()}
+    assert got == {(1, 2): (1, 500000, 4), (1, 3): (1, 500000, 4),
+                   (2, 3): (1, 500000, 4)}
+    # hub pivot discounts: 4-5 share hub 1 (deg 3) and leaf 6 (deg 2)
+    # -> RA = 1000000//3 + 500000 = 833333
+    e2 = edges_df(spark, [(4, 1), (5, 1), (1, 9), (4, 6), (5, 6)])
+    got2 = {(r.a, r.b): (r.common, r.ra_micro)
+            for r in AN.resource_allocation(e2).collect()}
+    assert got2[(4, 5)] == (2, 833333)
+    # max_degree=2 drops the hub wedge but keeps the leaf one
+    capped = {(r.a, r.b): (r.common, r.ra_micro)
+              for r in AN.resource_allocation(e2, max_degree=2).collect()}
+    assert capped[(4, 5)] == (1, 500000)
+
+
+def test_resource_allocation_matches_oracle(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+
+    rows = [(i % 7 + 1, (i * 3) % 11 + 20) for i in range(40)]
+    e = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+    got = sorted(tuple(r) for r in AN.resource_allocation(e).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    twin = sorted(tuple(t) for t in con.execute(
+        O.resource_allocation_sql(table="t", src_expr="s", dst_expr="d")
+    ).fetchall())
+    assert got == twin
+
+
 def test_weighted_paths_rejects_bad_weights(spark):
     import pytest as _pt
 
@@ -955,3 +992,67 @@ def test_mis_empty_edges(spark):
     out = AN.maximal_independent_set(empty)
     assert out.columns == ["id", "round"]
     assert out.count() == 0
+
+
+def test_katz_centrality(spark):
+    # chain 1->2->3->4, K=3, alpha=1/2: katz_scaled(v) =
+    # sum over k<=min(3, pos-1) of 2^(3-k)
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r.id: r.katz_scaled for r in AN.katz_centrality(
+        e, alpha_pow2=1, iters=3).collect()}
+    assert got == {2: 4, 3: 4 + 2, 4: 4 + 2 + 1}
+    # diamond doubles the length-2 walk into 4: 1->2->4, 1->3->4
+    e2 = edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    got2 = {r.id: r.katz_scaled for r in AN.katz_centrality(
+        e2, alpha_pow2=1, iters=2).collect()}
+    assert got2 == {2: 2, 3: 2, 4: 2 * 2 + 2 * 1}
+    import duckdb
+
+    from judy_graph_db_spark import oracle  # noqa: F401  (twin import path)
+
+    rows = [(i % 9 + 1, (i * 5) % 11 + 2) for i in range(30)]
+    e3 = spark.createDataFrame(rows, "src BIGINT, dst BIGINT")
+    got3 = sorted(tuple(r) for r in AN.katz_centrality(
+        e3, alpha_pow2=2, iters=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    twin = sorted(tuple(t) for t in con.execute(AN.katz_oracle_sql(
+        "SELECT src, dst FROM t", alpha_pow2=2, iters=4)).fetchall())
+    assert got3 == twin
+
+
+def test_maximal_matching_invariants(spark):
+    import random
+
+    rng = random.Random(23)
+    pairs = sorted({(a, b) for a in range(20) for b in range(20)
+                    if a < b and rng.random() < 0.2})
+    got = AN.maximal_matching(edges_df(spark, pairs)).collect()
+    sel = {(r.a, r.b) for r in got}
+    assert sel <= set(pairs)
+    # matching: no shared endpoints
+    nodes = [x for ab in sel for x in ab]
+    assert len(nodes) == len(set(nodes))
+    # maximal: every unmatched edge touches a matched node
+    for a, b in set(pairs) - sel:
+        assert a in set(nodes) or b in set(nodes), (a, b)
+    # empty input -> typed empty result
+    assert AN.maximal_matching(
+        spark.createDataFrame([], "src BIGINT, dst BIGINT")).count() == 0
+
+
+def test_maximal_matching_matches_oracle(spark):
+    import random
+
+    rng = random.Random(29)
+    pairs = sorted({(rng.randrange(15), rng.randrange(15))
+                    for _ in range(35)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = sorted(tuple(r) for r in AN.maximal_matching(
+        edges_df(spark, pairs)).collect())
+    con = duckdb.connect()
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    twin = sorted(tuple(t) for t in con.execute(AN.matching_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)")).fetchall())
+    assert got == twin

@@ -75,6 +75,26 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert g2.ranges.label_of(5) == "ISSUE"
 
 
+def test_save_load_label_partitioned(spark, tmp_path):
+    # hive-style label directories: same round-trip contract, canonical
+    # column order restored on load, and a label filter reaches the scan
+    # as a PartitionFilter (directory pruning — the 100 TB path)
+    import pyspark.sql.functions as F
+
+    g = f2_issue_tracker(spark)
+    path = str(tmp_path / "gp")
+    g.save(path, partition_by=("label",))
+    g2 = Graph.load(spark, path)
+    assert g2.edges.columns[:4] == g.edges.columns[:4]
+    assert sorted(map(tuple, g2.edges.select(*g.edges.columns).collect())) \
+        == sorted(map(tuple, g.edges.collect()))
+    assert g2.ranges.label_of(5) == "ISSUE"
+    filtered = g2.edges.filter(F.col("label") == "ISSUE_TOUCHES")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "label" in plan.split(
+        "PartitionFilters")[1][:120]
+
+
 def test_to_dot(spark):
     g = f1_right(spark)
     dot = g.to_dot()

@@ -123,6 +123,51 @@ def test_lsh_topk_subset_of_bucket(embs):
         assert buckets[r.vec_id] == buckets[0]
 
 
+def test_rrf_fuse(spark):
+    # doc 5 appears in both lists (ranks 1 and 2), doc 6 only in one
+    la = spark.createDataFrame([(5, 1), (6, 2)], "id long, rank long")
+    lb = spark.createDataFrame([(5, 2), (7, 1)], "id long, rank long")
+    got = {r.id: (r.n_lists, r.rrf_micro)
+           for r in S.rrf_fuse([la, lb], k0=60).collect()}
+    assert got[5] == (2, 1000000 // 61 + 1000000 // 62)
+    assert got[6] == (1, 1000000 // 62)
+    assert got[7] == (1, 1000000 // 61)
+    import duckdb
+
+    con = duckdb.connect()
+    twin = {t[0]: (t[1], t[2]) for t in con.execute(S.rrf_fuse_oracle_sql(
+        ["SELECT 5 AS id, 1 AS rank UNION ALL SELECT 6, 2",
+         "SELECT 5 AS id, 2 AS rank UNION ALL SELECT 7, 1"], k0=60)
+    ).fetchall()}
+    assert got == twin
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        S.rrf_fuse([])
+
+
+def test_topk_recall(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "query_id long, id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99)], "query_id long, id long")
+    got = {r.query_id: (r.n_exact, r.n_hit, r.recall_permille)
+           for r in S.topk_recall(approx, exact).collect()}
+    # query 1: 2 of 3 found -> 666; query 2 absent from approx -> 0
+    assert got == {1: (3, 2, 666), 2: (1, 0, 0)}
+    import duckdb
+
+    con = duckdb.connect()
+    twin = {t[0]: (t[1], t[2], t[3]) for t in con.execute(
+        S.topk_recall_oracle_sql(
+            "SELECT 1 AS query_id, 10 AS id UNION ALL SELECT 1, 12 "
+            "UNION ALL SELECT 1, 99",
+            "SELECT 1 AS query_id, 10 AS id UNION ALL SELECT 1, 11 "
+            "UNION ALL SELECT 1, 12 UNION ALL SELECT 2, 20")
+    ).fetchall()}
+    assert got == twin
+
+
 def test_ivf_assign_covers_all_vectors(embs):
     assign = S.ivf_assign(embs, n_cells=4)
     assert assign.count() == embs.count()

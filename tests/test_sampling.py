@@ -89,3 +89,74 @@ def test_walk_skipgram_pairs(spark):
     twin = sorted(con.execute(
         SA.walk_skipgram_oracle_sql("SELECT * FROM w", window=2)).fetchall())
     assert got == [tuple(t) for t in twin]
+
+
+def test_sampled_negatives(spark):
+    """Deterministic word2vec negatives: one draw per (pair, slot), drawn
+    ∝ freq (aggregate ratio sanity), bit-identical to the DuckDB twin,
+    and invariant to the bin count (n_bins only shapes the join)."""
+    import duckdb
+    from collections import Counter
+
+    pairs = [(a, b) for a in range(10, 30) for b in range(10, 30)
+             if a != b][:150]
+    freqs = [(n, (n % 7) + 1) for n in range(10, 40)]
+    pdf = spark.createDataFrame(pairs, "center long, context long")
+    fdf = spark.createDataFrame(freqs, "node long, freq long")
+    got = sorted(tuple(r) for r in SA.sampled_negatives(
+        pdf, fdf, k=3, seed=5, n_bins=8).collect())
+    assert len(got) == len(pairs) * 3
+    got_fine = sorted(tuple(r) for r in SA.sampled_negatives(
+        pdf, fdf, k=3, seed=5, n_bins=1024).collect())
+    assert got == got_fine  # bin granularity must not change the draws
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (center BIGINT, context BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    con.execute("CREATE TABLE f (node BIGINT, freq BIGINT)")
+    con.executemany("INSERT INTO f VALUES (?, ?)", freqs)
+    twin = sorted(tuple(t) for t in con.execute(
+        SA.sampled_negatives_oracle_sql(
+            "SELECT center, context FROM p", "SELECT node, freq FROM f",
+            k=3, seed=5, n_bins=8)).fetchall())
+    assert got == twin
+    c = Counter(neg for *_, neg in got)
+    hi = sum(c[n] for n, fq in freqs if fq == 7) / 5
+    lo = sum(c[n] for n, fq in freqs if fq == 1) / 4
+    assert 4 < hi / max(lo, 0.01) < 11   # ∝ freq: expect ~7×
+
+
+def test_neighbor_feature_agg(spark):
+    """1-hop means, 2-hop path multiplicity, fanout cap, DuckDB twin."""
+    import duckdb
+
+    # diamond with a tail: 1->2, 1->3, 2->4, 3->4, 4->5
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    feats = [(2, 10), (3, 20), (4, 7), (5, 100)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    f = spark.createDataFrame(feats, "node long, f long")
+    one = {r.id: (r.n_paths, r.sum_f, r.mean_micro)
+           for r in SA.neighbor_feature_agg(e, f, hops=1).collect()}
+    assert one[1] == (2, 30, 15_000_000)
+    assert one[4] == (1, 100, 100_000_000)
+    # 2 hops: node 1 reaches 4 via BOTH 2 and 3 -> path count 2
+    two = {r.id: (r.n_paths, r.sum_f)
+           for r in SA.neighbor_feature_agg(e, f, hops=2).collect()}
+    assert two[1] == (2, 14)
+    assert two[2] == (1, 100) and two[3] == (1, 100)
+    # fanout cap 1 keeps one md5-chosen child of node 1
+    capped = {r.id: r.n_paths for r in SA.neighbor_feature_agg(
+        e, f, hops=1, max_fanout=1).collect()}
+    assert capped[1] == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    con.execute("CREATE TABLE f (node BIGINT, f BIGINT)")
+    con.executemany("INSERT INTO f VALUES (?, ?)", feats)
+    for hops in (1, 2):
+        got = sorted(tuple(r) for r in SA.neighbor_feature_agg(
+            e, f, hops=hops).collect())
+        twin = sorted(tuple(t) for t in con.execute(
+            SA.neighbor_feature_agg_oracle_sql(
+                "SELECT src, dst FROM e", "SELECT node, f FROM f",
+                hops=hops)).fetchall())
+        assert got == twin, hops

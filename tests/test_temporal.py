@@ -309,3 +309,48 @@ def test_transition_counts(spark):
                     [eid, t, u, ty])
     ok, msg = compare(transition_counts(ev), con, O.transition_counts_sql())
     assert ok, msg
+
+
+def test_time_respecting_reachability(spark):
+    from judy_graph_db_spark.operators import temporal as T
+
+    # 1->2 @5; 2->3 @3 fired BEFORE arrival -> 1 cannot reach 3;
+    # 2->4 @5 departs exactly at arrival -> reachable at min_wait=0 only
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 5)], "src long, dst long, ts long")
+    got = {(r.src, r.dst): r.t_arr
+           for r in T.time_respecting_reachability(e).collect()}
+    assert got == {(1, 2): 5, (2, 3): 3, (2, 4): 5, (1, 4): 5}
+    strict = {(r.src, r.dst): r.t_arr
+              for r in T.time_respecting_reachability(e, min_wait=1).collect()}
+    assert (1, 4) not in strict and len(strict) == 3
+    # earliest arrival wins across parallel paths: 1->3 direct @9 vs via 2 @7
+    e2 = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 7), (1, 3, 9)], "src long, dst long, ts long")
+    got2 = {(r.src, r.dst): r.t_arr
+            for r in T.time_respecting_reachability(e2).collect()}
+    assert got2[(1, 3)] == 7
+
+
+def test_time_respecting_reachability_matches_oracle(spark):
+    import random
+
+    import duckdb
+
+    from judy_graph_db_spark.operators import temporal as T
+
+    rng = random.Random(19)
+    rows = [(rng.randrange(8), rng.randrange(8), rng.randrange(30))
+            for _ in range(40)]
+    rows = [(a, b, t) for a, b, t in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE te (src BIGINT, dst BIGINT, ts BIGINT)")
+    con.executemany("INSERT INTO te VALUES (?, ?, ?)", rows)
+    for mw in (0, 2):
+        got = sorted(tuple(r) for r in T.time_respecting_reachability(
+            e, min_wait=mw).collect())
+        twin = sorted(tuple(t) for t in con.execute(
+            T.time_respecting_reachability_sql(
+                "SELECT src, dst, ts FROM te", min_wait=mw)).fetchall())
+        assert got == twin, mw
