@@ -1062,11 +1062,17 @@ def _q_k_core(spark, sf_dir):
         F.col("round").alias("b"), lN.alias("c"))
     # deterministic maximal matching over the same chains
     # (MATCHING_ORACLE_ROUNDS=10 > the rounds observed at sf0.01; same
-    # fixed-unroll soundness — rounds past convergence are no-ops)
-    mat = AN.maximal_matching(chains, seed=7).select(
+    # fixed-unroll soundness — rounds past convergence are no-ops), plus
+    # one METIS-style match-contract coarsening level built on it
+    mat_df = AN.maximal_matching(chains, seed=7).localCheckpoint(eager=True)
+    mat = mat_df.select(
         F.lit("matching").alias("op"), F.col("a"), F.col("b"),
         F.col("round").alias("c"))
-    return core.unionByName(truss).unionByName(mis).unionByName(mat)
+    coa = AN.coarsen_graph(chains, mat_df.select("a", "b")).select(
+        F.lit("coarsen").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), F.col("weight").alias("c"))
+    return (core.unionByName(truss).unionByName(mis).unionByName(mat)
+            .unionByName(coa))
 
 
 K_CORE_ORACLE_ROUNDS = 8
@@ -2860,7 +2866,21 @@ FROM ({AN.matching_oracle_sql(
             f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
             f"FROM orders QUALIFY dst IS NOT NULL",
             seed=7, rounds=MATCHING_ORACLE_ROUNDS,
-        )}) t4""",
+        )}) t4
+UNION ALL
+SELECT 'coarsen', src, dst, weight
+FROM ({AN.coarsen_oracle_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            "SELECT a, b FROM (" + AN.matching_oracle_sql(
+                f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+                f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY "
+                f"o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
+                f"AS dst FROM orders QUALIFY dst IS NOT NULL",
+                seed=7, rounds=MATCHING_ORACLE_ROUNDS) + ")",
+        )}) t5""",
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)
         # per reachable pair — the doubling operator must agree with the

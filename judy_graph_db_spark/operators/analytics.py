@@ -1801,6 +1801,61 @@ def maximal_matching(edges: DataFrame, seed: int = 7,
     return out
 
 
+def coarsen_graph(edges: DataFrame, matching: DataFrame,
+                  weight_col: str | None = None) -> DataFrame:
+    """One multilevel coarsening step (Karypis & Kumar 1998, METIS's
+    contraction phase): collapse every matched pair ``(a, b)`` from
+    :func:`maximal_matching` into supernode ``a`` (= min endpoint, since
+    the matching emits ``a < b``), remap both edge endpoints, drop the
+    intra-pair self-loops, and sum parallel edge weights. Returns
+    ``(src, dst, weight BIGINT)`` — a graph of ≥½ fewer matched nodes
+    whose cut weights are exactly preserved, ready for the next
+    match-contract level (partitioning, clustering, or multilevel
+    embedding pipelines).
+
+    The mapping is the |matching|-row relation joined twice (left, so
+    unmatched nodes map to themselves via coalesce) — two equi-joins +
+    one (src, dst) partial-agg sum; nothing driver-side, nothing
+    quadratic. ``weight_col=None`` counts multiplicity (weight 1/edge).
+    """
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    cmap = matching.select(F.col("b").alias("node"),
+                           F.col("a").alias("super"))
+    e = edges.select("src", "dst", w.alias("__w"))
+    mapped = (
+        e.join(cmap.select(F.col("node").alias("src"),
+                           F.col("super").alias("__ms")), "src", "left")
+        .join(cmap.select(F.col("node").alias("dst"),
+                          F.col("super").alias("__md")), "dst", "left")
+        .select(F.coalesce("__ms", "src").alias("src"),
+                F.coalesce("__md", "dst").alias("dst"), "__w")
+    )
+    return (
+        mapped.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("__w").alias("weight"))
+    )
+
+
+def coarsen_oracle_sql(edges_sql: str, matching_sql: str,
+                       weight_expr: str = "1") -> str:
+    """ANSI-SQL twin of :func:`coarsen_graph`."""
+    return f"""WITH cg_map AS (
+  SELECT b AS node, a AS super FROM ({matching_sql})
+),
+cg_m AS (
+  SELECT COALESCE(ma.super, e.src) AS src,
+         COALESCE(mb.super, e.dst) AS dst,
+         CAST({weight_expr} AS BIGINT) AS w
+  FROM ({edges_sql}) e
+  LEFT JOIN cg_map ma ON e.src = ma.node
+  LEFT JOIN cg_map mb ON e.dst = mb.node
+)
+SELECT src, dst, CAST(SUM(w) AS BIGINT) AS weight
+FROM cg_m WHERE src <> dst GROUP BY src, dst"""
+
+
 def matching_oracle_sql(edges_sql: str, seed: int = 7, rounds: int = 16,
                         prefix: str | None = None) -> str:
     """ANSI-SQL twin of :func:`maximal_matching`: fixed-round unroll with

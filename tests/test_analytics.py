@@ -1056,3 +1056,26 @@ def test_maximal_matching_matches_oracle(spark):
     twin = sorted(tuple(t) for t in con.execute(AN.matching_oracle_sql(
         f"SELECT * FROM (VALUES {values}) AS t(src, dst)")).fetchall())
     assert got == twin
+
+
+def test_coarsen_graph(spark):
+    # path 1-2-3-4-5; match {1-2, 3-4}: supers 1, 3; 5 unmatched.
+    # edges after contraction: 1-3 (from 2-3), 3-5 (from 4-5)
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    m = spark.createDataFrame([(1, 2), (3, 4)], "a BIGINT, b BIGINT")
+    got = {(r.src, r.dst): r.weight
+           for r in AN.coarsen_graph(e, m).collect()}
+    assert got == {(1, 3): 1, (3, 5): 1}
+    # parallel edges sum; weights preserved
+    e2 = spark.createDataFrame(
+        [(1, 3, 5), (2, 3, 7), (1, 2, 9)], "src BIGINT, dst BIGINT, w BIGINT")
+    got2 = {(r.src, r.dst): r.weight for r in AN.coarsen_graph(
+        e2, m, weight_col="w").collect()}
+    # 1->3 and 2->3 both become 1->3 (5+7); intra-pair 1->2 drops
+    assert got2 == {(1, 3): 12}
+    con = duckdb.connect()
+    twin = {(t[0], t[1]): t[2] for t in con.execute(AN.coarsen_oracle_sql(
+        "SELECT * FROM (VALUES (1,3,5),(2,3,7),(1,2,9)) AS t(src,dst,w)",
+        "SELECT * FROM (VALUES (1,2),(3,4)) AS m(a,b)",
+        weight_expr="e.w")).fetchall()}
+    assert got2 == twin

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from judy_graph_db_spark import E, N, table
 from judy_graph_db_spark.operators import adjacency as A
+from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
 from judy_graph_db_spark.operators import similarity as S
 from judy_graph_db_spark.sources.tpch_graph import B, load_tpch_views, tpch_graph
@@ -348,3 +349,32 @@ def test_pii_redaction_is_scan_stage(spark):
     plan = plan_of(out)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_fuse_partial_aggregates(spark):
+    """Fusion is one id-keyed agg with map-side combine — no windows."""
+    la = spark.createDataFrame([(1, 1)], "id long, rank long")
+    lb = spark.createDataFrame([(1, 2)], "id long, rank long")
+    plan = plan_of(S.rrf_fuse([la, lb]))
+    assert "partial_" in plan and "Window" not in plan
+
+
+def test_neighbor_feature_agg_partial_aggregates(spark):
+    """Each hop is equi-join + map-side-combined agg; no Window, no
+    cartesian product."""
+    from judy_graph_db_spark.operators import sampling as SAM
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    f = spark.createDataFrame([(2, 5), (3, 7)], "node long, f long")
+    plan = plan_of(SAM.neighbor_feature_agg(e, f, hops=2))
+    assert "partial_" in plan
+    assert "Cartesian" not in plan and "Window" not in plan
+
+
+def test_resource_allocation_no_window_no_cartesian(spark):
+    """Candidates come from the wedge equi-join; degrees attach by join,
+    pivot degree by join (not a Window over sym)."""
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = plan_of(AN.resource_allocation(e))
+    assert "Cartesian" not in plan and "Window" not in plan
+    assert "partial_" in plan
