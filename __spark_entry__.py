@@ -1237,6 +1237,32 @@ def _q_neardup_pairs(spark, sf_dir):
             F.lit("cosine").alias("op"), F.col("vec_a").alias("a"),
             F.col("vec_b").alias("b"), F.col("sim_micro").cast("long").alias("v")),
     ]
+    # MOSS winnowing matches: every doc paired with a prefix-sharing
+    # variant (+100000) — substring-sensitive dedup, vs MinHash's bags
+    wdocs = docs.select("doc_id", "text").unionByName(docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 60),
+                 F.lit(" altered tail")).alias("text")))
+    parts.append(D.winnow_matches(
+        D.winnow_fingerprints(wdocs, k=8, w=8),
+        min_shared=3, max_bucket=16,
+    ).select(
+        F.lit("wmatch").alias("op"), F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"), F.col("n_shared").cast("long").alias("v")))
+    # blocked Levenshtein record linkage over part names: each part gets a
+    # one-typo variant (+7B id, last char dropped), blocked by brand
+    pt = spark.table("part").select(
+        (F.col("p_partkey") + F.lit(4 * B)).alias("doc_id"),
+        F.col("p_brand").alias("brand"), F.col("p_name").alias("name"))
+    pv = spark.table("part").select(
+        (F.col("p_partkey") + F.lit(7 * B)).alias("doc_id"),
+        F.col("p_brand").alias("brand"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("name"))
+    parts.append(D.fuzzy_match_pairs(
+        pt.unionByName(pv), "brand", "name", max_dist=1,
+    ).select(
+        F.lit("fuzzy").alias("op"), F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"), F.col("dist").alias("v")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -2529,7 +2555,27 @@ SELECT 'simhash', doc_a, doc_b, CAST(hamming AS BIGINT)
 FROM ({O.simhash_neardup_sql()}) t3
 UNION ALL
 SELECT 'cosine', vec_a, vec_b, CAST(sim_micro AS BIGINT)
-FROM ({O.embedding_neardup_sql()}) t4""",
+FROM ({O.embedding_neardup_sql()}) t4
+UNION ALL
+SELECT 'wmatch', doc_a, doc_b, n_shared
+FROM ({O.winnow_matches_sql(
+            O.winnow_fingerprints_sql(
+                k=8, w=8,
+                table="(SELECT doc_id, text FROM documents "
+                      "UNION ALL SELECT doc_id + 100000, "
+                      "substr(text, 1, 60) || ' altered tail' "
+                      "FROM documents) wd"),
+            min_shared=3, max_bucket=16,
+        )}) t5
+UNION ALL
+SELECT 'fuzzy', id_a, id_b, dist
+FROM ({O.fuzzy_match_sql(
+            f"SELECT p_partkey + {4 * B} AS doc_id, p_brand, p_name "
+            f"FROM part UNION ALL "
+            f"SELECT p_partkey + {7 * B}, p_brand, "
+            f"substr(p_name, 1, length(p_name) - 1) FROM part",
+            "p_brand", "p_name", max_dist=1,
+        )}) t6""",
         # createMem's overwrite-winner + displaced-target capture as plain
         # window+join SQL: per hop, the highest-dst candidate per (src,label)
         # wins at seq 1; a differing pre-existing seq-1 target is 'del'.

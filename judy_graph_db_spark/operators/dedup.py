@@ -507,3 +507,72 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16,
         .distinct()
     )
     return sel
+
+
+def winnow_matches(fps: DataFrame, min_shared: int = 2,
+                   max_bucket: int | None = 64,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cross-document match detection over :func:`winnow_fingerprints`
+    output — the second half of the MOSS scheme (Schleimer et al. 2003):
+    ``(doc_a, doc_b, n_shared)`` for every pair sharing at least
+    ``min_shared`` distinct fingerprints. By the winnowing guarantee, any
+    two documents sharing a substring of length ≥ k+w−1 surface here —
+    quote/containment/plagiarism detection at corpus scale, the
+    substring-sensitive complement to MinHash (which sees bags of
+    shingles, not contiguity).
+
+    Candidates come ONLY from the fingerprint-keyed equi-join (pairs with
+    no shared fingerprint never materialize — the same no-all-pairs shape
+    as the LSH band join), and ``max_bucket`` drops fingerprints shared
+    by more than that many documents before pairing (boilerplate
+    substrings are the quadratic blowup; a fingerprint in B docs emits
+    B² pairs). The cap is the standard precision/cost knob: matches
+    carried only by ultra-common substrings are noise anyway.
+    """
+    d = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    if max_bucket is not None:
+        wb = Window.partitionBy("fp")
+        d = (d.withColumn("__bn", F.count(F.lit(1)).over(wb))
+             .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+    return (
+        d.select(F.col("id").alias("doc_a"), "fp")
+        .join(d.select(F.col("id").alias("doc_b"), "fp"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct(F.col("fp")).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def fuzzy_match_pairs(records: DataFrame, block_col: str, text_col: str,
+                      max_dist: int = 2, id_col: str = "doc_id",
+                      max_block: int | None = None) -> DataFrame:
+    """Blocked entity-resolution matching (the classic blocking+compare
+    record-linkage shape, Fellegi–Sunter framing): records sharing a
+    blocking key pair up and score with Levenshtein edit distance (JVM
+    built-in on both engines — integer-exact, no UDF); pairs with
+    ``dist ≤ max_dist`` survive. Returns ``(id_a, id_b, dist)``.
+
+    The quadratic lives ONLY inside blocks — the point of blocking; pick
+    keys so blocks stay small (brand+zip, soundex, shingle bucket).
+    ``max_block`` skips blocks larger than that many records outright
+    (the skew guard: a degenerate key would otherwise emit B² pairs —
+    same knob as the LSH bucket cap, and standard in linkage systems
+    because giant blocks are near-useless keys anyway).
+    """
+    d = records.select(F.col(id_col).alias("id"),
+                       F.col(block_col).alias("blk"),
+                       F.col(text_col).alias("t"))
+    if max_block is not None:
+        wb = Window.partitionBy("blk")
+        d = (d.withColumn("__bn", F.count(F.lit(1)).over(wb))
+             .filter(F.col("__bn") <= max_block).drop("__bn"))
+    a = d.select(F.col("id").alias("id_a"), "blk", F.col("t").alias("ta"))
+    b = d.select(F.col("id").alias("id_b"), "blk", F.col("t").alias("tb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.levenshtein("ta", "tb").cast("long").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )

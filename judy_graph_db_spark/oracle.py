@@ -1725,3 +1725,40 @@ SELECT DISTINCT __id AS {id_col}, CAST(-((m).nj) AS BIGINT) AS pos,
        (m).h AS fp
 FROM wf_s
 WHERE j - 1 <= GREATEST(n - {w}, 0)"""
+
+
+def winnow_matches_sql(fps_sql: str, min_shared: int = 2,
+                       max_bucket: int | None = 64,
+                       id_col: str = "doc_id") -> str:
+    """Twin of ``dedup.winnow_matches`` over a fingerprint relation."""
+    cap = (f"WHERE bn <= {max_bucket}" if max_bucket is not None else "")
+    return f"""WITH wm_d AS (
+  SELECT DISTINCT {id_col} AS id, fp FROM ({fps_sql})
+),
+wm_c AS (
+  SELECT id, fp FROM (
+    SELECT id, fp, COUNT(*) OVER (PARTITION BY fp) AS bn FROM wm_d
+  ) {cap}
+)
+SELECT a.id AS doc_a, b.id AS doc_b, COUNT(DISTINCT a.fp) AS n_shared
+FROM wm_c a JOIN wm_c b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(DISTINCT a.fp) >= {min_shared}"""
+
+
+def fuzzy_match_sql(records_sql: str, block_col: str, text_col: str,
+                    max_dist: int = 2, id_col: str = "doc_id",
+                    max_block: int | None = None) -> str:
+    """Twin of ``dedup.fuzzy_match_pairs``."""
+    cap = (f"WHERE bn <= {max_block}" if max_block is not None else "")
+    return f"""WITH fm_d AS (
+  SELECT id, blk, t FROM (
+    SELECT {id_col} AS id, {block_col} AS blk, {text_col} AS t,
+           COUNT(*) OVER (PARTITION BY {block_col}) AS bn
+    FROM ({records_sql})
+  ) {cap}
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM fm_d a JOIN fm_d b ON a.blk = b.blk AND a.id < b.id
+WHERE levenshtein(a.t, b.t) <= {max_dist}"""

@@ -890,3 +890,67 @@ def test_winnow_fingerprints(spark):
     # the winnowing guarantee: docs 1 and 3 share a >= k+w-1 substring,
     # so they MUST share at least one fingerprint hash
     assert {f_ for _, f_ in by_doc[1]} & {f_ for _, f_ in by_doc[3]}
+
+
+def test_winnow_matches(spark):
+    """MOSS pair detection: docs sharing a >= k+w-1 substring pair up,
+    unrelated docs don't; the bucket cap kills boilerplate-only pairs;
+    DuckDB twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.oracle import (
+        winnow_fingerprints_sql, winnow_matches_sql,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, shared + " near the quiet river bank this morning"),
+        (2, "completely unrelated text about spark query planning today"),
+        (3, "prefix words then " + shared + " and a different tail here"),
+        (4, "another unrelated document mentioning columnar storage runs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_fingerprints(docs, k=8, w=4)
+    got = {(r.doc_a, r.doc_b): r.n_shared
+           for r in D.winnow_matches(fps, min_shared=2).collect()}
+    assert (1, 3) in got and got[(1, 3)] >= 2
+    assert all(p == (1, 3) for p in got)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {(t[0], t[1]): t[2] for t in con.execute(winnow_matches_sql(
+        winnow_fingerprints_sql(k=8, w=4), min_shared=2)).fetchall()}
+    assert got == twin
+    # a cap of 1 removes every shared fingerprint (each lives in 2 docs)
+    assert D.winnow_matches(fps, min_shared=1, max_bucket=1).count() == 0
+
+
+def test_fuzzy_match_pairs(spark):
+    """Blocked Levenshtein linkage: typo pairs inside a block match,
+    cross-block pairs never compare, the block cap drops degenerate keys;
+    DuckDB twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.oracle import fuzzy_match_sql
+
+    rows = [
+        (1, "acme", "laser widget deluxe"),
+        (2, "acme", "lazer widget deluxe"),     # dist 1 from doc 1
+        (3, "acme", "completely different name"),
+        (4, "zorg", "laser widget deluxe"),     # other block: never paired
+        (5, "zorg", "laser widget delux"),      # dist 1 from doc 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, brand string, name string")
+    got = {(r.id_a, r.id_b): r.dist for r in D.fuzzy_match_pairs(
+        df, "brand", "name", max_dist=2).collect()}
+    assert got == {(1, 2): 1, (4, 5): 1}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r (doc_id BIGINT, brand VARCHAR, name VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rows)
+    twin = {(t[0], t[1]): t[2] for t in con.execute(fuzzy_match_sql(
+        "SELECT * FROM r", "brand", "name", max_dist=2)).fetchall()}
+    assert got == twin
+    # cap of 2 drops the 3-record acme block, keeps the 2-record zorg one
+    capped = {(r.id_a, r.id_b) for r in D.fuzzy_match_pairs(
+        df, "brand", "name", max_dist=2, max_block=2).collect()}
+    assert capped == {(4, 5)}
