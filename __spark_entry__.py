@@ -1019,12 +1019,24 @@ def _q_label_propagation(spark, sf_dir):
     unrolled as chained SQL CTEs."""
     g = tpch_graph(spark, sf_dir)
     chains = g.edges.filter((F.col("label") == "NEXT_ORDER") & ~F.col("is_back"))
-    lpa = AN.label_propagation(chains, iters=3).select(
-        F.lit("lpa").alias("op"), "id", F.col("community"))
+    lpa_df = AN.label_propagation(chains, iters=3).localCheckpoint(eager=True)
+    lpa = lpa_df.select(F.lit("lpa").alias("op"), "id", F.col("community"))
     gm = AN.greedy_modularity_moves(
         chains.select("src", "dst"), rounds=3
     ).select(F.lit("greedy").alias("op"), "id", F.col("community"))
-    return lpa.unionByName(gm)
+    # conductance scoring of the LPA assignment (3-iter LPA splits long
+    # chains into segments, so cuts are nonzero): 'cond' packs
+    # (volume, cut) reversibly, 'condp' carries the permille (-1 = the
+    # undefined zero-volume case)
+    cond_df = AN.community_conductance(
+        chains.select("src", "dst"), lpa_df).localCheckpoint(eager=True)
+    cond = cond_df.select(
+        F.lit("cond").alias("op"), F.col("community").alias("id"),
+        (F.col("volume") * 1000000 + F.col("cut_edges")).alias("community"))
+    condp = cond_df.select(
+        F.lit("condp").alias("op"), F.col("community").alias("id"),
+        F.coalesce("conductance_permille", F.lit(-1)).alias("community"))
+    return (lpa.unionByName(gm).unionByName(cond).unionByName(condp))
 
 
 def _q_k_core(spark, sf_dir):
@@ -1950,9 +1962,15 @@ def _q_ann_search(spark, sf_dir):
         F.lit("rrf").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
         F.col("n_lists").cast("long").alias("b"),
         F.col("rrf_micro").alias("c"), lN.alias("d"))
+    # JL ±1 random projection to 8 dims — integer-exact sketch rows
+    rp = S.random_projection(embs, out_dim=8, seed=5).select(
+        F.lit("rproj").alias("op"), sN.alias("s"),
+        F.col("vec_id").alias("a"), F.col("j").cast("long").alias("b"),
+        F.col("v").alias("c"), lN.alias("d"))
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
             .unionByName(qt).unionByName(pool).unionByName(pqc)
-            .unionByName(pqt).unionByName(rec).unionByName(rrf))
+            .unionByName(pqt).unionByName(rec).unionByName(rrf)
+            .unionByName(rp))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -2753,7 +2771,10 @@ SELECT 'rrf', NULL, vec_id, n_lists, rrf_micro, NULL
 FROM ({S.rrf_fuse_oracle_sql(
             [O.cosine_topk_sql(query_id=0, k=10),
              O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)],
-            id_col="vec_id", rank_col="rank")}) t13""",
+            id_col="vec_id", rank_col="rank")}) t13
+UNION ALL
+SELECT 'rproj', NULL, vec_id, j, v, NULL
+FROM ({O.random_projection_sql(out_dim=8, seed=5)}) t14""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so both fixpoints have closed forms: weak component = the
         # customer's minimum order id; with the last→first closing edge
@@ -2848,7 +2869,37 @@ SELECT 'greedy', id, community
 FROM ({AN.greedy_moves_oracle_sql(
             "SELECT src, dst FROM edges WHERE label = 'NEXT_ORDER' AND NOT is_back",
             rounds=3, prefix=P,
-        )}) t2""",
+        )}) t2
+UNION ALL
+SELECT 'cond', community, volume * 1000000 + cut_edges
+FROM ({AN.conductance_oracle_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            "SELECT id, community FROM ("
+            + AN.label_propagation_oracle_sql(
+                f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+                f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY "
+                f"o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
+                f"AS dst FROM orders QUALIFY dst IS NOT NULL",
+                iters=3) + ")",
+        )}) t3
+UNION ALL
+SELECT 'condp', community, COALESCE(conductance_permille, -1)
+FROM ({AN.conductance_oracle_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            "SELECT id, community FROM ("
+            + AN.label_propagation_oracle_sql(
+                f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+                f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY "
+                f"o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
+                f"AS dst FROM orders QUALIFY dst IS NOT NULL",
+                iters=3) + ")",
+        )}) t4""",
         "pagerank_ranks": f"""
 SELECT 'pr' AS op, id, rank_e4
 FROM ({AN.pagerank_oracle_sql(

@@ -2329,3 +2329,97 @@ def stress_centrality(edges: DataFrame, max_iter: int = 100) -> DataFrame:
         .groupBy(F.col("v").alias("id"))
         .agg(F.sum(F.col("sig1") * F.col("sig2")).alias("stress"))
     )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Exact integer conductance per community — the cut-quality metric
+    that complements :func:`modularity_scaled` (Kannan, Vempala & Vetta
+    2004's cluster-quality measure): ``φ(C) = cut(C) / min(vol(C),
+    vol(V∖C))`` as integer permille (``1000·cut div min(vol, 2m−vol)``;
+    NULL for zero-volume sides, where conductance is undefined). Returns
+    ``(community, cut_edges, volume, conductance_permille)`` — low φ =
+    well-separated community; the standard scorer for LPA / Louvain /
+    CC output before trusting it downstream.
+
+    Same two-shuffle shape as modularity: one node-keyed join to attach
+    labels, one community-keyed aggregation; the edge total ``2m`` rides
+    as a Python scalar (one count job), never a per-row subquery.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("community").alias("cb"))
+    lab = und.join(la, "a").join(lb, "b")
+    two_m = 2 * und.count()
+    cut = (
+        lab.filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("community"))
+        .unionByName(lab.filter(F.col("ca") != F.col("cb"))
+                     .select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    vol = (
+        lab.select(F.col("ca").alias("community"))
+        .unionByName(lab.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("volume"))
+    )
+    nn = labels.select("community").distinct()
+    return (
+        nn.join(vol, "community", "left").join(cut, "community", "left")
+        .select(
+            "community",
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+        )
+        .withColumn(
+            "conductance_permille",
+            F.expr(f"CASE WHEN least(volume, {two_m} - volume) > 0 "
+                   f"THEN 1000 * cut_edges div least(volume, "
+                   f"{two_m} - volume) ELSE NULL END").cast("long"),
+        )
+    )
+
+
+def conductance_oracle_sql(edges_sql: str, labels_sql: str) -> str:
+    """ANSI-SQL twin of :func:`community_conductance`."""
+    return f"""WITH cd_e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM ({edges_sql}) WHERE src <> dst
+),
+cd_l AS (SELECT id, community FROM ({labels_sql})),
+cd_j AS (
+  SELECT e.a, e.b, la.community AS ca, lb.community AS cb
+  FROM cd_e e JOIN cd_l la ON e.a = la.id JOIN cd_l lb ON e.b = lb.id
+),
+cd_m AS (SELECT 2 * COUNT(*) AS m2 FROM cd_e),
+cd_cut AS (
+  SELECT community, COUNT(*) AS cut_edges FROM (
+    SELECT ca AS community FROM cd_j WHERE ca <> cb
+    UNION ALL SELECT cb FROM cd_j WHERE ca <> cb
+  ) GROUP BY community
+),
+cd_vol AS (
+  SELECT community, COUNT(*) AS volume FROM (
+    SELECT ca AS community FROM cd_j UNION ALL SELECT cb FROM cd_j
+  ) GROUP BY community
+)
+SELECT n.community,
+       CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       CAST(COALESCE(v.volume, 0) AS BIGINT) AS volume,
+       CAST(CASE WHEN LEAST(COALESCE(v.volume, 0),
+                            m.m2 - COALESCE(v.volume, 0)) > 0
+            THEN 1000 * COALESCE(c.cut_edges, 0)
+                 // LEAST(COALESCE(v.volume, 0),
+                          m.m2 - COALESCE(v.volume, 0))
+            ELSE NULL END AS BIGINT) AS conductance_permille
+FROM (SELECT DISTINCT community FROM cd_l) n
+CROSS JOIN cd_m m
+LEFT JOIN cd_vol v ON n.community = v.community
+LEFT JOIN cd_cut c ON n.community = c.community"""

@@ -395,3 +395,80 @@ def mean_pool_embeddings(embs: DataFrame, group_col: str,
             F.expr("transform(_sm, x -> x.q)").alias("pooled_q"),
         )
     )
+
+
+def random_projection(embs: DataFrame, out_dim: int = 16, seed: int = 0,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 (Achlioptas
+    2003) sign matrix derived from md5 — dimensionality reduction for
+    ANN prefiltering / sketching, fully integer-exact: inputs quantize to
+    ``q = floor(float64(x)·2^10)`` (power-of-two, engine-exact), signs
+    are the parity of the shared 60-bit hash of ``(seed, j, i)``, and
+    output ``y_j = Σ_i sign_ij · q_i`` is an integer sum — so the
+    projected relation hash-gates with no float anywhere. Returns
+    ``(id_col, j, v)`` rows (j = 0..out_dim−1); distances in the
+    projected space are ≈ 2^10·√out_dim-scaled originals.
+
+    Scale shape: the sign matrix is an ``out_dim·dim``-row relation built
+    from two ``sequence`` explodes and BROADCAST to the join (kilobytes
+    even at dim 4096); vectors ``posexplode`` in the scan stage and the
+    only shuffle is the (id, j) partial-agg sum. No Python, no UDF, no
+    driver round-trip.
+    """
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    if out_dim < 1:
+        raise ValueError("out_dim must be positive")
+    spark = embs.sparkSession
+    dim_df = embs.select(
+        F.explode(F.sequence(F.lit(0), F.size(vec_col) - 1)).alias("i")
+    ).distinct()
+    signs = (
+        dim_df.select(
+            "i",
+            F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"))
+        .select(
+            "i", "j",
+            (1 - 2 * (_h60(F.concat_ws("|", F.lit(str(seed)), "j", "i"),
+                           "rproj") % 2)).alias("s"))
+    )
+    q = embs.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).select(
+        id_col, "i",
+        F.floor(F.col("x").cast("double") * 1024).cast("long").alias("q"))
+    return (
+        q.join(F.broadcast(signs), "i")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("v"))
+    )
+
+
+def random_projection_oracle_sql(out_dim: int = 16, seed: int = 0,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 table: str = "embeddings") -> str:
+    """ANSI-SQL twin of :func:`random_projection` (DuckDB)."""
+    from judy_graph_db_spark.oracle import _h60_sql
+
+    h = _h60_sql(f"'{seed}' || '|' || CAST(j AS VARCHAR) || '|' || "
+                 f"CAST(i AS VARCHAR)", "rproj")
+    # seed folds into the same md5 input text as the Spark side:
+    # both hash 'rproj:' || seed || '|' || j || '|' || i
+    return f"""WITH rp_q AS (
+  SELECT {id_col},
+         unnest(generate_series(1, len({vec_col}))) - 1 AS i,
+         CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1024) AS BIGINT)
+           AS q
+  FROM {table}
+),
+rp_s AS (
+  SELECT i, j, 1 - 2 * ({h} % 2) AS s
+  FROM (SELECT DISTINCT i FROM rp_q),
+       (SELECT unnest(generate_series(0, {out_dim - 1})) AS j)
+)
+SELECT q.{id_col}, s.j, CAST(SUM(s.s * q.q) AS BIGINT) AS v
+FROM rp_q q JOIN rp_s s ON q.i = s.i
+GROUP BY q.{id_col}, s.j"""

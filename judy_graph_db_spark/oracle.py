@@ -1762,3 +1762,18 @@ SELECT a.id AS id_a, b.id AS id_b,
        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
 FROM fm_d a JOIN fm_d b ON a.blk = b.blk AND a.id < b.id
 WHERE levenshtein(a.t, b.t) <= {max_dist}"""
+
+
+def random_projection_sql(out_dim: int = 16, seed: int = 0,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          table: str = "embeddings") -> str:
+    """Twin of ``similarity.random_projection`` (delegates to the
+    builder that lives beside the operator)."""
+    from judy_graph_db_spark.operators.similarity import (
+        random_projection_oracle_sql,
+    )
+
+    return random_projection_oracle_sql(out_dim=out_dim, seed=seed,
+                                        vec_col=vec_col, id_col=id_col,
+                                        table=table)

@@ -1079,3 +1079,33 @@ def test_coarsen_graph(spark):
         "SELECT * FROM (VALUES (1,2),(3,4)) AS m(a,b)",
         weight_expr="e.w")).fetchall()}
     assert got2 == twin
+
+
+def test_community_conductance(spark):
+    # two triangles {1,2,3} {4,5,6} joined by one bridge 3-4:
+    # each community: cut=1, vol=7 (6 intra endpoints + 1 bridge end),
+    # 2m=14 -> min(7, 7)=7 -> 1000*1//7 = 142
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6),
+                         (3, 4)])
+    lab = spark.createDataFrame(
+        [(i, 100 if i <= 3 else 200) for i in range(1, 7)],
+        "id BIGINT, community BIGINT")
+    got = {r.community: (r.cut_edges, r.volume, r.conductance_permille)
+           for r in AN.community_conductance(e, lab).collect()}
+    assert got == {100: (1, 7, 142), 200: (1, 7, 142)}
+    # isolated community (no incident edges): NULL conductance
+    lab2 = lab.unionByName(spark.createDataFrame(
+        [(9, 300)], "id BIGINT, community BIGINT"))
+    got2 = {r.community: r.conductance_permille
+            for r in AN.community_conductance(e, lab2).collect()}
+    assert got2[300] is None
+    con = duckdb.connect()
+    twin = {t[0]: (t[1], t[2], t[3]) for t in con.execute(
+        AN.conductance_oracle_sql(
+            "SELECT * FROM (VALUES (1,2),(2,3),(1,3),(4,5),(5,6),(4,6),"
+            "(3,4)) AS e(src,dst)",
+            "SELECT * FROM (VALUES (1,100),(2,100),(3,100),(4,200),"
+            "(5,200),(6,200),(9,300)) AS l(id,community)")).fetchall()}
+    got2f = {r.community: (r.cut_edges, r.volume, r.conductance_permille)
+             for r in AN.community_conductance(e, lab2).collect()}
+    assert got2f == twin

@@ -954,3 +954,27 @@ def test_fuzzy_match_pairs(spark):
     capped = {(r.id_a, r.id_b) for r in D.fuzzy_match_pairs(
         df, "brand", "name", max_dist=2, max_block=2).collect()}
     assert capped == {(4, 5)}
+
+
+def test_random_projection(spark):
+    """JL ±1 projection: integer-exact, sign matrix shared with the twin,
+    linearity holds (proj(2x) = 2·proj(x) for exactly-representable x)."""
+    import duckdb
+
+    from judy_graph_db_spark.oracle import random_projection_sql
+
+    rows = [(0, [1.0, -2.0, 0.5, 4.0]), (1, [2.0, -4.0, 1.0, 8.0]),
+            (2, [0.0, 0.0, 0.0, 0.0])]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.j): r.v for r in S.random_projection(
+        embs, out_dim=4, seed=3).collect()}
+    assert len(got) == 3 * 4
+    for j in range(4):
+        assert got[(1, j)] == 2 * got[(0, j)]   # exact doubling
+        assert got[(2, j)] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    twin = {(t[0], t[1]): t[2] for t in con.execute(
+        random_projection_sql(out_dim=4, seed=3)).fetchall()}
+    assert got == twin
