@@ -399,7 +399,8 @@ def mean_pool_embeddings(embs: DataFrame, group_col: str,
 
 def random_projection(embs: DataFrame, out_dim: int = 16, seed: int = 0,
                       vec_col: str = "embedding",
-                      id_col: str = "vec_id") -> DataFrame:
+                      id_col: str = "vec_id",
+                      dim: int | None = None) -> DataFrame:
     """Johnson–Lindenstrauss random projection with a ±1 (Achlioptas
     2003) sign matrix derived from md5 — dimensionality reduction for
     ANN prefiltering / sketching, fully integer-exact: inputs quantize to
@@ -411,19 +412,23 @@ def random_projection(embs: DataFrame, out_dim: int = 16, seed: int = 0,
     projected space are ≈ 2^10·√out_dim-scaled originals.
 
     Scale shape: the sign matrix is an ``out_dim·dim``-row relation built
-    from two ``sequence`` explodes and BROADCAST to the join (kilobytes
-    even at dim 4096); vectors ``posexplode`` in the scan stage and the
-    only shuffle is the (id, j) partial-agg sum. No Python, no UDF, no
-    driver round-trip.
+    from ``spark.range(dim)`` (pass ``dim`` explicitly, or a bounded
+    one-row probe discovers it — never a corpus scan) and BROADCAST to
+    the join (kilobytes even at dim 4096); vectors ``posexplode`` in the
+    scan stage and the only shuffle is the (id, j) partial-agg sum. No
+    Python, no UDF, no unbounded driver round-trip.
     """
     from judy_graph_db_spark.operators.sketch import _h60
 
     if out_dim < 1:
         raise ValueError("out_dim must be positive")
     spark = embs.sparkSession
-    dim_df = embs.select(
-        F.explode(F.sequence(F.lit(0), F.size(vec_col) - 1)).alias("i")
-    ).distinct()
+    if dim is None:
+        # one-row probe, NOT a corpus scan — the sign matrix must never
+        # cost a full pass over a 100 TB embedding table
+        row = embs.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = int(row[0]["d"]) if row else 0
+    dim_df = spark.range(int(dim)).select(F.col("id").cast("int").alias("i"))
     signs = (
         dim_df.select(
             "i",
