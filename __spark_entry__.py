@@ -1962,6 +1962,29 @@ def _q_ann_search(spark, sf_dir):
         F.lit("rrf").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
         F.col("n_lists").cast("long").alias("b"),
         F.col("rrf_micro").alias("c"), lN.alias("d"))
+    # IVFADC: PQ ADC restricted to the query's 2 probed IVF cells —
+    # reuses the checkpointed codes (codebooks re-derive from them)
+    cents = embs.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec"))
+    q0 = embs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qvec"))
+    probe2 = (F.broadcast(cents).join(F.broadcast(q0))
+              .withColumn("_sim", S.cosine_sim_micro("_cvec", "_qvec"))
+              .orderBy(F.col("_sim").desc(), F.col("_cid"))
+              .limit(2).select("_cid"))
+    iassign = S.ivf_assign(embs, 4)
+    cand0 = (iassign.join(F.broadcast(probe2),
+                          iassign["cell"] == F.col("_cid"))
+             .filter(F.col("vec_id") != 0).select("vec_id"))
+    ivfpq = CL.pq_adc_topk(
+        pq_codes.join(cand0, "vec_id", "left_semi"),
+        CL.pq_codebooks(embs, pq_codes, m=4, dim=64),
+        embs.filter(F.col("vec_id") == 0).select("embedding"),
+        m=4, dim=64, topk=10,
+    ).select(
+        F.lit("ivfpq").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
+        F.col("dist_q").alias("b"), F.col("rank").cast("long").alias("c"),
+        lN.alias("d"))
     # JL ±1 random projection to 8 dims — integer-exact sketch rows
     rp = S.random_projection(embs, out_dim=8, seed=5).select(
         F.lit("rproj").alias("op"), sN.alias("s"),
@@ -1970,7 +1993,7 @@ def _q_ann_search(spark, sf_dir):
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
             .unionByName(qt).unionByName(pool).unionByName(pqc)
             .unionByName(pqt).unionByName(rec).unionByName(rrf)
-            .unionByName(rp))
+            .unionByName(ivfpq).unionByName(rp))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -2772,6 +2795,10 @@ FROM ({S.rrf_fuse_oracle_sql(
             [O.cosine_topk_sql(query_id=0, k=10),
              O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)],
             id_col="vec_id", rank_col="rank")}) t13
+UNION ALL
+SELECT 'ivfpq', NULL, vec_id, dist_q, CAST(rank AS BIGINT), NULL
+FROM ({O.ivf_pq_topk_sql(query_id=0, topk=10, n_cells=4, n_probe=2,
+                         m=4, k=8, iters=2, dim=64)}) t15
 UNION ALL
 SELECT 'rproj', NULL, vec_id, j, v, NULL
 FROM ({O.random_projection_sql(out_dim=8, seed=5)}) t14""",

@@ -312,3 +312,58 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def ivf_pq_topk(embeddings: DataFrame, query_id: int, topk: int = 10,
+                n_cells: int = 4, n_probe: int = 2, m: int = 4,
+                k: int = 16, iters: int = 2, dim: int = 64,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """The composed billion-vector serving layout (Jégou et al. 2011's
+    IVFADC): IVF coarse routing picks the query's ``n_probe`` nearest
+    cells, then PQ asymmetric distance ranks ONLY the vectors living in
+    those cells — the index never touches raw floats at query time and
+    never scans outside the probed partitions. Returns
+    ``(id_col, dist_q, rank)`` like :func:`pq_adc_topk` (the query vector
+    itself is excluded).
+
+    Scale shape: cell routing is a broadcast of ``n_cells`` rows; the
+    candidate set is a partition-pruned fraction ``n_probe/n_cells`` of
+    the corpus; PQ scoring inherits the broadcast m·k distance table +
+    order-free integer sum. Codebooks/cells train on the full corpus
+    (the standard offline step) — pre-compute and reuse both in a real
+    serving deployment rather than re-deriving per query as this
+    convenience wrapper does.
+    """
+    from judy_graph_db_spark.operators.similarity import (
+        cosine_sim_micro, ivf_assign,
+    )
+
+    cents = (
+        embeddings.orderBy(id_col).limit(n_cells)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    )
+    q = embeddings.filter(F.col(id_col) == int(query_id)).select(
+        F.col(vec_col).alias("_qvec"))
+    probe_cells = (
+        F.broadcast(cents).join(F.broadcast(q))
+        .withColumn("_sim", cosine_sim_micro("_cvec", "_qvec"))
+        .orderBy(F.col("_sim").desc(), F.col("_cid"))
+        .limit(int(n_probe))
+        .select("_cid")
+    )
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    cand = (
+        assign.join(F.broadcast(probe_cells),
+                    assign["cell"] == F.col("_cid"))
+        .filter(F.col(id_col) != int(query_id))
+        .select(id_col)
+    )
+    codes = pq_train_encode(embeddings, m=m, k=k, iters=iters, dim=dim,
+                            id_col=id_col, vec_col=vec_col)
+    cb = pq_codebooks(embeddings, codes, m=m, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    qv = embeddings.filter(F.col(id_col) == int(query_id)).select(vec_col)
+    restricted = codes.join(cand, id_col, "left_semi")
+    return pq_adc_topk(restricted, cb, qv, m=m, dim=dim, topk=topk,
+                       id_col=id_col, vec_col=vec_col)

@@ -1645,7 +1645,8 @@ def pq_codes_sql(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
 
 def pq_adc_topk_sql(m: int = 4, k: int = 16, iters: int = 2, dim: int = 64,
                     topk: int = 10, table: str = "embeddings",
-                    query_sql: str | None = None) -> str:
+                    query_sql: str | None = None,
+                    restrict_sql: str | None = None) -> str:
     """Twin of ``clustering.pq_codebooks`` + ``pq_adc_topk``: final-Lloyd
     codebooks per (sub, code), the query's m·k integer distance table
     (``FLOOR(d² · 2^20)`` of the same strict-order double), and the
@@ -1689,6 +1690,8 @@ SELECT vec_id, dist_q,
 FROM (
   SELECT c.vec_id, SUM(t.dq) AS dist_q
   FROM {codes} c JOIN pq_dt t ON c.sub = t.sub AND c.code = t.code
+  {(f"JOIN ({restrict_sql}) pqrs ON c.vec_id = pqrs.vec_id"
+    if restrict_sql else "")}
   GROUP BY c.vec_id
 )
 QUALIFY rank <= {topk}"""
@@ -1777,3 +1780,48 @@ def random_projection_sql(out_dim: int = 16, seed: int = 0,
     return random_projection_oracle_sql(out_dim=out_dim, seed=seed,
                                         vec_col=vec_col, id_col=id_col,
                                         table=table)
+
+
+def ivf_candidates_sql(query_id: int = 0, n_cells: int = 4, n_probe: int = 2,
+                       dim: int = 64, table: str = "embeddings") -> str:
+    """The IVF candidate id set (the ``cand`` stage of ``ivf_topk_sql``,
+    exposed so IVF-PQ can restrict PQ scoring to the probed cells)."""
+    return f"""
+WITH ivc_c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM {table}
+  ORDER BY vec_id LIMIT {n_cells}
+),
+ivc_q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+ivc_p AS (
+  SELECT cid FROM ivc_c, ivc_q
+  ORDER BY {cosine_micro_sql('cv', 'qv', dim)} DESC, cid LIMIT {n_probe}
+),
+ivc_s AS (
+  SELECT e.vec_id, c.cid, {cosine_micro_sql('e.embedding', 'c.cv', dim)} AS sim
+  FROM {table} e, ivc_c c
+),
+ivc_a AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid)
+             AS rn
+    FROM ivc_s
+  ) WHERE rn = 1
+)
+SELECT a.vec_id FROM ivc_a a JOIN ivc_p p ON a.cell = p.cid
+WHERE a.vec_id <> {query_id}"""
+
+
+def ivf_pq_topk_sql(query_id: int = 0, topk: int = 10, n_cells: int = 4,
+                    n_probe: int = 2, m: int = 4, k: int = 16,
+                    iters: int = 2, dim: int = 64,
+                    table: str = "embeddings") -> str:
+    """Twin of ``clustering.ivf_pq_topk`` — PQ ADC restricted to the
+    IVF-probed candidate set."""
+    return pq_adc_topk_sql(
+        m=m, k=k, iters=iters, dim=dim, topk=topk, table=table,
+        query_sql=f"SELECT embedding FROM {table} WHERE vec_id = {query_id}",
+        restrict_sql=ivf_candidates_sql(query_id=query_id, n_cells=n_cells,
+                                        n_probe=n_probe, dim=dim,
+                                        table=table),
+    )

@@ -978,3 +978,31 @@ def test_random_projection(spark):
     twin = {(t[0], t[1]): t[2] for t in con.execute(
         random_projection_sql(out_dim=4, seed=3)).fetchall()}
     assert got == twin
+
+
+def test_ivf_pq_topk(spark, embs):
+    """IVFADC composition: results are PQ-scored members of the probed
+    IVF cells only, and the DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import clustering as CL
+    from judy_graph_db_spark.oracle import ivf_candidates_sql, ivf_pq_topk_sql
+
+    sub = embs.limit(64).cache()
+    got = sorted(tuple(r) for r in CL.ivf_pq_topk(
+        sub, query_id=3, topk=5, n_cells=4, n_probe=2,
+        m=4, k=8, iters=2, dim=64).collect())
+    rows = [(r.vec_id, r.embedding) for r in sub.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)",
+                    [(i, [float(x) for x in v]) for i, v in rows])
+    twin = sorted(tuple(t) for t in con.execute(ivf_pq_topk_sql(
+        query_id=3, topk=5, n_cells=4, n_probe=2,
+        m=4, k=8, iters=2, dim=64)).fetchall())
+    assert got == twin
+    # every hit must be inside the probed cells
+    cand = {t[0] for t in con.execute(ivf_candidates_sql(
+        query_id=3, n_cells=4, n_probe=2, dim=64)).fetchall()}
+    assert {g[0] for g in got} <= cand
+    assert 3 not in {g[0] for g in got}
