@@ -1588,6 +1588,11 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    # log-domain sibling: unigram surprisal in floor-log2 bits
+    sp = STT.token_surprisal(spark.table("documents")).select(
+        F.lit("surprisal").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("surprisal_bits").alias("b"),
+        F.col("mean_bits_milli").alias("c"), lN.alias("d"))
     ou = STT.grouped_outliers(
         spark.table("events"), "user_id", "value", "event_id", k=2
     ).select(
@@ -1728,7 +1733,8 @@ def _q_stats_ops(spark, sf_dir):
         F.col("doc_id").alias("a"), F.col("__n").alias("b"),
         lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
-            .unionByName(cm).unionByName(ou).unionByName(cms)
+            .unionByName(cm).unionByName(sp).unionByName(ou)
+            .unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -3083,6 +3089,9 @@ FROM ({O.stratified_sample_sql(STRATA)}) t4
 UNION ALL
 SELECT 'commonness', NULL, NULL, doc_id, n_tokens, commonness_micro, NULL
 FROM ({O.token_commonness_sql()}) t5
+UNION ALL
+SELECT 'surprisal', NULL, NULL, doc_id, surprisal_bits, mean_bits_milli, NULL
+FROM ({O.token_surprisal_sql()}) t5b
 UNION ALL
 SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
 FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6

@@ -459,3 +459,51 @@ def repetition_signals(docs: DataFrame, ns: Sequence[int] = (2, 3, 4),
             F.expr("1000 * __dup div n_grams").alias("dup_gram_permille"),
         )
     )
+
+
+def token_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document unigram surprisal in floor-log2 bits — the log-domain
+    sibling of :func:`token_commonness` (and the closer analogue of the
+    CCNet/KenLM perplexity filter, which thresholds a log-probability):
+    each token instance contributes ``bits(t) = floor(log2(T / c(t)))``
+    computed as ``length(bin(T div c(t))) - 1`` — the engine-wide
+    integer-log2 idiom, exact in both engines where a float ``log`` would
+    not hash-gate. Returns ``(id_col, n_tokens, surprisal_bits,
+    mean_bits_milli)`` with ``mean_bits_milli = 1000·Σbits div n_tokens``.
+
+    HIGH mean surprisal = rare-token-heavy text (gibberish, wrong
+    language, OCR noise); LOW = stopword soup — threshold both tails,
+    exactly like a perplexity filter. Plan shape is identical to
+    token_commonness: one tokenize+explode scan, a term-keyed count
+    window, one per-doc aggregation, corpus total as a broadcast 1-row
+    join.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    wterm = Window.partitionBy("term")
+    per_doc = (
+        tf.withColumn("c", F.sum("tf").over(wterm))
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"),
+             F.collect_list(F.struct("tf", "c")).alias("_tc"))
+    )
+    total = per_doc.agg(F.sum("n_tokens").alias("_T"))
+    return (
+        per_doc.join(F.broadcast(total))
+        .select(
+            id_col, "n_tokens",
+            F.expr("aggregate(_tc, CAST(0 AS BIGINT), (acc, x) -> "
+                   "acc + x.tf * (length(bin(_T div x.c)) - 1))")
+            .alias("surprisal_bits"),
+        )
+        .withColumn("mean_bits_milli",
+                    F.expr("1000 * surprisal_bits div n_tokens"))
+    )

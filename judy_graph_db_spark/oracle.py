@@ -1825,3 +1825,29 @@ def ivf_pq_topk_sql(query_id: int = 0, topk: int = 10, n_cells: int = 4,
                                         n_probe=n_probe, dim=dim,
                                         table=table),
     )
+
+
+def token_surprisal_sql(id_col: str = "doc_id", text_col: str = "text",
+                        table: str = "documents") -> str:
+    """Twin of ``stats.token_surprisal`` (floor-log2 via length(bin(x))-1,
+    identical in both engines)."""
+    return f"""
+WITH tsf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM (
+    SELECT {id_col},
+           unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})) AS term
+    FROM {table}
+  ) t GROUP BY 1, 2
+),
+tsc AS (SELECT *, SUM(tf) OVER (PARTITION BY term) AS c FROM tsf),
+tst AS (SELECT SUM(tf) AS T FROM tsf),
+tsd AS (
+  SELECT {id_col}, SUM(tf) AS n_tokens,
+         SUM(tf * (length(bin(CAST(t.T // c AS BIGINT))) - 1))
+           AS surprisal_bits
+  FROM tsc, tst t GROUP BY {id_col}
+)
+SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(surprisal_bits AS BIGINT) AS surprisal_bits,
+       CAST(1000 * surprisal_bits // n_tokens AS BIGINT) AS mean_bits_milli
+FROM tsd"""

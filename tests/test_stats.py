@@ -297,3 +297,27 @@ def test_repetition_signals(spark):
     import pytest
     with pytest.raises(ValueError, match=">= 2"):
         ST.repetition_signals(docs, ns=(1, 2))
+
+
+def test_token_surprisal(spark):
+    """floor-log2 unigram surprisal: hand-computed bits, and the DuckDB
+    twin agrees bit-for-bit (integer log2 via length(bin(x))-1)."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import stats as STT
+    from judy_graph_db_spark.oracle import token_surprisal_sql
+
+    rows = [(1, "aa aa aa aa"), (2, "aa aa bb cc")]
+    # corpus: T=8; c(aa)=6, c(bb)=1, c(cc)=1
+    # bits(aa) = floor(log2(8//6=1)) = 0; bits(bb)=bits(cc)=floor(log2 8)=3
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.surprisal_bits, r.mean_bits_milli)
+           for r in STT.token_surprisal(docs).collect()}
+    assert got[1] == (4, 0, 0)
+    assert got[2] == (4, 6, 1500)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {t[0]: (t[1], t[2], t[3]) for t in con.execute(
+        token_surprisal_sql()).fetchall()}
+    assert got == twin
