@@ -1830,9 +1830,24 @@ def _q_graph_similarity(spark, sf_dir):
     ).filter(F.col("b") < F.lit(4 * B)).select(
         F.lit("ra").alias("op"), F.col("a"), F.col("b"),
         F.col("ra_micro").alias("c"), F.col("pa").alias("d"))
+    # BFS shortest-path tree with deterministic min-id parents over the
+    # customer→order→part two-layer graph (parent of a part = the lowest
+    # containing order among the root's orders)
+    two_layer = spark.table("orders").select(
+        (F.col("o_custkey") + F.lit(3 * B)).alias("src"),
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("dst"),
+    ).unionByName(spark.table("lineitem").select(
+        (F.col("l_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst")))
+    spt = AN.shortest_path_tree(
+        two_layer, [3 * B + 1, 3 * B + 2, 3 * B + 3]
+    ).select(
+        F.lit("spt").alias("op"), F.col("root").alias("a"),
+        F.col("id").alias("b"), F.col("depth").alias("c"),
+        F.col("parent").alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
-            .unionByName(sig).unionByName(ra))
+            .unionByName(sig).unionByName(ra).unionByName(spt))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -3298,7 +3313,16 @@ SELECT 'ra', a, b, ra_micro, pa
 FROM ({O.resource_allocation_sql(
             src_expr=f"l_suppkey + {2 * B}", dst_expr=f"l_partkey + {4 * B}",
             max_b=4 * B,
-        )}) t9""",
+        )}) t9
+UNION ALL
+SELECT 'spt', root, id, depth, parent
+FROM ({AN.shortest_path_tree_sql(
+            f"SELECT o_custkey + {3 * B} AS src, "
+            f"o_orderkey + {5 * B} AS dst FROM orders "
+            f"UNION ALL SELECT l_orderkey + {5 * B}, "
+            f"l_partkey + {4 * B} FROM lineitem",
+            [3 * B + 1, 3 * B + 2, 3 * B + 3],
+        )}) t10""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

@@ -2423,3 +2423,88 @@ FROM (SELECT DISTINCT community FROM cd_l) n
 CROSS JOIN cd_m m
 LEFT JOIN cd_vol v ON n.community = v.community
 LEFT JOIN cd_cut c ON n.community = c.community"""
+
+
+def shortest_path_tree(edges: DataFrame, sources: "list[int]",
+                       max_iter: int = 20) -> DataFrame:
+    """BFS shortest-path tree from each source with deterministic parent
+    pointers — the path-RECONSTRUCTION companion to the depth-only
+    closures (``transitive_closure`` tells you X is reachable at depth d;
+    this tells you *through which edge*, so a pipeline can surface the
+    actual chain: provenance, lineage explanations, routing). Returns
+    ``(root, id, depth, parent)`` — ``parent`` is the minimum-id
+    predecessor among those at ``depth-1`` (the standard deterministic
+    tie-break), NULL-free since every non-root tree node has one; roots
+    are not emitted as members.
+
+    Frontier loop with a global visited set per root: each round is one
+    frontier→edges equi-join + a (root, node) min-struct partial agg +
+    one anti-join against the settled relation — O(frontier) work per
+    round, rounds = eccentricity, same shape the pattern compiler's
+    unbounded repeat uses. ``sources`` is a literal list (broadcast-sized
+    by construction).
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    frontier = (
+        spark.createDataFrame([(int(s),) for s in sources], "id BIGINT")
+        .distinct()
+        .select(F.col("id").alias("root"), F.col("id").alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    settled = frontier.select("root", "id").localCheckpoint(eager=True)
+    parts = []
+    for depth in range(1, max_iter + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select("root", F.col("dst").alias("id"),
+                    F.col("id").alias("__p"))
+            .join(settled, ["root", "id"], "left_anti")
+            .groupBy("root", "id")
+            .agg(F.min("__p").alias("parent"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(nxt.select(
+            "root", "id", F.lit(depth).cast("long").alias("depth"), "parent"))
+        settled = settled.unionByName(
+            nxt.select("root", "id")).localCheckpoint(eager=True)
+        frontier = nxt.select("root", "id")
+    if not parts:
+        return spark.createDataFrame(
+            [], "root BIGINT, id BIGINT, depth BIGINT, parent BIGINT")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shortest_path_tree_sql(edges_sql: str, sources: "list[int]",
+                           max_iter: int = 20) -> str:
+    """ANSI-SQL twin of :func:`shortest_path_tree` (DuckDB recursive CTE:
+    min depth per (root, node), then min-id parent among depth-1
+    predecessors). The recursion is depth-bounded by ``max_iter`` — the
+    same truncation the Spark round loop applies, and WITHOUT it the
+    (root, id, d) triple space is infinite on cyclic graphs (the UNION
+    dedup never converges because d keeps growing)."""
+    src_rows = ", ".join(f"({int(s)})" for s in sorted(set(sources)))
+    return f"""WITH RECURSIVE spt_e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+),
+spt_w(root, id, d) AS (
+  SELECT s.root, s.root, 0 FROM (VALUES {src_rows}) s(root)
+  UNION
+  SELECT w.root, e.dst, w.d + 1
+  FROM spt_w w JOIN spt_e e ON w.id = e.src AND w.d < {int(max_iter)}
+),
+spt_d AS (
+  SELECT root, id, CAST(MIN(d) AS BIGINT) AS depth
+  FROM spt_w GROUP BY root, id
+)
+SELECT n.root, n.id, n.depth, CAST(MIN(p.id) AS BIGINT) AS parent
+FROM spt_d n
+JOIN spt_e e ON e.dst = n.id
+JOIN spt_d p ON p.root = n.root AND p.id = e.src AND p.depth = n.depth - 1
+WHERE n.depth > 0
+GROUP BY n.root, n.id, n.depth"""

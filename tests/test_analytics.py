@@ -1109,3 +1109,31 @@ def test_community_conductance(spark):
     got2f = {r.community: (r.cut_edges, r.volume, r.conductance_permille)
              for r in AN.community_conductance(e, lab2).collect()}
     assert got2f == twin
+
+
+def test_shortest_path_tree(spark):
+    # diamond 1->{2,3}->4 ->5: parent of 4 is min(2,3)=2; depths BFS
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)])
+    got = {(r.root, r.id): (r.depth, r.parent)
+           for r in AN.shortest_path_tree(e, [1]).collect()}
+    assert got == {(1, 2): (1, 1), (1, 3): (1, 1), (1, 4): (2, 2),
+                   (1, 5): (3, 4)}
+    # multi-root; cycle-safe; unreached nodes absent
+    e2 = edges_df(spark, [(1, 2), (2, 1), (3, 4)])
+    got2 = {(r.root, r.id): (r.depth, r.parent)
+            for r in AN.shortest_path_tree(e2, [1, 3]).collect()}
+    assert got2 == {(1, 2): (1, 1), (3, 4): (1, 3)}
+    con = duckdb.connect()
+    import random
+
+    rng = random.Random(31)
+    pairs = sorted({(rng.randrange(12), rng.randrange(12))
+                    for _ in range(30)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    got3 = sorted(tuple(r) for r in AN.shortest_path_tree(
+        edges_df(spark, pairs), [0, 5]).collect())
+    twin = sorted(tuple(t) for t in con.execute(AN.shortest_path_tree_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", [0, 5]
+    )).fetchall())
+    assert got3 == twin
