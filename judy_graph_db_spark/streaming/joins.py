@@ -53,3 +53,29 @@ def interval_join(
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within_seconds} SECONDS"))
     )
     return lp.join(rp, cond)
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str = "user_id",
+                  how: str = "left",
+                  broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static dimension enrichment — the other join every
+    streaming pipeline needs (events × user/account/catalog attributes):
+    a stateless per-micro-batch join, so no watermark and NO state store
+    at all (unlike the stream-stream interval join). The static side is
+    re-read every micro-batch, which is exactly what you want for a
+    slowly-changing dimension backed by a table.
+
+    ``broadcast_dim=True`` (default) hints the dimension to broadcast —
+    at cluster scale a hash-partitioned shuffle of a high-rate stream
+    against a small dimension would dominate the micro-batch time; drop
+    the hint only when the dimension is genuinely too large to ship, at
+    which point pre-bucket BOTH sides on the key instead. ``how`` of
+    ``left`` keeps stream rows with no dimension match (``inner`` is the
+    other streaming-supported choice for a static right side).
+
+    Works identically on a batch frame (one definition, both modes).
+    """
+    d = dim
+    if broadcast_dim:
+        d = F.broadcast(dim)
+    return stream.join(d, on, how)

@@ -474,3 +474,37 @@ def test_streaming_components_crash_recovery(spark, tmp_path):
     assert _latest_version(store) == 0
     got = {r.id: r.component for r in read_labels(spark, store).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_enrich_stream_static_dimension(spark, tmp_path):
+    """Stream-static enrichment: every micro-batch row gains the
+    dimension attributes; unmatched keys survive the left join; the
+    batch-mode plan broadcasts the dimension."""
+    import json
+
+    from judy_graph_db_spark.streaming.joins import enrich_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b.jsonl").write_text("\n".join(
+        json.dumps({"user_id": u, "event_id": i}) for i, u in
+        enumerate([1, 1, 2, 9])))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string")
+    stream = spark.readStream.schema("user_id long, event_id long") \
+        .json(str(src))
+    out = enrich_stream(stream, dim)
+    ckpt = str(tmp_path / "ck")
+    q = out.writeStream.format("memory").queryName("enriched") \
+        .option("checkpointLocation", ckpt) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    rows = {(r.user_id, r.event_id): r.tier
+            for r in spark.table("enriched").collect()}
+    assert rows[(1, 0)] == "gold" and rows[(2, 2)] == "basic"
+    assert rows[(9, 3)] is None          # left join keeps unmatched
+    # batch mode: same definition, broadcast in the plan
+    b = enrich_stream(spark.read.schema("user_id long, event_id long")
+                      .json(str(src)), dim)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
