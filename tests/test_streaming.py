@@ -508,3 +508,44 @@ def test_enrich_stream_static_dimension(spark, tmp_path):
                       .json(str(src)), dim)
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel completions == batch funnel_steps full
+    completions on an availableNow replay; started = the user's first
+    stage-0 event."""
+    import json
+
+    from judy_graph_db_spark.operators.temporal import funnel_steps
+    from judy_graph_db_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    base = "2024-01-01 00:"
+    evs = [  # user 1 completes; user 2 stalls at click; user 3 completes
+        (1, "00:10", "view"), (1, "01:00", "click"), (1, "02:00", "purchase"),
+        (2, "00:05", "view"), (2, "00:30", "click"), (2, "59:00", "other"),
+        (3, "10:00", "view"), (3, "10:01", "click"), (3, "10:02", "purchase"),
+        # deadline: user 4's click is 2h after view -> never completes
+        (4, "00:00", "view"),
+    ] + [(4, "59:59", "click")]
+    src = tmp_path / "fv"
+    src.mkdir()
+    (src / "a.jsonl").write_text("\n".join(json.dumps(
+        {"user_id": u, "ts": base + t, "event_type": ty})
+        for u, t, ty in evs))
+    schema = "user_id long, ts timestamp, event_type string"
+    within = 1800
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = funnel_stream(stream, steps, within)
+    q = out.writeStream.format("memory").queryName("fnl") \
+        .option("checkpointLocation", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {r.user_id: (str(r.started), str(r.completed))
+           for r in spark.table("fnl").collect()}
+    batch = spark.read.schema(schema).json(str(src))
+    want_users = {r.user_id for r in funnel_steps(
+        batch, steps, within).collect() if r.steps_completed == len(steps)}
+    assert set(got) == want_users == {1, 3}
+    assert got[1] == ("2024-01-01 00:00:10", "2024-01-01 00:02:00")
+    assert got[3] == ("2024-01-01 00:10:00", "2024-01-01 00:10:02")
