@@ -106,6 +106,42 @@ def as_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def read_media_dir(spark, path: str, glob: str | None = None,
+                   media_type: str = "image",
+                   extension_types: dict[str, str] | None = None) -> DataFrame:
+    """Ingest a directory of raw media files via Spark's built-in
+    ``binaryFile`` source into the engine's media-table shape
+    ``(doc_id, content, media_type, path, byte_len, modified)``:
+    ``doc_id`` is the 60-bit content hash of the file PATH (stable across
+    re-listing and cluster sizes), and ``media_type`` comes from the file
+    extension when ``extension_types`` maps it (e.g. ``{'wav': 'audio',
+    'mp4': 'video'}``), else the given default.
+
+    binaryFile is the right 100 TB ingestion shape: the driver lists
+    files, executors each read their own split of WHOLE files (media
+    payloads are indivisible), and pushdown on ``pathGlobFilter`` prunes
+    at listing time — no Python touches bytes until a downstream
+    ``mapInPandas`` decode stage asks for them.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mt = F.lit(media_type)
+    for e, t in sorted((extension_types or {}).items()):
+        mt = F.when(ext == e.lower(), F.lit(t)).otherwise(mt)
+    doc_id = F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)         .cast("long")
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col("content"),
+        mt.alias("media_type"),
+        F.col("path"),
+        F.col("length").alias("byte_len"),
+        F.col("modificationTime").alias("modified"),
+    )
+
+
 def extract_metadata(media: DataFrame) -> DataFrame:
     """Cheap metadata pass — byte length + content hash, pure JVM columns
     (no decode needed): this is the step that runs over ALL bytes, so it must

@@ -1006,3 +1006,31 @@ def test_ivf_pq_topk(spark, embs):
         query_id=3, n_cells=4, n_probe=2, dim=64)).fetchall()}
     assert {g[0] for g in got} <= cand
     assert 3 not in {g[0] for g in got}
+
+
+def test_read_media_dir(spark, tmp_path):
+    """binaryFile ingest: whole files land as binary rows with stable
+    path-hash ids, extension-driven media types, and glob pruning."""
+    from judy_graph_db_spark.operators import multimodal as MM
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fakepayload")
+    (tmp_path / "b.wav").write_bytes(b"RIFFfakewav")
+    (tmp_path / "notes.txt").write_text("skip me")
+    out = MM.read_media_dir(
+        spark, str(tmp_path), glob="*.{png,wav}",
+        extension_types={"wav": "audio", "png": "image"})
+    rows = {r.path.split("/")[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.png", "b.wav"}
+    assert rows["a.png"].media_type == "image"
+    assert rows["b.wav"].media_type == "audio"
+    assert bytes(rows["b.wav"].content) == b"RIFFfakewav"
+    assert rows["a.png"].byte_len == 16
+    ids = {r.doc_id for r in out.collect()}
+    assert len(ids) == 2 and all(i >= 0 for i in ids)
+    # re-listing yields identical ids (path-hash stability)
+    again = {r.path.split("/")[-1]: r.doc_id for r in MM.read_media_dir(
+        spark, str(tmp_path), glob="*.{png,wav}").collect()}
+    assert again == {k: r.doc_id for k, r in rows.items()}
+    # the metadata pass runs unchanged on the ingested shape
+    meta = MM.extract_metadata(out.select("doc_id", "content", "media_type"))
+    assert meta.count() == 2
