@@ -1902,8 +1902,21 @@ def _q_sampling_ops(spark, sf_dir):
     nagm = na.select(
         F.lit("naggm").alias("op"), F.col("id").alias("a"),
         F.col("mean_micro").alias("b"), F.lit(None).cast("long").alias("c"))
+    # metapath2vec walks over the heterogeneous customer→order→part graph
+    het = orders.select(
+        (F.col("o_custkey") + F.lit(3 * B)).alias("src"),
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("dst"),
+        F.lit("PLACED").alias("label"),
+    ).unionByName(spark.table("lineitem").select(
+        (F.col("l_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst"),
+        F.lit("CONTAINS").alias("label")))
+    mp = SA.metapath_walks(het, ["PLACED", "CONTAINS"], seed=13).select(
+        F.lit("mpwalk").alias("op"), F.col("walk_id").alias("a"),
+        F.col("step").alias("b"), F.col("node").alias("c"))
     return (ns.unionByName(rw).unionByName(sg).unionByName(neg)
-            .unionByName(inc).unionByName(nag).unionByName(nagm))
+            .unionByName(inc).unionByName(nag).unionByName(nagm)
+            .unionByName(mp))
 
 
 def _q_ann_search(spark, sf_dir):
@@ -3353,5 +3366,14 @@ FROM ({O.incremental_dedup_sql(split="80")}) t3
 UNION ALL
 SELECT 'nagg', id, n_paths, sum_f FROM ({NAGG_SQL}) t6
 UNION ALL
-SELECT 'naggm', id, mean_micro, NULL FROM ({NAGG_SQL}) t7""",
+SELECT 'naggm', id, mean_micro, NULL FROM ({NAGG_SQL}) t7
+UNION ALL
+SELECT 'mpwalk', walk_id, step, node
+FROM ({SA_ORACLE.metapath_walks_oracle_sql(
+            f"SELECT o_custkey + {3 * B} AS src, "
+            f"o_orderkey + {5 * B} AS dst, 'PLACED' AS label FROM orders "
+            f"UNION ALL SELECT l_orderkey + {5 * B}, "
+            f"l_partkey + {4 * B}, 'CONTAINS' FROM lineitem",
+            ["PLACED", "CONTAINS"], seed=13,
+        )}) t8""",
     }

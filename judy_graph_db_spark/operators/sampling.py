@@ -401,3 +401,108 @@ SELECT fr.id, CAST(SUM(c) AS BIGINT) AS n_paths,
          AS mean_micro
 FROM nfa_fr fr JOIN ({feats_sql}) ft ON fr.node = ft.{id_col}
 GROUP BY fr.id"""
+
+
+def metapath_walks(edges: DataFrame, metapath: "list[str]",
+                   length: int | None = None, seed: int = 0,
+                   starts: DataFrame | None = None,
+                   label_col: str = "label",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Metapath-constrained random walks (metapath2vec, Dong et al.
+    2017): step ``s`` may only traverse edges whose ``label_col`` equals
+    ``metapath[(s-1) % len(metapath)]`` — the heterogeneous-graph walk
+    corpus where plain walks would drown the rare node types. Same
+    deterministic argmin-by-md5 transition, same ``(walk_id, step,
+    node)`` output as :func:`random_walks` (so :func:`walk_skipgram_pairs`
+    and :func:`sampled_negatives` compose unchanged); walkers stop early
+    where the path's next label has no outgoing edge.
+
+    Scale shape: ONE adjacency relation partitioned on the source key,
+    with the step label applied as a pushed-down filter per hop — the
+    label set is tiny, so each hop's join reads the same co-located
+    buckets as the uniform walker.
+    """
+    if not metapath:
+        raise ValueError("metapath must be non-empty")
+    if length is None:
+        length = len(metapath)
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    adj = (
+        edges.select("src", "dst", F.col(label_col).alias("__lbl"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .cache()
+    )
+    adj.count()
+    if starts is None:
+        starts = (adj.filter(F.col("__lbl") == metapath[0])
+                  .select(F.col("src").alias("id")).distinct())
+    frontier = starts.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("cur"))
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"))
+    for s in range(1, length + 1):
+        lbl = metapath[(s - 1) % len(metapath)]
+        h = _edge_hash(
+            seed, F.col("walk_id"), F.lit(s), F.col("src"), F.col("dst"))
+        step = (
+            frontier.join(adj.filter(F.col("__lbl") == lbl),
+                          frontier.cur == adj.src)
+            .select(
+                "walk_id",
+                F.struct(h.alias("h"), F.col("dst").alias("d")).alias("pick"))
+            .groupBy("walk_id")
+            .agg(F.min("pick").alias("pick"))
+            .select("walk_id", F.col("pick.d").alias("cur"))
+        )
+        frontier = step.localCheckpoint(eager=True)
+        out = out.unionByName(frontier.select(
+            "walk_id", F.lit(s).cast("long").alias("step"),
+            F.col("cur").alias("node")))
+    result = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return result
+
+
+def metapath_walks_oracle_sql(edges_sql: str, metapath: "list[str]",
+                              length: int | None = None, seed: int = 0,
+                              starts_sql: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`metapath_walks` (``edges_sql`` must select
+    ``src, dst, label``)."""
+    if not metapath:
+        raise ValueError("metapath must be non-empty")
+    if length is None:
+        length = len(metapath)
+    w0 = (
+        f"SELECT id AS walk_id, id AS cur FROM ({starts_sql})"
+        if starts_sql is not None
+        else f"SELECT DISTINCT src AS walk_id, src AS cur FROM mp_adj "
+             f"WHERE label = '{metapath[0]}'"
+    )
+    parts = [f"""WITH mp_adj AS (
+  SELECT DISTINCT src, dst, label FROM ({edges_sql})
+),
+mw0 AS ({w0})"""]
+    for s in range(1, length + 1):
+        lbl = metapath[(s - 1) % len(metapath)]
+        parts.append(f""", mw{s} AS (
+  SELECT walk_id, cur FROM (
+    SELECT f.walk_id, a.dst AS cur,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.walk_id
+             ORDER BY md5(concat_ws('|', '{seed}', CAST(f.walk_id AS VARCHAR),
+                          '{s}', CAST(a.src AS VARCHAR),
+                          CAST(a.dst AS VARCHAR))) ASC, a.dst ASC) AS rn
+    FROM mw{s - 1} f JOIN mp_adj a ON f.cur = a.src AND a.label = '{lbl}'
+  ) WHERE rn = 1
+)""")
+    selects = [
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, cur AS node FROM mw{s}"
+        for s in range(0, length + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
+    return "\n".join(parts)

@@ -160,3 +160,41 @@ def test_neighbor_feature_agg(spark):
                 "SELECT src, dst FROM e", "SELECT node, f FROM f",
                 hops=hops)).fetchall())
         assert got == twin, hops
+
+
+def test_metapath_walks(spark):
+    """Label constraints hold per step, walkers stop where the path's
+    label is absent, and the DuckDB twin agrees."""
+    import duckdb
+
+    # A -uses-> B -owns-> C, plus a 'uses' distractor from B
+    rows = [(1, 10, "uses"), (1, 11, "uses"), (10, 20, "owns"),
+            (11, 21, "owns"), (10, 99, "uses"), (5, 6, "owns")]
+    e = spark.createDataFrame(rows, "src long, dst long, label string")
+    got = sorted(tuple(r) for r in SA.metapath_walks(
+        e, ["uses", "owns"], seed=4).collect())
+    by_walk = {}
+    for wid, step, node in got:
+        by_walk.setdefault(wid, {})[step] = node
+    # starts = sources of 'uses' edges only (1 and 10)
+    assert set(by_walk) == {1, 10}
+    # step1 must be a 'uses' target, step2 an 'owns' target
+    assert by_walk[1][1] in {10, 11} and by_walk[1][2] in {20, 21}
+    # walker 10: step1 goes 10->99 ('uses'); 99 has no 'owns' edge -> stops
+    assert by_walk[10] == {0: 10, 1: 99}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE me (src BIGINT, dst BIGINT, label VARCHAR)")
+    con.executemany("INSERT INTO me VALUES (?, ?, ?)", rows)
+    twin = sorted(tuple(t) for t in con.execute(
+        SA.metapath_walks_oracle_sql(
+            "SELECT src, dst, label FROM me", ["uses", "owns"],
+            seed=4)).fetchall())
+    assert got == twin
+    # cycling: length 4 repeats the 2-label path twice
+    got4 = sorted(tuple(r) for r in SA.metapath_walks(
+        e, ["uses", "owns"], length=4, seed=4).collect())
+    twin4 = sorted(tuple(t) for t in con.execute(
+        SA.metapath_walks_oracle_sql(
+            "SELECT src, dst, label FROM me", ["uses", "owns"],
+            length=4, seed=4)).fetchall())
+    assert got4 == twin4
