@@ -1539,9 +1539,16 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("treach").alias("op"),
         F.concat_ws(">", "src", "dst").alias("s"),
         F.col("t_arr").alias("a"), lN.alias("b"), lN.alias("c"))
+    # temporal wedge (2-path motif) counts through each event type,
+    # second hop within an hour of the first (banded bucket join)
+    from judy_graph_db_spark.operators.temporal import temporal_wedge_counts
+
+    tw = temporal_wedge_counts(trans, 3600, ts_col="t").select(
+        F.lit("twedge").alias("op"), F.col("mid").alias("s"),
+        F.col("n_wedges").alias("a"), lN.alias("b"), lN.alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
-            .unionByName(mk).unionByName(tre))
+            .unionByName(mk).unionByName(tre).unionByName(tw))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -3096,7 +3103,20 @@ FROM ({TEMPORAL.time_respecting_reachability_sql(
             "PARTITION BY user_id ORDER BY ts, event_id)"
             ") WHERE dst IS NOT NULL",
             min_wait=1,
-        )}) t9""",
+        )}) t9
+UNION ALL
+SELECT 'twedge', mid, n_wedges, NULL, NULL
+FROM ({TEMPORAL.temporal_wedge_counts_sql(
+            "SELECT src, dst, t AS ts FROM ("
+            "SELECT event_type AS src, "
+            "LEAD(event_type) OVER wu AS dst, "
+            "LEAD(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)) "
+            "OVER wu AS t "
+            "FROM events WINDOW wu AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id)"
+            ") WHERE dst IS NOT NULL",
+            3600,
+        )}) t10""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

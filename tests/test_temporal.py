@@ -354,3 +354,34 @@ def test_time_respecting_reachability_matches_oracle(spark):
             T.time_respecting_reachability_sql(
                 "SELECT src, dst, ts FROM te", min_wait=mw)).fetchall())
         assert got == twin, mw
+
+
+def test_temporal_wedge_counts(spark):
+    """Hand-checked wedges, bucket-boundary pairs included, twin agrees;
+    the banding must not change the answer vs the direct join."""
+    import random
+
+    import duckdb
+
+    from judy_graph_db_spark.operators import temporal as T
+
+    # wedges through 2: (1->2 @0, 2->3 @5) within 10; (1->2 @0, 2->4 @11)
+    # outside; boundary (2->5 @10) exactly at delta -> included
+    rows = [(1, 2, 0), (2, 3, 5), (2, 4, 11), (2, 5, 10)]
+    e = spark.createDataFrame(rows, "src long, dst long, ts long")
+    got = {r.mid: r.n_wedges for r in T.temporal_wedge_counts(
+        e, 10).collect()}
+    assert got == {2: 2}
+    rng = random.Random(37)
+    big = [(rng.randrange(6), rng.randrange(6), rng.randrange(100))
+           for _ in range(60)]
+    eb = spark.createDataFrame(big, "src long, dst long, ts long")
+    got2 = sorted(tuple(r) for r in T.temporal_wedge_counts(
+        eb, 7).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tw (src BIGINT, dst BIGINT, ts BIGINT)")
+    con.executemany("INSERT INTO tw VALUES (?, ?, ?)", big)
+    twin = sorted(tuple(t) for t in con.execute(
+        T.temporal_wedge_counts_sql("SELECT src, dst, ts FROM tw", 7)
+    ).fetchall())
+    assert got2 == twin
