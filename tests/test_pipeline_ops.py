@@ -1034,3 +1034,29 @@ def test_read_media_dir(spark, tmp_path):
     # the metadata pass runs unchanged on the ingested shape
     meta = MM.extract_metadata(out.select("doc_id", "content", "media_type"))
     assert meta.count() == 2
+
+
+def test_salted_join_and_heavy_keys(spark):
+    """Salted join == plain join row-for-row (inner/left/semi/anti);
+    heavy_keys surfaces only the hot keys; the plan stays an equi-join."""
+    from judy_graph_db_spark.operators import skew as SK
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, 0), (3, 7)],
+        "k long, payload long")
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "warm")], "k long, attr string")
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = sorted(map(tuple, SK.salted_join(
+            big, small, "k", salt=4, how=how).collect()))
+        want = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == want, how
+    hk = {r.k: r.n for r in SK.heavy_keys(big, "k", 100).collect()}
+    assert hk == {1: 200}
+    plan = SK.salted_join(big, small, "k", salt=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported"):
+        SK.salted_join(big, small, "k", how="right")
