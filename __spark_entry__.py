@@ -1008,7 +1008,17 @@ def _q_degree_histogram(spark, sf_dir):
     """Log2-bucketed degree distribution per label — the skew profile that
     drives join planning (salting / AQE skew decisions) on a big graph."""
     g = tpch_graph(spark, sf_dir)
-    return A.degree_histogram(g, forward_only=True)
+    hist = A.degree_histogram(g, forward_only=True)
+    # one whole-graph reciprocity row rides along (label sentinel):
+    # bucket=n_edges, n_nodes=n_reciprocal, sum_degree=permille
+    rec = AN.reciprocity(
+        g.edges.filter(~F.col("is_back")).select("src", "dst")
+    ).select(
+        F.lit("__reciprocity__").alias("label"),
+        F.col("n_edges").cast("long").alias("bucket"),
+        F.col("n_reciprocal").cast("long").alias("n_nodes"),
+        F.col("reciprocity_permille").cast("long").alias("sum_degree"))
+    return hist.unionByName(rec)
 
 
 def _q_label_propagation(spark, sf_dir):
@@ -2925,7 +2935,11 @@ SELECT label, CAST(length(bin(degree)) AS BIGINT) AS bucket,
 FROM (
   SELECT src, label, COUNT(*) AS degree FROM edges
   WHERE NOT is_back GROUP BY src, label
-) GROUP BY 1, 2""",
+) GROUP BY 1, 2
+UNION ALL
+SELECT '__reciprocity__', n_edges, n_reciprocal, reciprocity_permille
+FROM ({AN.reciprocity_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back")}) rcp""",
         "label_communities": f"""
 SELECT 'lpa' AS op, id, community
 FROM ({AN.label_propagation_oracle_sql(

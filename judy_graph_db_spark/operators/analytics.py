@@ -2508,3 +2508,51 @@ JOIN spt_e e ON e.dst = n.id
 JOIN spt_d p ON p.root = n.root AND p.id = e.src AND p.depth = n.depth - 1
 WHERE n.depth > 0
 GROUP BY n.root, n.id, n.depth"""
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity (Garlaschelli & Loffredo 2004): the
+    fraction of directed edges whose reverse also exists, as integer
+    permille. Returns one row ``(n_edges, n_reciprocal,
+    reciprocity_permille)`` — a first-look health metric for any directed
+    network (mutual follows, request/reply flows; ~0 for citation-style
+    DAGs, ~1000 for effectively-undirected data that should be modeled as
+    such before paying directed-algorithm costs).
+
+    One distinct edge relation, one self-equi-join on the reversed key
+    (left_semi — the probe never materializes pair payloads), two scalar
+    counts folded into a single-row result.
+    """
+    e = (edges.select("src", "dst")
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    rec = e.join(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(rec.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            "n_edges", "n_reciprocal",
+            F.expr("CASE WHEN n_edges > 0 THEN 1000 * n_reciprocal "
+                   "div n_edges ELSE 0 END").alias("reciprocity_permille"))
+    )
+
+
+def reciprocity_sql(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`reciprocity`."""
+    return f"""WITH rc_e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+)
+SELECT (SELECT COUNT(*) FROM rc_e) AS n_edges,
+       (SELECT COUNT(*) FROM rc_e a
+        WHERE EXISTS (SELECT 1 FROM rc_e b
+                      WHERE b.src = a.dst AND b.dst = a.src))
+         AS n_reciprocal,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM rc_e) > 0
+            THEN 1000 * (SELECT COUNT(*) FROM rc_e a
+                         WHERE EXISTS (SELECT 1 FROM rc_e b
+                                       WHERE b.src = a.dst
+                                         AND b.dst = a.src))
+                 // (SELECT COUNT(*) FROM rc_e)
+            ELSE 0 END AS BIGINT) AS reciprocity_permille"""

@@ -1137,3 +1137,19 @@ def test_shortest_path_tree(spark):
         f"SELECT * FROM (VALUES {values}) AS t(src, dst)", [0, 5]
     )).fetchall())
     assert got3 == twin
+
+
+def test_reciprocity(spark):
+    # 1->2 & 2->1 reciprocal; 2->3 one-way; self-loop + dup ignored
+    e = edges_df(spark, [(1, 2), (2, 1), (2, 3), (4, 4), (1, 2)])
+    row = AN.reciprocity(e).collect()[0]
+    assert (row.n_edges, row.n_reciprocal, row.reciprocity_permille) \
+        == (3, 2, 666)
+    # empty graph: zero row, no division error
+    empty = AN.reciprocity(
+        spark.createDataFrame([], "src BIGINT, dst BIGINT")).collect()[0]
+    assert tuple(empty) == (0, 0, 0)
+    twin = duckdb.connect().execute(AN.reciprocity_sql(
+        "SELECT * FROM (VALUES (1,2),(2,1),(2,3),(4,4),(1,2)) "
+        "AS t(src,dst)")).fetchone()
+    assert tuple(row) == twin
