@@ -1931,9 +1931,27 @@ def _q_sampling_ops(spark, sf_dir):
     mp = SA.metapath_walks(het, ["PLACED", "CONTAINS"], seed=13).select(
         F.lit("mpwalk").alias("op"), F.col("walk_id").alias("a"),
         F.col("step").alias("b"), F.col("node").alias("c"))
+    # weight-proportional walks on the same sym supplier~part graph the
+    # uniform 'walk' part uses, weights = max line quantity per edge
+    li = spark.table("lineitem")
+    wedges = li.select(
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst"),
+        F.col("l_quantity").cast("long").alias("weight"),
+    ).unionByName(li.select(
+        (F.col("l_partkey") + F.lit(4 * B)).alias("src"),
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("dst"),
+        F.col("l_quantity").cast("long").alias("weight")))
+    wstarts = li.select(
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("id")).distinct()
+    ww = SA.weighted_random_walks(
+        wedges, length=3, seed=17, starts=wstarts
+    ).select(
+        F.lit("wwalk").alias("op"), F.col("walk_id").alias("a"),
+        F.col("step").alias("b"), F.col("node").alias("c"))
     return (ns.unionByName(rw).unionByName(sg).unionByName(neg)
             .unionByName(inc).unionByName(nag).unionByName(nagm)
-            .unionByName(mp))
+            .unionByName(mp).unionByName(ww))
 
 
 def _q_ann_search(spark, sf_dir):
@@ -3401,6 +3419,19 @@ UNION ALL
 SELECT 'nagg', id, n_paths, sum_f FROM ({NAGG_SQL}) t6
 UNION ALL
 SELECT 'naggm', id, mean_micro, NULL FROM ({NAGG_SQL}) t7
+UNION ALL
+SELECT 'wwalk', walk_id, step, node
+FROM ({SA_ORACLE.weighted_walks_oracle_sql(
+            f"SELECT l_suppkey + {2 * B} AS src, "
+            f"l_partkey + {4 * B} AS dst, "
+            f"CAST(l_quantity AS BIGINT) AS weight FROM lineitem "
+            f"UNION ALL SELECT l_partkey + {4 * B}, "
+            f"l_suppkey + {2 * B}, CAST(l_quantity AS BIGINT) "
+            f"FROM lineitem",
+            length=3, seed=17,
+            starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id "
+                       f"FROM lineitem",
+        )}) t9
 UNION ALL
 SELECT 'mpwalk', walk_id, step, node
 FROM ({SA_ORACLE.metapath_walks_oracle_sql(

@@ -506,3 +506,121 @@ mw0 AS ({w0})"""]
     ]
     parts.append("\nUNION ALL\n".join(selects))
     return "\n".join(parts)
+
+
+def weighted_random_walks(edges: DataFrame, weight_col: str = "weight",
+                          length: int = 3, seed: int = 0,
+                          starts: DataFrame | None = None,
+                          num_partitions: int | None = None) -> DataFrame:
+    """Fixed-length walks with WEIGHT-proportional transitions (the
+    node2vec/DeepWalk generalization for weighted graphs): at step ``s``
+    the walker at ``cur`` moves to out-neighbor ``d`` with probability
+    ``w(cur,d) / Σ_out w(cur,·)``, realized deterministically — the draw
+    is the neighbor whose cumulative-weight interval contains
+    ``md5(seed, walk_id, s, cur) mod W_cur``. Integer weights (> 0),
+    byte-identical across partitionings/engines. Returns ``(walk_id,
+    step, node)``; same shape as :func:`random_walks`, so skip-gram pairs
+    and negative sampling compose unchanged.
+
+    Scale shape: the per-source cumulative intervals are computed ONCE
+    (a src-keyed window over the adjacency — per-source frame, never a
+    global sort), cached partitioned on ``src``; each step is the same
+    frontier equi-join as the uniform walker with the interval test as a
+    post-join filter (comparison set = out-degree of the current node,
+    exactly like the argmin walker).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = F.col(weight_col).cast("long")
+    base = (edges.select("src", "dst", w.alias("__w"))
+            .groupBy("src", "dst").agg(F.max("__w").alias("__w")))
+    bad = base.filter(F.col("__w").isNull() | (F.col("__w") <= 0)) \
+        .limit(1).count()
+    if bad:
+        raise ValueError("weighted_random_walks: weights must be positive "
+                         "and non-null")
+    ws = Window.partitionBy("src").orderBy("dst") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy("src")
+    adj = (
+        base.select(
+            "src", "dst",
+            F.coalesce(F.sum("__w").over(ws), F.lit(0)).alias("lo"),
+            F.sum("__w").over(wt).alias("W"),
+            F.col("__w"))
+        .withColumn("hi", F.col("lo") + F.col("__w"))
+        .repartition(num_partitions, "src")
+        .cache()
+    )
+    adj.count()
+    if starts is None:
+        starts = adj.select(F.col("src").alias("id")).distinct()
+    frontier = starts.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("cur"))
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"))
+    for s in range(1, length + 1):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(str(seed)), F.col("walk_id").cast("string"),
+            F.lit(str(s)), F.col("cur").cast("string"))), 1, 15),
+            16, 10).cast("long")
+        step = (
+            frontier.join(adj, frontier.cur == adj.src)
+            .withColumn("__h", h % F.col("W"))
+            .filter((F.col("lo") <= F.col("__h"))
+                    & (F.col("__h") < F.col("hi")))
+            .select("walk_id", F.col("dst").alias("cur"))
+        )
+        frontier = step.localCheckpoint(eager=True)
+        out = out.unionByName(frontier.select(
+            "walk_id", F.lit(s).cast("long").alias("step"),
+            F.col("cur").alias("node")))
+    result = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    return result
+
+
+def weighted_walks_oracle_sql(edges_sql: str, length: int = 3,
+                              seed: int = 0,
+                              starts_sql: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`weighted_random_walks` (``edges_sql``
+    selects ``src, dst, weight``)."""
+    w0 = (
+        f"SELECT id AS walk_id, id AS cur FROM ({starts_sql})"
+        if starts_sql is not None
+        else "SELECT DISTINCT src AS walk_id, src AS cur FROM ww_adj"
+    )
+    parts = [f"""WITH ww_b AS (
+  SELECT src, dst, MAX(CAST(weight AS BIGINT)) AS w
+  FROM ({edges_sql}) GROUP BY src, dst
+),
+ww_adj AS (
+  -- NB: DuckDB identifiers are case-insensitive, so the total and the
+  -- per-edge weight need distinct NAMES (wtot/wval), not just case
+  SELECT src, dst,
+         CAST(COALESCE(SUM(w) OVER (PARTITION BY src ORDER BY dst
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS lo,
+         CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS wtot,
+         CAST(w AS BIGINT) AS wval
+  FROM ww_b
+),
+ww0 AS ({w0})"""]
+    for s in range(1, length + 1):
+        h = (f"CAST(CAST('0x' || substring(md5(concat_ws('|', '{seed}', "
+             f"CAST(f.walk_id AS VARCHAR), '{s}', "
+             f"CAST(f.cur AS VARCHAR))), 1, 15) AS UBIGINT) AS BIGINT)")
+        parts.append(f""", ww{s} AS (
+  SELECT f.walk_id, a.dst AS cur
+  FROM ww{s - 1} f JOIN ww_adj a ON f.cur = a.src
+  WHERE a.lo <= ({h}) % a.wtot AND ({h}) % a.wtot < a.lo + a.wval
+)""")
+    selects = [
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, cur AS node FROM ww{s}"
+        for s in range(0, length + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
+    return "\n".join(parts)

@@ -198,3 +198,32 @@ def test_metapath_walks(spark):
             "SELECT src, dst, label FROM me", ["uses", "owns"],
             length=4, seed=4)).fetchall())
     assert got4 == twin4
+
+
+def test_weighted_random_walks(spark):
+    """Weight-proportional transitions: twin-identical draws, ~w ratio
+    across walkers, loud rejection of bad weights."""
+    import duckdb
+    from collections import Counter
+
+    import pytest as _pt
+
+    # many walkers (distinct starts) all at node 0 with two out-edges
+    # weighted 9:1 -> step-1 choices split ~9:1
+    rows = [(i, 0, 1) for i in range(200)] + [(0, 1, 9), (0, 2, 1)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight long")
+    walks = SA.weighted_random_walks(e, length=2, seed=6)
+    got = sorted(tuple(r) for r in walks.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE we (src BIGINT, dst BIGINT, weight BIGINT)")
+    con.executemany("INSERT INTO we VALUES (?, ?, ?)", rows)
+    twin = sorted(tuple(t) for t in con.execute(
+        SA.weighted_walks_oracle_sql(
+            "SELECT src, dst, weight FROM we", length=2, seed=6)
+    ).fetchall())
+    assert got == twin
+    c = Counter(n for w, s, n in got if s == 2 and n in (1, 2))
+    assert c[1] / max(c[2], 1) > 4     # ~9x expected, loose bound
+    with _pt.raises(ValueError, match="positive"):
+        SA.weighted_random_walks(spark.createDataFrame(
+            [(0, 1, 0)], "src long, dst long, weight long")).count()
