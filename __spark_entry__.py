@@ -930,7 +930,14 @@ def _q_connected_components(spark, sf_dir):
     inc = AN.incremental_connected_components(
         AN.connected_components(half_old), half_new
     ).select(F.lit("incremental").alias("op"), "id", "component")
-    return cc.unionByName(scc).unionByName(inc).unionByName(mod)
+    # 2-round Weisfeiler–Leman refinement colors over the same chains
+    # (structural fingerprints; 60-bit fold of the md5 color)
+    wl = AN.wl_colors(chains.select("src", "dst"), rounds=2).select(
+        F.lit("wl").alias("op"), "id",
+        F.conv(F.substring("color", 1, 15), 16, 10)
+        .cast("long").alias("component"))
+    return (cc.unionByName(scc).unionByName(inc).unionByName(mod)
+            .unionByName(wl))
 
 
 def _q_triangle_count(spark, sf_dir):
@@ -2910,7 +2917,17 @@ FROM (
     SELECT COUNT(*) AS n_ch FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 2
   )
-) mm""",
+) mm
+UNION ALL
+SELECT 'wl', id,
+       CAST(CAST('0x' || substring(color, 1, 15) AS UBIGINT) AS BIGINT)
+FROM ({AN.wl_colors_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            rounds=2,
+        )}) wlq""",
         "triangle_count": f"""{P},
 und AS (
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b

@@ -2556,3 +2556,77 @@ SELECT (SELECT COUNT(*) FROM rc_e) AS n_edges,
                                          AND b.dst = a.src))
                  // (SELECT COUNT(*) FROM rc_e)
             ELSE 0 END AS BIGINT) AS reciprocity_permille"""
+
+
+def wl_colors(edges: DataFrame, rounds: int = 2,
+              labels: DataFrame | None = None) -> DataFrame:
+    """1-dimensional Weisfeiler–Leman color refinement (Weisfeiler &
+    Leman 1968; the graph-kernel / GNN-expressiveness primitive): every
+    node starts from its degree (or a supplied ``(id, label)`` coloring)
+    and each round re-colors to ``md5(own color | sorted multiset of
+    neighbor colors)``. Nodes with different colors after r rounds are
+    provably non-isomorphic in their r-hop neighborhoods — the standard
+    structural fingerprint for graph dedup, ego-role discovery, and
+    WL-kernel features. Returns ``(id, color)`` (32-hex strings).
+
+    Each round is ONE neighbor join + one node-keyed
+    ``sort_array(collect_list(...))`` aggregation — the multiset
+    canonicalization is per-node (bounded by degree), never a global
+    sort; r rounds ⇒ r shuffles, state O(nodes).
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    if labels is not None:
+        colors = labels.select(
+            "id", F.md5(F.col("label").cast("string")).alias("color"))
+    else:
+        colors = sym.groupBy(F.col("src").alias("id")).agg(
+            F.md5(F.count(F.lit(1)).cast("string")).alias("color"))
+    colors = colors.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr = (
+            sym.join(colors.select(F.col("id").alias("dst"),
+                                   F.col("color").alias("__nc")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sort_array(F.collect_list("__nc")).alias("__ncs"))
+        )
+        nxt = (
+            colors.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.md5(F.concat_ws(
+                    "|", F.col("color"),
+                    F.concat_ws(",", F.coalesce(
+                        F.col("__ncs"),
+                        F.array().cast("array<string>"))))).alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(colors)
+        colors = nxt
+    return colors
+
+
+def wl_colors_sql(edges_sql: str, rounds: int = 2) -> str:
+    """ANSI-SQL twin of :func:`wl_colors` (degree-seeded variant)."""
+    parts = [f"""WITH wl_sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+),
+wlc0 AS (
+  SELECT src AS id, md5(CAST(COUNT(*) AS VARCHAR)) AS color
+  FROM wl_sym GROUP BY src
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", wln{r} AS (
+  SELECT s.src AS id,
+         list_aggr(list_sort(list(c.color)), 'string_agg', ',') AS ncs
+  FROM wl_sym s JOIN wlc{r - 1} c ON s.dst = c.id
+  GROUP BY s.src
+), wlc{r} AS (
+  SELECT p.id,
+         md5(p.color || '|' || COALESCE(n.ncs, '')) AS color
+  FROM wlc{r - 1} p LEFT JOIN wln{r} n ON p.id = n.id
+)""")
+    parts.append(f"\nSELECT id, color FROM wlc{rounds}")
+    return "\n".join(parts)

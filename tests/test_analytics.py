@@ -1153,3 +1153,30 @@ def test_reciprocity(spark):
         "SELECT * FROM (VALUES (1,2),(2,1),(2,3),(4,4),(1,2)) "
         "AS t(src,dst)")).fetchone()
     assert tuple(row) == twin
+
+
+def test_wl_colors(spark):
+    """WL refinement: isomorphic components share color multisets,
+    structurally distinct nodes separate, twin agrees."""
+    from collections import Counter
+
+    # two disjoint copies of the same 4-path + one star
+    path1 = [(1, 2), (2, 3), (3, 4)]
+    path2 = [(11, 12), (12, 13), (13, 14)]
+    star = [(20, 21), (20, 22), (20, 23)]
+    e = edges_df(spark, path1 + path2 + star)
+    got = {r.id: r.color for r in AN.wl_colors(e, rounds=2).collect()}
+    # isomorphic paths: same multiset of colors, matched positionally
+    assert got[1] == got[11] and got[2] == got[12]
+    assert got[1] == got[4] and got[2] == got[3]    # path symmetry
+    # star center differs from path interior despite same degree round 0
+    assert got[20] != got[2]
+    # leaves of the star differ from path ends (their neighbor differs)
+    assert got[21] != got[1]
+    assert Counter(got[i] for i in (1, 2, 3, 4)) \
+        == Counter(got[i] for i in (11, 12, 13, 14))
+    values = ", ".join(f"({a}, {b})" for a, b in path1 + path2 + star)
+    twin = {t[0]: t[1] for t in duckdb.connect().execute(AN.wl_colors_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", rounds=2)
+    ).fetchall()}
+    assert got == twin
