@@ -2207,8 +2207,19 @@ def _q_chunk_shard(spark, sf_dir):
         F.concat_ws("@", F.col("symbol"),
                     F.col("sym_pos").cast("string")).alias("s"),
         F.col("sym_pos").alias("b"))
+    # tokenizer fertility on the same encoded subset: chars per token
+    from judy_graph_db_spark.operators.bpe import bpe_compression
+
+    bc = bpe_compression(
+        spark.table("documents").filter(F.col("doc_id") % 17 == 0), merges
+    ).select(
+        F.lit("bpec").alias("op"), "doc_id",
+        F.col("n_tokens").alias("a"),
+        F.col("n_chars").cast("string").alias("s"),
+        F.col("cpt_milli").alias("b"))
     return (ch.unionByName(sh).unionByName(pk)
-            .unionByName(bm).unionByName(bv).unionByName(be))
+            .unionByName(bm).unionByName(bv).unionByName(be)
+            .unionByName(bc))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2815,7 +2826,11 @@ FROM ({BPE.bpe_train_oracle_sql(n_merges=8)}) t4
 UNION ALL
 SELECT 'bpe_enc', doc_id, word_pos,
        symbol || '@' || CAST(sym_pos AS VARCHAR), sym_pos
-FROM ({BPE.bpe_encode_oracle_sql(n_merges=8, where="doc_id % 17 = 0")}) t5""",
+FROM ({BPE.bpe_encode_oracle_sql(n_merges=8, where="doc_id % 17 = 0")}) t5
+UNION ALL
+SELECT 'bpec', doc_id, n_tokens, CAST(n_chars AS VARCHAR), cpt_milli
+FROM ({BPE.bpe_compression_oracle_sql(
+            n_merges=8, where="doc_id % 17 = 0")}) t6""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

@@ -354,3 +354,50 @@ def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]] | DataFrame",
         id_col, F.col("word_pos").cast("long"),
         F.posexplode(syms).alias("sym_pos", "symbol"),
     ).select(id_col, "word_pos", F.col("sym_pos").cast("long"), "symbol")
+
+
+def bpe_compression(docs: DataFrame, merges: "list[tuple[str, str]] | DataFrame",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    end_of_word: str = "</w>") -> DataFrame:
+    """Tokenizer fertility / compression metric: per document, the char
+    count, the token count under the learned merges, and chars-per-token
+    in integer milli (``1000·n_chars div n_tokens``; NULL for token-less
+    docs) — the standard way to evaluate a tokenizer on a held-out
+    corpus (higher chars/token = better compression; track it per
+    language to catch fertility collapse on under-represented scripts).
+    Inherits :func:`bpe_encode`'s shuffle-free scan: the only exchange
+    is the per-doc count."""
+    enc = bpe_encode(docs, merges, id_col=id_col, text_col=text_col,
+                     end_of_word=end_of_word)
+    toks = enc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    lens = docs.select(F.col(id_col), F.length(text_col).alias("n_chars"))
+    return (
+        lens.join(toks, id_col, "left")
+        .select(
+            id_col, F.col("n_chars").cast("long"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.expr("CASE WHEN coalesce(n_tokens, 0) > 0 "
+                   "THEN 1000 * n_chars div n_tokens ELSE NULL END")
+            .cast("long").alias("cpt_milli"))
+    )
+
+
+def bpe_compression_oracle_sql(n_merges: int, where: str = "TRUE",
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               table: str = "documents",
+                               end_of_word: str = "</w>") -> str:
+    """DuckDB twin of :func:`bpe_compression`."""
+    enc = bpe_encode_oracle_sql(n_merges, where=where, id_col=id_col,
+                                text_col=text_col, table=table,
+                                end_of_word=end_of_word)
+    return f"""WITH bc_t AS (
+  SELECT {id_col}, COUNT(*) AS n_tokens FROM ({enc}) GROUP BY {id_col}
+)
+SELECT d.{id_col}, CAST(length(d.{text_col}) AS BIGINT) AS n_chars,
+       CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN COALESCE(t.n_tokens, 0) > 0
+            THEN 1000 * length(d.{text_col}) // t.n_tokens
+            ELSE NULL END AS BIGINT) AS cpt_milli
+FROM {table} d LEFT JOIN bc_t t USING ({id_col})
+WHERE {where}"""
