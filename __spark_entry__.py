@@ -1025,7 +1025,16 @@ def _q_degree_histogram(spark, sf_dir):
         F.col("n_edges").cast("long").alias("bucket"),
         F.col("n_reciprocal").cast("long").alias("n_nodes"),
         F.col("reciprocity_permille").cast("long").alias("sum_degree"))
-    return hist.unionByName(rec)
+    # rich-club at degree>16 as a second sentinel row (-1 = undefined φ)
+    rc = AN.rich_club(
+        g.edges.filter(~F.col("is_back")).select("src", "dst"), k=16
+    ).select(
+        F.lit("__rich_club__").alias("label"),
+        F.col("n_rich").cast("long").alias("bucket"),
+        F.col("e_rich").cast("long").alias("n_nodes"),
+        F.coalesce("phi_permille", F.lit(-1)).cast("long")
+        .alias("sum_degree"))
+    return hist.unionByName(rec).unionByName(rc)
 
 
 def _q_label_propagation(spark, sf_dir):
@@ -2989,7 +2998,11 @@ FROM (
 UNION ALL
 SELECT '__reciprocity__', n_edges, n_reciprocal, reciprocity_permille
 FROM ({AN.reciprocity_sql(
-            "SELECT src, dst FROM edges WHERE NOT is_back")}) rcp""",
+            "SELECT src, dst FROM edges WHERE NOT is_back")}) rcp
+UNION ALL
+SELECT '__rich_club__', n_rich, e_rich, COALESCE(phi_permille, -1)
+FROM ({AN.rich_club_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back", k=16)}) rbq""",
         "label_communities": f"""
 SELECT 'lpa' AS op, id, community
 FROM ({AN.label_propagation_oracle_sql(

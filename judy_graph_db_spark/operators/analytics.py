@@ -2630,3 +2630,62 @@ wlc0 AS (
 )""")
     parts.append(f"\nSELECT id, color FROM wlc{rounds}")
     return "\n".join(parts)
+
+
+def rich_club(edges: DataFrame, k: int) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004) at degree threshold
+    ``k``: among the "rich" nodes (undirected degree > k), the realized
+    fraction of possible edges, as integer permille —
+    ``1000·2·E_rich div (N_rich·(N_rich−1))`` (NULL when fewer than two
+    rich nodes). Returns one row ``(k, n_rich, e_rich, phi_permille)``.
+    High φ at high k = elite interconnection (hub cartels in citation /
+    co-purchase graphs); flat φ = degree-mixed topology.
+
+    One degree aggregation, one semi-join of the canonical edge set
+    against the rich set on BOTH endpoints, two scalar counts — no
+    pairwise materialization anywhere.
+    """
+    sym = _symmetric(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    rich = deg.filter(F.col("d") > int(k)).select("id")
+    und = sym.filter(F.col("src") < F.col("dst"))
+    e_rich = (
+        und.join(rich.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(rich.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    )
+    return (
+        rich.agg(F.count(F.lit(1)).alias("n_rich"))
+        .crossJoin(e_rich.agg(F.count(F.lit(1)).alias("e_rich")))
+        .select(
+            F.lit(int(k)).cast("long").alias("k"), "n_rich", "e_rich",
+            F.expr("CASE WHEN n_rich >= 2 THEN 1000 * 2 * e_rich "
+                   "div (n_rich * (n_rich - 1)) ELSE NULL END")
+            .cast("long").alias("phi_permille"))
+    )
+
+
+def rich_club_sql(edges_sql: str, k: int) -> str:
+    """ANSI-SQL twin of :func:`rich_club`."""
+    return f"""WITH rb_sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+),
+rb_rich AS (
+  SELECT src AS id FROM rb_sym GROUP BY src HAVING COUNT(*) > {int(k)}
+),
+rb_cnt AS (SELECT COUNT(*) AS n_rich FROM rb_rich),
+rb_e AS (
+  SELECT COUNT(*) AS e_rich FROM rb_sym e
+  WHERE e.src < e.dst
+    AND e.src IN (SELECT id FROM rb_rich)
+    AND e.dst IN (SELECT id FROM rb_rich)
+)
+SELECT CAST({int(k)} AS BIGINT) AS k, CAST(n_rich AS BIGINT) AS n_rich,
+       CAST(e_rich AS BIGINT) AS e_rich,
+       CAST(CASE WHEN n_rich >= 2
+            THEN 1000 * 2 * e_rich // (n_rich * (n_rich - 1))
+            ELSE NULL END AS BIGINT) AS phi_permille
+FROM rb_cnt, rb_e"""

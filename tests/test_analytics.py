@@ -1180,3 +1180,20 @@ def test_wl_colors(spark):
         f"SELECT * FROM (VALUES {values}) AS t(src, dst)", rounds=2)
     ).fetchall()}
     assert got == twin
+
+
+def test_rich_club(spark):
+    # K4 clique on {1..4} + pendant leaves on each: rich nodes at k=2 are
+    # the clique (degree 4); all 6 clique edges present -> phi = 1000
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    pend = [(i, i + 10) for i in range(1, 5)]
+    e = edges_df(spark, clique + pend)
+    row = AN.rich_club(e, k=2).collect()[0]
+    assert tuple(row) == (2, 4, 6, 1000)
+    # threshold above every degree: no rich nodes -> NULL phi
+    row2 = AN.rich_club(e, k=10).collect()[0]
+    assert (row2.n_rich, row2.e_rich, row2.phi_permille) == (0, 0, None)
+    values = ", ".join(f"({a}, {b})" for a, b in clique + pend)
+    twin = duckdb.connect().execute(AN.rich_club_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", k=2)).fetchone()
+    assert tuple(row) == twin
