@@ -1878,9 +1878,16 @@ def _q_graph_similarity(spark, sf_dir):
         F.lit("spt").alias("op"), F.col("root").alias("a"),
         F.col("id").alias("b"), F.col("depth").alias("c"),
         F.col("parent").alias("d"))
+    # double-sweep diameter lower bound over the undirected chains
+    # (exact here: chains are trees, longest chain wins)
+    diam = AN.diameter_double_sweep(chains).select(
+        F.lit("diam").alias("op"), F.col("start").alias("a"),
+        F.col("far_node").alias("b"), F.col("ecc_start").alias("c"),
+        F.col("diameter_lb").alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
-            .unionByName(sig).unionByName(ra).unionByName(spt))
+            .unionByName(sig).unionByName(ra).unionByName(spt)
+            .unionByName(diam))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -3432,7 +3439,15 @@ FROM ({AN.shortest_path_tree_sql(
             f"UNION ALL SELECT l_orderkey + {5 * B}, "
             f"l_partkey + {4 * B} FROM lineitem",
             [3 * B + 1, 3 * B + 2, 3 * B + 3],
-        )}) t10""",
+        )}) t10
+UNION ALL
+SELECT 'diam', start, far_node, ecc_start, diameter_lb
+FROM ({AN.diameter_double_sweep_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+        )}) t11""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

@@ -2689,3 +2689,75 @@ SELECT CAST({int(k)} AS BIGINT) AS k, CAST(n_rich AS BIGINT) AS n_rich,
             THEN 1000 * 2 * e_rich // (n_rich * (n_rich - 1))
             ELSE NULL END AS BIGINT) AS phi_permille
 FROM rb_cnt, rb_e"""
+
+
+def diameter_double_sweep(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009 —
+    the standard cheap estimator, exact on trees and usually tight in
+    practice): BFS from the minimum-id node, hop to the farthest node
+    found (max depth, tie → min id), BFS again from there over the
+    UNDIRECTED graph; the second eccentricity is the bound. Returns one
+    row ``(start, far_node, ecc_start, diameter_lb)`` — the 2-BFS answer
+    to "how deep is this graph" that an exact all-pairs diameter (a full
+    closure) cannot afford at 100 TB.
+
+    Two frontier BFS passes (each O(frontier) per round like
+    :func:`shortest_path_tree`); the two single-row pivots (min id,
+    argmax depth) are bounded driver scalars, not data collections.
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    start_row = sym.agg(F.min("src").alias("m")).collect()[0]
+    if start_row["m"] is None:
+        return edges.sparkSession.createDataFrame(
+            [], "start BIGINT, far_node BIGINT, ecc_start BIGINT, "
+                "diameter_lb BIGINT")
+    start = int(start_row["m"])
+    t1 = shortest_path_tree(sym, [start], max_iter=max_iter)
+    far_row = t1.agg(
+        F.max(F.struct(F.col("depth"), (-F.col("id")).alias("ni")))
+        .alias("m")).collect()[0]["m"]
+    ecc1, far = int(far_row["depth"]), -int(far_row["ni"])
+    t2 = shortest_path_tree(sym, [far], max_iter=max_iter)
+    return (
+        t2.agg(F.max("depth").alias("diameter_lb"))
+        .select(
+            F.lit(start).cast("long").alias("start"),
+            F.lit(far).cast("long").alias("far_node"),
+            F.lit(ecc1).cast("long").alias("ecc_start"),
+            F.col("diameter_lb").cast("long"))
+    )
+
+
+def diameter_double_sweep_sql(edges_sql: str, max_iter: int = 20) -> str:
+    """ANSI-SQL twin of :func:`diameter_double_sweep` (two depth-bounded
+    recursions; the second seeds from the first's argmax row)."""
+    d = int(max_iter)
+    return f"""WITH RECURSIVE ds_e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+),
+ds_s AS (SELECT MIN(src) AS s FROM ds_e),
+ds_w1(id, d) AS (
+  SELECT s, 0 FROM ds_s
+  UNION
+  SELECT e.dst, w.d + 1 FROM ds_w1 w JOIN ds_e e
+    ON w.id = e.src AND w.d < {d}
+),
+ds_d1 AS (SELECT id, MIN(d) AS depth FROM ds_w1 GROUP BY id),
+ds_far AS (
+  SELECT id, depth FROM ds_d1 ORDER BY depth DESC, id ASC LIMIT 1
+),
+ds_w2(id, d) AS (
+  SELECT id, 0 FROM ds_far
+  UNION
+  SELECT e.dst, w.d + 1 FROM ds_w2 w JOIN ds_e e
+    ON w.id = e.src AND w.d < {d}
+),
+ds_d2 AS (SELECT id, MIN(d) AS depth FROM ds_w2 GROUP BY id)
+SELECT CAST(s.s AS BIGINT) AS start,
+       CAST(f.id AS BIGINT) AS far_node,
+       CAST(f.depth AS BIGINT) AS ecc_start,
+       CAST((SELECT MAX(depth) FROM ds_d2) AS BIGINT) AS diameter_lb
+FROM ds_s s, ds_far f"""

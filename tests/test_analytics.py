@@ -1197,3 +1197,22 @@ def test_rich_club(spark):
     twin = duckdb.connect().execute(AN.rich_club_sql(
         f"SELECT * FROM (VALUES {values}) AS t(src, dst)", k=2)).fetchone()
     assert tuple(row) == twin
+
+
+def test_diameter_double_sweep(spark):
+    # tree: double sweep is exact. Path 1-2-3-4-5 with branch 3-9-10:
+    # diameter = dist(1..5)=4? dist(5,10)= 5-4? path 5-4-3-9-10 = 4 hops;
+    # dist(1,5)=4, dist(1,10)=4; diameter 4.
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (3, 9), (9, 10)])
+    row = AN.diameter_double_sweep(e).collect()[0]
+    assert row.start == 1 and row.diameter_lb == 4
+    assert row.ecc_start == 4 and row.far_node in (5, 10)
+    # empty graph -> typed empty
+    assert AN.diameter_double_sweep(
+        spark.createDataFrame([], "src BIGINT, dst BIGINT")).count() == 0
+    values = ", ".join(f"({a}, {b})"
+                       for a, b in [(1, 2), (2, 3), (3, 4), (4, 5),
+                                    (3, 9), (9, 10)])
+    twin = duckdb.connect().execute(AN.diameter_double_sweep_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)")).fetchone()
+    assert tuple(row) == twin
