@@ -1034,7 +1034,20 @@ def _q_degree_histogram(spark, sf_dir):
         F.col("e_rich").cast("long").alias("n_nodes"),
         F.coalesce("phi_permille", F.lit(-1)).cast("long")
         .alias("sum_degree"))
-    return hist.unionByName(rec).unionByName(rc)
+    # assortativity sufficient statistics across two sentinel rows
+    ast = AN.degree_assortativity_stats(
+        g.edges.filter(~F.col("is_back")).select("src", "dst")
+    ).localCheckpoint(eager=True)
+    a1 = ast.select(F.lit("__assort_xy__").alias("label"),
+                    F.col("n").cast("long").alias("bucket"),
+                    F.col("sxy").cast("long").alias("n_nodes"),
+                    F.col("sx").cast("long").alias("sum_degree"))
+    a2 = ast.select(F.lit("__assort_sq__").alias("label"),
+                    F.col("sxx").cast("long").alias("bucket"),
+                    F.col("sy").cast("long").alias("n_nodes"),
+                    F.col("syy").cast("long").alias("sum_degree"))
+    return (hist.unionByName(rec).unionByName(rc)
+            .unionByName(a1).unionByName(a2))
 
 
 def _q_label_propagation(spark, sf_dir):
@@ -3009,7 +3022,15 @@ FROM ({AN.reciprocity_sql(
 UNION ALL
 SELECT '__rich_club__', n_rich, e_rich, COALESCE(phi_permille, -1)
 FROM ({AN.rich_club_sql(
-            "SELECT src, dst FROM edges WHERE NOT is_back", k=16)}) rbq""",
+            "SELECT src, dst FROM edges WHERE NOT is_back", k=16)}) rbq
+UNION ALL
+SELECT '__assort_xy__', n, sxy, sx
+FROM ({AN.degree_assortativity_stats_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back")}) aq1
+UNION ALL
+SELECT '__assort_sq__', sxx, sy, syy
+FROM ({AN.degree_assortativity_stats_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back")}) aq2""",
         "label_communities": f"""
 SELECT 'lpa' AS op, id, community
 FROM ({AN.label_propagation_oracle_sql(

@@ -2761,3 +2761,49 @@ SELECT CAST(s.s AS BIGINT) AS start,
        CAST(f.depth AS BIGINT) AS ecc_start,
        CAST((SELECT MAX(depth) FROM ds_d2) AS BIGINT) AS diameter_lb
 FROM ds_s s, ds_far f"""
+
+
+def degree_assortativity_stats(edges: DataFrame) -> DataFrame:
+    """Sufficient statistics for the degree-assortativity coefficient
+    (Newman 2002) over the undirected graph — one row ``(n, sxy, sx, sy,
+    sxx, syy)`` of exact integer sums over every edge-endpoint degree
+    pair (both orientations, the standard symmetrized form). The Pearson
+    coefficient is ``(n·sxy − sx·sy) / sqrt((n·sxx − sx²)(n·syy − sy²))``
+    — one float division the CALLER does once; keeping the relation
+    integer-only is the house hash-gating rule, and at 100 TB the six
+    sums partial-aggregate map-side while a float Pearson would not be
+    engine-reproducible.
+    """
+    sym = _symmetric(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("src"),
+                            F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"),
+                         F.col("d").alias("dy")), "dst")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+
+
+def degree_assortativity_stats_sql(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`degree_assortativity_stats`."""
+    return f"""WITH da_sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+),
+da_deg AS (SELECT src AS id, COUNT(*) AS d FROM da_sym GROUP BY src)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.d * b.d) AS BIGINT) AS sxy,
+       CAST(SUM(a.d) AS BIGINT) AS sx, CAST(SUM(b.d) AS BIGINT) AS sy,
+       CAST(SUM(a.d * a.d) AS BIGINT) AS sxx,
+       CAST(SUM(b.d * b.d) AS BIGINT) AS syy
+FROM da_sym e JOIN da_deg a ON e.src = a.id JOIN da_deg b ON e.dst = b.id"""

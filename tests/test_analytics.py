@@ -1216,3 +1216,19 @@ def test_diameter_double_sweep(spark):
     twin = duckdb.connect().execute(AN.diameter_double_sweep_sql(
         f"SELECT * FROM (VALUES {values}) AS t(src, dst)")).fetchone()
     assert tuple(row) == twin
+
+
+def test_degree_assortativity_stats(spark):
+    import math
+
+    # star: perfectly disassortative (r = -1)
+    e = edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+    row = AN.degree_assortativity_stats(e).collect()[0]
+    n, sxy, sx, sy, sxx, syy = tuple(row)
+    r = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r + 1.0) < 1e-9
+    twin = duckdb.connect().execute(AN.degree_assortativity_stats_sql(
+        "SELECT * FROM (VALUES (0,1),(0,2),(0,3)) AS t(src,dst)"
+    )).fetchone()
+    assert tuple(row) == twin
