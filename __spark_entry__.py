@@ -1585,9 +1585,25 @@ def _q_temporal_ops(spark, sf_dir):
     tw = temporal_wedge_counts(trans, 3600, ts_col="t").select(
         F.lit("twedge").alias("op"), F.col("mid").alias("s"),
         F.col("n_wedges").alias("a"), lN.alias("b"), lN.alias("c"))
+    # per-user inter-arrival sufficient statistics, two rows per user
+    # ('gapsq' packs min/max as min·2^30+max — gaps are << 2^30 s)
+    from judy_graph_db_spark.operators.temporal import interarrival_stats
+
+    ia = interarrival_stats(spark.table("events")) \
+        .localCheckpoint(eager=True)
+    g1 = ia.select(
+        F.lit("gaps").alias("op"), sN.alias("s"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("n_gaps").alias("b"), F.col("sum_gap").alias("c"))
+    g2 = ia.select(
+        F.lit("gapsq").alias("op"), sN.alias("s"),
+        F.col("user_id").cast("long").alias("a"),
+        F.col("sum_gap_sq").alias("b"),
+        (F.col("min_gap") * F.lit(1 << 30) + F.col("max_gap")).alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
-            .unionByName(mk).unionByName(tre).unionByName(tw))
+            .unionByName(mk).unionByName(tre).unionByName(tw)
+            .unionByName(g1).unionByName(g2))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -3221,7 +3237,14 @@ FROM ({TEMPORAL.temporal_wedge_counts_sql(
             "PARTITION BY user_id ORDER BY ts, event_id)"
             ") WHERE dst IS NOT NULL",
             3600,
-        )}) t10""",
+        )}) t10
+UNION ALL
+SELECT 'gaps', NULL, user_id, n_gaps, sum_gap
+FROM ({TEMPORAL.interarrival_stats_sql()}) t11
+UNION ALL
+SELECT 'gapsq', NULL, user_id, sum_gap_sq,
+       min_gap * 1073741824 + max_gap
+FROM ({TEMPORAL.interarrival_stats_sql()}) t12""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

@@ -513,3 +513,58 @@ SELECT a.dst AS mid, COUNT(*) AS n_wedges
 FROM twe a JOIN twe b
   ON a.dst = b.src AND b.t > a.t AND b.t <= a.t + {d}
 GROUP BY a.dst"""
+
+
+def interarrival_stats(events: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """Per-key inter-arrival-time sufficient statistics: for every key
+    with ≥ 2 events, the gap count and the exact integer sum / sum of
+    squares / min / max of successive gaps in seconds — everything a
+    burstiness or session-health model needs (mean = ``sum div n``,
+    variance from ``(n·ssq − s²)``, Goh–Barabási burstiness from the
+    same two), with the float step left to the caller per the
+    hash-gating house rule.
+
+    One keyed window (``lag`` over the deterministic (ts, id) order —
+    the same tiebreak every sequence operator here uses) + one partial-
+    aggregated rollup. Returns ``(key_col, n_gaps, sum_gap, sum_gap_sq,
+    min_gap, max_gap)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(id_col).asc())
+    gaps = (
+        events.select(
+            F.col(key_col),
+            (F.expr(f"unix_timestamp({ts_col})")
+             - F.lag(F.expr(f"unix_timestamp({ts_col})")).over(w))
+            .alias("_gap"))
+        .filter(F.col("_gap").isNotNull())
+    )
+    return gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_gap").alias("sum_gap"),
+        F.sum(F.col("_gap") * F.col("_gap")).alias("sum_gap_sq"),
+        F.min("_gap").alias("min_gap"),
+        F.max("_gap").alias("max_gap"),
+    )
+
+
+def interarrival_stats_sql(key_col: str = "user_id", ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           table: str = "events") -> str:
+    """ANSI-SQL twin of :func:`interarrival_stats` (seconds via
+    date_diff from epoch — the truncation-consistent idiom)."""
+    es = (f"date_diff('second', TIMESTAMP '1970-01-01 00:00:00', {ts_col})")
+    return f"""WITH ia_g AS (
+  SELECT {key_col},
+         {es} - LAG({es}) OVER (PARTITION BY {key_col}
+                                ORDER BY {ts_col}, {id_col}) AS gap
+  FROM {table}
+)
+SELECT {key_col}, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap,
+       CAST(SUM(gap * gap) AS BIGINT) AS sum_gap_sq,
+       CAST(MIN(gap) AS BIGINT) AS min_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM ia_g WHERE gap IS NOT NULL GROUP BY {key_col}"""

@@ -385,3 +385,28 @@ def test_temporal_wedge_counts(spark):
         T.temporal_wedge_counts_sql("SELECT src, dst, ts FROM tw", 7)
     ).fetchall())
     assert got2 == twin
+
+
+def test_interarrival_stats(spark):
+    import datetime as dt
+
+    import duckdb
+
+    from judy_graph_db_spark.operators import temporal as T
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1), (1, t0 + dt.timedelta(seconds=10), 2),
+            (1, t0 + dt.timedelta(seconds=40), 3),
+            (2, t0, 4)]     # single event -> no gaps row
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {r.user_id: (r.n_gaps, r.sum_gap, r.sum_gap_sq, r.min_gap,
+                       r.max_gap)
+           for r in T.interarrival_stats(e).collect()}
+    assert got == {1: (2, 40, 1000, 10, 30)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP, "
+                "event_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", rows)
+    twin = {t[0]: tuple(t[1:]) for t in con.execute(
+        T.interarrival_stats_sql()).fetchall()}
+    assert got == twin
