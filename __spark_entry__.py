@@ -2001,9 +2001,16 @@ def _q_sampling_ops(spark, sf_dir):
     ).select(
         F.lit("wwalk").alias("op"), F.col("walk_id").alias("a"),
         F.col("step").alias("b"), F.col("node").alias("c"))
+    # deterministic NON-edge negatives over the supplier~part graph
+    ne = SA.sample_non_edges(
+        li.select((F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+                  (F.col("l_partkey") + F.lit(4 * B)).alias("dst")),
+        k=2, seed=21,
+    ).select(F.lit("negedge").alias("op"), F.col("src").alias("a"),
+             F.col("slot").alias("b"), F.col("dst").alias("c"))
     return (ns.unionByName(rw).unionByName(sg).unionByName(neg)
             .unionByName(inc).unionByName(nag).unionByName(nagm)
-            .unionByName(mp).unionByName(ww))
+            .unionByName(mp).unionByName(ww).unionByName(ne))
 
 
 def _q_ann_search(spark, sf_dir):
@@ -3536,6 +3543,13 @@ FROM ({SA_ORACLE.weighted_walks_oracle_sql(
             starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id "
                        f"FROM lineitem",
         )}) t9
+UNION ALL
+SELECT 'negedge', src, slot, dst
+FROM ({SA_ORACLE.sample_non_edges_oracle_sql(
+            f"SELECT l_suppkey + {2 * B} AS src, "
+            f"l_partkey + {4 * B} AS dst FROM lineitem",
+            k=2, seed=21,
+        )}) t10
 UNION ALL
 SELECT 'mpwalk', walk_id, step, node
 FROM ({SA_ORACLE.metapath_walks_oracle_sql(

@@ -624,3 +624,89 @@ ww0 AS ({w0})"""]
     ]
     parts.append("\nUNION ALL\n".join(selects))
     return "\n".join(parts)
+
+
+def sample_non_edges(edges: DataFrame, k: int = 3, seed: int = 0,
+                     n_buckets: int = 64) -> DataFrame:
+    """Deterministic NON-edge sampling — the negative examples a link-
+    prediction trainer pairs with the positive edge set (RA/Jaccard/PA
+    features score both): for each source node and slot ``1..k``, hash
+    the slot to one of ``n_buckets`` node buckets, take that bucket's
+    argmin-by-``md5(src|slot|node)`` node, and keep the pair only if it
+    is not an existing (undirected) edge or a self-pair. Returns
+    ``(src, slot, dst)`` with ≤ k rows per source — slots that land on a
+    real edge are dropped, so callers oversample ``k`` slightly (the
+    standard trick; on a sparse graph nearly all slots survive).
+
+    Scale shape: the node table hashes into buckets ONCE; each probe is
+    an equi-join on the bucket key + a (src, slot) partial-agg argmin,
+    then one anti-join against the edge set — never a uniform draw over
+    an id space (which sparse/hashed ids would break), never a node²
+    product.
+    """
+    from judy_graph_db_spark.operators.analytics import _symmetric
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    if k < 1:
+        raise ValueError("k must be positive")
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nb = int(n_buckets)
+    bnodes = nodes.select(
+        "node", (_h60(F.col("node"), f"neb{seed}") % nb).alias("b"))
+    probes = nodes.select(F.col("node").alias("src")).select(
+        "src", F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("slot")
+    ).select(
+        "src", "slot",
+        (_h60(F.concat_ws("|", "src", "slot"), f"nep{seed}") % nb).alias("b"))
+    cand = (
+        probes.join(bnodes, "b")
+        .withColumn("__h", _h60(F.concat_ws("|", "src", "slot", "node"),
+                                f"nec{seed}"))
+        .groupBy("src", "slot")
+        .agg(F.min(F.struct("__h", F.col("node").alias("n"))).alias("m"))
+        .select("src", "slot", F.col("m.n").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # the key-list join puts (src, dst) first — restore the
+    # documented (src, slot, dst) order
+    return cand.join(sym, ["src", "dst"], "left_anti") \
+        .select("src", "slot", "dst")
+
+
+def sample_non_edges_oracle_sql(edges_sql: str, k: int = 3, seed: int = 0,
+                                n_buckets: int = 64) -> str:
+    """ANSI-SQL twin of :func:`sample_non_edges`."""
+    from judy_graph_db_spark.oracle import _h60_sql
+
+    nb = int(n_buckets)
+    hb = _h60_sql("CAST(node AS VARCHAR)", f"neb{seed}")
+    hp = _h60_sql("CAST(src AS VARCHAR) || '|' || CAST(slot AS VARCHAR)",
+                  f"nep{seed}")
+    hc = _h60_sql("CAST(src AS VARCHAR) || '|' || CAST(slot AS VARCHAR)"
+                  " || '|' || CAST(node AS VARCHAR)", f"nec{seed}")
+    return f"""WITH ne_sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+),
+ne_n AS (SELECT DISTINCT src AS node FROM ne_sym),
+ne_b AS (SELECT node, {hb} % {nb} AS b FROM ne_n),
+ne_p AS (
+  SELECT src, slot, {hp} % {nb} AS b FROM (
+    SELECT node AS src, unnest(generate_series(1, {int(k)})) AS slot
+    FROM ne_n
+  )
+),
+ne_c AS (
+  SELECT src, slot, node AS dst FROM (
+    SELECT p.src, p.slot, n.node,
+           ROW_NUMBER() OVER (PARTITION BY p.src, p.slot
+                              ORDER BY {hc}, n.node) AS rn
+    FROM ne_p p JOIN ne_b n ON p.b = n.b
+  ) WHERE rn = 1 AND src <> dst
+)
+SELECT c.src, c.slot, c.dst
+FROM ne_c c LEFT JOIN ne_sym e ON c.src = e.src AND c.dst = e.dst
+WHERE e.src IS NULL"""

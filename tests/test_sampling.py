@@ -227,3 +227,30 @@ def test_weighted_random_walks(spark):
     with _pt.raises(ValueError, match="positive"):
         SA.weighted_random_walks(spark.createDataFrame(
             [(0, 1, 0)], "src long, dst long, weight long")).count()
+
+
+def test_sample_non_edges(spark):
+    """Negatives are never real edges or self-pairs, at most k per
+    source, and the DuckDB twin agrees draw-for-draw."""
+    import duckdb
+
+    edges = [(a, b) for a in range(12) for b in range(12)
+             if a < b and (a * 7 + b) % 3 == 0]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(tuple(r) for r in SA.sample_non_edges(
+        e, k=4, seed=9, n_buckets=8).collect())
+    und = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    per_src = {}
+    for s, slot, d in got:
+        assert (s, d) not in und and s != d
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(v <= 4 for v in per_src.values())
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ne (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO ne VALUES (?, ?)", edges)
+    twin = sorted(tuple(t) for t in con.execute(
+        SA.sample_non_edges_oracle_sql(
+            "SELECT src, dst FROM ne", k=4, seed=9, n_buckets=8)
+    ).fetchall())
+    assert got == twin
