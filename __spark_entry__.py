@@ -1650,6 +1650,12 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    # hashing-trick featurization (vocabulary-free fixed-width TF)
+    htf = STT.hashed_tf(spark.table("documents"), n_features=64,
+                        seed=3).select(
+        F.lit("htf").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("bucket").alias("b"),
+        F.col("tf").alias("c"), lN.alias("d"))
     # log-domain sibling: unigram surprisal in floor-log2 bits
     sp = STT.token_surprisal(spark.table("documents")).select(
         F.lit("surprisal").alias("op"), sN.alias("s"), sN.alias("t"),
@@ -1795,8 +1801,8 @@ def _q_stats_ops(spark, sf_dir):
         F.col("doc_id").alias("a"), F.col("__n").alias("b"),
         lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
-            .unionByName(cm).unionByName(sp).unionByName(ou)
-            .unionByName(cms)
+            .unionByName(cm).unionByName(sp).unionByName(htf)
+            .unionByName(ou).unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -3275,6 +3281,9 @@ FROM ({O.token_commonness_sql()}) t5
 UNION ALL
 SELECT 'surprisal', NULL, NULL, doc_id, surprisal_bits, mean_bits_milli, NULL
 FROM ({O.token_surprisal_sql()}) t5b
+UNION ALL
+SELECT 'htf', NULL, NULL, doc_id, bucket, tf, NULL
+FROM ({O.hashed_tf_sql(n_features=64, seed=3)}) t5c
 UNION ALL
 SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
 FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6

@@ -507,3 +507,41 @@ def token_surprisal(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("mean_bits_milli",
                     F.expr("1000 * surprisal_bits div n_tokens"))
     )
+
+
+def hashed_tf(docs: DataFrame, n_features: int = 1024,
+              id_col: str = "doc_id", text_col: str = "text",
+              seed: int = 0) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009 —
+    Spark ML's HashingTF, re-expressed relationally and engine-portably):
+    every token maps to bucket ``md5-hash mod n_features`` and the doc's
+    sparse term-frequency vector is the per-(doc, bucket) count.
+    Returns ``(id_col, bucket, tf)`` — the fixed-width featurization for
+    linear quality classifiers at corpus scale: no vocabulary to build,
+    broadcast, or keep consistent across snapshots, which is the whole
+    point against ``build_vocab``/``encode_tokens``.
+
+    One tokenize+explode scan + one (doc, bucket) map-side-combined
+    count; collisions are the accepted trade (bound error by raising
+    ``n_features``).
+    """
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    if n_features < 1:
+        raise ValueError("n_features must be positive")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("term"),
+    )
+    return (
+        toks.select(
+            id_col,
+            (_h60(F.col("term"), f"htf{seed}") % int(n_features))
+            .alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -1851,3 +1851,19 @@ SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(surprisal_bits AS BIGINT) AS surprisal_bits,
        CAST(1000 * surprisal_bits // n_tokens AS BIGINT) AS mean_bits_milli
 FROM tsd"""
+
+
+def hashed_tf_sql(n_features: int = 1024, id_col: str = "doc_id",
+                  text_col: str = "text", table: str = "documents",
+                  seed: int = 0) -> str:
+    """Twin of ``stats.hashed_tf``."""
+    h = _h60_sql("term", f"htf{seed}")
+    return f"""WITH htf_t AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}))
+           AS term
+  FROM {table}
+)
+SELECT {id_col}, {h} % {int(n_features)} AS bucket,
+       COUNT(*) AS tf
+FROM htf_t GROUP BY {id_col}, bucket"""

@@ -321,3 +321,28 @@ def test_token_surprisal(spark):
     twin = {t[0]: (t[1], t[2], t[3]) for t in con.execute(
         token_surprisal_sql()).fetchall()}
     assert got == twin
+
+
+def test_hashed_tf(spark):
+    """Hashing trick: fixed-width buckets, counts add up, twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import stats as STT
+    from judy_graph_db_spark.oracle import hashed_tf_sql
+
+    rows = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in STT.hashed_tf(
+        docs, n_features=16, seed=2).collect())
+    assert sum(t for *_, t in got) == 5          # every token lands once
+    assert all(0 <= b < 16 for _, b, _ in got)
+    # identical tokens share a bucket across docs
+    b1 = {b for d, b, t in got if d == 1}
+    b2 = {b for d, b, t in got if d == 2}
+    assert b1 & b2                               # 'beta' is shared
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = sorted(tuple(t) for t in con.execute(
+        hashed_tf_sql(n_features=16, seed=2)).fetchall())
+    assert got == twin
