@@ -1116,6 +1116,16 @@ def _q_k_core(spark, sf_dir):
     # fixed-unroll soundness — rounds past convergence are no-ops), plus
     # one METIS-style match-contract coarsening level built on it
     mat_df = AN.maximal_matching(chains, seed=7).localCheckpoint(eager=True)
+    # fixed-unroll soundness is one-directional: rounds past convergence
+    # are no-ops, but a fixture needing MORE rounds than the oracle
+    # unrolls would hash-mismatch with no pointer at the constant — fail
+    # loudly instead (one scalar agg over the checkpointed relation)
+    _max_round = mat_df.agg(F.max("round")).collect()[0][0]
+    if _max_round is not None and _max_round > MATCHING_ORACLE_ROUNDS:
+        raise AssertionError(
+            f"maximal_matching needed {_max_round} rounds > "
+            f"MATCHING_ORACLE_ROUNDS={MATCHING_ORACLE_ROUNDS}; raise the "
+            "oracle unroll")
     mat = mat_df.select(
         F.lit("matching").alias("op"), F.col("a"), F.col("b"),
         F.col("round").alias("c"))
@@ -2097,24 +2107,10 @@ def _q_ann_search(spark, sf_dir):
         F.col("n_lists").cast("long").alias("b"),
         F.col("rrf_micro").alias("c"), lN.alias("d"))
     # IVFADC: PQ ADC restricted to the query's 2 probed IVF cells —
-    # reuses the checkpointed codes (codebooks re-derive from them)
-    cents = embs.orderBy("vec_id").limit(4).select(
-        F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cvec"))
-    q0 = embs.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("_qvec"))
-    probe2 = (F.broadcast(cents).join(F.broadcast(q0))
-              .withColumn("_sim", S.cosine_sim_micro("_cvec", "_qvec"))
-              .orderBy(F.col("_sim").desc(), F.col("_cid"))
-              .limit(2).select("_cid"))
-    iassign = S.ivf_assign(embs, 4)
-    cand0 = (iassign.join(F.broadcast(probe2),
-                          iassign["cell"] == F.col("_cid"))
-             .filter(F.col("vec_id") != 0).select("vec_id"))
-    ivfpq = CL.pq_adc_topk(
-        pq_codes.join(cand0, "vec_id", "left_semi"),
-        CL.pq_codebooks(embs, pq_codes, m=4, dim=64),
-        embs.filter(F.col("vec_id") == 0).select("embedding"),
-        m=4, dim=64, topk=10,
+    # the wrapper takes the checkpointed codes, so nothing retrains
+    ivfpq = CL.ivf_pq_topk(
+        embs, query_id=0, topk=10, n_cells=4, n_probe=2, m=4, dim=64,
+        codes=pq_codes,
     ).select(
         F.lit("ivfpq").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
         F.col("dist_q").alias("b"), F.col("rank").cast("long").alias("c"),
@@ -2359,6 +2355,17 @@ def oracle_sql() -> dict[str, str]:
         length=3, seed=11,
         starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id FROM lineitem",
     )
+    CHAIN_EDGES_SQL = (
+        f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+        f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+        f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+        f"FROM orders QUALIFY dst IS NOT NULL")
+    COND_SQL = AN.conductance_oracle_sql(
+        CHAIN_EDGES_SQL,
+        "SELECT id, community FROM ("
+        + AN.label_propagation_oracle_sql(CHAIN_EDGES_SQL, iters=3) + ")")
+    AST_SQL = AN.degree_assortativity_stats_sql(
+        "SELECT src, dst FROM edges WHERE NOT is_back")
     NAGG_SQL = SA_ORACLE.neighbor_feature_agg_oracle_sql(
         edges_sql=f"SELECT src, dst FROM ("
                   f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
@@ -3054,12 +3061,10 @@ FROM ({AN.rich_club_sql(
             "SELECT src, dst FROM edges WHERE NOT is_back", k=16)}) rbq
 UNION ALL
 SELECT '__assort_xy__', n, sxy, sx
-FROM ({AN.degree_assortativity_stats_sql(
-            "SELECT src, dst FROM edges WHERE NOT is_back")}) aq1
+FROM ({AST_SQL}) aq1
 UNION ALL
 SELECT '__assort_sq__', sxx, sy, syy
-FROM ({AN.degree_assortativity_stats_sql(
-            "SELECT src, dst FROM edges WHERE NOT is_back")}) aq2""",
+FROM ({AST_SQL}) aq2""",
         "label_communities": f"""
 SELECT 'lpa' AS op, id, community
 FROM ({AN.label_propagation_oracle_sql(
@@ -3074,34 +3079,10 @@ FROM ({AN.greedy_moves_oracle_sql(
         )}) t2
 UNION ALL
 SELECT 'cond', community, volume * 1000000 + cut_edges
-FROM ({AN.conductance_oracle_sql(
-            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
-            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
-            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
-            f"FROM orders QUALIFY dst IS NOT NULL",
-            "SELECT id, community FROM ("
-            + AN.label_propagation_oracle_sql(
-                f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
-                f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY "
-                f"o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
-                f"AS dst FROM orders QUALIFY dst IS NOT NULL",
-                iters=3) + ")",
-        )}) t3
+FROM ({COND_SQL}) t3
 UNION ALL
 SELECT 'condp', community, COALESCE(conductance_permille, -1)
-FROM ({AN.conductance_oracle_sql(
-            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
-            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
-            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
-            f"FROM orders QUALIFY dst IS NOT NULL",
-            "SELECT id, community FROM ("
-            + AN.label_propagation_oracle_sql(
-                f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
-                f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY "
-                f"o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
-                f"AS dst FROM orders QUALIFY dst IS NOT NULL",
-                iters=3) + ")",
-        )}) t4""",
+FROM ({COND_SQL}) t4""",
         "pagerank_ranks": f"""
 SELECT 'pr' AS op, id, rank_e4
 FROM ({AN.pagerank_oracle_sql(

@@ -318,7 +318,9 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, topk: int = 10,
                 n_cells: int = 4, n_probe: int = 2, m: int = 4,
                 k: int = 16, iters: int = 2, dim: int = 64,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                codes: DataFrame | None = None,
+                codebooks: DataFrame | None = None) -> DataFrame:
     """The composed billion-vector serving layout (Jégou et al. 2011's
     IVFADC): IVF coarse routing picks the query's ``n_probe`` nearest
     cells, then PQ asymmetric distance ranks ONLY the vectors living in
@@ -359,10 +361,13 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, topk: int = 10,
         .filter(F.col(id_col) != int(query_id))
         .select(id_col)
     )
-    codes = pq_train_encode(embeddings, m=m, k=k, iters=iters, dim=dim,
-                            id_col=id_col, vec_col=vec_col)
-    cb = pq_codebooks(embeddings, codes, m=m, dim=dim,
-                      id_col=id_col, vec_col=vec_col)
+    # a real deployment trains once and passes both in; the per-query
+    # retrain below is the convenience path only
+    if codes is None:
+        codes = pq_train_encode(embeddings, m=m, k=k, iters=iters, dim=dim,
+                                id_col=id_col, vec_col=vec_col)
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, codes, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
     qv = embeddings.filter(F.col(id_col) == int(query_id)).select(vec_col)
     restricted = codes.join(cand, id_col, "left_semi")
     return pq_adc_topk(restricted, cb, qv, m=m, dim=dim, topk=topk,

@@ -244,6 +244,13 @@ def sampled_negatives(pairs: DataFrame, freqs: DataFrame, k: int = 3,
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = freqs.select(F.col("node"), F.col("freq").cast("long").alias("freq"))
+    # a non-positive frequency corrupts the cumulative intervals (two
+    # nodes' [lo, hi) ranges overlap and one probe draws twice) — fail
+    # loudly, same guard as weighted_random_walks
+    bad = base.filter(F.col("freq").isNull() | (F.col("freq") <= 0))         .limit(1).count()
+    if bad:
+        raise ValueError("sampled_negatives: freqs must be positive "
+                         "and non-null")
     parted = (
         base.repartitionByRange(num_partitions, F.col("node"))
         .withColumn("__pid", F.spark_partition_id())

@@ -44,17 +44,26 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     salting unchanged: inner / left / left_semi / left_anti (right-side
     variants would multiply unmatched right rows — reverse the operands
     instead).
+
+    The salt is a content hash over the row's OWN columns — genuinely
+    deterministic (a retried or re-planned task salts identically, which
+    ``monotonically_increasing_id`` would not guarantee). The trade:
+    byte-identical duplicate rows share a salt, so a hot key composed of
+    one repeated row still lands on one partition — for that shape,
+    aggregate the duplicates first (a partial-agg count is cheaper than
+    the join anyway).
     """
+    from judy_graph_db_spark.operators.sketch import _h60
+
     if salt < 1:
         raise ValueError("salt must be positive")
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how for salting: {how!r}")
     b = big.withColumn(
         "__salt",
-        (F.conv(F.substring(F.md5(F.concat_ws(
-            "|", F.col(on).cast("string"),
-            F.monotonically_increasing_id().cast("string"))), 1, 15),
-            16, 10).cast("long") % salt).cast("int"))
+        (_h60(F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in big.columns]), "salt")
+         % salt).cast("int"))
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))

@@ -445,20 +445,26 @@ def time_respecting_reachability(edges: DataFrame, src_col: str = "src",
     return r
 
 
-def time_respecting_reachability_sql(edges_sql: str,
-                                     min_wait: int = 0) -> str:
+def time_respecting_reachability_sql(edges_sql: str, min_wait: int = 0,
+                                     max_iter: int = 20) -> str:
     """ANSI-SQL twin of :func:`time_respecting_reachability` (DuckDB
-    recursive CTE; the UNION dedups (src, dst, t) triples so the
-    recursion terminates on cyclic temporal graphs)."""
+    recursive CTE; the UNION dedups (src, dst, t, hops) tuples so the
+    recursion terminates on cyclic temporal graphs). The hop counter is
+    bounded by ``max_iter`` to mirror the Spark loop exactly: each Spark
+    round is one edge relaxation, so after max_iter rounds only paths of
+    ≤ max_iter+1 edges are settled — an UNBOUNDED twin would include
+    deeper pairs the Spark side truncates and the gate would diverge on
+    long strictly-increasing chains."""
     return f"""WITH RECURSIVE tre AS (
   SELECT src, dst, CAST(ts AS BIGINT) AS t FROM ({edges_sql})
 ),
-trw(src, dst, t) AS (
-  SELECT src, dst, t FROM tre WHERE src <> dst
+trw(src, dst, t, h) AS (
+  SELECT src, dst, t, 1 FROM tre WHERE src <> dst
   UNION
-  SELECT w.src, e.dst, e.t
+  SELECT w.src, e.dst, e.t, w.h + 1
   FROM trw w JOIN tre e
     ON w.dst = e.src AND e.t >= w.t + {int(min_wait)} AND w.src <> e.dst
+   AND w.h <= {int(max_iter)}
 )
 SELECT src, dst, CAST(MIN(t) AS BIGINT) AS t_arr
 FROM trw GROUP BY src, dst"""

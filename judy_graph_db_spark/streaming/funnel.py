@@ -8,12 +8,17 @@ loosen later deadlines) — but evaluated incrementally per user with
 ``applyInPandasWithState``, so a funnel completion is emitted the moment
 its last stage arrives instead of at batch close.
 
-State per key is three scalars (stage index, last stage timestamp, done
-flag) — O(users) total, independent of stream length; idle keys are
-evicted by processing-time timeout. Events are sorted within each
-micro-batch delivery, so in-order streams (and availableNow replays of
-sorted logs) reproduce the batch operator's answer exactly — the
-batch-equivalence test pins completions against ``funnel_steps``.
+State per key is four scalars (stage index, start/last timestamps,
+done flag) — O(users) total, independent of stream length; idle keys
+are evicted by processing-time timeout. Eviction scopes the contract:
+a user idle longer than ``timeout_seconds`` restarts the funnel on
+their next event (per-activity-episode semantics — a fresh episode may
+re-complete), so exact batch equivalence with ``funnel_steps`` holds
+for runs without processing-time gaps beyond the timeout — which is
+every availableNow replay (the batch-equivalence test pins completions
+against ``funnel_steps`` on exactly that shape). Events are sorted
+within each micro-batch delivery, so in-order streams reproduce the
+batch answer.
 """
 
 from __future__ import annotations
