@@ -1660,6 +1660,12 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    # word2phrase collocations over the corpus bigrams
+    col = STT.collocation_scores(spark.table("documents"), min_count=3,
+                                 delta=1).select(
+        F.lit("colloc").alias("op"), F.col("w_a").alias("s"),
+        F.col("w_b").alias("t"), F.col("n_pair").alias("a"),
+        F.col("score_milli").alias("b"), lN.alias("c"), lN.alias("d"))
     # hashing-trick featurization (vocabulary-free fixed-width TF)
     htf = STT.hashed_tf(spark.table("documents"), n_features=64,
                         seed=3).select(
@@ -1812,7 +1818,7 @@ def _q_stats_ops(spark, sf_dir):
         lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
-            .unionByName(ou).unionByName(cms)
+            .unionByName(col).unionByName(ou).unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -3265,6 +3271,9 @@ FROM ({O.token_surprisal_sql()}) t5b
 UNION ALL
 SELECT 'htf', NULL, NULL, doc_id, bucket, tf, NULL
 FROM ({O.hashed_tf_sql(n_features=64, seed=3)}) t5c
+UNION ALL
+SELECT 'colloc', w_a, w_b, n_pair, score_milli, NULL, NULL
+FROM ({O.collocation_scores_sql(min_count=3, delta=1)}) t5d
 UNION ALL
 SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
 FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6

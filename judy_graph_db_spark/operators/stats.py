@@ -545,3 +545,49 @@ def hashed_tf(docs: DataFrame, n_features: int = 1024,
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def collocation_scores(docs: DataFrame, min_count: int = 2,
+                       delta: int = 0,
+                       text_col: str = "text") -> DataFrame:
+    """word2phrase collocation scoring (Mikolov et al. 2013's phrase
+    detector): for every adjacent word pair, ``score = (c_ab − δ)·N /
+    (c_a·c_b)`` in integer milli — pairs that co-occur far more than
+    their unigram frequencies predict are phrases ("new york",
+    "machine learning"); δ discounts rare-pair noise. Returns
+    ``(w_a, w_b, n_pair, score_milli)`` for pairs with
+    ``c_ab ≥ min_count``.
+
+    One tokenize scan feeds both the unigram and the adjacent-pair
+    counts; unigram counts attach by two broadcast-friendly equi-joins
+    (the unigram relation is |vocab|-sized) and the corpus total N rides
+    as a 1-row cross join. At extreme N move the ``·N`` product to
+    DECIMAL — at 10⁹ tokens and c_ab ≤ N the int64 headroom is
+    1000·N·c_ab ≤ ~10²¹ only for degenerate single-word corpora; real
+    vocabularies keep c well below overflow.
+    """
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("N"))
+    bi = (
+        ngram_counts(docs, n=2, min_count=int(min_count), text_col=text_col)
+        .select(F.split("gram", " ").getItem(0).alias("w_a"),
+                F.split("gram", " ").getItem(1).alias("w_b"),
+                F.col("count").alias("n_pair"))
+    )
+    return (
+        bi.join(uni.select(F.col("term").alias("w_a"),
+                           F.col("c").alias("_ca")), "w_a")
+        .join(uni.select(F.col("term").alias("w_b"),
+                         F.col("c").alias("_cb")), "w_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w_a", "w_b", "n_pair",
+            F.expr(f"1000 * (n_pair - {int(delta)}) * N div (_ca * _cb)")
+            .cast("long").alias("score_milli"))
+    )

@@ -1867,3 +1867,32 @@ def hashed_tf_sql(n_features: int = 1024, id_col: str = "doc_id",
 SELECT {id_col}, {h} % {int(n_features)} AS bucket,
        COUNT(*) AS tf
 FROM htf_t GROUP BY {id_col}, bucket"""
+
+
+def collocation_scores_sql(min_count: int = 2, delta: int = 0,
+                           text_col: str = "text",
+                           table: str = "documents") -> str:
+    """Twin of ``stats.collocation_scores``."""
+    return f"""WITH co_t AS (
+  SELECT unnest(regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}))
+           AS term
+  FROM {table}
+),
+co_u AS (SELECT term, COUNT(*) AS c FROM co_t GROUP BY term),
+co_n AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM co_u),
+co_b AS (
+  SELECT toks[i] AS w_a, toks[i + 1] AS w_b, COUNT(*) AS n_pair FROM (
+    SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM (
+      SELECT regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})
+               AS toks
+      FROM {table}
+    ) WHERE len(toks) >= 2
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_count)}
+)
+SELECT b.w_a, b.w_b, CAST(b.n_pair AS BIGINT) AS n_pair,
+       CAST(1000 * (b.n_pair - {int(delta)}) * n.N // (ua.c * ub.c)
+            AS BIGINT) AS score_milli
+FROM co_b b
+JOIN co_u ua ON b.w_a = ua.term
+JOIN co_u ub ON b.w_b = ub.term
+CROSS JOIN co_n n"""

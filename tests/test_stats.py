@@ -346,3 +346,33 @@ def test_hashed_tf(spark):
     twin = sorted(tuple(t) for t in con.execute(
         hashed_tf_sql(n_features=16, seed=2)).fetchall())
     assert got == twin
+
+
+def test_collocation_scores(spark):
+    """word2phrase score: a fused pair scores far above a chance pair;
+    delta discounts; twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import stats as STT
+    from judy_graph_db_spark.oracle import collocation_scores_sql
+
+    rows = [(1, "new york new york new york trip"),
+            (2, "old trip to new york today"),
+            (3, "old shoes and old hats today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w_a, r.w_b): (r.n_pair, r.score_milli)
+           for r in STT.collocation_scores(docs, min_count=2).collect()}
+    assert got[("new", "york")][0] == 4
+    # fused pair scores >> any chance co-occurrence of 'old'
+    chance = [v for (a, b), (n, v) in got.items() if a == "old" or b == "old"]
+    assert all(got[("new", "york")][1] > v for v in chance) or not chance
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {(t[0], t[1]): (t[2], t[3]) for t in con.execute(
+        collocation_scores_sql(min_count=2)).fetchall()}
+    assert got == twin
+    # delta shrinks every score
+    d1 = {(r.w_a, r.w_b): r.score_milli for r in STT.collocation_scores(
+        docs, min_count=2, delta=1).collect()}
+    assert all(d1[k] <= got[k][1] for k in d1)
