@@ -378,3 +378,23 @@ def test_resource_allocation_no_window_no_cartesian(spark):
     plan = plan_of(AN.resource_allocation(e))
     assert "Cartesian" not in plan and "Window" not in plan
     assert "partial_" in plan
+
+
+def test_collocation_scores_broadcasts_total(spark):
+    """The 1-row corpus total must broadcast; unigram joins are
+    equi-joins, no cartesian beyond the broadcast total."""
+    from judy_graph_db_spark.operators import stats as STT
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = plan_of(STT.collocation_scores(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_" in plan
+
+
+def test_hashed_tf_partial_aggregates(spark):
+    from judy_graph_db_spark.operators import stats as STT
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = plan_of(STT.hashed_tf(docs, n_features=8))
+    assert "partial_" in plan and "Window" not in plan
+
