@@ -1132,8 +1132,12 @@ def _q_k_core(spark, sf_dir):
     coa = AN.coarsen_graph(chains, mat_df.select("a", "b")).select(
         F.lit("coarsen").alias("op"), F.col("src").alias("a"),
         F.col("dst").alias("b"), F.col("weight").alias("c"))
+    # embeddedness / local bridges over the same triangle graph
+    emb = AN.edge_embeddedness(tri_edges).select(
+        F.lit("embed").alias("op"), F.col("a"), F.col("b"),
+        F.col("embeddedness").alias("c"))
     return (core.unionByName(truss).unionByName(mis).unionByName(mat)
-            .unionByName(coa))
+            .unionByName(coa).unionByName(emb))
 
 
 K_CORE_ORACLE_ROUNDS = 8
@@ -3153,6 +3157,16 @@ FROM ({AN.matching_oracle_sql(
             f"FROM orders QUALIFY dst IS NOT NULL",
             seed=7, rounds=MATCHING_ORACLE_ROUNDS,
         )}) t4
+UNION ALL
+SELECT 'embed', a, b, embeddedness
+FROM ({AN.edge_embeddedness_sql(
+            f"SELECT l_suppkey + {2 * B} AS src, l_partkey + {4 * B} AS dst "
+            f"FROM lineitem WHERE l_partkey % 5 = 0 "
+            f"UNION ALL SELECT l_orderkey + {5 * B}, l_partkey + {4 * B} "
+            f"FROM lineitem WHERE l_partkey % 5 = 0 "
+            f"UNION ALL SELECT l_orderkey + {5 * B}, l_suppkey + {2 * B} "
+            f"FROM lineitem WHERE l_partkey % 5 = 0",
+        )}) t6
 UNION ALL
 SELECT 'coarsen', src, dst, weight
 FROM ({AN.coarsen_oracle_sql(

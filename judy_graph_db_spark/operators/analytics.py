@@ -2807,3 +2807,59 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(a.d * a.d) AS BIGINT) AS sxx,
        CAST(SUM(b.d * b.d) AS BIGINT) AS syy
 FROM da_sym e JOIN da_deg a ON e.src = a.id JOIN da_deg b ON e.dst = b.id"""
+
+
+def edge_embeddedness(edges: DataFrame,
+                      max_degree: int | None = None) -> DataFrame:
+    """Embeddedness of every undirected edge — the number of common
+    neighbors of its endpoints (Granovetter's tie strength; 0 = a LOCAL
+    BRIDGE, the weak tie whose removal pushes its endpoints ≥ 3 hops
+    apart). Returns ``(a, b, embeddedness)`` for every canonical edge,
+    zeros included — bridge detection is precisely the zero set, so this
+    relation answers both questions.
+
+    Wedge candidates come from the same pivot equi-join as
+    :func:`jaccard_similarity` (zero-overlap pairs never materialize);
+    the edge relation then LEFT-joins the wedge counts so bridges keep
+    their explicit 0. ``max_degree`` is the usual hub-pivot guard.
+    """
+    sym = _symmetric(edges)
+    und = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"))
+    wedge_base = sym
+    if max_degree is not None:
+        wv = Window.partitionBy("dst")
+        wedge_base = (
+            sym.withColumn("__vd", F.count(F.lit(1)).over(wv))
+            .filter(F.col("__vd") <= max_degree)
+            .drop("__vd")
+        )
+    wedges = (
+        wedge_base.select(F.col("dst").alias("via"), F.col("src").alias("a"))
+        .join(wedge_base.select(F.col("dst").alias("via"),
+                                F.col("src").alias("b")), "via")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return und.join(wedges, ["a", "b"], "left").select(
+        "a", "b",
+        F.coalesce("__c", F.lit(0)).cast("long").alias("embeddedness"))
+
+
+def edge_embeddedness_sql(edges_sql: str) -> str:
+    """ANSI-SQL twin of :func:`edge_embeddedness` (exact variant)."""
+    return f"""WITH eb_sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ({edges_sql})
+    UNION ALL SELECT dst, src FROM ({edges_sql})
+  ) WHERE src <> dst
+),
+eb_und AS (SELECT src AS a, dst AS b FROM eb_sym WHERE src < dst),
+eb_w AS (
+  SELECT l.src AS a, r.src AS b, COUNT(*) AS c
+  FROM eb_sym l JOIN eb_sym r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY 1, 2
+)
+SELECT u.a, u.b, CAST(COALESCE(w.c, 0) AS BIGINT) AS embeddedness
+FROM eb_und u LEFT JOIN eb_w w ON u.a = w.a AND u.b = w.b"""

@@ -1232,3 +1232,21 @@ def test_degree_assortativity_stats(spark):
         "SELECT * FROM (VALUES (0,1),(0,2),(0,3)) AS t(src,dst)"
     )).fetchone()
     assert tuple(row) == twin
+
+
+def test_edge_embeddedness(spark):
+    # triangle 1-2-3 + bridge 3-4 + triangle 4-5-6
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6),
+                         (4, 6)])
+    got = {(r.a, r.b): r.embeddedness
+           for r in AN.edge_embeddedness(e).collect()}
+    assert got[(3, 4)] == 0                      # the local bridge
+    assert got[(1, 2)] == 1 and got[(4, 5)] == 1
+    assert len(got) == 7                          # every edge present
+    values = ", ".join(f"({a}, {b})" for a, b in
+                       [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6),
+                        (4, 6)])
+    twin = {(t[0], t[1]): t[2] for t in duckdb.connect().execute(
+        AN.edge_embeddedness_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst)")).fetchall()}
+    assert got == twin
