@@ -1263,6 +1263,8 @@ def _q_doc_signals(spark, sf_dir):
         T.quality_score(t).alias("quality"),
         T.dup_line_permille(t).alias("dup_line_pm"),
         T.dup_token_permille(t).alias("dup_token_pm"),
+        T.sentence_count(t).alias("n_sentences"),
+        T.words_per_sentence_milli(t).alias("wps_milli"),
         T.lang_id(t).alias("lang"),
         T.fingerprint(t).alias("fp"),
         D.simhash(t).alias("simhash"),
@@ -2627,6 +2629,8 @@ SELECT doc_id,
        {O.quality_score_sql()} AS quality,
        {O.dup_line_permille_sql()} AS dup_line_pm,
        {O.dup_token_permille_sql()} AS dup_token_pm,
+       {O.sentence_count_sql()} AS n_sentences,
+       {O.words_per_sentence_sql()} AS wps_milli,
        {O.lang_id_sql()} AS lang,
        {O.fingerprint_sql()} AS fp,
        {O.simhash_sql()} AS simhash,

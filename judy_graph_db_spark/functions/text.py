@@ -234,3 +234,25 @@ def url_domains(text: Column) -> Column:
     separate URL table."""
     return F.regexp_extract_all(F.lower(text), F.lit(URL_DOMAIN_RE),
                                 F.lit(1))
+
+
+SENTENCE_SPLIT_RE = "[.!?]+"
+
+
+def sentence_count(text: Column) -> Column:
+    """Number of sentences: ``[.!?]+``-delimited segments containing at
+    least one alphanumeric (pure Column expr, scan-stage — same contract
+    as every signal here). Twin: ``sentence_count_sql``."""
+    return F.size(F.filter(
+        F.split(text, SENTENCE_SPLIT_RE),
+        lambda s: s.rlike("[A-Za-z0-9]"))).cast("long")
+
+
+def words_per_sentence_milli(text: Column) -> Column:
+    """Mean words per sentence in integer milli (0 when no sentence) —
+    the Gopher quality filter's sentence-length signal, log-free and
+    hash-stable."""
+    sc = sentence_count(text)
+    # floor of a positive ratio == both engines' integer division
+    return F.when(sc > 0, F.floor(word_token_count(text) * 1000 / sc)
+                  .cast("long")).otherwise(F.lit(0)).cast("long")

@@ -1896,3 +1896,17 @@ FROM co_b b
 JOIN co_u ua ON b.w_a = ua.term
 JOIN co_u ub ON b.w_b = ub.term
 CROSS JOIN co_n n"""
+
+
+def sentence_count_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.sentence_count``."""
+    return (f"CAST(len(list_filter(string_split_regex({col}, '[.!?]+'), "
+            f"s -> regexp_matches(s, '[A-Za-z0-9]'))) AS BIGINT)")
+
+
+def words_per_sentence_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.words_per_sentence_milli``."""
+    sc = sentence_count_sql(col)
+    return (f"CAST(CASE WHEN {sc} > 0 THEN "
+            f"{word_token_count_sql(col)} * 1000 // {sc} "
+            f"ELSE 0 END AS BIGINT)")

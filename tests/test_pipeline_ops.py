@@ -1060,3 +1060,32 @@ def test_salted_join_and_heavy_keys(spark):
 
     with _pt.raises(ValueError, match="unsupported"):
         SK.salted_join(big, small, "k", how="right")
+
+
+def test_sentence_signals(spark):
+    import duckdb
+
+    from judy_graph_db_spark.oracle import (
+        sentence_count_sql, words_per_sentence_sql,
+    )
+
+    rows = [(1, "One two three. Four five! Six?"),
+            (2, "no terminal punctuation here"),
+            (3, "...!!!"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.ns, r.wps) for r in df.select(
+        "doc_id", T.sentence_count(F.col("text")).alias("ns"),
+        T.words_per_sentence_milli(F.col("text")).alias("wps")).collect()}
+    # doc 1: 3 sentences, 9 word-tokens (6 words + 3 punct symbols per
+    # the BPE-ish pre-tokenizer) -> 3000 milli; doc 2: 1 trailing
+    # segment with words; doc 3: punctuation only -> 0 sentences
+    assert got[1] == (3, 3000)
+    assert got[2] == (1, 4000)
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    twin = {t[0]: (t[1], t[2]) for t in con.execute(
+        f"SELECT doc_id, {sentence_count_sql()}, {words_per_sentence_sql()} "
+        f"FROM d").fetchall()}
+    assert got == twin
