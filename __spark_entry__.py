@@ -1666,6 +1666,12 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    # char-distribution entropy (floor-log2 bits) gibberish signal
+    ent = STT.char_entropy_bits(spark.table("documents")).select(
+        F.lit("entropy").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("n_chars").alias("b"),
+        F.col("entropy_bits").alias("c"),
+        F.col("mean_milli_bits").alias("d"))
     # word2phrase collocations over the corpus bigrams
     col = STT.collocation_scores(spark.table("documents"), min_count=3,
                                  delta=1).select(
@@ -1824,7 +1830,8 @@ def _q_stats_ops(spark, sf_dir):
         lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
-            .unionByName(col).unionByName(ou).unionByName(cms)
+            .unionByName(col).unionByName(ent).unionByName(ou)
+            .unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -3292,6 +3299,10 @@ FROM ({O.hashed_tf_sql(n_features=64, seed=3)}) t5c
 UNION ALL
 SELECT 'colloc', w_a, w_b, n_pair, score_milli, NULL, NULL
 FROM ({O.collocation_scores_sql(min_count=3, delta=1)}) t5d
+UNION ALL
+SELECT 'entropy', NULL, NULL, doc_id, n_chars, entropy_bits,
+       mean_milli_bits
+FROM ({O.char_entropy_bits_sql()}) t5e
 UNION ALL
 SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
 FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6

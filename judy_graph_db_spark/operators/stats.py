@@ -591,3 +591,36 @@ def collocation_scores(docs: DataFrame, min_count: int = 2,
             F.expr(f"1000 * (n_pair - {int(delta)}) * N div (_ca * _cb)")
             .cast("long").alias("score_milli"))
     )
+
+
+def char_entropy_bits(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document character-distribution entropy in floor-log2 bits:
+    ``Σ_c n_c · floor(log2(len div n_c))`` — the scaled-entropy gibberish
+    detector (near 0 = one repeated character / run-amok markup; high =
+    diverse text), using the same ``length(bin(x))-1`` integer-log2 idiom
+    as :func:`token_surprisal` so it hash-gates where Shannon's float
+    form would not. Returns ``(id_col, n_chars, entropy_bits,
+    mean_milli_bits = 1000·entropy_bits div n_chars)``.
+
+    One char explode + (doc, char) partial-agg histogram + a doc-keyed
+    length join — the histogram is ≤ |alphabet| rows per doc, so the
+    second join is narrow.
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n"))
+    lens = hist.groupBy(id_col).agg(F.sum("n").alias("__L"))
+    return (
+        hist.join(lens, id_col)
+        .select(id_col, "__L",
+                (F.col("n") * (F.length(F.expr("bin(__L div n)")) - 1))
+                .alias("__p"))
+        .groupBy(id_col)
+        .agg(F.max("__L").cast("long").alias("n_chars"),
+             F.sum("__p").cast("long").alias("entropy_bits"))
+        .withColumn("mean_milli_bits",
+                    F.expr("1000 * entropy_bits div n_chars").cast("long"))
+    )

@@ -1910,3 +1910,24 @@ def words_per_sentence_sql(col: str = "text") -> str:
     return (f"CAST(CASE WHEN {sc} > 0 THEN "
             f"{word_token_count_sql(col)} * 1000 // {sc} "
             f"ELSE 0 END AS BIGINT)")
+
+
+def char_entropy_bits_sql(id_col: str = "doc_id", text_col: str = "text",
+                          table: str = "documents") -> str:
+    """Twin of ``stats.char_entropy_bits``."""
+    return f"""WITH ce_c AS (
+  SELECT {id_col}, unnest(string_split({text_col}, '')) AS ch FROM {table}
+),
+ce_h AS (
+  SELECT {id_col}, ch, COUNT(*) AS n FROM ce_c
+  WHERE ch <> '' GROUP BY {id_col}, ch
+),
+ce_l AS (SELECT {id_col}, CAST(SUM(n) AS BIGINT) AS L FROM ce_h
+         GROUP BY {id_col})
+SELECT h.{id_col}, CAST(MAX(l.L) AS BIGINT) AS n_chars,
+       CAST(SUM(h.n * (length(bin(l.L // h.n)) - 1)) AS BIGINT)
+         AS entropy_bits,
+       CAST(1000 * SUM(h.n * (length(bin(l.L // h.n)) - 1)) // MAX(l.L)
+            AS BIGINT) AS mean_milli_bits
+FROM ce_h h JOIN ce_l l USING ({id_col})
+GROUP BY h.{id_col}"""

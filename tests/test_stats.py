@@ -376,3 +376,24 @@ def test_collocation_scores(spark):
     d1 = {(r.w_a, r.w_b): r.score_milli for r in STT.collocation_scores(
         docs, min_count=2, delta=1).collect()}
     assert all(d1[k] <= got[k][1] for k in d1)
+
+
+def test_char_entropy_bits(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import stats as STT
+    from judy_graph_db_spark.oracle import char_entropy_bits_sql
+
+    rows = [(1, "aaaa"), (2, "abab"), (3, "abcdefgh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.entropy_bits, r.mean_milli_bits)
+           for r in STT.char_entropy_bits(docs).collect()}
+    # 'aaaa': log2(4//4)=0 -> 0; 'abab': each char n=2, L=4 -> 4·1 = 4;
+    # 'abcdefgh': 8 chars n=1 -> 8·3 = 24
+    assert got == {1: (4, 0, 0), 2: (4, 4, 1000), 3: (8, 24, 3000)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {t[0]: tuple(t[1:]) for t in con.execute(
+        char_entropy_bits_sql()).fetchall()}
+    assert got == twin
