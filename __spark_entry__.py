@@ -1253,6 +1253,13 @@ def _q_doc_signals(spark, sf_dir):
     # full line + a prefix line; the intra-doc dedup must keep 2 lines
     from judy_graph_db_spark.operators.curation import dedup_lines_col
     lined_t = F.concat_ws("\n", t, t, F.substring(t, 1, 40), t)
+    # markup-injected variant + a tracking-parameter URL per doc — prove
+    # the HTML strip and URL canonicalization chains fire
+    html_t = F.concat(F.lit("<p>"), t, F.lit("</p> tail<br/>"))
+    track_url = F.concat(
+        F.lit("https://EX.com/p"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=a&q="), F.col("doc_id").cast("string"),
+        F.lit("#frag"))
     return d.select(
         "doc_id",
         T.token_count(t).alias("n_tokens"),
@@ -1278,6 +1285,9 @@ def _q_doc_signals(spark, sf_dir):
         F.size(F.split(dedup_lines_col(lined_t), "\n"))
         .cast("long").alias("n_uniq_lines"),
         F.md5(dedup_lines_col(lined_t)).alias("stripped_md5"),
+        T.tag_count(html_t).alias("n_tags"),
+        F.md5(T.strip_html(html_t)).alias("nohtml_md5"),
+        T.canonicalize_url(track_url).alias("canon_url"),
     )
 
 
@@ -2406,6 +2416,10 @@ def oracle_sql() -> dict[str, str]:
                  "'.org/path?q=1 plain.example.com')")
     LINED_T_SQL = ("(text || chr(10) || text || chr(10) || "
                    "substr(text, 1, 40) || chr(10) || text)")
+    HTML_T_SQL = "('<p>' || text || '</p> tail<br/>')"
+    TRACK_URL_SQL = ("('https://EX.com/p' || CAST(doc_id AS VARCHAR) || "
+                     "'/?utm_source=a&q=' || CAST(doc_id AS VARCHAR) || "
+                     "'#frag')")
     snap_new_sql = (
         "SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || 'x' "
         "ELSE text END AS text FROM documents WHERE doc_id % 25 != 1 "
@@ -2651,7 +2665,10 @@ SELECT doc_id,
          AS domains,
        CAST(len(string_split({O.dedup_lines_sql(LINED_T_SQL)}, chr(10)))
             AS BIGINT) AS n_uniq_lines,
-       md5({O.dedup_lines_sql(LINED_T_SQL)}) AS stripped_md5
+       md5({O.dedup_lines_sql(LINED_T_SQL)}) AS stripped_md5,
+       {O.tag_count_sql(HTML_T_SQL)} AS n_tags,
+       md5({O.strip_html_sql(HTML_T_SQL)}) AS nohtml_md5,
+       {O.canonicalize_url_sql(TRACK_URL_SQL)} AS canon_url
 FROM documents""",
         "exact_dedup": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

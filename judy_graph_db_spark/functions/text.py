@@ -256,3 +256,47 @@ def words_per_sentence_milli(text: Column) -> Column:
     # floor of a positive ratio == both engines' integer division
     return F.when(sc > 0, F.floor(word_token_count(text) * 1000 / sc)
                   .cast("long")).otherwise(F.lit(0)).cast("long")
+
+
+HTML_TAG_RE = "<[^>]+>"
+
+
+def tag_count(text: Column) -> Column:
+    """Number of HTML/XML tags — the markup-density signal (high = page
+    scaffolding survived extraction; CCNet drops such docs). Pure
+    codegen, RE2-safe pattern."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(HTML_TAG_RE), F.lit(0))
+    ).cast("long")
+
+
+def strip_html(text: Column) -> Column:
+    """Replace every HTML/XML tag with one space and collapse the
+    resulting whitespace runs — the standard markup-removal cleanup
+    before tokenization. Twin: ``strip_html_sql`` (same two regex
+    passes, byte-identical output)."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(text, HTML_TAG_RE, " "), r"\s+", " "))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for dedup keys: lowercase, strip the fragment,
+    strip ``utm_*``/``fbclid``/``gclid`` tracking parameters (dangling
+    ``?``/``&`` tidied), drop one trailing slash — the normalization
+    that collapses the syndication variants of one page before
+    URL-exact dedup. Pure chained regexes, RE2-safe, twin-identical
+    (``canonicalize_url_sql``)."""
+    c = F.lower(url)
+    c = F.regexp_replace(c, "#.*$", "")
+    # normalize '?' to '&' so param stripping is uniform, then re-insert
+    # '?' before the first surviving parameter (RE2 has no lookbehind, so
+    # a direct "[?&]param" removal could eat the '?' and orphan '&q=1')
+    c = F.regexp_replace(c, r"\?", "&")
+    c = F.regexp_replace(c, "&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    head = F.regexp_extract(c, "^[^&]*", 0)
+    rest = F.substr(c, F.length(head) + F.lit(2))
+    c = F.when(rest == "", head).otherwise(
+        F.concat(head, F.lit("?"), rest))
+    c = F.regexp_replace(c, "[?&]$", "")
+    c = F.regexp_replace(c, "/$", "")
+    return c

@@ -1931,3 +1931,30 @@ SELECT h.{id_col}, CAST(MAX(l.L) AS BIGINT) AS n_chars,
             AS BIGINT) AS mean_milli_bits
 FROM ce_h h JOIN ce_l l USING ({id_col})
 GROUP BY h.{id_col}"""
+
+
+def tag_count_sql(expr: str = "text") -> str:
+    """Twin of ``functions.text.tag_count``."""
+    return (f"CAST(len(regexp_extract_all({expr}, '<[^>]+>')) AS BIGINT)")
+
+
+def strip_html_sql(expr: str = "text") -> str:
+    """Twin of ``functions.text.strip_html``."""
+    return (f"trim(regexp_replace(regexp_replace({expr}, '<[^>]+>', ' ', "
+            f"'g'), '\\s+', ' ', 'g'))")
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """Twin of ``functions.text.canonicalize_url`` (same normalize-
+    then-reinsert scheme)."""
+    c = f"lower({expr})"
+    c = f"regexp_replace({c}, '#.*$', '')"
+    c = f"regexp_replace({c}, '\\?', '&', 'g')"
+    c = (f"regexp_replace({c}, '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', "
+         f"'', 'g')")
+    head = f"regexp_extract({c}, '^[^&]*', 0)"
+    rest = f"substr({c}, length({head}) + 2)"
+    c = (f"CASE WHEN {rest} = '' THEN {head} "
+         f"ELSE {head} || '?' || {rest} END")
+    c = f"regexp_replace({c}, '[?&]$', '')"
+    return f"regexp_replace({c}, '/$', '')"

@@ -1089,3 +1089,32 @@ def test_sentence_signals(spark):
         f"SELECT doc_id, {sentence_count_sql()}, {words_per_sentence_sql()} "
         f"FROM d").fetchall()}
     assert got == twin
+
+
+def test_html_and_url_cleanup(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as ORC
+
+    rows = [
+        (1, "<p>Hello <b>world</b></p> plain",
+         "https://Site.org/Page/?utm_source=x&q=1&utm_medium=y#frag"),
+        (2, "no markup", "http://a.com/path/"),
+        (3, "<div/>", "http://b.com/?utm_campaign=z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    got = {r.doc_id: (r.nt, r.clean, r.curl) for r in df.select(
+        "doc_id", T.tag_count(F.col("text")).alias("nt"),
+        T.strip_html(F.col("text")).alias("clean"),
+        T.canonicalize_url(F.col("url")).alias("curl")).collect()}
+    assert got[1] == (4, "Hello world plain",
+                      "https://site.org/page/?q=1")
+    assert got[2] == (0, "no markup", "http://a.com/path")
+    assert got[3] == (1, "", "http://b.com")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, url VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    twin = {t[0]: (t[1], t[2], t[3]) for t in con.execute(
+        f"SELECT doc_id, {ORC.tag_count_sql()}, {ORC.strip_html_sql()}, "
+        f"{ORC.canonicalize_url_sql('url')} FROM d").fetchall()}
+    assert got == twin
