@@ -1676,6 +1676,15 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    # Zipf-law sufficient statistics over the vocabulary (two rows)
+    zp = STT.zipf_bits_stats(spark.table("documents")) \
+        .localCheckpoint(eager=True)
+    z1 = zp.select(F.lit("zipf1").alias("op"), sN.alias("s"), sN.alias("t"),
+                   F.col("n").alias("a"), F.col("sx").alias("b"),
+                   F.col("sy").alias("c"), lN.alias("d"))
+    z2 = zp.select(F.lit("zipf2").alias("op"), sN.alias("s"), sN.alias("t"),
+                   F.col("sxy").alias("a"), F.col("sxx").alias("b"),
+                   lN.alias("c"), lN.alias("d"))
     # char-distribution entropy (floor-log2 bits) gibberish signal
     ent = STT.char_entropy_bits(spark.table("documents")).select(
         F.lit("entropy").alias("op"), sN.alias("s"), sN.alias("t"),
@@ -1840,8 +1849,8 @@ def _q_stats_ops(spark, sf_dir):
         lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
-            .unionByName(col).unionByName(ent).unionByName(ou)
-            .unionByName(cms)
+            .unionByName(col).unionByName(ent).unionByName(z1)
+            .unionByName(z2).unionByName(ou).unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -2395,6 +2404,7 @@ def oracle_sql() -> dict[str, str]:
         + AN.label_propagation_oracle_sql(CHAIN_EDGES_SQL, iters=3) + ")")
     AST_SQL = AN.degree_assortativity_stats_sql(
         "SELECT src, dst FROM edges WHERE NOT is_back")
+    ZIPF_SQL = O.zipf_bits_stats_sql()
     NAGG_SQL = SA_ORACLE.neighbor_feature_agg_oracle_sql(
         edges_sql=f"SELECT src, dst FROM ("
                   f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
@@ -3320,6 +3330,12 @@ UNION ALL
 SELECT 'entropy', NULL, NULL, doc_id, n_chars, entropy_bits,
        mean_milli_bits
 FROM ({O.char_entropy_bits_sql()}) t5e
+UNION ALL
+SELECT 'zipf1', NULL, NULL, n, sx, sy, NULL
+FROM ({ZIPF_SQL}) t5f
+UNION ALL
+SELECT 'zipf2', NULL, NULL, sxy, sxx, NULL, NULL
+FROM ({ZIPF_SQL}) t5g
 UNION ALL
 SELECT 'outliers', NULL, NULL, user_id, event_id, value_cents, NULL
 FROM ({O.grouped_outliers_sql("user_id", "value", "event_id", k=2)}) t6

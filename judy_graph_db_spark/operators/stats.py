@@ -624,3 +624,25 @@ def char_entropy_bits(docs: DataFrame, id_col: str = "doc_id",
         .withColumn("mean_milli_bits",
                     F.expr("1000 * entropy_bits div n_chars").cast("long"))
     )
+
+
+def zipf_bits_stats(docs: DataFrame, min_count: int = 1,
+                    text_col: str = "text") -> DataFrame:
+    """Zipf-law sufficient statistics over the vocabulary in floor-log2
+    space: one row ``(n, sx, sy, sxy, sxx)`` with ``x = bits(rank+1)``,
+    ``y = bits(count)`` per vocabulary entry — the caller regresses once
+    for the Zipf slope (healthy natural text ≈ −1; a flat or kinked
+    curve flags template/boilerplate corpora before training). The
+    integer-log2 idiom keeps the relation hash-stable; the |vocab|-row
+    relation comes from :func:`build_vocab` (its one acceptable global
+    window), and the five sums partial-aggregate map-side.
+    """
+    v = build_vocab(docs, min_count=min_count, text_col=text_col)
+    xy = v.select(
+        (F.length(F.expr("bin(token_id + 1)")) - 1).cast("long").alias("x"),
+        (F.length(F.expr("bin(count)")) - 1).cast("long").alias("y"))
+    return xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))

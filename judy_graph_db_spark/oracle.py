@@ -1958,3 +1958,17 @@ def canonicalize_url_sql(expr: str) -> str:
          f"ELSE {head} || '?' || {rest} END")
     c = f"regexp_replace({c}, '[?&]$', '')"
     return f"regexp_replace({c}, '/$', '')"
+
+
+def zipf_bits_stats_sql(min_count: int = 1, text_col: str = "text",
+                        table: str = "documents") -> str:
+    """Twin of ``stats.zipf_bits_stats``."""
+    return f"""WITH zv AS ({build_vocab_sql(min_count, None, text_col, table)})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(length(bin(token_id + 1)) - 1) AS BIGINT) AS sx,
+       CAST(SUM(length(bin(count)) - 1) AS BIGINT) AS sy,
+       CAST(SUM((length(bin(token_id + 1)) - 1)
+                * (length(bin(count)) - 1)) AS BIGINT) AS sxy,
+       CAST(SUM((length(bin(token_id + 1)) - 1)
+                * (length(bin(token_id + 1)) - 1)) AS BIGINT) AS sxx
+FROM zv"""

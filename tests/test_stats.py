@@ -397,3 +397,21 @@ def test_char_entropy_bits(spark):
     twin = {t[0]: tuple(t[1:]) for t in con.execute(
         char_entropy_bits_sql()).fetchall()}
     assert got == twin
+
+
+def test_zipf_bits_stats(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import stats as STT
+    from judy_graph_db_spark.oracle import zipf_bits_stats_sql
+
+    rows = [(1, "a a a a b b c"), (2, "a a b d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    row = STT.zipf_bits_stats(docs).collect()[0]
+    # vocab (count desc, token): a=6(id0), b=3(id1), c=1, d=1
+    # x = bits(id+1): 0,1,1,2 ; y = bits(count): 2,1,0,0
+    assert tuple(row) == (4, 4, 3, 1, 6)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert tuple(row) == con.execute(zipf_bits_stats_sql()).fetchone()
