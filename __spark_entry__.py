@@ -1676,6 +1676,11 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("commonness").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("commonness_micro").alias("c"), lN.alias("d"))
+    # n-gram novelty (inverse-boilerplate signal)
+    nv = STT.ngram_novelty(spark.table("documents"), n=3).select(
+        F.lit("novelty").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("n_grams").alias("b"),
+        F.col("novel_permille").alias("c"), lN.alias("d"))
     # Zipf-law sufficient statistics over the vocabulary (two rows)
     zp = STT.zipf_bits_stats(spark.table("documents")) \
         .localCheckpoint(eager=True)
@@ -1849,8 +1854,9 @@ def _q_stats_ops(spark, sf_dir):
         lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
-            .unionByName(col).unionByName(ent).unionByName(z1)
-            .unionByName(z2).unionByName(ou).unionByName(cms)
+            .unionByName(col).unionByName(ent).unionByName(nv)
+            .unionByName(z1).unionByName(z2).unionByName(ou)
+            .unionByName(cms)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -3330,6 +3336,9 @@ UNION ALL
 SELECT 'entropy', NULL, NULL, doc_id, n_chars, entropy_bits,
        mean_milli_bits
 FROM ({O.char_entropy_bits_sql()}) t5e
+UNION ALL
+SELECT 'novelty', NULL, NULL, doc_id, n_grams, novel_permille, NULL
+FROM ({O.ngram_novelty_sql(n=3)}) t5h
 UNION ALL
 SELECT 'zipf1', NULL, NULL, n, sx, sy, NULL
 FROM ({ZIPF_SQL}) t5f

@@ -646,3 +646,43 @@ def zipf_bits_stats(docs: DataFrame, min_count: int = 1,
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the permille of the doc's word
+    n-grams that occur in NO other document — the inverse-boilerplate
+    signal (low novelty = the doc is assembled from corpus-common
+    phrasing; high = original text). Returns ``(id_col, n_grams,
+    novel_permille)`` for docs with ≥ 1 gram; novelty counts each gram
+    occurrence (a phrase repeated inside one doc but nowhere else is
+    still novel to the corpus).
+
+    One tokenize+gram scan feeds a per-(doc, gram) count and a gram-keyed
+    distinct-doc count (window over the gram key, same shape as
+    token_commonness's corpus counts); novelty = grams whose doc
+    frequency is 1. Two shuffles total, both map-side combinable.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) < {int(n)} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(__toks) - {int(n) - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {int(n)}))) END")
+    dg = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wg = Window.partitionBy("gram")
+    return (
+        dg.withColumn("df", F.count(F.lit(1)).over(wg))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_grams"),
+             F.sum(F.when(F.col("df") == 1, F.col("c"))
+                   .otherwise(F.lit(0))).alias("__novel"))
+        .select(id_col, F.col("n_grams").cast("long"),
+                F.expr("1000 * __novel div n_grams").cast("long")
+                .alias("novel_permille"))
+    )

@@ -1972,3 +1972,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM((length(bin(token_id + 1)) - 1)
                 * (length(bin(token_id + 1)) - 1)) AS BIGINT) AS sxx
 FROM zv"""
+
+
+def ngram_novelty_sql(n: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      table: str = "documents") -> str:
+    """Twin of ``stats.ngram_novelty``."""
+    return f"""WITH nv_g AS (
+  SELECT {id_col}, toks[i:i+{int(n) - 1}] AS g FROM (
+    SELECT {id_col},
+           regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})
+             AS toks
+    FROM {table}
+  ), LATERAL unnest(generate_series(1, len(toks) - {int(n) - 1})) AS u(i)
+  WHERE len(toks) >= {int(n)}
+),
+nv_c AS (
+  SELECT {id_col}, array_to_string(g, ' ') AS gram, COUNT(*) AS c
+  FROM nv_g GROUP BY 1, 2
+),
+nv_d AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY gram) AS df FROM nv_c
+)
+SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(1000 * SUM(CASE WHEN df = 1 THEN c ELSE 0 END) // SUM(c)
+            AS BIGINT) AS novel_permille
+FROM nv_d GROUP BY {id_col}"""

@@ -415,3 +415,26 @@ def test_zipf_bits_stats(spark):
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     assert tuple(row) == con.execute(zipf_bits_stats_sql()).fetchone()
+
+
+def test_ngram_novelty(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import stats as STT
+    from judy_graph_db_spark.oracle import ngram_novelty_sql
+
+    rows = [(1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sleeps"),
+            (3, "zz")]                        # < n grams: no row
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.novel_permille)
+           for r in STT.ngram_novelty(docs, n=3).collect()}
+    # doc1: 3 grams, 'the quick brown' shared -> 2/3 novel = 666
+    assert got[1] == (3, 666) and got[2] == (3, 666)
+    assert 3 not in got
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {t[0]: (t[1], t[2]) for t in con.execute(
+        ngram_novelty_sql(n=3)).fetchall()}
+    assert got == twin
