@@ -1136,14 +1136,38 @@ def _q_k_core(spark, sf_dir):
     emb = AN.edge_embeddedness(tri_edges).select(
         F.lit("embed").alias("op"), F.col("a"), F.col("b"),
         F.col("embeddedness").alias("c"))
+    # full core decomposition on an SF-STABLE fixture: chains (shell 1)
+    # + even-custkey closing cycles (shell 2) + a literal K6 (shell 5) —
+    # degeneracy is 5 by construction at every scale factor, unlike the
+    # triangle graph whose degeneracy grows with SF
+    per_c = spark.table("orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("_f"),
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("_l"))
+    closing_c = per_c.filter(
+        (F.col("o_custkey") % 2 == 0) & (F.col("n") >= 2)).select(
+        (F.col("_l.o_orderkey") + 5 * B).alias("src"),
+        (F.col("_f.o_orderkey") + 5 * B).alias("dst"))
+    k6 = spark.createDataFrame(
+        [(9 * B + a, 9 * B + b) for a in range(1, 7) for b in range(1, 7)
+         if a < b], "src BIGINT, dst BIGINT")
+    cg = chains.select("src", "dst").unionByName(closing_c).unionByName(k6)
+    cor = AN.coreness(cg, k_max=6).select(
+        F.lit("coreness").alias("op"), F.col("id").alias("a"),
+        F.col("coreness").alias("b"), lN.alias("c"))
     return (core.unionByName(truss).unionByName(mis).unionByName(mat)
-            .unionByName(coa).unionByName(emb))
+            .unionByName(coa).unionByName(emb).unionByName(cor))
 
 
 K_CORE_ORACLE_ROUNDS = 8
 TRUSS_ORACLE_ROUNDS = 4
 MIS_ORACLE_ROUNDS = 8
 MATCHING_ORACLE_ROUNDS = 10
+# k=2 peeling of an open chain drops ONE endpoint pair per round, so
+# rounds must cover max-chain-length/2; TPC-H orders-per-customer is
+# SF-independent (~max 40), so 24 holds at every scale factor
+CORENESS_ORACLE_ROUNDS = 24
+K6_VALUES = ", ".join(f"(9000000000000 + {a}, 9000000000000 + {b})" for a in range(1, 7) for b in range(1, 7) if a < b)
 
 
 # ---------------------------------------------------- merged gate bundles
@@ -3211,6 +3235,23 @@ FROM ({AN.edge_embeddedness_sql(
             f"UNION ALL SELECT l_orderkey + {5 * B}, l_suppkey + {2 * B} "
             f"FROM lineitem WHERE l_partkey % 5 = 0",
         )}) t6
+UNION ALL
+SELECT 'coreness', id, coreness, NULL
+FROM ({AN.coreness_oracle_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL "
+            f"UNION ALL "
+            f"SELECT CAST(5*{B} + lk AS BIGINT), CAST(5*{B} + fk AS BIGINT) "
+            f"FROM (SELECT o_custkey, COUNT(*) AS n, "
+            f"(MIN(struct_pack(d := o_orderdate, k := o_orderkey))).k AS fk, "
+            f"(MAX(struct_pack(d := o_orderdate, k := o_orderkey))).k AS lk "
+            f"FROM orders GROUP BY o_custkey) "
+            f"WHERE o_custkey % 2 = 0 AND n >= 2 "
+            f"UNION ALL SELECT * FROM (VALUES {K6_VALUES}) kv(src, dst)",
+            k_max=6, rounds=CORENESS_ORACLE_ROUNDS,
+        )}) t7
 UNION ALL
 SELECT 'coarsen', src, dst, weight
 FROM ({AN.coarsen_oracle_sql(

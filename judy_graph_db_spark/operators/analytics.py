@@ -2863,3 +2863,51 @@ eb_w AS (
 )
 SELECT u.a, u.b, CAST(COALESCE(w.c, 0) AS BIGINT) AS embeddedness
 FROM eb_und u LEFT JOIN eb_w w ON u.a = w.a AND u.b = w.b"""
+
+
+def coreness(edges: DataFrame, k_max: int = 8,
+             max_iter: int = 100) -> DataFrame:
+    """Full core decomposition: every non-isolated node's core number
+    (the largest k whose k-core contains it) — the degeneracy profile
+    behind "peel the graph into shells" analyses, where single-k
+    :func:`k_core` answers only one slice. Returns ``(id, coreness)``.
+
+    Computed by the nested-core identity: cores are nested, so
+    ``coreness(v) = 1 + Σ_{k≥2} [v ∈ k-core]`` — ``k_max − 1`` reuses of
+    the existing peeling loop plus thin membership joins, each bounded
+    by the shrinking core sizes. Raises if the ``(k_max+1)``-core is
+    non-empty (silent truncation would mislabel the densest shell —
+    callers pick ``k_max`` ≥ the graph's degeneracy, which the error
+    reports how to find).
+    """
+    base = k_core(edges, 1, max_iter=max_iter).select("id") \
+        .localCheckpoint(eager=True)
+    out = base.withColumn("coreness", F.lit(1).cast("long"))
+    for k in range(2, k_max + 1):
+        ck = k_core(edges, k, max_iter=max_iter).select(
+            "id", F.lit(1).alias("__in"))
+        out = out.join(ck, "id", "left").select(
+            "id",
+            (F.col("coreness") + F.coalesce("__in", F.lit(0)))
+            .cast("long").alias("coreness"))
+    out = out.localCheckpoint(eager=True)
+    if k_core(edges, k_max + 1, max_iter=max_iter).limit(1).count():
+        raise ValueError(
+            f"coreness: the {k_max + 1}-core is non-empty — raise k_max "
+            "to at least the graph's degeneracy")
+    return out
+
+
+def coreness_oracle_sql(edges_sql: str, k_max: int, rounds: int) -> str:
+    """ANSI-SQL twin of :func:`coreness`: one self-contained fixed-unroll
+    k-core chain per level, merged by the nested-core summation."""
+    joins = "\n".join(
+        f"LEFT JOIN ({k_core_oracle_sql(edges_sql, k, rounds)}) c{k} "
+        f"ON c1.id = c{k}.id"
+        for k in range(2, k_max + 1))
+    hits = " + ".join(
+        f"CASE WHEN c{k}.id IS NULL THEN 0 ELSE 1 END"
+        for k in range(2, k_max + 1)) or "0"
+    return f"""SELECT c1.id, CAST(1 + {hits} AS BIGINT) AS coreness
+FROM ({k_core_oracle_sql(edges_sql, 1, rounds)}) c1
+{joins}"""

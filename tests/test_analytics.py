@@ -1250,3 +1250,23 @@ def test_edge_embeddedness(spark):
         AN.edge_embeddedness_sql(
             f"SELECT * FROM (VALUES {values}) AS t(src, dst)")).fetchall()}
     assert got == twin
+
+
+def test_coreness(spark):
+    import pytest as _pt
+
+    # K4 clique (coreness 3) + pendant 1-9 (coreness 1) + triangle
+    # 10-11-12 (coreness 2)
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = edges_df(spark, k4 + [(1, 9), (10, 11), (11, 12), (10, 12)])
+    got = {r.id: r.coreness for r in AN.coreness(e, k_max=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 9: 1, 10: 2, 11: 2, 12: 2}
+    with _pt.raises(ValueError, match="degeneracy"):
+        AN.coreness(e, k_max=2)
+    values = ", ".join(f"({a}, {b})" for a, b in
+                       k4 + [(1, 9), (10, 11), (11, 12), (10, 12)])
+    twin = {t[0]: t[1] for t in duckdb.connect().execute(
+        AN.coreness_oracle_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+            k_max=4, rounds=6)).fetchall()}
+    assert got == twin
