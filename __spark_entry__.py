@@ -1497,10 +1497,16 @@ def _q_corpus_curation(spark, sf_dir):
         F.md5(F.col("clean_text")).alias("split"),
         F.size(F.split(F.col("clean_text"), "\n")).cast("long").alias("n"),
         lN.alias("a"), lN.alias("b"))
+    # dataset-card rollup by (lang, source)
+    summ = CU.corpus_summary(docs).select(
+        F.lit("summary").alias("op"), lN.alias("doc_id"),
+        F.concat_ws("/", "lang", "source").alias("split"),
+        F.col("n_docs").alias("n"), F.col("sum_chars").alias("a"),
+        F.col("sum_tokens").alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
-            .unionByName(bo))
+            .unionByName(bo).unionByName(summ))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -2950,7 +2956,11 @@ FROM ({O.remove_boilerplate_sql(
     table="(SELECT doc_id, concat_ws(chr(10), "
           "'(c) example corp - all rights reserved', text, "
           "'cookie notice: this site uses cookies', "
-          "substr(text, 1, 30)) AS text FROM documents)")}) t""",
+          "substr(text, 1, 30)) AS text FROM documents)")}) t
+UNION ALL
+SELECT 'summary', NULL, lang || '/' || source, n_docs, sum_chars,
+       sum_tokens
+FROM ({O.corpus_summary_sql()}) tsum""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

@@ -493,3 +493,24 @@ def remove_boilerplate_lines(docs: DataFrame, min_docs: int = 2,
         .select(*docs.columns,
                 F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def corpus_summary(docs: DataFrame, group_cols=("lang", "source"),
+                   text_col: str = "text") -> DataFrame:
+    """Dataset-card rollup: per group, document count, character total,
+    and word-token total — the summary table every corpus release ships
+    (and the sanity diff to run between snapshots before anything
+    subtle). One scan, one map-side-combined aggregation; token counts
+    ride the shared WORD_TOKEN_RE so they reconcile with every other
+    token-based operator here. Returns ``(*group_cols, n_docs,
+    sum_chars, sum_tokens)``.
+    """
+    from judy_graph_db_spark.functions.text import word_token_count
+
+    return (
+        docs.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.length(text_col)).cast("long").alias("sum_chars"),
+             F.sum(word_token_count(F.col(text_col))).cast("long")
+             .alias("sum_tokens"))
+    )

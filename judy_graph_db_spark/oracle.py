@@ -1998,3 +1998,14 @@ SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_grams,
        CAST(1000 * SUM(CASE WHEN df = 1 THEN c ELSE 0 END) // SUM(c)
             AS BIGINT) AS novel_permille
 FROM nv_d GROUP BY {id_col}"""
+
+
+def corpus_summary_sql(group_cols=("lang", "source"),
+                       text_col: str = "text",
+                       table: str = "documents") -> str:
+    """Twin of ``curation.corpus_summary``."""
+    gc = ", ".join(group_cols)
+    return f"""SELECT {gc}, COUNT(*) AS n_docs,
+       CAST(SUM(length({text_col})) AS BIGINT) AS sum_chars,
+       CAST(SUM({word_token_count_sql(text_col)}) AS BIGINT) AS sum_tokens
+FROM {table} GROUP BY {gc}"""

@@ -237,3 +237,25 @@ def test_remove_boilerplate_lines(spark):
     assert got4 == dict(rows)
     with pytest.raises(ValueError, match="positive"):
         CU.remove_boilerplate_lines(docs, min_docs=0)
+
+
+def test_corpus_summary(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import corpus_summary_sql
+
+    rows = [(1, "en", "web", "one two"), (2, "en", "web", "three"),
+            (3, "de", "book", "vier funf!")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string")
+    got = {(r.lang, r.source): (r.n_docs, r.sum_chars, r.sum_tokens)
+           for r in CU.corpus_summary(docs).collect()}
+    assert got == {("en", "web"): (2, 12, 3), ("de", "book"): (1, 10, 3)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, "
+                "source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", rows)
+    twin = {(t[0], t[1]): (t[2], t[3], t[4]) for t in con.execute(
+        corpus_summary_sql()).fetchall()}
+    assert got == twin
