@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F  # noqa: E402
 
 from judy_graph_db_spark import N, E, table  # noqa: E402
@@ -290,6 +291,26 @@ def main() -> None:
     run("min_spanning_forest",
         lambda: AN.minimum_spanning_forest(wch.unionByName(wcl)).count(),
         repeats=2)
+
+    # round-7 surface: matching/coarsening, WL fingerprints, time-
+    # respecting closure — iterative ops, best-of-2 like scc/msf
+    chains_b = directed  # chains + closing cycles, already built above
+    run("maximal_matching",
+        lambda: AN.maximal_matching(chains_b, seed=7).count(), repeats=2)
+    run("wl_colors_2r",
+        lambda: AN.wl_colors(chains_b, rounds=2).count(), repeats=2)
+    from judy_graph_db_spark.operators import temporal as TMP
+
+    wtr = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    trans_b = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wtr).alias("dst"),
+        F.lead(F.expr("unix_timestamp(ts)")).over(wtr).alias("t"),
+    ).filter(F.col("dst").isNotNull())
+    run("time_respecting_reach",
+        lambda: TMP.time_respecting_reachability(
+            trans_b, ts_col="t", min_wait=1).count(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
