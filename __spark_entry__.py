@@ -2098,9 +2098,17 @@ def _q_sampling_ops(spark, sf_dir):
         k=2, seed=21,
     ).select(F.lit("negedge").alias("op"), F.col("src").alias("a"),
              F.col("slot").alias("b"), F.col("dst").alias("c"))
+    # node2vec second-order biased walks on the same sym supplier~part
+    # graph (default 1:4:2 return/common/far integer biases)
+    nv = SA.node2vec_walks(
+        wedges.select("src", "dst"), length=3, seed=23, starts=wstarts
+    ).select(
+        F.lit("n2v").alias("op"), F.col("walk_id").alias("a"),
+        F.col("step").alias("b"), F.col("node").alias("c"))
     return (ns.unionByName(rw).unionByName(sg).unionByName(neg)
             .unionByName(inc).unionByName(nag).unionByName(nagm)
-            .unionByName(mp).unionByName(ww).unionByName(ne))
+            .unionByName(mp).unionByName(ww).unionByName(ne)
+            .unionByName(nv))
 
 
 def _q_ann_search(spark, sf_dir):
@@ -3679,5 +3687,16 @@ FROM ({SA_ORACLE.metapath_walks_oracle_sql(
             f"UNION ALL SELECT l_orderkey + {5 * B}, "
             f"l_partkey + {4 * B}, 'CONTAINS' FROM lineitem",
             ["PLACED", "CONTAINS"], seed=13,
-        )}) t8""",
+        )}) t8
+UNION ALL
+SELECT 'n2v', walk_id, step, node
+FROM ({SA_ORACLE.node2vec_walks_oracle_sql(
+            f"SELECT l_suppkey + {2 * B} AS src, "
+            f"l_partkey + {4 * B} AS dst FROM lineitem "
+            f"UNION ALL SELECT l_partkey + {4 * B}, "
+            f"l_suppkey + {2 * B} FROM lineitem",
+            length=3, seed=23,
+            starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id "
+                       f"FROM lineitem",
+        )}) t11""",
     }

@@ -717,3 +717,138 @@ ne_c AS (
 SELECT c.src, c.slot, c.dst
 FROM ne_c c LEFT JOIN ne_sym e ON c.src = e.src AND c.dst = e.dst
 WHERE e.src IS NULL"""
+
+
+def node2vec_walks(edges: DataFrame, length: int = 3, seed: int = 0,
+                   w_return: int = 1, w_common: int = 4, w_far: int = 2,
+                   starts: DataFrame | None = None) -> DataFrame:
+    """Second-order (node2vec) biased walks: the transition out of ``cur``
+    depends on the PREVIOUS node. Candidate next-hop ``x`` from ``cur``
+    (prev = the node visited one step earlier) draws weight
+
+    - ``w_return`` if ``x == prev``            (node2vec 1/p),
+    - ``w_common`` if edge ``prev -> x`` exists (distance 1 from prev),
+    - ``w_far``    otherwise                    (node2vec 1/q),
+
+    so the classic ``(1/p, 1, 1/q)`` biases are the integer ratios
+    ``(w_return, w_common, w_far)`` — integers keep the draw byte-exact in
+    both engines (house rule). Step 1 has no prev and is uniform, matching
+    Grover & Leskovec 2016 §3.2. Draws are deterministic: the candidate
+    whose cumulative-weight interval contains ``md5(seed, walk_id, step,
+    prev, cur) mod W``. Returns ``(walk_id, step, node)`` — the same shape
+    as :func:`random_walks`, so :func:`walk_skipgram_pairs` /
+    :func:`sampled_negatives` compose unchanged.
+
+    Scale shape: each step is one frontier-adjacency equi-join on ``cur``
+    plus one edge-set probe on ``(prev, dst)`` (both keyed joins, never a
+    cross), and the cumulative intervals are a window partitioned BY WALK
+    over ≤ out-degree candidate rows — frontier-linear state, no global
+    sort anywhere. Hub fan-out in the candidate join is bounded by
+    pre-capping the adjacency with :func:`sample_neighbors`. The
+    ``prev -> x`` probe treats the graph as directed; pass a symmetrized
+    edge set for undirected node2vec semantics.
+
+    Parity-plus vs the reference (no sampling surface; SURVEY.md §2.7).
+    """
+    for name, v in (("w_return", w_return), ("w_common", w_common),
+                    ("w_far", w_far)):
+        if int(v) <= 0:
+            raise ValueError(f"node2vec_walks: {name} must be positive")
+    adj = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    probe = adj.select(F.col("src").alias("p_src"),
+                       F.col("dst").alias("p_dst"))
+    if starts is None:
+        starts = adj.select(F.col("src").alias("id")).distinct()
+    # frontier carries (walk_id, prev, cur); prev = -1 before step 1 (the
+    # hash twin uses the same sentinel, so the draw streams are identical)
+    frontier = starts.select(
+        F.col("id").alias("walk_id"), F.lit(-1).cast("long").alias("prev"),
+        F.col("id").alias("cur"))
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("node"))
+    wb = Window.partitionBy("walk_id").orderBy("dst") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy("walk_id")
+    for s in range(1, length + 1):
+        cand = (
+            frontier.join(adj, frontier.cur == adj.src)
+            .join(probe, (F.col("prev") == F.col("p_src"))
+                  & (F.col("dst") == F.col("p_dst")), "left")
+            .withColumn(
+                "__w",
+                F.when(F.col("prev") == F.lit(-1), F.lit(1))   # step 1: uniform
+                .when(F.col("dst") == F.col("prev"), F.lit(int(w_return)))
+                .when(F.col("p_src").isNotNull(), F.lit(int(w_common)))
+                .otherwise(F.lit(int(w_far))).cast("long"))
+        )
+        h = F.conv(F.substring(_edge_hash(
+            seed, F.col("walk_id"), F.lit(s), F.col("prev"),
+            F.col("cur")), 1, 15), 16, 10).cast("long")
+        step = (
+            cand.select(
+                "walk_id", "prev", "cur", "dst", "__w",
+                F.coalesce(F.sum("__w").over(wb), F.lit(0)).alias("lo"),
+                F.sum("__w").over(wt).alias("W"))
+            .withColumn("__h", h % F.col("W"))
+            .filter((F.col("lo") <= F.col("__h"))
+                    & (F.col("__h") < F.col("lo") + F.col("__w")))
+            .select("walk_id", F.col("cur").alias("prev"),
+                    F.col("dst").alias("cur"))
+        )
+        frontier = step.localCheckpoint(eager=True)
+        out = out.unionByName(frontier.select(
+            "walk_id", F.lit(s).cast("long").alias("step"),
+            F.col("cur").alias("node")))
+    return out.localCheckpoint(eager=True)
+
+
+def node2vec_walks_oracle_sql(edges_sql: str, length: int = 3,
+                              seed: int = 0, w_return: int = 1,
+                              w_common: int = 4, w_far: int = 2,
+                              starts_sql: str | None = None) -> str:
+    """ANSI-SQL twin of :func:`node2vec_walks` (fixed unroll, one CTE per
+    step; ``edges_sql`` selects ``src, dst``)."""
+    w0 = (
+        f"SELECT id AS walk_id, CAST(-1 AS BIGINT) AS prev, id AS cur "
+        f"FROM ({starts_sql})"
+        if starts_sql is not None
+        else "SELECT DISTINCT src AS walk_id, CAST(-1 AS BIGINT) AS prev, "
+             "src AS cur FROM nv_adj"
+    )
+    parts = [f"""WITH nv_adj AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+),
+nv0 AS ({w0})"""]
+    for s in range(1, length + 1):
+        h = (f"CAST(CAST('0x' || substring(md5(concat_ws('|', '{seed}', "
+             f"CAST(c.walk_id AS VARCHAR), CAST({s} AS VARCHAR), "
+             f"CAST(c.prev AS VARCHAR), CAST(c.cur AS VARCHAR))), 1, 15) "
+             f"AS UBIGINT) AS BIGINT)")
+        parts.append(f""", nv{s}c AS (
+  SELECT f.walk_id, f.prev, f.cur, a.dst,
+         CAST(CASE WHEN f.prev = -1 THEN 1
+                   WHEN a.dst = f.prev THEN {int(w_return)}
+                   WHEN p.p_src IS NOT NULL THEN {int(w_common)}
+                   ELSE {int(w_far)} END AS BIGINT) AS w
+  FROM nv{s - 1} f
+  JOIN nv_adj a ON f.cur = a.src
+  LEFT JOIN (SELECT src AS p_src, dst AS p_dst FROM nv_adj) p
+    ON f.prev = p.p_src AND a.dst = p.p_dst
+), nv{s} AS (
+  SELECT walk_id, cur AS prev, dst AS cur FROM (
+    SELECT c.*,
+           CAST(COALESCE(SUM(w) OVER (PARTITION BY walk_id ORDER BY dst
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS lo,
+           CAST(SUM(w) OVER (PARTITION BY walk_id) AS BIGINT) AS wtot,
+           ({h}) AS h
+    FROM nv{s}c c
+  ) WHERE lo <= h % wtot AND h % wtot < lo + w
+)""")
+    selects = [
+        f"SELECT walk_id, CAST({s} AS BIGINT) AS step, cur AS node FROM nv{s}"
+        for s in range(0, length + 1)
+    ]
+    parts.append("\nUNION ALL\n".join(selects))
+    return "\n".join(parts)

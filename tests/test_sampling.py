@@ -254,3 +254,62 @@ def test_sample_non_edges(spark):
             "SELECT src, dst FROM ne", k=4, seed=9, n_buckets=8)
     ).fetchall())
     assert got == twin
+
+
+def test_node2vec_walks_bias_and_twin(spark):
+    """Second-order bias: with a huge return weight the walker bounces
+    back to prev; with a huge far weight it prefers the non-adjacent
+    candidate; the DuckDB twin agrees draw-for-draw in both regimes."""
+    import duckdb
+
+    # 0->1; from 1: back to 0 (return), 2 (2 shares edge 0->2: common),
+    # 3 (far).  Start only at 0 so step-2 exercises the bias classes.
+    edges = [(0, 1), (1, 0), (1, 2), (1, 3), (0, 2)]
+    e = edges_df(spark, edges)
+    starts = spark.createDataFrame([(0,)], "id long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nv (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO nv VALUES (?, ?)", edges)
+    # seed 4: the (uniform) step-1 draw picks dst=1, so step 2 exercises
+    # the bias classes from prev=0, cur=1
+    for wr, wc, wf in ((1000, 1, 1), (1, 1, 1000), (1, 4, 2)):
+        walks = SA.node2vec_walks(e, length=2, seed=4, w_return=wr,
+                                  w_common=wc, w_far=wf, starts=starts)
+        got = sorted(tuple(r) for r in walks.collect())
+        twin = sorted(tuple(t) for t in con.execute(
+            SA.node2vec_walks_oracle_sql(
+                "SELECT src, dst FROM nv", length=2, seed=4, w_return=wr,
+                w_common=wc, w_far=wf, starts_sql="SELECT 0 AS id")
+        ).fetchall())
+        assert got == twin
+        step2 = {n for w, s, n in got if s == 2}
+        if wr == 1000:
+            assert step2 == {0}        # returns to prev
+        elif wf == 1000:
+            assert step2 == {3}        # prefers the non-adjacent hop
+    with __import__("pytest").raises(ValueError, match="positive"):
+        SA.node2vec_walks(e, w_far=0)
+
+
+def test_node2vec_walks_statistical_split(spark):
+    """Many walkers at a 3-way junction split ~w_return:w_common:w_far
+    after the first step establishes prev (loose ratio bounds)."""
+    from collections import Counter
+
+    # every walker i: i -> 0 -> {i (return), 1 (common via 0->1... )}
+    # junction: from 0 candidates are 1, 2, 3; walkers arrive from 9000+i
+    # with no edges to 1/2/3 -> all candidates 'far' except none common;
+    # instead make prev node 900 adjacent to 1 only: 900->1 edge.
+    rows = ([(i, 900) for i in range(1000, 1200)]
+            + [(900, 0), (0, 1), (0, 2), (0, 3), (900, 1)])
+    e = edges_df(spark, rows)
+    starts = spark.createDataFrame(
+        [(i,) for i in range(1000, 1200)], "id long")
+    walks = SA.node2vec_walks(e, length=3, seed=11, w_return=1,
+                              w_common=8, w_far=1, starts=starts)
+    got = walks.collect()
+    c = Counter(n for r in got for s, n in [(r["step"], r["node"])]
+                if s == 3 and n in (1, 2, 3))
+    # from 0 with prev=900: 1 is common (900->1), 900 return, 2/3 far;
+    # among {1,2,3}: expect 8 : 1 : 1
+    assert c[1] / max(c[2] + c[3], 1) > 2.0
