@@ -2003,10 +2003,32 @@ def _q_graph_similarity(spark, sf_dir):
         F.lit("diam").alias("op"), F.col("start").alias("a"),
         F.col("far_node").alias("b"), F.col("ecc_start").alias("c"),
         F.col("diameter_lb").alias("d"))
+    # landmark distance oracle on the sym supplier~part graph: 2 top-
+    # degree landmarks, then triangle-inequality d(u,v) upper bounds for
+    # every (l_suppkey%3==0) supplier pair — one relation feeds both parts
+    li = spark.table("lineitem")
+    symsp = li.select(
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+        (F.col("l_partkey") + F.lit(4 * B)).alias("dst"),
+    ).unionByName(li.select(
+        (F.col("l_partkey") + F.lit(4 * B)).alias("src"),
+        (F.col("l_suppkey") + F.lit(2 * B)).alias("dst")))
+    ld = AN.landmark_distances(symsp, n_landmarks=2, max_iter=6)
+    lmd = ld.select(
+        F.lit("lmd").alias("op"), F.col("landmark").alias("a"),
+        F.col("id").alias("b"), F.col("depth").alias("c"), lN.alias("d"))
+    sups = li.select(F.col("l_suppkey").alias("k")).distinct() \
+        .filter(F.col("k") % 3 == 0) \
+        .select((F.col("k") + F.lit(2 * B)).alias("u"))
+    pairs = sups.join(sups.select(F.col("u").alias("v")),
+                      F.col("u") < F.col("v"))
+    lmu = AN.landmark_distance_upper(ld, pairs).select(
+        F.lit("lmu").alias("op"), F.col("u").alias("a"),
+        F.col("v").alias("b"), F.col("dist_upper").alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
             .unionByName(sig).unionByName(ra).unionByName(spt)
-            .unionByName(diam))
+            .unionByName(diam).unionByName(lmd).unionByName(lmu))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -2442,6 +2464,11 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
         f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
         f"FROM orders QUALIFY dst IS NOT NULL")
+    SYMSP_SQL = (
+        f"SELECT l_suppkey + {2 * B} AS src, "
+        f"l_partkey + {4 * B} AS dst FROM lineitem "
+        f"UNION ALL SELECT l_partkey + {4 * B}, "
+        f"l_suppkey + {2 * B} FROM lineitem")
     COND_SQL = AN.conductance_oracle_sql(
         CHAIN_EDGES_SQL,
         "SELECT id, community FROM ("
@@ -3627,7 +3654,21 @@ FROM ({AN.diameter_double_sweep_sql(
             f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
             f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
             f"FROM orders QUALIFY dst IS NOT NULL",
-        )}) t11""",
+        )}) t11
+UNION ALL
+SELECT 'lmd', landmark, id, depth, NULL
+FROM ({AN.landmark_distances_sql(SYMSP_SQL, n_landmarks=2, max_iter=6)}) t12
+UNION ALL
+SELECT 'lmu', u, v, dist_upper, NULL
+FROM ({AN.landmark_upper_sql(
+            SYMSP_SQL,
+            f"SELECT a.u, b.u AS v FROM "
+            f"(SELECT DISTINCT l_suppkey + {2 * B} AS u FROM lineitem "
+            f" WHERE l_suppkey % 3 = 0) a JOIN "
+            f"(SELECT DISTINCT l_suppkey + {2 * B} AS u FROM lineitem "
+            f" WHERE l_suppkey % 3 = 0) b ON a.u < b.u",
+            n_landmarks=2, max_iter=6,
+        )}) t13""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

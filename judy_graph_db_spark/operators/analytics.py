@@ -2911,3 +2911,126 @@ def coreness_oracle_sql(edges_sql: str, k_max: int, rounds: int) -> str:
     return f"""SELECT c1.id, CAST(1 + {hits} AS BIGINT) AS coreness
 FROM ({k_core_oracle_sql(edges_sql, 1, rounds)}) c1
 {joins}"""
+
+
+def landmark_distances(edges: DataFrame, n_landmarks: int = 4,
+                       max_iter: int = 20) -> DataFrame:
+    """Distances from the ``n_landmarks`` highest-degree nodes to every
+    reachable node — the precompute half of landmark-based (a.k.a.
+    ALT / distance-oracle) shortest-path estimation (Goldberg & Harrelson
+    2005): at 100 TB scale you cannot run per-query BFS, so you store
+    k·|V| landmark rows and answer any ``d(u, v)`` with a two-row lookup.
+    Landmarks are the top-k by undirected degree (ties: smaller id), the
+    standard highest-centrality-first heuristic. Returns ``(landmark, id,
+    depth)`` INCLUDING the landmark's own depth-0 row.
+
+    One BFS round = frontier-adjacency equi-join + (landmark, id)
+    min-struct partial agg + anti-join against settled — O(frontier) per
+    round, k landmarks ride the same joins (multi-source BFS), rounds
+    bounded by eccentricity. The landmark list itself is a k-row driver
+    collect (bounded by construction).
+
+    Parity-plus vs the reference (depth queries exist only per-source via
+    ``***`` closures; SURVEY.md §2.7).
+    """
+    if n_landmarks <= 0:
+        raise ValueError("n_landmarks must be positive")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("id").asc())
+        .limit(int(n_landmarks))
+    )
+    marks = [int(r["id"]) for r in deg.collect()]
+    spark = edges.sparkSession
+    if not marks:
+        return spark.createDataFrame(
+            [], "landmark BIGINT, id BIGINT, depth BIGINT")
+    frontier = spark.createDataFrame(
+        [(m, m) for m in marks], "landmark BIGINT, id BIGINT"
+    ).localCheckpoint(eager=True)
+    settled = frontier
+    out = frontier.select(
+        "landmark", "id", F.lit(0).cast("long").alias("depth"))
+    for depth in range(1, max_iter + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select("landmark", F.col("dst").alias("id"))
+            .join(settled, ["landmark", "id"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(nxt.select(
+            "landmark", "id", F.lit(depth).cast("long").alias("depth")))
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return out.localCheckpoint(eager=True)
+
+
+def landmark_distances_sql(edges_sql: str, n_landmarks: int = 4,
+                           max_iter: int = 20) -> str:
+    """ANSI-SQL twin of :func:`landmark_distances` (depth-bounded
+    recursive CTE, same truncation as the Spark round loop)."""
+    return f"""WITH RECURSIVE lm_e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql})
+),
+lm_marks AS (
+  SELECT id FROM (
+    SELECT id, COUNT(*) AS deg FROM (
+      SELECT src AS id FROM lm_e UNION ALL SELECT dst FROM lm_e
+    ) GROUP BY id
+  ) ORDER BY deg DESC, id ASC LIMIT {int(n_landmarks)}
+),
+lm_w(landmark, id, d) AS (
+  SELECT id, id, 0 FROM lm_marks
+  UNION
+  SELECT w.landmark, e.dst, w.d + 1
+  FROM lm_w w JOIN lm_e e ON w.id = e.src AND w.d < {int(max_iter)}
+)
+SELECT landmark, id, CAST(MIN(d) AS BIGINT) AS depth
+FROM lm_w GROUP BY landmark, id"""
+
+
+def landmark_distance_upper(dists: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Answer ``d(u, v)`` upper bounds from a :func:`landmark_distances`
+    relation: ``min over landmarks of d(l, u) + d(l, v)`` — the triangle-
+    inequality bound, EXACT whenever some shortest u–v path passes a
+    landmark, and valid as an upper bound on SYMMETRIZED edge sets (where
+    ``d(l, u) = d(u, l)``); on a directed input ``d(l,u)+d(l,v)`` bounds
+    nothing, so pass the symmetrized graph to the precompute. ``pairs``
+    has columns ``(u, v)``; pairs sharing no landmark (disconnected) are
+    omitted. Returns ``(u, v, dist_upper)``.
+
+    Two keyed joins against the k·|V| landmark relation and one (u, v)
+    min-agg — no BFS at query time; this is the whole point of the
+    precompute at scale.
+    """
+    du = dists.select("landmark", F.col("id").alias("u"),
+                      F.col("depth").alias("__du"))
+    dv = dists.select("landmark", F.col("id").alias("v"),
+                      F.col("depth").alias("__dv"))
+    return (
+        pairs.select("u", "v")
+        .join(du, "u")
+        .join(dv, ["landmark", "v"])
+        .groupBy("u", "v")
+        .agg(F.min(F.col("__du") + F.col("__dv")).alias("dist_upper"))
+    )
+
+
+def landmark_upper_sql(edges_sql: str, pairs_sql: str,
+                       n_landmarks: int = 4, max_iter: int = 20) -> str:
+    """ANSI-SQL twin of :func:`landmark_distance_upper` over
+    :func:`landmark_distances_sql` (``pairs_sql`` selects ``u, v``)."""
+    return f"""WITH lm_d AS ({landmark_distances_sql(
+        edges_sql, n_landmarks=n_landmarks, max_iter=max_iter)}),
+lm_p AS (SELECT u, v FROM ({pairs_sql}))
+SELECT p.u, p.v, CAST(MIN(a.depth + b.depth) AS BIGINT) AS dist_upper
+FROM lm_p p
+JOIN lm_d a ON a.id = p.u
+JOIN lm_d b ON b.id = p.v AND b.landmark = a.landmark
+GROUP BY p.u, p.v"""

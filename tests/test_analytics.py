@@ -1270,3 +1270,53 @@ def test_coreness(spark):
             f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
             k_max=4, rounds=6)).fetchall()}
     assert got == twin
+
+
+def test_landmark_distances_and_upper(spark):
+    """Landmark precompute + triangle-inequality estimates: exact through
+    a landmark, a true upper bound elsewhere, twin-identical in DuckDB."""
+    # star-with-tail, symmetrized: hub 0 (degree 4) is the sole landmark;
+    # every u-v shortest path passes 0, so bounds are exact here
+    base = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    sym = base + [(b, a) for a, b in base]
+    e = edges_df(spark, sym)
+    ld = AN.landmark_distances(e, n_landmarks=1)
+    got = {(r.landmark, r.id): r.depth for r in ld.collect()}
+    assert got == {(0, 0): 0, (0, 1): 1, (0, 2): 1, (0, 3): 1, (0, 4): 2}
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4), (4, 2)], "u BIGINT, v BIGINT")
+    up = {(r.u, r.v): r.dist_upper
+          for r in AN.landmark_distance_upper(ld, pairs).collect()}
+    assert up == {(1, 2): 2, (1, 4): 3, (4, 2): 3}
+
+    # cycle + chord: with a non-central landmark the bound can exceed the
+    # true distance but never undershoots it (check against true BFS)
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    sym2 = ring + [(b, a) for a, b in ring] + [(0, 9), (9, 0)]
+    e2 = edges_df(spark, sym2)
+    ld2 = AN.landmark_distances(e2, n_landmarks=2)
+    allp = [(u, v) for u in range(8) for v in range(8) if u < v]
+    p2 = spark.createDataFrame(allp, "u BIGINT, v BIGINT")
+    up2 = {(r.u, r.v): r.dist_upper
+           for r in AN.landmark_distance_upper(ld2, p2).collect()}
+    true = {(u, v): min(abs(u - v), 8 - abs(u - v)) for u, v in allp}
+    assert set(up2) == set(allp)
+    assert all(up2[k] >= true[k] for k in allp)
+    assert any(up2[k] == true[k] for k in allp)
+
+    con = duckdb.connect()
+    values = ", ".join(f"({a}, {b})" for a, b in sym2)
+    pv = ", ".join(f"({a}, {b})" for a, b in allp)
+    twin_d = sorted(tuple(t) for t in con.execute(AN.landmark_distances_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", n_landmarks=2
+    )).fetchall())
+    assert twin_d == sorted(tuple(r) for r in ld2.collect())
+    twin_u = sorted(tuple(t) for t in con.execute(AN.landmark_upper_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+        f"SELECT * FROM (VALUES {pv}) AS p(u, v)", n_landmarks=2
+    )).fetchall())
+    assert twin_u == sorted((u, v, d) for (u, v), d in up2.items())
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        AN.landmark_distances(e, n_landmarks=0)
