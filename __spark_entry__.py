@@ -1503,10 +1503,18 @@ def _q_corpus_curation(spark, sf_dir):
         F.concat_ws("/", "lang", "source").alias("split"),
         F.col("n_docs").alias("n"), F.col("sum_chars").alias("a"),
         F.col("sum_tokens").alias("b"))
+    # DSIR importance weights: every 5th doc plays the target domain
+    dsir = CU.dsir_weights(
+        docs, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        n_features=256, seed=5,
+    ).select(
+        F.lit("dsir").alias("op"), "doc_id", sN.alias("split"),
+        F.col("n_feats").alias("n"), F.col("score_bits").alias("a"),
+        F.col("mean_bits_milli").alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
-            .unionByName(bo).unionByName(summ))
+            .unionByName(bo).unionByName(summ).unionByName(dsir))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -2995,7 +3003,10 @@ FROM ({O.remove_boilerplate_sql(
 UNION ALL
 SELECT 'summary', NULL, lang || '/' || source, n_docs, sum_chars,
        sum_tokens
-FROM ({O.corpus_summary_sql()}) tsum""",
+FROM ({O.corpus_summary_sql()}) tsum
+UNION ALL
+SELECT 'dsir', doc_id, NULL, n_feats, score_bits, mean_bits_milli
+FROM ({O.dsir_weights_sql("doc_id % 5 = 0", n_features=256, seed=5)}) tds""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

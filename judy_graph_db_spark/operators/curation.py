@@ -514,3 +514,93 @@ def corpus_summary(docs: DataFrame, group_cols=("lang", "source"),
              F.sum(word_token_count(F.col(text_col))).cast("long")
              .alias("sum_tokens"))
     )
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_features: int = 1024, seed: int = 0) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much more its hashed n-gram features
+    look like a TARGET domain (``target`` = a DataFrame of ``id_col``
+    values naming the target subset — e.g. the docs a quality filter
+    kept) than like the raw corpus. Per feature bucket ``b``,
+
+        w(b) = floor_log2( (c_t(b)+1)·N_r / ((c_r(b)+1)·N_t) )
+
+    in the engine-wide exact integer-log2 idiom (scaled by 2^10 before
+    the floor so ratios down to 2^-10 resolve; 1-bit-resolution weights
+    are plenty for resampling ranks). A doc's score is the tf-weighted
+    sum over its buckets. Features are hashed unigrams AND bigrams
+    (the paper's featurization) over the standard tokenizer. Returns
+    ``(id_col, n_feats, score_bits, mean_bits_milli)``; docs with no
+    tokens are absent. Feed the scores to
+    :func:`quality_percentile_filter` / :func:`hash_sample` for the
+    actual resampling step.
+
+    Scale shape: one tokenize scan into (doc, bucket, tf), two
+    bucket-keyed aggregations (raw + target-semi-joined), a broadcast of
+    the ≤ n_features-row weight table back onto the doc features, one
+    per-doc agg. The n-gram LMs are ``n_features``-sized relations — the
+    hashing trick means no vocabulary ever materializes. Count products
+    ``c·N·2^10`` stay far under int64 below ~2^24 corpus tokens per
+    bucket side; at extreme scale split the ratio before scaling.
+    """
+    if n_features < 1:
+        raise ValueError("n_features must be positive")
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    toked = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+        ).alias("__toks"))
+    grams = toked.select(
+        id_col,
+        F.explode(F.concat(
+            F.col("__toks"),
+            F.expr("transform(slice(__toks, 1, greatest(size(__toks) - 1,"
+                   " 0)), (x, i) -> concat(x, ' ', __toks[i + 1]))"),
+        )).alias("term"))
+    feats = (
+        grams.select(
+            id_col,
+            (_h60(F.col("term"), f"dsir{seed}") % int(n_features))
+            .alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds the LMs AND the doc scores
+    )
+    raw_c = feats.groupBy("bucket").agg((F.sum("tf") + 1).alias("c_r"))
+    tgt_c = (
+        feats.join(target.select(F.col(id_col)).distinct(), id_col,
+                   "left_semi")
+        .groupBy("bucket").agg(F.sum("tf").alias("__ct"))
+    )
+    lm = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .select("bucket", "c_r",
+                (F.coalesce(F.col("__ct"), F.lit(0)) + 1).alias("c_t"))
+    )
+    totals = lm.agg(F.sum("c_r").alias("N_r"), F.sum("c_t").alias("N_t"))
+    w = (
+        lm.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            # integer `div`, never `/` — PySpark `/` is double division
+            # and drifts from the DuckDB twin's exact `//` (see the
+            # cross-engine quirks note)
+            (F.length(F.bin(F.greatest(
+                F.lit(1),
+                F.expr("(c_t * N_r * 1024) div (c_r * N_t)")
+            ))) - 11).alias("w_bits"))
+    )
+    return (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("n_feats"),
+             F.sum(F.col("tf") * F.col("w_bits")).alias("score_bits"))
+        .withColumn("mean_bits_milli",
+                    F.expr("1000 * score_bits div n_feats"))
+    )

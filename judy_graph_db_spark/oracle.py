@@ -1869,6 +1869,57 @@ SELECT {id_col}, {h} % {int(n_features)} AS bucket,
 FROM htf_t GROUP BY {id_col}, bucket"""
 
 
+def dsir_weights_sql(target_pred: str, n_features: int = 1024,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     table: str = "documents", seed: int = 0) -> str:
+    """Twin of ``curation.dsir_weights`` — ``target_pred`` is a WHERE
+    predicate over ``table`` naming the target subset."""
+    h = _h60_sql("term", f"dsir{seed}")
+    return f"""WITH dsw_tk AS (
+  SELECT {id_col},
+         regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}) AS toks
+  FROM {table}
+),
+dsw_g AS (
+  SELECT {id_col}, term FROM (
+    SELECT {id_col}, unnest(toks) AS term FROM dsw_tk
+    UNION ALL
+    SELECT {id_col}, toks[i] || ' ' || toks[i + 1] AS term FROM (
+      SELECT {id_col}, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM dsw_tk WHERE len(toks) >= 2
+    )
+  )
+),
+dsw_f AS (
+  SELECT {id_col}, {h} % {int(n_features)} AS bucket, COUNT(*) AS tf
+  FROM dsw_g GROUP BY 1, 2
+),
+dsw_r AS (SELECT bucket, SUM(tf) + 1 AS c_r FROM dsw_f GROUP BY bucket),
+dsw_tids AS (SELECT DISTINCT {id_col} FROM {table} WHERE {target_pred}),
+dsw_tc AS (
+  SELECT bucket, SUM(tf) AS ct FROM dsw_f
+  WHERE {id_col} IN (SELECT {id_col} FROM dsw_tids) GROUP BY bucket
+),
+dsw_lm AS (
+  SELECT r.bucket, r.c_r, COALESCE(t.ct, 0) + 1 AS c_t
+  FROM dsw_r r LEFT JOIN dsw_tc t ON r.bucket = t.bucket
+),
+dsw_n AS (SELECT SUM(c_r) AS N_r, SUM(c_t) AS N_t FROM dsw_lm),
+dsw_w AS (
+  SELECT bucket,
+         length(bin(CAST(GREATEST(1, (c_t * n.N_r * 1024)
+           // (c_r * n.N_t)) AS BIGINT))) - 11 AS w_bits
+  FROM dsw_lm, dsw_n n
+)
+SELECT f.{id_col}, CAST(SUM(f.tf) AS BIGINT) AS n_feats,
+       CAST(SUM(f.tf * w.w_bits) AS BIGINT) AS score_bits,
+       CAST(1000 * SUM(f.tf * w.w_bits) // SUM(f.tf) AS BIGINT)
+         AS mean_bits_milli
+FROM dsw_f f JOIN dsw_w w ON f.bucket = w.bucket
+GROUP BY f.{id_col}"""
+
+
 def collocation_scores_sql(min_count: int = 2, delta: int = 0,
                            text_col: str = "text",
                            table: str = "documents") -> str:

@@ -259,3 +259,38 @@ def test_corpus_summary(spark):
     twin = {(t[0], t[1]): (t[2], t[3], t[4]) for t in con.execute(
         corpus_summary_sql()).fetchall()}
     assert got == twin
+
+
+def test_dsir_weights(spark):
+    """Target-like docs outscore off-target docs, weights are exact
+    integers, and the DuckDB twin agrees row-for-row."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import dsir_weights_sql
+
+    # target domain: code-ish vocabulary (even ids); raw mix adds prose
+    rows = [(i, "def main return value import module parse token stream"
+             if i % 2 == 0 else
+             "the cat sat on the warm mat and purred all day long")
+            for i in range(20)] + [(100, "def parse import token"),
+                                   (101, "the cat and the mat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter((F.col("doc_id") % 2 == 0)
+                         & (F.col("doc_id") < 100)).select("doc_id")
+    got = CU.dsir_weights(docs, target, n_features=256, seed=5)
+    res = {r.doc_id: (r.n_feats, r.score_bits, r.mean_bits_milli)
+           for r in got.collect()}
+    assert set(res) == {*range(20), 100, 101}
+    # held-out code doc must outrank held-out prose doc
+    assert res[100][2] > res[101][2]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {t[0]: (t[1], t[2], t[3]) for t in con.execute(dsir_weights_sql(
+        "doc_id % 2 = 0 AND doc_id < 100", n_features=256, seed=5
+    )).fetchall()}
+    assert res == twin
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive"):
+        CU.dsir_weights(docs, target, n_features=0)
