@@ -1664,10 +1664,20 @@ def _q_temporal_ops(spark, sf_dir):
         F.col("user_id").cast("long").alias("a"),
         F.col("sum_gap_sq").alias("b"),
         (F.col("min_gap") * F.lit(1 << 30) + F.col("max_gap")).alias("c"))
+    # exponentially decayed per-type activity as of just past the fixture
+    # window (1-day half-life, exact power-of-two shifts)
+    from judy_graph_db_spark.operators.temporal import decayed_counts
+
+    dc = decayed_counts(
+        spark.table("events"), "2024-02-01 00:00:00", 86400, scale_pow2=30,
+    ).select(
+        F.lit("decay").alias("op"), F.col("event_type").alias("s"),
+        F.col("n_events").alias("a"), F.col("decayed").alias("b"),
+        lN.alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
             .unionByName(mk).unionByName(tre).unionByName(tw)
-            .unionByName(g1).unionByName(g2))
+            .unionByName(g1).unionByName(g2).unionByName(dc))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -3399,7 +3409,11 @@ FROM ({TEMPORAL.interarrival_stats_sql()}) t11
 UNION ALL
 SELECT 'gapsq', NULL, user_id, sum_gap_sq,
        min_gap * 1073741824 + max_gap
-FROM ({TEMPORAL.interarrival_stats_sql()}) t12""",
+FROM ({TEMPORAL.interarrival_stats_sql()}) t12
+UNION ALL
+SELECT 'decay', event_type, n_events, decayed, NULL
+FROM ({TEMPORAL.decayed_counts_sql(
+            "2024-02-01 00:00:00", 86400, scale_pow2=30)}) t13""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

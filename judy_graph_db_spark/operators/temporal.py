@@ -574,3 +574,66 @@ SELECT {key_col}, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        CAST(MIN(gap) AS BIGINT) AS min_gap,
        CAST(MAX(gap) AS BIGINT) AS max_gap
 FROM ia_g WHERE gap IS NOT NULL GROUP BY {key_col}"""
+
+
+def decayed_counts(events: DataFrame, as_of: str,
+                   half_life_seconds: int, key_col: str = "event_type",
+                   ts_col: str = "ts", scale_pow2: int = 30) -> DataFrame:
+    """Exponentially time-decayed activity score per key, EXACT in
+    integers: an event aged ``a`` seconds at ``as_of`` contributes
+    ``2^scale_pow2 >> (a div half_life_seconds)`` — stepwise
+    half-life decay realized as a bit shift, so the score is a plain
+    ``SUM`` (mergeable across shards/batches like the sketches) and
+    byte-identical in both engines where a float ``exp`` would not
+    hash-gate. The trending/recency score every activity feed and
+    freshness-weighted ranker needs; events newer than ``as_of`` are
+    excluded (a decayed score is a point-in-time statement). Events
+    older than ``scale_pow2`` half-lives contribute 0 — the same
+    truncation a float would hit at machine epsilon. Returns
+    ``(key_col, n_events, decayed)`` with ``decayed ≤ n_events ·
+    2^scale_pow2``.
+
+    Advancing the clock composes without recomputation:
+    ``score(as_of + half_life) = score(as_of) >> 1`` plus the new
+    events' contributions — the standard decayed-counter maintenance
+    trick, exact here because the decay steps are powers of two.
+
+    One scan + one map-side-combinable aggregation; no window, no
+    shuffle beyond the final groupBy. Parity-plus (SURVEY.md §2.7).
+    """
+    if half_life_seconds <= 0:
+        raise ValueError("half_life_seconds must be positive")
+    if not 0 < scale_pow2 < 62:
+        raise ValueError("scale_pow2 must be in (0, 62)")
+    return (
+        events.filter(F.col(ts_col) <= F.lit(as_of).cast("timestamp"))
+        .select(
+            F.col(key_col),
+            F.expr(
+                f"shiftright(CAST({1 << int(scale_pow2)} AS BIGINT), "
+                f"CAST(least((unix_timestamp(TIMESTAMP '{as_of}') - "
+                f"unix_timestamp({ts_col})) div {int(half_life_seconds)}, "
+                f"{int(scale_pow2) + 1}) AS INT))").alias("__c"))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("__c").alias("decayed"))
+    )
+
+
+def decayed_counts_sql(as_of: str, half_life_seconds: int,
+                       key_col: str = "event_type", ts_col: str = "ts",
+                       scale_pow2: int = 30,
+                       table: str = "events") -> str:
+    """ANSI-SQL twin of :func:`decayed_counts`. Seconds via
+    ``date_diff`` from epoch (truncation, matching Spark's
+    ``unix_timestamp``), never ``epoch()::BIGINT`` which rounds."""
+    e0 = "TIMESTAMP '1970-01-01 00:00:00'"
+    age = (f"(date_diff('second', {e0}, TIMESTAMP '{as_of}') - "
+           f"date_diff('second', {e0}, {ts_col}))")
+    return f"""SELECT {key_col}, COUNT(*) AS n_events,
+       CAST(SUM(({1 << int(scale_pow2)} >> LEAST(
+         {age} // {int(half_life_seconds)},
+         {int(scale_pow2) + 1}))) AS BIGINT) AS decayed
+FROM {table}
+WHERE {ts_col} <= TIMESTAMP '{as_of}'
+GROUP BY {key_col}"""

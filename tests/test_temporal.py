@@ -410,3 +410,38 @@ def test_interarrival_stats(spark):
     twin = {t[0]: tuple(t[1:]) for t in con.execute(
         T.interarrival_stats_sql()).fetchall()}
     assert got == twin
+
+
+def test_decayed_counts(spark):
+    """Power-of-two half-life decay: exact shift contributions, future
+    events excluded, shift-the-clock identity, twin equality."""
+    import duckdb
+
+    rows = [
+        ("a", ts("2024-01-01 00:00:00")),   # age 4h = 4 half-lives
+        ("a", ts("2024-01-01 03:00:00")),   # age 1h = 1 half-life
+        ("a", ts("2024-01-01 04:00:00")),   # age 0
+        ("b", ts("2024-01-01 03:30:00")),   # age 30m -> bucket 0
+        ("b", ts("2024-01-01 05:00:00")),   # future -> excluded
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r.event_type: (r.n_events, r.decayed)
+           for r in T.decayed_counts(
+               ev, "2024-01-01 04:00:00", 3600, scale_pow2=8).collect()}
+    # a: 256>>4 + 256>>1 + 256>>0 = 16 + 128 + 256; b: 256
+    assert got == {"a": (3, 400), "b": (1, 256)}
+    # advancing one half-life: old score halves (shift), new events add
+    later = {r.event_type: r.decayed for r in T.decayed_counts(
+        ev, "2024-01-01 05:00:00", 3600, scale_pow2=8).collect()}
+    assert later["a"] == 400 // 2
+    assert later["b"] == 256 // 2 + 256
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    twin = {t[0]: (t[1], t[2]) for t in con.execute(T.decayed_counts_sql(
+        "2024-01-01 04:00:00", 3600, scale_pow2=8)).fetchall()}
+    assert twin == got
+    with pytest.raises(ValueError, match="positive"):
+        T.decayed_counts(ev, "2024-01-01 04:00:00", 0)
+    with pytest.raises(ValueError, match="scale_pow2"):
+        T.decayed_counts(ev, "2024-01-01 04:00:00", 3600, scale_pow2=99)
