@@ -1312,6 +1312,13 @@ def _q_doc_signals(spark, sf_dir):
         T.tag_count(html_t).alias("n_tags"),
         F.md5(T.strip_html(html_t)).alias("nohtml_md5"),
         T.canonicalize_url(track_url).alias("canon_url"),
+        # card-injected variant: even docs get a Luhn-VALID test number,
+        # odd docs the same digits with the check digit off by one; the
+        # 12-digit order id must never count
+        T.luhn_valid_count(F.concat(
+            t, F.lit(" order 123456789012 card "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("4532015112830366"))
+            .otherwise(F.lit("4532015112830367")))).alias("n_luhn"),
     )
 
 
@@ -2767,7 +2774,11 @@ SELECT doc_id,
        md5({O.dedup_lines_sql(LINED_T_SQL)}) AS stripped_md5,
        {O.tag_count_sql(HTML_T_SQL)} AS n_tags,
        md5({O.strip_html_sql(HTML_T_SQL)}) AS nohtml_md5,
-       {O.canonicalize_url_sql(TRACK_URL_SQL)} AS canon_url
+       {O.canonicalize_url_sql(TRACK_URL_SQL)} AS canon_url,
+       {O.luhn_valid_count_sql(
+           "text || ' order 123456789012 card ' || "
+           "CASE WHEN doc_id % 2 = 0 THEN '4532015112830366' "
+           "ELSE '4532015112830367' END")} AS n_luhn
 FROM documents""",
         "exact_dedup": """
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -300,3 +300,47 @@ def canonicalize_url(url: Column) -> Column:
     c = F.regexp_replace(c, "[?&]$", "")
     c = F.regexp_replace(c, "/$", "")
     return c
+
+
+# candidate card numbers: plain 13-19 digit runs (ASCII-only, RE2-safe;
+# separator-tolerant variants would need lookarounds RE2 lacks)
+CARD_CAND_RE = r"[0-9]{13,19}"
+
+
+def luhn_valid_count(text: Column) -> Column:
+    """Number of 13-19-digit runs that pass the Luhn mod-10 checksum
+    (ISO/IEC 7812) — the checksum-validated layer of card-number PII
+    detection: a bare ``[0-9]{16}`` regex flags order ids and hashes,
+    while 90% of random digit runs fail Luhn, so this count is the
+    high-precision signal a redaction pipeline keys on. Pure Column
+    expression (regexp + higher-order transform/aggregate), scan-stage
+    at any scale — no UDF. Doubled digit = every second from the RIGHT,
+    i.e. 1-based left position ``i`` where ``(len - i)`` is odd."""
+
+    def term(s, i):
+        d = F.ascii(F.substr(s, i, F.lit(1))) - F.lit(48)
+        return (F.when((F.length(s) - i) % 2 == 0, d)
+                .when(d * 2 > 9, d * 2 - 9)
+                .otherwise(d * 2))
+
+    def luhn_ok(s):
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.length(s)),
+                        lambda i: term(s, i)),
+            F.lit(0), lambda acc, x: acc + x) % 10 == 0
+
+    cands = F.regexp_extract_all(text, F.lit(CARD_CAND_RE), F.lit(0))
+    return F.size(F.filter(cands, luhn_ok)).cast("long")
+
+
+def luhn_valid_count_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`luhn_valid_count`."""
+    lam = (
+        "s -> list_sum(list_transform(generate_series(1, length(s)), i -> "
+        "CASE WHEN (length(s) - i) % 2 = 0 THEN ascii(substr(s, i, 1)) - 48 "
+        "WHEN (ascii(substr(s, i, 1)) - 48) * 2 > 9 "
+        "THEN (ascii(substr(s, i, 1)) - 48) * 2 - 9 "
+        "ELSE (ascii(substr(s, i, 1)) - 48) * 2 END)) % 10 = 0"
+    )
+    return (f"CAST(len(list_filter(regexp_extract_all({col}, "
+            f"'{CARD_CAND_RE}'), {lam})) AS BIGINT)")

@@ -33,6 +33,7 @@ from judy_graph_db_spark.functions.text import (
     PUNCT_RE,
     STOPWORDS,
     WORD_TOKEN_RE,
+    luhn_valid_count_sql,
 )
 from judy_graph_db_spark.operators.dedup import (
     BAND_ROWS,

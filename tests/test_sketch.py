@@ -257,3 +257,32 @@ def test_mean_pool_embeddings(spark, duck):
         F.posexplode("pooled_q").alias("i", "q"))
     ok, msg = compare(flat, duck, O.mean_pool_sql("doc", "FROM _mp"))
     assert ok, msg
+
+
+def test_luhn_valid_count(spark):
+    """Luhn-valid runs counted, invalid/short/long runs not; twin agrees."""
+    import duckdb
+
+    from judy_graph_db_spark.functions.text import (luhn_valid_count,
+                                                    luhn_valid_count_sql)
+
+    rows = [
+        (1, "pay 4532015112830366 now"),          # valid Visa test number
+        (2, "id 4532015112830367 isn't a card"),  # checksum off by one
+        (3, "378282246310005 and 371449635398431"),  # two valid Amex
+        (4, "order 123456789012 too short"),      # 12 digits: no candidate
+        (5, "hash 12345678901234567890123 ok"),   # >19: greedy 19 + rest
+        (6, "no digits at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in docs.select(
+        "doc_id", luhn_valid_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 1 and got[2] == 0 and got[3] == 2
+    assert got[4] == 0 and got[6] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    twin = {t[0]: t[1] for t in con.execute(
+        f"SELECT doc_id, {luhn_valid_count_sql('text')} FROM documents"
+    ).fetchall()}
+    assert twin == got
