@@ -1155,14 +1155,24 @@ def _q_k_core(spark, sf_dir):
     cor = AN.coreness(cg, k_max=6).select(
         F.lit("coreness").alias("op"), F.col("id").alias("a"),
         F.col("coreness").alias("b"), lN.alias("c"))
+    # Jones-Plassmann coloring over the chains; rounds = longest
+    # decreasing-priority run, observed 5 at sf0.01 —
+    # COLORING_ORACLE_ROUNDS=14 margins it, and greedy_coloring raises
+    # loudly (before any hash compare) if the bound is ever hit
+    col = AN.greedy_coloring(chains, max_iter=COLORING_ORACLE_ROUNDS,
+                             seed=7).select(
+        F.lit("color").alias("op"), F.col("id").alias("a"),
+        F.col("color").alias("b"), F.col("round").alias("c"))
     return (core.unionByName(truss).unionByName(mis).unionByName(mat)
-            .unionByName(coa).unionByName(emb).unionByName(cor))
+            .unionByName(coa).unionByName(emb).unionByName(cor)
+            .unionByName(col))
 
 
 K_CORE_ORACLE_ROUNDS = 8
 TRUSS_ORACLE_ROUNDS = 4
 MIS_ORACLE_ROUNDS = 8
 MATCHING_ORACLE_ROUNDS = 10
+COLORING_ORACLE_ROUNDS = 14
 # k=2 peeling of an open chain drops ONE endpoint pair per round, so
 # rounds must cover max-chain-length/2; TPC-H orders-per-customer is
 # SF-independent (~max 40), so 24 holds at every scale factor
@@ -3342,7 +3352,16 @@ FROM ({AN.coarsen_oracle_sql(
                 f"o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
                 f"AS dst FROM orders QUALIFY dst IS NOT NULL",
                 seed=7, rounds=MATCHING_ORACLE_ROUNDS) + ")",
-        )}) t5""",
+        )}) t5
+UNION ALL
+SELECT 'color', id, color, round
+FROM ({AN.greedy_coloring_sql(
+            f"SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src, "
+            f"CAST(5*{B} + LEAD(o_orderkey) OVER (PARTITION BY o_custkey "
+            f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
+            f"FROM orders QUALIFY dst IS NOT NULL",
+            max_iter=COLORING_ORACLE_ROUNDS, seed=7,
+        )}) t8""",
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)
         # per reachable pair — the doubling operator must agree with the

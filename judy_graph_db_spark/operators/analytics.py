@@ -3034,3 +3034,143 @@ FROM lm_p p
 JOIN lm_d a ON a.id = p.u
 JOIN lm_d b ON b.id = p.v AND b.landmark = a.landmark
 GROUP BY p.u, p.v"""
+
+
+def greedy_coloring(edges: DataFrame, max_iter: int = 64,
+                    seed: int = 0) -> DataFrame:
+    """Distance-1 graph coloring by parallel Jones–Plassmann (1993):
+    every node gets a deterministic md5 priority; each round, every
+    uncolored node whose higher-priority neighbors are ALL colored takes
+    the smallest color absent among its colored neighbors. Proper
+    coloring with ≤ Δ+1 colors, byte-identical on any partitioning (the
+    priority is a content hash, ties broken by id). Returns ``(id,
+    color, round)`` — ``round`` is when the node settled, the
+    parallel-schedule depth. The standard "which rows can run
+    concurrently" primitive: conflict-free update waves, register-style
+    resource assignment, independent-batch scheduling over a 100 TB
+    conflict graph.
+
+    Each round = one colored-neighbor aggregation + one
+    higher-priority-uncolored anti-check + an array min-free-color pick
+    — keyed joins and per-node arrays bounded by degree, no global
+    structure. Expected rounds = longest decreasing-priority path =
+    O(log n / log log n) on random priorities (Jones & Plassmann 1993),
+    NOT the color count. Raises loudly if ``max_iter`` rounds leave
+    nodes uncolored (mirroring the fixed-unroll twin's truncation).
+
+    Parity-plus vs the reference (no coloring surface; SURVEY.md §2.7).
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    adj = (
+        und.unionByName(und.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        .distinct().localCheckpoint(eager=True)
+    )
+    pri = F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.lit(f"color{seed}"), F.col("id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    nodes = (
+        adj.select(F.col("a").alias("id")).distinct()
+        .select("id", pri.alias("pri"))
+        .localCheckpoint(eager=True)
+    )
+    colored = spark.createDataFrame(
+        [], "id BIGINT, color BIGINT, round BIGINT")
+    uncolored = nodes
+    for rnd in range(1, max_iter + 1):
+        if uncolored.limit(1).count() == 0:
+            break
+        # does an uncolored node still have a higher-priority uncolored
+        # neighbor? (priority = (pri, id) lexicographic, collision-safe)
+        blocked = (
+            uncolored.alias("u")
+            .join(adj, F.col("u.id") == F.col("a"))
+            .join(uncolored.select(F.col("id").alias("b"),
+                                   F.col("pri").alias("bpri")), "b")
+            .filter((F.col("bpri") > F.col("u.pri"))
+                    | ((F.col("bpri") == F.col("u.pri"))
+                       & (F.col("b") > F.col("u.id"))))
+            .select(F.col("u.id").alias("id")).distinct()
+        )
+        ready = uncolored.join(blocked, "id", "left_anti")
+        used = (
+            ready.join(adj, ready.id == adj.a, "left")
+            .join(colored.select(F.col("id").alias("b"),
+                                 F.col("color").alias("c")),
+                  "b", "left")
+            .groupBy(ready.id)
+            .agg(F.collect_set("c").alias("used"))
+        )
+        newly = used.select(
+            "id",
+            F.expr("array_min(array_except("
+                   "sequence(1, size(used) + 1), used))").alias("color"),
+            F.lit(rnd).cast("long").alias("round"),
+        ).localCheckpoint(eager=True)
+        colored = colored.unionByName(newly).localCheckpoint(eager=True)
+        uncolored = uncolored.join(newly.select("id"), "id", "left_anti") \
+            .localCheckpoint(eager=True)
+    remaining = uncolored.limit(1).count()
+    if remaining:
+        raise AssertionError(
+            f"greedy_coloring: nodes uncolored after {max_iter} rounds — "
+            "raise max_iter (twin unrolls the same bound)")
+    return colored
+
+
+def greedy_coloring_sql(edges_sql: str, max_iter: int = 64,
+                        seed: int = 0) -> str:
+    """ANSI-SQL twin of :func:`greedy_coloring` — fixed unroll, one
+    colored-set CTE per round (the Spark loop raises if the bound is
+    hit, so equal unrolls see equal fixpoints)."""
+    h = (f"CAST(CAST('0x' || substring(md5(concat_ws('|', 'color{seed}', "
+         f"CAST(id AS VARCHAR))), 1, 15) AS UBIGINT) AS BIGINT)")
+    parts = [f"""WITH gc_e AS (
+  SELECT a, b FROM (
+    SELECT src AS a, dst AS b FROM ({edges_sql}) WHERE src <> dst
+    UNION SELECT dst, src FROM ({edges_sql}) WHERE src <> dst
+  )
+),
+gc_n AS (
+  SELECT id, {h} AS pri FROM (SELECT DISTINCT a AS id FROM gc_e)
+),
+gc_c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color,
+          CAST(NULL AS BIGINT) AS rnd WHERE 1 = 0)"""]
+    for r in range(1, max_iter + 1):
+        # MATERIALIZED is load-bearing: every round references the
+        # previous colored set several times, and inlined CTEs would
+        # re-evaluate the whole prefix — exponential in max_iter
+        parts.append(f""", gc_u{r} AS MATERIALIZED (
+  SELECT n.id, n.pri FROM gc_n n
+  WHERE n.id NOT IN (SELECT id FROM gc_c{r - 1})
+), gc_r{r} AS (
+  SELECT u.id FROM gc_u{r} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM gc_e e JOIN gc_u{r} v ON e.b = v.id
+    WHERE e.a = u.id
+      AND (v.pri > u.pri OR (v.pri = u.pri AND v.id > u.id))
+  )
+), gc_c{r} AS MATERIALIZED (
+  SELECT * FROM gc_c{r - 1}
+  UNION ALL
+  SELECT r.id,
+         CAST(list_min(list_filter(generate_series(1, len(used) + 1),
+           x -> NOT list_contains(used, x))) AS BIGINT) AS color,
+         CAST({r} AS BIGINT) AS rnd
+  FROM (
+    SELECT r.id,
+           list_distinct(list_filter(list(c.color), x -> x IS NOT NULL))
+             AS used
+    FROM gc_r{r} r
+    LEFT JOIN gc_e e ON e.a = r.id
+    LEFT JOIN gc_c{r - 1} c ON c.id = e.b
+    GROUP BY r.id
+  ) r
+)""")
+    parts.append(
+        f"\nSELECT id, color, rnd AS round FROM gc_c{max_iter}")
+    return "\n".join(parts)

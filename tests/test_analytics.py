@@ -1320,3 +1320,37 @@ def test_landmark_distances_and_upper(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive"):
         AN.landmark_distances(e, n_landmarks=0)
+
+
+def test_greedy_coloring(spark):
+    """Proper coloring (no edge monochromatic), <= Delta+1 colors,
+    deterministic across runs, DuckDB twin identical."""
+    # Petersen-ish mix: a 5-cycle + chords + an isolated edge
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2), (1, 3),
+             (10, 11)]
+    e = edges_df(spark, pairs)
+    got = {r.id: r.color for r in AN.greedy_coloring(e, max_iter=16).collect()}
+    und = pairs + [(b, a) for a, b in pairs]
+    assert all(got[a] != got[b] for a, b in und)
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+    assert all(c <= deg[v] + 1 for v, c in got.items())
+    # determinism
+    again = {r.id: r.color
+             for r in AN.greedy_coloring(e, max_iter=16).collect()}
+    assert again == got
+    con = duckdb.connect()
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    twin = sorted(tuple(t) for t in con.execute(AN.greedy_coloring_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", max_iter=16
+    )).fetchall())
+    assert twin == sorted(
+        tuple(r) for r in AN.greedy_coloring(e, max_iter=16).collect())
+    # a triangle needs exactly 3 colors
+    tri = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    cols = {r.color for r in AN.greedy_coloring(tri).collect()}
+    assert cols == {1, 2, 3}
+    import pytest as _pt
+    with _pt.raises(AssertionError, match="uncolored"):
+        AN.greedy_coloring(edges_df(spark, [(1, 2), (2, 3)]), max_iter=1)
