@@ -3174,3 +3174,51 @@ gc_c0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color,
     parts.append(
         f"\nSELECT id, color, rnd AS round FROM gc_c{max_iter}")
     return "\n".join(parts)
+
+
+def betweenness_centrality(edges: DataFrame,
+                           sources: DataFrame | None = None,
+                           closure: DataFrame | None = None,
+                           max_iter: int = 100) -> DataFrame:
+    """Betweenness centrality (Freeman 1977 / Brandes 2001):
+    ``b(v) = Σ_{s≠v≠t} σ_st(v) / σ_st`` — the fraction of shortest paths
+    mediated by each node. Composition over the same σ closure as
+    :func:`stress_centrality` (pass ``closure=`` to share one
+    materialization): ``σ_st(v) = σ_sv·σ_vt`` when ``d(s,v)+d(v,t) =
+    d(s,t)``, so betweenness is the stress triple join with each
+    contribution divided by ``σ_st``. Returns ``(id, betweenness
+    DOUBLE)`` for nodes with positive score.
+
+    Float by necessity (the σ ratios are arbitrary rationals), so this
+    is unit-tested against a reference implementation, NOT hash-gated —
+    exactly the bm25/pca house rule; the integer-exact sibling
+    :func:`stress_centrality` carries the family's driver row.
+
+    ``sources`` (a DataFrame of ``id``) restricts the s side — the
+    standard sampled approximation (Brandes & Pich 2007): scores scale
+    to the sample, ranks converge fast, and the triple join shrinks
+    linearly in |sources|. Closure-sized state is the documented trade;
+    for hub-heavy 100 TB graphs sample sources AND cap the closure with
+    the same hub guards the other closure consumers use.
+    """
+    C = closure if closure is not None else shortest_path_counts(
+        edges, max_iter=max_iter).localCheckpoint(eager=True)
+    a = C.select(F.col("src").alias("s"), F.col("dst").alias("v"),
+                 F.col("depth").alias("d1"), F.col("sigma").alias("sig1"))
+    if sources is not None:
+        a = a.join(sources.select(F.col("id").alias("s")).distinct(), "s")
+    b = C.select(F.col("src").alias("v"), F.col("dst").alias("t"),
+                 F.col("depth").alias("d2"), F.col("sigma").alias("sig2"))
+    st = C.select(F.col("src").alias("s"), F.col("dst").alias("t"),
+                  F.col("depth").alias("dst_d"),
+                  F.col("sigma").alias("sig_st"))
+    return (
+        a.join(b, "v")
+        .filter(F.col("s") != F.col("t"))
+        .join(st, ["s", "t"])
+        .filter(F.col("d1") + F.col("d2") == F.col("dst_d"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(
+            (F.col("sig1") * F.col("sig2")).cast("double") / F.col("sig_st")
+        ).alias("betweenness"))
+    )

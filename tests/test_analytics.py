@@ -1354,3 +1354,73 @@ def test_greedy_coloring(spark):
     import pytest as _pt
     with _pt.raises(AssertionError, match="uncolored"):
         AN.greedy_coloring(edges_df(spark, [(1, 2), (2, 3)]), max_iter=1)
+
+
+def _brandes_reference(pairs, sources=None):
+    """Textbook Brandes (2001) on an adjacency dict — the float oracle."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        adj[a].append(b)
+        nodes |= {a, b}
+    bc = defaultdict(float)
+    for s in (sources if sources is not None else nodes):
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: x for v, x in bc.items() if x > 0}
+
+
+def test_betweenness_centrality(spark):
+    """Diamond/path closed forms, a random-graph check against textbook
+    Brandes, and sampled sources = reference restricted to them."""
+    # diamond 1->{2,3}->4: two s-t paths, each middle mediates half
+    e = edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    got = {r.id: r.betweenness
+           for r in AN.betweenness_centrality(e).collect()}
+    assert got == {2: 0.5, 3: 0.5}
+    # directed path 1->2->3->4: interior scores 2 and 2... (1,3),(1,4),(2,4)
+    e2 = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    got2 = {r.id: r.betweenness
+            for r in AN.betweenness_centrality(e2).collect()}
+    assert got2 == {2: 2.0, 3: 2.0}
+    # pseudo-random digraph vs the reference implementation
+    import random
+
+    rng = random.Random(17)
+    pairs = sorted({(rng.randrange(10), rng.randrange(10))
+                    for _ in range(28)} - {(i, i) for i in range(10)})
+    e3 = edges_df(spark, pairs)
+    got3 = {r.id: r.betweenness
+            for r in AN.betweenness_centrality(e3).collect()}
+    ref = _brandes_reference(pairs)
+    assert set(got3) == set(ref)
+    assert all(abs(got3[v] - ref[v]) < 1e-9 for v in ref)
+    # sampled sources
+    srcs = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    got4 = {r.id: r.betweenness for r in AN.betweenness_centrality(
+        e3, sources=srcs).collect()}
+    ref4 = _brandes_reference(pairs, sources=[0, 1, 2])
+    assert set(got4) == set(ref4)
+    assert all(abs(got4[v] - ref4[v]) < 1e-9 for v in ref4)
