@@ -2060,10 +2060,19 @@ def _q_graph_similarity(spark, sf_dir):
     lmu = AN.landmark_distance_upper(ld, pairs).select(
         F.lit("lmu").alias("op"), F.col("u").alias("a"),
         F.col("v").alias("b"), F.col("dist_upper").alias("c"), lN.alias("d"))
+    # HyperBall depth-3 ball registers over the chains — the oracle is the
+    # chain closed form (ball of position i = positions i..i+3, capped at
+    # L) fed through the same 60-bit-md5 HLL register formula, stated
+    # independently of the iterative max-merge fold
+    hb = AN.hyperball_registers(chains, rounds=3, p=4).select(
+        F.lit("hball").alias("op"), F.col("id").alias("a"),
+        F.col("bucket").cast("long").alias("b"),
+        F.col("max_rho").cast("long").alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
             .unionByName(sig).unionByName(ra).unionByName(spt)
-            .unionByName(diam).unionByName(lmd).unionByName(lmu))
+            .unionByName(diam).unionByName(lmd).unionByName(lmu)
+            .unionByName(hb))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -3723,7 +3732,34 @@ FROM ({AN.landmark_upper_sql(
             f"(SELECT DISTINCT l_suppkey + {2 * B} AS u FROM lineitem "
             f" WHERE l_suppkey % 3 = 0) b ON a.u < b.u",
             n_landmarks=2, max_iter=6,
-        )}) t13""",
+        )}) t13
+UNION ALL
+SELECT 'hball', id, bucket, max_rho, NULL
+FROM (WITH pos AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+),
+mem AS (
+  SELECT CAST(5*{B} + a.o_orderkey AS BIGINT) AS id,
+         CAST(5*{B} + b.o_orderkey AS BIGINT) AS member
+  FROM pos a JOIN pos b
+    ON a.o_custkey = b.o_custkey AND b.i BETWEEN a.i AND a.i + 3
+  WHERE a.L >= 2
+),
+hh AS (
+  SELECT id,
+         CAST(CAST('0x' || substring(md5('hll:' || member), 1, 15)
+              AS UBIGINT) AS BIGINT) % 16 AS bucket,
+         (CAST(CAST('0x' || substring(md5('hll:' || member), 1, 15)
+              AS UBIGINT) AS BIGINT) // 16) % {1 << 48} AS r
+  FROM mem
+)
+SELECT id, bucket,
+       MAX(CASE WHEN r = 0 THEN 49 ELSE 49 - length(bin(r)) END) AS max_rho
+FROM hh GROUP BY id, bucket) t14""",
         # sampling / incremental family bundle
         "sampling_ops": f"""
 SELECT 'neighbor' AS op, src AS a, dst AS b, CAST(sample_rank AS BIGINT) AS c

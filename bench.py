@@ -312,6 +312,11 @@ def main() -> None:
         lambda: TMP.time_respecting_reachability(
             trans_b, ts_col="t", min_wait=1).count(), repeats=2)
 
+    # round-8 surface
+    run("hyperball_r3",
+        lambda: AN.hyperball_registers(chains_b, rounds=3, p=4).count(),
+        repeats=2)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_total",

@@ -3222,3 +3222,129 @@ def betweenness_centrality(edges: DataFrame,
             (F.col("sig1") * F.col("sig2")).cast("double") / F.col("sig_st")
         ).alias("betweenness"))
     )
+
+
+def hyperball_registers(edges: DataFrame, rounds: int = 3, p: int = 4,
+                        nodes: DataFrame | None = None,
+                        with_rounds: bool = False) -> DataFrame:
+    """HyperBall ball-size sketches (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall").
+
+    Per-node HLL registers of the OUT-ball ``B(v, r) = {v} ∪ {w :
+    v →≤r w}``: round r+1 max-merges every node's registers with its
+    out-neighbors' round-r registers — one sketched BFS step from EVERY
+    source simultaneously. ``hll_estimate`` over a node's rows then
+    approximates ``|B(v, r)|``; the per-round series is the neighborhood
+    function (→ effective diameter, approximate closeness/distance
+    distributions) that an exact all-pairs closure cannot afford at
+    100 TB. State is O(nodes · min(2^p, |ball|)) register rows — the
+    representation is sparse, only occupied buckets exist — and each
+    round is ONE dst-keyed equi-join + one (id, bucket)
+    map-side-combinable max: node+edge-linear, never pair-quadratic,
+    the same shuffle shape as one PageRank iteration.
+
+    Registers use the identical seeded-md5 60-bit hash as
+    :func:`~judy_graph_db_spark.operators.sketch.hll_registers`, so the
+    output is byte-identical across engines and partitionings and
+    max-mergeable across graph shards. EXACT invariant (tested): after r
+    rounds a node's rows equal ``hll_registers`` of its exact depth-≤r
+    ball membership — approximation enters only at estimate time.
+
+    Returns ``(id, bucket, max_rho)``; ``with_rounds`` prepends a
+    ``round`` column carrying every 0..rounds prefix (the
+    neighborhood-function input for :func:`hyperball_nf`).
+
+    Reference: judy-graph-db stops at exact closures
+    (`src/JudyGraph/Cypher.hs` `***`); parity-plus for corpus-scale
+    graphs where exact all-pairs state is unaffordable.
+    """
+    from judy_graph_db_spark.operators.sketch import _HLL_W, _h60
+
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = (e.select(F.col("src").alias("id"))
+                 .unionByName(e.select(F.col("dst").alias("id")))
+                 .distinct())
+    else:
+        nodes = nodes.select("id").distinct()
+    h = _h60(F.col("id"), "hll")
+    regs = nodes.select(
+        "id",
+        (h % (1 << p)).alias("bucket"),
+        F.when(F.shiftright(h, p) % (1 << _HLL_W) == 0,
+               F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1)
+                   - F.length(F.bin(F.shiftright(h, p) % (1 << _HLL_W))))
+        .alias("max_rho"),
+    ).localCheckpoint(eager=True)
+    snapshots = [regs]
+    for _ in range(rounds):
+        contrib = (
+            e.join(regs.select(F.col("id").alias("dst"), "bucket",
+                               "max_rho"), "dst")
+            .select(F.col("src").alias("id"), "bucket", "max_rho")
+        )
+        nxt = (
+            regs.unionByName(contrib)
+            .groupBy("id", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint(eager=True)
+        )
+        snapshots.append(nxt)
+        regs = nxt
+    if with_rounds:
+        out = None
+        for r, snap in enumerate(snapshots):
+            part = snap.select(F.lit(r).cast("long").alias("round"),
+                               "id", "bucket", "max_rho")
+            out = part if out is None else out.unionByName(part)
+        return out
+    for snap in snapshots[:-1]:
+        _unpersist_checkpoint(snap)
+    return regs
+
+
+def hyperball_nf(regs_with_rounds: DataFrame, p: int = 4) -> dict:
+    """Neighborhood function from ``hyperball_registers(...,
+    with_rounds=True)`` output: ``{round: NF(round)}`` where ``NF(r) =
+    Σ_v est|B(v, r)|`` (Palmer et al. 2002's ANF, estimated per node with
+    the standard bias-corrected HLL harmonic mean). Driver-side floats
+    over the ≤ rounds·nodes·2^p-row register relation — unit-tested for
+    accuracy rather than oracle-hashed, like ``hll_estimate``."""
+    import math
+
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)) if m < 128 else 0.7213 / (1 + 1.079 / m)
+    rows = regs_with_rounds.groupBy("round", "id").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_occ"),
+        F.count(F.lit(1)).alias("occ"),
+    ).collect()
+    nf: dict = {}
+    for row in rows:
+        zeros = m - row["occ"]
+        z = row["z_occ"] + zeros  # empty buckets contribute 2^-0 = 1
+        est = alpha * m * m / z
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        nf[row["round"]] = nf.get(row["round"], 0.0) + est
+    return dict(sorted(nf.items()))
+
+
+def effective_diameter(nf: dict, alpha: float = 0.9) -> float:
+    """Effective diameter from a neighborhood function: the (interpolated)
+    smallest r where NF(r) ≥ alpha · NF(max round) — the Boldi-Vigna /
+    ANF headline statistic ("90% of connected pairs are within d hops").
+    """
+    if not nf:
+        return 0.0
+    target = alpha * nf[max(nf)]
+    prev_r, prev_v = 0, 0.0
+    for r in sorted(nf):
+        v = nf[r]
+        if v >= target:
+            if r == 0 or v == prev_v:
+                return float(r)
+            return prev_r + (target - prev_v) / (v - prev_v)
+        prev_r, prev_v = r, v
+    return float(max(nf))

@@ -1424,3 +1424,57 @@ def test_betweenness_centrality(spark):
     ref4 = _brandes_reference(pairs, sources=[0, 1, 2])
     assert set(got4) == set(ref4)
     assert all(abs(got4[v] - ref4[v]) < 1e-9 for v in ref4)
+
+
+def test_hyperball_exact_register_invariant(spark):
+    """After r rounds a node's registers equal hll_registers of its EXACT
+    depth-<=r out-ball — approximation enters only at estimate time."""
+    import random
+
+    from judy_graph_db_spark.operators.sketch import hll_registers
+
+    rng = random.Random(23)
+    pairs = sorted({(rng.randrange(12), rng.randrange(12))
+                    for _ in range(30)} - {(i, i) for i in range(12)})
+    e = edges_df(spark, pairs)
+    rounds = 2
+    got = {
+        (r.id, r.bucket): r.max_rho
+        for r in AN.hyperball_registers(e, rounds=rounds, p=4).collect()
+    }
+    # exact balls via python BFS
+    adj = {}
+    nodes = set()
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    for v in sorted(nodes):
+        ball, frontier = {v}, {v}
+        for _ in range(rounds):
+            frontier = {w for u in frontier for w in adj.get(u, [])} - ball
+            ball |= frontier
+        members = spark.createDataFrame([(m,) for m in sorted(ball)],
+                                        "id long")
+        want = {r.bucket: r.max_rho
+                for r in hll_registers(members, "id", p=4).collect()}
+        mine = {b: rho for (i, b), rho in got.items() if i == v}
+        assert mine == want, f"node {v}"
+
+
+def test_hyperball_nf_and_effective_diameter(spark):
+    """NF estimates track exact ball sizes on a chain; effective diameter
+    of a chain's NF lands between 0 and the chain length."""
+    L = 30
+    e = edges_df(spark, [(i, i + 1) for i in range(L)])
+    regs = AN.hyperball_registers(e, rounds=4, p=6, with_rounds=True)
+    nf = AN.hyperball_nf(regs, p=6)
+    assert sorted(nf) == [0, 1, 2, 3, 4]
+    # exact NF(r) = sum over positions of min(r, L-pos)+1
+    for r in range(5):
+        exact = sum(min(r, L - i) + 1 for i in range(L + 1))
+        assert abs(nf[r] - exact) / exact < 0.35  # p=6 HLL error margin
+    assert nf[0] < nf[1] < nf[2] < nf[3] < nf[4]
+    d = AN.effective_diameter(nf, alpha=0.9)
+    assert 0.0 < d <= 4.0
+    # degenerate: empty nf
+    assert AN.effective_diameter({}) == 0.0
