@@ -955,7 +955,33 @@ def _q_triangle_count(spark, sf_dir):
         F.col("squares").alias("n"))
     lcc = AN.local_clustering(fwd).select(
         F.lit("lcc").alias("op"), "id", F.col("lcc_permille").alias("n"))
-    return tri.unionByName(sq).unionByName(lcc)
+    # directed census over order chains + skip-2 shortcuts + even-custkey
+    # closing edges: 3-order even customers contribute cyclic rotations,
+    # every skip edge closes a feed-forward loop; the oracle counts both
+    # with independent 3-way joins on the directed edge set
+    wnd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = spark.table("orders")
+    ch = orders.select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.lead("o_orderkey").over(wnd) + F.lit(5 * B)).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    sk = orders.select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("src"),
+        (F.lead("o_orderkey", 2).over(wnd) + F.lit(5 * B)).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("o_orderdate", "o_orderkey")).alias("_fst"),
+        F.max(F.struct("o_orderdate", "o_orderkey")).alias("_lst"))
+    closing = per_cust.filter(
+        (F.col("o_custkey") % 2 == 0) & (F.col("cnt") >= 2)
+    ).select((F.col("_lst.o_orderkey") + F.lit(5 * B)).alias("src"),
+             (F.col("_fst.o_orderkey") + F.lit(5 * B)).alias("dst"))
+    census = AN.directed_triangle_census(
+        ch.unionByName(sk).unionByName(closing)
+    ).select(F.concat(F.lit("census_"), F.col("kind")).alias("op"),
+             lN.alias("id"), F.col("n"))
+    return tri.unionByName(sq).unionByName(lcc).unionByName(census)
 
 
 def _q_pagerank(spark, sf_dir):
@@ -3217,7 +3243,41 @@ LEFT JOIN (
     JOIN und e2 ON e1.b = e2.a
     JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
   ) GROUP BY 1
-) tn ON degs.id = tn.node""",
+) tn ON degs.id = tn.node
+UNION ALL
+SELECT 'census_' || kind, NULL, n
+FROM (WITH de AS (
+  SELECT src, dst FROM (
+    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+           CAST(5*{B} + LEAD(o_orderkey) OVER wd AS BIGINT) AS dst
+    FROM orders
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  ) c1 WHERE dst IS NOT NULL
+  UNION
+  SELECT src, dst FROM (
+    SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+           CAST(5*{B} + LEAD(o_orderkey, 2) OVER wd AS BIGINT) AS dst
+    FROM orders
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  ) c2 WHERE dst IS NOT NULL
+  UNION
+  SELECT CAST(5*{B} + (MAX(struct_pack(d := o_orderdate,
+                                       k := o_orderkey))).k AS BIGINT),
+         CAST(5*{B} + (MIN(struct_pack(d := o_orderdate,
+                                       k := o_orderkey))).k AS BIGINT)
+  FROM orders GROUP BY o_custkey
+  HAVING o_custkey % 2 = 0 AND COUNT(*) >= 2
+)
+SELECT 'cyclic' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+FROM de e1
+JOIN de e2 ON e1.dst = e2.src
+JOIN de e3 ON e2.dst = e3.src AND e3.dst = e1.src
+WHERE e1.src < e2.src AND e1.src < e3.src
+UNION ALL
+SELECT 'transitive', CAST(COUNT(*) AS BIGINT)
+FROM de e1
+JOIN de e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+JOIN de e3 ON e3.src = e1.src AND e3.dst = e2.dst) cns""",
         "degree_histogram": f"""{P}
 SELECT label, CAST(length(bin(degree)) AS BIGINT) AS bucket,
        COUNT(*) AS n_nodes, CAST(SUM(degree) AS BIGINT) AS sum_degree

@@ -316,6 +316,8 @@ def main() -> None:
     run("hyperball_r3",
         lambda: AN.hyperball_registers(chains_b, rounds=3, p=4).count(),
         repeats=2)
+    run("triangle_census",
+        lambda: AN.directed_triangle_census(chains_b).collect(), repeats=2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -1478,3 +1478,49 @@ def test_hyperball_nf_and_effective_diameter(spark):
     assert 0.0 < d <= 4.0
     # degenerate: empty nf
     assert AN.effective_diameter({}) == 0.0
+
+
+def test_directed_triangle_census(spark):
+    """Census matches brute force on hand cases and a random digraph with
+    reciprocal edges (motif instances, not triangle sets)."""
+    import itertools
+    import random
+
+    def brute(pairs):
+        es = set(pairs)
+        nodes = sorted({n for p in pairs for n in p})
+        cyc = sum(
+            1 for a, b, c in itertools.combinations(nodes, 3)
+            for rot in (((a, b), (b, c), (c, a)), ((a, c), (c, b), (b, a)))
+            if all(x in es for x in rot))
+        # each ordered (a,b,c) with a→b, b→c, a→c is one instance
+        tra = sum(
+            1 for a, b, c in itertools.permutations(nodes, 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es)
+        return cyc, tra
+
+    # feed-forward loop: 1->2, 2->3, 1->3
+    e = edges_df(spark, [(1, 2), (2, 3), (1, 3)])
+    got = {r.kind: r.n for r in AN.directed_triangle_census(e).collect()}
+    assert got == {"cyclic": 0, "transitive": 1}
+    # 3-cycle
+    e2 = edges_df(spark, [(1, 2), (2, 3), (3, 1)])
+    got2 = {r.kind: r.n for r in AN.directed_triangle_census(e2).collect()}
+    assert got2 == {"cyclic": 1, "transitive": 0}
+    # reciprocal pair closing both ways: 1<->2, 1->3, 2->3
+    e3 = edges_df(spark, [(1, 2), (2, 1), (1, 3), (2, 3)])
+    got3 = {r.kind: r.n for r in AN.directed_triangle_census(e3).collect()}
+    assert got3 == {"cyclic": 0, "transitive": 2}
+    # random digraph incl. reciprocals and duplicate edges
+    rng = random.Random(41)
+    pairs = [(rng.randrange(9), rng.randrange(9)) for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    cyc, tra = brute(set(pairs))
+    got4 = {r.kind: r.n
+            for r in AN.directed_triangle_census(
+                edges_df(spark, pairs)).collect()}
+    assert got4 == {"cyclic": cyc, "transitive": tra}
+    # empty graph
+    got5 = {r.kind: r.n for r in AN.directed_triangle_census(
+        edges_df(spark, [(1, 2)])).collect()}
+    assert got5 == {"cyclic": 0, "transitive": 0}
