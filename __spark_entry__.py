@@ -1554,10 +1554,18 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("dsir").alias("op"), "doc_id", sN.alias("split"),
         F.col("n_feats").alias("n"), F.col("score_bits").alias("a"),
         F.col("mean_bits_milli").alias("b"))
+    # systematic PPS draw of 32 docs weighted by n_chars — the oracle
+    # restates the stride arithmetic over a plain cumulative-sum window
+    pps = CU.pps_systematic_sample(
+        docs.select("doc_id", "n_chars"), 32, "n_chars"
+    ).select(
+        F.lit("pps").alias("op"), "doc_id", sN.alias("split"),
+        F.col("n_hits").alias("n"), lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
-            .unionByName(bo).unionByName(summ).unionByName(dsir))
+            .unionByName(bo).unionByName(summ).unionByName(dsir)
+            .unionByName(pps))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -3072,7 +3080,24 @@ SELECT 'summary', NULL, lang || '/' || source, n_docs, sum_chars,
 FROM ({O.corpus_summary_sql()}) tsum
 UNION ALL
 SELECT 'dsir', doc_id, NULL, n_feats, score_bits, mean_bits_milli
-FROM ({O.dsir_weights_sql("doc_id % 5 = 0", n_features=256, seed=5)}) tds""",
+FROM ({O.dsir_weights_sql("doc_id % 5 = 0", n_features=256, seed=5)}) tds
+UNION ALL
+SELECT 'pps', doc_id, NULL, n_hits, NULL, NULL
+FROM (WITH pw AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM documents
+), tt AS (SELECT SUM(w) AS tw FROM pw),
+st AS (
+  SELECT pw.*, (tw + 31) // 32 AS s, ((tw + 31) // 32) // 2 AS o
+  FROM pw, tt
+)
+SELECT doc_id,
+       ((c + w - 1 - o + s) // s) - ((c - 1 - o + s) // s) AS n_hits
+FROM st
+WHERE ((c + w - 1 - o + s) // s) - ((c - 1 - o + s) // s) > 0) tpp""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

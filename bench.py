@@ -318,6 +318,9 @@ def main() -> None:
         repeats=2)
     run("triangle_census",
         lambda: AN.directed_triangle_census(chains_b).collect(), repeats=2)
+    run("pps_sample",
+        lambda: CU.pps_systematic_sample(
+            docs.select("doc_id", "n_chars"), 1000, "n_chars").count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

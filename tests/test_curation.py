@@ -294,3 +294,51 @@ def test_dsir_weights(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive"):
         CU.dsir_weights(docs, target, n_features=0)
+
+
+def test_pps_systematic_sample(spark):
+    """Deterministic PPS draws: n_hits matches a python replica of the
+    stride arithmetic, total draws <= n, heavy items multi-hit, zero-weight
+    items never drawn, and the draw is invariant to input partitioning."""
+    import pytest as _pt
+
+    from judy_graph_db_spark.operators.curation import pps_systematic_sample
+
+    rows = [(i, (i * 37) % 23) for i in range(40)]  # weights 0..22
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def replica(rows, n):
+        rows = sorted(rows)
+        W = sum(w for _, w in rows)
+        s = (W + n - 1) // n
+        o = s // 2
+        hits, c = {}, 0
+        for i, w in rows:
+            got = (c + w - 1 - o + s) // s - (c - 1 - o + s) // s
+            if got > 0:
+                hits[i] = got
+            c += w
+        return hits
+
+    for n in (1, 3, 7, 16):
+        got = {r.doc_id: r.n_hits
+               for r in pps_systematic_sample(df, n, "w").collect()}
+        want = replica(rows, n)
+        assert got == want, f"n={n}"
+        assert sum(got.values()) <= n
+        assert sum(got.values()) >= n - 1
+        assert all(rows[i][1] > 0 for i in got)
+    # partitioning invariance
+    got_repart = {r.doc_id: r.n_hits for r in pps_systematic_sample(
+        df.repartition(7), 7, "w").collect()}
+    assert got_repart == replica(rows, 7)
+    # heavy item drawn multiple times
+    heavy = spark.createDataFrame(
+        [(1, 1), (2, 100), (3, 1)], "doc_id long, w long")
+    gh = {r.doc_id: r.n_hits
+          for r in pps_systematic_sample(heavy, 5, "w").collect()}
+    assert gh[2] >= 4
+    # all-zero weights raise loudly
+    zero = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, w long")
+    with _pt.raises(Exception, match="total weight is zero"):
+        pps_systematic_sample(zero, 3, "w").collect()
