@@ -1561,11 +1561,30 @@ def _q_corpus_curation(spark, sf_dir):
     ).select(
         F.lit("pps").alias("op"), "doc_id", sN.alias("split"),
         F.col("n_hits").alias("n"), lN.alias("a"), lN.alias("b"))
+    # paragraph keep-first dedup over a paragraph-structured variant: a
+    # quote shared by every doc_id%3==0 doc plus the text and its 25-char
+    # prefix (both duplicated between exact-duplicate fixture docs) — the
+    # first (doc_id, pos) occurrence survives, every later one is cut
+    paraed = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("quote of the day: stay hungry"))
+            .otherwise(F.concat(F.lit("intro "), F.col("doc_id") % 5)),
+            F.col("text"), F.substring(F.col("text"), 1, 25)).alias("text"))
+    pd_ = CU.dedup_paragraphs(paraed).select(
+        F.lit("paradedup").alias("op"), "doc_id",
+        F.md5(F.col("clean_text")).alias("split"),
+        F.when(F.col("clean_text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("clean_text"), "\n\n"))
+                   .cast("long")).alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
-            .unionByName(pps))
+            .unionByName(pps).unionByName(pd_))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -3097,7 +3116,17 @@ st AS (
 SELECT doc_id,
        ((c + w - 1 - o + s) // s) - ((c - 1 - o + s) // s) AS n_hits
 FROM st
-WHERE ((c + w - 1 - o + s) // s) - ((c - 1 - o + s) // s) > 0) tpp""",
+WHERE ((c + w - 1 - o + s) // s) - ((c - 1 - o + s) // s) > 0) tpp
+UNION ALL
+SELECT 'paradedup', doc_id, md5(clean_text),
+       CASE WHEN clean_text = '' THEN 0
+            ELSE CAST(len(string_split(clean_text, chr(10) || chr(10)))
+                      AS BIGINT) END, NULL, NULL
+FROM ({O.dedup_paragraphs_sql(
+    table="(SELECT doc_id, concat_ws(chr(10) || chr(10), "
+          "CASE WHEN doc_id % 3 = 0 THEN 'quote of the day: stay hungry' "
+          "ELSE 'intro ' || (doc_id % 5) END, text, substr(text, 1, 25)) "
+          "AS text FROM documents)")}) tpd""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

@@ -321,6 +321,12 @@ def main() -> None:
     run("pps_sample",
         lambda: CU.pps_systematic_sample(
             docs.select("doc_id", "n_chars"), 1000, "n_chars").count())
+    run("dedup_paragraphs",
+        lambda: CU.dedup_paragraphs(
+            docs.withColumn(
+                "text",
+                F.concat_ws("\n\n", F.col("text"),
+                            F.substring("text", 1, 40)))).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -672,3 +672,53 @@ def pps_systematic_sample(df: DataFrame, n: int, weight_col: str,
         .select(F.col(id_col), F.col("n_hits"))
     )
     return df.join(sel, id_col)
+
+
+def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     out_col: str = "clean_text") -> DataFrame:
+    """Corpus-wide paragraph deduplication with keep-first semantics (the
+    RefinedWeb / MassiveText cleanup step BETWEEN line-level boilerplate
+    removal and whole-document dedup): every repeated paragraph keeps
+    exactly its first occurrence — ordered by ``(id_col, position)`` — and
+    later occurrences are cut, so shared passages (syndicated articles,
+    quoted headers, licence blocks) survive once in the corpus instead of
+    once per crawl hit. Unlike :func:`remove_boilerplate_lines` (which
+    drops EVERY occurrence of a common line) this preserves one canonical
+    copy, the right semantics for content rather than chrome.
+
+    Scale shape: one explode pass, one paragraph-keyed min-(id, pos)
+    aggregation (map-side combined; the firsts relation is one row per
+    DISTINCT paragraph), a second paragraph-keyed join to tag each
+    occurrence, and a doc-keyed ordered rollup to reassemble — no driver
+    round-trip, no global window. A mega-duplicated paragraph is a hot
+    join key but meets a 1-row build side, so there is no pair blowup.
+
+    Returns ``docs`` plus ``out_col`` ('' when every paragraph was a
+    later duplicate).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    firsts = paras.groupBy("__para").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first"))
+    kept = (
+        paras.join(firsts, "__para")
+        .filter(F.struct("__id", "__pos") == F.col("__first"))
+        .select("__id", "__pos", "__para")
+    )
+    clean = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return (
+        docs.join(clean, docs[id_col] == clean["__id"], "left")
+        .select(*docs.columns,
+                F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

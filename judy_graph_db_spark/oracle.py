@@ -2061,3 +2061,35 @@ def corpus_summary_sql(group_cols=("lang", "source"),
        CAST(SUM(length({text_col})) AS BIGINT) AS sum_chars,
        CAST(SUM({word_token_count_sql(text_col)}) AS BIGINT) AS sum_tokens
 FROM {table} GROUP BY {gc}"""
+
+
+def dedup_paragraphs_sql(sep_sql: str = "chr(10) || chr(10)",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         out_col: str = "clean_text",
+                         table: str = "documents") -> str:
+    """Twin of ``curation.dedup_paragraphs``: keep-first by (id, pos);
+    same parallel-unnest position idiom as ``remove_boilerplate_sql``."""
+    return f"""WITH dp_t AS (
+  SELECT {id_col} AS __id, string_split({text_col}, {sep_sql}) AS __ps
+  FROM {table}
+),
+dp_p AS (
+  SELECT __id, unnest(__ps) AS __para,
+         unnest(generate_series(1, len(__ps))) AS __pos
+  FROM dp_t
+),
+dp_first AS (
+  SELECT __para, MIN(ROW(__id, __pos)) AS __first
+  FROM dp_p GROUP BY __para
+),
+dp_kept AS (
+  SELECT p.__id, p.__pos, p.__para
+  FROM dp_p p JOIN dp_first f
+    ON p.__para = f.__para AND ROW(p.__id, p.__pos) = f.__first
+),
+dp_clean AS (
+  SELECT __id, string_agg(__para, {sep_sql} ORDER BY __pos) AS __clean
+  FROM dp_kept GROUP BY __id
+)
+SELECT d.*, COALESCE(c.__clean, '') AS {out_col}
+FROM {table} d LEFT JOIN dp_clean c ON d.{id_col} = c.__id"""
