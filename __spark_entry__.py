@@ -1970,6 +1970,17 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("winnow").alias("op"), F.col("__s").alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("__n").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # fastText-style linear inference over the same hashed features:
+    # md5-derived integer milli-weights, exact dot product
+    lw = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        (SKT._h60(F.col("id"), "lw") % 2001 - 1000).alias("w"))
+    lin = STT.linear_score(
+        STT.hashed_tf(docs, n_features=64, seed=3), lw, bias=7
+    ).select(
+        F.lit("linscore").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("score").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
             .unionByName(col).unionByName(ent).unionByName(nv)
@@ -1979,7 +1990,7 @@ def _q_stats_ops(spark, sf_dir):
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
             .unionByName(ng).unionByName(hg).unionByName(rep)
-            .unionByName(wf))
+            .unionByName(wf).unionByName(lin))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -3593,6 +3604,16 @@ FROM ({O.token_surprisal_sql()}) t5b
 UNION ALL
 SELECT 'htf', NULL, NULL, doc_id, bucket, tf, NULL
 FROM ({O.hashed_tf_sql(n_features=64, seed=3)}) t5c
+UNION ALL
+SELECT 'linscore', NULL, NULL, doc_id,
+       7 + COALESCE(SUM(tf * w), 0), NULL, NULL
+FROM ({O.hashed_tf_sql(n_features=64, seed=3)}) fl
+LEFT JOIN (
+  SELECT range AS bucket,
+         {O._h60_sql('range', 'lw')} % 2001 - 1000 AS w
+  FROM range(64)
+) lw USING (bucket)
+GROUP BY doc_id
 UNION ALL
 SELECT 'colloc', w_a, w_b, n_pair, score_milli, NULL, NULL
 FROM ({O.collocation_scores_sql(min_count=3, delta=1)}) t5d

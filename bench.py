@@ -327,6 +327,11 @@ def main() -> None:
                 "text",
                 F.concat_ws("\n\n", F.col("text"),
                             F.substring("text", 1, 40)))).count())
+    lw_b = spark.range(1024).select(
+        F.col("id").alias("bucket"), (F.col("id") % 19 - 9).alias("w"))
+    run("linear_score",
+        lambda: ST.linear_score(
+            ST.hashed_tf(docs, n_features=1024), lw_b).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

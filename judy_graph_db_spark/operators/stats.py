@@ -686,3 +686,36 @@ def ngram_novelty(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                 F.expr("1000 * __novel div n_grams").cast("long")
                 .alias("novel_permille"))
     )
+
+
+def linear_score(features: DataFrame, weights: DataFrame,
+                 bias: int = 0, id_col: str = "doc_id") -> DataFrame:
+    """Linear-classifier inference over sparse hashed features — the
+    fastText-style quality/domain classifier applied at corpus scale
+    (Joulin et al. 2017; the CCNet / DCLM / FineWeb filtering recipe:
+    train a small linear model offline, score every document with it).
+
+    ``features`` is the :func:`hashed_tf` relation ``(id, bucket, tf)``;
+    ``weights`` maps ``(bucket, w)`` with INTEGER weights (train in
+    floats, then quantize to integer milli-units — exact integer dot
+    products hash-gate across engines where float sums would not).
+    Returns ``(id_col, score)`` with ``score = bias + Σ tf·w`` — callers
+    threshold or bucket it; keeping the logit integer end-to-end means
+    the score is reproducible bit-for-bit on any partitioning.
+
+    Scale shape: the weight table is ≤ n_features rows → broadcast join
+    against the feature relation (no shuffle of the big side beyond the
+    (id, bucket) aggregation `hashed_tf` already paid), then one id-keyed
+    map-side-combinable sum. Unmatched buckets weigh 0 (left join).
+
+    Reference: no classifier surface exists in judy-graph-db;
+    parity-plus for the model-based filtering stage of a data pipeline.
+    """
+    w = weights.select(F.col("bucket"), F.col("w").cast("long"))
+    return (
+        features.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg((F.lit(int(bias))
+              + F.coalesce(F.sum(F.col("tf") * F.col("w")), F.lit(0)))
+             .cast("long").alias("score"))
+    )

@@ -438,3 +438,28 @@ def test_ngram_novelty(spark):
     twin = {t[0]: (t[1], t[2]) for t in con.execute(
         ngram_novelty_sql(n=3)).fetchall()}
     assert got == twin
+
+
+def test_linear_score(spark):
+    """Integer dot product vs a python replica; empty-feature docs absent
+    (score only defined over featurized docs); unmatched buckets weigh 0."""
+    from judy_graph_db_spark.operators.stats import hashed_tf, linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "cherry banana"), (3, "apple")],
+        "doc_id long, text string")
+    feats = hashed_tf(docs, n_features=16, seed=1)
+    rows = feats.collect()
+    weights = spark.createDataFrame(
+        [(b, (b * 7) % 11 - 5) for b in range(8)],  # only half the buckets
+        "bucket long, w long")
+    wmap = {b: (b * 7) % 11 - 5 for b in range(8)}
+    want = {}
+    for r in rows:
+        want[r.doc_id] = want.get(r.doc_id, 100) + r.tf * wmap.get(r.bucket, 0)
+    got = {r.doc_id: r.score
+           for r in linear_score(feats, weights, bias=100).collect()}
+    assert got == want
+    # plan: weight side broadcast
+    plan = linear_score(feats, weights)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
