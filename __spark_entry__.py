@@ -1971,16 +1971,28 @@ def _q_stats_ops(spark, sf_dir):
         F.col("doc_id").alias("a"), F.col("__n").alias("b"),
         lN.alias("c"), lN.alias("d"))
     # fastText-style linear inference over the same hashed features:
-    # md5-derived integer milli-weights, exact dot product
+    # md5-derived integer milli-weights, exact dot product; checkpointed —
+    # the scores feed both the 'linscore' rows and the AUC evaluation
     lw = spark.range(64).select(
         F.col("id").alias("bucket"),
         (SKT._h60(F.col("id"), "lw") % 2001 - 1000).alias("w"))
-    lin = STT.linear_score(
+    lscores = STT.linear_score(
         STT.hashed_tf(docs, n_features=64, seed=3), lw, bias=7
-    ).select(
+    ).localCheckpoint(eager=True)
+    lin = lscores.select(
         F.lit("linscore").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("score").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # exact rank-sum ROC-AUC of those scores against a deterministic
+    # doc_id%7 labeling (the link-prediction/classifier eval statistic)
+    auc = STT.ranking_auc(
+        lscores.select(
+            "score",
+            (F.col("doc_id") % 7 == 0).cast("long").alias("label"))
+    ).select(
+        F.lit("auc").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("n_pos").alias("a"), F.col("n_neg").alias("b"),
+        F.col("u2").alias("c"), F.col("auc_micro").alias("d"))
     return (qt.unionByName(tt).unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
             .unionByName(col).unionByName(ent).unionByName(nv)
@@ -1990,7 +2002,7 @@ def _q_stats_ops(spark, sf_dir):
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
             .unionByName(ng).unionByName(hg).unionByName(rep)
-            .unionByName(wf).unionByName(lin))
+            .unionByName(wf).unionByName(lin).unionByName(auc))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -3614,6 +3626,37 @@ LEFT JOIN (
   FROM range(64)
 ) lw USING (bucket)
 GROUP BY doc_id
+UNION ALL
+SELECT 'auc', NULL, NULL, n_pos, n_neg, u2, auc_micro
+FROM (WITH au_sc AS (
+  SELECT doc_id, 7 + COALESCE(SUM(tf * w), 0) AS score
+  FROM ({O.hashed_tf_sql(n_features=64, seed=3)}) fl2
+  LEFT JOIN (
+    SELECT range AS bucket,
+           {O._h60_sql('range', 'lw')} % 2001 - 1000 AS w
+    FROM range(64)
+  ) lw2 USING (bucket)
+  GROUP BY doc_id
+),
+au_per AS (
+  SELECT score AS s,
+         SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS np_s,
+         SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END) AS nn_s
+  FROM au_sc GROUP BY 1
+),
+au_cum AS (
+  SELECT np_s, nn_s,
+         COALESCE(SUM(nn_s) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+  FROM au_per
+)
+SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
+       CAST(SUM(nn_s) AS BIGINT) AS n_neg,
+       CAST(SUM(2 * np_s * cumn + np_s * nn_s) AS BIGINT) AS u2,
+       CASE WHEN SUM(np_s) > 0 AND SUM(nn_s) > 0 THEN
+         CAST((SUM(2 * np_s * cumn + np_s * nn_s) * 500000)
+              // (SUM(np_s) * SUM(nn_s)) AS BIGINT) END AS auc_micro
+FROM au_cum) ta
 UNION ALL
 SELECT 'colloc', w_a, w_b, n_pair, score_milli, NULL, NULL
 FROM ({O.collocation_scores_sql(min_count=3, delta=1)}) t5d

@@ -719,3 +719,50 @@ def linear_score(features: DataFrame, weights: DataFrame,
               + F.coalesce(F.sum(F.col("tf") * F.col("w")), F.lit(0)))
              .cast("long").alias("score"))
     )
+
+
+def ranking_auc(df: DataFrame, score_col: str = "score",
+                label_col: str = "label") -> DataFrame:
+    """Exact ROC-AUC by the Mann-Whitney rank-sum identity (Hanley &
+    McNeil 1982): AUC = P(score_pos > score_neg) + ½·P(tie) — the
+    evaluation number for link-prediction scores (`resource_allocation`,
+    `jaccard_similarity` vs `sample_non_edges` negatives) and quality
+    classifiers (`linear_score`), computed over EVERY pair without
+    materializing any pair.
+
+    Relational shape: one map-side-combinable groupBy collapses the
+    relation to (score, n_pos, n_neg) — pair counting then runs on the
+    |distinct scores| aggregate via one cumulative window (the same
+    "acceptable global window over an aggregate" as ``build_vocab``;
+    integer scores from this module's operators keep that relation small
+    — re-quantize first if scores are near-unique). Ties contribute ½ via
+    the doubled statistic ``u2 = 2·Σ wins + ties``, keeping everything
+    integer; the final ratio is one decimal(38) division, exact in both
+    engines.
+
+    Returns one row ``(n_pos, n_neg, u2, auc_micro)``; ``auc_micro`` is
+    NULL when either class is empty (AUC undefined).
+    """
+    lab = F.col(label_col).cast("long")
+    per = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(lab).alias("np_s"),
+        F.sum(F.lit(1) - lab).alias("nn_s"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "np_s", "nn_s",
+        F.coalesce(F.sum("nn_s").over(w), F.lit(0)).alias("cumn"))
+    out = cum.agg(
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+        F.sum(2 * F.col("np_s") * F.col("cumn")
+              + F.col("np_s") * F.col("nn_s")).alias("u2"))
+    return out.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("u2").cast("long").alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(F.col("u2").cast("decimal(38,0)") * 500000
+                    / (F.col("n_pos").cast("decimal(38,0)")
+                       * F.col("n_neg"))).cast("long")
+        ).alias("auc_micro"))

@@ -463,3 +463,32 @@ def test_linear_score(spark):
     # plan: weight side broadcast
     plan = linear_score(feats, weights)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ranking_auc(spark):
+    """Matches sklearn-style pairwise AUC on random data incl. ties;
+    degenerate single-class input yields NULL auc."""
+    import random
+
+    from judy_graph_db_spark.operators.stats import ranking_auc
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10), rng.randrange(2)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "score long, label long")
+    got = ranking_auc(df).collect()[0]
+    pos = [s for s, l in rows if l == 1]
+    neg = [s for s, l in rows if l == 0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc = (wins + ties / 2) / (len(pos) * len(neg))
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+    assert got.u2 == 2 * wins + ties
+    assert got.auc_micro == int(auc * 1_000_000) or \
+        abs(got.auc_micro - auc * 1_000_000) < 1
+    # perfect separation
+    perf = spark.createDataFrame(
+        [(1, 0), (2, 0), (5, 1), (9, 1)], "score long, label long")
+    assert ranking_auc(perf).collect()[0].auc_micro == 1_000_000
+    # single class -> NULL
+    one = spark.createDataFrame([(3, 1), (4, 1)], "score long, label long")
+    assert ranking_auc(one).collect()[0].auc_micro is None
