@@ -1768,12 +1768,28 @@ def _q_stats_ops(spark, sf_dir):
     terms, inverted-index fingerprints, stratified sampling, plus the
     deterministic sketch surface (count-min over word tokens, HLL distinct
     registers, Bloom membership, integer-exact Gram matrix via Arrow)."""
+    from judy_graph_db_spark.operators import stats as STT
+
     lN = F.lit(None).cast("long")
     sN = F.lit(None).cast("string")
     qt = _q_grouped_quantiles(spark, sf_dir).select(
         F.lit("quantiles").alias("op"), F.col("o_orderpriority").alias("s"),
         sN.alias("t"), F.col("q_250").alias("a"), F.col("q_500").alias("b"),
         F.col("q_900").alias("c"), lN.alias("d"))
+    # equal-frequency binning of the same cents per priority (curriculum
+    # buckets); rolled up to per-(priority, bin) counts + value sums so
+    # the whole assignment hash-gates compactly
+    cents = spark.table("orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    qb = STT.quantile_bins(
+        cents, "cents", 8, group_cols=["o_orderpriority"]
+    ).groupBy("o_orderpriority", "bin").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("cents").alias("__sc")
+    ).select(
+        F.lit("qbin").alias("op"), F.col("o_orderpriority").alias("s"),
+        sN.alias("t"), F.col("bin").alias("a"), F.col("__n").alias("b"),
+        F.col("__sc").alias("c"), lN.alias("d"))
     tt = _q_top_terms(spark, sf_dir).select(
         F.lit("top_terms").alias("op"), F.col("term").alias("s"),
         sN.alias("t"), F.col("doc_id").alias("a"),
@@ -1993,7 +2009,8 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("auc").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("n_pos").alias("a"), F.col("n_neg").alias("b"),
         F.col("u2").alias("c"), F.col("auc_micro").alias("d"))
-    return (qt.unionByName(tt).unionByName(inv).unionByName(st)
+    return (qt.unionByName(qb).unionByName(tt).unionByName(inv)
+            .unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
             .unionByName(col).unionByName(ent).unionByName(nv)
             .unionByName(z1).unionByName(z2).unionByName(ou)
@@ -3598,6 +3615,24 @@ FROM ({O.grouped_quantiles_sql(
             "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)",
             [0.25, 0.5, 0.9], "orders",
         )}) t1
+UNION ALL
+SELECT 'qbin', pr, NULL, bin, nn, sc, NULL
+FROM (WITH qb_per AS (
+  SELECT o_orderpriority AS pr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+qb_map AS (
+  SELECT pr, cents, c,
+         LEAST(7, (COALESCE(SUM(c) OVER (PARTITION BY pr ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 8)
+           // SUM(c) OVER (PARTITION BY pr)) AS bin
+  FROM qb_per
+)
+SELECT pr, bin, CAST(SUM(c) AS BIGINT) AS nn,
+       CAST(SUM(cents * c) AS BIGINT) AS sc
+FROM qb_map GROUP BY 1, 2) tqb
 UNION ALL
 SELECT 'top_terms', term, NULL, doc_id, tf, df, CAST(rank_in_doc AS BIGINT)
 FROM ({O.top_terms_sql(k=5)}) t2

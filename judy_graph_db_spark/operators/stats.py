@@ -766,3 +766,46 @@ def ranking_auc(df: DataFrame, score_col: str = "score",
                     / (F.col("n_pos").cast("decimal(38,0)")
                        * F.col("n_neg"))).cast("long")
         ).alias("auc_micro"))
+
+
+def quantile_bins(df: DataFrame, value_col: str, nbins: int,
+                  group_cols: Sequence[str] = (),
+                  out_col: str = "bin") -> DataFrame:
+    """Equal-frequency (quantile) binning — curriculum/difficulty buckets
+    over a score column, per group when ``group_cols`` is given. The bin
+    is the NTILE of the value's FIRST occurrence, in closed form:
+    ``bin(v) = min(nbins−1, excl(v)·nbins div n)`` with ``excl(v)`` the
+    count of strictly smaller rows — provably the number of
+    ``percentile_disc`` cutoffs strictly below v, so no cutoff table is
+    ever materialized and bins stay balanced up to tie groups. Ties share
+    a bin by construction (the bin is a function of the VALUE), which is
+    what makes the assignment hash-stable across engines.
+
+    Scale shape: one map-side-combinable groupBy collapses the relation
+    to (group, value, count); the cumulative window runs over that
+    aggregate (distinct-value-sized — the ``build_vocab`` caveat:
+    re-quantize near-unique float scores first), and the value→bin map
+    joins back on (group, value) — broadcast-sized in practice. Exact
+    integer arithmetic end to end.
+
+    Returns ``df`` plus ``out_col`` (0-based bin index).
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be positive")
+    g = list(group_cols)
+    per = df.groupBy(*g, F.col(value_col)).agg(
+        F.count(F.lit(1)).alias("__c"))
+    wc = (Window.partitionBy(*g).orderBy(value_col)
+          .rowsBetween(Window.unboundedPreceding, 0)) if g else (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(*g) if g else Window.partitionBy(F.lit(1))
+    mapping = per.select(
+        *g, value_col,
+        (F.sum("__c").over(wc) - F.col("__c")).alias("__excl"),
+        F.sum("__c").over(wn).alias("__n"),
+    ).select(
+        *g, value_col,
+        F.least(F.lit(nbins - 1),
+                F.expr(f"(__excl * {nbins}) div __n")).alias(out_col))
+    return df.join(mapping, [*g, value_col])

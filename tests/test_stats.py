@@ -492,3 +492,34 @@ def test_ranking_auc(spark):
     # single class -> NULL
     one = spark.createDataFrame([(3, 1), (4, 1)], "score long, label long")
     assert ranking_auc(one).collect()[0].auc_micro is None
+
+
+def test_quantile_bins(spark):
+    """Closed-form bin == percentile_disc cutoff counting; ties share a
+    bin; grouped variant bins within each group."""
+    from judy_graph_db_spark.operators.stats import quantile_bins
+
+    rows = [(i, v) for i, v in enumerate(
+        [5, 1, 9, 1, 7, 3, 3, 8, 2, 6, 4, 4])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    nbins = 4
+    got = {r.id: r.bin for r in quantile_bins(df, "v", nbins).collect()}
+    # replica: percentile_disc cutoffs, bin = count of cutoffs < v
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    cuts = [vals[max(-(-k * n // nbins), 1) - 1] for k in range(1, nbins)]
+    want = {i: sum(1 for c in cuts if c < v) for i, v in rows}
+    assert got == want
+    # ties always share a bin
+    bin_by_val = {}
+    for i, v in rows:
+        bin_by_val.setdefault(v, set()).add(got[i])
+    assert all(len(s) == 1 for s in bin_by_val.values())
+    # grouped: each group bins independently
+    grows = [("a", i, v) for i, v in enumerate([1, 2, 3, 4])] + \
+            [("b", i, v) for i, v in enumerate([100, 200, 300, 400])]
+    gdf = spark.createDataFrame(grows, "g string, id long, v long")
+    gg = {(r.g, r.id): r.bin
+          for r in quantile_bins(gdf, "v", 2, group_cols=["g"]).collect()}
+    assert gg == {("a", 0): 0, ("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
+                  ("b", 0): 0, ("b", 1): 0, ("b", 2): 1, ("b", 3): 1}
