@@ -1580,11 +1580,28 @@ def _q_corpus_curation(spark, sf_dir):
         .otherwise(F.size(F.split(F.col("clean_text"), "\n\n"))
                    .cast("long")).alias("n"),
         lN.alias("a"), lN.alias("b"))
+    # cross-entropy drift between the even/odd snapshot halves — both
+    # directions of the add-one-smoothed unigram cross entropy in whole
+    # bits (the floor-log2 idiom)
+    from judy_graph_db_spark.operators import stats as STT
+
+    dv = STT.token_dist_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ).localCheckpoint(eager=True)
+    drift = dv.select(
+        F.lit("drift_ab").alias("op"), F.col("v_union").alias("doc_id"),
+        sN.alias("split"), F.col("ta").alias("n"),
+        F.col("xab_bits").alias("a"), F.col("xab_mean_milli").alias("b")
+    ).unionByName(dv.select(
+        F.lit("drift_ba").alias("op"), F.col("v_union").alias("doc_id"),
+        sN.alias("split"), F.col("tb").alias("n"),
+        F.col("xba_bits").alias("a"), F.col("xba_mean_milli").alias("b")))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
-            .unionByName(pps).unionByName(pd_))
+            .unionByName(pps).unionByName(pd_).unionByName(drift))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -3166,7 +3183,38 @@ FROM ({O.dedup_paragraphs_sql(
     table="(SELECT doc_id, concat_ws(chr(10) || chr(10), "
           "CASE WHEN doc_id % 3 = 0 THEN 'quote of the day: stay hungry' "
           "ELSE 'intro ' || (doc_id % 5) END, text, substr(text, 1, 25)) "
-          "AS text FROM documents)")}) tpd""",
+          "AS text FROM documents)")}) tpd
+UNION ALL
+SELECT op, v, NULL, t, x, m
+FROM (WITH dv_a AS (
+  SELECT term, COUNT(*) AS ca FROM (
+    SELECT unnest(regexp_extract_all(lower(text), {O.WORD_TOKEN_RE_SQL}))
+      AS term FROM documents WHERE doc_id % 2 = 0) GROUP BY 1
+),
+dv_b AS (
+  SELECT term, COUNT(*) AS cb FROM (
+    SELECT unnest(regexp_extract_all(lower(text), {O.WORD_TOKEN_RE_SQL}))
+      AS term FROM documents WHERE doc_id % 2 = 1) GROUP BY 1
+),
+dv_j AS (
+  SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM dv_a FULL OUTER JOIN dv_b USING (term)
+),
+dv_s AS (
+  SELECT SUM(ca) AS ta, SUM(cb) AS tb, COUNT(*) AS v FROM dv_j
+),
+dv_x AS (
+  SELECT MAX(ta) AS ta, MAX(tb) AS tb, CAST(MAX(v) AS BIGINT) AS v,
+         CAST(SUM(ca * (length(bin((tb + v) // (cb + 1))) - 1))
+              AS BIGINT) AS xab,
+         CAST(SUM(cb * (length(bin((ta + v) // (ca + 1))) - 1))
+              AS BIGINT) AS xba
+  FROM dv_j, dv_s
+)
+SELECT 'drift_ab' AS op, v, ta AS t, xab AS x,
+       (1000 * xab) // ta AS m FROM dv_x
+UNION ALL
+SELECT 'drift_ba', v, tb, xba, (1000 * xba) // tb FROM dv_x) tdv""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

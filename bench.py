@@ -332,6 +332,10 @@ def main() -> None:
     run("linear_score",
         lambda: ST.linear_score(
             ST.hashed_tf(docs, n_features=1024), lw_b).count())
+    run("token_drift",
+        lambda: ST.token_dist_divergence(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1)).collect())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

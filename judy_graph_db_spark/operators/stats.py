@@ -809,3 +809,60 @@ def quantile_bins(df: DataFrame, value_col: str, nbins: int,
         F.least(F.lit(nbins - 1),
                 F.expr(f"(__excl * {nbins}) div __n")).alias(out_col))
     return df.join(mapping, [*g, value_col])
+
+
+def token_dist_divergence(corpus_a: DataFrame, corpus_b: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """Cross-entropy drift between two corpus snapshots' unigram
+    distributions, in the engine-wide floor-log2 integer idiom — the
+    "did this month's crawl shift?" health check run before mixing a new
+    snapshot into training data (the same statistic CCNet-style pipelines
+    eyeball as a perplexity delta, made hash-stable).
+
+    Both directions of the add-one-smoothed cross entropy:
+    ``xab_bits = Σ_t cA(t) · bits((TB + V) div (cB(t) + 1))`` (how
+    surprising A's tokens are under B's distribution, in whole bits) and
+    the mirrored ``xba_bits``; ``bits(x) = length(bin(x)) − 1``.
+    Identical corpora give xab ≈ xba ≈ the corpus self-entropy; a drifted
+    snapshot inflates the cross terms. Laplace (+1 over the union
+    vocabulary V) keeps out-of-vocabulary tokens finite and the
+    arithmetic integer-exact in both engines.
+
+    Returns one row ``(ta, tb, v_union, xab_bits, xba_bits,
+    xab_mean_milli, xba_mean_milli)`` (means = 1000·Σ div T).
+
+    Scale shape: one tokenize scan per corpus, each collapsed to its
+    |vocab|-row count relation; a full-outer join on the token key; the
+    three scalars ride one broadcast 1-row join. Never a per-document or
+    per-pair state.
+    """
+    def counts(df, name):
+        toks = df.select(F.explode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+        )).alias("term"))
+        return toks.groupBy("term").agg(F.count(F.lit(1)).alias(name))
+
+    ca = counts(corpus_a, "ca")
+    cb = counts(corpus_b, "cb")
+    joined = (
+        ca.join(cb, "term", "full_outer")
+        .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                F.coalesce("cb", F.lit(0)).alias("cb"))
+    )
+    scal = joined.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+                      F.count(F.lit(1)).alias("v_union"))
+    bits = joined.join(F.broadcast(scal)).agg(
+        F.max("ta").alias("ta"), F.max("tb").alias("tb"),
+        F.max("v_union").alias("v_union"),
+        F.sum(F.col("ca") * (F.length(F.bin(
+            F.expr("(tb + v_union) div (cb + 1)"))) - 1)).alias("xab_bits"),
+        F.sum(F.col("cb") * (F.length(F.bin(
+            F.expr("(ta + v_union) div (ca + 1)"))) - 1)).alias("xba_bits"),
+    )
+    return bits.select(
+        "ta", "tb", F.col("v_union").cast("long").alias("v_union"),
+        F.col("xab_bits").cast("long").alias("xab_bits"),
+        F.col("xba_bits").cast("long").alias("xba_bits"),
+        F.expr("(1000 * xab_bits) div ta").alias("xab_mean_milli"),
+        F.expr("(1000 * xba_bits) div tb").alias("xba_mean_milli"),
+    )

@@ -523,3 +523,43 @@ def test_quantile_bins(spark):
           for r in quantile_bins(gdf, "v", 2, group_cols=["g"]).collect()}
     assert gg == {("a", 0): 0, ("a", 1): 0, ("a", 2): 1, ("a", 3): 1,
                   ("b", 0): 0, ("b", 1): 0, ("b", 2): 1, ("b", 3): 1}
+
+
+def test_token_dist_divergence(spark):
+    """Identical corpora are symmetric; a drifted snapshot inflates the
+    cross term; python replica matches exactly."""
+    from judy_graph_db_spark.operators.stats import token_dist_divergence
+
+    a = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat")],
+        "doc_id long, text string")
+    same = token_dist_divergence(a, a).collect()[0]
+    assert same.ta == same.tb and same.xab_bits == same.xba_bits
+
+    b = spark.createDataFrame(
+        [(1, "quantum flux capacitor array"), (2, "the cat sat")],
+        "doc_id long, text string")
+    got = token_dist_divergence(a, b).collect()[0]
+
+    def replica(ca, cb):
+        import collections
+        import re
+        A = collections.Counter(
+            t for _, txt in ca for t in re.findall(r"[a-z0-9]+", txt.lower()))
+        B = collections.Counter(
+            t for _, txt in cb for t in re.findall(r"[a-z0-9]+", txt.lower()))
+        vocab = set(A) | set(B)
+        ta, tb, v = sum(A.values()), sum(B.values()), len(vocab)
+        def bits(x):
+            return x.bit_length() - 1
+        xab = sum(c * bits((tb + v) // (B[t] + 1)) for t, c in A.items())
+        xba = sum(c * bits((ta + v) // (A[t] + 1)) for t, c in B.items())
+        return ta, tb, v, xab, xba
+    ta, tb, v, xab, xba = replica(
+        [(1, "the cat sat on the mat"), (2, "the dog sat")],
+        [(1, "quantum flux capacitor array"), (2, "the cat sat")])
+    assert (got.ta, got.tb, got.v_union, got.xab_bits, got.xba_bits) == \
+        (ta, tb, v, xab, xba)
+    assert got.xab_mean_milli == 1000 * xab // ta
+    # drifted corpora are more surprising than the self term
+    assert got.xab_bits * same.ta >= same.xab_bits * got.ta
