@@ -1761,10 +1761,22 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("decay").alias("op"), F.col("event_type").alias("s"),
         F.col("n_events").alias("a"), F.col("decayed").alias("b"),
         lN.alias("c"))
+    # hopping-window aggregation (2h windows sliding hourly) — each event
+    # covers exactly 2 window starts; the oracle generates the same k
+    # range per event
+    from judy_graph_db_spark.operators.temporal import sliding_window_counts
+
+    sw = sliding_window_counts(
+        spark.table("events"), 7200, 3600
+    ).select(
+        F.lit("slide").alias("op"), F.col("event_type").alias("s"),
+        F.col("win_start").alias("a"), F.col("n").alias("b"),
+        F.col("sum_cents").alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
             .unionByName(mk).unionByName(tre).unionByName(tw)
-            .unionByName(g1).unionByName(g2).unionByName(dc))
+            .unionByName(g1).unionByName(g2).unionByName(dc)
+            .unionByName(sw))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -3654,7 +3666,21 @@ FROM ({TEMPORAL.interarrival_stats_sql()}) t12
 UNION ALL
 SELECT 'decay', event_type, n_events, decayed, NULL
 FROM ({TEMPORAL.decayed_counts_sql(
-            "2024-02-01 00:00:00", 86400, scale_pow2=30)}) t13""",
+            "2024-02-01 00:00:00", 86400, scale_pow2=30)}) t13
+UNION ALL
+SELECT 'slide', event_type, win_start, n, sum_cents
+FROM (WITH sw_k AS (
+  SELECT event_type,
+         unnest(generate_series(
+           CAST(floor((epoch(ts) - 7200) / 3600) AS BIGINT) + 1,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT))) AS k,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, k * 3600 AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sw_k GROUP BY 1, 2) t14""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

@@ -336,6 +336,8 @@ def main() -> None:
         lambda: ST.token_dist_divergence(
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("doc_id") % 2 == 1)).collect())
+    run("sliding_windows",
+        lambda: TP.sliding_window_counts(events, 7200, 3600).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

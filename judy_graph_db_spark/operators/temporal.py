@@ -637,3 +637,56 @@ def decayed_counts_sql(as_of: str, half_life_seconds: int,
 FROM {table}
 WHERE {ts_col} <= TIMESTAMP '{as_of}'
 GROUP BY {key_col}"""
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    size_seconds: int,
+    slide_seconds: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Overlapping (hopping) window aggregation — the batch twin of
+    Structured Streaming's ``window(ts, size, slide)``: per ``key_col``
+    and every window start ``k·slide`` covering an event, count and
+    integer-cents value sum. ``slide == size`` degenerates to the tumbling
+    grouping; ``slide < size`` gives the moving-average shape where each
+    event lands in ``ceil(size/slide)`` windows.
+
+    Plan: the covering window starts are GENERATED per event with
+    ``sequence`` + ``explode`` inside the scan stage (bounded fan-out
+    ``size div slide``, a compile-time constant — never a range join or a
+    self-join), then ONE (key, window) map-side-combinable aggregation.
+    Window starts are absolute epoch seconds (calendar-free `div`
+    arithmetic, engine-portable); sums stay integer.
+
+    Returns ``(key_col, win_start BIGINT, n BIGINT, sum_cents BIGINT)``.
+
+    Reference: no windowed aggregation exists in judy-graph-db (SURVEY
+    §2.7); this extends the tumbling `events_hourly` surface the same way
+    Spark's own window() slide parameter does.
+    """
+    if size_seconds < 1 or slide_seconds < 1:
+        raise ValueError("size and slide must be positive")
+    if slide_seconds > size_seconds:
+        raise ValueError("slide must not exceed size (gaps would drop "
+                         "events; use resample_counts for tumbling gaps)")
+    t = f"unix_timestamp({ts_col})"
+    # k from floor((t-size)/slide)+1 .. floor(t/slide); the lower bound is
+    # kept non-negative-safe by plain integer floor-div on epoch seconds
+    lo = F.expr(f"floor(({t} - {int(size_seconds)}) / {int(slide_seconds)})"
+                ).cast("long") + 1
+    hi = F.expr(f"floor({t} / {int(slide_seconds)})").cast("long")
+    base = events.select(
+        F.col(key_col),
+        F.explode(F.sequence(lo, hi)).alias("__k"),
+        (F.round(F.col(value_col) * 100).cast("long") if value_col
+         else F.lit(0).cast("long")).alias("__cents"),
+    )
+    return (
+        base.groupBy(key_col,
+                     (F.col("__k") * slide_seconds).alias("win_start"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("__cents").alias("sum_cents"))
+    )

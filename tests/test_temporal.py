@@ -445,3 +445,39 @@ def test_decayed_counts(spark):
         T.decayed_counts(ev, "2024-01-01 04:00:00", 0)
     with pytest.raises(ValueError, match="scale_pow2"):
         T.decayed_counts(ev, "2024-01-01 04:00:00", 3600, scale_pow2=99)
+
+
+def test_sliding_window_counts(spark):
+    """Every event lands in ceil(size/slide) windows; python replica
+    matches; slide == size degenerates to tumbling."""
+    import pytest as _pt
+
+    from judy_graph_db_spark.operators.temporal import sliding_window_counts
+
+    rows = [("a", "2024-01-01 00:00:05", 1.0),
+            ("a", "2024-01-01 00:00:25", 2.0),
+            ("b", "2024-01-01 00:00:59", 3.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double") \
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {(r.event_type, r.win_start): (r.n, r.sum_cents)
+           for r in sliding_window_counts(df, 30, 10).collect()}
+
+    import calendar
+    import datetime
+    want = {}
+    for k, ts, v in rows:
+        t = calendar.timegm(datetime.datetime.strptime(
+            ts, "%Y-%m-%d %H:%M:%S").timetuple())
+        for kk in range((t - 30) // 10 + 1, t // 10 + 1):
+            key = (k, kk * 10)
+            n, s = want.get(key, (0, 0))
+            want[key] = (n + 1, s + int(v * 100))
+    assert got == want
+    # each event covers exactly 3 windows (30/10)
+    assert sum(n for n, _ in got.values()) == 3 * len(rows)
+    # tumbling degenerate
+    tum = {(r.event_type, r.win_start): r.n
+           for r in sliding_window_counts(df, 10, 10).collect()}
+    assert sum(tum.values()) == len(rows)
+    with _pt.raises(ValueError, match="slide must not exceed"):
+        sliding_window_counts(df, 10, 30)
