@@ -2028,6 +2028,17 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("linscore").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("doc_id").alias("a"), F.col("score").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # Stupid-Backoff bigram scoring (α=½ ⇒ +1 bit per backoff): every
+    # 4th doc scored against the rest as reference — real backoffs fire
+    sb = STT.score_bigrams(
+        docs.filter(F.col("doc_id") % 4 == 1),
+        docs.filter(F.col("doc_id") % 4 != 1),
+    ).select(
+        F.lit("sbgram").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"),
+        (F.col("n_bigrams") * F.lit(1 << 20)
+         + F.col("n_backoffs")).alias("b"),
+        F.col("sb_bits").alias("c"), F.col("mean_bits_milli").alias("d"))
     # exact rank-sum ROC-AUC of those scores against a deterministic
     # doc_id%7 labeling (the link-prediction/classifier eval statistic)
     auc = STT.ranking_auc(
@@ -2048,7 +2059,8 @@ def _q_stats_ops(spark, sf_dir):
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
             .unionByName(ng).unionByName(hg).unionByName(rep)
-            .unionByName(wf).unionByName(lin).unionByName(auc))
+            .unionByName(wf).unionByName(lin).unionByName(auc)
+            .unionByName(sb))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -3766,6 +3778,11 @@ SELECT CAST(SUM(np_s) AS BIGINT) AS n_pos,
          CAST((SUM(2 * np_s * cumn + np_s * nn_s) * 500000)
               // (SUM(np_s) * SUM(nn_s)) AS BIGINT) END AS auc_micro
 FROM au_cum) ta
+UNION ALL
+SELECT 'sbgram', NULL, NULL, doc_id,
+       n_bigrams * {1 << 20} + n_backoffs, sb_bits, mean_bits_milli
+FROM ({O.score_bigrams_sql(score_where="doc_id % 4 = 1",
+                           ref_where="doc_id % 4 <> 1")}) tsb
 UNION ALL
 SELECT 'colloc', w_a, w_b, n_pair, score_milli, NULL, NULL
 FROM ({O.collocation_scores_sql(min_count=3, delta=1)}) t5d

@@ -338,6 +338,10 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 2 == 1)).collect())
     run("sliding_windows",
         lambda: TP.sliding_window_counts(events, 7200, 3600).count())
+    run("bigram_backoff",
+        lambda: ST.score_bigrams(
+            docs.filter(F.col("doc_id") % 4 == 1),
+            docs.filter(F.col("doc_id") % 4 != 1)).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -866,3 +866,94 @@ def token_dist_divergence(corpus_a: DataFrame, corpus_b: DataFrame,
         F.expr("(1000 * xab_bits) div ta").alias("xab_mean_milli"),
         F.expr("(1000 * xba_bits) div tb").alias("xba_mean_milli"),
     )
+
+
+def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document bigram Stupid-Backoff surprisal in floor-log2 bits
+    (Brants et al. 2007, with backoff factor α = ½ so the penalty is
+    EXACTLY one bit and the score stays integer) — the closest
+    hash-stable analogue of the KenLM perplexity filter, one order up
+    from :func:`token_surprisal`: implausible token SEQUENCES (shuffled
+    text, keyword stuffing, wrong-language runs) score high where
+    unigram statistics look normal. Self-scoring form — every bigram is
+    by construction present in its own corpus, so this is
+    ``score_bigrams(docs, docs)`` and backoffs never fire; use
+    :func:`score_bigrams` to score a new crawl against a trusted
+    reference corpus (the actual filter deployment).
+
+    Returns ``(id_col, n_bigrams, n_backoffs, sb_bits,
+    mean_bits_milli)``; docs with < 2 tokens are absent."""
+    return score_bigrams(docs, docs, id_col=id_col, text_col=text_col)
+
+
+def score_bigrams(docs: DataFrame, ref_docs: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Stupid-Backoff bigram scoring of ``docs`` against a REFERENCE
+    corpus's counts (α = ½ ⇒ exactly +1 bit per backoff — see
+    :func:`bigram_surprisal`): unseen reference bigrams back off to the
+    reference unigram, unseen unigrams to the uniform 1/(T+V) floor.
+    This is the held-out form (the actual filter: score the new crawl
+    against the trusted corpus). Same plan shape; the reference relations
+    are |vocab|- and |bigram-vocab|-sized."""
+    rtoks = ref_docs.select(
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "term"),
+        F.col(id_col).alias("__rid"),
+    )
+    wr = Window.partitionBy("__rid").orderBy("pos")
+    runi = rtoks.groupBy(F.col("term")).agg(F.count(F.lit(1)).alias("cu"))
+    rbi = (rtoks.select(F.col("term").alias("w1"),
+                        F.lead("term").over(wr).alias("w2"))
+           .filter(F.col("w2").isNotNull())
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
+    rtot = runi.agg(F.sum("cu").alias("__T"),
+                    F.count(F.lit(1)).alias("__V"))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "term"),
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.select(
+        F.col(id_col), F.col("term").alias("w1"),
+        F.lead("term").over(wdoc).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    scored = (
+        pairs.join(rbi, ["w1", "w2"], "left")
+        .join(runi.select(F.col("term").alias("w1"),
+                          F.col("cu").alias("c1")), "w1", "left")
+        .join(runi.select(F.col("term").alias("w2"),
+                          F.col("cu").alias("c2")), "w2", "left")
+        .join(F.broadcast(rtot))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("cb").isNotNull(),
+                F.length(F.bin(F.expr("c1 div cb"))) - 1
+            ).when(
+                F.col("c2").isNotNull(),
+                F.lit(1) + F.length(F.bin(F.expr("(__T + __V) div c2"))) - 1
+            ).otherwise(
+                F.lit(1) + F.length(F.bin(F.expr("__T + __V"))) - 1
+            ).alias("__bits"),
+            F.when(F.col("cb").isNotNull(), F.lit(0)).otherwise(F.lit(1))
+            .alias("__backoff"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("__backoff").cast("long").alias("n_backoffs"),
+             F.sum("__bits").cast("long").alias("sb_bits"))
+        .select(id_col, "n_bigrams", "n_backoffs", "sb_bits",
+                F.expr("(1000 * sb_bits) div n_bigrams")
+                .alias("mean_bits_milli"))
+    )

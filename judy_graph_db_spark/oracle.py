@@ -2093,3 +2093,55 @@ dp_clean AS (
 )
 SELECT d.*, COALESCE(c.__clean, '') AS {out_col}
 FROM {table} d LEFT JOIN dp_clean c ON d.{id_col} = c.__id"""
+
+
+def score_bigrams_sql(score_where: str = "TRUE", ref_where: str = "TRUE",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      table: str = "documents") -> str:
+    """Twin of ``stats.score_bigrams`` (Stupid Backoff, α=½ ⇒ +1 bit per
+    backoff): reference counts from ``ref_where`` rows, scored docs from
+    ``score_where`` rows."""
+    toks = (f"regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})")
+    return f"""WITH sb_ref AS (
+  SELECT {toks} AS ts FROM {table} WHERE {ref_where}
+),
+sb_runi AS (
+  SELECT term, COUNT(*) AS cu
+  FROM (SELECT unnest(ts) AS term FROM sb_ref) GROUP BY 1
+),
+sb_rbi AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM sb_ref)
+  ) GROUP BY 1, 2
+),
+sb_rt AS (
+  SELECT SUM(cu) AS tt, COUNT(*) AS vv FROM sb_runi
+),
+sb_pairs AS (
+  SELECT {id_col}, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT {id_col}, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM (SELECT {id_col}, {toks} AS ts
+              FROM {table} WHERE {score_where}))
+),
+sb_scored AS (
+  SELECT p.{id_col},
+         CASE WHEN b.cb IS NOT NULL
+              THEN length(bin(u1.cu // b.cb)) - 1
+              WHEN u2.cu IS NOT NULL
+              THEN 1 + length(bin((rt.tt + rt.vv) // u2.cu)) - 1
+              ELSE 1 + length(bin(rt.tt + rt.vv)) - 1 END AS bits,
+         CASE WHEN b.cb IS NOT NULL THEN 0 ELSE 1 END AS backoff
+  FROM sb_pairs p
+  LEFT JOIN sb_rbi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN sb_runi u1 ON p.w1 = u1.term
+  LEFT JOIN sb_runi u2 ON p.w2 = u2.term
+  CROSS JOIN sb_rt rt
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(backoff) AS BIGINT) AS n_backoffs,
+       CAST(SUM(bits) AS BIGINT) AS sb_bits,
+       (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS mean_bits_milli
+FROM sb_scored GROUP BY 1"""

@@ -563,3 +563,59 @@ def test_token_dist_divergence(spark):
     assert got.xab_mean_milli == 1000 * xab // ta
     # drifted corpora are more surprising than the self term
     assert got.xab_bits * same.ta >= same.xab_bits * got.ta
+
+
+def test_score_bigrams_stupid_backoff(spark):
+    """Held-out scoring matches a python replica (seen bigram, unigram
+    backoff +1 bit, uniform floor); self-scoring never backs off."""
+    import collections
+    import re
+
+    from judy_graph_db_spark.operators.stats import (bigram_surprisal,
+                                                     score_bigrams)
+
+    ref_rows = [(1, "the cat sat on the mat"), (2, "the cat ran")]
+    new_rows = [(10, "the cat sat"), (11, "purple cat flew")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def toks(t):
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    U = collections.Counter(t for _, x in ref_rows for t in toks(x))
+    B = collections.Counter()
+    for _, x in ref_rows:
+        ts = toks(x)
+        for a, b in zip(ts, ts[1:]):
+            B[(a, b)] += 1
+    T, V = sum(U.values()), len(U)
+
+    def bits(x):
+        return x.bit_length() - 1
+
+    want = {}
+    for i, x in new_rows:
+        ts = toks(x)
+        nb = sb = bk = 0
+        for a, b in zip(ts, ts[1:]):
+            nb += 1
+            if (a, b) in B:
+                sb += bits(U[a] // B[(a, b)])
+            elif b in U:
+                sb += 1 + bits((T + V) // U[b])
+                bk += 1
+            else:
+                sb += 1 + bits(T + V)
+                bk += 1
+        want[i] = (nb, bk, sb, 1000 * sb // nb)
+    got = {r.doc_id: (r.n_bigrams, r.n_backoffs, r.sb_bits,
+                      r.mean_bits_milli)
+           for r in score_bigrams(new, ref).collect()}
+    assert got == want
+    assert got[11][1] >= 1  # 'purple cat' and 'cat flew' unseen
+    # self-scoring: no backoffs, < 2-token docs absent
+    solo = spark.createDataFrame(
+        ref_rows + [(3, "word")], "doc_id long, text string")
+    self_got = {r.doc_id: r.n_backoffs
+                for r in bigram_surprisal(solo).collect()}
+    assert set(self_got) == {1, 2} and all(v == 0 for v in self_got.values())
