@@ -1189,9 +1189,23 @@ def _q_k_core(spark, sf_dir):
                              seed=7).select(
         F.lit("color").alias("op"), F.col("id").alias("a"),
         F.col("color").alias("b"), F.col("round").alias("c"))
+    # onion decomposition on the PURE un-closed chains (odd custkeys):
+    # the closed form is positional — layer = min(i, L+1-i), coreness 1
+    odd_chains = spark.table("orders").filter(F.col("o_custkey") % 2 == 1) \
+        .select(
+            "o_custkey",
+            (F.col("o_orderkey") + F.lit(5 * B)).alias("src"),
+            (F.lead("o_orderkey").over(
+                Window.partitionBy("o_custkey")
+                .orderBy("o_orderdate", "o_orderkey")) + F.lit(5 * B)
+             ).alias("dst"),
+        ).filter(F.col("dst").isNotNull()).select("src", "dst")
+    oni = AN.onion_layers(odd_chains).select(
+        F.lit("onion").alias("op"), F.col("id").alias("a"),
+        (F.col("coreness") * 100 + F.col("layer")).alias("b"), lN.alias("c"))
     return (core.unionByName(truss).unionByName(mis).unionByName(mat)
             .unionByName(coa).unionByName(emb).unionByName(cor)
-            .unionByName(col))
+            .unionByName(col).unionByName(oni))
 
 
 K_CORE_ORACLE_ROUNDS = 8
@@ -3596,7 +3610,20 @@ FROM ({AN.greedy_coloring_sql(
             f"ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS dst "
             f"FROM orders QUALIFY dst IS NOT NULL",
             max_iter=COLORING_ORACLE_ROUNDS, seed=7,
-        )}) t8""",
+        )}) t8
+UNION ALL
+SELECT 'onion', id, coreness * 100 + layer, NULL
+FROM (WITH on_pos AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders WHERE o_custkey % 2 = 1
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+       CAST(1 AS BIGINT) AS coreness,
+       CAST(LEAST(i, L + 1 - i) AS BIGINT) AS layer
+FROM on_pos WHERE L >= 2) t9""",
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)
         # per reachable pair — the doubling operator must agree with the

@@ -342,6 +342,9 @@ def main() -> None:
         lambda: ST.score_bigrams(
             docs.filter(F.col("doc_id") % 4 == 1),
             docs.filter(F.col("doc_id") % 4 != 1)).count())
+    run("onion_layers",
+        lambda: AN.onion_layers(
+            fwd.filter(F.col("label") == "NEXT_ORDER")).count(), repeats=1)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

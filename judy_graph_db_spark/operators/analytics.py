@@ -3440,3 +3440,70 @@ def directed_triangle_census(edges: DataFrame) -> DataFrame:
         F.struct(F.lit("transitive").alias("kind"),
                  F.col("tra").cast("long").alias("n")),
     )).alias("r")).select("r.kind", "r.n")
+
+
+def onion_layers(edges: DataFrame, max_iter: int = 10000) -> DataFrame:
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016):
+    refines coreness with the PEELING WAVE each node leaves in — layer 1
+    is the outermost rim, deeper layers sit closer to the nucleus. The
+    (coreness, layer) spectrum separates graphs the k-core profile alone
+    cannot (tree-like vs loopy peripheries); a corpus-graph structural
+    fingerprint.
+
+    Algorithm: repeatedly remove ALL nodes of degree ≤ k in one wave
+    (one layer), raising k to the remaining minimum degree whenever the
+    wave would be empty; every node removed at threshold k has coreness
+    k. Nodes stripped of their last edge by an earlier wave carry degree
+    0 and peel in the next wave at the current k — tracked via an
+    explicit unpeeled-node relation, so no node is ever lost. Each wave:
+    one degree aggregation, one left join, two anti-joins on the
+    shrinking symmetric edge set, one 2-long-row scalar pull. Wave count
+    = onion depth (a pure n-path peels in ⌈n/2⌉ waves — inherent to the
+    definition; the fixture's chains are SF-stable in length).
+
+    Returns ``(id, coreness, layer)`` (layer 1-based, global);
+    zero-degree nodes of the input edge relation are absent only if they
+    appear in no edge at all.
+    """
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    parts = []
+    k = 0
+    layer = 0
+    for _ in range(max_iter):
+        deg = sym.groupBy(F.col("src").alias("id")) \
+            .agg(F.count(F.lit(1)).alias("d"))
+        degall = nodes.join(deg, "id", "left").select(
+            "id", F.coalesce("d", F.lit(0)).alias("d"))
+        row = degall.agg(F.min("d").alias("m"),
+                         F.count(F.lit(1)).alias("n")).collect()[0]
+        if not row["n"]:
+            break
+        k = max(k, int(row["m"]))
+        layer += 1
+        peel = degall.filter(F.col("d") <= k).select("id") \
+            .localCheckpoint(eager=True)
+        parts.append(peel.select(
+            "id", F.lit(k).cast("long").alias("coreness"),
+            F.lit(layer).cast("long").alias("layer")))
+        prev_n, prev_s = nodes, sym
+        nodes = nodes.join(peel, "id", "left_anti") \
+            .localCheckpoint(eager=True)
+        sym = (
+            sym.join(peel.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(peel.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(prev_n)
+        _unpersist_checkpoint(prev_s)
+    else:
+        raise RuntimeError(f"onion_layers: no fixpoint in {max_iter} waves")
+    if not parts:
+        return edges.sparkSession.createDataFrame(
+            [], "id long, coreness long, layer long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1524,3 +1524,52 @@ def test_directed_triangle_census(spark):
     got5 = {r.kind: r.n for r in AN.directed_triangle_census(
         edges_df(spark, [(1, 2)])).collect()}
     assert got5 == {"cyclic": 0, "transitive": 0}
+
+
+def test_onion_layers(spark):
+    """Chain closed form, cycle single-wave, K-clique nucleus, and the
+    isolated-by-peeling node is never lost; matches a python replica on a
+    random graph."""
+    # chain of 5: layers fold inward, all coreness 1
+    e = edges_df(spark, [(i, i + 1) for i in range(1, 5)])
+    got = {r.id: (r.coreness, r.layer)
+           for r in AN.onion_layers(e).collect()}
+    assert got == {1: (1, 1), 5: (1, 1), 2: (1, 2), 4: (1, 2), 3: (1, 3)}
+    # triangle: one wave at k=2
+    tri = edges_df(spark, [(1, 2), (2, 3), (3, 1)])
+    gt = {r.id: (r.coreness, r.layer) for r in AN.onion_layers(tri).collect()}
+    assert gt == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+    # chain attached to a triangle: chain peels first, nucleus last
+    mix = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 2)])
+    gm = {r.id: (r.coreness, r.layer) for r in AN.onion_layers(mix).collect()}
+    assert gm[0] == (1, 1)
+    assert gm[1] == (1, 2)
+    assert gm[2][0] == 2 and gm[3][0] == 2 and gm[4][0] == 2
+    # python replica on a random graph
+    import random
+    rng = random.Random(29)
+    pairs = sorted({tuple(sorted((rng.randrange(14), rng.randrange(14))))
+                    for _ in range(30)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    def replica(pairs):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        out, k, layer = {}, 0, 0
+        while alive:
+            degs = {v: len(adj[v] & alive) for v in alive}
+            k = max(k, min(degs.values()))
+            layer += 1
+            wave = {v for v, d in degs.items() if d <= k}
+            for v in wave:
+                out[v] = (k, layer)
+            alive -= wave
+        return out
+
+    want = replica(pairs)
+    gr = {r.id: (r.coreness, r.layer)
+          for r in AN.onion_layers(edges_df(spark, pairs)).collect()}
+    assert gr == want
