@@ -1611,11 +1611,28 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("drift_ba").alias("op"), F.col("v_union").alias("doc_id"),
         sN.alias("split"), F.col("tb").alias("n"),
         F.col("xba_bits").alias("a"), F.col("xba_mean_milli").alias("b")))
+    # per-paragraph signals + jusText-style chrome filtering over a
+    # chrome-injected variant ('menu' and 'ok' blocks fail min_words=3)
+    chromed = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", F.lit("menu"), F.col("text"),
+                    F.lit("ok")).alias("text"))
+    psig = CU.paragraph_signals(chromed).select(
+        F.lit("parasig").alias("op"), "doc_id", sN.alias("split"),
+        F.col("pos").cast("long").alias("n"),
+        (F.col("n_chars") * 100000 + F.col("n_words")).alias("a"),
+        (F.col("stopword_permille") * 10000 + F.col("q_score")).alias("b"))
+    pflt = CU.filter_paragraphs(chromed, min_words=3).select(
+        F.lit("parafilter").alias("op"), "doc_id",
+        F.md5(F.col("clean_text")).alias("split"),
+        T.word_token_count(F.col("clean_text")).alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
-            .unionByName(pps).unionByName(pd_).unionByName(drift))
+            .unionByName(pps).unionByName(pd_).unionByName(drift)
+            .unionByName(psig).unionByName(pflt))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -3252,7 +3269,46 @@ dv_x AS (
 SELECT 'drift_ab' AS op, v, ta AS t, xab AS x,
        (1000 * xab) // ta AS m FROM dv_x
 UNION ALL
-SELECT 'drift_ba', v, tb, xba, (1000 * xba) // tb FROM dv_x) tdv""",
+SELECT 'drift_ba', v, tb, xba, (1000 * xba) // tb FROM dv_x) tdv
+UNION ALL
+SELECT 'parasig', doc_id, NULL, pos,
+       length(para) * 100000 + {O.word_token_count_sql('para')},
+       {O.stopword_permille_sql('para')} * 10000
+         + {O.quality_score_sql('para')}
+FROM (WITH pv AS (
+  SELECT doc_id,
+         string_split(concat_ws(chr(10) || chr(10), 'menu', text, 'ok'),
+                      chr(10) || chr(10)) AS ps
+  FROM documents
+)
+SELECT doc_id, unnest(ps) AS para,
+       unnest(generate_series(1, len(ps))) - 1 AS pos
+FROM pv) tps
+UNION ALL
+SELECT 'parafilter', doc_id, md5(clean_text),
+       {O.word_token_count_sql('clean_text')}, NULL, NULL
+FROM (WITH pv2 AS (
+  SELECT doc_id,
+         string_split(concat_ws(chr(10) || chr(10), 'menu', text, 'ok'),
+                      chr(10) || chr(10)) AS ps
+  FROM documents
+),
+pp2 AS (
+  SELECT doc_id, unnest(ps) AS para,
+         unnest(generate_series(1, len(ps))) AS pos
+  FROM pv2
+),
+pk2 AS (
+  SELECT doc_id, pos, para FROM pp2
+  WHERE {O.word_token_count_sql('para')} >= 3
+),
+pc2 AS (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean
+  FROM pk2 GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(c.clean, '') AS clean_text
+FROM documents d LEFT JOIN pc2 c ON d.doc_id = c.doc_id) tpf""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

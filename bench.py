@@ -345,6 +345,11 @@ def main() -> None:
     run("onion_layers",
         lambda: AN.onion_layers(
             fwd.filter(F.col("label") == "NEXT_ORDER")).count(), repeats=1)
+    run("filter_paragraphs",
+        lambda: CU.filter_paragraphs(
+            docs.withColumn("text", F.concat_ws(
+                "\n\n", F.lit("menu"), F.col("text"), F.lit("ok"))),
+            min_words=3).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -722,3 +722,79 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n",
         .select(*docs.columns,
                 F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def paragraph_signals(docs: DataFrame, sep: str = "\n\n",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-paragraph quality signals — the block-classification prep of
+    jusText / trafilatura-style extraction (Pomikálek 2011): chrome
+    paragraphs (nav bars, button labels, link lists) are short and
+    stopword-poor where real prose is long and stopword-rich, so
+    paragraph-LEVEL signals separate them where document-level scores
+    blur. One posexplode + pure Column expressions in the scan stage —
+    the same scalar signal set as ``doc_signals``, one row per (doc,
+    paragraph).
+
+    Returns ``(id_col, pos, n_chars, n_words, stopword_permille,
+    q_score)``.
+    """
+    from judy_graph_db_spark.functions.text import (quality_score,
+                                                    stopword_permille,
+                                                    word_token_count)
+
+    p = F.col("__para")
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "__para"),
+    ).select(
+        F.col(id_col), "pos",
+        F.length(p).cast("long").alias("n_chars"),
+        word_token_count(p).alias("n_words"),
+        stopword_permille(p).alias("stopword_permille"),
+        quality_score(p).alias("q_score"),
+    )
+
+
+def filter_paragraphs(docs: DataFrame, min_words: int = 3,
+                      min_stopword_permille: int = 0,
+                      sep: str = "\n\n", id_col: str = "doc_id",
+                      text_col: str = "text",
+                      out_col: str = "clean_text") -> DataFrame:
+    """Drop chrome paragraphs by the jusText-style block heuristics and
+    reassemble each document from its surviving paragraphs in order:
+    keep a paragraph iff it has ≥ ``min_words`` word tokens AND its
+    stopword density ≥ ``min_stopword_permille`` (0 disables the
+    stopword test — the fixture corpora are synthetic). Unlike the
+    corpus-keyed cleanups (`remove_boilerplate_lines`,
+    `dedup_paragraphs`) this is PURELY row-local until the one doc-keyed
+    reassembly shuffle — no corpus statistics, so it composes as the
+    first, cheapest pass of the cleanup chain.
+
+    Returns ``docs`` plus ``out_col`` ('' when nothing survives).
+    """
+    from judy_graph_db_spark.functions.text import (stopword_permille,
+                                                    word_token_count)
+
+    p = F.col("__para")
+    kept = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).filter(
+        (word_token_count(p) >= int(min_words))
+        & (stopword_permille(p) >= int(min_stopword_permille))
+    )
+    clean = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(out_col)
+    )
+    return (
+        docs.join(clean, docs[id_col] == clean["__id"], "left")
+        .select(*docs.columns,
+                F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    )

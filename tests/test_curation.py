@@ -381,3 +381,26 @@ def test_dedup_paragraphs(spark):
     want = {r[0]: r[2] for r in con.execute(
         O.dedup_paragraphs_sql()).fetchall()}
     assert want == got
+
+
+def test_paragraph_signals_and_filter(spark):
+    """Signals computed per paragraph; filter drops short/stopword-poor
+    blocks and reassembles in order; row-local until the reassembly."""
+    from judy_graph_db_spark.operators.curation import (filter_paragraphs,
+                                                        paragraph_signals)
+
+    docs = spark.createDataFrame(
+        [(1, "Home | Login\n\nthe cat sat on the mat and it was happy"
+             "\n\nBuy now"),
+         (2, "x\n\ny")],
+        "doc_id long, text string")
+    sig = {(r.doc_id, r.pos): (r.n_words, r.stopword_permille)
+           for r in paragraph_signals(docs).collect()}
+    assert sig[(1, 0)][0] == 3  # 'home', '|', 'login'
+    assert sig[(1, 1)][0] == 10
+    assert sig[(1, 1)][1] == 300  # the/the/and = 3 of 10
+    got = {r.doc_id: r.clean_text
+           for r in filter_paragraphs(
+               docs, min_words=4, min_stopword_permille=100).collect()}
+    assert got[1] == "the cat sat on the mat and it was happy"
+    assert got[2] == ""
