@@ -1627,12 +1627,18 @@ def _q_corpus_curation(spark, sf_dir):
         F.md5(F.col("clean_text")).alias("split"),
         T.word_token_count(F.col("clean_text")).alias("n"),
         lN.alias("a"), lN.alias("b"))
+    # deterministic epoch shuffle: shard + in-shard rank packed into n
+    shf = CU.epoch_shuffle(docs.select("doc_id"), seed=3,
+                           num_shards=16).select(
+        F.lit("shuffle").alias("op"), "doc_id", sN.alias("split"),
+        (F.col("shard") * 100000 + F.col("pos_in_shard")).alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
             .unionByName(pps).unionByName(pd_).unionByName(drift)
-            .unionByName(psig).unionByName(pflt))
+            .unionByName(psig).unionByName(pflt).unionByName(shf))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -3308,7 +3314,16 @@ pc2 AS (
   FROM pk2 GROUP BY doc_id
 )
 SELECT d.doc_id, COALESCE(c.clean, '') AS clean_text
-FROM documents d LEFT JOIN pc2 c ON d.doc_id = c.doc_id) tpf""",
+FROM documents d LEFT JOIN pc2 c ON d.doc_id = c.doc_id) tpf
+UNION ALL
+SELECT 'shuffle', doc_id, NULL, shard * 100000 + pos, NULL, NULL
+FROM (
+  SELECT doc_id, hh % 16 AS shard,
+         ROW_NUMBER() OVER (PARTITION BY hh % 16
+                            ORDER BY hh, doc_id) - 1 AS pos
+  FROM (SELECT doc_id, {O._h60_sql('doc_id', 'shuf3')} AS hh
+        FROM documents)
+) tsh""",
         "chunk_shard_ops": f"""
 SELECT 'chunk' AS op, doc_id, chunk_idx AS a, chunk AS s,
        CAST(NULL AS BIGINT) AS b

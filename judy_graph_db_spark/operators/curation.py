@@ -798,3 +798,37 @@ def filter_paragraphs(docs: DataFrame, min_words: int = 3,
         .select(*docs.columns,
                 F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     )
+
+
+def epoch_shuffle(df: DataFrame, seed: int, num_shards: int = 1024,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch's data
+    order must be (a) uniformly shuffled, (b) reproducible for
+    resume-from-step and for debugging loss spikes, (c) cheap at corpus
+    scale. Hash order gives all three — ``shard = md5(seed:id) mod S``
+    and a shard-local rank by the full 60-bit hash — with no global sort:
+    the only window is per-shard (corpus/S rows), and changing ``seed``
+    reshuffles everything while the same seed replays bit-for-bit on any
+    partitioning or engine.
+
+    Training readers consume shards in index order, rows in
+    ``pos_in_shard`` order — equivalent to one global pass over a
+    uniformly-permuted corpus (the hash is uniform; ``id`` tiebreak makes
+    rank total). Returns ``df`` plus ``(shard, pos_in_shard)``.
+
+    Reference: no training-order surface exists in judy-graph-db;
+    parity-plus for the data-loading edge of the pipeline.
+    """
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    if num_shards < 1:
+        raise ValueError("num_shards must be positive")
+    h = _h60(F.col(id_col), f"shuf{int(seed)}")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % num_shards).cast("long"))
+        .withColumn("pos_in_shard",
+                    (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
