@@ -2439,10 +2439,16 @@ def _q_ann_search(spark, sf_dir):
         F.lit("rproj").alias("op"), sN.alias("s"),
         F.col("vec_id").alias("a"), F.col("j").cast("long").alias("b"),
         F.col("v").alias("c"), lN.alias("d"))
+    # pairwise-distance histogram over the md5 sample — the embedding-
+    # space collapse check (log2 buckets of quantized squared L2)
+    dh = S.distance_histogram(embs, sample_buckets=64, dim=64).select(
+        F.lit("dhist").alias("op"), sN.alias("s"),
+        F.col("bucket").alias("a"), F.col("n_pairs").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
             .unionByName(qt).unionByName(pool).unionByName(pqc)
             .unionByName(pqt).unionByName(rec).unionByName(rrf)
-            .unionByName(ivfpq).unionByName(rp))
+            .unionByName(ivfpq).unionByName(rp).unionByName(dh))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -3408,7 +3414,27 @@ FROM ({O.ivf_pq_topk_sql(query_id=0, topk=10, n_cells=4, n_probe=2,
                          m=4, k=8, iters=2, dim=64)}) t15
 UNION ALL
 SELECT 'rproj', NULL, vec_id, j, v, NULL
-FROM ({O.random_projection_sql(out_dim=8, seed=5)}) t14""",
+FROM ({O.random_projection_sql(out_dim=8, seed=5)}) t14
+UNION ALL
+SELECT 'dhist', NULL, bucket, n_pairs, NULL, NULL
+FROM (WITH dh_s AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE {O._h60_sql('vec_id', 'dhist')} % 256 < 64
+),
+dh_q AS (
+  SELECT vec_id AS id, j,
+         CAST(floor(CAST(embedding[j] AS DOUBLE) * 1024) AS BIGINT) AS q
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, 64)) AS j FROM dh_s)
+),
+dh_d AS (
+  SELECT a.id AS i1, b.id AS i2, SUM((a.q - b.q) * (a.q - b.q)) AS d2
+  FROM dh_q a JOIN dh_q b ON a.j = b.j AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT CASE WHEN d2 = 0 THEN 0 ELSE length(bin(d2)) END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM dh_d GROUP BY 1) t15""",
         # NEXT_ORDER chains connect exactly each customer's orders in date
         # order, so both fixpoints have closed forms: weak component = the
         # customer's minimum order id; with the last→first closing edge

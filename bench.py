@@ -350,6 +350,10 @@ def main() -> None:
             docs.withColumn("text", F.concat_ws(
                 "\n\n", F.lit("menu"), F.col("text"), F.lit("ok"))),
             min_words=3).count())
+    run("distance_histogram",
+        lambda: S.distance_histogram(embs, sample_buckets=16).count())
+    run("epoch_shuffle",
+        lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -477,3 +477,56 @@ rp_s AS (
 SELECT q.{id_col}, s.j, CAST(SUM(s.s * q.q) AS BIGINT) AS v
 FROM rp_q q JOIN rp_s s ON q.i = s.i
 GROUP BY q.{id_col}, s.j"""
+
+
+def distance_histogram(embs: DataFrame, sample_buckets: int = 4,
+                       dim: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space health check: the log2-bucketed histogram of
+    pairwise quantized squared-L2 distances over a deterministic hash
+    sample of the corpus. A healthy embedding space shows a broad
+    distance spread; a collapsed encoder (all vectors near one point —
+    the classic silent failure before ANN recall craters) piles every
+    pair into a few low buckets, and duplicated shards spike bucket 0.
+    The inspect-before-you-index companion to `topk_recall`.
+
+    Sampling is the engine-standard md5 rule (``h60(id) % 256 <
+    sample_buckets`` — grows nestedly with the knob), so the O(s²·dim)
+    pair cost is capped by a corpus-independent sample size and the
+    result is reproducible across engines and partitionings. Elements
+    quantize to ``floor(float64(v)·2^10)`` first (power-of-two — exact in
+    float32/float64/SQL alike), distances stay integer, buckets come from
+    the ``length(bin(d))`` integer-log2 idiom.
+
+    Returns ``(bucket, n_pairs)``; bucket 0 holds exact-duplicate pairs
+    (d² = 0), bucket b ≥ 1 holds 2^(b-1) ≤ d² < 2^b.
+    """
+    from judy_graph_db_spark.operators.sketch import _h60
+
+    if not 0 < sample_buckets <= 256:
+        raise ValueError("sample_buckets must be in 1..256")
+    sample = embs.filter(
+        _h60(F.col(id_col), "dhist") % 256 < int(sample_buckets))
+    q = sample.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.slice(F.col(vec_col), 1, dim)).alias("j", "v"),
+    ).select(
+        "id", "j",
+        F.floor(F.col("v").cast("double") * 1024).cast("long").alias("q"))
+    a = q.select(F.col("id").alias("i1"), "j", F.col("q").alias("q1"))
+    b = q.select(F.col("id").alias("i2"), "j", F.col("q").alias("q2"))
+    d2 = (
+        a.join(b, "j")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.sum((F.col("q1") - F.col("q2"))
+                   * (F.col("q1") - F.col("q2"))).alias("d2"))
+    )
+    return (
+        d2.select(
+            F.when(F.col("d2") == 0, F.lit(0))
+            .otherwise(F.length(F.bin(F.col("d2")))).cast("long")
+            .alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

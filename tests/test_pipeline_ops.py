@@ -1118,3 +1118,30 @@ def test_html_and_url_cleanup(spark):
         f"SELECT doc_id, {ORC.tag_count_sql()}, {ORC.strip_html_sql()}, "
         f"{ORC.canonicalize_url_sql('url')} FROM d").fetchall()}
     assert got == twin
+
+
+def test_distance_histogram(spark):
+    """Bucket 0 captures exact duplicates, collapsed vectors pile low,
+    spread vectors spread; python replica matches exactly."""
+    from judy_graph_db_spark.operators.similarity import distance_histogram
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.bucket: r.n_pairs
+           for r in distance_histogram(
+               df, sample_buckets=256, dim=2).collect()}
+
+    import itertools
+    want = {}
+    for (i1, v1), (i2, v2) in itertools.combinations(rows, 2):
+        q1 = [int(x * 1024 // 1) for x in v1]
+        q2 = [int(x * 1024 // 1) for x in v2]
+        d2 = sum((a - b) ** 2 for a, b in zip(q1, q2))
+        b = 0 if d2 == 0 else d2.bit_length()
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    assert got.get(0, 0) > 0  # i and i+35 collide mod 5 and mod 7
+    # sampling knob caps the pair count deterministically
+    few = distance_histogram(df, sample_buckets=32, dim=2) \
+        .agg({"n_pairs": "sum"}).collect()[0][0] or 0
+    assert few < sum(want.values())
