@@ -1809,11 +1809,47 @@ def _q_temporal_ops(spark, sf_dir):
         F.lit("slide").alias("op"), F.col("event_type").alias("s"),
         F.col("win_start").alias("a"), F.col("n").alias("b"),
         F.col("sum_cents").alias("c"))
+    # SCD2 merge: current = each customer's FIRST-order priority (open
+    # row from the first order date); updates = LAST-order priority at
+    # the last order date (same ⇒ idempotent no-op, differing ⇒
+    # close+reopen) plus order-less customers as brand-new keys
+    from judy_graph_db_spark.operators.temporal import scd2_merge
+
+    orders_t = spark.table("orders")
+    f_ = orders_t.groupBy("o_custkey").agg(F.min(F.struct(
+        "o_orderdate", "o_orderkey", "o_orderpriority")).alias("f"))
+    cur_scd = f_.select(
+        F.col("o_custkey").alias("key"),
+        F.col("f.o_orderpriority").alias("value"),
+        F.col("f.o_orderdate").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"))
+    l_ = orders_t.groupBy("o_custkey").agg(F.max(F.struct(
+        "o_orderdate", "o_orderkey", "o_orderpriority")).alias("l"))
+    upd_scd = l_.select(
+        F.col("o_custkey").alias("key"),
+        F.col("l.o_orderpriority").alias("value"),
+        F.col("l.o_orderdate").cast("timestamp").alias("ts"),
+    ).unionByName(
+        spark.table("customer").join(
+            orders_t.select(F.col("o_custkey").alias("c_custkey"))
+            .distinct(), "c_custkey", "left_anti"
+        ).select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("value"),
+            F.lit("1995-01-01").cast("timestamp").alias("ts")))
+    ep = F.lit("1970-01-01").cast("date")
+    scd = scd2_merge(cur_scd, upd_scd).select(
+        F.lit("scd2").alias("op"), F.col("value").alias("s"),
+        F.col("key").alias("a"),
+        F.datediff(F.col("valid_from").cast("date"), ep).cast("long")
+        .alias("b"),
+        F.datediff(F.col("valid_to").cast("date"), ep).cast("long")
+        .alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
             .unionByName(mk).unionByName(tre).unionByName(tw)
             .unionByName(g1).unionByName(g2).unionByName(dc)
-            .unionByName(sw))
+            .unionByName(sw).unionByName(scd))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -1848,6 +1884,12 @@ def _q_stats_ops(spark, sf_dir):
     cents = spark.table("orders").select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    # robust location/scale per priority (median + MAD, percentile_disc)
+    mad = STT.grouped_median_mad(cents, ["o_orderpriority"], "cents") \
+        .select(
+        F.lit("mad").alias("op"), F.col("o_orderpriority").alias("s"),
+        sN.alias("t"), F.col("median").alias("a"), F.col("mad").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     qb = STT.quantile_bins(
         cents, "cents", 8, group_cols=["o_orderpriority"]
     ).groupBy("o_orderpriority", "bin").agg(
@@ -2086,8 +2128,8 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("auc").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("n_pos").alias("a"), F.col("n_neg").alias("b"),
         F.col("u2").alias("c"), F.col("auc_micro").alias("d"))
-    return (qt.unionByName(qb).unionByName(tt).unionByName(inv)
-            .unionByName(st)
+    return (qt.unionByName(qb).unionByName(mad).unionByName(tt)
+            .unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
             .unionByName(col).unionByName(ent).unionByName(nv)
             .unionByName(z1).unionByName(z2).unionByName(ou)
@@ -2565,6 +2607,17 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("shard").alias("op"), "doc_id",
         F.col("shard").cast("long").alias("a"), sN.alias("s"),
         F.col("n_tokens").cast("long").alias("b"))
+    # weight-generalized sharding (the compaction-planner shape):
+    # byte-budget bins over n_chars
+    from judy_graph_db_spark.operators.curation import shard_by_weight
+
+    ws = shard_by_weight(
+        spark.table("documents").select("doc_id", "n_chars"),
+        50000, "n_chars",
+    ).select(
+        F.lit("wshard").alias("op"), "doc_id",
+        F.col("shard").alias("a"), sN.alias("s"),
+        F.col("n_tokens").alias("b"))
     from judy_graph_db_spark.operators.bpe import bpe_encode, bpe_train
 
     merges, bvocab = bpe_train(spark.table("documents"), n_merges=8)
@@ -2596,7 +2649,7 @@ def _q_chunk_shard(spark, sf_dir):
         F.col("n_tokens").alias("a"),
         F.col("n_chars").cast("string").alias("s"),
         F.col("cpt_milli").alias("b"))
-    return (ch.unionByName(sh).unionByName(pk)
+    return (ch.unionByName(sh).unionByName(ws).unionByName(pk)
             .unionByName(bm).unionByName(bv).unionByName(be)
             .unionByName(bc))
 
@@ -3338,6 +3391,13 @@ UNION ALL
 SELECT 'shard', doc_id, shard, NULL, n_tokens
 FROM ({O.shard_by_token_budget_sql(budget_tokens=10000)}) t2
 UNION ALL
+SELECT 'wshard', doc_id,
+       COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+         ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000,
+       NULL, CAST(n_chars AS BIGINT)
+FROM documents
+UNION ALL
 SELECT 'pack', doc_id, seq_first, CAST(offset_in_first AS VARCHAR), seq_last
 FROM ({O.pack_sequences_sql(seq_len=512)}) t3
 UNION ALL
@@ -3816,7 +3876,48 @@ FROM (WITH sw_k AS (
 SELECT event_type, k * 3600 AS win_start,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
-FROM sw_k GROUP BY 1, 2) t14""",
+FROM sw_k GROUP BY 1, 2) t14
+UNION ALL
+SELECT 'scd2', value, key, vf_days, vt_days
+FROM (WITH sc_f AS (
+  SELECT o_custkey AS key,
+         (MIN(struct_pack(d := o_orderdate, k := o_orderkey,
+                          p := o_orderpriority))).p AS value,
+         (MIN(struct_pack(d := o_orderdate, k := o_orderkey,
+                          p := o_orderpriority))).d AS vf
+  FROM orders GROUP BY 1
+),
+sc_l AS (
+  SELECT o_custkey AS key,
+         (MAX(struct_pack(d := o_orderdate, k := o_orderkey,
+                          p := o_orderpriority))).p AS uval,
+         (MAX(struct_pack(d := o_orderdate, k := o_orderkey,
+                          p := o_orderpriority))).d AS uts
+  FROM orders GROUP BY 1
+),
+sc_new AS (
+  SELECT c.c_custkey AS key, c.c_mktsegment AS value,
+         DATE '1995-01-01' AS ts
+  FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+),
+sc_rows AS (
+  -- surviving/closed versions of the current open rows
+  SELECT f.key, f.value, f.vf AS vfrom,
+         CASE WHEN f.value = l.uval THEN NULL ELSE l.uts END AS vto
+  FROM sc_f f JOIN sc_l l USING (key)
+  UNION ALL
+  -- reopened rows for differing updates
+  SELECT l.key, l.uval, l.uts, NULL
+  FROM sc_f f JOIN sc_l l USING (key) WHERE f.value <> l.uval
+  UNION ALL
+  -- brand-new keys
+  SELECT key, value, ts, NULL FROM sc_new
+)
+SELECT key, value,
+       CAST(date_diff('day', DATE '1970-01-01', vfrom) AS BIGINT)
+         AS vf_days,
+       CAST(date_diff('day', DATE '1970-01-01', vto) AS BIGINT) AS vt_days
+FROM sc_rows) t15""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,
@@ -3843,6 +3944,23 @@ qb_map AS (
 SELECT pr, bin, CAST(SUM(c) AS BIGINT) AS nn,
        CAST(SUM(cents * c) AS BIGINT) AS sc
 FROM qb_map GROUP BY 1, 2) tqb
+UNION ALL
+SELECT 'mad', o_orderpriority, NULL, median, mad, NULL, NULL
+FROM (WITH md1 AS (
+  SELECT o_orderpriority, q_500 AS median
+  FROM ({O.grouped_quantiles_sql(
+            "o_orderpriority", "CAST(round(o_totalprice * 100) AS BIGINT)",
+            [0.5], "orders")}) m1
+),
+md2 AS (
+  SELECT o.o_orderpriority,
+         ABS(CAST(round(o.o_totalprice * 100) AS BIGINT) - m.median) AS dev
+  FROM orders o JOIN md1 m USING (o_orderpriority)
+)
+SELECT m.o_orderpriority, m.median, d.q_500 AS mad
+FROM md1 m JOIN ({O.grouped_quantiles_sql(
+            "o_orderpriority", "dev", [0.5], "md2")}) d
+  USING (o_orderpriority)) tmd
 UNION ALL
 SELECT 'top_terms', term, NULL, doc_id, tf, df, CAST(rank_in_doc AS BIGINT)
 FROM ({O.top_terms_sql(k=5)}) t2

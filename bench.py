@@ -354,6 +354,13 @@ def main() -> None:
         lambda: S.distance_histogram(embs, sample_buckets=16).count())
     run("epoch_shuffle",
         lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
+    run("median_mad",
+        lambda: ST.grouped_median_mad(
+            spark.table("orders").select(
+                "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                .alias("cents")),
+            ["o_orderpriority"], "cents").count())
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

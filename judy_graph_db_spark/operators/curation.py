@@ -832,3 +832,22 @@ def epoch_shuffle(df: DataFrame, seed: int, num_shards: int = 1024,
                     (F.row_number().over(w) - 1).cast("long"))
         .drop("__h")
     )
+
+
+def shard_by_weight(df: DataFrame, budget: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    num_partitions: int | None = None) -> DataFrame:
+    """Generalized :func:`shard_by_token_budget`: pack rows (in
+    ``id_col`` order) into consecutive shards of ~``budget`` total
+    integer ``weight_col`` — the compaction planner shape ("bin-pack
+    these small files into ~512 MB outputs", weight = file bytes) and
+    the generic budgeted-batch builder (weight = token count, row count,
+    sample cost). Same scalable two-pass prefix sum; returns
+    ``(id_col, n_tokens, shard)`` with ``n_tokens`` carrying the row's
+    weight."""
+    pre = _token_prefix(df, id_col, "", num_partitions,
+                        weight=F.col(weight_col).cast("long"))
+    return pre.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.floor(F.col("__start") / int(budget)).cast("long").alias("shard"),
+    )

@@ -957,3 +957,28 @@ def score_bigrams(docs: DataFrame, ref_docs: DataFrame,
                 F.expr("(1000 * sb_bits) div n_bigrams")
                 .alias("mean_bits_milli"))
     )
+
+
+def grouped_median_mad(df: DataFrame, group_cols: Sequence[str],
+                       value_col: str) -> DataFrame:
+    """Median and MAD (median absolute deviation) per group — the robust
+    location/scale pair for outlier rules (`|x − med| > k·MAD`) where
+    mean/variance get dragged by the very outliers being hunted. Both
+    medians use ``percentile_disc`` semantics (an actual data value —
+    engine-portable, hash-stable; see :func:`grouped_quantiles`).
+
+    Two passes by necessity (MAD is a median OF deviations from the
+    group median): each is one group-keyed shuffle — pass 1 reuses
+    ``grouped_quantiles``, pass 2 joins the ≤|groups|-row median
+    relation back (broadcast-sized) and ranks |x − med|. Returns
+    ``(group_cols…, median, mad)``.
+    """
+    g = list(group_cols)
+    med = grouped_quantiles(df, g, value_col, [0.5]).select(
+        *g, F.col("q_500").alias("median"))
+    dev = df.join(F.broadcast(med), g).select(
+        *g, "median",
+        F.abs(F.col(value_col) - F.col("median")).alias("__dev"))
+    mad = grouped_quantiles(dev, g, "__dev", [0.5]).select(
+        *g, F.col("q_500").alias("mad"))
+    return med.join(mad, g)

@@ -690,3 +690,55 @@ def sliding_window_counts(
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("__cents").alias("sum_cents"))
     )
+
+
+def scd2_merge(current: DataFrame, updates: DataFrame,
+               key_col: str = "key", value_cols=("value",),
+               ts_col: str = "ts", from_col: str = "valid_from",
+               to_col: str = "valid_to") -> DataFrame:
+    """Type-2 slowly-changing-dimension merge — the lakehouse upsert that
+    keeps FULL HISTORY: ``current`` holds versioned rows (``from_col``,
+    ``to_col`` with NULL = open), ``updates`` holds at most one new state
+    per key stamped ``ts_col``. A changed value CLOSES the open row at
+    the update timestamp and opens a new one; an unchanged value is a
+    no-op (idempotent re-delivery); a brand-new key opens its first row.
+    History rows pass through untouched. The point-in-time reader is the
+    existing :func:`asof_join` over the emitted intervals.
+
+    One full-outer join on the key between the OPEN slice and the
+    updates — history never enters the join — then three pure
+    projections union the result: no window, no driver state, change
+    detection by comparing the value columns directly (NULL-safe
+    ``<=>``). Deterministic and engine-exact.
+
+    Returns the new version table with the same columns as ``current``.
+    """
+    vals = list(value_cols)
+    open_rows = current.filter(F.col(to_col).isNull())
+    closed_rows = current.filter(F.col(to_col).isNotNull())
+    u = updates.select(
+        F.col(key_col),
+        *[F.col(c).alias(f"__u_{c}") for c in vals],
+        F.col(ts_col).alias("__u_ts"))
+    j = open_rows.join(u, key_col, "full_outer")
+    same = None
+    for c in vals:
+        eq = F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        same = eq if same is None else (same & eq)
+    has_open = F.col(from_col).isNotNull()
+    has_upd = F.col("__u_ts").isNotNull()
+    # open rows that survive as-is: no update, or update equal
+    keep = j.filter(has_open & (~has_upd | same)).select(
+        key_col, *vals, from_col, F.lit(None).cast("timestamp").alias(to_col))
+    # open rows closed by a differing update
+    close = j.filter(has_open & has_upd & ~same).select(
+        key_col, *vals, from_col, F.col("__u_ts").alias(to_col))
+    # new opens: differing update on an existing key, or brand-new key
+    opens = j.filter(has_upd & (~has_open | ~same)).select(
+        F.col(key_col),
+        *[F.col(f"__u_{c}").alias(c) for c in vals],
+        F.col("__u_ts").alias(from_col),
+        F.lit(None).cast("timestamp").alias(to_col))
+    out_cols = [key_col, *vals, from_col, to_col]
+    return (closed_rows.select(*out_cols)
+            .unionByName(keep).unionByName(close).unionByName(opens))

@@ -430,3 +430,19 @@ def test_epoch_shuffle(spark):
         assert sorted(ps) == list(range(len(ps)))
     # all shards used with 200 rows over 8 shards
     assert len(by_shard) == 8
+
+
+def test_shard_by_weight(spark):
+    """Weight-generalized budgeted sharding: cumulative-weight boundaries
+    match a python replica (the compaction-planner shape)."""
+    from judy_graph_db_spark.operators.curation import shard_by_weight
+
+    rows = [(i, 10 + (i * 13) % 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, bytes long")
+    got = {r.doc_id: r.shard
+           for r in shard_by_weight(df, 100, "bytes").collect()}
+    c, want = 0, {}
+    for i, w in sorted(rows):
+        want[i] = c // 100
+        c += w
+    assert got == want

@@ -481,3 +481,40 @@ def test_sliding_window_counts(spark):
     assert sum(tum.values()) == len(rows)
     with _pt.raises(ValueError, match="slide must not exceed"):
         sliding_window_counts(df, 10, 30)
+
+
+def test_scd2_merge(spark):
+    """Changed values close and reopen, unchanged are idempotent, new
+    keys open, history passes through; a second identical merge is a
+    no-op."""
+    from judy_graph_db_spark.operators.temporal import scd2_merge
+
+    cur = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+         (1, "b", "2024-02-01 00:00:00", None),
+         (2, "x", "2024-01-15 00:00:00", None)],
+        "key long, value string, valid_from string, valid_to string"
+    ).selectExpr("key", "value", "CAST(valid_from AS TIMESTAMP) valid_from",
+                 "CAST(valid_to AS TIMESTAMP) valid_to")
+    upd = spark.createDataFrame(
+        [(1, "c", "2024-03-01 00:00:00"),   # change -> close b, open c
+         (2, "x", "2024-03-01 00:00:00"),   # unchanged -> no-op
+         (3, "n", "2024-03-01 00:00:00")],  # new key
+        "key long, value string, ts string"
+    ).selectExpr("key", "value", "CAST(ts AS TIMESTAMP) ts")
+    out = scd2_merge(cur, upd)
+    rows = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
+            for r in out.collect()}
+    assert rows[(1, "a")] == ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    assert rows[(1, "b")] == ("2024-02-01 00:00:00", "2024-03-01 00:00:00")
+    assert rows[(1, "c")][0] == "2024-03-01 00:00:00"
+    assert rows[(1, "c")][1] == "None"
+    assert rows[(2, "x")] == ("2024-01-15 00:00:00", "None")
+    assert rows[(3, "n")][0] == "2024-03-01 00:00:00"
+    assert out.count() == 5
+    # replay idempotence: merging the same updates again changes nothing
+    again = scd2_merge(out, upd)
+    assert again.count() == 5
+    r2 = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
+          for r in again.collect()}
+    assert r2 == rows
