@@ -1845,11 +1845,19 @@ def _q_temporal_ops(spark, sf_dir):
         .alias("b"),
         F.datediff(F.col("valid_to").cast("date"), ep).cast("long")
         .alias("c"))
+    # robust per-key rate anomalies over daily buckets (median/MAD flag)
+    from judy_graph_db_spark.operators.temporal import rate_anomalies
+
+    an = rate_anomalies(spark.table("events"), 86400).select(
+        F.lit("anomaly").alias("op"), F.col("event_type").alias("s"),
+        F.col("period").alias("a"),
+        (F.col("n") * 2 + F.col("is_anomaly").cast("long")).alias("b"),
+        (F.col("median") * 100000 + F.col("mad")).alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
             .unionByName(mk).unionByName(tre).unionByName(tw)
             .unionByName(g1).unionByName(g2).unionByName(dc)
-            .unionByName(sw).unionByName(scd))
+            .unionByName(sw).unionByName(scd).unionByName(an))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -3917,7 +3925,30 @@ SELECT key, value,
        CAST(date_diff('day', DATE '1970-01-01', vfrom) AS BIGINT)
          AS vf_days,
        CAST(date_diff('day', DATE '1970-01-01', vto) AS BIGINT) AS vt_days
-FROM sc_rows) t15""",
+FROM sc_rows) t15
+UNION ALL
+SELECT 'anomaly', event_type, period, n * 2 + flag, median * 100000 + mad
+FROM (WITH an_rc AS (
+  SELECT event_type, period, n
+  FROM ({O.resample_counts_sql(86400)}) rc0
+),
+an_md AS (
+  SELECT event_type, q_500 AS median
+  FROM ({O.grouped_quantiles_sql("event_type", "n", [0.5], "an_rc")}) m0
+),
+an_dv AS (
+  SELECT r.event_type, ABS(r.n - m.median) AS dev
+  FROM an_rc r JOIN an_md m USING (event_type)
+),
+an_mm AS (
+  SELECT event_type, q_500 AS mad
+  FROM ({O.grouped_quantiles_sql("event_type", "dev", [0.5], "an_dv")}) m1
+)
+SELECT r.event_type, r.period, r.n, m.median, d.mad,
+       CASE WHEN ABS(r.n - m.median) * 1000 > 3000 * d.mad
+            THEN 1 ELSE 0 END AS flag
+FROM an_rc r JOIN an_md m USING (event_type)
+JOIN an_mm d USING (event_type)) t16""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

@@ -354,6 +354,8 @@ def main() -> None:
         lambda: S.distance_histogram(embs, sample_buckets=16).count())
     run("epoch_shuffle",
         lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
+    run("rate_anomalies",
+        lambda: TP.rate_anomalies(events, 86400).count())
     run("median_mad",
         lambda: ST.grouped_median_mad(
             spark.table("orders").select(

@@ -518,3 +518,28 @@ def test_scd2_merge(spark):
     r2 = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
           for r in again.collect()}
     assert r2 == rows
+
+
+def test_rate_anomalies(spark):
+    """A burst bucket and a silent (gap-filled zero) bucket both flag;
+    steady buckets do not."""
+    from judy_graph_db_spark.operators.temporal import rate_anomalies
+
+    rows = []
+    # steady: 3 events/hour for hours 0..9, except hour 4 bursts to 30
+    # and hour 7 is silent
+    for h in range(10):
+        n = 30 if h == 4 else (0 if h == 7 else 3)
+        for i in range(n):
+            rows.append(("a", f"2024-01-01 {h:02d}:00:{i % 60:02d}"))
+    df = spark.createDataFrame(rows, "event_type string, ts string") \
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP) ts")
+    out = {r.period: (r.n, r.is_anomaly)
+           for r in rate_anomalies(df, 3600, k_milli=3000).collect()}
+    assert len(out) == 10  # hour 7 present via gap fill
+    ns = sorted(v[0] for v in out.values())
+    assert ns.count(3) == 8 and 0 in ns and 30 in ns
+    flagged = {p for p, (n, a) in out.items() if a}
+    normal = {p for p, (n, a) in out.items() if not a}
+    assert {out[p][0] for p in flagged} == {0, 30}
+    assert all(out[p][0] == 3 for p in normal)
