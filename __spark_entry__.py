@@ -2328,6 +2328,13 @@ def _q_sampling_ops(spark, sf_dir):
         (F.col("negative") * 4 + F.col("slot")).alias("c"))
     inc = _q_incremental_dedup(spark, sf_dir).select(
         "op", "a", "b", F.col("code").alias("c"))
+    # deterministic Chung-Lu Zipf generator (the skew-stress null model);
+    # oracle = the negative-sampler twin pivoted to (src, dst)
+    from judy_graph_db_spark.sources.synthetic import chung_lu_zipf_graph
+
+    syn = chung_lu_zipf_graph(spark, 64, 256, seed=9).select(
+        F.lit("synth").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"), F.lit(None).cast("long").alias("c"))
     # GraphSAGE-style 2-hop feature aggregation over the NEXT_ORDER
     # chains (order features = totalprice cents); one row per op keeps
     # count+sum and the integer-micro mean both hash-visible
@@ -2395,7 +2402,7 @@ def _q_sampling_ops(spark, sf_dir):
     return (ns.unionByName(rw).unionByName(sg).unionByName(neg)
             .unionByName(inc).unionByName(nag).unionByName(nagm)
             .unionByName(mp).unionByName(ww).unionByName(ne)
-            .unionByName(nv))
+            .unionByName(nv).unionByName(syn))
 
 
 def _q_ann_search(spark, sf_dir):
@@ -4407,5 +4414,20 @@ FROM ({SA_ORACLE.node2vec_walks_oracle_sql(
             length=3, seed=23,
             starts_sql=f"SELECT DISTINCT l_suppkey + {2 * B} AS id "
                        f"FROM lineitem",
-        )}) t11""",
+        )}) t11
+UNION ALL
+SELECT 'synth', src, dst, NULL
+FROM (SELECT DISTINCT
+        MAX(CASE WHEN slot = 1 THEN negative END) OVER (PARTITION BY center)
+          AS src,
+        MAX(CASE WHEN slot = 2 THEN negative END) OVER (PARTITION BY center)
+          AS dst
+      FROM ({SA_ORACLE.sampled_negatives_oracle_sql(
+            pairs_sql="SELECT range AS center, 0 AS context FROM range(256)",
+            freqs_sql="SELECT range AS node, "
+                      "GREATEST(64 // (range + 1), 1) AS freq "
+                      "FROM range(64)",
+            k=2, seed=9,
+        )}) dr) sy
+WHERE src <> dst""",
     }

@@ -356,6 +356,10 @@ def main() -> None:
         lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
     run("rate_anomalies",
         lambda: TP.rate_anomalies(events, 86400).count())
+    from judy_graph_db_spark.sources.synthetic import chung_lu_zipf_graph
+    run("synth_graph_100k",
+        lambda: chung_lu_zipf_graph(spark, 10000, 100000, seed=1).count(),
+        repeats=1)
     run("median_mad",
         lambda: ST.grouped_median_mad(
             spark.table("orders").select(

@@ -226,3 +226,36 @@ def test_zorder_exact_and_sampled_agree_on_uniform_data(spark):
     off = [abs(exact[x] - sampled[x]) for x in exact]
     assert max(off) <= 1
     assert sum(1 for d in off if d == 0) > len(off) * 0.7
+
+
+def test_synthetic_graph_generators(spark):
+    """Deterministic across partitionings/sessions; Chung-Lu Zipf makes
+    node 0 the heaviest hub; uniform spreads degrees evenly."""
+    from pyspark.sql import functions as F
+
+    from judy_graph_db_spark.sources.synthetic import (chung_lu_zipf_graph,
+                                                       uniform_random_graph)
+
+    u1 = sorted((r.src, r.dst) for r in
+                uniform_random_graph(spark, 50, 300, seed=4).collect())
+    u2 = sorted((r.src, r.dst) for r in
+                uniform_random_graph(spark, 50, 300, seed=4).collect())
+    assert u1 == u2 and len(u1) > 200
+    assert all(0 <= a < 50 and 0 <= b < 50 and a != b for a, b in u1)
+    u3 = sorted((r.src, r.dst) for r in
+                uniform_random_graph(spark, 50, 300, seed=5).collect())
+    assert u1 != u3
+
+    cl = chung_lu_zipf_graph(spark, 64, 600, seed=9)
+    rows = [(r.src, r.dst) for r in cl.collect()]
+    assert rows and all(a != b for a, b in rows)
+    deg = {}
+    for a, b in rows:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    # node 0 has ~n/1 weight vs average — must be the top-degree hub
+    assert deg.get(0, 0) == max(deg.values())
+    # replay identical
+    again = sorted((r.src, r.dst) for r in
+                   chung_lu_zipf_graph(spark, 64, 600, seed=9).collect())
+    assert again == sorted(rows)
