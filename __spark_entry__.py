@@ -2579,8 +2579,47 @@ def _q_stream_maintain(spark, sf_dir):
             sN.alias("event_type"),
             F.col("component").cast("long").alias("n"),
             lN.alias("sum_value_cents"))
+        # streaming SCD2 dimension fold: per-user latest event_type as the
+        # tracked value, TWO deterministic micro-batches (even event_ids
+        # folded before odd — file written, drained, then the second file
+        # written and drained, so batch order is fixed and the oracle can
+        # replay merge∘merge exactly)
+        from judy_graph_db_spark.streaming.dimensions import (
+            foreach_batch_scd2, read_dimension)
+
+        dim_in = f"{base}/dim_in"
+        changes = spark.table("events").select(
+            F.col("event_id"), F.col("user_id").alias("key"),
+            F.col("event_type").alias("value"), F.col("ts"))
+        changes.filter(F.col("event_id") % 2 == 0) \
+            .select("key", "value", "ts").coalesce(1) \
+            .write.mode("overwrite").parquet(dim_in)
+
+        def dim_stream():
+            return (spark.readStream
+                    .schema("key long, value string, ts timestamp")
+                    .parquet(dim_in))
+
+        q3 = foreach_batch_scd2(dim_stream(), f"{base}/dim",
+                                checkpoint=f"{base}/ck3")
+        q3.awaitTermination(600)
+        changes.filter(F.col("event_id") % 2 == 1) \
+            .select("key", "value", "ts").coalesce(1) \
+            .write.mode("append").parquet(dim_in)
+        q4 = foreach_batch_scd2(dim_stream(), f"{base}/dim",
+                                checkpoint=f"{base}/ck3")
+        q4.awaitTermination(600)
+        ep0 = F.lit("1970-01-01 00:00:00").cast("timestamp")
+        scd = read_dimension(spark, f"{base}/dim").select(
+            F.lit("sk_scd2").alias("op"),
+            F.col("key").cast("long").alias("hour_bucket"),
+            F.col("value").alias("event_type"),
+            (F.col("valid_from").cast("long")
+             - ep0.cast("long")).alias("n"),
+            (F.col("valid_to").cast("long")
+             - ep0.cast("long")).alias("sum_value_cents"))
         return (cms.unionByName(hll).unionByName(bloom).unionByName(cc)
-                .localCheckpoint(eager=True))
+                .unionByName(scd).localCheckpoint(eager=True))
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2979,7 +3018,37 @@ FROM (
          MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS min_key,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
   FROM orders
-) smcc WHERE n_orders >= 2""",
+) smcc WHERE n_orders >= 2
+UNION ALL
+SELECT 'sk_scd2', key, value,
+       date_diff('second', TIMESTAMP '1970-01-01 00:00:00', vfrom),
+       date_diff('second', TIMESTAMP '1970-01-01 00:00:00', vto)
+FROM (WITH sd_u1 AS (
+  SELECT user_id AS key,
+         (MAX(struct_pack(t := ts, v := event_type))).v AS value,
+         (MAX(struct_pack(t := ts, v := event_type))).t AS uts
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+sd_u2 AS (
+  SELECT user_id AS key,
+         (MAX(struct_pack(t := ts, v := event_type))).v AS value,
+         (MAX(struct_pack(t := ts, v := event_type))).t AS uts
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+),
+-- fold 1 over the empty dimension: every batch-A key opens
+sd_d1 AS (SELECT key, value, uts AS vfrom FROM sd_u1),
+-- fold 2: full-outer of the open slice against batch B
+sd_rows AS (
+  SELECT d.key, d.value, d.vfrom,
+         CASE WHEN u.key IS NULL OR d.value = u.value THEN NULL
+              ELSE u.uts END AS vto
+  FROM sd_d1 d LEFT JOIN sd_u2 u USING (key)
+  UNION ALL
+  SELECT u.key, u.value, u.uts, NULL
+  FROM sd_u2 u LEFT JOIN sd_d1 d USING (key)
+  WHERE d.key IS NULL OR d.value <> u.value
+)
+SELECT key, value, vfrom, vto FROM sd_rows) smsd""",
         "event_sessions": """
 WITH marked AS (
   SELECT user_id, ts,
