@@ -1468,8 +1468,15 @@ def _q_media_pipeline(spark, sf_dir):
         F.col("height").cast("long").alias("c"),
         F.col("duration_ms").cast("long").alias("d"),
         F.col("content_hash").alias("h"))
+    # perceptual average-hash (stub thumbnail from payload md5; real path
+    # is PIL-gated like decode)
+    ah = MM.image_ahash(media).select(
+        F.lit("ahash").alias("op"), "doc_id",
+        F.col("mean_milli").alias("a"), lN.alias("b"), lN.alias("c"),
+        lN.alias("d"), F.col("ahash").alias("h"))
     return (meta.unionByName(dec).unionByName(frames)
-            .unionByName(audio).unionByName(wins).unionByName(video))
+            .unionByName(audio).unionByName(wins).unionByName(video)
+            .unionByName(ah))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -3181,7 +3188,32 @@ FROM (
               ELSE 120 * (1 + ascii(substring(text, 2, 1)) % 4) END
               AS BIGINT) AS h
   FROM documents
-) vm""",
+) vm
+UNION ALL
+SELECT 'ahash', doc_id, mean_milli, NULL, NULL, NULL, ahash
+FROM (WITH ah_p AS (
+  SELECT d.doc_id, g.i,
+         CAST(CAST('0x' || substr(
+           md5(md5(d.text) || ':' || g.i), 1, 2) AS INT) AS BIGINT) AS px
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 63)) AS i) g
+),
+ah_s AS (
+  SELECT doc_id, SUM(px) AS s FROM ah_p GROUP BY 1
+),
+ah_n AS (
+  SELECT p.doc_id, p.i // 4 AS k,
+         SUM((CASE WHEN p.px * 64 > s.s THEN 1 ELSE 0 END)
+             * (CASE p.i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                WHEN 2 THEN 2 ELSE 1 END)) AS nib
+  FROM ah_p p JOIN ah_s s USING (doc_id) GROUP BY 1, 2
+)
+SELECT n.doc_id,
+       string_agg(substr('0123456789abcdef', CAST(n.nib AS INT) + 1, 1),
+                  '' ORDER BY n.k) AS ahash,
+       CAST(1000 * MAX(s.s) // 64 AS BIGINT) AS mean_milli
+FROM ah_n n JOIN ah_s s USING (doc_id)
+GROUP BY 1) ah""",
         "persisted_roundtrip": f"""{P}
 SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
        COUNT(*) AS n2,

@@ -181,6 +181,7 @@ def main() -> None:
 
     media = MM.as_media_table(docs)
     run("media_decode", lambda: MM.decode_features(media).count())
+    run("image_ahash", lambda: MM.image_ahash(media).count())
     run(
         "doc_quality",
         lambda: docs.select(

@@ -506,3 +506,67 @@ def video_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=VIDEO_FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash string, mean_milli long"
+
+
+def image_ahash(media: DataFrame, decode_stub: bool = True,
+                grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the cheap image-dedup
+    fingerprint: decode, downscale to a ``grid``×``grid`` grayscale
+    thumbnail, threshold each cell against the mean, pack the bits into a
+    hex string. Near-duplicate images (recompressed, resized, slightly
+    cropped) agree on most bits, so Hamming distance over these hashes is
+    the image analogue of SimHash near-dup text pairs — compose with
+    ``dedup.simhash_neardup_pairs``-style banding for the pair search.
+
+    Runs on the same Arrow ``mapInPandas`` path as ``decode_features``.
+    With ``decode_stub`` the "thumbnail" derives deterministic fake
+    pixels from the payload's md5 (``pixel_i = first byte of
+    md5(md5(payload):i)``) — exercising threshold/packing/batch plumbing
+    end-to-end on non-image fixtures with an exact SQL twin; without it,
+    PIL decodes and resizes for real (PIL-gated, like the decode path).
+    Thresholding is integer-exact (``pixel·n > sum``, no float mean).
+
+    Returns ``(doc_id, ahash, mean_milli)`` — ``ahash`` is
+    ``grid²/4`` hex chars, ``mean_milli = 1000·sum div n``.
+    """
+    n_px = grid * grid
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = None if decode_stub else _pil_image()
+
+        def one(b: bytes) -> tuple[str, int]:
+            if decode_stub:
+                h = hashlib.md5(b).hexdigest()
+                px = [
+                    int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:2], 16)
+                    for i in range(n_px)
+                ]
+            else:
+                if pil is None:
+                    raise RuntimeError(
+                        "image_ahash: real decode requested but PIL is "
+                        "not importable")
+                import io
+
+                img = pil.open(io.BytesIO(b)).convert("L") \
+                    .resize((grid, grid))
+                px = list(img.getdata())
+            s = sum(px)
+            bits = 0
+            for p in px:
+                bits = (bits << 1) | (1 if p * n_px > s else 0)
+            return format(bits, f"0{n_px // 4}x"), 1000 * s // n_px
+
+        for pdf in batches:
+            pairs = pdf["content"].map(one)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ahash": pairs.map(lambda t: t[0]),
+                "mean_milli": pd.Series(
+                    pairs.map(lambda t: t[1]), dtype="int64"),
+            })
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -1145,3 +1145,47 @@ def test_distance_histogram(spark):
     few = distance_histogram(df, sample_buckets=32, dim=2) \
         .agg({"n_pairs": "sum"}).collect()[0][0] or 0
     assert few < sum(want.values())
+
+
+def test_image_ahash_stub_and_real(spark):
+    """Stub path matches a python replica bit-for-bit; identical payloads
+    share a hash; the real path decodes via PIL when importable (else the
+    request fails loudly)."""
+    import hashlib
+
+    from judy_graph_db_spark.operators.multimodal import (as_media_table,
+                                                          image_ahash)
+
+    docs = spark.createDataFrame(
+        [(1, "an image payload"), (2, "another payload"),
+         (3, "an image payload")],
+        "doc_id long, text string")
+    media = as_media_table(docs)
+    got = {r.doc_id: (r.ahash, r.mean_milli)
+           for r in image_ahash(media).collect()}
+
+    def replica(text):
+        b = text.encode()
+        h = hashlib.md5(b).hexdigest()
+        px = [int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:2], 16)
+              for i in range(64)]
+        s = sum(px)
+        bits = 0
+        for p in px:
+            bits = (bits << 1) | (1 if p * 64 > s else 0)
+        return format(bits, "016x"), 1000 * s // 64
+
+    assert got[1] == replica("an image payload")
+    assert got[2] == replica("another payload")
+    assert got[1] == got[3]  # identical payloads, identical hash
+    assert len(got[1][0]) == 16
+    # real path: PIL-gated
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        import pytest as _pt
+        with _pt.raises(Exception, match="PIL"):
+            image_ahash(media, decode_stub=False).collect()
