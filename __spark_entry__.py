@@ -1427,6 +1427,35 @@ def _q_neardup_pairs(spark, sf_dir):
     return out
 
 
+def AHASH_SQL(table: str) -> str:
+    """DuckDB twin of ``multimodal.image_ahash``'s stub path over a
+    ``(doc_id, text)`` relation: md5-derived 8×8 pixels, integer
+    mean-threshold bits, nibble-packed hex."""
+    return f"""WITH ah_p AS (
+  SELECT d.doc_id, g.i,
+         CAST(CAST('0x' || substr(
+           md5(md5(d.text) || ':' || g.i), 1, 2) AS INT) AS BIGINT) AS px
+  FROM {table} d,
+       (SELECT unnest(generate_series(0, 63)) AS i) g
+),
+ah_s AS (
+  SELECT doc_id, SUM(px) AS s FROM ah_p GROUP BY 1
+),
+ah_n AS (
+  SELECT p.doc_id, p.i // 4 AS k,
+         SUM((CASE WHEN p.px * 64 > s.s THEN 1 ELSE 0 END)
+             * (CASE p.i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                WHEN 2 THEN 2 ELSE 1 END)) AS nib
+  FROM ah_p p JOIN ah_s s USING (doc_id) GROUP BY 1, 2
+)
+SELECT n.doc_id,
+       string_agg(substr('0123456789abcdef', CAST(n.nib AS INT) + 1, 1),
+                  '' ORDER BY n.k) AS ahash,
+       CAST(1000 * MAX(s.s) // 64 AS BIGINT) AS mean_milli
+FROM ah_n n JOIN ah_s s USING (doc_id)
+GROUP BY 1"""
+
+
 def _q_media_pipeline(spark, sf_dir):
     """Multimodal pipeline in one driver row: pure-JVM metadata pass, Arrow
     ``mapInPandas`` decode (stub codec, real plumbing), frame sampling."""
@@ -1474,9 +1503,24 @@ def _q_media_pipeline(spark, sf_dir):
         F.lit("ahash").alias("op"), "doc_id",
         F.col("mean_milli").alias("a"), lN.alias("b"), lN.alias("c"),
         lN.alias("d"), F.col("ahash").alias("h"))
+    # Hamming near-dup pairs over the hashes of a dup-injected variant
+    # (every 10th payload re-appears under id+1e6 → hamming-0 pairs);
+    # banded candidates, exact nibble-popcount verify
+    from judy_graph_db_spark.operators.dedup import hex_hamming_pairs
+
+    sN = F.lit(None).cast("string")
+    dup_docs = spark.table("documents").select("doc_id", "text").unionByName(
+        spark.table("documents").filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    hp = hex_hamming_pairs(
+        MM.image_ahash(MM.as_media_table(dup_docs))
+    ).select(
+        F.lit("hpairs").alias("op"), F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("a"), F.col("hamming").alias("b"),
+        lN.alias("c"), lN.alias("d"), sN.alias("h"))
     return (meta.unionByName(dec).unionByName(frames)
             .unionByName(audio).unionByName(wins).unionByName(video)
-            .unionByName(ah))
+            .unionByName(ah).unionByName(hp))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -3126,7 +3170,7 @@ FROM documents GROUP BY md5(text)""",
         # fixture text is pure ASCII (verified octet_length == length), so
         # md5(text)/ascii(char) equal the byte-level values the Python
         # decoder computes on the utf-8 payload
-        "media_pipeline": """
+        "media_pipeline": f"""
 SELECT 'meta_image' AS op, doc_id,
        CAST(length(text) AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS d,
@@ -3191,29 +3235,20 @@ FROM (
 ) vm
 UNION ALL
 SELECT 'ahash', doc_id, mean_milli, NULL, NULL, NULL, ahash
-FROM (WITH ah_p AS (
-  SELECT d.doc_id, g.i,
-         CAST(CAST('0x' || substr(
-           md5(md5(d.text) || ':' || g.i), 1, 2) AS INT) AS BIGINT) AS px
-  FROM documents d,
-       (SELECT unnest(generate_series(0, 63)) AS i) g
-),
-ah_s AS (
-  SELECT doc_id, SUM(px) AS s FROM ah_p GROUP BY 1
-),
-ah_n AS (
-  SELECT p.doc_id, p.i // 4 AS k,
-         SUM((CASE WHEN p.px * 64 > s.s THEN 1 ELSE 0 END)
-             * (CASE p.i % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                WHEN 2 THEN 2 ELSE 1 END)) AS nib
-  FROM ah_p p JOIN ah_s s USING (doc_id) GROUP BY 1, 2
-)
-SELECT n.doc_id,
-       string_agg(substr('0123456789abcdef', CAST(n.nib AS INT) + 1, 1),
-                  '' ORDER BY n.k) AS ahash,
-       CAST(1000 * MAX(s.s) // 64 AS BIGINT) AS mean_milli
-FROM ah_n n JOIN ah_s s USING (doc_id)
-GROUP BY 1) ah""",
+FROM ({AHASH_SQL('documents')}) ah
+UNION ALL
+SELECT 'hpairs', id_a, id_b, hamming, NULL, NULL, NULL
+FROM (WITH hp_h AS ({AHASH_SQL(
+    "(SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text FROM documents "
+    "WHERE doc_id % 10 = 0)")})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(CAST('0x' || a.ahash AS UBIGINT),
+                          CAST('0x' || b.ahash AS UBIGINT))) AS BIGINT)
+         AS hamming
+FROM hp_h a JOIN hp_h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(CAST('0x' || a.ahash AS UBIGINT),
+                    CAST('0x' || b.ahash AS UBIGINT))) <= 3) hp""",
         "persisted_roundtrip": f"""{P}
 SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
        COUNT(*) AS n2,

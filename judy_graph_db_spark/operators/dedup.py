@@ -576,3 +576,61 @@ def fuzzy_match_pairs(records: DataFrame, block_col: str, text_col: str,
                 F.levenshtein("ta", "tb").cast("long").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def hex_hamming_pairs(hashes: DataFrame, hash_col: str = "ahash",
+                      id_col: str = "doc_id", hash_len: int = 16,
+                      n_bands: int = 4, max_hamming: int = 3,
+                      max_bucket: int | None = 10000) -> DataFrame:
+    """Near-duplicate pairs over fixed-width HEX fingerprints (perceptual
+    image hashes from ``multimodal.image_ahash``, or any externally
+    computed 4·``hash_len``-bit signature) by Hamming distance ≤
+    ``max_hamming``, via the same **lossless banding** argument as
+    ``simhash_neardup_pairs``: ≤h differing bits touch ≤h of the B hex
+    bands, so with B > h every true pair shares one intact band — the
+    band equi-join has zero false negatives and the exact nibble-popcount
+    check prunes the rest. Returns ``(id_a, id_b, hamming)``.
+
+    ``max_bucket`` drops degenerate bands (a constant-hash corpus —
+    e.g. thousands of blank images — would otherwise square inside one
+    bucket; same precision/cost knob as the MinHash bucket cap).
+    Hamming is exact integer: per-nibble ``bit_count(xor)`` summed with
+    one ``aggregate`` fold — no UDF, engine-portable.
+    """
+    if hash_len % n_bands:
+        raise ValueError("hash_len must divide into n_bands")
+    if n_bands <= max_hamming:
+        raise ValueError("need n_bands > max_hamming for lossless banding")
+    bw = hash_len // n_bands
+    sigs = hashes.select(F.col(id_col).alias("id"),
+                         F.col(hash_col).alias("h"))
+    bands = sigs.select(
+        "id", "h",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("h", 1 + b * bw, bw).alias("val"))
+            for b in range(n_bands)
+        ])).alias("bv"),
+    ).select("id", "h", "bv.band", "bv.val")
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("__n"))
+        bands = bands.join(
+            sizes.filter(F.col("__n") <= int(max_bucket))
+            .select("band", "val"), ["band", "val"], "left_semi")
+    a = bands.select(F.col("id").alias("id_a"), F.col("h").alias("ha"),
+                     "band", "val")
+    b = bands.select(F.col("id").alias("id_b"), F.col("h").alias("hb"),
+                     "band", "val")
+    ham = F.expr(
+        f"aggregate(sequence(1, {hash_len}), 0L, (acc, i) -> acc + "
+        "bit_count(CAST(conv(substring(ha, i, 1), 16, 10) AS BIGINT) ^ "
+        "CAST(conv(substring(hb, i, 1), 16, 10) AS BIGINT)))"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb").distinct()
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= int(max_hamming))
+    )

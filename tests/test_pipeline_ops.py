@@ -1189,3 +1189,46 @@ def test_image_ahash_stub_and_real(spark):
         import pytest as _pt
         with _pt.raises(Exception, match="PIL"):
             image_ahash(media, decode_stub=False).collect()
+
+
+def test_hex_hamming_pairs(spark):
+    """Lossless banding finds every pair within the bound, exact hamming
+    computed; bucket cap drops degenerate constant bands."""
+    from judy_graph_db_spark.operators.dedup import hex_hamming_pairs
+
+    rows = [
+        (1, "00000000000000ff"),
+        (2, "00000000000000fe"),  # 1 bit from id 1
+        (3, "00000000000000f0"),  # 4 bits from id 1 (> max 3)
+        (4, "ffffffffffffffff"),
+        (5, "00000000000000ff"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ahash string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hex_hamming_pairs(df).collect()}
+    assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1, (2, 3): 3}
+    # brute-force completeness on a random set
+    import random
+    rng = random.Random(11)
+    hs = [(i, format(rng.getrandbits(64), "016x")) for i in range(30)]
+    # inject close pairs
+    hs.append((100, hs[0][1][:-1] + ("0" if hs[0][1][-1] != "0" else "1")))
+    df2 = spark.createDataFrame(hs, "doc_id long, ahash string")
+    got2 = {(r.id_a, r.id_b): r.hamming
+            for r in hex_hamming_pairs(df2, max_hamming=3).collect()}
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+    want = {}
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            (ia, ha), (ib, hb) = hs[i], hs[j]
+            ia, ib = min(ia, ib), max(ia, ib)
+            h = ham(ha, hb)
+            if h <= 3:
+                want[(ia, ib)] = h
+    assert got2 == want
+    # degenerate constant corpus: bucket cap suppresses the square
+    const = spark.createDataFrame(
+        [(i, "0" * 16) for i in range(50)], "doc_id long, ahash string")
+    assert hex_hamming_pairs(const, max_bucket=10).count() == 0
