@@ -1421,6 +1421,15 @@ def _q_neardup_pairs(spark, sf_dir):
     ).select(
         F.lit("fuzzy").alias("op"), F.col("id_a").alias("a"),
         F.col("id_b").alias("b"), F.col("dist").alias("v")))
+    # EXACT prefix-filtered Jaccard join (AllPairs/PPJoin) over the same
+    # prefix-sharing variants — the zero-false-negative complement to LSH;
+    # the oracle computes ALL pairs, so the hash match doubles as a
+    # losslessness proof for the prefix filter
+    parts.append(D.jaccard_similarity_join(wdocs, 400).select(
+        F.lit("ppjoin").alias("op"), F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        (F.col("common") * 100000
+         + F.col("jaccard_permille")).alias("v")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -3316,7 +3325,23 @@ FROM ({O.fuzzy_match_sql(
             f"SELECT p_partkey + {7 * B}, p_brand, "
             f"substr(p_name, 1, length(p_name) - 1) FROM part",
             "p_brand", "p_name", max_dist=1,
-        )}) t6""",
+        )}) t6
+UNION ALL
+SELECT 'ppjoin', doc_a, doc_b, common * 100000 + jac
+FROM (WITH pj_d AS (
+  SELECT doc_id, {O.shingles_sql('text')} AS sh
+  FROM (SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               substr(text, 1, 60) || ' altered tail' FROM documents) wd
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+       CAST((1000 * len(list_intersect(a.sh, b.sh)))
+            // len(list_distinct(a.sh || b.sh)) AS BIGINT) AS jac
+FROM pj_d a JOIN pj_d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1000
+      >= 400 * len(list_distinct(a.sh || b.sh))) t7""",
         # createMem's overwrite-winner + displaced-target capture as plain
         # window+join SQL: per hop, the highest-dst candidate per (src,label)
         # wins at seq 1; a differing pre-existing seq-1 target is 'del'.

@@ -634,3 +634,82 @@ def hex_hamming_pairs(hashes: DataFrame, hash_col: str = "ahash",
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= int(max_hamming))
     )
+
+
+def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """EXACT shingle-set Jaccard similarity self-join by prefix filtering
+    (AllPairs, Bayardo et al. 2007 / PPJoin, Xiao et al. 2008) — the
+    zero-false-negative complement to the MinHash-LSH path: every pair
+    with Jaccard ≥ t is returned, no probabilistic misses, at the cost of
+    a candidate set that grows as t falls (use LSH below ~0.3).
+
+    Prefix principle: order every doc's shingles by GLOBAL rarity
+    (document frequency asc, shingle asc — rare first); J(A,B) ≥ t
+    forces ≥ ``ceil(t·|A|)`` common shingles, and the rarest common
+    shingle must sit inside the first ``|A| − ceil(t·|A|) + 1`` of A's
+    order (ditto B), so joining PREFIX×PREFIX on the shingle key loses
+    nothing — and prefixes of rare-first orders hit tiny buckets, which
+    is the entire performance story. Verification is one counting join
+    over candidate pairs with the exact integer cross-multiplied
+    threshold (``common·(1000+t) ≥ t·(|A|+|B|)``).
+
+    Scale shape: one shingle explode; df via a shingle-keyed count
+    window; the rank windows are doc-local; the only global window runs
+    over the |distinct shingles| aggregate (the ``build_vocab`` caveat).
+    Returns ``(doc_a, doc_b, common, jaccard_permille)``.
+    """
+    t = int(threshold_permille)
+    if not 0 < t <= 1000:
+        raise ValueError("threshold_permille must be in 1..1000")
+    toks = (
+        with_shingles(docs.select(id_col, text_col), text_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode("shingles").alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wdf = Window.partitionBy("tok")
+    wdoc = Window.partitionBy("id").orderBy("df", "tok")
+    wsz = Window.partitionBy("id")
+    ranked = toks.select(
+        "id", "tok",
+        F.count(F.lit(1)).over(wdf).alias("df"),
+    ).select(
+        "id", "tok",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count(F.lit(1)).over(wsz).alias("sz"),
+    )
+    # prefix length |A| - ceil(t|A|/1000) + 1, exact integer ceil
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz")
+        - F.expr(f"({t} * sz + 999) div 1000") + 1)
+    a = prefix.select(F.col("id").alias("doc_a"), "tok")
+    b = prefix.select(F.col("id").alias("doc_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sizes = ranked.groupBy("id").agg(F.max("sz").alias("sz"))
+    ta = toks.select(F.col("id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("id").alias("doc_b"), "tok")
+    common = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("id").alias("doc_a"),
+                           F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("id").alias("doc_b"),
+                           F.col("sz").alias("szb")), "doc_b")
+        .filter(F.col("common") * (1000 + t)
+                >= t * (F.col("sza") + F.col("szb")))
+        .select(
+            "doc_a", "doc_b", "common",
+            F.expr("(1000 * common) div (sza + szb - common)")
+            .alias("jaccard_permille"))
+    )

@@ -1232,3 +1232,36 @@ def test_hex_hamming_pairs(spark):
     const = spark.createDataFrame(
         [(i, "0" * 16) for i in range(50)], "doc_id long, ahash string")
     assert hex_hamming_pairs(const, max_bucket=10).count() == 0
+
+
+def test_jaccard_similarity_join_exact(spark):
+    """Prefix-filtered join returns EXACTLY the brute-force pairs at the
+    threshold — zero false negatives (the property LSH cannot give)."""
+    from judy_graph_db_spark.operators.dedup import (jaccard_similarity_join,
+                                                     with_shingles)
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, base + " extra tail words here"),
+         (3, base.replace("quick", "slow")),
+         (4, "completely different content with no overlap at all xyz"),
+         (5, base)],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.common, r.jaccard_permille)
+           for r in jaccard_similarity_join(docs, 400).collect()}
+    # brute force over the same shingle sets
+    sh = {r.doc_id: set(r.shingles)
+          for r in with_shingles(docs).select("doc_id", "shingles").collect()}
+    want = {}
+    ids = sorted(sh)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            c = len(sh[a] & sh[b])
+            u = len(sh[a] | sh[b])
+            if c * 1000 >= 400 * u:
+                want[(a, b)] = (c, 1000 * c // u)
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)][1] == 1000  # exact dup pair
+    assert all((4 not in p) for p in got)
