@@ -1181,6 +1181,12 @@ def _q_k_core(spark, sf_dir):
     cor = AN.coreness(cg, k_max=6).select(
         F.lit("coreness").alias("op"), F.col("id").alias("a"),
         F.col("coreness").alias("b"), lN.alias("c"))
+    # full truss decomposition on the same SF-stable fixture: triangle-
+    # free chains/cycles pin trussness 2, the literal K6 pins 6 — the
+    # closed form the oracle states without replaying the peels
+    trs = AN.trussness(cg, k_max=6).select(
+        F.lit("trussness").alias("op"), F.col("a"),
+        F.col("b"), F.col("trussness").alias("c"))
     # Jones-Plassmann coloring over the chains; rounds = longest
     # decreasing-priority run, observed 5 at sf0.01 —
     # COLORING_ORACLE_ROUNDS=14 margins it, and greedy_coloring raises
@@ -1205,7 +1211,7 @@ def _q_k_core(spark, sf_dir):
         (F.col("coreness") * 100 + F.col("layer")).alias("b"), lN.alias("c"))
     return (core.unionByName(truss).unionByName(mis).unionByName(mat)
             .unionByName(coa).unionByName(emb).unionByName(cor)
-            .unionByName(col).unionByName(oni))
+            .unionByName(col).unionByName(oni).unionByName(trs))
 
 
 K_CORE_ORACLE_ROUNDS = 8
@@ -3956,7 +3962,38 @@ FROM (WITH on_pos AS (
 SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
        CAST(1 AS BIGINT) AS coreness,
        CAST(LEAST(i, L + 1 - i) AS BIGINT) AS layer
-FROM on_pos WHERE L >= 2) t9""",
+FROM on_pos WHERE L >= 2) t9
+UNION ALL
+SELECT 'trussness', a, b, t
+FROM (WITH tr_ch AS (
+  SELECT o_custkey,
+         CAST(5*{B} + o_orderkey AS BIGINT) AS src,
+         CAST(5*{B} + LEAD(o_orderkey) OVER wd AS BIGINT) AS dst
+  FROM orders
+  WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+  QUALIFY dst IS NOT NULL
+),
+tr_clo AS (
+  SELECT o_custkey,
+         CAST(5*{B} + (MAX(struct_pack(d := o_orderdate,
+                                       k := o_orderkey))).k AS BIGINT),
+         CAST(5*{B} + (MIN(struct_pack(d := o_orderdate,
+                                       k := o_orderkey))).k AS BIGINT)
+  FROM orders GROUP BY o_custkey
+  HAVING o_custkey % 2 = 0 AND COUNT(*) >= 2
+),
+tr_n AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+-- only an even-custkey THREE-order customer closes into a triangle;
+-- every other chain/cycle edge is triangle-free
+SELECT DISTINCT LEAST(e.src, e.dst) AS a, GREATEST(e.src, e.dst) AS b,
+       CASE WHEN e.o_custkey % 2 = 0 AND tn.n = 3
+            THEN CAST(3 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS t
+FROM (SELECT * FROM tr_ch UNION ALL SELECT * FROM tr_clo) e
+JOIN tr_n tn USING (o_custkey)
+UNION ALL
+SELECT CAST(9*{B} + x.range AS BIGINT), CAST(9*{B} + y.range AS BIGINT),
+       CAST(6 AS BIGINT)
+FROM range(1, 7) x JOIN range(1, 7) y ON x.range < y.range) t10""",
         # standalone WITH RECURSIVE (same CTE-scoping caveat as
         # var_length_unbounded): the walk relation reduced to MIN(depth)
         # per reachable pair — the doubling operator must agree with the

@@ -362,6 +362,8 @@ def main() -> None:
     run("synth_graph_100k",
         lambda: chung_lu_zipf_graph(spark, 10000, 100000, seed=1).count(),
         repeats=1)
+    run("trussness",
+        lambda: AN.trussness(chains_b, k_max=3).count(), repeats=1)
     run("median_mad",
         lambda: ST.grouped_median_mad(
             spark.table("orders").select(

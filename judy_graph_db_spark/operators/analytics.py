@@ -3507,3 +3507,42 @@ def onion_layers(edges: DataFrame, max_iter: int = 10000) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def trussness(edges: DataFrame, k_max: int = 8,
+              max_iter: int = 50) -> DataFrame:
+    """Full truss decomposition (Cohen 2008): every canonical edge's truss
+    number — the largest k whose k-truss contains it — the edge-level
+    cohesion profile that separates community cores (high trussness)
+    from tree-like tissue (trussness 2, no triangle) the way
+    :func:`coreness` profiles nodes. Returns ``(a, b, trussness)`` with
+    ``a < b``.
+
+    Computed by the nested-truss identity (trusses nest exactly like
+    cores): ``trussness(e) = 2 + Σ_{k≥3} [e ∈ k-truss]`` — ``k_max − 2``
+    reuses of the :func:`k_truss` peeling loop plus thin membership
+    joins, each bounded by the shrinking truss sizes. Raises if the
+    ``(k_max+1)``-truss is non-empty (silent truncation would mislabel
+    the densest community cores).
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = und.withColumn("trussness", F.lit(2).cast("long"))
+    for k in range(3, k_max + 1):
+        tk = k_truss(edges, k, max_iter=max_iter).select(
+            "a", "b", F.lit(1).alias("__in"))
+        out = out.join(tk, ["a", "b"], "left").select(
+            "a", "b",
+            (F.col("trussness") + F.coalesce("__in", F.lit(0)))
+            .cast("long").alias("trussness"))
+    out = out.localCheckpoint(eager=True)
+    if k_truss(edges, k_max + 1, max_iter=max_iter).limit(1).count():
+        raise ValueError(
+            f"trussness: the {k_max + 1}-truss is non-empty — raise "
+            "k_max to at least the graph's maximum trussness")
+    return out

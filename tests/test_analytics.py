@@ -1573,3 +1573,61 @@ def test_onion_layers(spark):
     gr = {r.id: (r.coreness, r.layer)
           for r in AN.onion_layers(edges_df(spark, pairs)).collect()}
     assert gr == want
+
+
+def test_trussness(spark):
+    """Chains score 2, K4 edges 4, K6 edges 6; matches a python replica
+    on a random graph; loud error when k_max is too small."""
+    import itertools
+
+    import pytest as _pt
+
+    chain = [(1, 2), (2, 3), (3, 4)]
+    k4 = [(10 + a, 10 + b) for a, b in itertools.combinations(range(4), 2)]
+    k6 = [(20 + a, 20 + b) for a, b in itertools.combinations(range(6), 2)]
+    e = edges_df(spark, chain + k4 + k6)
+    got = {(r.a, r.b): r.trussness for r in AN.trussness(e).collect()}
+    for a, b in chain:
+        assert got[(a, b)] == 2
+    for a, b in k4:
+        assert got[(a, b)] == 4
+    for a, b in k6:
+        assert got[(a, b)] == 6
+    with _pt.raises(ValueError, match="raise k_max"):
+        AN.trussness(e, k_max=4)
+
+    # replica on a random graph via iterative peeling
+    import random
+    rng = random.Random(31)
+    pairs = sorted({tuple(sorted((rng.randrange(10), rng.randrange(10))))
+                    for _ in range(28)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    def truss_k(edges, k):
+        es = set(edges)
+        while True:
+            sup = {}
+            for a, b in es:
+                sup[(a, b)] = sum(
+                    1 for c in range(11)
+                    if tuple(sorted((a, c))) in es
+                    and tuple(sorted((b, c))) in es and c not in (a, b))
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                return es
+            es = es - drop
+
+    want = {}
+    for a, b in pairs:
+        want[(a, b)] = 2
+    k = 3
+    while True:
+        tk = truss_k(pairs, k)
+        if not tk:
+            break
+        for e2 in tk:
+            want[e2] = k
+        k += 1
+    got2 = {(r.a, r.b): r.trussness
+            for r in AN.trussness(edges_df(spark, pairs), k_max=k).collect()}
+    assert got2 == want
