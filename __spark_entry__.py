@@ -2548,6 +2548,21 @@ def _q_ann_search(spark, sf_dir):
         F.lit("rrf").alias("op"), sN.alias("s"), F.col("vec_id").alias("a"),
         F.col("n_lists").cast("long").alias("b"),
         F.col("rrf_micro").alias("c"), lN.alias("d"))
+    # MRR of the probe-limited list against the brute top-3 as "relevant"
+    mr = S.mrr(ivf10, brute10.filter(F.col("rank") <= 3)
+               .select("query_id", "vec_id"),
+               id_col="vec_id").select(
+        F.lit("mrr").alias("op"), sN.alias("s"),
+        F.col("n_queries").alias("a"), F.col("n_hit").alias("b"),
+        F.col("mrr_micro").alias("c"), lN.alias("d"))
+    # per-dimension integer sufficient stats (whitening prep / dead-dim
+    # detector); min·2^21+max packs reversibly (|q| ≤ 2^20)
+    ds = S.dimension_stats(embs, dim=64).select(
+        F.lit("dimstats").alias("op"), sN.alias("s"),
+        F.col("j").cast("long").alias("a"), F.col("sum_q").alias("b"),
+        F.col("sum_sq").alias("c"),
+        ((F.col("min_q") + (1 << 20)) * (1 << 21)
+         + (F.col("max_q") + (1 << 20))).alias("d"))
     # IVFADC: PQ ADC restricted to the query's 2 probed IVF cells —
     # the wrapper takes the checkpointed codes, so nothing retrains
     ivfpq = CL.ivf_pq_topk(
@@ -2571,7 +2586,8 @@ def _q_ann_search(spark, sf_dir):
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
             .unionByName(qt).unionByName(pool).unionByName(pqc)
             .unionByName(pqt).unionByName(rec).unionByName(rrf)
-            .unionByName(ivfpq).unionByName(rp).unionByName(dh))
+            .unionByName(ivfpq).unionByName(rp).unionByName(dh)
+            .unionByName(mr).unionByName(ds))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -3657,6 +3673,44 @@ FROM ({O.ivf_pq_topk_sql(query_id=0, topk=10, n_cells=4, n_probe=2,
 UNION ALL
 SELECT 'rproj', NULL, vec_id, j, v, NULL
 FROM ({O.random_projection_sql(out_dim=8, seed=5)}) t14
+UNION ALL
+SELECT 'mrr', NULL, n_queries, n_hit, mrr_micro, NULL
+FROM (WITH mr_ap AS (
+  SELECT 0 AS query_id, vec_id, rank
+  FROM ({O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)})
+),
+mr_tr AS (
+  SELECT 0 AS query_id, vec_id
+  FROM ({O.cosine_topk_sql(query_id=0, k=10)}) WHERE rank <= 3
+),
+mr_f AS (
+  SELECT a.query_id, MIN(a.rank) AS r
+  FROM mr_ap a JOIN mr_tr t USING (query_id, vec_id)
+  GROUP BY 1
+),
+mr_q AS (
+  SELECT q.query_id, COALESCE(1000000 // f.r, 0) AS rr
+  FROM (SELECT DISTINCT query_id FROM mr_tr) q
+  LEFT JOIN mr_f f USING (query_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(SUM(rr) // COUNT(*) AS BIGINT) AS mrr_micro
+FROM mr_q) t16
+UNION ALL
+SELECT 'dimstats', NULL, j, sum_q, sum_sq,
+       (min_q + {1 << 20}) * {1 << 21} + (max_q + {1 << 20})
+FROM (
+  SELECT j, CAST(SUM(q) AS BIGINT) AS sum_q,
+         CAST(SUM(q * q) AS BIGINT) AS sum_sq,
+         CAST(MIN(q) AS BIGINT) AS min_q, CAST(MAX(q) AS BIGINT) AS max_q
+  FROM (
+    SELECT g.j,
+           CAST(floor(CAST(embedding[g.j + 1] AS DOUBLE) * 1024)
+                AS BIGINT) AS q
+    FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS j) g
+  ) GROUP BY j
+) t17
 UNION ALL
 SELECT 'dhist', NULL, bucket, n_pairs, NULL, NULL
 FROM (WITH dh_s AS (

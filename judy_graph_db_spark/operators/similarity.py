@@ -530,3 +530,64 @@ def distance_histogram(embs: DataFrame, sample_buckets: int = 4,
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def dimension_stats(embs: DataFrame, dim: int = 64, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension sufficient statistics of an embedding column —
+    ``(j, n, sum_q, sum_sq, min_q, max_q)`` over the 2^10-quantized
+    values — the normalization/whitening prep and the "dead dimension"
+    detector (a dimension with min_q == max_q carries zero information;
+    near-constant dimensions are the other classic encoder-failure
+    signature alongside the collapse `distance_histogram` catches).
+    Callers derive mean/variance with one division; the relation itself
+    stays integer-exact and hash-stable.
+
+    One posexplode + one (j)-keyed map-side-combinable aggregation —
+    dim-row output regardless of corpus size.
+    """
+    q = embs.select(
+        F.posexplode(F.slice(F.col(vec_col), 1, dim)).alias("j", "v"),
+    ).select(
+        "j",
+        F.floor(F.col("v").cast("double") * 1024).cast("long").alias("q"))
+    return q.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).alias("sum_sq"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+
+
+def mrr(results: DataFrame, truth: DataFrame,
+        query_col: str = "query_id", id_col: str = "id",
+        rank_col: str = "rank") -> DataFrame:
+    """Mean reciprocal rank — the retrieval-eval companion to
+    `topk_recall` and `stats.ranking_auc`: per query, 1e6 div the rank
+    of the FIRST relevant result (0 when no relevant result is
+    retrieved — misses stay visible via the truth-side outer join), plus
+    the corpus-level mean. Integer micro-units end to end.
+
+    Returns one row ``(n_queries, n_hit, mrr_micro)`` where ``mrr_micro``
+    averages over ALL truth queries (the standard definition — absent
+    queries count as 0). Both inputs are top-k-sized relations; the join
+    is (query, id)-keyed.
+    """
+    firsts = (
+        results.join(truth.select(query_col, id_col), [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.min(rank_col).alias("__r"))
+    )
+    per_q = (
+        truth.select(query_col).distinct()
+        .join(firsts, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.expr("1000000 div __r"), F.lit(0)).alias("__rr"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("__rr") > 0).cast("long")).alias("n_hit"),
+        F.expr("sum(__rr) div count(1)").alias("mrr_micro"),
+    )

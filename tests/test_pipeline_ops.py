@@ -1265,3 +1265,33 @@ def test_jaccard_similarity_join_exact(spark):
     assert got == want
     assert (1, 5) in got and got[(1, 5)][1] == 1000  # exact dup pair
     assert all((4 not in p) for p in got)
+
+
+def test_dimension_stats(spark):
+    """Integer sufficient stats per dimension; dead dimension flagged by
+    min == max."""
+    from judy_graph_db_spark.operators.similarity import dimension_stats
+
+    rows = [(1, [1.0, 0.5, 0.25]), (2, [2.0, 0.5, -0.25]),
+            (3, [3.0, 0.5, 0.75])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.j: (r.n, r.sum_q, r.sum_sq, r.min_q, r.max_q)
+           for r in dimension_stats(df, dim=3).collect()}
+    assert got[0] == (3, 6144, 14680064, 1024, 3072)
+    assert got[1] == (3, 1536, 786432, 512, 512)   # dead dim: min == max
+    assert got[2] == (3, 768, 720896, -256, 768)  # floor(-0.25*1024)=-256
+    assert got[1][3] == got[1][4]
+
+
+def test_mrr(spark):
+    """First-relevant rank reciprocal; missed queries count as zero."""
+    from judy_graph_db_spark.operators.similarity import mrr
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, id long, rank long")
+    truth = spark.createDataFrame(
+        [(1, 11), (2, 99), (3, 30)], "query_id long, id long")
+    got = mrr(res, truth).collect()[0]
+    # q1 hits at rank 2 -> 500000; q2, q3 miss -> 0
+    assert (got.n_queries, got.n_hit, got.mrr_micro) == (3, 1, 500000 // 3)
