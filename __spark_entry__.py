@@ -2743,6 +2743,14 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("shard").alias("op"), "doc_id",
         F.col("shard").cast("long").alias("a"), sN.alias("s"),
         F.col("n_tokens").cast("long").alias("b"))
+    # token-window chunking (model-unit windows, 64 tokens every 48)
+    from judy_graph_db_spark.operators.curation import chunk_by_tokens
+
+    tc = chunk_by_tokens(spark.table("documents"), size=64,
+                         stride=48).select(
+        F.lit("tchunk").alias("op"), "doc_id",
+        F.col("chunk_idx").alias("a"), F.md5(F.col("chunk")).alias("s"),
+        F.col("n_tokens").alias("b"))
     # weight-generalized sharding (the compaction-planner shape):
     # byte-budget bins over n_chars
     from judy_graph_db_spark.operators.curation import shard_by_weight
@@ -2787,7 +2795,7 @@ def _q_chunk_shard(spark, sf_dir):
         F.col("cpt_milli").alias("b"))
     return (ch.unionByName(sh).unionByName(ws).unionByName(pk)
             .unionByName(bm).unionByName(bv).unionByName(be)
-            .unionByName(bc))
+            .unionByName(bc).unionByName(tc))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3595,6 +3603,19 @@ SELECT 'wshard', doc_id,
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000,
        NULL, CAST(n_chars AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'tchunk', doc_id, st // 48, md5(array_to_string(tk[st + 1 : st + 64], ' ')),
+       CAST(LEAST(len(tk) - st, 64) AS BIGINT)
+FROM (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, GREATEST(len(tk) - 1, 0), 48)) AS st
+  FROM (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(text), '\\s+') END AS tk
+    FROM documents
+  ) tct
+) tcs
 UNION ALL
 SELECT 'pack', doc_id, seq_first, CAST(offset_in_first AS VARCHAR), seq_last
 FROM ({O.pack_sequences_sql(seq_len=512)}) t3

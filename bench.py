@@ -176,6 +176,7 @@ def main() -> None:
     from judy_graph_db_spark.operators import curation as CU
 
     run("doc_chunks", lambda: CU.chunk_documents(docs).count())
+    run("token_chunks", lambda: CU.chunk_by_tokens(docs).count())
     run("token_shards", lambda: CU.shard_by_token_budget(docs, 100000).count())
 
     from judy_graph_db_spark.operators import multimodal as MM

@@ -851,3 +851,43 @@ def shard_by_weight(df: DataFrame, budget: int, weight_col: str,
         F.col(id_col), F.col("n_tokens"),
         F.floor(F.col("__start") / int(budget)).cast("long").alias("shard"),
     )
+
+
+def chunk_by_tokens(df: DataFrame, size: int = 256, stride: int = 192,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Token-window chunking — the context-window prep in MODEL units:
+    split on whitespace, emit windows of ``size`` tokens every ``stride``
+    (stride < size ⇒ overlap), rejoined with single spaces (original
+    whitespace is normalized — the standard and documented concession of
+    token-level chunking). Complements :func:`chunk_documents`'s
+    character windows when budgets are counted in tokens, as packing and
+    sharding already do. Every doc yields ≥ 1 chunk; the tail window may
+    run short. Pure narrow transformation — positions generate and
+    explode inside the scan stage, zero shuffle.
+
+    Returns ``(id_col, chunk_idx, n_tokens, chunk)``.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "",
+                  F.array().cast("array<string>")).otherwise(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - 1, F.lit(0)),
+        F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), "__toks",
+                F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            F.expr(f"__start div {stride}").alias("chunk_idx"),
+            F.least(F.size("__toks") - F.col("__start"),
+                    F.lit(size)).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__start") + 1, F.lit(size)),
+                " ").alias("chunk"),
+        )
+    )

@@ -446,3 +446,23 @@ def test_shard_by_weight(spark):
         want[i] = c // 100
         c += w
     assert got == want
+
+
+def test_chunk_by_tokens(spark):
+    """Overlapping token windows, short tail, empty doc yields one empty
+    chunk, zero shuffles in the plan."""
+    from judy_graph_db_spark.operators.curation import chunk_by_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
+           for r in chunk_by_tokens(docs, size=4, stride=3).collect()}
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (1, "g")
+    assert got[(2, 0)] == (1, "x")
+    assert got[(3, 0)][1] == ""
+    plan = chunk_by_tokens(docs, 4, 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
