@@ -169,7 +169,7 @@ def main() -> None:
     run("exact_dedup", lambda: D.exact_dedup(docs).count())
     run("minhash_lsh", lambda: D.minhash_lsh_candidates(docs).count())
     run("simhash_neardup", lambda: D.simhash_neardup_pairs(docs).count())
-    run("ppjoin_exact", lambda: D.jaccard_similarity_join(docs, 600).count())
+    run("ppjoin_exact", lambda: D.jaccard_similarity_join(docs, 800).count())
     run("cosine_topk", lambda: S.cosine_topk_bruteforce(embs, query_id=0, k=10, dim=64).count())
     run("embedding_neardup", lambda: S.cosine_neardup_pairs(embs, dim=64).count())
 

@@ -673,6 +673,8 @@ def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
     wdf = Window.partitionBy("tok")
     wdoc = Window.partitionBy("id").orderBy("df", "tok")
     wsz = Window.partitionBy("id")
+    # checkpointed: the prefix filter AND the size relation both read it —
+    # without the pin the df/rank windows run once per reader
     ranked = toks.select(
         "id", "tok",
         F.count(F.lit(1)).over(wdf).alias("df"),
@@ -680,16 +682,23 @@ def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
         "id", "tok",
         F.row_number().over(wdoc).alias("pos"),
         F.count(F.lit(1)).over(wsz).alias("sz"),
-    )
+    ).localCheckpoint(eager=True)
     # prefix length |A| - ceil(t|A|/1000) + 1, exact integer ceil
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz")
         - F.expr(f"({t} * sz + 999) div 1000") + 1)
-    a = prefix.select(F.col("id").alias("doc_a"), "tok")
-    b = prefix.select(F.col("id").alias("doc_b"), "tok")
+    a = prefix.select(F.col("id").alias("doc_a"), "tok",
+                      F.col("sz").alias("__sza"))
+    b = prefix.select(F.col("id").alias("doc_b"), "tok",
+                      F.col("sz").alias("__szb"))
+    # lossless SIZE filter (AllPairs): J ≥ t forces t·|A| ≤ 1000·|B| and
+    # t·|B| ≤ 1000·|A| — prunes the candidate set before the distinct,
+    # which is where duplicate-heavy corpora otherwise square
     cand = (
         a.join(b, "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & (F.lit(t) * F.col("__sza") <= 1000 * F.col("__szb"))
+                & (F.lit(t) * F.col("__szb") <= 1000 * F.col("__sza")))
         .select("doc_a", "doc_b").distinct()
     )
     sizes = ranked.groupBy("id").agg(F.max("sz").alias("sz"))
