@@ -2304,6 +2304,14 @@ def _q_graph_similarity(spark, sf_dir):
     ).filter(F.col("b") < F.lit(4 * B)).select(
         F.lit("ra").alias("op"), F.col("a"), F.col("b"),
         F.col("ra_micro").alias("c"), F.col("pa").alias("d"))
+    # log-damped sibling: integer-log2 Adamic-Adar over the same pairs
+    aa = AN.adamic_adar(
+        spark.table("lineitem").select(
+            (F.col("l_suppkey") + F.lit(2 * B)).alias("src"),
+            (F.col("l_partkey") + F.lit(4 * B)).alias("dst"))
+    ).filter(F.col("b") < F.lit(4 * B)).select(
+        F.lit("aa").alias("op"), F.col("a"), F.col("b"),
+        F.col("common").alias("c"), F.col("aa_milli").alias("d"))
     # BFS shortest-path tree with deterministic min-id parents over the
     # customer→order→part two-layer graph (parent of a part = the lowest
     # containing order among the root's orders)
@@ -2357,9 +2365,9 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("max_rho").cast("long").alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
-            .unionByName(sig).unionByName(ra).unionByName(spt)
-            .unionByName(diam).unionByName(lmd).unionByName(lmu)
-            .unionByName(hb))
+            .unionByName(sig).unionByName(ra).unionByName(aa)
+            .unionByName(spt).unionByName(diam).unionByName(lmd)
+            .unionByName(lmu).unionByName(hb))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -4559,6 +4567,12 @@ FROM ({O.resource_allocation_sql(
             src_expr=f"l_suppkey + {2 * B}", dst_expr=f"l_partkey + {4 * B}",
             max_b=4 * B,
         )}) t9
+UNION ALL
+SELECT 'aa', a, b, common, aa_milli
+FROM ({O.adamic_adar_sql(
+            src_expr=f"l_suppkey + {2 * B}", dst_expr=f"l_partkey + {4 * B}",
+            max_b=4 * B,
+        )}) t9b
 UNION ALL
 SELECT 'spt', root, id, depth, parent
 FROM ({AN.shortest_path_tree_sql(

@@ -2145,3 +2145,33 @@ SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(bits) AS BIGINT) AS sb_bits,
        (1000 * CAST(SUM(bits) AS BIGINT)) // COUNT(*) AS mean_bits_milli
 FROM sb_scored GROUP BY 1"""
+
+
+def adamic_adar_sql(table: str = "lineitem",
+                    src_expr: str = "l_suppkey + 2000000000000",
+                    dst_expr: str = "l_partkey + 4000000000000",
+                    min_milli: int = 0,
+                    max_b: int | None = None) -> str:
+    """Twin of ``analytics.adamic_adar`` (integer-log2 AA over
+    common-neighbor candidate pairs)."""
+    return f"""
+WITH aa_e AS (
+  SELECT DISTINCT CAST({src_expr} AS BIGINT) AS src,
+         CAST({dst_expr} AS BIGINT) AS dst
+  FROM {table}
+),
+aa_sym AS (
+  SELECT src, dst FROM aa_e WHERE src <> dst
+  UNION
+  SELECT dst, src FROM aa_e WHERE src <> dst
+),
+aa_deg AS (SELECT src, COUNT(*) AS d FROM aa_sym GROUP BY src)
+SELECT l.src AS a, r.src AS b, CAST(COUNT(*) AS BIGINT) AS common,
+       CAST(SUM(1000 // (length(bin(dv.d)) - 1)) AS BIGINT) AS aa_milli
+FROM aa_sym l
+JOIN aa_sym r ON l.dst = r.dst AND l.src < r.src
+JOIN aa_deg dv ON l.dst = dv.src
+GROUP BY l.src, r.src
+HAVING SUM(1000 // (length(bin(dv.d)) - 1)) >= {int(min_milli)}
+{f'AND r.src < {max_b}' if max_b is not None else ''}
+"""

@@ -1631,3 +1631,26 @@ def test_trussness(spark):
     got2 = {(r.a, r.b): r.trussness
             for r in AN.trussness(edges_df(spark, pairs), k_max=k).collect()}
     assert got2 == want
+
+
+def test_adamic_adar(spark):
+    """Integer-log2 AA matches a python replica; log damping orders hubs
+    below rare shared neighbors."""
+    # a-b share w1 (deg 2) and hub h (deg 5)
+    e = edges_df(spark, [(1, 100), (2, 100),
+                         (1, 200), (2, 200), (3, 200), (4, 200), (5, 200)])
+    got = {(r.a, r.b): (r.common, r.aa_milli)
+           for r in AN.adamic_adar(e).collect()}
+
+    def bits(d):
+        return d.bit_length() - 1
+    # pair (1,2): w=100 deg 2 -> 1000//1 = 1000; w=200 deg 5 -> 1000//2
+    assert got[(1, 2)] == (2, 1000 + 1000 // 2)
+    # pairs sharing only the hub score lower than the (1,2) pair
+    assert got[(3, 4)] == (1, 500)
+    assert got[(1, 2)][1] > got[(3, 4)][1]
+    # the symmetric graph also pairs the "item side": 100~200 via 1 and 2
+    assert got[(100, 200)] == (2, 2000)
+    # hub cap drops hub-pivot wedges entirely
+    capped = {(r.a, r.b) for r in AN.adamic_adar(e, max_degree=3).collect()}
+    assert capped == {(1, 2), (100, 200)}
