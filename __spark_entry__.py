@@ -1919,11 +1919,21 @@ def _q_temporal_ops(spark, sf_dir):
         F.col("period").alias("a"),
         (F.col("n") * 2 + F.col("is_anomaly").cast("long")).alias("b"),
         (F.col("median") * 100000 + F.col("mad")).alias("c"))
+    # concurrency sweep over per-user activity spans (hourly buckets)
+    from judy_graph_db_spark.operators.temporal import concurrency_profile
+
+    spans = spark.table("events").groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    cp = concurrency_profile(spans, period_seconds=3600).select(
+        F.lit("conc").alias("op"), sN.alias("s"),
+        F.col("bucket").alias("a"), F.col("delta").alias("b"),
+        F.col("n_active").alias("c"))
     return (asof.unionByName(rng).unionByName(fn).unionByName(tk)
             .unionByName(co).unionByName(f3).unionByName(rs)
             .unionByName(mk).unionByName(tre).unionByName(tw)
             .unionByName(g1).unionByName(g2).unionByName(dc)
-            .unionByName(sw).unionByName(scd).unionByName(an))
+            .unionByName(sw).unionByName(scd).unionByName(an)
+            .unionByName(cp))
 
 
 # hll_estimate twin expression — ONE string evaluated by both engines
@@ -4236,7 +4246,29 @@ SELECT r.event_type, r.period, r.n, m.median, d.mad,
        CASE WHEN ABS(r.n - m.median) * 1000 > 3000 * d.mad
             THEN 1 ELSE 0 END AS flag
 FROM an_rc r JOIN an_md m USING (event_type)
-JOIN an_mm d USING (event_type)) t16""",
+JOIN an_mm d USING (event_type)) t16
+UNION ALL
+SELECT 'conc', NULL, bucket, delta, n_active
+FROM (WITH cp_s AS (
+  SELECT user_id, MIN(ts) AS st, MAX(ts) AS en FROM events GROUP BY 1
+),
+cp_e AS (
+  SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00', st)
+           // 3600 AS bucket, 1 AS delta
+  FROM cp_s
+  UNION ALL
+  SELECT date_diff('second', TIMESTAMP '1970-01-01 00:00:00', en)
+           // 3600 + 1, -1
+  FROM cp_s
+),
+cp_a AS (
+  SELECT bucket, CAST(SUM(delta) AS BIGINT) AS delta
+  FROM cp_e GROUP BY 1
+)
+SELECT bucket, delta,
+       CAST(SUM(delta) OVER (ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_active
+FROM cp_a) t17""",
         # stats family bundle
         "stats_ops": f"""
 SELECT 'quantiles' AS op, o_orderpriority AS s, CAST(NULL AS VARCHAR) AS t,

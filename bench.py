@@ -359,6 +359,12 @@ def main() -> None:
         lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
     run("rate_anomalies",
         lambda: TP.rate_anomalies(events, 86400).count())
+    run("concurrency",
+        lambda: TP.concurrency_profile(
+            events.groupBy("user_id").agg(
+                F.min("ts").alias("start_ts"),
+                F.max("ts").alias("end_ts")),
+            period_seconds=3600).count())
     from judy_graph_db_spark.sources.synthetic import chung_lu_zipf_graph
     run("synth_graph_100k",
         lambda: chung_lu_zipf_graph(spark, 10000, 100000, seed=1).count(),

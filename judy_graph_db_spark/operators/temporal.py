@@ -777,3 +777,45 @@ def rate_anomalies(events: DataFrame, period_seconds: int,
             (F.abs(F.col("n") - F.col("median")) * 1000
              > F.lit(int(k_milli)) * F.col("mad")).alias("is_anomaly"))
     )
+
+
+def concurrency_profile(intervals: DataFrame,
+                        start_col: str = "start_ts", end_col: str = "end_ts",
+                        period_seconds: int = 60,
+                        key_col: str | None = None) -> DataFrame:
+    """Concurrent-interval counts over time — "how many sessions were
+    active in each bucket" — by the classic sweep: every interval emits a
+    +1 at its start bucket and a −1 just past its end bucket, deltas
+    aggregate per bucket, and a cumulative sum turns them into active
+    counts. An interval covers every bucket it touches (inclusive ends).
+
+    Scale shape: the explode is 2 rows per interval; the per-bucket
+    delta aggregation is map-side combinable; the cumulative window runs
+    over the AGGREGATED (key, bucket) relation — bucket-count-sized, not
+    interval-count-sized (the ``build_vocab`` caveat; pick the period so
+    buckets stay aggregate-scale). Buckets between deltas carry the
+    running count implicitly — rows appear only at CHANGE points, which
+    is the compact form; join with a `sequence` fill (as
+    `resample_counts` does) when a dense grid is needed.
+
+    Returns ``(key?, bucket, delta, n_active)`` at change points.
+    """
+    g = [key_col] if key_col else []
+    b0 = F.expr(f"unix_timestamp({start_col}) div {int(period_seconds)}")
+    b1 = F.expr(f"unix_timestamp({end_col}) div {int(period_seconds)}") + 1
+    ev = intervals.select(
+        *g,
+        F.explode(F.array(
+            F.struct(b0.alias("bucket"), F.lit(1).alias("delta")),
+            F.struct(b1.alias("bucket"), F.lit(-1).alias("delta")),
+        )).alias("e"),
+    ).select(*g, "e.bucket", "e.delta")
+    agg = ev.groupBy(*g, "bucket").agg(
+        F.sum("delta").cast("long").alias("delta"))
+    w = (Window.partitionBy(*g).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0)) if g else (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    return agg.select(
+        *g, "bucket", "delta",
+        F.sum("delta").over(w).cast("long").alias("n_active"))

@@ -543,3 +543,44 @@ def test_rate_anomalies(spark):
     normal = {p for p, (n, a) in out.items() if not a}
     assert {out[p][0] for p in flagged} == {0, 30}
     assert all(out[p][0] == 3 for p in normal)
+
+
+def test_concurrency_profile(spark):
+    """Sweep counts match a brute-force per-bucket scan; keyed variant
+    profiles per key; counts return to zero after the last interval."""
+    rows = [("a", "2024-01-01 00:00:10", "2024-01-01 00:03:30"),
+            ("a", "2024-01-01 00:01:00", "2024-01-01 00:02:00"),
+            ("a", "2024-01-01 00:10:00", "2024-01-01 00:10:30"),
+            ("b", "2024-01-01 00:00:00", "2024-01-01 00:00:59")]
+    df = spark.createDataFrame(
+        rows, "k string, start_ts string, end_ts string"
+    ).selectExpr("k", "CAST(start_ts AS TIMESTAMP) start_ts",
+                 "CAST(end_ts AS TIMESTAMP) end_ts")
+    from judy_graph_db_spark.operators.temporal import concurrency_profile
+
+    got = {(r.k, r.bucket): r.n_active
+           for r in concurrency_profile(df, key_col="k",
+                                        period_seconds=60).collect()}
+
+    import calendar
+    import datetime
+
+    def b(ts):
+        return calendar.timegm(datetime.datetime.strptime(
+            ts, "%Y-%m-%d %H:%M:%S").timetuple()) // 60
+
+    # brute force: for every bucket in range, count covering intervals
+    brute = {}
+    for key in ("a", "b"):
+        ivs = [(b(s), b(e)) for kk, s, e in rows if kk == key]
+        for t in range(min(s for s, _ in ivs), max(e for _, e in ivs) + 2):
+            brute[(key, t)] = sum(1 for s, e in ivs if s <= t <= e)
+    # at every change point the sweep must agree with brute force
+    for (k, t), n in got.items():
+        assert brute.get((k, t), 0) == n, (k, t)
+    # count falls back to zero after the last interval
+    assert got[("a", b("2024-01-01 00:10:00") + 1)] == 0
+    # unkeyed global profile
+    g2 = {r.bucket: r.n_active
+          for r in concurrency_profile(df, period_seconds=60).collect()}
+    assert g2[b("2024-01-01 00:00:10")] == 2  # a's first + b's session
