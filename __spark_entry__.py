@@ -2736,7 +2736,44 @@ def _q_events_hourly_both(spark, sf_dir):
     s = _q_events_hourly_stream(spark, sf_dir).select(
         F.lit("stream").alias("op"), "hour_bucket", "event_type", "n",
         "sum_value_cents")
-    return b.unionByName(s).unionByName(_q_stream_maintain(spark, sf_dir))
+    # SLIDING windows under real Structured Streaming (2h windows hopping
+    # hourly) — must equal the batch sliding_window_counts stride formula
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as PT
+
+    p_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(p_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(p_schema["ts"].dataType, PT.LongType):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif isinstance(p_schema["ts"].dataType, PT.TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    sw_out = (
+        ev.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long"))
+             .alias("sum_value_cents"))
+        .select(F.col("window.start").cast("long").alias("hour_bucket"),
+                "event_type", "n", "sum_value_cents")
+    )
+    qname = f"evsw_{uuid.uuid4().hex[:8]}"
+    q = (sw_out.writeStream.format("memory").queryName(qname)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="evsw_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    sl = spark.table(qname).select(
+        F.lit("slide_stream").alias("op"), "hour_bucket", "event_type",
+        "n", "sum_value_cents")
+    return (b.unionByName(s).unionByName(sl)
+            .unionByName(_q_stream_maintain(spark, sf_dir)))
 
 
 def _q_chunk_shard(spark, sf_dir):
@@ -3156,7 +3193,21 @@ sd_rows AS (
   FROM sd_u2 u LEFT JOIN sd_d1 d USING (key)
   WHERE d.key IS NULL OR d.value <> u.value
 )
-SELECT key, value, vfrom, vto FROM sd_rows) smsd""",
+SELECT key, value, vfrom, vto FROM sd_rows) smsd
+UNION ALL
+SELECT 'slide_stream', win_start, event_type, n, sum_cents
+FROM (WITH ssw_k AS (
+  SELECT event_type,
+         unnest(generate_series(
+           CAST(floor((epoch(ts) - 7200) / 3600) AS BIGINT) + 1,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT))) AS k,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, k * 3600 AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ssw_k GROUP BY 1, 2) tsl""",
         "event_sessions": """
 WITH marked AS (
   SELECT user_id, ts,
