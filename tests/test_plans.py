@@ -398,3 +398,39 @@ def test_hashed_tf_partial_aggregates(spark):
     plan = plan_of(STT.hashed_tf(docs, n_features=8))
     assert "partial_" in plan and "Window" not in plan
 
+
+
+def test_pps_sample_no_single_partition_data_window(spark):
+    """The PPS draw's big-side windows are partition-local (__pid); the
+    only SinglePartition exchange feeds the ≤P-row offset/total relations,
+    never the data relation — assert the window over the data carries a
+    partition spec."""
+    from judy_graph_db_spark.operators.curation import pps_systematic_sample
+
+    df = spark.createDataFrame([(i, i % 7 + 1) for i in range(100)],
+                               "doc_id long, w long")
+    plan = plan_of(pps_systematic_sample(df, 10, "w"))
+    # the data-side cumulative window is partitioned by __pid
+    assert "windowspecdefinition(__pid" in plan.replace(" ", "") \
+        or "partitionBy" in plan or "__pid" in plan
+    assert "Cartesian" not in plan  # scalar attaches broadcast
+
+
+def test_epoch_shuffle_shard_partitioned_window(spark):
+    """The in-shard rank window partitions on the shard key — a seed
+    change must never route through one global sort task."""
+    from judy_graph_db_spark.operators.curation import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = plan_of(epoch_shuffle(df, seed=1, num_shards=16))
+    assert "shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_adamic_adar_no_window_no_cartesian(spark):
+    """Same plan discipline as resource_allocation: wedge equi-joins,
+    map-side partial aggregation, no global window."""
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = plan_of(AN.adamic_adar(e))
+    assert "Cartesian" not in plan and "Window" not in plan
+    assert "partial_" in plan
