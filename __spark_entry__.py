@@ -2983,7 +2983,7 @@ def oracle_sql() -> dict[str, str]:
     snap_diff_sql = O.snapshot_diff_sql(
         "SELECT doc_id, text FROM documents", snap_new_sql
     )
-    return {
+    out = {
         "adjacency_neighbors": f"""{P}
 SELECT dst, edge_seq FROM edges
 WHERE src = {3 * B + 1} AND label = 'PLACED' AND NOT is_back""",
@@ -3667,9 +3667,10 @@ SELECT 'shard', doc_id, shard, NULL, n_tokens
 FROM ({O.shard_by_token_budget_sql(budget_tokens=10000)}) t2
 UNION ALL
 SELECT 'wshard', doc_id,
-       COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+       CAST(COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
          ORDER BY doc_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000,
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000
+            AS BIGINT),
        NULL, CAST(n_chars AS BIGINT)
 FROM documents
 UNION ALL
@@ -4801,3 +4802,24 @@ FROM (SELECT DISTINCT
         )}) dr) sy
 WHERE src <> dst""",
     }
+    # DuckDB widens SUM(BIGINT) (incl. windowed SUM) to HUGEINT, and any
+    # UNION branch then widens the whole output column to INT128 while the
+    # Spark twin stays LongType — value-identical but a different physical
+    # encoding, which the driver's hash canonicalization distinguishes (the
+    # r08 `chunk_shard_ops` red row).  Re-cast every integer output column of
+    # the union bundles that mix SUM-derived branches back to BIGINT so the
+    # oracle's declared types match the Spark schema exactly.
+    _recast = {
+        "ann_search": ("op", "s", "a", "b", "c", "d"),
+        "corpus_curation": ("op", "doc_id", "split", "n", "a", "b"),
+        "stats_ops": ("op", "s", "t", "a", "b", "c", "d"),
+        "chunk_shard_ops": ("op", "doc_id", "a", "s", "b"),
+    }
+    _str_cols = {"op", "s", "t", "split"}
+    for _name, _cols in _recast.items():
+        _sel = ", ".join(
+            c if c in _str_cols else f"CAST({c} AS BIGINT) AS {c}"
+            for c in _cols
+        )
+        out[_name] = f"SELECT {_sel} FROM ({out[_name]}\n) __recast"
+    return out
