@@ -2299,11 +2299,22 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("stress").alias("b"), lN.alias("c"), lN.alias("d"))
     # σ shortest-path counts (Brandes' sigma) on the chains: each ordered
     # chain pair has exactly one shortest path of depth = position gap —
-    # the closed form the oracle states independently of the BFS logic
-    sig = AN.shortest_path_counts(chains).select(
+    # the closed form the oracle states independently of the BFS logic.
+    # ONE materialized σ closure feeds both the sigma rows and the
+    # betweenness triple join below.
+    sigc = AN.shortest_path_counts(chains).localCheckpoint(eager=True)
+    sig = sigc.select(
         F.lit("sigma").alias("op"), F.col("src").alias("a"),
         F.col("dst").alias("b"), F.col("depth").alias("c"),
         F.col("sigma").alias("d"))
+    # betweenness over the chains: σ=1 on every chain pair, so each
+    # contribution is exactly 1.0 and the double sum is integer-exact —
+    # b(position i of an L-chain) = (i-1)(L-i), the stress closed form,
+    # which is what lets the float-valued operator carry a hash gate here
+    btw = AN.betweenness_centrality(chains, closure=sigc).select(
+        F.lit("betw").alias("op"), F.col("id").alias("a"),
+        F.round(F.col("betweenness")).cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     # resource-allocation + preferential-attachment link prediction on the
     # same supplier~part incidence graph as the jaccard part (supplier-side
     # pairs only — the part side is the row-budget blowup)
@@ -2375,9 +2386,9 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("max_rho").cast("long").alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
-            .unionByName(sig).unionByName(ra).unionByName(aa)
-            .unionByName(spt).unionByName(diam).unionByName(lmd)
-            .unionByName(lmu).unionByName(hb))
+            .unionByName(sig).unionByName(btw).unionByName(ra)
+            .unionByName(aa).unionByName(spt).unionByName(diam)
+            .unionByName(lmd).unionByName(lmu).unionByName(hb))
 
 
 def _q_sampling_ops(spark, sf_dir):
@@ -4645,6 +4656,18 @@ SELECT CAST(5*{B} + pa.o_orderkey AS BIGINT) AS src,
        CAST(1 AS BIGINT) AS sigma
 FROM pos pa JOIN pos pb
   ON pa.o_custkey = pb.o_custkey AND pb.i > pa.i) t8
+UNION ALL
+SELECT 'betw', id, betw, NULL, NULL
+FROM (WITH pos AS (
+  SELECT o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
+       CAST((i - 1) * (L - i) AS BIGINT) AS betw
+FROM pos WHERE i > 1 AND i < L) t8b
 UNION ALL
 SELECT 'ra', a, b, ra_micro, pa
 FROM ({O.resource_allocation_sql(

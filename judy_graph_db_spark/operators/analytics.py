@@ -702,7 +702,26 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     an exponentially-expanded scan tree).
     """
     sym = _symmetric(edges).localCheckpoint(eager=True)
+    surv = _k_core_peel(sym, k, max_iter)
+    if surv is not sym:
+        _unpersist_checkpoint(sym)
+    return (
+        surv.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= int(k))
+        .select(F.col("src").alias("id"), "degree")
+    )
+
+
+def _k_core_peel(sym: DataFrame, k: int, max_iter: int) -> DataFrame:
+    """Degree-peel an already-symmetric edge relation to its k-core
+    fixpoint; returns the surviving symmetric relation,
+    ``localCheckpoint``-ed. The input is NOT unpersisted (the caller owns
+    it) — this is what lets :func:`coreness` thread level k's shrinking
+    output into the level-(k+1) peel instead of re-peeling the full graph.
+    """
     prev_edges = sym.count()
+    first = True
     for _ in range(max_iter):
         prev_state = sym
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
@@ -712,17 +731,14 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        _unpersist_checkpoint(prev_state)
+        if not first:
+            _unpersist_checkpoint(prev_state)
+        first = False
         cur = sym.count()
         if cur == prev_edges:
             break
         prev_edges = cur
-    return (
-        sym.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .filter(F.col("degree") >= int(k))
-        .select(F.col("src").alias("id"), "degree")
-    )
+    return sym
 
 
 def k_core_oracle_sql(edges_sql: str, k: int, rounds: int,
@@ -1548,8 +1564,21 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    support = _k_truss_peel(und, k, max_iter)
+    _unpersist_checkpoint(und)
+    return support.select("a", "b", F.col("support").cast("long"))
+
+
+def _k_truss_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
+    """Support-peel an already-canonical ``(a < b)`` edge relation to its
+    k-truss fixpoint; returns the surviving ``(a, b, support)`` relation,
+    ``localCheckpoint``-ed. The input is NOT unpersisted (the caller owns
+    it) — this is what lets :func:`trussness` thread level k's shrinking
+    output into the level-(k+1) peel instead of re-peeling the full graph.
+    """
     prev_n = und.count()
     support = None
+    first = True
     for _ in range(max_iter):
         e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
         e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -1571,14 +1600,16 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
             .filter(F.col("support") >= int(k) - 2)
             .localCheckpoint(eager=True)
         )
-        _unpersist_checkpoint(und)
-        und = kept.select("a", "b").localCheckpoint(eager=True)
+        if not first:
+            _unpersist_checkpoint(support)
+        first = False
+        und = kept.select("a", "b")
         support = kept
         cur = und.count()
         if cur == prev_n:
             break
         prev_n = cur
-    return support.select("a", "b", F.col("support").cast("long"))
+    return support
 
 
 def k_truss_oracle_sql(edges_sql: str, k: int, rounds: int,
@@ -2873,28 +2904,45 @@ def coreness(edges: DataFrame, k_max: int = 8,
     :func:`k_core` answers only one slice. Returns ``(id, coreness)``.
 
     Computed by the nested-core identity: cores are nested, so
-    ``coreness(v) = 1 + Σ_{k≥2} [v ∈ k-core]`` — ``k_max − 1`` reuses of
-    the existing peeling loop plus thin membership joins, each bounded
-    by the shrinking core sizes. Raises if the ``(k_max+1)``-core is
-    non-empty (silent truncation would mislabel the densest shell —
-    callers pick ``k_max`` ≥ the graph's degeneracy, which the error
-    reports how to find).
+    ``coreness(v) = 1 + Σ_{k≥2} [v ∈ k-core]``, with each level peeled
+    FROM THE PREVIOUS LEVEL'S SURVIVING EDGE SET — the k-core of the
+    (k-1)-core equals the k-core of the whole graph, so each peel runs
+    on a geometrically shrinking relation instead of ``k_max − 1``
+    full-graph re-peels. Raises if the ``(k_max+1)``-core is non-empty
+    (silent truncation would mislabel the densest shell — callers pick
+    ``k_max`` ≥ the graph's degeneracy, which the error reports how to
+    find); the guard too peels only the last level's output.
     """
-    base = k_core(edges, 1, max_iter=max_iter).select("id") \
-        .localCheckpoint(eager=True)
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    surv = _k_core_peel(sym, 1, max_iter)
+    base = (surv.select("src").distinct()
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True))
     out = base.withColumn("coreness", F.lit(1).cast("long"))
-    for k in range(2, k_max + 1):
-        ck = k_core(edges, k, max_iter=max_iter).select(
-            "id", F.lit(1).alias("__in"))
+    cur_ckpt = surv
+    for k in range(2, k_max + 2):
+        surv = _k_core_peel(cur_ckpt, k, max_iter)
+        if k == k_max + 1:
+            overflow = bool(surv.limit(1).count())
+            if surv is not cur_ckpt:
+                _unpersist_checkpoint(surv)
+            if cur_ckpt is not sym:
+                _unpersist_checkpoint(cur_ckpt)
+            _unpersist_checkpoint(sym)
+            if overflow:
+                raise ValueError(
+                    f"coreness: the {k_max + 1}-core is non-empty — "
+                    "raise k_max to at least the graph's degeneracy")
+            break
+        ck = (surv.select("src").distinct()
+              .select(F.col("src").alias("id"), F.lit(1).alias("__in")))
         out = out.join(ck, "id", "left").select(
             "id",
             (F.col("coreness") + F.coalesce("__in", F.lit(0)))
-            .cast("long").alias("coreness"))
-    out = out.localCheckpoint(eager=True)
-    if k_core(edges, k_max + 1, max_iter=max_iter).limit(1).count():
-        raise ValueError(
-            f"coreness: the {k_max + 1}-core is non-empty — raise k_max "
-            "to at least the graph's degeneracy")
+            .cast("long").alias("coreness")).localCheckpoint(eager=True)
+        if cur_ckpt is not sym:
+            _unpersist_checkpoint(cur_ckpt)
+        cur_ckpt = surv
     return out
 
 
@@ -3308,27 +3356,29 @@ def hyperball_nf(regs_with_rounds: DataFrame, p: int = 4) -> dict:
     """Neighborhood function from ``hyperball_registers(...,
     with_rounds=True)`` output: ``{round: NF(round)}`` where ``NF(r) =
     Σ_v est|B(v, r)|`` (Palmer et al. 2002's ANF, estimated per node with
-    the standard bias-corrected HLL harmonic mean). Driver-side floats
-    over the ≤ rounds·nodes·2^p-row register relation — unit-tested for
-    accuracy rather than oracle-hashed, like ``hll_estimate``."""
-    import math
-
+    the standard bias-corrected HLL harmonic mean). The per-node estimate
+    and the Σ_v fold are both relational — two chained aggregations over
+    the ≤ rounds·nodes·2^p-row register relation — so only ``rounds``
+    scalar rows ever reach the driver. Floats are fine here: the result
+    is unit-tested for accuracy rather than oracle-hashed, like
+    ``hll_estimate``."""
     m = 1 << p
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m)) if m < 128 else 0.7213 / (1 + 1.079 / m)
-    rows = regs_with_rounds.groupBy("round", "id").agg(
+    per_node = regs_with_rounds.groupBy("round", "id").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("z_occ"),
         F.count(F.lit(1)).alias("occ"),
-    ).collect()
-    nf: dict = {}
-    for row in rows:
-        zeros = m - row["occ"]
-        z = row["z_occ"] + zeros  # empty buckets contribute 2^-0 = 1
-        est = alpha * m * m / z
-        if est <= 2.5 * m and zeros:
-            est = m * math.log(m / zeros)
-        nf[row["round"]] = nf.get(row["round"], 0.0) + est
-    return dict(sorted(nf.items()))
+    )
+    zeros = F.lit(m) - F.col("occ")
+    # empty buckets contribute 2^-0 = 1 each
+    raw = F.lit(alpha * m * m) / (F.col("z_occ") + zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    totals = (per_node.select("round", est.alias("est"))
+              .groupBy("round").agg(F.sum("est").alias("nf"))
+              .collect())
+    return dict(sorted((row["round"], row["nf"]) for row in totals))
 
 
 def effective_diameter(nf: dict, alpha: float = 0.9) -> float:
@@ -3519,11 +3569,14 @@ def trussness(edges: DataFrame, k_max: int = 8,
     ``a < b``.
 
     Computed by the nested-truss identity (trusses nest exactly like
-    cores): ``trussness(e) = 2 + Σ_{k≥3} [e ∈ k-truss]`` — ``k_max − 2``
-    reuses of the :func:`k_truss` peeling loop plus thin membership
-    joins, each bounded by the shrinking truss sizes. Raises if the
-    ``(k_max+1)``-truss is non-empty (silent truncation would mislabel
-    the densest community cores).
+    cores): ``trussness(e) = 2 + Σ_{k≥3} [e ∈ k-truss]``, with each level
+    peeled FROM THE PREVIOUS LEVEL'S SURVIVING EDGE SET — the k-truss of
+    the (k-1)-truss equals the k-truss of the whole graph, so the
+    expensive triangle-support wedge join runs on a geometrically
+    shrinking relation instead of ``k_max − 2`` full-graph re-peels.
+    Raises if the ``(k_max+1)``-truss is non-empty (silent truncation
+    would mislabel the densest community cores); the guard too peels
+    only the last level's output.
     """
     und = (
         edges.select(F.least("src", "dst").alias("a"),
@@ -3533,18 +3586,29 @@ def trussness(edges: DataFrame, k_max: int = 8,
         .localCheckpoint(eager=True)
     )
     out = und.withColumn("trussness", F.lit(2).cast("long"))
-    for k in range(3, k_max + 1):
-        tk = k_truss(edges, k, max_iter=max_iter).select(
-            "a", "b", F.lit(1).alias("__in"))
-        out = out.join(tk, ["a", "b"], "left").select(
+    cur, cur_ckpt = und, und  # previous level's surviving edge set
+    for k in range(3, k_max + 2):
+        tk = _k_truss_peel(cur, k, max_iter)
+        if k == k_max + 1:
+            overflow = bool(tk.limit(1).count())
+            _unpersist_checkpoint(tk)
+            if cur_ckpt is not und:
+                _unpersist_checkpoint(cur_ckpt)
+            _unpersist_checkpoint(und)
+            if overflow:
+                raise ValueError(
+                    f"trussness: the {k_max + 1}-truss is non-empty — "
+                    "raise k_max to at least the graph's maximum "
+                    "trussness")
+            break
+        out = out.join(tk.select("a", "b", F.lit(1).alias("__in")),
+                       ["a", "b"], "left").select(
             "a", "b",
             (F.col("trussness") + F.coalesce("__in", F.lit(0)))
-            .cast("long").alias("trussness"))
-    out = out.localCheckpoint(eager=True)
-    if k_truss(edges, k_max + 1, max_iter=max_iter).limit(1).count():
-        raise ValueError(
-            f"trussness: the {k_max + 1}-truss is non-empty — raise "
-            "k_max to at least the graph's maximum trussness")
+            .cast("long").alias("trussness")).localCheckpoint(eager=True)
+        if cur_ckpt is not und:
+            _unpersist_checkpoint(cur_ckpt)
+        cur, cur_ckpt = tk.select("a", "b"), tk
     return out
 
 

@@ -788,12 +788,16 @@ def quantile_bins(df: DataFrame, value_col: str, nbins: int,
     joins back on (group, value) — broadcast-sized in practice. Exact
     integer arithmetic end to end.
 
-    Returns ``df`` plus ``out_col`` (0-based bin index).
+    Returns ``df`` plus ``out_col`` (0-based bin index). Rows whose value
+    is NULL keep a NULL bin (an unknown score has no quantile — they are
+    deliberately surfaced, not silently dropped); NULL *group* keys bin
+    within their own NULL group, matching groupBy semantics.
     """
     if nbins < 1:
         raise ValueError("nbins must be positive")
     g = list(group_cols)
-    per = df.groupBy(*g, F.col(value_col)).agg(
+    per = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *g, F.col(value_col)).agg(
         F.count(F.lit(1)).alias("__c"))
     wc = (Window.partitionBy(*g).orderBy(value_col)
           .rowsBetween(Window.unboundedPreceding, 0)) if g else (
@@ -808,7 +812,14 @@ def quantile_bins(df: DataFrame, value_col: str, nbins: int,
         *g, value_col,
         F.least(F.lit(nbins - 1),
                 F.expr(f"(__excl * {nbins}) div __n")).alias(out_col))
-    return df.join(mapping, [*g, value_col])
+    keyed = mapping.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(g)],
+        F.col(value_col).alias("__kv"), out_col)
+    cond = F.col(value_col) == F.col("__kv")
+    for i, c in enumerate(g):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k{i}"))
+    return (df.join(keyed, cond, "left")
+            .drop("__kv", *[f"__k{i}" for i in range(len(g))]))
 
 
 def token_dist_divergence(corpus_a: DataFrame, corpus_b: DataFrame,

@@ -3,24 +3,37 @@
 The batch operator ``temporal.scd2_merge`` folds one updates relation into
 a full-history type-2 dimension; a CDC/snapshot stream is exactly a
 sequence of such folds — each micro-batch collapses to its latest state
-per key and merges into the versioned store. Store layout mirrors
-``streaming/sketches.py``: one ``v=N`` directory per fold with
-``_batch_meta.json`` written AFTER the parquet, so crash leftovers are
-skipped and replayed micro-batches are detected, never double-applied
-(re-merging an identical update is additionally a semantic no-op — the
-merge is idempotent on unchanged values — so the guard and the semantics
-back each other up).
+per key and merges into the versioned store.
 
-At 100 TB: each fold's join touches only the OPEN slice + the batch; the
-closed history is rewritten as-is per version (versioned-store
-simplicity; swap the store for a format with upserts when history itself
-is huge — the merge logic is unchanged).
+Store layout — two slices, because SCD2 history is append-only by
+construction (a closed row never changes again):
+
+* ``closed/b=N/`` — ONLY the rows fold N newly closed, appended once and
+  never rewritten. The full closed history is the union of every
+  ``b=*`` directory at or below the latest complete version.
+* ``open/v=N/`` — the current open slice (one row per live key),
+  rewritten per fold, with ``_batch_meta.json`` written AFTER the
+  parquet so crash leftovers are skipped and replayed micro-batches are
+  detected, never double-applied (re-merging an identical update is
+  additionally a semantic no-op — the merge is idempotent on unchanged
+  values — so the guard and the semantics back each other up). Old open
+  versions past ``retain_versions`` are garbage-collected.
+
+Per-fold write IO is therefore O(|open| + |batch|) — the closed history
+never re-enters either the join (``scd2_merge`` only ever sees the open
+slice here) or the write path — and storage grows as
+O(|history| + retain·|open|) instead of O(batches·|dim|). A fold that
+crashed between the closed append and the open meta is safe: the re-fold
+reuses the same version number and overwrites ``closed/b=N`` with the
+identical deterministic content, and readers ignore closed directories
+above the latest COMPLETE open version.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -29,21 +42,37 @@ from judy_graph_db_spark.operators.temporal import scd2_merge
 
 
 def _latest_version(store: str) -> Optional[int]:
-    """Latest COMPLETE version (dirs without meta = crash leftovers)."""
-    if not os.path.isdir(store):
+    """Latest COMPLETE version (open dirs without meta = crash
+    leftovers)."""
+    root = os.path.join(store, "open")
+    if not os.path.isdir(root):
         return None
-    vs = [int(d[2:]) for d in os.listdir(store)
+    vs = [int(d[2:]) for d in os.listdir(root)
           if d.startswith("v=") and d[2:].isdigit()
-          and os.path.exists(os.path.join(store, d, "_batch_meta.json"))]
+          and os.path.exists(os.path.join(root, d, "_batch_meta.json"))]
     return max(vs) if vs else None
 
 
+def _closed_paths(store: str, latest: int) -> list:
+    """Closed-slice directories at or below the latest complete version
+    (a ``b=N`` above it is a crash leftover the re-fold will overwrite)."""
+    root = os.path.join(store, "closed")
+    if not os.path.isdir(root):
+        return []
+    return [os.path.join(root, d) for d in sorted(os.listdir(root))
+            if d.startswith("b=") and d[2:].isdigit()
+            and int(d[2:]) <= latest]
+
+
 def read_dimension(spark, store: str) -> Optional[DataFrame]:
-    """Latest folded dimension table, or None before any fold."""
+    """Latest folded dimension table (closed history ∪ open slice), or
+    None before any fold."""
     latest = _latest_version(store)
     if latest is None:
         return None
-    return spark.read.parquet(os.path.join(store, f"v={latest}", "dim"))
+    paths = _closed_paths(store, latest) + [
+        os.path.join(store, "open", f"v={latest}", "dim")]
+    return spark.read.parquet(*paths)
 
 
 def foreach_batch_scd2(stream: DataFrame, store: str,
@@ -51,34 +80,43 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
                        ts_col: str = "ts",
                        checkpoint: Optional[str] = None,
                        available_now: bool = True,
-                       replay_id: Optional[str] = None):
+                       replay_id: Optional[str] = None,
+                       retain_versions: int = 2):
     """Fold a change stream ``(key, values…, ts)`` into a continuously
     maintained SCD2 history. Each micro-batch keeps its LATEST state per
     key (intra-batch intermediate states collapse — the standard
     snapshot-CDC concession; feed smaller batches when every transition
-    matters) and merges via :func:`temporal.scd2_merge`. Returns the
+    matters) and merges via :func:`temporal.scd2_merge` against the OPEN
+    slice only; newly closed rows are appended to the immutable closed
+    slice (see module docstring for the layout). Open versions older
+    than ``retain_versions`` behind the latest are deleted. Returns the
     started StreamingQuery."""
     vals = list(value_cols)
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         latest = _latest_version(store)
         ck_id = replay_id if replay_id is not None else (checkpoint or "")
-        prev = None
+        prev_open = None
         if latest is not None:
-            vdir = os.path.join(store, f"v={latest}")
+            vdir = os.path.join(store, "open", f"v={latest}")
             with open(os.path.join(vdir, "_batch_meta.json")) as fh:
                 meta = json.load(fh)
             if (meta.get("checkpoint") == ck_id
                     and meta.get("batch_id") == batch_id):
                 return  # replayed micro-batch — already folded
-            prev = spark.read.parquet(os.path.join(vdir, "dim"))
-        if prev is None:
-            fields = ", ".join(
-                [f"{key_col} long"]
-                + [f"{c} string" for c in vals]
-                + ["valid_from timestamp", "valid_to timestamp"])
-            prev = spark.createDataFrame([], fields)
+            prev_open = spark.read.parquet(os.path.join(vdir, "dim"))
+        if prev_open is None:
+            # bootstrap schema FROM the batch (key/value dtypes are
+            # whatever the stream carries; the validity columns take the
+            # timestamp column's type) instead of hardcoding types
+            prev_open = (
+                batch.limit(0)
+                .select(key_col, *vals,
+                        F.col(ts_col).alias("valid_from"),
+                        F.col(ts_col).alias("valid_to")))
         updates = (
             batch.groupBy(key_col)
             .agg(F.max(F.struct(ts_col, *vals)).alias("__s"))
@@ -86,13 +124,27 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
                     *[F.col(f"__s.{c}").alias(c) for c in vals],
                     F.col(f"__s.{ts_col}").alias(ts_col))
         )
-        merged = scd2_merge(prev, updates, key_col=key_col,
-                            value_cols=vals, ts_col=ts_col)
+        # current = open slice only, so every valid_to IS NOT NULL row in
+        # the merge output is NEWLY closed by this fold
+        merged = scd2_merge(prev_open, updates, key_col=key_col,
+                            value_cols=vals, ts_col=ts_col) \
+            .localCheckpoint(eager=True)
         new_version = 0 if latest is None else latest + 1
-        vdir = os.path.join(store, f"v={new_version}")
-        merged.write.mode("overwrite").parquet(os.path.join(vdir, "dim"))
+        merged.filter(F.col("valid_to").isNotNull()).write.mode(
+            "overwrite").parquet(
+            os.path.join(store, "closed", f"b={new_version}"))
+        vdir = os.path.join(store, "open", f"v={new_version}")
+        merged.filter(F.col("valid_to").isNull()).write.mode(
+            "overwrite").parquet(os.path.join(vdir, "dim"))
         with open(os.path.join(vdir, "_batch_meta.json"), "w") as fh:
             json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        # GC open versions past the retention window (closed dirs are the
+        # history itself — never collected)
+        root = os.path.join(store, "open")
+        for d in os.listdir(root):
+            if (d.startswith("v=") and d[2:].isdigit()
+                    and int(d[2:]) <= new_version - retain_versions):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -525,6 +525,28 @@ def test_quantile_bins(spark):
                   ("b", 0): 0, ("b", 1): 0, ("b", 2): 1, ("b", 3): 1}
 
 
+def test_quantile_bins_nulls(spark):
+    """NULL values keep a NULL bin (surfaced, not dropped); a NULL group
+    key bins within its own group; non-null bins ignore the NULL rows."""
+    from judy_graph_db_spark.operators.stats import quantile_bins
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 20), (3, None), (4, 30), (5, 40)],
+        "id long, v long")
+    out = {r.id: r.bin for r in quantile_bins(df, "v", 2).collect()}
+    assert len(out) == 6                       # no rows vanish
+    assert out[1] is None and out[3] is None   # NULL value -> NULL bin
+    assert out == {0: 0, 1: None, 2: 0, 3: None, 4: 1, 5: 1}
+
+    gdf = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2), (None, 2, 5), (None, 3, 6),
+         (None, 4, None)],
+        "g string, id long, v long")
+    gg = {r.id: r.bin
+          for r in quantile_bins(gdf, "v", 2, group_cols=["g"]).collect()}
+    assert gg == {0: 0, 1: 1, 2: 0, 3: 1, 4: None}
+
+
 def test_token_dist_divergence(spark):
     """Identical corpora are symmetric; a drifted snapshot inflates the
     cross term; python replica matches exactly."""

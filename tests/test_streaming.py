@@ -621,3 +621,57 @@ def test_streaming_scd2_equal_sequential_batch_merges(spark, tmp_path):
     again = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
              for r in read_dimension(spark, store).collect()}
     assert again == want
+
+
+def test_streaming_scd2_store_layout(spark, tmp_path):
+    """Split-store invariants: each fold appends ONLY its newly-closed
+    rows to closed/b=N, rewrites only the open slice, GCs open versions
+    past the retention window, and bootstraps the schema from the batch
+    (string key, long value — the old hardcoded long/string reversed)."""
+    from judy_graph_db_spark.streaming.dimensions import (
+        _latest_version, foreach_batch_scd2, read_dimension)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "dim")
+    src.mkdir()
+    (src / "a.csv").write_text("k1,10,2024-01-01 00:00:00\n"
+                               "k2,20,2024-01-01 00:00:00\n")
+
+    def stream():
+        return (spark.readStream
+                .schema("key string, value long, ts timestamp")
+                .csv(str(src)))
+
+    kw = dict(checkpoint=str(tmp_path / "ck"), replay_id="lay",
+              retain_versions=1)
+    _drain(foreach_batch_scd2(stream(), store, **kw))
+    # fold 0: nothing closed, two open rows; schema came from the batch
+    closed0 = spark.read.parquet(str(tmp_path / "dim/closed/b=0"))
+    assert closed0.count() == 0
+    d = read_dimension(spark, store)
+    assert dict(d.dtypes)["key"] == "string"
+    assert dict(d.dtypes)["value"] == "bigint"
+    assert d.count() == 2
+
+    (src / "b.csv").write_text("k1,11,2024-02-01 00:00:00\n"   # change
+                               "k2,20,2024-02-01 00:00:00\n"   # no-op
+                               "k3,30,2024-02-01 00:00:00\n")  # new
+    _drain(foreach_batch_scd2(stream(), store, **kw))
+    assert _latest_version(store) == 1
+    # fold 1 wrote EXACTLY the one newly-closed row + the 3-row open slice
+    closed1 = spark.read.parquet(str(tmp_path / "dim/closed/b=1"))
+    assert [(r.key, r.value) for r in closed1.collect()] == [("k1", 10)]
+    open1 = spark.read.parquet(str(tmp_path / "dim/open/v=1/dim"))
+    assert open1.count() == 3
+    assert open1.filter(F.col("valid_to").isNotNull()).count() == 0
+    # retention=1: open v=0 is GC'd, closed b=0 is kept (it's history)
+    assert not os.path.isdir(str(tmp_path / "dim/open/v=0"))
+    assert os.path.isdir(str(tmp_path / "dim/closed/b=0"))
+    got = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
+           for r in read_dimension(spark, store).collect()}
+    assert got == {
+        ("k1", 10): ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ("k1", 11): ("2024-02-01 00:00:00", "None"),
+        ("k2", 20): ("2024-01-01 00:00:00", "None"),
+        ("k3", 30): ("2024-02-01 00:00:00", "None"),
+    }
