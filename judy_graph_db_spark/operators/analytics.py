@@ -3492,6 +3492,74 @@ def directed_triangle_census(edges: DataFrame) -> DataFrame:
     )).alias("r")).select("r.kind", "r.n")
 
 
+def _path_end_distances(psym: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Distance from every node of a disjoint-PATHS graph to its nearest
+    endpoint (degree-1 node), by pointer doubling along the path —
+    O(log L) composition rounds over a 2·|edges|-row directed-walk state
+    instead of the O(L) sequential peel waves the onion definition
+    implies. ``psym`` must be the symmetric edge relation of components
+    whose degrees are all ≤ 2 with at least one degree-1 node each
+    (i.e. disjoint simple paths).
+
+    State per directed edge ``(v, u)``: the walk that starts at ``v``
+    and steps first to ``u``, after ``2^t`` steps — either TERMINAL
+    (``dist`` = distance from ``v`` to the endpoint in that direction)
+    or continuing at node ``at`` with next hop ``nxt``. One
+    self-composition per round; all rows are terminal after
+    ``⌈log2(max path length)⌉`` rounds. Returns ``(id, end_dist)``.
+    """
+    nbr = psym.groupBy("src").agg(
+        F.min("dst").alias("n1"), F.max("dst").alias("n2"),
+        F.count(F.lit(1)).alias("d"))
+    # init: one step along each directed edge; direction u's continuation
+    # is u's other neighbor (interior nodes have exactly two)
+    st = (
+        psym.join(nbr.withColumnRenamed("src", "dst"), "dst")
+        .select(
+            F.col("src").alias("v"), F.col("dst").alias("u"),
+            (F.col("d") == 1).alias("term"),
+            F.lit(1).cast("long").alias("dist"),
+            F.col("dst").alias("at"),
+            F.when(F.col("n1") == F.col("src"), F.col("n2"))
+            .otherwise(F.col("n1")).alias("nxt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if not st.filter(~F.col("term")).limit(1).count():
+            break
+        hop = st.select(F.col("v").alias("at"), F.col("u").alias("nxt"),
+                        F.col("term").alias("t2"),
+                        F.col("dist").alias("d2"),
+                        F.col("at").alias("at2"), F.col("nxt").alias("n2x"))
+        prev = st
+        st = (
+            st.join(hop, ["at", "nxt"], "left")
+            .select(
+                "v", "u",
+                F.when(F.col("term"), F.col("term"))
+                .otherwise(F.col("t2")).alias("term"),
+                F.when(F.col("term"), F.col("dist"))
+                .otherwise(F.col("dist") + F.col("d2")).alias("dist"),
+                F.when(F.col("term"), F.col("at"))
+                .otherwise(F.col("at2")).alias("at"),
+                F.when(F.col("term"), F.col("nxt"))
+                .otherwise(F.col("n2x")).alias("nxt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _unpersist_checkpoint(prev)
+    else:
+        raise RuntimeError("_path_end_distances: walk did not terminate — "
+                           "input is not a disjoint union of simple paths")
+    ends = nbr.filter(F.col("d") == 1).select(
+        F.col("src").alias("id"), F.lit(0).cast("long").alias("end_dist"))
+    inner = st.groupBy(F.col("v").alias("id")).agg(
+        F.min("dist").alias("end_dist"))
+    return (inner.join(ends.select("id"), "id", "left_anti")
+            .unionByName(ends))
+
+
 def onion_layers(edges: DataFrame, max_iter: int = 10000) -> DataFrame:
     """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016):
     refines coreness with the PEELING WAVE each node leaves in — layer 1
@@ -3500,61 +3568,125 @@ def onion_layers(edges: DataFrame, max_iter: int = 10000) -> DataFrame:
     cannot (tree-like vs loopy peripheries); a corpus-graph structural
     fingerprint.
 
-    Algorithm: repeatedly remove ALL nodes of degree ≤ k in one wave
+    Definition: repeatedly remove ALL nodes of degree ≤ k in one wave
     (one layer), raising k to the remaining minimum degree whenever the
     wave would be empty; every node removed at threshold k has coreness
-    k. Nodes stripped of their last edge by an earlier wave carry degree
-    0 and peel in the next wave at the current k — tracked via an
-    explicit unpeeled-node relation, so no node is ever lost. Each wave:
-    one degree aggregation, one left join, two anti-joins on the
-    shrinking symmetric edge set, one 2-long-row scalar pull. Wave count
-    = onion depth (a pure n-path peels in ⌈n/2⌉ waves — inherent to the
-    definition; the fixture's chains are SF-stable in length).
+    k.
+
+    The wave count on degree-≤2 components is O(component length) — a
+    pure n-path peels in ⌈n/2⌉ strictly sequential waves, the same
+    chain-shaped 100×-scale exposure SCC had before its trim — so those
+    components are peeled OUT in closed form first: one CC pass splits
+    off the components with max degree ≤ 2 (disjoint paths and cycles);
+    a path node's layer is 1 + distance to its nearest endpoint
+    (pointer-doubled in O(log L) rounds, coreness 1) and a cycle peels
+    whole in the first k=2 wave (coreness 2). Only the residual — the
+    components containing a degree-≥3 node — runs the wave loop, and its
+    wave layers are shifted to the exact global numbering the one-loop
+    definition produces (the k=1 trim phases run concurrently; the path
+    phase can extend the k=1 era, and the cycles' k=2 wave is an extra
+    wave iff no residual node peels at k=2). Each residual wave: one
+    degree aggregation, one left join, two anti-joins on the shrinking
+    symmetric edge set, one 2-long-row scalar pull.
 
     Returns ``(id, coreness, layer)`` (layer 1-based, global);
     zero-degree nodes of the input edge relation are absent only if they
     appear in no edge at all.
     """
-    sym = _symmetric(edges).localCheckpoint(eager=True)
+    sym_all = _symmetric(edges).localCheckpoint(eager=True)
+    deg0 = sym_all.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    comp = connected_components(sym_all)
+    cstat = (comp.join(deg0, "id").groupBy("component")
+             .agg(F.max("d").alias("dmax"), F.min("d").alias("dmin")))
+    d2n = (comp.join(cstat.filter(F.col("dmax") <= 2), "component")
+           .select("id", "dmin").localCheckpoint(eager=True))
+    out_parts = []
+
+    # paths: layer = 1 + distance to nearest endpoint, coreness 1
+    pn = d2n.filter(F.col("dmin") == 1).select("id")
+    w_p = 0
+    if pn.limit(1).count():
+        psym = sym_all.join(pn.withColumnRenamed("id", "src"),
+                            "src", "left_semi").localCheckpoint(eager=True)
+        pl = _path_end_distances(psym).select(
+            "id", F.lit(1).cast("long").alias("coreness"),
+            (F.col("end_dist") + 1).cast("long").alias("layer")
+        ).localCheckpoint(eager=True)
+        w_p = int(pl.agg(F.max("layer")).collect()[0][0] or 0)
+        out_parts.append(pl)
+        _unpersist_checkpoint(psym)
+
+    has_cycles = bool(d2n.filter(F.col("dmin") == 2).limit(1).count())
+
+    # residual: components with a degree-≥3 node run the wave loop
+    rn = (comp.join(cstat.filter(F.col("dmax") >= 3), "component")
+          .select("id"))
+    sym = sym_all.join(rn.withColumnRenamed("id", "src"),
+                       "src", "left_semi").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("id")).distinct() \
         .localCheckpoint(eager=True)
-    parts = []
+    r_parts = []  # (peel_df, k, local_wave)
     k = 0
-    layer = 0
-    for _ in range(max_iter):
-        deg = sym.groupBy(F.col("src").alias("id")) \
-            .agg(F.count(F.lit(1)).alias("d"))
-        degall = nodes.join(deg, "id", "left").select(
-            "id", F.coalesce("d", F.lit(0)).alias("d"))
-        row = degall.agg(F.min("d").alias("m"),
-                         F.count(F.lit(1)).alias("n")).collect()[0]
-        if not row["n"]:
-            break
-        k = max(k, int(row["m"]))
-        layer += 1
-        peel = degall.filter(F.col("d") <= k).select("id") \
-            .localCheckpoint(eager=True)
-        parts.append(peel.select(
-            "id", F.lit(k).cast("long").alias("coreness"),
-            F.lit(layer).cast("long").alias("layer")))
-        prev_n, prev_s = nodes, sym
-        nodes = nodes.join(peel, "id", "left_anti") \
-            .localCheckpoint(eager=True)
-        sym = (
-            sym.join(peel.withColumnRenamed("id", "src"), "src", "left_anti")
-            .join(peel.withColumnRenamed("id", "dst"), "dst", "left_anti")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        _unpersist_checkpoint(prev_n)
-        _unpersist_checkpoint(prev_s)
-    else:
-        raise RuntimeError(f"onion_layers: no fixpoint in {max_iter} waves")
-    if not parts:
+    wave = 0
+    if nodes.limit(1).count():
+        for _ in range(max_iter):
+            deg = sym.groupBy(F.col("src").alias("id")) \
+                .agg(F.count(F.lit(1)).alias("d"))
+            degall = nodes.join(deg, "id", "left").select(
+                "id", F.coalesce("d", F.lit(0)).alias("d"))
+            row = degall.agg(F.min("d").alias("m"),
+                             F.count(F.lit(1)).alias("n")).collect()[0]
+            if not row["n"]:
+                break
+            k = max(k, int(row["m"]))
+            wave += 1
+            peel = degall.filter(F.col("d") <= k).select("id") \
+                .localCheckpoint(eager=True)
+            r_parts.append((peel, k, wave))
+            prev_n, prev_s = nodes, sym
+            nodes = nodes.join(peel, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            sym = (
+                sym.join(peel.withColumnRenamed("id", "src"),
+                         "src", "left_anti")
+                .join(peel.withColumnRenamed("id", "dst"),
+                      "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            _unpersist_checkpoint(prev_n)
+            _unpersist_checkpoint(prev_s)
+        else:
+            raise RuntimeError(
+                f"onion_layers: no fixpoint in {max_iter} waves")
+
+    # exact global wave numbering (see docstring): the k=1 trim phases of
+    # the paths and the residual run concurrently, so the global k=1 era
+    # lasts T1 = max(path waves, residual trim waves); post-trim residual
+    # waves shift by the era extension, +1 more iff the cycles' k=2 wave
+    # peels nothing from the residual (its first post-trim k > 2)
+    t_r = sum(1 for (_, kk, _) in r_parts if kk == 1)
+    t1 = max(w_p, t_r)
+    first_post_k = next((kk for (_, kk, ww) in r_parts if ww == t_r + 1),
+                        None)
+    extra = 1 if (has_cycles and first_post_k is not None
+                  and first_post_k > 2) else 0
+    for peel, kk, ww in r_parts:
+        glayer = ww if ww <= t_r else ww + (t1 - t_r) + extra
+        out_parts.append(peel.select(
+            "id", F.lit(kk).cast("long").alias("coreness"),
+            F.lit(glayer).cast("long").alias("layer")))
+    if has_cycles:
+        out_parts.append(d2n.filter(F.col("dmin") == 2).select(
+            "id", F.lit(2).cast("long").alias("coreness"),
+            F.lit(t1 + 1).cast("long").alias("layer")))
+
+    if not out_parts:
         return edges.sparkSession.createDataFrame(
             [], "id long, coreness long, layer long")
-    out = parts[0]
-    for p in parts[1:]:
+    out = out_parts[0]
+    for p in out_parts[1:]:
         out = out.unionByName(p)
     return out
 

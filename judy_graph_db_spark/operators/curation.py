@@ -891,3 +891,89 @@ def chunk_by_tokens(df: DataFrame, size: int = 256, stride: int = 192,
                 " ").alias("chunk"),
         )
     )
+
+
+def remove_repeated_spans(docs: DataFrame, window: int = 50,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          out_col: str = "clean_text") -> DataFrame:
+    """Cross-document repeated-SPAN excision (the token-window
+    approximation of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): any ``window``-token span whose exact token
+    sequence occurs more than once in the corpus keeps only its globally
+    FIRST occurrence — ordered by ``(doc, start)`` — and every other
+    occurrence's tokens are cut from their documents, the step that
+    paragraph- and document-level dedup both miss (licence blocks pasted
+    mid-file, syndicated boilerplate spliced into otherwise-unique pages,
+    templated spans inside distinct documents).
+
+    Matching is exact (md5 over the joined token window, not MinHash) and
+    coverage is token-level: overlapping marked windows merge via ONE
+    doc-keyed running max over marked start positions — a token survives
+    iff no marked window starting in ``(pos-window, pos]`` covers it. A
+    degenerate fully-repetitive document therefore collapses to its
+    leading tokens — by design, that is the pathology being removed.
+
+    Scale shape: one doc-keyed sort window builds every span hash (w×
+    char amplification through that single exchange — the documented
+    cost; raise ``window`` stride-free because duplicates at any offset
+    must be caught), one span-hash aggregation (one row per DISTINCT
+    span), one hash-keyed join back, and one doc-keyed reassembly. No
+    pair join ever forms: a span repeated a million times is a hot
+    aggregation key, not a million² candidate set.
+
+    Returns ``docs`` plus ``out_col`` and ``n_removed_tokens``.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "",
+                  F.array().cast("array<string>")).otherwise(toks)
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("__pos", "__tok"))
+    wdoc = Window.partitionBy("__id").orderBy("__pos")
+    wspan = wdoc.rowsBetween(0, window - 1)
+    spans = tok.select(
+        "__id", "__pos",
+        F.md5(F.concat_ws(" ", F.collect_list("__tok").over(wspan)))
+        .alias("__h"),
+        F.count(F.lit(1)).over(wspan).alias("__n"),
+    ).filter(F.col("__n") == window).select(
+        "__id", F.col("__pos").alias("__start"), "__h")
+    dups = spans.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("__id", "__start")).alias("__first"),
+    ).filter(F.col("__c") > 1)
+    marked = (
+        spans.join(dups, "__h")
+        .filter(F.struct(F.col("__id"), F.col("__start"))
+                != F.col("__first"))
+        .select("__id", F.col("__start").alias("__pos"),
+                F.lit(1).alias("__mk"))
+    )
+    lastmk = F.max(F.when(F.col("__mk") == 1, F.col("__pos"))) \
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    surv = (
+        tok.join(marked, ["__id", "__pos"], "left")
+        .select("__id", "__pos", "__tok", lastmk.alias("__lastmk"))
+        .filter(F.col("__lastmk").isNull()
+                | (F.col("__lastmk") <= F.col("__pos") - window))
+    )
+    clean = surv.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"]),
+            " ").alias(out_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        docs.join(clean.join(totals, "__id"),
+                  docs[id_col] == clean["__id"], "left")
+        .select(*docs.columns,
+                F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                (F.coalesce(F.col("__tot"), F.lit(0))
+                 - F.coalesce(F.col("__kept"), F.lit(0)))
+                .cast("long").alias("n_removed_tokens"))
+    )

@@ -636,6 +636,49 @@ def hex_hamming_pairs(hashes: DataFrame, hash_col: str = "ahash",
     )
 
 
+def _ppjoin_candidates(ranked: DataFrame, t: int,
+                       positional: bool = True) -> DataFrame:
+    """Candidate pairs for :func:`jaccard_similarity_join` from the
+    ``(id, tok, pos, sz)`` rare-first-ranked relation: prefix×prefix
+    equi-join, lossless AllPairs size filter, and (``positional``)
+    Xiao et al. 2008's positional filter — for the FIRST shared prefix
+    token ``w`` at positions ``(p_a, p_b)``, every common token sorts at
+    or after ``w`` in the shared global (df, tok) order (anything
+    earlier would itself be a shared prefix token), so overlap ≤ 1 +
+    min(|A|−p_a, |B|−p_b); pairs whose bound cannot reach the minimum
+    overlap ``t·(|A|+|B|)/(1000+t)`` are pruned before the expensive
+    counting join, exactly (integer cross-multiplication, no rounding).
+    """
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz")
+        - F.expr(f"({t} * sz + 999) div 1000") + 1)
+    a = prefix.select(F.col("id").alias("doc_a"), "tok",
+                      F.col("sz").alias("__sza"), F.col("pos").alias("__pa"))
+    b = prefix.select(F.col("id").alias("doc_b"), "tok",
+                      F.col("sz").alias("__szb"), F.col("pos").alias("__pb"))
+    # lossless SIZE filter (AllPairs): J ≥ t forces t·|A| ≤ 1000·|B| and
+    # t·|B| ≤ 1000·|A| — prunes the candidate set before the pair agg,
+    # which is where duplicate-heavy corpora otherwise square
+    j = (
+        a.join(b, "tok")
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & (F.lit(t) * F.col("__sza") <= 1000 * F.col("__szb"))
+                & (F.lit(t) * F.col("__szb") <= 1000 * F.col("__sza")))
+    )
+    if not positional:
+        return j.select("doc_a", "doc_b").distinct()
+    return (
+        j.groupBy("doc_a", "doc_b", "__sza", "__szb")
+        .agg(F.min(F.struct("__pa", "__pb")).alias("__m"))
+        .filter(
+            (F.lit(1) + F.least(F.col("__sza") - F.col("__m.__pa"),
+                                F.col("__szb") - F.col("__m.__pb")))
+            * (1000 + t)
+            >= t * (F.col("__sza") + F.col("__szb")))
+        .select("doc_a", "doc_b")
+    )
+
+
 def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
@@ -658,6 +701,8 @@ def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
     Scale shape: one shingle explode; df via a shingle-keyed count
     window; the rank windows are doc-local; the only global window runs
     over the |distinct shingles| aggregate (the ``build_vocab`` caveat).
+    Candidates additionally pass the positional filter (see
+    :func:`_ppjoin_candidates`) before the counting join.
     Returns ``(doc_a, doc_b, common, jaccard_permille)``.
     """
     t = int(threshold_permille)
@@ -683,24 +728,7 @@ def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
         F.row_number().over(wdoc).alias("pos"),
         F.count(F.lit(1)).over(wsz).alias("sz"),
     ).localCheckpoint(eager=True)
-    # prefix length |A| - ceil(t|A|/1000) + 1, exact integer ceil
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz")
-        - F.expr(f"({t} * sz + 999) div 1000") + 1)
-    a = prefix.select(F.col("id").alias("doc_a"), "tok",
-                      F.col("sz").alias("__sza"))
-    b = prefix.select(F.col("id").alias("doc_b"), "tok",
-                      F.col("sz").alias("__szb"))
-    # lossless SIZE filter (AllPairs): J ≥ t forces t·|A| ≤ 1000·|B| and
-    # t·|B| ≤ 1000·|A| — prunes the candidate set before the distinct,
-    # which is where duplicate-heavy corpora otherwise square
-    cand = (
-        a.join(b, "tok")
-        .filter((F.col("doc_a") < F.col("doc_b"))
-                & (F.lit(t) * F.col("__sza") <= 1000 * F.col("__szb"))
-                & (F.lit(t) * F.col("__szb") <= 1000 * F.col("__sza")))
-        .select("doc_a", "doc_b").distinct()
-    )
+    cand = _ppjoin_candidates(ranked, t)
     sizes = ranked.groupBy("id").agg(F.max("sz").alias("sz"))
     ta = toks.select(F.col("id").alias("doc_a"), "tok")
     tb = toks.select(F.col("id").alias("doc_b"), "tok")

@@ -1574,6 +1574,37 @@ def test_onion_layers(spark):
           for r in AN.onion_layers(edges_df(spark, pairs)).collect()}
     assert gr == want
 
+    # closed-form fast path: a 40-chain + a 6-cycle peel with ZERO wave
+    # loops (max_iter=1 would raise inside the loop if it ran >1 wave;
+    # the old implementation needed 20 sequential waves here)
+    long_mix = [(i, i + 1) for i in range(40)] + \
+        [(100 + i, 100 + (i + 1) % 6) for i in range(6)]
+    gl = {r.id: (r.coreness, r.layer)
+          for r in AN.onion_layers(edges_df(spark, long_mix),
+                                   max_iter=1).collect()}
+    assert gl == replica(long_mix)
+
+    # global wave-offset math: path (extends the k=1 era) + cycle +
+    # pendant-trimmed triangle residual, all in one graph — the cycle's
+    # k=2 wave coincides with the residual's first post-trim wave
+    offset_mix = [(i, i + 1) for i in range(10)] + \
+        [(200, 201), (201, 202), (202, 200)] + \
+        [(300, 301), (301, 302), (302, 300), (300, 303)]
+    go = {r.id: (r.coreness, r.layer)
+          for r in AN.onion_layers(edges_df(spark, offset_mix)).collect()}
+    assert go == replica(offset_mix)
+
+    # extra-wave case: cycle + K5 residual (first post-trim k=4 > 2, so
+    # the cycles' k=2 wave is an extra global wave the residual must
+    # shift past)
+    import itertools as _it
+    k5 = [(400 + a, 400 + b) for a, b in _it.combinations(range(5), 2)]
+    extra_mix = k5 + [(500 + i, 500 + (i + 1) % 4) for i in range(4)] + \
+        [(600, 601), (601, 602)]
+    ge = {r.id: (r.coreness, r.layer)
+          for r in AN.onion_layers(edges_df(spark, extra_mix)).collect()}
+    assert ge == replica(extra_mix)
+
 
 def test_trussness(spark):
     """Chains score 2, K4 edges 4, K6 edges 6; matches a python replica

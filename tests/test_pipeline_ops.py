@@ -1267,6 +1267,65 @@ def test_jaccard_similarity_join_exact(spark):
     assert all((4 not in p) for p in got)
 
 
+def test_ppjoin_positional_filter(spark):
+    """The positional filter is LOSSLESS (candidates still cover every
+    true pair; final results identical with it on and off) and STRICTLY
+    prunes on a corpus where docs share rare early tokens but their
+    suffix budgets cannot reach the minimum overlap."""
+    import random
+
+    from pyspark.sql import Window
+
+    from judy_graph_db_spark.operators import dedup as D
+
+    rng = random.Random(17)
+    base = [f"w{i:03d}" for i in range(60)]
+    rows = []
+    for d in range(25):
+        # near-duplicates at graded edit distances: small edits pass the
+        # threshold, large edits generate prefix collisions (the edited
+        # rare tokens sort first) that only the positional bound kills
+        toks = list(base)
+        for pos in rng.sample(range(60), (d * 7) % 31):
+            toks[pos] = f"doc{d}tok{pos}"
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 600
+
+    toks = (D.with_shingles(docs.select("doc_id", "text"))
+            .select(F.col("doc_id").alias("id"),
+                    F.explode("shingles").alias("tok")).distinct())
+    wdf = Window.partitionBy("tok")
+    wdoc = Window.partitionBy("id").orderBy("df", "tok")
+    wsz = Window.partitionBy("id")
+    ranked = toks.select(
+        "id", "tok", F.count(F.lit(1)).over(wdf).alias("df"),
+    ).select("id", "tok", F.row_number().over(wdoc).alias("pos"),
+             F.count(F.lit(1)).over(wsz).alias("sz")).cache()
+
+    cand_off = {(r.doc_a, r.doc_b) for r in
+                D._ppjoin_candidates(ranked, t, positional=False).collect()}
+    cand_on = {(r.doc_a, r.doc_b) for r in
+               D._ppjoin_candidates(ranked, t, positional=True).collect()}
+    assert cand_on <= cand_off
+    assert len(cand_on) < len(cand_off)  # strict prune on this corpus
+
+    got = {(r.doc_a, r.doc_b) for r in
+           D.jaccard_similarity_join(docs, t).collect()}
+    sh = {r.doc_id: set(r.shingles) for r in
+          D.with_shingles(docs).select("doc_id", "shingles").collect()}
+    want = set()
+    ids = sorted(sh)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            c = len(sh[a] & sh[b])
+            if c * 1000 >= t * len(sh[a] | sh[b]):
+                want.add((a, b))
+    assert got == want
+    assert want <= cand_on  # every true pair survived the prune
+
+
 def test_dimension_stats(spark):
     """Integer sufficient stats per dimension; dead dimension flagged by
     min == max."""
