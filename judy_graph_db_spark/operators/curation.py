@@ -968,9 +968,11 @@ def remove_repeated_spans(docs: DataFrame, window: int = 50,
         F.count(F.lit(1)).alias("__kept"),
     )
     totals = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__tot"))
+    # totals LEFT JOIN clean: a doc whose every token was excised has a
+    # totals row but no clean row — it must still report its removals
+    merged = totals.join(clean, "__id", "left")
     return (
-        docs.join(clean.join(totals, "__id"),
-                  docs[id_col] == clean["__id"], "left")
+        docs.join(merged, docs[id_col] == merged["__id"], "left")
         .select(*docs.columns,
                 F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
                 (F.coalesce(F.col("__tot"), F.lit(0))

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "bloom_build",
@@ -332,3 +332,128 @@ def pca_components(gram: DataFrame, dim: int, n_rows: int,
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:n_components]
     return [vecs[:, k].tolist() for k in order]
+
+
+def misra_gries(df: DataFrame, col: str, m: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitter summary (Misra & Gries 1982; mergeable
+    form of Agarwal et al. 2012, "Mergeable Summaries"): at most ``m``
+    counters such that every key's counter is a LOWER bound on its true
+    count and the uniform undercount is at most the (m+1)-th largest
+    count — so any key with true frequency above ``n/(m+1)`` is
+    guaranteed present. The one-shot batch form is exact counting
+    followed by ONE compress: subtract the (m+1)-th largest count from
+    every counter and drop the non-positive — deterministic with no
+    tiebreak (counts strictly above the threshold number at most m).
+
+    Scale shape: one key-keyed partial-agg count (the only corpus-sized
+    shuffle), then a window over the COUNTER relation (≤ |distinct keys|
+    rows, and the rank threshold is a single scalar pulled from an
+    m+1-row slice). Returns ``(key, count, subtracted)`` — ``count`` the
+    surviving lower bound, ``subtracted`` the uniform undercount (same
+    scalar on every row; true count ∈ [count, count + subtracted]).
+    """
+    if m < 1:
+        raise ValueError("m must be positive")
+    counts = df.groupBy(F.col(col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    ranked = counts.select("key", "cnt", F.row_number().over(w).alias("__r"))
+    thresh = (ranked.filter(F.col("__r") == m + 1)
+              .select(F.col("cnt").alias("__t")))
+    return (
+        counts.join(F.broadcast(
+            thresh.unionByName(
+                counts.sparkSession.createDataFrame([(0,)], "__t long")
+            ).agg(F.max("__t").alias("__t"))), how="cross")
+        .filter(F.col("cnt") > F.col("__t"))
+        .select("key", (F.col("cnt") - F.col("__t")).alias("count"),
+                F.col("__t").alias("subtracted"))
+    )
+
+
+def mg_merge(a: DataFrame, b: DataFrame, m: int = 64) -> DataFrame:
+    """Merge two Misra-Gries summaries (``(key, count, subtracted)``)
+    into one of size ≤ ``m``: counters ADD per key, the per-summary
+    undercounts add, and one compress re-bounds the size — the error
+    bound composes additively (Agarwal et al. 2012, Thm 1). Input
+    ``subtracted`` scalars are carried via max (each is uniform on its
+    rows). Deterministic; used by the streaming fold."""
+    both = (a.select("key", "count").unionByName(b.select("key", "count"))
+            .groupBy("key").agg(F.sum("count").alias("cnt")))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    ranked = both.select("key", "cnt", F.row_number().over(w).alias("__r"))
+    thresh = (ranked.filter(F.col("__r") == m + 1)
+              .select(F.col("cnt").alias("__t")))
+    prior = (
+        a.select(F.col("subtracted").alias("__s")).limit(1)
+        .unionByName(b.select(F.col("subtracted").alias("__s")).limit(1))
+        .unionByName(a.sparkSession.createDataFrame([(0,)], "__s long"))
+        .agg(F.sum("__s").alias("__prior")))
+    t = (thresh.unionByName(
+            a.sparkSession.createDataFrame([(0,)], "__t long"))
+         .agg(F.max("__t").alias("__t")))
+    return (
+        both.join(F.broadcast(t), how="cross")
+        .join(F.broadcast(prior), how="cross")
+        .filter(F.col("cnt") > F.col("__t"))
+        .select("key", (F.col("cnt") - F.col("__t")).alias("count"),
+                (F.col("__t") + F.col("__prior")).alias("subtracted"))
+    )
+
+
+def log_histogram(df: DataFrame, value_col: str,
+                  group_cols=()) -> DataFrame:
+    """Mergeable base-2 log histogram of a non-negative integer column —
+    the fixed-size quantile sketch that survives 100 TB where exact
+    percentile_disc cannot: bin ``b`` holds values in ``[2^b, 2^(b+1))``
+    (value 0 gets bin −1), at most 64 bins per group regardless of data
+    size, counts ADD across shards/batches/engines. Integer-exact via
+    bit length (``length(bin(v)) − 1``), no floating log. NULL and
+    negative values are rejected loudly rather than silently mis-binned.
+
+    Returns ``(group_cols…, bin, n)``.
+    """
+    g = list(group_cols)
+    bad = df.filter(F.col(value_col).isNull() | (F.col(value_col) < 0))
+    if bad.limit(1).count():
+        raise ValueError("log_histogram: NULL or negative values in "
+                         f"{value_col}")
+    b = (F.when(F.col(value_col) == 0, F.lit(-1))
+         .otherwise(F.length(F.bin(F.col(value_col))) - 1)
+         .cast("long").alias("bin"))
+    return (df.select(*g, b)
+            .groupBy(*g, "bin").agg(F.count(F.lit(1)).alias("n")))
+
+
+def histogram_quantile(hist: DataFrame, q_permille: int,
+                       group_cols=()) -> DataFrame:
+    """Quantile bounds from a :func:`log_histogram` relation: per group,
+    the bin where the ⌈q·n/1000⌉-th smallest value falls, with its exact
+    integer value bounds ``[2^bin, 2^(bin+1) − 1]`` (bin −1 → [0, 0]).
+    The histogram is aggregate-sized (≤ 64 rows per group), so the
+    cumulative window is free. Returns ``(group_cols…, q_bin, lo, hi)``.
+    """
+    if not 0 < q_permille <= 1000:
+        raise ValueError("q_permille must be in 1..1000")
+    g = list(group_cols)
+    wc = (Window.partitionBy(*g) if g else Window.partitionBy()) \
+        .orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(*g) if g else Window.partitionBy()
+    cum = hist.select(
+        *g, "bin",
+        F.sum("n").over(wc).alias("__cum"),
+        F.sum("n").over(wt).alias("__tot"))
+    target = F.expr(f"({q_permille} * __tot + 999) div 1000")
+    return (
+        cum.filter(F.col("__cum") >= target)
+        .groupBy(*g).agg(F.min("bin").alias("q_bin"))
+        .select(
+            *g, "q_bin",
+            F.when(F.col("q_bin") < 0, F.lit(0))
+            .otherwise(F.shiftleft(F.lit(1), F.col("q_bin").cast("int")))
+            .cast("long").alias("lo"),
+            F.when(F.col("q_bin") < 0, F.lit(0))
+            .otherwise(F.shiftleft(F.lit(1),
+                                   F.col("q_bin").cast("int") + 1) - 1)
+            .cast("long").alias("hi"))
+    )

@@ -695,7 +695,8 @@ def sliding_window_counts(
 def scd2_merge(current: DataFrame, updates: DataFrame,
                key_col: str = "key", value_cols=("value",),
                ts_col: str = "ts", from_col: str = "valid_from",
-               to_col: str = "valid_to") -> DataFrame:
+               to_col: str = "valid_to",
+               delete_col: str | None = None) -> DataFrame:
     """Type-2 slowly-changing-dimension merge — the lakehouse upsert that
     keeps FULL HISTORY: ``current`` holds versioned rows (``from_col``,
     ``to_col`` with NULL = open), ``updates`` holds at most one new state
@@ -704,6 +705,14 @@ def scd2_merge(current: DataFrame, updates: DataFrame,
     no-op (idempotent re-delivery); a brand-new key opens its first row.
     History rows pass through untouched. The point-in-time reader is the
     existing :func:`asof_join` over the emitted intervals.
+
+    ``delete_col`` (optional) names a boolean column in ``updates``
+    carrying CDC delete tombstones: a true tombstone CLOSES the key's
+    open row at ``ts_col`` and opens nothing — the key leaves the live
+    dimension but its history stays queryable (re-inserting later opens
+    a fresh row). A tombstone for an absent key is a no-op (idempotent
+    re-delivery, same as unchanged values); the value columns of a
+    tombstone row are ignored.
 
     One full-outer join on the key between the OPEN slice and the
     updates — history never enters the join — then three pure
@@ -719,7 +728,9 @@ def scd2_merge(current: DataFrame, updates: DataFrame,
     u = updates.select(
         F.col(key_col),
         *[F.col(c).alias(f"__u_{c}") for c in vals],
-        F.col(ts_col).alias("__u_ts"))
+        F.col(ts_col).alias("__u_ts"),
+        (F.coalesce(F.col(delete_col), F.lit(False)) if delete_col
+         else F.lit(False)).alias("__u_del"))
     j = open_rows.join(u, key_col, "full_outer")
     same = None
     for c in vals:
@@ -727,14 +738,17 @@ def scd2_merge(current: DataFrame, updates: DataFrame,
         same = eq if same is None else (same & eq)
     has_open = F.col(from_col).isNotNull()
     has_upd = F.col("__u_ts").isNotNull()
-    # open rows that survive as-is: no update, or update equal
-    keep = j.filter(has_open & (~has_upd | same)).select(
+    is_del = F.coalesce(F.col("__u_del"), F.lit(False))
+    # open rows that survive as-is: no update, or update equal (and not
+    # a tombstone)
+    keep = j.filter(has_open & (~has_upd | (same & ~is_del))).select(
         key_col, *vals, from_col, F.lit(None).cast("timestamp").alias(to_col))
-    # open rows closed by a differing update
-    close = j.filter(has_open & has_upd & ~same).select(
+    # open rows closed by a differing update or a delete tombstone
+    close = j.filter(has_open & has_upd & (~same | is_del)).select(
         key_col, *vals, from_col, F.col("__u_ts").alias(to_col))
-    # new opens: differing update on an existing key, or brand-new key
-    opens = j.filter(has_upd & (~has_open | ~same)).select(
+    # new opens: differing non-delete update on an existing key, or a
+    # brand-new non-deleted key
+    opens = j.filter(has_upd & ~is_del & (~has_open | ~same)).select(
         F.col(key_col),
         *[F.col(f"__u_{c}").alias(c) for c in vals],
         F.col("__u_ts").alias(from_col),

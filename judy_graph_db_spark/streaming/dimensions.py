@@ -81,7 +81,8 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
                        checkpoint: Optional[str] = None,
                        available_now: bool = True,
                        replay_id: Optional[str] = None,
-                       retain_versions: int = 2):
+                       retain_versions: int = 2,
+                       delete_col: Optional[str] = None):
     """Fold a change stream ``(key, values…, ts)`` into a continuously
     maintained SCD2 history. Each micro-batch keeps its LATEST state per
     key (intra-batch intermediate states collapse — the standard
@@ -89,8 +90,11 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
     matters) and merges via :func:`temporal.scd2_merge` against the OPEN
     slice only; newly closed rows are appended to the immutable closed
     slice (see module docstring for the layout). Open versions older
-    than ``retain_versions`` behind the latest are deleted. Returns the
-    started StreamingQuery."""
+    than ``retain_versions`` behind the latest are deleted.
+    ``delete_col`` names a boolean CDC-tombstone column in the stream —
+    a key whose LATEST intra-batch state is a tombstone closes its open
+    row and leaves the live slice (scd2_merge's delete semantics).
+    Returns the started StreamingQuery."""
     vals = list(value_cols)
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
@@ -117,17 +121,19 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
                 .select(key_col, *vals,
                         F.col(ts_col).alias("valid_from"),
                         F.col(ts_col).alias("valid_to")))
+        extra = [delete_col] if delete_col else []
         updates = (
             batch.groupBy(key_col)
-            .agg(F.max(F.struct(ts_col, *vals)).alias("__s"))
+            .agg(F.max(F.struct(ts_col, *vals, *extra)).alias("__s"))
             .select(key_col,
-                    *[F.col(f"__s.{c}").alias(c) for c in vals],
+                    *[F.col(f"__s.{c}").alias(c) for c in vals + extra],
                     F.col(f"__s.{ts_col}").alias(ts_col))
         )
         # current = open slice only, so every valid_to IS NOT NULL row in
         # the merge output is NEWLY closed by this fold
         merged = scd2_merge(prev_open, updates, key_col=key_col,
-                            value_cols=vals, ts_col=ts_col) \
+                            value_cols=vals, ts_col=ts_col,
+                            delete_col=delete_col) \
             .localCheckpoint(eager=True)
         new_version = 0 if latest is None else latest + 1
         merged.filter(F.col("valid_to").isNotNull()).write.mode(

@@ -466,3 +466,63 @@ def test_chunk_by_tokens(spark):
     plan = chunk_by_tokens(docs, 4, 3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_remove_repeated_spans(spark):
+    """Cross-doc repeated windows keep only the globally-first occurrence;
+    overlapping marked windows merge; short docs and unique docs pass
+    through; matches a python replica on a random corpus."""
+    from judy_graph_db_spark.operators.curation import remove_repeated_spans
+
+    def replica(rows, w):
+        toks = {d: t.split() if t.strip() else [] for d, t in rows}
+        spans = {}
+        for d in sorted(toks):
+            for s in range(len(toks[d]) - w + 1):
+                spans.setdefault(tuple(toks[d][s:s + w]), []).append((d, s))
+        marked = {}
+        for occ in spans.values():
+            if len(occ) > 1:
+                for d, s in occ[1:] if occ == sorted(occ) else sorted(occ)[1:]:
+                    marked.setdefault(d, set()).add(s)
+        out = {}
+        for d, t in rows:
+            cov = set()
+            for s in marked.get(d, ()):  # noqa
+                cov.update(range(s, s + w))
+            kept = [tk for i, tk in enumerate(toks[d]) if i not in cov]
+            out[d] = (" ".join(kept), len(toks[d]) - len(kept))
+        return out
+
+    span = "x1 x2 x3 x4 x5"
+    rows = [
+        (0, f"alpha beta {span} gamma delta"),
+        (1, f"epsilon {span} zeta"),            # later copy -> cut
+        (2, "totally unique words here only"),
+        (3, f"{span} {span}"),                  # internal repeat
+        (4, "tiny doc"),                        # shorter than window
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in remove_repeated_spans(docs, window=5).collect()}
+    assert got == replica(rows, 5)
+    assert got[0][1] == 0 and got[2][1] == 0 and got[4][1] == 0
+    assert got[1] == ("epsilon zeta", 5)
+
+    # random corpus with planted duplicates
+    import random
+    rng = random.Random(23)
+    vocab = [f"t{i}" for i in range(40)]
+    planted = " ".join(rng.choice(vocab) for _ in range(7))
+    rrows = []
+    for d in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        if d % 3 == 0:
+            at = rng.randrange(0, len(words) + 1)
+            words[at:at] = planted.split()
+        rrows.append((d, " ".join(words)))
+    rdocs = spark.createDataFrame(rrows, "doc_id long, text string")
+    rgot = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in remove_repeated_spans(rdocs, window=6).collect()}
+    assert rgot == replica(rrows, 6)

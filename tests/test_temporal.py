@@ -520,6 +520,49 @@ def test_scd2_merge(spark):
     assert r2 == rows
 
 
+def test_scd2_merge_tombstones(spark):
+    """CDC delete tombstones close the open row and open nothing; a
+    tombstone for an absent key is a no-op (idempotent re-delivery);
+    a later re-insert opens a fresh row; tombstone value cols ignored."""
+    from judy_graph_db_spark.operators.temporal import scd2_merge
+
+    cur = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", None),
+         (2, "x", "2024-01-15 00:00:00", None)],
+        "key long, value string, valid_from string, valid_to string"
+    ).selectExpr("key", "value", "CAST(valid_from AS TIMESTAMP) valid_from",
+                 "CAST(valid_to AS TIMESTAMP) valid_to")
+    upd = spark.createDataFrame(
+        [(1, "ignored", "2024-03-01 00:00:00", True),   # delete key 1
+         (3, "zzz", "2024-03-01 00:00:00", True),       # absent key no-op
+         (4, "n", "2024-03-01 00:00:00", False)],       # normal insert
+        "key long, value string, ts string, is_deleted boolean"
+    ).selectExpr("key", "value", "CAST(ts AS TIMESTAMP) ts", "is_deleted")
+    out = scd2_merge(cur, upd, delete_col="is_deleted")
+    rows = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
+            for r in out.collect()}
+    assert rows == {
+        (1, "a"): ("2024-01-01 00:00:00", "2024-03-01 00:00:00"),
+        (2, "x"): ("2024-01-15 00:00:00", "None"),
+        (4, "n"): ("2024-03-01 00:00:00", "None"),
+    }
+    # replaying the same tombstone batch is a no-op (key 1 has no open
+    # row anymore; key 3 still absent)
+    again = scd2_merge(out, upd, delete_col="is_deleted")
+    assert {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
+            for r in again.collect()} == rows
+    # re-insert after delete opens a fresh row, history intact
+    re_ins = spark.createDataFrame(
+        [(1, "b2", "2024-04-01 00:00:00", False)],
+        "key long, value string, ts string, is_deleted boolean"
+    ).selectExpr("key", "value", "CAST(ts AS TIMESTAMP) ts", "is_deleted")
+    r3 = {(r.key, r.value): (str(r.valid_from), str(r.valid_to))
+          for r in scd2_merge(again, re_ins,
+                              delete_col="is_deleted").collect()}
+    assert r3[(1, "a")] == ("2024-01-01 00:00:00", "2024-03-01 00:00:00")
+    assert r3[(1, "b2")] == ("2024-04-01 00:00:00", "None")
+
+
 def test_rate_anomalies(spark):
     """A burst bucket and a silent (gap-filled zero) bucket both flag;
     steady buckets do not."""
