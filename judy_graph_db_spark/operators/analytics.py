@@ -3492,14 +3492,15 @@ def directed_triangle_census(edges: DataFrame) -> DataFrame:
     )).alias("r")).select("r.kind", "r.n")
 
 
-def _path_end_distances(psym: DataFrame, max_rounds: int = 64) -> DataFrame:
+def _path_end_distances(psym: DataFrame, max_rounds: int = 64,
+                        allow_cycles: bool = False) -> DataFrame:
     """Distance from every node of a disjoint-PATHS graph to its nearest
     endpoint (degree-1 node), by pointer doubling along the path —
     O(log L) composition rounds over a 2·|edges|-row directed-walk state
     instead of the O(L) sequential peel waves the onion definition
     implies. ``psym`` must be the symmetric edge relation of components
-    whose degrees are all ≤ 2 with at least one degree-1 node each
-    (i.e. disjoint simple paths).
+    whose degrees are all ≤ 2 — with at least one degree-1 node each
+    (disjoint simple paths) unless ``allow_cycles``.
 
     State per directed edge ``(v, u)``: the walk that starts at ``v``
     and steps first to ``u``, after ``2^t`` steps — either TERMINAL
@@ -3507,6 +3508,16 @@ def _path_end_distances(psym: DataFrame, max_rounds: int = 64) -> DataFrame:
     or continuing at node ``at`` with next hop ``nxt``. One
     self-composition per round; all rows are terminal after
     ``⌈log2(max path length)⌉`` rounds. Returns ``(id, end_dist)``.
+
+    With ``allow_cycles`` the input may also contain cycle components
+    (all-degree-2, no endpoint). Walks on a cycle never terminate; the
+    loop instead stops at the first round where the non-terminal row
+    count stops shrinking. That stall is exactly "only cycles remain":
+    path distances-to-endpoint are contiguous (1..Dmax along each path),
+    so whenever any pending path walk exists, some walk has remaining
+    distance in (2^t, 2^(t+1)] and the next round terminates it. Cycle
+    nodes are simply ABSENT from the result (the caller takes the
+    complement); path nodes still get their exact ``end_dist``.
     """
     nbr = psym.groupBy("src").agg(
         F.min("dst").alias("n1"), F.max("dst").alias("n2"),
@@ -3525,9 +3536,14 @@ def _path_end_distances(psym: DataFrame, max_rounds: int = 64) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    prev_nonterm = -1
     for _ in range(max_rounds):
-        if not st.filter(~F.col("term")).limit(1).count():
+        nonterm = st.filter(~F.col("term")).count()
+        if not nonterm:
             break
+        if allow_cycles and nonterm == prev_nonterm:
+            break  # stalled ⇒ every pending walk circles a cycle
+        prev_nonterm = nonterm
         hop = st.select(F.col("v").alias("at"), F.col("u").alias("nxt"),
                         F.col("term").alias("t2"),
                         F.col("dist").alias("d2"),
@@ -3554,7 +3570,7 @@ def _path_end_distances(psym: DataFrame, max_rounds: int = 64) -> DataFrame:
                            "input is not a disjoint union of simple paths")
     ends = nbr.filter(F.col("d") == 1).select(
         F.col("src").alias("id"), F.lit(0).cast("long").alias("end_dist"))
-    inner = st.groupBy(F.col("v").alias("id")).agg(
+    inner = st.filter(F.col("term")).groupBy(F.col("v").alias("id")).agg(
         F.min("dist").alias("end_dist"))
     return (inner.join(ends.select("id"), "id", "left_anti")
             .unionByName(ends))
@@ -3596,34 +3612,71 @@ def onion_layers(edges: DataFrame, max_iter: int = 10000) -> DataFrame:
     sym_all = _symmetric(edges).localCheckpoint(eager=True)
     deg0 = sym_all.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d"))
-    comp = connected_components(sym_all)
-    cstat = (comp.join(deg0, "id").groupBy("component")
-             .agg(F.max("d").alias("dmax"), F.min("d").alias("dmin")))
-    d2n = (comp.join(cstat.filter(F.col("dmax") <= 2), "component")
-           .select("id", "dmin").localCheckpoint(eager=True))
+    # cheap pre-check: one global degree aggregate decides whether the
+    # CC component split can possibly pay for itself (it only exists to
+    # separate degree-≤2 components from the residual)
+    grow = deg0.agg(F.min("d").alias("gmin"), F.max("d").alias("gmax"),
+                    F.count(F.lit(1)).alias("n")).collect()[0]
+    if not grow["n"]:
+        return edges.sparkSession.createDataFrame(
+            [], "id long, coreness long, layer long")
     out_parts = []
-
-    # paths: layer = 1 + distance to nearest endpoint, coreness 1
-    pn = d2n.filter(F.col("dmin") == 1).select("id")
     w_p = 0
-    if pn.limit(1).count():
-        psym = sym_all.join(pn.withColumnRenamed("id", "src"),
-                            "src", "left_semi").localCheckpoint(eager=True)
-        pl = _path_end_distances(psym).select(
+
+    if int(grow["gmax"]) <= 2:
+        # EVERY component is a path or a cycle — closed form only, no
+        # CC pass and no wave loop. Cycle nodes are the walks that never
+        # reach an endpoint (absent from _path_end_distances' result).
+        pl = _path_end_distances(sym_all, allow_cycles=True).select(
             "id", F.lit(1).cast("long").alias("coreness"),
             (F.col("end_dist") + 1).cast("long").alias("layer")
         ).localCheckpoint(eager=True)
         w_p = int(pl.agg(F.max("layer")).collect()[0][0] or 0)
-        out_parts.append(pl)
-        _unpersist_checkpoint(psym)
+        if w_p:
+            out_parts.append(pl)
+        cyc = deg0.select("id").join(pl.select("id"), "id", "left_anti")
+        # global numbering: cycles survive the whole k=1 era (w_p waves)
+        # untouched, then peel together in the first k=2 wave
+        out = cyc.select(
+            "id", F.lit(2).cast("long").alias("coreness"),
+            F.lit(w_p + 1).cast("long").alias("layer"))
+        for p in out_parts:
+            out = out.unionByName(p)
+        return out
 
-    has_cycles = bool(d2n.filter(F.col("dmin") == 2).limit(1).count())
+    has_cycles = False
+    d2n = None
+    if int(grow["gmin"]) >= 3:
+        # no degree-≤2 node anywhere ⇒ no component can qualify for the
+        # closed form — skip the CC split, the whole graph is residual
+        sym = sym_all
+    else:
+        comp = connected_components(sym_all)
+        cstat = (comp.join(deg0, "id").groupBy("component")
+                 .agg(F.max("d").alias("dmax"), F.min("d").alias("dmin")))
+        d2n = (comp.join(cstat.filter(F.col("dmax") <= 2), "component")
+               .select("id", "dmin").localCheckpoint(eager=True))
 
-    # residual: components with a degree-≥3 node run the wave loop
-    rn = (comp.join(cstat.filter(F.col("dmax") >= 3), "component")
-          .select("id"))
-    sym = sym_all.join(rn.withColumnRenamed("id", "src"),
-                       "src", "left_semi").localCheckpoint(eager=True)
+        # paths: layer = 1 + distance to nearest endpoint, coreness 1
+        pn = d2n.filter(F.col("dmin") == 1).select("id")
+        if pn.limit(1).count():
+            psym = sym_all.join(pn.withColumnRenamed("id", "src"),
+                                "src", "left_semi").localCheckpoint(eager=True)
+            pl = _path_end_distances(psym).select(
+                "id", F.lit(1).cast("long").alias("coreness"),
+                (F.col("end_dist") + 1).cast("long").alias("layer")
+            ).localCheckpoint(eager=True)
+            w_p = int(pl.agg(F.max("layer")).collect()[0][0] or 0)
+            out_parts.append(pl)
+            _unpersist_checkpoint(psym)
+
+        has_cycles = bool(d2n.filter(F.col("dmin") == 2).limit(1).count())
+
+        # residual: components with a degree-≥3 node run the wave loop
+        rn = (comp.join(cstat.filter(F.col("dmax") >= 3), "component")
+              .select("id"))
+        sym = sym_all.join(rn.withColumnRenamed("id", "src"),
+                           "src", "left_semi").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("id")).distinct() \
         .localCheckpoint(eager=True)
     r_parts = []  # (peel_df, k, local_wave)

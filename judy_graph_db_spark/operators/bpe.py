@@ -125,7 +125,9 @@ def _train_merges_local(words: list, n_merges: int) -> list:
 
 def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
               end_of_word: str = "</w>",
-              strategy: str = "auto") -> tuple[DataFrame, DataFrame]:
+              strategy: str = "auto", min_word_freq: int = 1,
+              max_collect_rows: int = 50_000_000
+              ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns ``(merges, symbol_vocab)``:
     ``merges(rank, a, b, count)`` in learned order and
     ``symbol_vocab(symbol, freq)`` — the corpus frequency of every symbol
@@ -150,6 +152,21 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
       scale path. Byte-identical merges to the relational loop by
       construction (same tiebreak, same greedy fold).
     - ``"auto"`` (default): local above 32 merges.
+
+    ``min_word_freq`` prunes the word-frequency table (BEFORE the local
+    collect and before the relational loop alike, so both strategies see
+    the same corpus): standard practice — a word seen fewer than
+    ``min_word_freq`` times contributes that little to every pair count,
+    and hapax legomena can't win a merge on a real corpus. At 100 TB of
+    noisy web text "distinct words" includes unbounded junk (base64,
+    URLs, typos); ``min_word_freq=2`` typically cuts the table by ~half
+    (Zipf) with no effect on the learned merges.
+
+    ``max_collect_rows`` is the loud guard on the ``"local"`` collect:
+    if the (pruned) word table exceeds this many rows the collect is
+    refused with a ``ValueError`` naming both remedies (raise
+    ``min_word_freq`` or use ``strategy="relational"``) instead of
+    silently OOM-ing the driver.
     """
     if strategy not in ("auto", "relational", "local"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -165,6 +182,7 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
             ).alias("word")
         )
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= F.lit(int(min_word_freq)))
         .withColumn(
             "syms",
             F.concat(
@@ -175,6 +193,14 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
         .localCheckpoint(eager=True)
     )
     if strategy == "local":
+        n_words = words.count()
+        if n_words > max_collect_rows:
+            raise ValueError(
+                f"bpe_train(strategy='local'): word-frequency table has "
+                f"{n_words} rows > max_collect_rows={max_collect_rows}; "
+                f"raise min_word_freq (currently {min_word_freq}) to "
+                f"prune rare words, raise max_collect_rows if the driver "
+                f"has the memory, or use strategy='relational'")
         local_words = [[list(r["syms"]), int(r["freq"])]
                        for r in words.select("syms", "freq").collect()]
         merges = _train_merges_local(local_words, n_merges)

@@ -1605,6 +1605,21 @@ def test_onion_layers(spark):
           for r in AN.onion_layers(edges_df(spark, extra_mix)).collect()}
     assert ge == replica(extra_mix)
 
+    # min-degree-≥3 pre-check: K5 alone skips the CC split entirely and
+    # goes straight to the wave loop
+    gk = {r.id: (r.coreness, r.layer)
+          for r in AN.onion_layers(edges_df(spark, k5)).collect()}
+    assert gk == replica(k5)
+
+    # pure cycles (no endpoints at all) take the closed form: one global
+    # k=2 wave, zero wave-loop iterations
+    cycles_only = [(i, (i + 1) % 5) for i in range(5)] + \
+        [(700 + i, 700 + (i + 1) % 3) for i in range(3)]
+    gc = {r.id: (r.coreness, r.layer)
+          for r in AN.onion_layers(edges_df(spark, cycles_only),
+                                   max_iter=1).collect()}
+    assert gc == replica(cycles_only)
+
 
 def test_trussness(spark):
     """Chains score 2, K4 edges 4, K6 edges 6; matches a python replica

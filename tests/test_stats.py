@@ -125,6 +125,34 @@ def test_bpe_train_learns_expected_merges(spark):
     assert v["e"] == 1 and v["r"] == 1 and v["</w>"] == 1
 
 
+def test_bpe_train_min_freq_and_budget_guard(spark):
+    import pytest as _pt
+
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    # hapax junk ("zzqx") can't win a merge: pruning it with
+    # min_word_freq=2 leaves the learned merges byte-identical
+    docs = spark.createDataFrame(
+        [(1, "low low low low zzqx")], "doc_id long, text string"
+    )
+    base, _ = bpe_train(docs, n_merges=3)
+    pruned, pv = bpe_train(docs, n_merges=3, min_word_freq=2)
+    key = lambda r: r.rank  # noqa: E731
+    assert [tuple(r) for r in sorted(base.collect(), key=key)] == \
+           [tuple(r) for r in sorted(pruned.collect(), key=key)]
+    # and the pruned vocab no longer carries the junk symbols
+    assert "z" not in {r.symbol for r in pv.collect()}
+    # identical merges on both strategies under the same pruning
+    rel, _ = bpe_train(docs, n_merges=3, min_word_freq=2,
+                       strategy="relational")
+    assert [tuple(r) for r in sorted(rel.collect(), key=key)] == \
+           [tuple(r) for r in sorted(pruned.collect(), key=key)]
+
+    # the collect budget guard fires loudly instead of OOM-ing the driver
+    with _pt.raises(ValueError, match="max_collect_rows"):
+        bpe_train(docs, n_merges=3, strategy="local", max_collect_rows=1)
+
+
 def test_bpe_train_matches_duckdb(spark):
     import duckdb
 
