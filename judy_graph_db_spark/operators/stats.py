@@ -249,10 +249,19 @@ def build_vocab(docs: DataFrame, min_count: int = 1,
     rank window; ``max_size`` caps the vocabulary after it.
 
     Scale shape: tokenize + explode in the scan stage, one (token) shuffle
-    for counts, then ONE global rank window — over the already-aggregated
-    vocabulary relation (|vocab| rows, not |corpus| tokens), which is the
-    only place a global window is acceptable; for vocabularies too big for
-    one task, rank by (count bucket, token) two-pass instead.
+    for counts, then a TWO-LEVEL rank with no global unpartitioned window
+    anywhere: tokens bucket by ``(count, 2-char token prefix)``; ranks
+    within a bucket come from a PARTITIONED row_number (lexicographic
+    substring order is compatible with full-token order, so bucket-local
+    order + bucket offsets reproduce the global ``(count DESC, token
+    ASC)`` rank exactly); bucket start offsets come from a running sum
+    over the bucket-stats relation — |distinct (count, prefix)| rows,
+    ≤ O(√total_tokens · |alphabet|²) and overwhelmingly smaller than
+    |vocab| (at 10⁹ web-scale tokens: millions of skinny rows vs 10⁹),
+    the aggregate-sized place a single-partition window is acceptable.
+    The big windows are all partitioned; the hapax ``count=min_count``
+    bucket — half the vocabulary under Zipf — splits across prefixes
+    instead of landing in one task.
     """
     toks = docs.select(
         F.explode(
@@ -265,11 +274,26 @@ def build_vocab(docs: DataFrame, min_count: int = 1,
         toks.groupBy("token").agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= int(min_count))
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    vocab = counts.select(
-        "token",
-        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
-        "count",
+    bucketed = counts.withColumn("__b", F.substring("token", 1, 2))
+    bstat = bucketed.groupBy("count", "__b").agg(
+        F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy(F.col("count").desc(), F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bstat.select(
+        "count", "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("count", "__b").orderBy(F.col("token").asc())
+    vocab = (
+        bucketed.join(F.broadcast(offs), ["count", "__b"])
+        .select(
+            "token",
+            (F.col("__off") + F.row_number().over(w_in) - 1)
+            .cast("long").alias("token_id"),
+            "count",
+        )
     )
     if max_size is not None:
         vocab = vocab.filter(F.col("token_id") < int(max_size))

@@ -53,15 +53,97 @@ def _latest_version(store: str) -> Optional[int]:
     return max(vs) if vs else None
 
 
+def _latest_compact(store: str, latest: int):
+    """Highest COMPLETE compacted slice at or below ``latest``:
+    ``(hi, path)`` or ``(-1, None)``. A ``compact=H`` directory without
+    its ``_compact_meta.json`` is a crash leftover and is ignored; when
+    two complete compacts coexist (crash between the new compact's meta
+    write and the old one's deletion) the higher one wins — it is a
+    superset of the lower by construction."""
+    root = os.path.join(store, "closed")
+    best, best_path = -1, None
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if (d.startswith("compact=") and d[8:].isdigit()
+                    and int(d[8:]) <= latest
+                    and os.path.exists(
+                        os.path.join(root, d, "_compact_meta.json"))):
+                hi = int(d[8:])
+                if hi > best:
+                    best, best_path = hi, os.path.join(root, d)
+    return best, best_path
+
+
 def _closed_paths(store: str, latest: int) -> list:
     """Closed-slice directories at or below the latest complete version
-    (a ``b=N`` above it is a crash leftover the re-fold will overwrite)."""
+    (a ``b=N`` above it is a crash leftover the re-fold will overwrite).
+    If a compacted slice exists, it stands in for every ``b=N`` it
+    covers; only the folds after it are read as individual dirs."""
     root = os.path.join(store, "closed")
     if not os.path.isdir(root):
         return []
-    return [os.path.join(root, d) for d in sorted(os.listdir(root))
-            if d.startswith("b=") and d[2:].isdigit()
-            and int(d[2:]) <= latest]
+    base_hi, base_path = _latest_compact(store, latest)
+    paths = [base_path] if base_path else []
+    paths += [os.path.join(root, d) for d in sorted(os.listdir(root))
+              if d.startswith("b=") and d[2:].isdigit()
+              and base_hi < int(d[2:]) <= latest]
+    return paths
+
+
+def compact_closed(spark, store: str) -> int:
+    """Opt-in small-files compaction of the closed slice: coalesce every
+    ``closed/b=N`` at or below the latest complete open version (plus
+    any previous compact) into ONE ``closed/compact=<latest>`` directory,
+    then drop the sources. After 10⁴ folds the append-only layout leaves
+    10⁴ tiny directories per dimension — the classic streaming
+    small-files problem; this rewrites the closed history once, sized by
+    ``spark.sql.files.maxPartitionBytes``-normal parquet files.
+
+    Crash-safe in the same style as the fold itself: the compacted
+    parquet is written first, its ``_compact_meta.json`` marker after,
+    and the covered sources are deleted last — a crash at any point
+    leaves either the old layout (no meta → compact dir ignored) or a
+    recoverable double (two complete compacts / leftover ``b=N`` below
+    the compact, both resolved by readers preferring the highest
+    complete compact and by the next compaction's retry cleanup). The
+    replay guard lives in ``open/``'s meta and is untouched.
+
+    Returns the number of source directories coalesced (0 = no-op).
+    """
+    latest = _latest_version(store)
+    if latest is None:
+        return 0
+    root = os.path.join(store, "closed")
+    if not os.path.isdir(root):
+        return 0
+    base_hi, base_path = _latest_compact(store, latest)
+    b_dirs = [(int(d[2:]), os.path.join(root, d))
+              for d in sorted(os.listdir(root))
+              if d.startswith("b=") and d[2:].isdigit()
+              and int(d[2:]) <= latest]
+    fresh = [(n, p) for n, p in b_dirs if n > base_hi]
+    stale = [(n, p) for n, p in b_dirs if n <= base_hi]  # crashed deletes
+    if not fresh:
+        for _, p in stale:
+            shutil.rmtree(p, ignore_errors=True)
+        return 0
+    sources = ([base_path] if base_path else []) + [p for _, p in fresh]
+    out = os.path.join(root, f"compact={latest}")
+    spark.read.parquet(*sources).write.mode("overwrite").parquet(out)
+    with open(os.path.join(out, "_compact_meta.json"), "w") as fh:
+        json.dump({"hi": latest}, fh)
+    # sources are now redundant: old compacts (incl. incomplete
+    # leftovers), covered b=N dirs, and any stale pre-compact b dirs
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if full == out:
+            continue
+        if d.startswith("compact=") and d[8:].isdigit() \
+                and int(d[8:]) <= latest:
+            shutil.rmtree(full, ignore_errors=True)
+    for _, p in fresh + stale:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(sources)
 
 
 def read_dimension(spark, store: str) -> Optional[DataFrame]:
@@ -82,7 +164,8 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
                        available_now: bool = True,
                        replay_id: Optional[str] = None,
                        retain_versions: int = 2,
-                       delete_col: Optional[str] = None):
+                       delete_col: Optional[str] = None,
+                       compact_every: Optional[int] = None):
     """Fold a change stream ``(key, values…, ts)`` into a continuously
     maintained SCD2 history. Each micro-batch keeps its LATEST state per
     key (intra-batch intermediate states collapse — the standard
@@ -94,7 +177,9 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
     ``delete_col`` names a boolean CDC-tombstone column in the stream —
     a key whose LATEST intra-batch state is a tombstone closes its open
     row and leaves the live slice (scd2_merge's delete semantics).
-    Returns the started StreamingQuery."""
+    ``compact_every=K`` opts into :func:`compact_closed` every K folds so
+    the closed slice's directory count stays bounded under continuous
+    ingest. Returns the started StreamingQuery."""
     vals = list(value_cols)
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
@@ -151,6 +236,8 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
             if (d.startswith("v=") and d[2:].isdigit()
                     and int(d[2:]) <= new_version - retain_versions):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if compact_every and (new_version + 1) % compact_every == 0:
+            compact_closed(spark, store)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -675,3 +675,69 @@ def test_streaming_scd2_store_layout(spark, tmp_path):
         ("k2", 20): ("2024-01-01 00:00:00", "None"),
         ("k3", 30): ("2024-02-01 00:00:00", "None"),
     }
+
+
+def test_streaming_scd2_compaction(spark, tmp_path):
+    """compact_closed coalesces the closed b=N dirs into one compact
+    slice with IDENTICAL read_dimension content and strictly fewer
+    directories; a second compaction with no new folds is a no-op; folds
+    after compaction append fresh b=N dirs that the next compaction
+    absorbs (reading compact + tail); the replay guard still holds."""
+    from judy_graph_db_spark.streaming.dimensions import (
+        _latest_version, compact_closed, foreach_batch_scd2, read_dimension)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "dim")
+    src.mkdir()
+    kw = dict(checkpoint=str(tmp_path / "ck"), replay_id="cmp")
+    for i, batch in enumerate([
+        "k1,10,2024-01-01 00:00:00\nk2,20,2024-01-01 00:00:00\n",
+        "k1,11,2024-02-01 00:00:00\nk2,21,2024-02-01 00:00:00\n",
+        "k1,12,2024-03-01 00:00:00\nk3,30,2024-03-01 00:00:00\n",
+    ]):
+        (src / f"{i}.csv").write_text(batch)
+        _drain(foreach_batch_scd2(
+            (spark.readStream
+             .schema("key string, value long, ts timestamp")
+             .csv(str(src))), store, **kw))
+    before = {(r.key, r.value, str(r.valid_from), str(r.valid_to))
+              for r in read_dimension(spark, store).collect()}
+    closed = tmp_path / "dim" / "closed"
+    assert sorted(os.listdir(closed)) == ["b=0", "b=1", "b=2"]
+
+    n = compact_closed(spark, store)
+    assert n == 3
+    assert os.listdir(closed) == ["compact=2"]
+    after = {(r.key, r.value, str(r.valid_from), str(r.valid_to))
+             for r in read_dimension(spark, store).collect()}
+    assert after == before
+    # no new folds -> no-op
+    assert compact_closed(spark, store) == 0
+    assert os.listdir(closed) == ["compact=2"]
+
+    # a fold after compaction appends b=3; reads see compact + tail
+    (src / "3.csv").write_text("k2,22,2024-04-01 00:00:00\n")
+    _drain(foreach_batch_scd2(
+        (spark.readStream
+         .schema("key string, value long, ts timestamp")
+         .csv(str(src))), store, **kw))
+    assert _latest_version(store) == 3
+    assert sorted(os.listdir(closed)) == ["b=3", "compact=2"]
+    got = {(r.key, r.value): str(r.valid_to)
+           for r in read_dimension(spark, store).collect()}
+    assert got[("k2", 21)] == "2024-04-01 00:00:00"
+    assert got[("k2", 22)] == "None"
+    assert got[("k1", 10)] == "2024-02-01 00:00:00"
+    # re-compaction absorbs the old compact + the tail
+    assert compact_closed(spark, store) == 2
+    assert os.listdir(closed) == ["compact=3"]
+    again = {(r.key, r.value): str(r.valid_to)
+             for r in read_dimension(spark, store).collect()}
+    assert again == got
+    # replay guard untouched by compaction: same checkpoint, no new
+    # files -> no batch fires, no version lands
+    _drain(foreach_batch_scd2(
+        (spark.readStream
+         .schema("key string, value long, ts timestamp")
+         .csv(str(src))), store, **kw))
+    assert _latest_version(store) == 3
