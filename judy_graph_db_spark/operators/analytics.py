@@ -3272,6 +3272,120 @@ def betweenness_centrality(edges: DataFrame,
     )
 
 
+def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
+                        seed: int = 0, max_iter: int = 100,
+                        scale: bool = True) -> DataFrame:
+    """k-pivot sampled Brandes betweenness (Brandes & Pich 2007,
+    "Centrality Estimation in Large Networks"): the production estimator
+    for graphs where the all-pairs σ closure behind
+    :func:`betweenness_centrality` cannot be materialized. Estimator:
+    ``b̂(v) = (n/k) · Σ_{s∈S} δ_s(v)`` over ``k`` hash-sampled pivot
+    sources ``S`` — unbiased for every ``v ∉ S`` (each source term is
+    sampled uniformly without replacement), with the exact Brandes
+    per-source dependency ``δ_s(v) = Σ_{w: d(s,w)=d(s,v)+1, (v,w)∈E}
+    σ_sv/σ_sw · (1 + δ_s(w))``. With ``n_pivots >= n`` every node is a
+    pivot and the result is EXACT betweenness (ordered source-target
+    pairs, same convention as :func:`betweenness_centrality`; halve for
+    the undirected convention).
+
+    Scale shape — this is the 100 TB path: state is the k·|V| pivot
+    BFS relation (``(s, v, depth, σ)``), never the |V|² closure.
+    Forward: the :func:`landmark_distances` multi-source BFS with a
+    σ-accumulating ``(s, dst)`` sum instead of a min — all k pivots ride
+    the same frontier joins, O(frontier) per round. Backward: Brandes'
+    accumulation runs level-synchronously from the deepest BFS layer up
+    — per level one edge join between adjacent depth slices of the
+    checkpointed BFS relation and one ``(s, v)`` aggregation; ~diameter
+    rounds each way, no global window, no driver-side node state (the
+    only collects are the k-row pivot list and two scalars).
+
+    Pivots are the top-k by ``md5(seed || id)`` — a deterministic
+    uniform sample, reproducible across runs (house rule: no RNG in
+    operators). ``scale=False`` returns the raw ``Σ_{s∈S} δ_s(v)``.
+    Returns ``(id, betweenness DOUBLE)`` for nodes with positive score.
+    Float by necessity, so unit-tested against a replica, not
+    hash-gated — the bm25/pca house rule (the integer-exact
+    :func:`stress_centrality` carries the family's driver row).
+    """
+    if n_pivots <= 0:
+        raise ValueError("n_pivots must be positive")
+    spark = edges.sparkSession
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
+    pick = nodes.orderBy(
+        F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
+                          F.col("id").cast("string"))).asc(),
+        F.col("id").asc()).limit(int(n_pivots))
+    pivots = [int(r["id"]) for r in pick.collect()]  # k rows, bounded
+    k = len(pivots)
+    frontier = spark.createDataFrame(
+        [(p, p, 1) for p in pivots], "s BIGINT, id BIGINT, sigma BIGINT"
+    ).localCheckpoint(eager=True)
+    sp = frontier.select("s", "id", F.lit(0).cast("long").alias("depth"),
+                         "sigma").localCheckpoint(eager=True)
+    for depth in range(1, max_iter + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .join(sp.select("s", "id"), ["s", "id"], "left_anti")
+            .groupBy("s", "id").agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        sp = sp.unionByName(nxt.select(
+            "s", "id", F.lit(depth).cast("long").alias("depth"), "sigma")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        if frontier.limit(1).count():
+            raise RuntimeError(
+                f"betweenness_sampled: BFS not settled in {max_iter} "
+                "rounds — raise max_iter")
+    maxd = int(sp.agg(F.max("depth")).collect()[0][0] or 0)
+    acc_parts = []
+    # deepest layer has no successors: δ = 0 there; walk levels upward
+    delta = sp.filter(F.col("depth") == maxd).select(
+        "s", "id", F.lit(0.0).alias("delta"))
+    for d in range(maxd - 1, -1, -1):
+        succ = (sp.filter(F.col("depth") == d + 1)
+                .join(delta, ["s", "id"])
+                .select("s", F.col("id").alias("dst"),
+                        F.col("sigma").alias("__sw"),
+                        F.col("delta").alias("__dw")))
+        lvl = sp.filter(F.col("depth") == d)
+        contrib = (
+            lvl.join(e.withColumnRenamed("src", "id"), "id")
+            .join(succ, ["s", "dst"])
+            .groupBy("s", "id")
+            .agg(F.sum(F.col("sigma").cast("double") / F.col("__sw")
+                       * (F.lit(1.0) + F.col("__dw"))).alias("delta"))
+        )
+        delta = (
+            lvl.select("s", "id")
+            .join(contrib, ["s", "id"], "left")
+            .select("s", "id",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if d > 0:  # depth 0 is the pivot itself (v = s: excluded)
+            acc_parts.append(delta)
+    if not acc_parts:
+        return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
+    acc = acc_parts[0]
+    for p in acc_parts[1:]:
+        acc = acc.unionByName(p)
+    factor = float(n) / k if scale else 1.0
+    return (acc.groupBy("id")
+            .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
+            .filter(F.col("betweenness") > 0))
+
+
 def hyperball_registers(edges: DataFrame, rounds: int = 3, p: int = 4,
                         nodes: DataFrame | None = None,
                         with_rounds: bool = False) -> DataFrame:

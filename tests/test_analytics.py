@@ -1426,6 +1426,54 @@ def test_betweenness_centrality(spark):
     assert all(abs(got4[v] - ref4[v]) < 1e-9 for v in ref4)
 
 
+def test_betweenness_sampled(spark):
+    """k-pivot Brandes: with every node a pivot it is EXACT (equals the
+    full-closure operator and the textbook replica); with k<n pivots it
+    equals (n/k)·Σ over exactly the md5-chosen pivots (deterministic),
+    and unscaled it equals the restricted replica."""
+    import hashlib
+    import random
+
+    rng = random.Random(41)
+    pairs = sorted({(rng.randrange(12), rng.randrange(12))
+                    for _ in range(34)} - {(i, i) for i in range(12)})
+    nodes = sorted({v for p in pairs for v in p})
+    e = edges_df(spark, pairs)
+
+    # exact: n_pivots >= n
+    got = {r.id: r.betweenness
+           for r in AN.betweenness_sampled(e, n_pivots=len(nodes)).collect()}
+    ref = _brandes_reference(pairs)
+    assert set(got) == set(ref)
+    assert all(abs(got[v] - ref[v]) < 1e-9 for v in ref)
+
+    # sampled: replicate the md5 pivot choice, compare to the scaled
+    # restricted replica
+    k, seed = 3, 0
+    pivots = sorted(
+        nodes,
+        key=lambda i: (hashlib.md5(f"piv{seed}|{i}".encode()).hexdigest(),
+                       i))[:k]
+    ref_s = _brandes_reference(pairs, sources=pivots)
+    factor = len(nodes) / k
+    want = {v: s * factor for v, s in ref_s.items() if s > 0}
+    got_s = {r.id: r.betweenness for r in
+             AN.betweenness_sampled(e, n_pivots=k, seed=seed).collect()}
+    assert set(got_s) == set(want)
+    assert all(abs(got_s[v] - want[v]) < 1e-9 for v in want)
+    # unscaled = raw restricted sum
+    got_raw = {r.id: r.betweenness for r in
+               AN.betweenness_sampled(e, n_pivots=k, seed=seed,
+                                      scale=False).collect()}
+    assert all(abs(got_raw[v] - ref_s[v]) < 1e-9 for v in got_raw)
+
+    # chain closed form survives sampling machinery: 1->2->3->4 exact
+    chain = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    gc = {r.id: r.betweenness
+          for r in AN.betweenness_sampled(chain, n_pivots=10).collect()}
+    assert gc == {2: 2.0, 3: 2.0}
+
+
 def test_hyperball_exact_register_invariant(spark):
     """After r rounds a node's registers equal hll_registers of its EXACT
     depth-<=r out-ball — approximation enters only at estimate time."""
