@@ -1442,14 +1442,18 @@ def _q_neardup_pairs(spark, sf_dir):
     return out
 
 
-def AHASH_SQL(table: str) -> str:
-    """DuckDB twin of ``multimodal.image_ahash``'s stub path over a
-    ``(doc_id, text)`` relation: md5-derived 8×8 pixels, integer
-    mean-threshold bits, nibble-packed hex."""
+def AHASH_SQL(table: str, seed: str = "md5(d.text)") -> str:
+    """DuckDB twin of ``multimodal.image_ahash``: md5-derived 8×8 pixels
+    (``px_i = first byte of md5(seed || ':' || i)``), integer
+    mean-threshold bits, nibble-packed hex. With the default ``seed``
+    this is the stub path over a ``(doc_id, text)`` relation; the
+    ``png_ahash`` gate passes a doc_id-derived seed and feeds the SAME
+    pixels through a real PNG encode→decode on the Spark side, so the
+    hash match proves the pixel decoder exact."""
     return f"""WITH ah_p AS (
   SELECT d.doc_id, g.i,
          CAST(CAST('0x' || substr(
-           md5(md5(d.text) || ':' || g.i), 1, 2) AS INT) AS BIGINT) AS px
+           md5({seed} || ':' || g.i), 1, 2) AS INT) AS BIGINT) AS px
   FROM {table} d,
        (SELECT unnest(generate_series(0, 63)) AS i) g
 ),
@@ -1533,9 +1537,31 @@ def _q_media_pipeline(spark, sf_dir):
         F.lit("hpairs").alias("op"), F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("a"), F.col("hamming").alias("b"),
         lN.alias("c"), lN.alias("d"), sN.alias("h"))
+    # REAL pixel decode: 8×8 grayscale PNGs with md5-derived pixels,
+    # encoder cycling all five scanline filters; image_ahash
+    # decode_stub=False inflates + unfilters them executor-side (the
+    # dependency-free zlib path when PIL is absent — multimodal.py
+    # _png_pixels), and the oracle recomputes the hash straight from the
+    # pixel formula, so hash equality proves the decode bit-exact
+    import hashlib as _hl
+
+    ids = [int(r["doc_id"]) for r in spark.table("documents")
+           .filter(F.col("doc_id") < 64).select("doc_id").collect()]
+    png_rows = []
+    for d in sorted(ids):
+        px = [int(_hl.md5(f"png{d}:{i}".encode()).hexdigest()[:2], 16)
+              for i in range(64)]
+        png_rows.append((d, bytearray(MM.png_encode_gray(
+            8, 8, px, filters=[y % 5 for y in range(8)])), "image"))
+    png_media = spark.createDataFrame(
+        png_rows, "doc_id long, content binary, media_type string")
+    pah = MM.image_ahash(png_media, decode_stub=False).select(
+        F.lit("png_ahash").alias("op"), "doc_id",
+        F.col("mean_milli").alias("a"), lN.alias("b"), lN.alias("c"),
+        lN.alias("d"), F.col("ahash").alias("h"))
     return (meta.unionByName(dec).unionByName(frames)
             .unionByName(audio).unionByName(wins).unionByName(video)
-            .unionByName(ah).unionByName(hp))
+            .unionByName(ah).unionByName(hp).unionByName(pah))
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -3367,7 +3393,11 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          AS hamming
 FROM hp_h a JOIN hp_h b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(CAST('0x' || a.ahash AS UBIGINT),
-                    CAST('0x' || b.ahash AS UBIGINT))) <= 3) hp""",
+                    CAST('0x' || b.ahash AS UBIGINT))) <= 3) hp
+UNION ALL
+SELECT 'png_ahash', doc_id, mean_milli, NULL, NULL, NULL, ahash
+FROM ({AHASH_SQL("(SELECT doc_id FROM documents WHERE doc_id < 64)",
+                 seed="'png' || CAST(d.doc_id AS VARCHAR)")}) pah""",
         "persisted_roundtrip": f"""{P}
 SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
        COUNT(*) AS n2,

@@ -6,10 +6,13 @@ decode/feature steps run as Arrow-batched ``mapInPandas`` operators so a
 involvement. ``decode_stub=True`` produces deterministic fake features from
 the raw bytes (exercising the full batch path with no codec dependency);
 ``decode_stub=False`` decodes for real: through PIL when it is importable
-on the executors, else through the built-in pure-stdlib header parser
-(PNG/GIF/BMP/JPEG/PPM dimensions — no pixel decode), raising ValueError on
-unrecognized payloads. The Spark-side contract — schema, batch iteration,
-partitioning — is identical on all paths.
+on the executors, else through the built-in pure-stdlib decoders — a
+header parser for dimensions (PNG/GIF/BMP/JPEG/PPM) plus a full PNG PIXEL
+decoder (stdlib ``zlib`` inflate + per-scanline unfilter, non-interlaced
+8-bit gray/RGB/RGBA) for the operators that need real pixels
+(:func:`image_ahash`) — raising ValueError on unrecognized payloads. The
+Spark-side contract — schema, batch iteration, partitioning — is
+identical on all paths.
 """
 
 from __future__ import annotations
@@ -71,6 +74,171 @@ def _builtin_dims(b: bytes) -> tuple[int, int, int]:
     if m:
         return int(m.group(1)), int(m.group(2)), 1
     raise ValueError(f"unrecognized image payload (magic {bytes(b[:8])!r})")
+
+
+def _png_pixels(b: bytes) -> tuple[int, int, int, bytearray]:
+    """Dependency-free PNG PIXEL decode — stdlib ``zlib`` inflate + the
+    five published per-scanline filters (None/Sub/Up/Average/Paeth, PNG
+    spec §9 "Filtering") — for the non-interlaced 8-bit grayscale (color
+    type 0), RGB (2) and RGBA (6) cases. No PIL, no C extension: chunk
+    walk → IHDR → concatenated IDAT → inflate → unfilter. Returns
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    scanline bytes, ``channels ∈ {1, 3, 4}``; raises ValueError on
+    non-PNG payloads and on the PNG shapes outside this subset (palette,
+    16-bit, interlaced — full-codec/PIL territory).
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i, w, idat = 8, None, bytearray()
+    h = depth = ctype = interlace = None
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[i:i + 4])
+        tag = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data[:13])
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("PNG payload without an IHDR chunk")
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (bit_depth={depth}, "
+            f"color_type={ctype}, interlace={interlace}): the built-in "
+            "decoder covers non-interlaced 8-bit gray/RGB/RGBA; use PIL "
+            "for palette/16-bit/interlaced")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(h * stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        o = y * stride
+        if f == 0:  # None
+            out[o:o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                out[o + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                u = out[o - stride + x] if y else 0
+                out[o + x] = (line[x] + u) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                u = out[o - stride + x] if y else 0
+                out[o + x] = (line[x] + ((a + u) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                u = out[o - stride + x] if y else 0
+                c = out[o - stride + x - ch] if (y and x >= ch) else 0
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (u if pb <= pc else c)
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+    return w, h, ch, out
+
+
+def _png_gray_thumb(b: bytes, grid: int) -> list:
+    """``grid``×``grid`` grayscale thumbnail of a PNG via
+    :func:`_png_pixels`: integer BT.601 luma (``(299R+587G+114B) div
+    1000``; alpha ignored, matching a white-free straight conversion)
+    then box-average pooling — each output cell is the integer mean of
+    its ⌊⌋/⌈⌉ pixel rectangle (cells clamp to ≥1 source pixel, so images
+    smaller than the grid repeat pixels). Deterministic integer
+    arithmetic end-to-end, same contract as the stub path.
+    """
+    w, h, ch, px = _png_pixels(b)
+
+    if ch == 1:
+        def luma(o):
+            return px[o]
+    else:
+        def luma(o):
+            return (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000
+
+    out = []
+    for gy in range(grid):
+        y0 = gy * h // grid
+        y1 = max(y0 + 1, (gy + 1) * h // grid)
+        for gx in range(grid):
+            x0 = gx * w // grid
+            x1 = max(x0 + 1, (gx + 1) * w // grid)
+            s = 0
+            for y in range(y0, y1):
+                base = y * w * ch
+                for x in range(x0, x1):
+                    s += luma(base + x * ch)
+            out.append(s // ((y1 - y0) * (x1 - x0)))
+    return out
+
+
+def png_encode_gray(width: int, height: int, pixels,
+                    filters=None) -> bytes:
+    """Minimal 8-bit grayscale PNG ENCODER (stdlib only): forward-filters
+    each scanline with ``filters[y]`` (default all-None; any of the five
+    spec filter types), deflates, and frames signature/IHDR/IDAT/IEND.
+    The fixture-builder dual of :func:`_png_pixels` — lets gates and
+    tests manufacture REAL decodable payloads with known pixel values
+    (and exercise every unfilter branch) without any imaging library.
+    ``pixels`` is the row-major byte list, length ``width·height``.
+    """
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels length must be width*height")
+    fs = filters if filters is not None else [0] * height
+    raw = bytearray()
+    for y in range(height):
+        f = fs[y]
+        raw.append(f)
+        for x in range(width):
+            cur = pixels[y * width + x]
+            a = pixels[y * width + x - 1] if x else 0
+            u = pixels[(y - 1) * width + x] if y else 0
+            c = pixels[(y - 1) * width + x - 1] if (y and x) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = u
+            elif f == 3:
+                pred = (a + u) >> 1
+            elif f == 4:
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (u if pb <= pc else c)
+            else:
+                raise ValueError(f"invalid PNG scanline filter {f}")
+            raw.append((cur - pred) & 0xFF)
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + \
+            struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
 
 
 def _real_dims_fn():
@@ -526,7 +694,11 @@ def image_ahash(media: DataFrame, decode_stub: bool = True,
     pixels from the payload's md5 (``pixel_i = first byte of
     md5(md5(payload):i)``) — exercising threshold/packing/batch plumbing
     end-to-end on non-image fixtures with an exact SQL twin; without it,
-    PIL decodes and resizes for real (PIL-gated, like the decode path).
+    the pixels are REAL: PIL decode+resize when PIL is importable (full
+    codec), else the built-in pure-stdlib PNG pixel decoder
+    (:func:`_png_pixels` zlib inflate + unfilter, then
+    :func:`_png_gray_thumb` luma + box-average pooling) — non-PNG
+    payloads without PIL fail loudly naming the remedy.
     Thresholding is integer-exact (``pixel·n > sum``, no float mean).
 
     Returns ``(doc_id, ahash, mean_milli)`` — ``ahash`` is
@@ -544,16 +716,20 @@ def image_ahash(media: DataFrame, decode_stub: bool = True,
                     int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:2], 16)
                     for i in range(n_px)
                 ]
-            else:
-                if pil is None:
-                    raise RuntimeError(
-                        "image_ahash: real decode requested but PIL is "
-                        "not importable")
+            elif pil is not None:
                 import io
 
                 img = pil.open(io.BytesIO(b)).convert("L") \
                     .resize((grid, grid))
                 px = list(img.getdata())
+            else:
+                try:
+                    px = _png_gray_thumb(bytes(b), grid)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"image_ahash: real decode without PIL supports "
+                        f"PNG only ({exc}); install PIL for other "
+                        "formats") from exc
             s = sum(px)
             bits = 0
             for p in px:

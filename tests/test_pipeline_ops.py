@@ -344,6 +344,134 @@ def test_decode_real_pil_parity_with_stub_schema(spark):
     assert (row.width, row.height, row.n_frames) == (20, 10, 1)
 
 
+def _encode_png(w, h, ctype, pixels, filters):
+    """Forward-filtering PNG encoder for fixtures: ``pixels`` is the
+    row-major raw byte list, ``filters[y]`` the filter type to apply to
+    scanline y (the encoder computes the correct filtered residuals, so
+    the decoder must invert every filter type to round-trip)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            cur = pixels[y * stride + x]
+            a = pixels[y * stride + x - ch] if x >= ch else 0
+            u = pixels[(y - 1) * stride + x] if y else 0
+            c = pixels[(y - 1) * stride + x - ch] if (y and x >= ch) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = u
+            elif f == 3:
+                pred = (a + u) >> 1
+            else:  # Paeth
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (u if pb <= pc else c)
+            raw.append((cur - pred) & 0xFF)
+
+    def chunk(tag, data):
+        cr = tag + data
+        return struct.pack(">I", len(data)) + cr + \
+            struct.pack(">I", zlib.crc32(cr))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_pixel_decoder_roundtrip():
+    """The built-in zlib-inflate + unfilter PNG decoder inverts every
+    scanline filter type (None/Sub/Up/Average/Paeth) for 8-bit
+    gray/RGB/RGBA, and rejects the shapes it doesn't cover."""
+    import random
+
+    import pytest as _pt
+
+    from judy_graph_db_spark.operators.multimodal import _png_pixels
+
+    rng = random.Random(7)
+    for ctype, ch in [(0, 1), (2, 3), (6, 4)]:
+        w, h = 6, 5
+        pixels = [rng.randrange(256) for _ in range(w * h * ch)]
+        filters = [0, 1, 2, 3, 4]  # one row per filter type
+        b = _encode_png(w, h, ctype, pixels, filters)
+        gw, gh, gch, got = _png_pixels(b)
+        assert (gw, gh, gch) == (w, h, ch)
+        assert list(got) == pixels
+    # 16-bit / palette / interlaced refused loudly
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        cr = tag + data
+        return struct.pack(">I", len(data)) + cr + \
+            struct.pack(">I", zlib.crc32(cr))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+           + chunk(b"IEND", b""))
+    with _pt.raises(ValueError, match="unsupported PNG shape"):
+        _png_pixels(bad)
+    with _pt.raises(ValueError, match="not a PNG"):
+        _png_pixels(b"JFIF nope")
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present takes the PIL path")
+def test_image_ahash_real_pixels_without_pil(spark):
+    """decode_stub=False exercises REAL decoded pixels in this container:
+    a gradient PNG's ahash matches a replica computed from the known
+    pixel values via the same luma + box-average + threshold arithmetic;
+    a flat image hashes all-zero bits."""
+    from judy_graph_db_spark.operators.multimodal import image_ahash
+
+    w = h = 16
+    # RGB horizontal gradient: left half dark, right half bright
+    pixels = []
+    for y in range(h):
+        for x in range(w):
+            v = x * 255 // (w - 1)
+            pixels += [v, v, v]
+    png = _encode_png(w, h, 2, pixels, [y % 5 for y in range(h)])
+    flat = _encode_png(4, 4, 0, [77] * 16, [0, 1, 2, 3])
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image"), (2, bytearray(flat), "image")],
+        "doc_id long, content binary, media_type string")
+    got = {r.doc_id: (r.ahash, r.mean_milli)
+           for r in image_ahash(media, decode_stub=False).collect()}
+
+    # replica from known pixels (grid 8 divides 16 evenly: 2x2 cells)
+    grid = 8
+    cells = []
+    for gy in range(grid):
+        for gx in range(grid):
+            s = n = 0
+            for y in range(gy * 2, gy * 2 + 2):
+                for x in range(gx * 2, gx * 2 + 2):
+                    r_, g_, b_ = pixels[(y * w + x) * 3:(y * w + x) * 3 + 3]
+                    s += (299 * r_ + 587 * g_ + 114 * b_) // 1000
+                    n += 1
+            cells.append(s // n)
+    tot = sum(cells)
+    bits = 0
+    for p in cells:
+        bits = (bits << 1) | (1 if p * 64 > tot else 0)
+    assert got[1] == (format(bits, "016x"), 1000 * tot // 64)
+    # gradient: right-half cells above mean -> per-row nibble pattern
+    assert got[1][0] == "0f" * 8
+    # flat image: no pixel strictly above the mean
+    assert got[2] == ("0" * 16, 77000)
+
+
 def test_frame_sample_explodes_rows(docs):
     media = M.as_media_table(docs.limit(20))
     frames = M.frame_sample(media, every_n=2).collect()
