@@ -1397,7 +1397,7 @@ def _q_neardup_pairs(spark, sf_dir):
         D.simhash_neardup_pairs(docs).select(
             F.lit("simhash").alias("op"), F.col("doc_a").alias("a"),
             F.col("doc_b").alias("b"), F.col("hamming").cast("long").alias("v")),
-        S.cosine_neardup_pairs(embs, dim=64).select(
+        S.cosine_neardup_pairs(embs, n_planes=4, dim=64).select(
             F.lit("cosine").alias("op"), F.col("vec_a").alias("a"),
             F.col("vec_b").alias("b"), F.col("sim_micro").cast("long").alias("v")),
     ]

@@ -152,7 +152,7 @@ def lsh_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_planes: int = 
 
 
 def cosine_neardup_pairs(embeddings: DataFrame, threshold_micro: int = 400000,
-                         n_planes: int = 4, id_col: str = "vec_id",
+                         n_planes: int | None = None, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket-constrained: only
@@ -160,9 +160,22 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold_micro: int = 400000,
     scale path — a full pairwise scan never happens), then kept when
     cosine ≥ ``threshold_micro``. Returns (vec_a, vec_b, sim_micro).
 
-    Candidate recall is the standard LSH trade-off: raise ``n_planes`` for
-    fewer/finer buckets, or union several independent plane sets for higher
-    recall at the same cost shape."""
+    ``n_planes=None`` (default) AUTO-SCALES the plane count with the
+    corpus: ``max(4, ⌈log2(n/128)⌉)``, keeping the expected bucket
+    occupancy ≈128 so the candidate-pair count stays O(n·128) — without
+    this, a FIXED plane count makes the bucket join quadratic in n (the
+    sf1.0 scale probe measured exactly that: α=1.64 at n_planes=4 when
+    the corpus grew 10×). Pass an explicit ``n_planes`` to pin the
+    bucketing (the oracle-twinned gates do, so their DuckDB SQL stays in
+    lockstep). Candidate recall is the standard LSH trade-off: more
+    planes → finer buckets → cheaper but lower recall; union several
+    independent plane sets for higher recall at the same cost shape."""
+    if n_planes is None:
+        import math  # noqa: PLC0415
+
+        n = embeddings.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / 128.0))
+                       if n > 128 else 4)
     buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
     # precompute each vector's norm ONCE before the pairwise join — the
     # per-pair work is then a single dot product, not dot + two norms
