@@ -1564,6 +1564,63 @@ def _q_media_pipeline(spark, sf_dir):
             .unionByName(ah).unionByName(hp).unionByName(pah))
 
 
+GOPHER_INJECT_SQL = (
+    "SELECT doc_id, text || chr(10) || substr(text, 1, 50) || chr(10) || "
+    "substr(text, 1, 50) || chr(10) || '- bullet item' || chr(10) || "
+    "'- bullet item' || chr(10) || 'the end...' AS text FROM documents")
+
+
+def _q_gopher_ops(spark, sf_dir):
+    """Published web-filter rule set in one driver row (Rae et al. 2021,
+    Gopher A1.1 quality rules + A1.2 repetition rules, char-fraction
+    unit): signals, keep flag, duplicate-line fractions, top-2-gram and
+    dup-5-gram char coverage — over a dup-injected corpus variant (each
+    doc gets its own 50-char prefix twice, two bullet lines and an
+    ellipsis line appended, so every signal is exercised away from
+    zero)."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    gdocs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.substring("text", 1, 50), F.lit("\n"),
+            F.substring("text", 1, 50),
+            F.lit("\n- bullet item\n- bullet item\nthe end..."),
+        ).alias("text"))
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    sig = CU.gopher_quality_signals(gdocs).select(
+        F.lit("gq").alias("op"), "doc_id",
+        F.col("n_words").alias("a"),
+        F.col("mean_word_len_milli").alias("b"),
+        (F.col("symbol_word_milli") * 1000000
+         + F.col("bullet_line_milli") * 1000
+         + F.col("ellipsis_line_milli")).alias("c"),
+        (F.col("alpha_word_milli") * 100 + F.col("stop_hits")).alias("d"),
+        sN.alias("h"))
+    keep = CU.gopher_quality_filter(gdocs).select(
+        F.lit("keep").alias("op"), "doc_id",
+        F.col("keep").cast("long").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"), sN.alias("h"))
+    dline = CU.dup_line_signals(gdocs).select(
+        F.lit("dline").alias("op"), "doc_id",
+        F.col("n_lines").alias("a"), F.col("dup_line_milli").alias("b"),
+        F.col("dup_line_char_milli").alias("c"), lN.alias("d"),
+        sN.alias("h"))
+    top2 = CU.top_ngram_char_fraction(gdocs, 2).select(
+        F.lit("top2").alias("op"), "doc_id",
+        F.col("top_ngram_char_milli").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"), F.col("gram").alias("h"))
+    dup5 = CU.dup_ngram_char_fraction(gdocs, 5).select(
+        F.lit("dup5").alias("op"), "doc_id",
+        F.col("dup_ngram_char_milli").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"), sN.alias("h"))
+    return sig.unionByName(keep).unionByName(dline) \
+        .unionByName(top2).unionByName(dup5)
+
+
 def _q_corpus_curation(spark, sf_dir):
     """Corpus curation family in one driver row: deterministic hash sample,
     train/val/test split sizes, post-dedup canonical corpus, and benchmark
@@ -2944,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "neardup_pairs": _q_neardup_pairs,
         "media_pipeline": _q_media_pipeline,
+        "gopher_ops": _q_gopher_ops,
         "corpus_curation": _q_corpus_curation,
         "chunk_shard_ops": _q_chunk_shard,
         # similarity / ANN
@@ -3398,6 +3456,27 @@ UNION ALL
 SELECT 'png_ahash', doc_id, mean_milli, NULL, NULL, NULL, ahash
 FROM ({AHASH_SQL("(SELECT doc_id FROM documents WHERE doc_id < 64)",
                  seed="'png' || CAST(d.doc_id AS VARCHAR)")}) pah""",
+        "gopher_ops": f"""
+WITH gop_docs AS ({GOPHER_INJECT_SQL})
+SELECT 'gq' AS op, doc_id, n_words AS a, mean_word_len_milli AS b,
+       symbol_word_milli * 1000000 + bullet_line_milli * 1000
+         + ellipsis_line_milli AS c,
+       alpha_word_milli * 100 + stop_hits AS d,
+       CAST(NULL AS VARCHAR) AS h
+FROM ({O.gopher_signals_sql(table='gop_docs')}) gs
+UNION ALL
+SELECT 'keep', doc_id, keep, NULL, NULL, NULL, NULL
+FROM ({O.gopher_keep_sql(table='gop_docs')}) gk
+UNION ALL
+SELECT 'dline', doc_id, n_lines, dup_line_milli, dup_line_char_milli,
+       NULL, NULL
+FROM ({O.dup_line_signals_sql(table='gop_docs')}) dl
+UNION ALL
+SELECT 'top2', doc_id, top_ngram_char_milli, NULL, NULL, NULL, gram
+FROM ({O.top_ngram_char_sql(2, table='gop_docs')}) t2
+UNION ALL
+SELECT 'dup5', doc_id, dup_ngram_char_milli, NULL, NULL, NULL, NULL
+FROM ({O.dup_ngram_char_sql(5, table='gop_docs')}) d5""",
         "persisted_roundtrip": f"""{P}
 SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
        COUNT(*) AS n2,

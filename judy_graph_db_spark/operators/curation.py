@@ -800,6 +800,264 @@ def filter_paragraphs(docs: DataFrame, min_words: int = 3,
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _milli(num, den):
+    """floor(1000·num/den) as BIGINT, 0 on empty denominators — every
+    fraction in the Gopher signal set is emitted in integer milli units
+    so the relations hash-gate exactly."""
+    return F.when(den > 0, F.floor(num * 1000 / den)) \
+        .otherwise(F.lit(0)).cast("long")
+
+
+def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Per-document MassiveWeb quality signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1) — the
+    published rule-based web filter every large English corpus build
+    starts from. Pure Column expressions in the scan stage: no shuffle,
+    no UDF, O(|text|) per row.
+
+    Signal definitions (integer, milli = ‰ where fractional):
+
+    - ``n_words``: whitespace-delimited tokens (the A1.1 unit — NOT the
+      word-token regex the stats family uses).
+    - ``mean_word_len_milli``: 1000·Σlen(word)/n_words.
+    - ``symbol_word_milli``: 1000·(#'#' chars + '...'/'…' runs)/n_words
+      (the symbol-to-word-ratio rule; '....' counts one run per
+      non-overlapping 3 dots).
+    - ``bullet_line_milli`` / ``ellipsis_line_milli``: ‰ of non-blank
+      trimmed lines starting with a bullet ('•','-','*') / ending with
+      an ellipsis.
+    - ``alpha_word_milli``: ‰ of words containing ≥1 ASCII letter.
+    - ``stop_hits``: how many DISTINCT words of the 8-word A1.1 stop
+      list {the, be, to, of, and, that, have, with} appear (exact
+      lowercase whitespace-token match).
+
+    Returns one row per input row:
+    ``(id, n_words, mean_word_len_milli, symbol_word_milli,
+    bullet_line_milli, ellipsis_line_milli, alpha_word_milli,
+    stop_hits)``.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    wl_sum = F.aggregate(F.transform(words, F.length),
+                         F.lit(0).cast("long"),
+                         lambda acc, x: acc + x.cast("long"))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.floor((F.length(t)
+                 - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    )
+    # NB: F.trim can't be passed to transform() directly — its optional
+    # second parameter makes PySpark treat it as a 2-arg (element, index)
+    # lambda, silently trimming index digits instead of whitespace
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda ln: ln != F.lit(""))
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(F.filter(
+        lines, lambda ln: ln.startswith("•") | ln.startswith("-")
+        | ln.startswith("*"))).cast("long")
+    ell_end = F.size(F.filter(
+        lines, lambda ln: ln.endswith("...") | ln.endswith("…"))) \
+        .cast("long")
+    alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        _milli(wl_sum, n_words).alias("mean_word_len_milli"),
+        _milli(n_hash + n_ell, n_words).alias("symbol_word_milli"),
+        _milli(bullet, n_lines).alias("bullet_line_milli"),
+        _milli(ell_end, n_lines).alias("ellipsis_line_milli"),
+        _milli(alpha, n_words).alias("alpha_word_milli"),
+        stop_hits.alias("stop_hits"),
+    )
+
+
+def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          min_words: int = 50, max_words: int = 100_000,
+                          min_mean_word_len_milli: int = 3000,
+                          max_mean_word_len_milli: int = 10_000,
+                          max_symbol_word_milli: int = 100,
+                          max_bullet_line_milli: int = 900,
+                          max_ellipsis_line_milli: int = 300,
+                          min_alpha_word_milli: int = 800,
+                          min_stop_hits: int = 2) -> DataFrame:
+    """Apply the published Gopher A1.1 quality thresholds (the defaults
+    ARE the paper's numbers: 50–100k words, mean word length 3–10,
+    symbol ratio ≤0.1, ≤90% bulleted / ≤30% ellipsis lines, ≥80%
+    alphabetic words, ≥2 of the 8 stop words) over
+    :func:`gopher_quality_signals`. Returns the signal relation plus a
+    ``keep`` boolean — callers filter or route; keeping the flag (not
+    pre-filtering) makes the decision auditable and hash-gateable."""
+    s = gopher_quality_signals(docs, id_col, text_col)
+    keep = (
+        F.col("n_words").between(int(min_words), int(max_words))
+        & F.col("mean_word_len_milli").between(
+            int(min_mean_word_len_milli), int(max_mean_word_len_milli))
+        & (F.col("symbol_word_milli") <= int(max_symbol_word_milli))
+        & (F.col("bullet_line_milli") <= int(max_bullet_line_milli))
+        & (F.col("ellipsis_line_milli") <= int(max_ellipsis_line_milli))
+        & (F.col("alpha_word_milli") >= int(min_alpha_word_milli))
+        & (F.col("stop_hits") >= int(min_stop_hits))
+    )
+    return s.withColumn("keep", keep)
+
+
+def dup_line_signals(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher A1.2 repetition signals, line level: per document the ‰ of
+    non-blank trimmed lines belonging to a duplicated line value
+    (``dup_line_milli = 1000·Σ_{line: c>1} c / n_lines``) and the ‰ of
+    line characters those lines carry (``dup_line_char_milli``) — the
+    two thresholds (0.30 / 0.20 in the paper) that kill
+    boilerplate-looped pages exact dedup misses.
+
+    One explode + (doc, line) count + doc rollup — two keyed shuffles on
+    the exploded relation, map-side combined; no corpus-global state, so
+    it scales with the corpus like every other per-doc signal. Documents
+    with zero non-blank lines report all-zero (left join back).
+
+    Returns ``(id, n_lines, dup_line_milli, dup_line_char_milli)``.
+    """
+    t = F.col(text_col)
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.filter(
+            F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+            lambda ln: ln != F.lit(""))).alias("__line"),
+    )
+    per = lines.groupBy("__id", "__line").agg(
+        F.count(F.lit(1)).alias("__c"))
+    chars = F.length("__line").cast("long")
+    agg = per.groupBy("__id").agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+        .cast("long").alias("__dup"),
+        F.sum(F.col("__c") * chars).cast("long").alias("__chars"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c") * chars).otherwise(0))
+        .cast("long").alias("__dupchars"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(_milli(F.col("__dup"), F.col("n_lines")), F.lit(0))
+            .alias("dup_line_milli"),
+            F.coalesce(_milli(F.col("__dupchars"), F.col("__chars")),
+                       F.lit(0)).alias("dup_line_char_milli"),
+        )
+    )
+
+
+def top_ngram_char_fraction(docs: DataFrame, n: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Gopher A1.2 "fraction of characters in the most frequent n-gram"
+    (thresholds 0.20/0.18/0.16 for n=2/3/4): per document, the coverage
+    ``1000·count·len(gram)/len(text)`` of the modal word n-gram, capped
+    at 1000 (the standard occurrence·length approximation of coverage —
+    overlaps can overcount, the cap keeps the unit honest). Ties break
+    to the lexicographically smallest gram so the relation is
+    deterministic and hash-gateable. Tokenization rides the shared
+    WORD_TOKEN_RE (lowercased), same as the stats n-gram family.
+
+    Explode + (doc, gram) count + a PARTITIONED top-1 window per doc —
+    no global window; documents with no n-gram report (NULL gram, 0).
+
+    Returns ``(id, gram, top_ngram_char_milli)``.
+    """
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WORD_TOKEN_RE), F.lit(0))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) < {int(n)} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(__toks) - {int(n) - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {int(n)}))) END"
+    )
+    ex = docs.select(
+        F.col(id_col).alias("__id"),
+        F.length(t).cast("long").alias("__nc"),
+        toks.alias("__toks"),
+    ).select(
+        "__id", "__nc", F.explode(grams).alias("gram"),
+    )
+    counts = ex.groupBy("__id", "__nc", "gram").agg(
+        F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__c").desc(), F.col("gram").asc())
+    top = counts.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1)
+    milli = F.least(
+        F.lit(1000).cast("long"),
+        _milli(F.col("__c") * F.length("gram"), F.col("__nc")))
+    return (
+        docs.select(F.col(id_col))
+        .join(top.select("__id", "gram", milli.alias("top_ngram_char_milli")),
+              F.col(id_col) == F.col("__id"), "left")
+        .select(id_col, "gram",
+                F.coalesce("top_ngram_char_milli", F.lit(0)).cast("long")
+                .alias("top_ngram_char_milli"))
+    )
+
+
+def dup_ngram_char_fraction(docs: DataFrame, n: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Gopher A1.2 "fraction of characters in duplicated n-grams"
+    (thresholds 0.15…0.10 for n=5…10): per document,
+    ``1000·Σ_{gram: c>1} c·len(gram)/len(text)`` capped at 1000 — the
+    occurrence·length approximation over every n-gram that appears more
+    than once (overlap-naive, as the public implementations compute it;
+    the cap bounds the unit). Same tokenization and shuffle shape as
+    :func:`top_ngram_char_fraction`, with the top-1 window replaced by a
+    doc-keyed sum. Returns ``(id, dup_ngram_char_milli)``.
+    """
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(F.lower(t), F.lit(WORD_TOKEN_RE), F.lit(0))
+    grams = F.expr(
+        f"CASE WHEN size(__toks) < {int(n)} "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(__toks) - {int(n) - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {int(n)}))) END"
+    )
+    ex = docs.select(
+        F.col(id_col).alias("__id"),
+        F.length(t).cast("long").alias("__nc"),
+        toks.alias("__toks"),
+    ).select("__id", "__nc", F.explode(grams).alias("__gram"))
+    counts = ex.groupBy("__id", "__nc", "__gram").agg(
+        F.count(F.lit(1)).alias("__c"))
+    agg = counts.groupBy("__id", "__nc").agg(
+        F.sum(F.when(F.col("__c") > 1,
+                     F.col("__c") * F.length("__gram")).otherwise(0))
+        .cast("long").alias("__dupchars"))
+    milli = F.least(F.lit(1000).cast("long"),
+                    _milli(F.col("__dupchars"), F.col("__nc")))
+    return (
+        docs.select(F.col(id_col))
+        .join(agg.select("__id", milli.alias("dup_ngram_char_milli")),
+              F.col(id_col) == F.col("__id"), "left")
+        .select(id_col,
+                F.coalesce("dup_ngram_char_milli", F.lit(0)).cast("long")
+                .alias("dup_ngram_char_milli"))
+    )
+
+
 def epoch_shuffle(df: DataFrame, seed: int, num_shards: int = 1024,
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic global training-order shuffle: every epoch's data

@@ -1587,6 +1587,157 @@ SELECT __id AS {id_col}, n, SUM(c) AS n_grams,
 FROM gc GROUP BY __id, n"""
 
 
+GOPHER_STOPWORDS_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+def gopher_signals_sql(id_col: str = "doc_id", text_col: str = "text",
+                       table: str = "documents") -> str:
+    """Twin of ``curation.gopher_quality_signals`` (Rae et al. 2021
+    A1.1): whitespace words, '#'/ellipsis symbol runs, bullet/ellipsis
+    line fractions, alpha-word fraction, distinct-stopword hits — all in
+    the same integer milli units."""
+    t = text_col
+    words = f"list_filter(regexp_split_to_array({t}, '\\s+'), w -> w <> '')"
+    lines = (f"list_filter(list_transform(string_split({t}, chr(10)), "
+             f"x -> trim(x)), x -> x <> '')")
+    return f"""WITH gq_b AS (
+  SELECT {id_col}, {t} AS __t, {words} AS ws, {lines} AS ls FROM {table}
+),
+gq_s AS (
+  SELECT {id_col},
+         CAST(len(ws) AS BIGINT) AS nw,
+         CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+              AS BIGINT) AS wl,
+         CAST(length(__t) - length(replace(__t, '#', '')) AS BIGINT)
+           + CAST((length(__t) - length(replace(__t, '...', ''))) // 3
+                  AS BIGINT)
+           + CAST(length(__t) - length(replace(__t, '…', '')) AS BIGINT)
+           AS sym,
+         CAST(len(ls) AS BIGINT) AS nl,
+         CAST(len(list_filter(ls, x -> starts_with(x, '•')
+              OR starts_with(x, '-') OR starts_with(x, '*'))) AS BIGINT)
+           AS bul,
+         CAST(len(list_filter(ls, x -> ends_with(x, '...')
+              OR ends_with(x, '…'))) AS BIGINT) AS ell,
+         CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+              AS BIGINT) AS alp,
+         CAST(len(list_filter({GOPHER_STOPWORDS_SQL},
+              s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+              AS BIGINT) AS sth
+  FROM gq_b
+)
+SELECT {id_col}, nw AS n_words,
+       CASE WHEN nw > 0 THEN CAST(FLOOR(wl * 1000 / nw) AS BIGINT)
+            ELSE 0 END AS mean_word_len_milli,
+       CASE WHEN nw > 0 THEN CAST(FLOOR(sym * 1000 / nw) AS BIGINT)
+            ELSE 0 END AS symbol_word_milli,
+       CASE WHEN nl > 0 THEN CAST(FLOOR(bul * 1000 / nl) AS BIGINT)
+            ELSE 0 END AS bullet_line_milli,
+       CASE WHEN nl > 0 THEN CAST(FLOOR(ell * 1000 / nl) AS BIGINT)
+            ELSE 0 END AS ellipsis_line_milli,
+       CASE WHEN nw > 0 THEN CAST(FLOOR(alp * 1000 / nw) AS BIGINT)
+            ELSE 0 END AS alpha_word_milli,
+       sth AS stop_hits
+FROM gq_s"""
+
+
+def gopher_keep_sql(id_col: str = "doc_id", text_col: str = "text",
+                    table: str = "documents") -> str:
+    """Twin of ``curation.gopher_quality_filter``'s keep flag at the
+    paper's default thresholds."""
+    return f"""SELECT {id_col},
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len_milli BETWEEN 3000 AND 10000
+                  AND symbol_word_milli <= 100
+                  AND bullet_line_milli <= 900
+                  AND ellipsis_line_milli <= 300
+                  AND alpha_word_milli >= 800
+                  AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM ({gopher_signals_sql(id_col, text_col, table)}) gk"""
+
+
+def dup_line_signals_sql(id_col: str = "doc_id", text_col: str = "text",
+                         table: str = "documents") -> str:
+    """Twin of ``curation.dup_line_signals`` (Gopher A1.2 line level)."""
+    lines = (f"list_filter(list_transform(string_split({text_col}, "
+             f"chr(10)), x -> trim(x)), x -> x <> '')")
+    return f"""WITH dl_l AS (
+  SELECT {id_col} AS __id, unnest({lines}) AS line FROM {table}
+),
+dl_p AS (
+  SELECT __id, line, COUNT(*) AS c FROM dl_l GROUP BY 1, 2
+),
+dl_a AS (
+  SELECT __id, SUM(c) AS nl,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         SUM(c * length(line)) AS chars,
+         SUM(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dupch
+  FROM dl_p GROUP BY 1
+)
+SELECT d.{id_col}, CAST(COALESCE(a.nl, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(CASE WHEN a.nl > 0
+            THEN FLOOR(a.dup * 1000 / a.nl) ELSE 0 END, 0) AS BIGINT)
+         AS dup_line_milli,
+       CAST(COALESCE(CASE WHEN a.chars > 0
+            THEN FLOOR(a.dupch * 1000 / a.chars) ELSE 0 END, 0) AS BIGINT)
+         AS dup_line_char_milli
+FROM {table} d LEFT JOIN dl_a a ON d.{id_col} = a.__id"""
+
+
+def _gram_cte(n: int, id_col: str, text_col: str, table: str) -> str:
+    return f"""tg_t AS (
+  SELECT {id_col} AS __id, CAST(length({text_col}) AS BIGINT) AS nc,
+         regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL}) AS ts
+  FROM {table}
+),
+tg_g AS (
+  SELECT __id, nc,
+         unnest(list_transform(
+           generate_series(1, GREATEST(len(ts) - {int(n) - 1}, 0)),
+           i -> array_to_string(ts[i:i + {int(n) - 1}], ' '))) AS gram
+  FROM tg_t
+),
+tg_c AS (
+  SELECT __id, nc, gram, COUNT(*) AS c FROM tg_g GROUP BY 1, 2, 3
+)"""
+
+
+def top_ngram_char_sql(n: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       table: str = "documents") -> str:
+    """Twin of ``curation.top_ngram_char_fraction``."""
+    return f"""WITH {_gram_cte(n, id_col, text_col, table)},
+tg_r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY __id ORDER BY c DESC, gram ASC) AS rn
+  FROM tg_c
+)
+SELECT d.{id_col}, r.gram,
+       CAST(COALESCE(LEAST(1000,
+            CASE WHEN r.nc > 0
+                 THEN FLOOR(r.c * length(r.gram) * 1000 / r.nc)
+                 ELSE 0 END), 0) AS BIGINT) AS top_ngram_char_milli
+FROM {table} d LEFT JOIN tg_r r ON d.{id_col} = r.__id AND r.rn = 1"""
+
+
+def dup_ngram_char_sql(n: int = 5, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       table: str = "documents") -> str:
+    """Twin of ``curation.dup_ngram_char_fraction``."""
+    return f"""WITH {_gram_cte(n, id_col, text_col, table)},
+tg_a AS (
+  SELECT __id, nc,
+         SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dupch
+  FROM tg_c GROUP BY 1, 2
+)
+SELECT d.{id_col},
+       CAST(COALESCE(LEAST(1000,
+            CASE WHEN a.nc > 0 THEN FLOOR(a.dupch * 1000 / a.nc)
+                 ELSE 0 END), 0) AS BIGINT) AS dup_ngram_char_milli
+FROM {table} d LEFT JOIN tg_a a ON d.{id_col} = a.__id"""
+
+
 def remove_boilerplate_sql(min_docs: int = 2, id_col: str = "doc_id",
                            text_col: str = "text",
                            out_col: str = "clean_text",

@@ -526,3 +526,91 @@ def test_remove_repeated_spans(spark):
     rgot = {r.doc_id: (r.clean_text, r.n_removed_tokens)
             for r in remove_repeated_spans(rdocs, window=6).collect()}
     assert rgot == replica(rrows, 6)
+
+
+def test_gopher_quality_rules(spark):
+    """A1.1 signals + keep flag match hand computation AND the DuckDB
+    twin; the paper's thresholds admit real prose and reject the symbol
+    page, the bullet list, and the word-salad."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import gopher_keep_sql, gopher_signals_sql
+    from tests.oracle_utils import compare
+
+    prose = ("the cat sat on the mat and that hat is flat with style "
+             "to be of note and more prose follows here now " * 3)
+    rows = [
+        (1, prose),
+        (2, "- a\n- b\n- c\nd..."),           # bulleted + ellipsis lines
+        (3, "#### #### ....... x"),           # symbol-heavy
+        (4, ""),                              # empty
+        (5, "zz qq ww ee rr tt yy uu " * 10),  # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r for r in
+           CU.gopher_quality_signals(docs).collect()}
+    assert sig[3].symbol_word_milli == 2500  # 8 '#' + 2 '...' runs / 4
+    assert sig[2].bullet_line_milli == 750
+    assert sig[2].ellipsis_line_milli == 250
+    assert sig[4].n_words == 0
+    keep = {r.doc_id: r.keep for r in
+            CU.gopher_quality_filter(docs).collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ok, msg = compare(CU.gopher_quality_signals(docs), con,
+                      gopher_signals_sql())
+    assert ok, msg
+    from pyspark.sql import functions as F
+    ok, msg = compare(
+        CU.gopher_quality_filter(docs).select(
+            "doc_id", F.col("keep").cast("long").alias("keep")),
+        con, gopher_keep_sql())
+    assert ok, msg
+
+
+def test_repetition_char_fractions(spark):
+    """Line- and n-gram-level Gopher A1.2 char fractions match hand
+    computation and the DuckDB twins; docs without lines/grams report
+    zeros, not missing rows."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import (dup_line_signals_sql,
+                                            dup_ngram_char_sql,
+                                            top_ngram_char_sql)
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "alpha beta\nalpha beta\ngamma"),     # dup line 2/3
+        (2, "a b a b a b"),                        # top 2-gram 'a b' x3
+        (3, "one two three four five one two three four five tail"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dl = {r.doc_id: (r.n_lines, r.dup_line_milli, r.dup_line_char_milli)
+          for r in CU.dup_line_signals(docs).collect()}
+    assert dl[1] == (3, 666, 800)  # 2/3 lines; 20/25 chars
+    assert dl[4] == (0, 0, 0)
+    tg = {r.doc_id: (r.gram, r.top_ngram_char_milli)
+          for r in CU.top_ngram_char_fraction(docs, 2).collect()}
+    assert tg[2] == ("a b", 818)   # 3*3 chars / 11
+    assert tg[4] == (None, 0)
+    dg = {r.doc_id: r.dup_ngram_char_milli
+          for r in CU.dup_ngram_char_fraction(docs, 5).collect()}
+    assert dg[3] == 884            # 'one two three four five' x2: 46/52
+    assert dg[2] == 0 and dg[4] == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for df, sql in [
+        (CU.dup_line_signals(docs), dup_line_signals_sql()),
+        (CU.top_ngram_char_fraction(docs, 2), top_ngram_char_sql(2)),
+        (CU.dup_ngram_char_fraction(docs, 5), dup_ngram_char_sql(5)),
+    ]:
+        ok, msg = compare(df, con, sql)
+        assert ok, msg
