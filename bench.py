@@ -310,6 +310,11 @@ def sec_curation(spark, sf_dir, cpus, run):
     )
     run("term_stats", lambda: ST.term_stats(docs).count())
     run("token_commonness", lambda: ST.token_commonness(docs).count())
+    run("gopher_quality",
+        lambda: CU.gopher_quality_filter(docs).filter("keep").count())
+    run("dup_lines", lambda: CU.dup_line_signals(docs).count())
+    run("top_ngram_chars",
+        lambda: CU.top_ngram_char_fraction(docs, 2).count())
 
 
 def sec_stats(spark, sf_dir, cpus, run):
