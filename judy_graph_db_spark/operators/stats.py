@@ -425,7 +425,10 @@ def repetition_signals(docs: DataFrame, ns: Sequence[int] = (2, 3, 4),
       n-gram slots whose gram occurs more than once in the document.
 
     (Gopher weights by characters; the occurrence form is the same
-    monotone signal with exact integer arithmetic, so it hash-gates.)
+    monotone signal with exact integer arithmetic, so it hash-gates.
+    The paper's char-weighted unit lives in
+    ``curation.top_ngram_char_fraction`` /
+    ``curation.dup_ngram_char_fraction`` — also integer-exact.)
     Returns ``(id, n, n_grams, top_gram_permille, dup_gram_permille)``;
     documents with fewer than ``n`` tokens emit no row for that ``n``.
 
