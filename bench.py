@@ -472,7 +472,9 @@ def _orchestrate() -> None:
     """Default mode: each section in a fresh JVM, repeated REPS times with
     sections interleaved (A B C … A B C …, the scripts/ab_minhash.py
     pattern), per-entry median across JVMs."""
-    noisy = {"core", "components", "analytics"}
+    # dedup is in the noisy set for minhash_lsh — the entry whose 3.46s
+    # vs 1.06-1.76s cross-round swing started the isolation work
+    noisy = {"core", "components", "analytics", "dedup"}
     env_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")
     only = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS")
     names = [s for s in SECTIONS
