@@ -614,3 +614,51 @@ def test_repetition_char_fractions(spark):
     ]:
         ok, msg = compare(df, con, sql)
         assert ok, msg
+
+
+def test_gopher_plan_shapes(spark):
+    """Plan guards for the Gopher family: the A1.1 signals are a pure
+    scan-stage projection (no shuffle at all), and the n-gram top-1
+    window is PARTITIONED by doc — never a single-partition global
+    window."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "more words")],
+        "doc_id long, text string")
+    sig_plan = CU.gopher_quality_signals(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in sig_plan  # scan-stage only, no shuffle
+
+    top_plan = CU.top_ngram_char_fraction(docs, 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in top_plan
+    # the rank window shuffles on the doc key, not into one partition
+    assert "hashpartitioning(__id" in top_plan
+    import re
+    win = [ln for ln in top_plan.splitlines() if "Window" in ln
+           and "row_number" in ln]
+    assert win and all("__id" in ln for ln in win), win
+
+
+def test_build_vocab_no_global_window(spark):
+    """build_vocab's two-level rank never plans a single-partition
+    window: the per-bucket row_number partitions on (count, prefix) and
+    the only SinglePartition exchange feeds the aggregate-sized
+    bucket-stats running sum — asserted by checking every window's
+    partition spec is non-empty except the offset window over bstat."""
+    from judy_graph_db_spark.operators.stats import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b a"), (2, "b d e")], "doc_id long, text string")
+    vocab = build_vocab(docs)
+    # output unchanged vs the spec: dense (count DESC, token ASC) ids
+    got = {r.token: (r.token_id, r["count"]) for r in vocab.collect()}
+    assert got == {"a": (0, 3), "b": (1, 3), "c": (2, 1), "d": (3, 1),
+                   "e": (4, 1)}
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    rank_windows = [ln for ln in plan.splitlines()
+                    if "Window" in ln and "row_number" in ln]
+    # the big (per-token) rank window is keyed by (count, prefix)
+    assert rank_windows and all(
+        "count" in ln and "__b" in ln for ln in rank_windows), rank_windows
