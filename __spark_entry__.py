@@ -519,9 +519,23 @@ def _q_stream_interval_join(spark, sf_dir):
 # ------------------------------------------------------------ text / dedup
 
 
-def _q_exact_dedup(spark, sf_dir):
+def _q_dedup_docs(spark, sf_dir):
+    """Document-level dedup bundle (merged gate — the driver records only
+    50 correctness rows): exact duplicate groups (md5 hash-groupBy,
+    keeper = min id) and near-dup FAMILIES (LSH pairs → connected
+    components → canonical min-id representative) in one
+    (op, h, a, b, c) relation."""
     load_tpch_views(spark, sf_dir)
-    return D.exact_dedup(spark.table("documents"))
+    docs = spark.table("documents")
+    exact = D.exact_dedup(docs).select(
+        F.lit("exact").alias("op"), F.col("text_hash").alias("h"),
+        F.col("keep_id").alias("a"), F.col("n_copies").alias("b"),
+        F.lit(None).cast("long").alias("c"))
+    clus = D.dedup_clusters(docs).select(
+        F.lit("cluster").alias("op"), F.lit(None).cast("string").alias("h"),
+        F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"),
+        F.col("is_canonical").cast("long").alias("c"))
+    return exact.unionByName(clus)
 
 
 # -------------------------------------------------------------- multimodal
@@ -578,13 +592,6 @@ def _q_persisted_roundtrip(spark, sf_dir):
 
 
 # -------------------------------------------------------------- similarity
-
-
-def _q_dedup_clusters(spark, sf_dir):
-    """Near-dup families: LSH pairs → connected components → canonical
-    min-id representative (the full corpus-dedup shape)."""
-    load_tpch_views(spark, sf_dir)
-    return D.dedup_clusters(spark.table("documents"))
 
 
 def _q_insert_append_seq(spark, sf_dir):
@@ -1340,6 +1347,18 @@ def _q_doc_signals(spark, sf_dir):
         F.lit("https://EX.com/p"), F.col("doc_id").cast("string"),
         F.lit("/?utm_source=a&q="), F.col("doc_id").cast("string"),
         F.lit("#frag"))
+    # ccTLD-structured URL variant + a 2-domain blocklist — prove the
+    # host/registered-domain extraction and the blocklist flag fire
+    # (shop0/shop3 .co.uk are blocked, 3 of the 15 (m3, m5) classes)
+    from judy_graph_db_spark.operators.curation import url_blocklist_filter
+    cc_url = F.concat(
+        F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".shop"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".co.uk/item/"), F.col("doc_id").cast("string"))
+    bl = url_blocklist_filter(
+        d.select("doc_id", cc_url.alias("url")),
+        ("shop0.co.uk", "shop3.co.uk"))
+    d = d.join(bl, "doc_id")
     return d.select(
         "doc_id",
         T.token_count(t).alias("n_tokens"),
@@ -1375,6 +1394,9 @@ def _q_doc_signals(spark, sf_dir):
             t, F.lit(" order 123456789012 card "),
             F.when(F.col("doc_id") % 2 == 0, F.lit("4532015112830366"))
             .otherwise(F.lit("4532015112830367")))).alias("n_luhn"),
+        F.col("host"),
+        F.col("reg_domain"),
+        F.col("blocked").cast("long").alias("url_blocked"),
     )
 
 
@@ -1570,14 +1592,24 @@ GOPHER_INJECT_SQL = (
     "'- bullet item' || chr(10) || 'the end...' AS text FROM documents")
 
 
-def _q_gopher_ops(spark, sf_dir):
-    """Published web-filter rule set in one driver row (Rae et al. 2021,
-    Gopher A1.1 quality rules + A1.2 repetition rules, char-fraction
-    unit): signals, keep flag, duplicate-line fractions, top-2-gram and
-    dup-5-gram char coverage — over a dup-injected corpus variant (each
-    doc gets its own 50-char prefix twice, two bullet lines and an
-    ellipsis line appended, so every signal is exercised away from
-    zero)."""
+def _q_web_filter_ops(spark, sf_dir):
+    """BOTH published web-filter rule sets in one driver row (merged
+    gate bundle — the driver records only 50 correctness rows).
+
+    Gopher half (Rae et al. 2021, A1.1 quality rules + A1.2 repetition
+    rules in the char-fraction unit): signals, keep flag, duplicate-line
+    fractions, top-2-gram and dup-5-gram char coverage — over a
+    dup-injected corpus variant (each doc gets its own 50-char prefix
+    twice, two bullet lines and an ellipsis line appended, so every
+    signal is exercised away from zero).
+
+    C4 half (Raffel et al. 2020 §2.2): line-level filter (terminal
+    punctuation / ≥3 words / no javascript), composed page filter (≥5
+    surviving sentences, lorem-ipsum / curly-bracket / blocklist kill
+    rules), and the cross-document three-sentence-span keep-first dedup
+    — over injected variants that exercise every rule away from zero
+    (every 5th doc shares a 3-sentence block that must be excised
+    everywhere but its first occurrence)."""
     from judy_graph_db_spark.operators import curation as CU
 
     load_tpch_views(spark, sf_dir)
@@ -1618,7 +1650,90 @@ def _q_gopher_ops(spark, sf_dir):
         F.col("dup_ngram_char_milli").alias("a"), lN.alias("b"),
         lN.alias("c"), lN.alias("d"), sN.alias("h"))
     return sig.unionByName(keep).unionByName(dline) \
-        .unionByName(top2).unionByName(dup5)
+        .unionByName(top2).unionByName(dup5) \
+        .unionByName(_c4_part(spark, sf_dir))
+
+
+C4_INJECT_SQL = (
+    "SELECT doc_id, "
+    "substr(text, 1, 50) || ' ends with period.' || chr(10) || "
+    "'two words' || chr(10) || "
+    "'this javascript line is long.' || chr(10) || "
+    "substr(text, 51, 50) || ' unpunctuated line' || chr(10) || "
+    "'question line with many words here?' || chr(10) || "
+    "'exclaim line with many words here!' || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum hiding in here.' "
+    "ELSE 'ordinary closing line right here.' END || chr(10) || "
+    "CASE WHEN doc_id % 9 = 0 "
+    "THEN 'has a curly ' || chr(123) || ' bracket here.' "
+    "WHEN doc_id % 11 = 0 THEN 'contains badword9 token here.' "
+    "ELSE 'benign last line ends here.' END AS text FROM documents")
+
+C4_SPAN_INJECT_SQL = (
+    "SELECT doc_id, "
+    "substr(text, 1, 40) || ' alpha. ' || substr(text, 41, 40) "
+    "|| ' beta! ' || "
+    "CASE WHEN doc_id % 5 = 0 "
+    "THEN 'shared one fixed. shared two fixed? shared three fixed.' "
+    "ELSE substr(text, 81, 40) || ' gamma. unique tail ' "
+    "|| CAST(doc_id AS VARCHAR) || ' delta. closing words epsilon.' END "
+    "AS text FROM documents")
+
+
+def _c4_part(spark, sf_dir):
+    """The C4 half of the ``web_filter_ops`` bundle (see
+    :func:`_q_web_filter_ops`): ops ``lines``, ``c4keep``, ``span`` in
+    the bundle's (op, doc_id, a, b, c, d, h) schema."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    load_tpch_views(spark, sf_dir)
+    did = F.col("doc_id")
+    c4docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50), F.lit(" ends with period.\n"),
+            F.lit("two words\n"),
+            F.lit("this javascript line is long.\n"),
+            F.substring("text", 51, 50), F.lit(" unpunctuated line\n"),
+            F.lit("question line with many words here?\n"),
+            F.lit("exclaim line with many words here!\n"),
+            F.when(did % 7 == 0, F.lit("lorem ipsum hiding in here.\n"))
+            .otherwise(F.lit("ordinary closing line right here.\n")),
+            F.when(did % 9 == 0, F.lit("has a curly { bracket here."))
+            .when(did % 11 == 0, F.lit("contains badword9 token here."))
+            .otherwise(F.lit("benign last line ends here.")),
+        ).alias("text"))
+    spdocs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" alpha. "),
+            F.substring("text", 41, 40), F.lit(" beta! "),
+            F.when(did % 5 == 0, F.lit(
+                "shared one fixed. shared two fixed? shared three fixed."))
+            .otherwise(F.concat(
+                F.substring("text", 81, 40), F.lit(" gamma. unique tail "),
+                did.cast("string"),
+                F.lit(" delta. closing words epsilon."))),
+        ).alias("text"))
+    lN = F.lit(None).cast("long")
+    sN = F.lit(None).cast("string")
+    lines = CU.c4_line_filter(c4docs).select(
+        F.lit("lines").alias("op"), "doc_id",
+        F.col("n_lines").alias("a"), F.col("n_kept_lines").alias("b"),
+        lN.alias("c"), lN.alias("d"), F.md5("clean_text").alias("h"))
+    keep = CU.c4_quality_filter(
+        c4docs, bad_words=("badword9", "zzunseen")).select(
+        F.lit("c4keep").alias("op"), "doc_id",
+        F.col("keep").cast("long").alias("a"),
+        F.col("n_sentences").alias("b"),
+        (F.col("has_lorem") * 100 + F.col("has_curly") * 10
+         + F.col("bad_word_hits")).alias("c"),
+        lN.alias("d"), sN.alias("h"))
+    span = CU.c4_span_dedup(spdocs).select(
+        F.lit("span").alias("op"), "doc_id",
+        F.col("n_removed_sentences").alias("a"), lN.alias("b"),
+        lN.alias("c"), lN.alias("d"), F.md5("clean_text").alias("h"))
+    return lines.unionByName(keep).unionByName(span)
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -2997,11 +3112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         # text / dedup / curation
         "doc_signals": _q_doc_signals,
-        "exact_dedup": _q_exact_dedup,
-        "dedup_clusters": _q_dedup_clusters,
+        "dedup_docs": _q_dedup_docs,
         "neardup_pairs": _q_neardup_pairs,
         "media_pipeline": _q_media_pipeline,
-        "gopher_ops": _q_gopher_ops,
+        "web_filter_ops": _q_web_filter_ops,
         "corpus_curation": _q_corpus_curation,
         "chunk_shard_ops": _q_chunk_shard,
         # similarity / ANN
@@ -3069,6 +3183,11 @@ def oracle_sql() -> dict[str, str]:
     TRACK_URL_SQL = ("('https://EX.com/p' || CAST(doc_id AS VARCHAR) || "
                      "'/?utm_source=a&q=' || CAST(doc_id AS VARCHAR) || "
                      "'#frag')")
+    CC_URL_SQL = ("('https://sub' || CAST(doc_id % 3 AS VARCHAR) || "
+                  "'.shop' || CAST(doc_id % 5 AS VARCHAR) || "
+                  "'.co.uk/item/' || CAST(doc_id AS VARCHAR))")
+    CC_HOST_SQL = O.url_host_sql(CC_URL_SQL)
+    CC_DOM_SQL = O.registered_domain_sql(CC_HOST_SQL)
     snap_new_sql = (
         "SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || 'x' "
         "ELSE text END AS text FROM documents WHERE doc_id % 25 != 1 "
@@ -3365,11 +3484,19 @@ SELECT doc_id,
        {O.luhn_valid_count_sql(
            "text || ' order 123456789012 card ' || "
            "CASE WHEN doc_id % 2 = 0 THEN '4532015112830366' "
-           "ELSE '4532015112830367' END")} AS n_luhn
+           "ELSE '4532015112830367' END")} AS n_luhn,
+       {CC_HOST_SQL} AS host,
+       {CC_DOM_SQL} AS reg_domain,
+       CAST({CC_DOM_SQL} IN ('shop0.co.uk', 'shop3.co.uk') AS BIGINT)
+         AS url_blocked
 FROM documents""",
-        "exact_dedup": """
-SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-FROM documents GROUP BY md5(text)""",
+        "dedup_docs": f"""
+SELECT 'exact' AS op, md5(text) AS h, MIN(doc_id) AS a,
+       COUNT(*) AS b, CAST(NULL AS BIGINT) AS c
+FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'cluster', NULL, doc_id, cluster_id, CAST(is_canonical AS BIGINT)
+FROM ({O.dedup_clusters_sql()}) dc""",
         # fixture text is pure ASCII (verified octet_length == length), so
         # md5(text)/ascii(char) equal the byte-level values the Python
         # decoder computes on the utf-8 payload
@@ -3456,8 +3583,10 @@ UNION ALL
 SELECT 'png_ahash', doc_id, mean_milli, NULL, NULL, NULL, ahash
 FROM ({AHASH_SQL("(SELECT doc_id FROM documents WHERE doc_id < 64)",
                  seed="'png' || CAST(d.doc_id AS VARCHAR)")}) pah""",
-        "gopher_ops": f"""
-WITH gop_docs AS ({GOPHER_INJECT_SQL})
+        "web_filter_ops": f"""
+WITH gop_docs AS ({GOPHER_INJECT_SQL}),
+     c4_docs AS ({C4_INJECT_SQL}),
+     c4_span_docs AS ({C4_SPAN_INJECT_SQL})
 SELECT 'gq' AS op, doc_id, n_words AS a, mean_word_len_milli AS b,
        symbol_word_milli * 1000000 + bullet_line_milli * 1000
          + ellipsis_line_milli AS c,
@@ -3476,7 +3605,20 @@ SELECT 'top2', doc_id, top_ngram_char_milli, NULL, NULL, NULL, gram
 FROM ({O.top_ngram_char_sql(2, table='gop_docs')}) t2
 UNION ALL
 SELECT 'dup5', doc_id, dup_ngram_char_milli, NULL, NULL, NULL, NULL
-FROM ({O.dup_ngram_char_sql(5, table='gop_docs')}) d5""",
+FROM ({O.dup_ngram_char_sql(5, table='gop_docs')}) d5
+UNION ALL
+SELECT 'lines', doc_id, n_lines, n_kept_lines, NULL, NULL,
+       md5(clean_text)
+FROM ({O.c4_line_filter_sql(table='c4_docs')}) cl
+UNION ALL
+SELECT 'c4keep', doc_id, keep, n_sentences,
+       has_lorem * 100 + has_curly * 10 + bad_word_hits, NULL, NULL
+FROM ({O.c4_keep_sql(table='c4_docs',
+                     bad_words=('badword9', 'zzunseen'))}) ck
+UNION ALL
+SELECT 'span', doc_id, n_removed_sentences, NULL, NULL, NULL,
+       md5(clean_text)
+FROM ({O.c4_span_dedup_sql(table='c4_span_docs')}) cs""",
         "persisted_roundtrip": f"""{P}
 SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
        COUNT(*) AS n2,
@@ -3512,7 +3654,6 @@ FROM (
          )} AS BIGINT) AS zvalue
   FROM q
 ) z""",
-        "dedup_clusters": O.dedup_clusters_sql(),
         "neardup_pairs": f"""
 SELECT 'lsh' AS op, doc_a AS a, doc_b AS b, CAST(NULL AS BIGINT) AS v
 FROM ({O.lsh_pairs_sql()}) t1

@@ -315,6 +315,18 @@ def sec_curation(spark, sf_dir, cpus, run):
     run("dup_lines", lambda: CU.dup_line_signals(docs).count())
     run("top_ngram_chars",
         lambda: CU.top_ngram_char_fraction(docs, 2).count())
+    # the fixture corpus has no punctuation — inject a period+newline
+    # every 8 tokens so the C4 rules and the span dedup do real work
+    # (without it every line is dropped and no sentence spans form)
+    c4docs = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+\s+){8})", "$1.\n")
+        .alias("text"))
+    run("c4_quality",
+        lambda: CU.c4_quality_filter(c4docs).filter("keep").count())
+    run("c4_span_dedup",
+        lambda: CU.c4_span_dedup(c4docs)
+        .agg(F.sum("n_removed_sentences")).collect())
 
 
 def sec_stats(spark, sf_dir, cpus, run):

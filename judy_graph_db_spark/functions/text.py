@@ -344,3 +344,51 @@ def luhn_valid_count_sql(col: str = "text") -> str:
     )
     return (f"CAST(len(list_filter(regexp_extract_all({col}, "
             f"'{CARD_CAND_RE}'), {lam})) AS BIGINT)")
+
+
+# --- URL host / registered domain (the RefinedWeb-style URL filter unit) ----
+
+URL_HOST_RE = r"^(?:[a-z0-9+.\-]*:)?//([^/?#]+)"
+
+# common second-level registration labels: under a 2-letter ccTLD these
+# mark a three-label registered domain (bbc.co.uk, not co.uk). The full
+# public-suffix list is an external asset (publicsuffix.org) a production
+# deploy would broadcast; this heuristic covers the dominant cases and is
+# deterministic, so it hash-gates.
+SECOND_LEVEL_LABELS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def url_host(url: Column) -> Column:
+    """Host of a URL: the authority between ``//`` and the first ``/``,
+    ``?`` or ``#``, lowercased, userinfo and port stripped. Empty string
+    when the value has no ``//`` authority at all (relative references).
+    Pure chained regexes, RE2-safe, scan-stage; twin ``url_host_sql``."""
+    h = F.regexp_extract(F.lower(url), URL_HOST_RE, 1)
+    h = F.regexp_replace(h, "^[^@]*@", "")
+    h = F.regexp_replace(h, ":[0-9]+$", "")
+    return h
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 heuristic over a host: the last two labels, or the last
+    THREE when the middle label is a common second-level registration
+    label (``co``/``com``/``net``/``org``/``gov``/``ac``/``edu``) under
+    a 2-letter ccTLD — ``news.bbc.co.uk`` → ``bbc.co.uk`` but
+    ``a.b.example.com`` → ``example.com``. Hosts with fewer than two
+    labels pass through unchanged. This is the per-domain key for
+    blocklist filtering, per-domain quotas and domain-mix reporting;
+    the full public-suffix list is a user-supplied broadcast asset.
+    Pure Column exprs (``F.get`` is NULL-safe out of bounds, so short
+    hosts never error under ANSI mode); twin ``registered_domain_sql``."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last = F.get(parts, n - 1)
+    mid = F.get(parts, n - 2)
+    third = F.get(parts, n - 3)
+    three = (n >= 3) & (F.length(last) == 2) \
+        & mid.isin(*SECOND_LEVEL_LABELS)
+    return (
+        F.when(three, F.concat_ws(".", third, mid, last))
+        .when(n >= 2, F.concat_ws(".", mid, last))
+        .otherwise(host)
+    )

@@ -1237,3 +1237,303 @@ def remove_repeated_spans(docs: DataFrame, window: int = 50,
                  - F.coalesce(F.col("__kept"), F.lit(0)))
                 .cast("long").alias("n_removed_tokens"))
     )
+
+
+# --- C4 rule set (Raffel et al. 2020, arXiv:1910.10683 SS2.2) ----------------
+#
+# The OTHER canonical published web filter next to Gopher A1: the heuristics
+# that produced the Colossal Clean Crawled Corpus. Same contract as the
+# Gopher family above -- pure Column expressions in the scan stage wherever
+# the rule is per-document, integer/boolean signals so every relation
+# hash-gates exactly against its DuckDB twin, and the one cross-document
+# rule (the three-sentence-span dedup) as a keyed aggregation that never
+# forms a pair join.
+
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 5
+
+
+def _c4_kept_lines(text_col: str, min_words_per_line: int):
+    """Array of trimmed lines surviving C4's line-level rules: ends in a
+    terminal punctuation mark ('.', '!', '?', closing quote), has at
+    least ``min_words_per_line`` whitespace words, and does not contain
+    the word "javascript" (case-insensitive)."""
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda ln: ln != F.lit(""))
+    return F.filter(
+        lines,
+        lambda ln: (ln.endswith(".") | ln.endswith("!") | ln.endswith("?")
+                    | ln.endswith('"') | ln.endswith("”"))
+        & (F.size(F.split(ln, r"\s+")) >= int(min_words_per_line))
+        & ~F.lower(ln).contains("javascript"))
+
+
+def c4_line_filter(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+                   out_col: str = "clean_text") -> DataFrame:
+    """C4's line-level cleanup (Raffel et al. 2020 SS2.2): retain only
+    lines that end in a terminal punctuation mark (period, exclamation
+    mark, question mark, or end quotation mark), contain at least
+    ``min_words_per_line`` words (the paper uses 3), and do not contain
+    the word "javascript" (the boilerplate-warning rule). Blank lines
+    are dropped by trimming.
+
+    Pure Column expressions -- no shuffle, no UDF, O(|text|) per row;
+    the whole operator lives in the scan stage at any corpus size.
+
+    Returns one row per input row:
+    ``(id, out_col, n_lines, n_kept_lines)`` where ``out_col`` is the
+    surviving lines re-joined with newlines.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda ln: ln != F.lit(""))
+    kept = _c4_kept_lines(text_col, min_words_per_line)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(out_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+    )
+
+
+def c4_page_signals(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    bad_words: tuple = ()) -> DataFrame:
+    """Per-document C4 page-level signals (Raffel et al. 2020 SS2.2),
+    computed over whatever text column is given (the published pipeline
+    applies them AFTER the line filter -- compose with
+    :func:`c4_line_filter`, or use :func:`c4_quality_filter` which does):
+
+    - ``n_sentences``: ``[.!?]+``-delimited segments containing an
+      alphanumeric (the "at least 5 sentences" rule's unit).
+    - ``has_lorem``: 1 iff the page contains the phrase "lorem ipsum"
+      (case-insensitive) -- the placeholder-text rule.
+    - ``has_curly``: 1 iff the page contains a curly bracket -- the
+      code-exclusion rule.
+    - ``bad_word_hits``: how many DISTINCT entries of ``bad_words``
+      appear as lowercase whitespace words. The published pipeline uses
+      the LDNOOBW blocklist, which is a user-supplied asset -- the
+      default here is the empty tuple (0 hits), and tests inject a
+      synthetic list.
+
+    Pure Column expressions, scan-stage. Returns
+    ``(id, n_sentences, has_lorem, has_curly, bad_word_hits)``.
+    """
+    from judy_graph_db_spark.functions.text import sentence_count
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    if bad_words:
+        bw = F.size(F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(str(w).lower()) for w in bad_words]))) \
+            .cast("long")
+    else:
+        bw = F.lit(0).cast("long")
+    return docs.select(
+        F.col(id_col),
+        sentence_count(t).alias("n_sentences"),
+        F.lower(t).contains("lorem ipsum").cast("long").alias("has_lorem"),
+        t.contains("{").cast("long").alias("has_curly"),
+        bw.alias("bad_word_hits"),
+    )
+
+
+def c4_quality_filter(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+                      min_sentences: int = C4_MIN_SENTENCES,
+                      bad_words: tuple = (),
+                      out_col: str = "clean_text") -> DataFrame:
+    """The composed C4 document filter: line-level rules first
+    (:func:`c4_line_filter`), then the page-level rules -- the sentence
+    minimum evaluated over the SURVIVING lines (the paper's order: a
+    page is kept iff its retained lines still form ``min_sentences``
+    sentences), while the kill rules (lorem ipsum / curly bracket /
+    blocklist) are evaluated on the full original text, since a hit in
+    a dropped line still marks the page. Returns the line-filter
+    relation plus the page signals and a ``keep`` boolean -- the
+    decision stays auditable and hash-gateable; callers filter on it.
+
+    Zero shuffles: both stages are scan-stage Column expressions over
+    the same row, composed as expressions (no self-join), so Catalyst
+    fuses the whole filter into the parquet scan at any corpus size.
+    """
+    kept = _c4_kept_lines(text_col, min_words_per_line)
+    clean = F.array_join(kept, "\n")
+    from judy_graph_db_spark.functions.text import sentence_count
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda ln: ln != F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    if bad_words:
+        bw = F.size(F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(str(w).lower()) for w in bad_words]))) \
+            .cast("long")
+    else:
+        bw = F.lit(0).cast("long")
+    sig = docs.select(
+        F.col(id_col),
+        clean.alias(out_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        sentence_count(clean).alias("n_sentences"),
+        F.lower(t).contains("lorem ipsum").cast("long").alias("has_lorem"),
+        t.contains("{").cast("long").alias("has_curly"),
+        bw.alias("bad_word_hits"),
+    )
+    keep = (
+        (F.col("n_sentences") >= int(min_sentences))
+        & (F.col("has_lorem") == 0)
+        & (F.col("has_curly") == 0)
+        & (F.col("bad_word_hits") == 0)
+    )
+    return sig.withColumn("keep", keep)
+
+
+def c4_span_dedup(docs: DataFrame, span_sentences: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  out_col: str = "clean_text") -> DataFrame:
+    """C4's cross-document deduplication rule (Raffel et al. 2020 SS2.2):
+    of any ``span_sentences``-sentence span (rolling, stride 1) that
+    occurs more than once in the corpus, keep only the globally FIRST
+    occurrence -- ordered by ``(doc, start)`` -- and remove every other
+    occurrence's sentences from their documents. This is the sentence-
+    unit sibling of :func:`remove_repeated_spans` (token windows, Lee et
+    al. 2021); C4 is where the three-sentence form was published.
+
+    Sentences are ``[.!?]+``-delimited trimmed segments containing at
+    least one alphanumeric; the surviving sentences are re-joined with
+    ``". "`` (the reassembly is sentence-normalized -- terminal
+    punctuation variety is not preserved, which is the standard
+    trade-off of sentence-unit dedup).
+
+    Scale shape -- identical to ``remove_repeated_spans`` and the reason
+    neither ever forms a pair join: one doc-keyed sort window builds the
+    rolling span hashes, one span-hash aggregation finds duplicated
+    hashes and their global first occurrence (a span repeated a million
+    times is one hot aggregation key, not a million-squared candidate
+    set), one hash-keyed join back marks losing occurrences, and one
+    doc-keyed running max merges overlapping marked spans before
+    reassembly.
+
+    Returns ``docs`` plus ``out_col`` and ``n_removed_sentences``.
+    """
+    if span_sentences < 2:
+        raise ValueError("span_sentences must be >= 2")
+    k = int(span_sentences)
+    t = F.col(text_col)
+    sarr = F.filter(
+        F.transform(F.split(t, "[.!?]+"), lambda x: F.trim(x)),
+        lambda s: s.rlike("[A-Za-z0-9]"))
+    sent = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(sarr).alias("__pos", "__sent"))
+    wdoc = Window.partitionBy("__id").orderBy("__pos")
+    wspan = wdoc.rowsBetween(0, k - 1)
+    spans = sent.select(
+        "__id", "__pos",
+        F.md5(F.concat_ws("|", F.collect_list("__sent").over(wspan)))
+        .alias("__h"),
+        F.count(F.lit(1)).over(wspan).alias("__n"),
+    ).filter(F.col("__n") == k).select(
+        "__id", F.col("__pos").alias("__start"), "__h")
+    dups = spans.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("__id", "__start")).alias("__first"),
+    ).filter(F.col("__c") > 1)
+    marked = (
+        spans.join(dups, "__h")
+        .filter(F.struct(F.col("__id"), F.col("__start"))
+                != F.col("__first"))
+        .select("__id", F.col("__start").alias("__pos"),
+                F.lit(1).alias("__mk"))
+    )
+    lastmk = F.max(F.when(F.col("__mk") == 1, F.col("__pos"))) \
+        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
+    surv = (
+        sent.join(marked, ["__id", "__pos"], "left")
+        .select("__id", "__pos", "__sent", lastmk.alias("__lastmk"))
+        .filter(F.col("__lastmk").isNull()
+                | (F.col("__lastmk") <= F.col("__pos") - k))
+    )
+    clean = surv.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__sent"))),
+                lambda s: s["__sent"]),
+            ". ").alias(out_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = sent.groupBy("__id").agg(F.count(F.lit(1)).alias("__tot"))
+    # totals LEFT JOIN clean: a doc whose every sentence was excised has
+    # a totals row but no clean row -- it must still report its removals
+    merged = totals.join(clean, "__id", "left")
+    return (
+        docs.join(merged, docs[id_col] == merged["__id"], "left")
+        .select(*docs.columns,
+                F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                (F.coalesce(F.col("__tot"), F.lit(0))
+                 - F.coalesce(F.col("__kept"), F.lit(0)))
+                .cast("long").alias("n_removed_sentences"))
+    )
+
+
+# --- URL-level curation (RefinedWeb / C4 front-of-pipeline rules) -----------
+
+
+def url_blocklist_filter(docs: DataFrame, blocked_domains,
+                         url_col: str = "url",
+                         id_col: str = "doc_id") -> DataFrame:
+    """URL blocklist filtering (the RefinedWeb / CCNet front-of-pipeline
+    rule: drop documents whose REGISTERED domain is on a blocklist —
+    the published pipelines use the UT1 list, a user-supplied asset).
+
+    ``blocked_domains`` is either a small tuple/list (inlined into the
+    scan as an ``isin`` — zero shuffle, the whole filter is a scan-stage
+    projection) or a one-column DataFrame for UT1-scale lists (a
+    broadcast LEFT join on the registered domain — the list is a few
+    million rows at most, always broadcastable).
+
+    Returns ``(id, host, reg_domain, blocked)`` — the decision stays a
+    column, auditable and hash-gateable; callers filter on it.
+    """
+    from judy_graph_db_spark.functions.text import (registered_domain,
+                                                    url_host)
+    host = url_host(F.col(url_col))
+    dom = registered_domain(host)
+    base = docs.select(
+        F.col(id_col), host.alias("host"), dom.alias("reg_domain"))
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.toDF("reg_domain") \
+            .select(F.lower("reg_domain").alias("reg_domain")) \
+            .distinct().withColumn("__bl", F.lit(1))
+        return (
+            base.join(F.broadcast(bl), "reg_domain", "left")
+            .select(id_col, "host", "reg_domain",
+                    (F.col("__bl") == 1).alias("blocked"))
+            .na.fill({"blocked": False})
+        )
+    blocked = tuple(str(d).lower() for d in blocked_domains)
+    flag = F.col("reg_domain").isin(*blocked) if blocked else F.lit(False)
+    return base.withColumn("blocked", flag)
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-exact dedup after canonicalization (lowercase, fragment and
+    tracking-parameter strip — ``text.canonicalize_url``): one groupBy
+    on the canonical URL, keeper = min id. The cheapest dedup pass of a
+    web pipeline, run before any content hashing; one shuffle on the
+    canonical-URL key. Returns ``(canon_url, keep_id, n_copies)``."""
+    from judy_graph_db_spark.functions.text import canonicalize_url
+    return (
+        docs.select(F.col(id_col),
+                    canonicalize_url(F.col(url_col)).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias("keep_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -2326,3 +2326,164 @@ GROUP BY l.src, r.src
 HAVING SUM(1000 // (length(bin(dv.d)) - 1)) >= {int(min_milli)}
 {f'AND r.src < {max_b}' if max_b is not None else ''}
 """
+
+
+# --- C4 rule set twins (Raffel et al. 2020 SS2.2) ----------------------------
+
+C4_KEPT_LINES_SQL = (
+    "list_filter(list_filter(list_transform(string_split({t}, chr(10)), "
+    "x -> trim(x)), x -> x <> ''), "
+    "x -> (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?') "
+    "OR ends_with(x, '\"') OR ends_with(x, '”')) "
+    "AND len(regexp_split_to_array(x, '\\s+')) >= {mw} "
+    "AND NOT contains(lower(x), 'javascript'))")
+
+C4_SENT_COUNT_SQL = (
+    "len(list_filter(regexp_split_to_array({t}, '[.!?]+'), "
+    "s -> regexp_matches(s, '[A-Za-z0-9]')))")
+
+
+def c4_line_filter_sql(id_col: str = "doc_id", text_col: str = "text",
+                       min_words_per_line: int = 3,
+                       table: str = "documents") -> str:
+    """Twin of ``curation.c4_line_filter``: terminal-punctuation /
+    min-words / no-javascript line rules, survivors re-joined with
+    newlines."""
+    kept = C4_KEPT_LINES_SQL.format(t=text_col, mw=int(min_words_per_line))
+    lines = (f"list_filter(list_transform(string_split({text_col}, "
+             f"chr(10)), x -> trim(x)), x -> x <> '')")
+    return f"""SELECT {id_col},
+       COALESCE(array_to_string({kept}, chr(10)), '') AS clean_text,
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(len({kept}) AS BIGINT) AS n_kept_lines
+FROM {table}"""
+
+
+def c4_keep_sql(id_col: str = "doc_id", text_col: str = "text",
+                min_words_per_line: int = 3, min_sentences: int = 5,
+                bad_words: tuple = (),
+                table: str = "documents") -> str:
+    """Twin of ``curation.c4_quality_filter``: line rules, then the
+    sentence minimum over the surviving lines and the kill rules (lorem
+    ipsum / curly bracket / blocklist) over the full text."""
+    kept = C4_KEPT_LINES_SQL.format(t=text_col, mw=int(min_words_per_line))
+    lines = (f"list_filter(list_transform(string_split({text_col}, "
+             f"chr(10)), x -> trim(x)), x -> x <> '')")
+    if bad_words:
+        bwlist = ("[" + ", ".join(
+            "'" + str(w).lower().replace("'", "''") + "'"
+            for w in bad_words) + "]")
+        bw = (f"CAST(len(list_filter({bwlist}, s -> list_contains("
+              f"list_transform(list_filter(regexp_split_to_array("
+              f"{text_col}, '\\s+'), w -> w <> ''), w -> lower(w)), s)))"
+              f" AS BIGINT)")
+    else:
+        bw = "CAST(0 AS BIGINT)"
+    nsent = C4_SENT_COUNT_SQL.format(
+        t=f"COALESCE(array_to_string({kept}, chr(10)), '')")
+    return f"""SELECT {id_col},
+       COALESCE(array_to_string({kept}, chr(10)), '') AS clean_text,
+       CAST(len({lines}) AS BIGINT) AS n_lines,
+       CAST(len({kept}) AS BIGINT) AS n_kept_lines,
+       CAST({nsent} AS BIGINT) AS n_sentences,
+       CAST(contains(lower({text_col}), 'lorem ipsum') AS BIGINT)
+         AS has_lorem,
+       CAST(contains({text_col}, chr(123)) AS BIGINT) AS has_curly,
+       {bw} AS bad_word_hits,
+       CAST(CASE WHEN {nsent} >= {int(min_sentences)}
+                  AND NOT contains(lower({text_col}), 'lorem ipsum')
+                  AND NOT contains({text_col}, chr(123))
+                  AND {bw} = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM {table}"""
+
+
+def c4_span_dedup_sql(span_sentences: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      table: str = "documents") -> str:
+    """Twin of ``curation.c4_span_dedup``: rolling ``span_sentences``-
+    sentence span hashes, global keep-first on duplicated hashes,
+    overlap-merged excision via a doc-keyed running max, sentence-
+    normalized reassembly with '. '."""
+    k = int(span_sentences)
+    sarr = (f"list_filter(list_transform(regexp_split_to_array("
+            f"{text_col}, '[.!?]+'), x -> trim(x)), "
+            f"s -> regexp_matches(s, '[A-Za-z0-9]'))")
+    return f"""WITH c4s_b AS (
+  SELECT {id_col} AS __id, {sarr} AS sarr FROM {table}
+),
+c4s_sent AS (
+  SELECT __id, unnest(generate_series(1, len(sarr))) - 1 AS pos, sarr
+  FROM c4s_b
+),
+c4s_sp AS (
+  SELECT __id, unnest(generate_series(1, GREATEST(len(sarr) - {k - 1},
+         0))) - 1 AS st, sarr
+  FROM c4s_b
+),
+c4s_h AS (
+  SELECT __id, st,
+         md5(array_to_string(sarr[st + 1:st + {k}], '|')) AS h
+  FROM c4s_sp
+),
+c4s_r AS (
+  SELECT __id, st, h,
+         row_number() OVER (PARTITION BY h ORDER BY __id, st) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS c
+  FROM c4s_h
+),
+c4s_mk AS (SELECT __id, st FROM c4s_r WHERE c > 1 AND rn > 1),
+c4s_lm AS (
+  SELECT s.__id, s.pos, s.sarr[s.pos + 1] AS sent,
+         MAX(CASE WHEN m.st IS NOT NULL THEN s.pos END)
+           OVER (PARTITION BY s.__id ORDER BY s.pos) AS lastmk
+  FROM c4s_sent s
+  LEFT JOIN c4s_mk m ON s.__id = m.__id AND s.pos = m.st
+),
+c4s_surv AS (
+  SELECT __id, pos, sent FROM c4s_lm
+  WHERE lastmk IS NULL OR lastmk <= pos - {k}
+),
+c4s_clean AS (
+  SELECT __id, string_agg(sent, '. ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS kept
+  FROM c4s_surv GROUP BY __id
+),
+c4s_tot AS (
+  SELECT __id, COUNT(*) AS tot FROM c4s_sent GROUP BY __id
+)
+SELECT d.{id_col},
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(COALESCE(t.tot, 0) - COALESCE(c.kept, 0) AS BIGINT)
+         AS n_removed_sentences
+FROM {table} d
+LEFT JOIN c4s_tot t ON d.{id_col} = t.__id
+LEFT JOIN c4s_clean c ON d.{id_col} = c.__id"""
+
+
+# --- URL host / registered domain twins --------------------------------------
+
+
+def url_host_sql(expr: str) -> str:
+    """Twin of ``text.url_host``: authority between // and the first
+    /?#, lowercased, userinfo and port stripped."""
+    return (
+        f"regexp_replace(regexp_replace(regexp_extract(lower({expr}), "
+        f"'^(?:[a-z0-9+.\\-]*:)?//([^/?#]+)', 1), '^[^@]*@', ''), "
+        f"':[0-9]+$', '')")
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    """Twin of ``text.registered_domain``: last two labels, or last
+    three when the middle label is a second-level registration label
+    under a 2-letter ccTLD. DuckDB list indexing is NULL-safe out of
+    bounds, mirroring Spark's ``F.get``."""
+    p = f"string_split({host_expr}, '.')"
+    sl = ", ".join(f"'{s}'" for s in
+                   ("co", "com", "net", "org", "gov", "ac", "edu"))
+    return f"""CASE
+  WHEN len({p}) >= 3 AND length(({p})[-1]) = 2
+       AND list_contains([{sl}], ({p})[-2])
+  THEN ({p})[-3] || '.' || ({p})[-2] || '.' || ({p})[-1]
+  WHEN len({p}) >= 2 THEN ({p})[-2] || '.' || ({p})[-1]
+  ELSE {host_expr} END"""

@@ -662,3 +662,122 @@ def test_build_vocab_no_global_window(spark):
     # the big (per-token) rank window is keyed by (count, prefix)
     assert rank_windows and all(
         "count" in ln and "__b" in ln for ln in rank_windows), rank_windows
+
+
+def test_c4_line_and_page_rules(spark):
+    """C4 line rules (terminal punct / >=3 words / no javascript) and
+    page rules (>=5 surviving sentences, lorem-ipsum / curly / blocklist
+    kills) match hand computation AND the DuckDB twins."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import c4_keep_sql, c4_line_filter_sql
+    from tests.oracle_utils import compare
+
+    five_good = ("first good line right here.\n"
+                 "second good line right here!\n"
+                 "third good line right here?\n"
+                 "fourth good line right here.\n"
+                 "fifth good line right here.")
+    rows = [
+        (1, "good line with period.\nno.\nbad javascript line here.\n"
+            "no terminal punct line\n" + five_good),
+        (2, "lorem ipsum dolor sit amet.\n" + five_good),
+        (3, "curly { line ends here.\n" + five_good),
+        (4, "contains badword in line.\n" + five_good),
+        (5, ""),
+        (6, "only two good lines here.\nsecond good line right here."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lf = {r.doc_id: (r.n_lines, r.n_kept_lines, r.clean_text)
+          for r in CU.c4_line_filter(docs).collect()}
+    assert lf[1][:2] == (9, 6)          # 'no.', javascript, unpunct drop
+    assert lf[1][2].startswith("good line with period.\nfirst good")
+    assert lf[5] == (0, 0, "")
+    assert lf[6][:2] == (2, 2)
+
+    qf = {r.doc_id: (bool(r.keep), r.n_sentences, r.has_lorem,
+                     r.has_curly, r.bad_word_hits)
+          for r in CU.c4_quality_filter(
+              docs, bad_words=("badword",)).collect()}
+    assert qf[1] == (True, 6, 0, 0, 0)
+    assert qf[2] == (False, 6, 1, 0, 0)   # killed by lorem ipsum
+    assert qf[3] == (False, 6, 0, 1, 0)   # killed by the curly bracket
+    assert qf[4] == (False, 6, 0, 0, 1)   # killed by the blocklist
+    assert qf[5] == (False, 0, 0, 0, 0)   # no sentences
+    assert qf[6][0] is False              # 2 < 5 sentences
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ok, msg = compare(CU.c4_line_filter(docs), con, c4_line_filter_sql())
+    assert ok, msg
+    from pyspark.sql import functions as F
+    ok, msg = compare(
+        CU.c4_quality_filter(docs, bad_words=("badword",)).select(
+            "doc_id", "clean_text", "n_lines", "n_kept_lines",
+            "n_sentences", "has_lorem", "has_curly", "bad_word_hits",
+            F.col("keep").cast("long").alias("keep")),
+        con, c4_keep_sql(bad_words=("badword",)))
+    assert ok, msg
+
+
+def test_c4_span_dedup(spark):
+    """The three-sentence-span rule keeps only the globally first
+    occurrence: later docs lose exactly the shared block (a doc that IS
+    the block collapses to empty), and the DuckDB twin hash-matches."""
+    import duckdb
+
+    from judy_graph_db_spark.operators import curation as CU
+    from judy_graph_db_spark.oracle import c4_span_dedup_sql
+    from tests.oracle_utils import compare
+
+    shared = ("shared sentence one. shared sentence two. "
+              "shared sentence three.")
+    rows = [
+        (1, "unique opener first here. " + shared + " unique closer one."),
+        (2, "different opener two here. " + shared
+            + " different closer two."),
+        (3, "no shared content here. just words. more words here."),
+        (4, shared),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed_sentences)
+           for r in CU.c4_span_dedup(docs).collect()}
+    assert got[1] == ("unique opener first here. shared sentence one. "
+                      "shared sentence two. shared sentence three. "
+                      "unique closer one", 0)
+    assert got[2] == ("different opener two here. different closer two", 3)
+    assert got[3][1] == 0
+    assert got[4] == ("", 3)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ok, msg = compare(
+        CU.c4_span_dedup(docs).select(
+            "doc_id", "clean_text", "n_removed_sentences"),
+        con, c4_span_dedup_sql())
+    assert ok, msg
+
+
+def test_c4_plan_shapes(spark):
+    """Plan guards: the composed C4 document filter is a pure scan-stage
+    projection (zero Exchanges — both rule levels fuse into the scan),
+    and the span-dedup windows partition on the doc key, never a
+    single-partition global window."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "some text here."), (2, "more words here.")],
+        "doc_id long, text string")
+    qf_plan = CU.c4_quality_filter(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in qf_plan
+
+    sp_plan = CU.c4_span_dedup(docs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    wins = [ln for ln in sp_plan.splitlines() if "Window" in ln]
+    assert wins and all("__id" in ln for ln in wins), wins
+    assert "SinglePartition" not in sp_plan

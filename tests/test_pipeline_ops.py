@@ -1482,3 +1482,83 @@ def test_mrr(spark):
     got = mrr(res, truth).collect()[0]
     # q1 hits at rank 2 -> 500000; q2, q3 miss -> 0
     assert (got.n_queries, got.n_hit, got.mrr_micro) == (3, 1, 500000 // 3)
+
+
+def test_url_host_and_registered_domain(spark):
+    """Host extraction (userinfo/port stripped) and the eTLD+1 heuristic
+    (ccTLD second-level labels take three labels) match hand values AND
+    the DuckDB twins."""
+    import duckdb
+
+    from judy_graph_db_spark.functions import text as T
+    from judy_graph_db_spark.oracle import registered_domain_sql, url_host_sql
+
+    rows = [
+        (1, "https://News.BBC.co.uk:8080/path?q=1"),
+        (2, "http://user:pw@sub.a.Example.COM/x#f"),
+        (3, "https://example.org"),
+        (4, "not a url"),
+        (5, "//bare.host.net/y"),
+        (6, "https://localhost/admin"),
+        (7, "https://a.b.gov.br/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    host = T.url_host(F.col("url"))
+    got = {r.doc_id: (r.h, r.d) for r in df.select(
+        "doc_id", host.alias("h"),
+        T.registered_domain(host).alias("d")).collect()}
+    assert got[1] == ("news.bbc.co.uk", "bbc.co.uk")
+    assert got[2] == ("sub.a.example.com", "example.com")
+    assert got[3] == ("example.org", "example.org")
+    assert got[4] == ("", "")
+    assert got[5] == ("bare.host.net", "host.net")
+    assert got[6] == ("localhost", "localhost")
+    assert got[7] == ("a.b.gov.br", "b.gov.br")   # gov under ccTLD
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    oracle = {d: (h, rd) for d, h, rd in con.execute(
+        f"SELECT doc_id, {url_host_sql('url')}, "
+        f"{registered_domain_sql(url_host_sql('url'))} FROM u").fetchall()}
+    assert got == oracle
+
+
+def test_url_blocklist_filter_and_dedup(spark):
+    """Blocklist flag agrees between the inlined-tuple path and the
+    broadcast-DataFrame path; URL dedup collapses canonicalization
+    variants to one keeper."""
+    from judy_graph_db_spark.operators import curation as CU
+
+    rows = [
+        (1, "https://ads.tracker.com/x"),
+        (2, "https://news.tracker.com/y"),
+        (3, "https://good.example.org/z"),
+        (4, "https://shop.spam.co.uk/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ("tracker.com", "spam.co.uk")
+    tup = {r.doc_id: (r.reg_domain, r.blocked)
+           for r in CU.url_blocklist_filter(df, blocked).collect()}
+    assert tup == {1: ("tracker.com", True), 2: ("tracker.com", True),
+                   3: ("example.org", False), 4: ("spam.co.uk", True)}
+    bl_df = spark.createDataFrame([(d,) for d in blocked], "dom string")
+    viadf = {r.doc_id: (r.reg_domain, r.blocked)
+             for r in CU.url_blocklist_filter(df, bl_df).collect()}
+    assert viadf == tup
+    # broadcast path: the blocklist join must not shuffle the corpus
+    plan = CU.url_blocklist_filter(df, bl_df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    dd_rows = [
+        (1, "https://Site.com/page/?utm_source=x"),
+        (2, "https://site.com/page/"),
+        (3, "https://site.com/page"),
+        (4, "https://site.com/other"),
+    ]
+    ddf = spark.createDataFrame(dd_rows, "doc_id long, url string")
+    got = {r.canon_url: (r.keep_id, r.n_copies)
+           for r in CU.url_dedup(ddf).collect()}
+    assert got == {"https://site.com/page": (1, 3),
+                   "https://site.com/other": (4, 1)}
