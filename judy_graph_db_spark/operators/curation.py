@@ -1186,17 +1186,34 @@ def remove_repeated_spans(docs: DataFrame, window: int = 50,
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     toks = F.when(F.trim(F.col(text_col)) == "",
                   F.array().cast("array<string>")).otherwise(toks)
-    tok = docs.select(
+    return _excise_repeated_units(
+        docs, toks, window, hash_sep=" ", join_sep=" ",
+        id_col=id_col, out_col=out_col, removed_col="n_removed_tokens")
+
+
+def _excise_repeated_units(docs: DataFrame, unit_arr, k: int,
+                           hash_sep: str, join_sep: str,
+                           id_col: str, out_col: str,
+                           removed_col: str) -> DataFrame:
+    """Shared engine of :func:`remove_repeated_spans` (token units) and
+    :func:`c4_span_dedup` (sentence units): rolling ``k``-unit span
+    hashes via one doc-keyed sort window, span-hash aggregation for the
+    duplicate set and its global first occurrence, hash-keyed join back
+    to mark losing occurrences, overlap merge via a doc-keyed running
+    max, ordered reassembly with ``join_sep``. ``unit_arr`` is the
+    per-row array Column of units; no pair join ever forms — a span
+    repeated a million times is one hot aggregation key."""
+    unit = docs.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(toks).alias("__pos", "__tok"))
+        F.posexplode(unit_arr).alias("__pos", "__u"))
     wdoc = Window.partitionBy("__id").orderBy("__pos")
-    wspan = wdoc.rowsBetween(0, window - 1)
-    spans = tok.select(
+    wspan = wdoc.rowsBetween(0, k - 1)
+    spans = unit.select(
         "__id", "__pos",
-        F.md5(F.concat_ws(" ", F.collect_list("__tok").over(wspan)))
+        F.md5(F.concat_ws(hash_sep, F.collect_list("__u").over(wspan)))
         .alias("__h"),
         F.count(F.lit(1)).over(wspan).alias("__n"),
-    ).filter(F.col("__n") == window).select(
+    ).filter(F.col("__n") == k).select(
         "__id", F.col("__pos").alias("__start"), "__h")
     dups = spans.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -1212,21 +1229,21 @@ def remove_repeated_spans(docs: DataFrame, window: int = 50,
     lastmk = F.max(F.when(F.col("__mk") == 1, F.col("__pos"))) \
         .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
     surv = (
-        tok.join(marked, ["__id", "__pos"], "left")
-        .select("__id", "__pos", "__tok", lastmk.alias("__lastmk"))
+        unit.join(marked, ["__id", "__pos"], "left")
+        .select("__id", "__pos", "__u", lastmk.alias("__lastmk"))
         .filter(F.col("__lastmk").isNull()
-                | (F.col("__lastmk") <= F.col("__pos") - window))
+                | (F.col("__lastmk") <= F.col("__pos") - k))
     )
     clean = surv.groupBy("__id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"]),
-            " ").alias(out_col),
+                F.array_sort(F.collect_list(F.struct("__pos", "__u"))),
+                lambda s: s["__u"]),
+            join_sep).alias(out_col),
         F.count(F.lit(1)).alias("__kept"),
     )
-    totals = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__tot"))
-    # totals LEFT JOIN clean: a doc whose every token was excised has a
+    totals = unit.groupBy("__id").agg(F.count(F.lit(1)).alias("__tot"))
+    # totals LEFT JOIN clean: a doc whose every unit was excised has a
     # totals row but no clean row — it must still report its removals
     merged = totals.join(clean, "__id", "left")
     return (
@@ -1235,7 +1252,7 @@ def remove_repeated_spans(docs: DataFrame, window: int = 50,
                 F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
                 (F.coalesce(F.col("__tot"), F.lit(0))
                  - F.coalesce(F.col("__kept"), F.lit(0)))
-                .cast("long").alias("n_removed_tokens"))
+                .cast("long").alias(removed_col))
     )
 
 
@@ -1424,62 +1441,14 @@ def c4_span_dedup(docs: DataFrame, span_sentences: int = 3,
     """
     if span_sentences < 2:
         raise ValueError("span_sentences must be >= 2")
-    k = int(span_sentences)
-    t = F.col(text_col)
     sarr = F.filter(
-        F.transform(F.split(t, "[.!?]+"), lambda x: F.trim(x)),
+        F.transform(F.split(F.col(text_col), "[.!?]+"),
+                    lambda x: F.trim(x)),
         lambda s: s.rlike("[A-Za-z0-9]"))
-    sent = docs.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(sarr).alias("__pos", "__sent"))
-    wdoc = Window.partitionBy("__id").orderBy("__pos")
-    wspan = wdoc.rowsBetween(0, k - 1)
-    spans = sent.select(
-        "__id", "__pos",
-        F.md5(F.concat_ws("|", F.collect_list("__sent").over(wspan)))
-        .alias("__h"),
-        F.count(F.lit(1)).over(wspan).alias("__n"),
-    ).filter(F.col("__n") == k).select(
-        "__id", F.col("__pos").alias("__start"), "__h")
-    dups = spans.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__c"),
-        F.min(F.struct("__id", "__start")).alias("__first"),
-    ).filter(F.col("__c") > 1)
-    marked = (
-        spans.join(dups, "__h")
-        .filter(F.struct(F.col("__id"), F.col("__start"))
-                != F.col("__first"))
-        .select("__id", F.col("__start").alias("__pos"),
-                F.lit(1).alias("__mk"))
-    )
-    lastmk = F.max(F.when(F.col("__mk") == 1, F.col("__pos"))) \
-        .over(wdoc.rowsBetween(Window.unboundedPreceding, 0))
-    surv = (
-        sent.join(marked, ["__id", "__pos"], "left")
-        .select("__id", "__pos", "__sent", lastmk.alias("__lastmk"))
-        .filter(F.col("__lastmk").isNull()
-                | (F.col("__lastmk") <= F.col("__pos") - k))
-    )
-    clean = surv.groupBy("__id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__sent"))),
-                lambda s: s["__sent"]),
-            ". ").alias(out_col),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    totals = sent.groupBy("__id").agg(F.count(F.lit(1)).alias("__tot"))
-    # totals LEFT JOIN clean: a doc whose every sentence was excised has
-    # a totals row but no clean row -- it must still report its removals
-    merged = totals.join(clean, "__id", "left")
-    return (
-        docs.join(merged, docs[id_col] == merged["__id"], "left")
-        .select(*docs.columns,
-                F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-                (F.coalesce(F.col("__tot"), F.lit(0))
-                 - F.coalesce(F.col("__kept"), F.lit(0)))
-                .cast("long").alias("n_removed_sentences"))
-    )
+    return _excise_repeated_units(
+        docs, sarr, int(span_sentences), hash_sep="|", join_sep=". ",
+        id_col=id_col, out_col=out_col,
+        removed_col="n_removed_sentences")
 
 
 # --- URL-level curation (RefinedWeb / C4 front-of-pipeline rules) -----------
