@@ -1997,32 +1997,36 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
         )
         if lab.limit(1).count() == 0:
             break
-        # both endpoints' components bid on the edge; dedup after selection
-        bids = lab.select(F.col("ca").alias("c"), "a", "b", "w").unionByName(
-            lab.select(F.col("cb").alias("c"), "a", "b", "w"))
+        # both endpoints' components bid on the edge; dedup after
+        # selection. The bid rows carry ca/cb so the contraction graph
+        # below is a plain projection of `picked` — no second pair of
+        # component-label joins per round (the tie order is unchanged:
+        # equal (w, a, b) means the same edge, which fixes ca/cb).
+        bids = lab.select(
+            F.col("ca").alias("c"), "a", "b", "w", "ca", "cb"
+        ).unionByName(lab.select(
+            F.col("cb").alias("c"), "a", "b", "w", "ca", "cb"))
         picked = (
             bids.groupBy("c")
-            .agg(F.min(F.struct(F.col("w").alias("w"), F.col("a").alias("a"),
-                                F.col("b").alias("b"))).alias("m"))
+            .agg(F.min(F.struct(
+                F.col("w").alias("w"), F.col("a").alias("a"),
+                F.col("b").alias("b"), F.col("ca").alias("ca"),
+                F.col("cb").alias("cb"))).alias("m"))
             .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
-                    F.col("m.w").alias("w"))
+                    F.col("m.w").alias("w"), F.col("m.ca").alias("ca"),
+                    F.col("m.cb").alias("cb"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        forest_parts.append(picked)
+        forest_parts.append(picked.select("a", "b", "w"))
         # contract on the component-level selected graph (O(#components)).
         # Runtime-stats dispatch (the SCC `auto` pattern): the selected
         # relation has ≤ #components rows and halves every round, so once
         # it fits comfortably on the driver a local union-find beats ~8
         # latency-bound distributed CC rounds; the first rounds of a
         # 100 TB run stay distributed.
-        cedges = (
-            picked.join(comp.select(F.col("id").alias("a"),
-                                    F.col("comp").alias("ca")), "a")
-            .join(comp.select(F.col("id").alias("b"),
-                              F.col("comp").alias("cb")), "b")
-            .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
-        ).localCheckpoint(eager=True)
+        cedges = picked.select(F.col("ca").alias("src"),
+                               F.col("cb").alias("dst"))
         if cedges.count() <= 500_000:
             parent: dict = {}
 
