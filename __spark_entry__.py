@@ -3047,6 +3047,14 @@ def _q_chunk_shard(spark, sf_dir):
         F.concat_ws("@", F.col("symbol"),
                     F.col("sym_pos").cast("string")).alias("s"),
         F.col("sym_pos").alias("b"))
+    # WordPiece-scored merges (likelihood objective, exact-integer score)
+    # over the same corpus: same fold, different selection rule
+    wpm, _wpv = bpe_train(spark.table("documents"), n_merges=6,
+                          score="likelihood")
+    wm = wpm.select(
+        F.lit("wp_merge").alias("op"), F.col("rank").alias("doc_id"),
+        F.col("count").alias("a"), F.concat_ws("|", "a", "b").alias("s"),
+        lN.alias("b"))
     # tokenizer fertility on the same encoded subset: chars per token
     from judy_graph_db_spark.operators.bpe import bpe_compression
 
@@ -3059,7 +3067,7 @@ def _q_chunk_shard(spark, sf_dir):
         F.col("cpt_milli").alias("b"))
     return (ch.unionByName(sh).unionByName(ws).unionByName(pk)
             .unionByName(bm).unionByName(bv).unionByName(be)
-            .unionByName(bc).unionByName(tc))
+            .unionByName(bc).unionByName(tc).unionByName(wm))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3962,7 +3970,11 @@ FROM ({BPE.bpe_encode_oracle_sql(n_merges=8, where="doc_id % 17 = 0")}) t5
 UNION ALL
 SELECT 'bpec', doc_id, n_tokens, CAST(n_chars AS VARCHAR), cpt_milli
 FROM ({BPE.bpe_compression_oracle_sql(
-            n_merges=8, where="doc_id % 17 = 0")}) t6""",
+            n_merges=8, where="doc_id % 17 = 0")}) t6
+UNION ALL
+SELECT 'wp_merge', rank, cnt, a || '|' || b, NULL
+FROM ({BPE.bpe_train_oracle_sql(n_merges=6, score="likelihood")}) t7
+WHERE op = 'merge'""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

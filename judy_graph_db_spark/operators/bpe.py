@@ -61,6 +61,79 @@ def _apply_merge_local(syms: list, a: str, b: str) -> list:
     return out
 
 
+#: Fixed-point scale of the WordPiece likelihood score: the best pair
+#: maximizes ``cnt(ab) / (cnt(a) * cnt(b))`` (Schuster & Nakajima 2012;
+#: Wu et al. 2016 §3.1 — the merge that most increases corpus likelihood
+#: under a unigram model).  Both engines compare the EXACT integer
+#: ``cnt_ab * SCALE // (c_a * c_b)`` (Python bigint / Spark DECIMAL(38)
+#: DIV / DuckDB HUGEINT ``//``), so Spark, the local loop, and the DuckDB
+#: twin stay in lockstep with no float in the ordering.
+WP_SCORE_SCALE = 10**12
+
+
+def _wp_score(cnt_ab: int, c_a: int, c_b: int) -> int:
+    return cnt_ab * WP_SCORE_SCALE // (c_a * c_b)
+
+
+def _train_merges_local_likelihood(words: list, n_merges: int) -> list:
+    """WordPiece-scored merge loop (see :data:`WP_SCORE_SCALE`): like
+    :func:`_train_merges_local` but the per-round winner maximizes the
+    likelihood score, whose denominator uses the CURRENT total count of
+    each unit symbol.  Because every merge changes two unit counts (and
+    thereby the score of every pair touching those units), lazy heap
+    invalidation doesn't apply — selection is a full scan over the live
+    pair table each round, O(|pairs|); fine for the 10k–30k merges a
+    WordPiece vocab needs because |pairs| is alphabet²-bounded, not
+    corpus-bounded.  Tiebreak: (score DESC, cnt DESC, a ASC, b ASC).
+    ``words`` is mutated in place; returns ``[(rank, a, b, score), ...]``.
+    """
+    from collections import defaultdict  # noqa: PLC0415
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    sym_counts: dict = defaultdict(int)
+    for idx, (syms, freq) in enumerate(words):
+        for s in syms:
+            sym_counts[s] += freq
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += freq
+            pair_words[p].add(idx)
+    merges = []
+    for rank in range(n_merges):
+        best, best_key = None, None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            score = _wp_score(c, sym_counts[p[0]], sym_counts[p[1]])
+            # maximize (score, cnt), minimize (a, b): negate the strings'
+            # natural order by comparing in two stages
+            key = (score, c)
+            if best is None or key > best_key or (
+                    key == best_key and (p[0], p[1]) < (best[0], best[1])):
+                best, best_key = p, key
+        if best is None:
+            break
+        a, b = best
+        merges.append((rank, a, b, best_key[0]))
+        for idx in list(pair_words.pop(best, ())):
+            syms, freq = words[idx]
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] -= freq
+            for s in syms:
+                sym_counts[s] -= freq
+            new = _apply_merge_local(syms, a, b)
+            words[idx] = [new, freq]
+            for s in new:
+                sym_counts[s] += freq
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += freq
+                pair_words[p].add(idx)
+        pair_counts.pop(best, None)
+    return merges
+
+
 def _train_merges_local(words: list, n_merges: int) -> list:
     """Classic in-memory BPE merge loop (Sennrich et al. 2016 `learn_bpe`)
     with incremental pair-count maintenance: each merge touches only the
@@ -126,8 +199,8 @@ def _train_merges_local(words: list, n_merges: int) -> list:
 def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
               end_of_word: str = "</w>",
               strategy: str = "auto", min_word_freq: int = 1,
-              max_collect_rows: int = 50_000_000
-              ) -> tuple[DataFrame, DataFrame]:
+              max_collect_rows: int = 50_000_000,
+              score: str = "freq") -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns ``(merges, symbol_vocab)``:
     ``merges(rank, a, b, count)`` in learned order and
     ``symbol_vocab(symbol, freq)`` — the corpus frequency of every symbol
@@ -167,9 +240,27 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
     refused with a ``ValueError`` naming both remedies (raise
     ``min_word_freq`` or use ``strategy="relational"``) instead of
     silently OOM-ing the driver.
+
+    ``score`` selects the merge objective:
+
+    - ``"freq"`` (default) — classic BPE: the most frequent adjacent
+      pair wins (Sennrich et al. 2016); the ``count`` column of the
+      returned merge table is the pair's corpus count.
+    - ``"likelihood"`` — WordPiece: the pair maximizing
+      ``cnt(ab) / (cnt(a) · cnt(b))`` wins (Schuster & Nakajima 2012;
+      Wu et al. 2016 §3.1 — the merge that most increases corpus
+      likelihood under a unigram LM).  Compared as the exact integer
+      ``cnt·10^12 DIV (c_a·c_b)`` in every engine
+      (:data:`WP_SCORE_SCALE`), so the driver gate can hash the merge
+      table against the DuckDB twin; the ``count`` column carries this
+      scaled score.  Tiebreak (score DESC, cnt DESC, a ASC, b ASC).
+      The learned merges feed :func:`bpe_encode` unchanged — only the
+      selection rule differs.
     """
     if strategy not in ("auto", "relational", "local"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if score not in ("freq", "likelihood"):
+        raise ValueError(f"unknown score {score!r}")
     if strategy == "auto":
         strategy = "local" if n_merges > 32 else "relational"
     spark = docs.sparkSession
@@ -203,7 +294,10 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
                 f"has the memory, or use strategy='relational'")
         local_words = [[list(r["syms"]), int(r["freq"])]
                        for r in words.select("syms", "freq").collect()]
-        merges = _train_merges_local(local_words, n_merges)
+        if score == "likelihood":
+            merges = _train_merges_local_likelihood(local_words, n_merges)
+        else:
+            merges = _train_merges_local(local_words, n_merges)
         merges_df = spark.createDataFrame(
             merges or [], "rank long, a string, b string, count long"
         )
@@ -231,12 +325,30 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(
-            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).collect()
+        if score == "likelihood":
+            units = (
+                words.select("freq", F.explode("syms").alias("u"))
+                .groupBy("u").agg(F.sum("freq").alias("uc"))
+            )
+            ua = units.select(F.col("u").alias("a"), F.col("uc").alias("ca"))
+            ub = units.select(F.col("u").alias("b"), F.col("uc").alias("cb"))
+            scored = pairs.join(ua, "a").join(ub, "b").withColumn(
+                "wp_score",
+                F.expr(f"CAST(CAST(cnt AS DECIMAL(38,0)) * {WP_SCORE_SCALE} "
+                       f"DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"),
+            )
+            best = scored.orderBy(
+                F.col("wp_score").desc(), F.col("cnt").desc(),
+                F.col("a").asc(), F.col("b").asc(),
+            ).limit(1).collect()
+        else:
+            best = pairs.orderBy(
+                F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+            ).limit(1).collect()
         if not best:
             break
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        a, b = best[0]["a"], best[0]["b"]
+        cnt = int(best[0]["wp_score" if score == "likelihood" else "cnt"])
         merges.append((rank, a, b, cnt))
         nxt = words.withColumn("syms", _merge_fold(F.col("syms"), a, b)) \
                    .localCheckpoint(eager=True)
@@ -252,11 +364,16 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
 
 
 def _bpe_cte_chain_sql(n_merges: int, text_col: str, table: str,
-                       end_of_word: str, wre: str) -> str:
+                       end_of_word: str, wre: str,
+                       score: str = "freq") -> str:
     """The shared WITH-chain of the BPE twins: word-freq table ``w0``,
     then per round a pair count ``p{r}``, best pick ``b{r}``, and folded
     words ``w{r}`` — ending at ``w{n_merges}`` (every word's final
-    segmentation), which both the train and the encode twins read."""
+    segmentation), which both the train and the encode twins read.
+    ``score="likelihood"`` adds a unit-count CTE ``u{r}`` per round and
+    picks ``b{r}`` by the same exact-integer WordPiece score Spark and
+    the local loop compute (:data:`WP_SCORE_SCALE`), the ``cnt`` column
+    carrying the scaled score."""
     parts = [f"""WITH w0 AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq,
          list_concat(regexp_extract_all(word, '.'), ['{end_of_word}']) AS syms
@@ -266,6 +383,22 @@ def _bpe_cte_chain_sql(n_merges: int, text_col: str, table: str,
   ) GROUP BY word
 )"""]
     for r in range(1, n_merges + 1):
+        if score == "likelihood":
+            pick = f""", u{r} AS (
+  SELECT u, CAST(SUM(freq) AS BIGINT) AS uc FROM (
+    SELECT freq, unnest(syms) AS u FROM w{r - 1}
+  ) GROUP BY u
+), b{r} AS (
+  SELECT a, b,
+         CAST(CAST(p.cnt AS HUGEINT) * {WP_SCORE_SCALE}
+              // (CAST(ua.uc AS HUGEINT) * ub.uc) AS BIGINT) AS cnt
+  FROM p{r} p JOIN u{r} ua ON p.a = ua.u JOIN u{r} ub ON p.b = ub.u
+  ORDER BY cnt DESC, p.cnt DESC, a ASC, b ASC LIMIT 1
+)"""
+        else:
+            pick = f""", b{r} AS (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)"""
         parts.append(f""", p{r} AS (
   SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
     SELECT freq,
@@ -273,9 +406,7 @@ def _bpe_cte_chain_sql(n_merges: int, text_col: str, table: str,
              i -> struct_pack(a := syms[i], b := syms[i + 1]))) AS p
     FROM w{r - 1}
   ) GROUP BY p.a, p.b
-), b{r} AS (
-  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-), w{r} AS MATERIALIZED (
+){pick}, w{r} AS MATERIALIZED (
   SELECT word, freq,
          CASE WHEN b.a IS NULL THEN syms ELSE
            list_reduce(list_transform(syms, s -> [s]),
@@ -292,16 +423,19 @@ def _bpe_cte_chain_sql(n_merges: int, text_col: str, table: str,
 def bpe_train_oracle_sql(n_merges: int, text_col: str = "text",
                          table: str = "documents",
                          end_of_word: str = "</w>",
-                         word_token_re_sql: str | None = None) -> str:
+                         word_token_re_sql: str | None = None,
+                         score: str = "freq") -> str:
     """DuckDB twin of :func:`bpe_train`: the merge loop unrolled as CTE
     rounds — per round an adjacent-pair count, a 1-row best pick with the
-    same (count, a, b) order, and the same greedy fold via ``list_reduce``
+    same (count, a, b) order (or the WordPiece integer score when
+    ``score="likelihood"``), and the same greedy fold via ``list_reduce``
     over singleton-list symbols. Emits ``op='merge'`` rows (the learned
     table) and ``op='vocab'`` rows (the induced subword vocabulary)."""
     from judy_graph_db_spark.oracle import WORD_TOKEN_RE_SQL
 
     wre = word_token_re_sql or WORD_TOKEN_RE_SQL
-    chain = _bpe_cte_chain_sql(n_merges, text_col, table, end_of_word, wre)
+    chain = _bpe_cte_chain_sql(n_merges, text_col, table, end_of_word, wre,
+                               score=score)
     merge_rows = " UNION ALL ".join(
         f"SELECT 'merge' AS op, CAST({r - 1} AS BIGINT) AS rank, a, b, cnt "
         f"FROM b{r}"

@@ -259,3 +259,57 @@ def test_local_bpe_heap_matches_bruteforce(words, n_merges):
     got = _train_merges_local([[syms[:], f] for syms, f in table], n_merges)
     want = _bpe_bruteforce([[syms[:], f] for syms, f in table], n_merges)
     assert got == want
+
+
+# --- local WordPiece trainer: incremental counts == brute-force --------------
+
+def _wp_bruteforce(words, n_merges):
+    """Reference WordPiece loop: full pair + unit recount per round, exact
+    integer score cnt*SCALE // (c_a*c_b), (score DESC, cnt DESC, a, b)."""
+    from judy_graph_db_spark.operators.bpe import (WP_SCORE_SCALE,
+                                                   _apply_merge_local)
+
+    words = [list(w) for w in words]
+    merges = []
+    for rank in range(n_merges):
+        counts, units = {}, {}
+        for syms, freq in words:
+            for s in syms:
+                units[s] = units.get(s, 0) + freq
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        live = [(c * WP_SCORE_SCALE // (units[p[0]] * units[p[1]]), c, p)
+                for p, c in counts.items() if c > 0]
+        if not live:
+            break
+        top = max((s, c) for s, c, _ in live)
+        best = min(p for s, c, p in live if (s, c) == top)
+        merges.append((rank, best[0], best[1], top[0]))
+        for i, (syms, freq) in enumerate(words):
+            words[i] = [_apply_merge_local(syms, *best), freq]
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_merges=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=80, deadline=None)
+def test_local_wordpiece_matches_bruteforce(words, n_merges):
+    """The incremental pair/unit counts of the likelihood-scored loop must
+    pick the exact same merge sequence as a full recount every round."""
+    from judy_graph_db_spark.operators.bpe import \
+        _train_merges_local_likelihood
+
+    table = [[list(w) + ["</w>"], f] for w, f in words]
+    got = _train_merges_local_likelihood(
+        [[syms[:], f] for syms, f in table], n_merges)
+    want = _wp_bruteforce([[syms[:], f] for syms, f in table], n_merges)
+    assert got == want

@@ -200,6 +200,57 @@ def test_bpe_encode_replays_merges(spark):
     assert "Exchange" not in plan
 
 
+def test_wordpiece_prefers_rare_unit_pairs(spark):
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    # classic WordPiece property: 'q'+'x' (each rare, always together)
+    # outscores the more FREQUENT pair built from common units — plain BPE
+    # would merge the frequent pair first.
+    docs = spark.createDataFrame(
+        [(1, "qx qx aa aa aa aa aa")], "doc_id long, text string"
+    )
+    wp, _ = bpe_train(docs, n_merges=1, score="likelihood")
+    freq, _ = bpe_train(docs, n_merges=1, score="freq")
+    assert (wp.first().a, wp.first().b) == ("q", "x")
+    # plain BPE merges a frequent-unit pair instead ((a,</w>) and (a,a)
+    # tie at 5; '</w>' < 'a' so the lexicographic tiebreak picks it)
+    assert (freq.first().a, freq.first().b) == ("a", "</w>")
+
+
+def test_wordpiece_local_matches_relational_and_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark.operators.bpe import (bpe_train,
+                                                   bpe_train_oracle_sql)
+    from tests.oracle_utils import compare
+
+    texts = [(1, "the cat sat on the mat"), (2, "that hat is flat"),
+             (3, "cats chatter")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, vocab = bpe_train(docs, n_merges=6, score="likelihood",
+                              strategy="local")
+    rel, _ = bpe_train(docs, n_merges=6, score="likelihood",
+                       strategy="relational")
+    key = lambda r: r.rank  # noqa: E731
+    assert [tuple(r) for r in sorted(merges.collect(), key=key)] == \
+           [tuple(r) for r in sorted(rel.collect(), key=key)]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in texts:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    out = merges.select(
+        F.lit("merge").alias("op"), "rank", "a", "b",
+        F.col("count").alias("cnt"),
+    ).unionByName(vocab.select(
+        F.lit("vocab").alias("op"), F.lit(None).cast("long").alias("rank"),
+        F.col("symbol").alias("a"), F.lit(None).cast("string").alias("b"),
+        F.col("freq").alias("cnt"),
+    ))
+    ok, msg = compare(
+        out, con, bpe_train_oracle_sql(n_merges=6, score="likelihood"))
+    assert ok, msg
+
+
 def test_ngram_counts(spark):
     docs = spark.createDataFrame(
         [(1, "a b c a b"), (2, "a b")], "doc_id long, text string"
