@@ -21,6 +21,7 @@ from judy_graph_db_spark import oracle as O
 from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
 from judy_graph_db_spark.operators import bpe as BPE
+from judy_graph_db_spark.operators import unigram as UNIGRAM
 from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
 from judy_graph_db_spark.operators import sampling as SA_ORACLE
@@ -3055,6 +3056,30 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("wp_merge").alias("op"), F.col("rank").alias("doc_id"),
         F.col("count").alias("a"), F.concat_ws("|", "a", "b").alias("s"),
         lN.alias("b"))
+    # unigram-LM tokenizer (Kudo 2018): seed vocab + whole-bit costs, and
+    # the Viterbi min-packed-cost segmentation of a word subset — hashed
+    # against the oracle's unrolled-DP twin
+    from judy_graph_db_spark.operators import unigram as UNI
+
+    useed = UNI.with_piece_costs(UNI.unigram_seed_vocab(
+        spark.table("documents"), max_piece_len=3, seed_size=64))
+    uv = useed.select(
+        F.lit("uni_seed").alias("op"), lN.alias("doc_id"),
+        F.col("cnt").alias("a"), F.col("piece").alias("s"),
+        F.col("cost_bits").alias("b"))
+    from judy_graph_db_spark.operators.unigram import WORD_TOKEN_RE as _UWRE
+
+    uwords = (
+        spark.table("documents")
+        .select(F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit(_UWRE), F.lit(0))).alias("word"))
+        .distinct()
+        .filter((F.length("word") <= 12) & F.col("word").startswith("c"))
+    )
+    ug = UNI.unigram_segment_words(uwords, useed, max_piece_len=3).select(
+        F.lit("uni_seg").alias("op"), lN.alias("doc_id"),
+        F.col("packed").alias("a"), F.col("word").alias("s"),
+        F.col("n_pieces").alias("b"))
     # tokenizer fertility on the same encoded subset: chars per token
     from judy_graph_db_spark.operators.bpe import bpe_compression
 
@@ -3067,7 +3092,8 @@ def _q_chunk_shard(spark, sf_dir):
         F.col("cpt_milli").alias("b"))
     return (ch.unionByName(sh).unionByName(ws).unionByName(pk)
             .unionByName(bm).unionByName(bv).unionByName(be)
-            .unionByName(bc).unionByName(tc).unionByName(wm))
+            .unionByName(bc).unionByName(tc).unionByName(wm)
+            .unionByName(uv).unionByName(ug))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3974,7 +4000,15 @@ FROM ({BPE.bpe_compression_oracle_sql(
 UNION ALL
 SELECT 'wp_merge', rank, cnt, a || '|' || b, NULL
 FROM ({BPE.bpe_train_oracle_sql(n_merges=6, score="likelihood")}) t7
-WHERE op = 'merge'""",
+WHERE op = 'merge'
+UNION ALL
+SELECT 'uni_seed', NULL, cnt, piece, cost_bits
+FROM ({UNIGRAM.unigram_seed_oracle_sql(max_piece_len=3, seed_size=64)}) t8
+UNION ALL
+SELECT 'uni_seg', NULL, packed, word, n_pieces
+FROM ({UNIGRAM.unigram_segment_oracle_sql(
+            max_piece_len=3, seed_size=64, max_word_len=12,
+            where_word="word LIKE 'c%'")}) t9""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d
