@@ -373,6 +373,17 @@ def sec_stats(spark, sf_dir, cpus, run):
 
     run("bloom_cms_hll", _sketches)
 
+    # tokenizer training: one corpus-wide word count feeds both learners
+    from judy_graph_db_spark.operators import bpe as BPE
+    from judy_graph_db_spark.operators import unigram as UNI
+
+    run("bpe_train16",
+        lambda: BPE.bpe_train(docs, n_merges=16)[0].count())
+    run("unigram_train2",
+        lambda: UNI.unigram_train(
+            docs, rounds=2, max_piece_len=4, seed_size=512,
+            vocab_size=256).count())
+
 
 def sec_temporal(spark, sf_dir, cpus, run):
     """Event-time operators + graph sampling."""
