@@ -536,7 +536,22 @@ def _q_dedup_docs(spark, sf_dir):
         F.lit("cluster").alias("op"), F.lit(None).cast("string").alias("h"),
         F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"),
         F.col("is_canonical").cast("long").alias("c"))
-    return exact.unionByName(clus)
+    # corpus-pair overlap: union-MinHash Jaccard + exact shingle counts →
+    # integer containment (even/odd doc split plays the two corpora)
+    cont = D.corpus_containment(
+        docs.withColumn("corpus",
+                        F.when(F.col("doc_id") % 2 == 0, "even")
+                        .otherwise("odd")),
+        "corpus").localCheckpoint(eager=True)
+    pair = F.concat_ws("|", "corpus_a", "corpus_b")
+    c1 = cont.select(F.lit("contain").alias("op"), pair.alias("h"),
+                     F.col("n_a").alias("a"), F.col("n_b").alias("b"),
+                     F.col("n_match").alias("c"))
+    c2 = cont.select(F.lit("containj").alias("op"), pair.alias("h"),
+                     F.col("jaccard_micro").alias("a"),
+                     F.col("contain_a_micro").alias("b"),
+                     F.col("contain_b_micro").alias("c"))
+    return exact.unionByName(clus).unionByName(c1).unionByName(c2)
 
 
 # -------------------------------------------------------------- multimodal
@@ -2783,6 +2798,15 @@ def _q_ann_search(spark, sf_dir):
         F.lit("mrr").alias("op"), sN.alias("s"),
         F.col("n_queries").alias("a"), F.col("n_hit").alias("b"),
         F.col("mrr_micro").alias("c"), lN.alias("d"))
+    # NDCG@10 of the probe-limited list under graded relevance (brute
+    # top-10, rel = 11 − rank) — whole-bit log2 discount, integer-exact
+    nd = S.ndcg(ivf10,
+                brute10.select("query_id", "vec_id",
+                               (11 - F.col("rank")).alias("rel")),
+                k=10, id_col="vec_id", rel_col="rel").select(
+        F.lit("ndcg").alias("op"), sN.alias("s"),
+        F.col("query_id").alias("a"), F.col("dcg").alias("b"),
+        F.col("idcg").alias("c"), F.col("ndcg_micro").alias("d"))
     # per-dimension integer sufficient stats (whitening prep / dead-dim
     # detector); min·2^21+max packs reversibly (|q| ≤ 2^20)
     ds = S.dimension_stats(embs, dim=64).select(
@@ -2815,7 +2839,7 @@ def _q_ann_search(spark, sf_dir):
             .unionByName(qt).unionByName(pool).unionByName(pqc)
             .unionByName(pqt).unionByName(rec).unionByName(rrf)
             .unionByName(ivfpq).unionByName(rp).unionByName(dh)
-            .unionByName(mr).unionByName(ds))
+            .unionByName(mr).unionByName(ds).unionByName(nd))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -3530,7 +3554,16 @@ SELECT 'exact' AS op, md5(text) AS h, MIN(doc_id) AS a,
 FROM documents GROUP BY md5(text)
 UNION ALL
 SELECT 'cluster', NULL, doc_id, cluster_id, CAST(is_canonical AS BIGINT)
-FROM ({O.dedup_clusters_sql()}) dc""",
+FROM ({O.dedup_clusters_sql()}) dc
+UNION ALL
+SELECT 'contain', corpus_a || '|' || corpus_b, n_a, n_b, n_match
+FROM ({O.corpus_containment_sql(
+        "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END")}) cc1
+UNION ALL
+SELECT 'containj', corpus_a || '|' || corpus_b, jaccard_micro,
+       contain_a_micro, contain_b_micro
+FROM ({O.corpus_containment_sql(
+        "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END")}) cc2""",
         # fixture text is pure ASCII (verified octet_length == length), so
         # md5(text)/ascii(char) equal the byte-level values the Python
         # decoder computes on the utf-8 payload
@@ -4095,6 +4128,15 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        CAST(SUM(rr) // COUNT(*) AS BIGINT) AS mrr_micro
 FROM mr_q) t16
+UNION ALL
+SELECT 'ndcg', NULL, query_id, dcg, idcg, ndcg_micro
+FROM ({S.ndcg_oracle_sql(
+    results_sql="SELECT 0 AS query_id, vec_id, rank FROM ("
+                + O.ivf_topk_sql(query_id=0, k=10, n_cells=4, n_probe=2)
+                + ")",
+    truth_sql="SELECT 0 AS query_id, vec_id, 11 - rank AS rel FROM ("
+              + O.cosine_topk_sql(query_id=0, k=10) + ")",
+    k=10, id_col="vec_id", rel_col="rel")}) t17
 UNION ALL
 SELECT 'dimstats', NULL, j, sum_q, sum_sq,
        (min_q + {1 << 20}) * {1 << 21} + (max_q + {1 << 20})

@@ -750,3 +750,61 @@ def jaccard_similarity_join(docs: DataFrame, threshold_permille: int = 500,
             F.expr("(1000 * common) div (sza + szb - common)")
             .alias("jaccard_permille"))
     )
+
+
+def corpus_containment(docs: DataFrame, group_col: str = "corpus",
+                       text_col: str = "text",
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Corpus-pair overlap estimation — "how much of corpus A is inside
+    corpus B" (dataset-overlap audits, dedup-before-mixing; Broder 1997
+    resemblance/containment): each corpus's shingle UNION gets one MinHash
+    signature (the min over every member doc's shingle hashes, per seed —
+    computed relationally, never by materializing the union), plus its
+    EXACT distinct-shingle count; per corpus pair, the matched-seed
+    fraction estimates Jaccard, and the inclusion–exclusion identity
+    ``|A∩B| = J/(1+J)·(|A|+|B|)`` converts it to integer containment.
+
+    Shuffle profile at 100 TB: one (group, shingle) distinct shuffle over
+    the exploded shingles (this also feeds the exact counts), one
+    group-keyed partial agg to corpus-count-sized signatures, then a
+    corpus² self-join over a relation with one row per CORPUS — broadcast
+    territory regardless of corpus size.
+
+    All integer, md5 hash family shared with :func:`minhash_signatures`
+    so the DuckDB twin (:func:`corpus_containment_sql`) reproduces it
+    bit-for-bit. Returns per pair (corpus_a < corpus_b):
+    ``(corpus_a, corpus_b, n_a, n_b, n_match, jaccard_micro, inter_est,
+    contain_a_micro, contain_b_micro)`` — contain_a = est. fraction of
+    A's shingles also in B.
+    """
+    rows = (
+        with_shingles(docs.select(group_col, text_col), text_col)
+        .select(group_col, F.explode("shingles").alias("_shingle"))
+        .distinct()
+    )
+    sig = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("_shingle"))))
+          .alias(f"_h{s}") for s in range(num_hashes)],
+    )
+    a = sig.select(F.col(group_col).alias("corpus_a"), F.col("n").alias("n_a"),
+                   *[F.col(f"_h{s}").alias(f"_a{s}") for s in range(num_hashes)])
+    b = sig.select(F.col(group_col).alias("corpus_b"), F.col("n").alias("n_b"),
+                   *[F.col(f"_h{s}").alias(f"_b{s}") for s in range(num_hashes)])
+    m = sum((F.col(f"_a{s}") == F.col(f"_b{s}")).cast("long")
+            for s in range(num_hashes))
+    pairs = (
+        a.join(b, F.col("corpus_a") < F.col("corpus_b"))
+        .select("corpus_a", "corpus_b", "n_a", "n_b", m.alias("n_match"))
+        .withColumn("jaccard_micro",
+                    F.expr(f"1000000 * n_match div {num_hashes}"))
+        .withColumn("inter_est",
+                    F.expr("jaccard_micro * (n_a + n_b) "
+                           "div (1000000 + jaccard_micro)"))
+    )
+    return pairs.select(
+        "corpus_a", "corpus_b", "n_a", "n_b", "n_match", "jaccard_micro",
+        "inter_est",
+        F.expr("1000000 * inter_est div n_a").alias("contain_a_micro"),
+        F.expr("1000000 * inter_est div n_b").alias("contain_b_micro"),
+    )

@@ -604,3 +604,90 @@ def mrr(results: DataFrame, truth: DataFrame,
         F.sum((F.col("__rr") > 0).cast("long")).alias("n_hit"),
         F.expr("sum(__rr) div count(1)").alias("mrr_micro"),
     )
+
+
+def ndcg(results: DataFrame, truth: DataFrame, k: int = 10,
+         query_col: str = "query_id", id_col: str = "id",
+         rank_col: str = "rank", rel_col: str | None = None) -> DataFrame:
+    """NDCG@k in the engine's integer-log2 currency — the graded-relevance
+    retrieval metric completing `topk_recall` / `mrr` / `rrf_fuse`
+    (Järvelin & Kekäläinen 2002). Discount at rank r is the whole-bit
+    stand-in for 1/log2(r+1): ``1000000 div bits(r+1)`` with
+    ``bits(x) = length(bin(x))`` — the same idiom as
+    ``analytics.adamic_adar``, exact in both engines where float log2
+    discounts would not hash-gate. DCG sums ``rel · discount(rank)`` over
+    retrieved relevant results; IDCG applies the same discount to the
+    truth set re-ranked by (rel DESC, id ASC); queries with truth but no
+    hits score 0 through the truth-side outer join.
+
+    ``truth`` is ``(query, id[, rel])`` — binary relevance 1 when
+    ``rel_col`` is None. Both inputs are top-k-sized relations; the only
+    shuffles are the (query, id) hit join and two query-keyed partial
+    aggs, and the ideal-rank window partitions by query (eval-set-sized,
+    never corpus-sized).
+
+    Returns per-query ``(query_col, dcg, idcg, ndcg_micro)``.
+    """
+    rel = (F.col(rel_col).cast("long") if rel_col is not None
+           else F.lit(1).cast("long"))
+    tru = truth.select(query_col, id_col, rel.alias("__rel"))
+
+    def _disc(rank_expr: str) -> Column:
+        return F.expr(f"1000000 div length(bin({rank_expr} + 1))")
+
+    hits = (
+        results.filter(F.col(rank_col) <= k)
+        .select(query_col, id_col, F.col(rank_col).alias("__rk"))
+        .join(tru, [query_col, id_col])
+        .select(query_col, (F.col("__rel") * _disc("__rk")).alias("__g"))
+    )
+    dcg = hits.groupBy(query_col).agg(F.sum("__g").alias("dcg"))
+    ideal = (
+        tru.withColumn(
+            "__ir",
+            F.row_number().over(
+                Window.partitionBy(query_col)
+                .orderBy(F.col("__rel").desc(), F.col(id_col).asc())),
+        )
+        .filter(F.col("__ir") <= k)
+        .groupBy(query_col)
+        .agg(F.sum(F.col("__rel") * _disc("__ir")).alias("idcg"))
+    )
+    return ideal.join(dcg, query_col, "left").select(
+        query_col,
+        F.coalesce(F.col("dcg"), F.lit(0)).alias("dcg"),
+        F.col("idcg"),
+        F.expr("1000000 * coalesce(dcg, 0) div idcg").alias("ndcg_micro"),
+    )
+
+
+def ndcg_oracle_sql(results_sql: str, truth_sql: str, k: int = 10,
+                    query_col: str = "query_id", id_col: str = "id",
+                    rank_col: str = "rank",
+                    rel_col: str | None = None) -> str:
+    """DuckDB twin of :func:`ndcg` (same whole-bit discount)."""
+    rel = f"CAST({rel_col} AS BIGINT)" if rel_col is not None else "1"
+    q, i, r = query_col, id_col, rank_col
+    return f"""
+WITH ndcg_res AS ({results_sql}),
+ndcg_tru AS (SELECT {q}, {i}, {rel} AS rel FROM ({truth_sql})),
+ndcg_dcg AS (
+  SELECT a.{q}, SUM(t.rel * (1000000 // length(bin(a.{r} + 1)))) AS dcg
+  FROM ndcg_res a JOIN ndcg_tru t USING ({q}, {i})
+  WHERE a.{r} <= {int(k)}
+  GROUP BY a.{q}
+),
+ndcg_idl AS (
+  SELECT {q}, SUM(rel * (1000000 // length(bin(ir + 1)))) AS idcg
+  FROM (
+    SELECT {q}, rel, ROW_NUMBER() OVER (
+      PARTITION BY {q} ORDER BY rel DESC, {i} ASC) AS ir
+    FROM ndcg_tru
+  ) WHERE ir <= {int(k)}
+  GROUP BY {q}
+)
+SELECT l.{q}, CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg,
+       CAST(l.idcg AS BIGINT) AS idcg,
+       CAST(1000000 * COALESCE(d.dcg, 0) // l.idcg AS BIGINT) AS ndcg_micro
+FROM ndcg_idl l LEFT JOIN ndcg_dcg d USING ({q})
+"""

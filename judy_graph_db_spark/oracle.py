@@ -289,6 +289,55 @@ FROM c LEFT JOIN b ON b.sh = c.sh
 GROUP BY c.doc_id"""
 
 
+def corpus_containment_sql(group_expr: str,
+                           table: str = "documents",
+                           text_col: str = "text",
+                           num_hashes: int = NUM_HASHES) -> str:
+    """Twin of ``operators.dedup.corpus_containment`` — union-MinHash
+    corpus-pair Jaccard/containment with exact distinct-shingle counts."""
+    hcols = ",\n         ".join(
+        f"MIN(md5(concat('{s}:', shingle))) AS h{s}"
+        for s in range(num_hashes))
+    match = " + ".join(
+        f"(CASE WHEN a.h{s} = b.h{s} THEN 1 ELSE 0 END)"
+        for s in range(num_hashes))
+    return f"""
+WITH cc_sh AS (
+  SELECT {group_expr} AS grp,
+         unnest({shingles_sql(text_col)}) AS shingle
+  FROM {table}
+),
+cc_ds AS (SELECT DISTINCT grp, shingle FROM cc_sh),
+cc_sig AS (
+  SELECT grp, COUNT(*) AS n,
+         {hcols}
+  FROM cc_ds GROUP BY grp
+),
+cc_pair AS (
+  SELECT a.grp AS corpus_a, b.grp AS corpus_b,
+         a.n AS n_a, b.n AS n_b,
+         CAST({match} AS BIGINT) AS n_match
+  FROM cc_sig a JOIN cc_sig b ON a.grp < b.grp
+),
+cc_j AS (
+  SELECT *, 1000000 * n_match // {num_hashes} AS jaccard_micro
+  FROM cc_pair
+),
+cc_i AS (
+  SELECT *, jaccard_micro * (n_a + n_b) // (1000000 + jaccard_micro)
+            AS inter_est
+  FROM cc_j
+)
+SELECT corpus_a, corpus_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, n_match,
+       CAST(jaccard_micro AS BIGINT) AS jaccard_micro,
+       CAST(inter_est AS BIGINT) AS inter_est,
+       CAST(1000000 * inter_est // n_a AS BIGINT) AS contain_a_micro,
+       CAST(1000000 * inter_est // n_b AS BIGINT) AS contain_b_micro
+FROM cc_i
+"""
+
+
 def ngram_jaccard_sql(id_col: str = "doc_id", text_col: str = "text",
                       table: str = "documents") -> str:
     """Twin of ``ngram_jaccard_pairs`` over the LSH candidates."""

@@ -1562,3 +1562,92 @@ def test_url_blocklist_filter_and_dedup(spark):
            for r in CU.url_dedup(ddf).collect()}
     assert got == {"https://site.com/page": (1, 3),
                    "https://site.com/other": (4, 1)}
+
+
+def test_ndcg_hand_values(spark):
+    """Whole-bit-discount NDCG@k: hand-check DCG/IDCG on a 3-query eval —
+    perfect ranking scores 1e6, inverted ranking scores less, a query with
+    truth but no hits scores 0 (truth-side outer join)."""
+    from judy_graph_db_spark.operators.similarity import ndcg
+
+    # discount(r) = 1000000 div bits(r+1): r=1 -> 500000, r=2 -> 500000,
+    # r=3 -> 333333 (bits(4)=3)
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2),          # q1: perfect order
+         (2, 21, 1), (2, 20, 2)],         # q2: inverted order
+        "query_id long, id long, rank long")
+    truth = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1),
+         (2, 20, 3), (2, 21, 1),
+         (3, 30, 2)],                     # q3: never retrieved
+        "query_id long, id long, rel long")
+    got = {r.query_id: (r.dcg, r.idcg, r.ndcg_micro)
+           for r in ndcg(res, truth, k=10, rel_col="rel").collect()}
+    ideal = 3 * 500000 + 1 * 500000           # rel-desc at ranks 1, 2
+    assert got[1] == (ideal, ideal, 1000000)
+    inv = 1 * 500000 + 3 * 500000             # same discounts here (bits eq)
+    assert got[2] == (inv, ideal, 1000000)    # step discount ties rank 1,2
+    assert got[3] == (0, 2 * 500000, 0)
+    # k truncation: with k=1 the inverted query keeps only its rank-1 hit
+    got1 = {r.query_id: r.dcg
+            for r in ndcg(res, truth, k=1, rel_col="rel").collect()}
+    assert got1[2] == 1 * 500000
+
+
+def test_ndcg_binary_default_and_rank3_discount(spark):
+    """Binary relevance when rel_col is None; rank 3 uses the 333333
+    discount step."""
+    from judy_graph_db_spark.operators.similarity import ndcg
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, id long, rank long")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 12)], "query_id long, id long")
+    got = ndcg(res, truth, k=3).collect()[0]
+    assert got.dcg == 500000 + 333333
+    assert got.idcg == 500000 + 500000          # ideal ranks 1, 2
+    assert got.ndcg_micro == (833333 * 1000000) // 1000000
+
+
+def test_corpus_containment_identical_and_disjoint(spark):
+    """Identical corpora estimate J=1 and containment=1; disjoint corpora
+    estimate 0; counts are exact distinct-shingle counts."""
+    from judy_graph_db_spark.operators.dedup import corpus_containment
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [("a", 0, base), ("a", 1, "completely different words here " * 4),
+            ("b", 2, base), ("b", 3, "completely different words here " * 4)]
+    docs = spark.createDataFrame(rows, "corpus string, doc_id long, text string")
+    got = corpus_containment(docs, "corpus").collect()[0]
+    assert (got.corpus_a, got.corpus_b) == ("a", "b")
+    assert got.n_a == got.n_b
+    assert got.jaccard_micro == 1000000
+    assert got.contain_a_micro == 1000000 and got.contain_b_micro == 1000000
+    # inter_est = J/(1+J)·(n_a+n_b) = (n_a+n_b)/2 = n_a exactly
+    assert got.inter_est == got.n_a
+
+    rows2 = [("a", 0, "alpha beta gamma delta epsilon zeta " * 4),
+             ("b", 1, "one two three four five six seven eight " * 4)]
+    docs2 = spark.createDataFrame(rows2, "corpus string, doc_id long, text string")
+    got2 = corpus_containment(docs2, "corpus").collect()[0]
+    assert got2.n_match == 0 and got2.jaccard_micro == 0
+    assert got2.inter_est == 0 and got2.contain_a_micro == 0
+
+
+def test_corpus_containment_matches_duckdb(spark, docs):
+    """Bit-for-bit twin agreement on the shared fixture corpus split."""
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.operators.dedup import corpus_containment
+    from pyspark.sql import functions as F
+
+    split = docs.withColumn(
+        "corpus", F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"))
+    got = sorted(map(tuple, corpus_containment(split, "corpus").collect()))
+    duck = duckdb.connect()
+    duck.register("documents", docs.toPandas())
+    want = sorted(map(tuple, duck.sql(O.corpus_containment_sql(
+        "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END")).fetchall()))
+    assert got == want
