@@ -1387,6 +1387,9 @@ def _q_doc_signals(spark, sf_dir):
         T.dup_token_permille(t).alias("dup_token_pm"),
         T.sentence_count(t).alias("n_sentences"),
         T.words_per_sentence_milli(t).alias("wps_milli"),
+        T.syllable_count(t).alias("n_syllables"),
+        T.flesch_reading_ease_milli(t).alias("fre_milli"),
+        T.fk_grade_milli(t).alias("fk_milli"),
         T.lang_id(t).alias("lang"),
         T.fingerprint(t).alias("fp"),
         D.simhash(t).alias("simhash"),
@@ -3522,6 +3525,9 @@ SELECT doc_id,
        {O.dup_token_permille_sql()} AS dup_token_pm,
        {O.sentence_count_sql()} AS n_sentences,
        {O.words_per_sentence_sql()} AS wps_milli,
+       {O.syllable_count_sql()} AS n_syllables,
+       {O.flesch_reading_ease_sql()} AS fre_milli,
+       {O.fk_grade_sql()} AS fk_milli,
        {O.lang_id_sql()} AS lang,
        {O.fingerprint_sql()} AS fp,
        {O.simhash_sql()} AS simhash,

@@ -392,3 +392,41 @@ def registered_domain(host: Column) -> Column:
         .when(n >= 2, F.concat_ws(".", mid, last))
         .otherwise(host)
     )
+
+
+def syllable_count(text: Column) -> Column:
+    """Approximate syllable count: vowel-group runs (``[aeiouy]+``) over
+    the lowercased text — the standard readability-formula heuristic
+    (exact syllabification needs a dictionary; vowel runs are the
+    published closed-form stand-in). Twin: ``syllable_count_sql``."""
+    return F.regexp_count(F.lower(text), F.lit("[aeiouy]+")).cast("long")
+
+
+def flesch_reading_ease_milli(text: Column) -> Column:
+    """Flesch reading ease (Flesch 1948) in integer milli:
+    ``206835 − 1015·(words div sentences) − 84600·(syllables div words)``
+    with each ratio floored AFTER scaling (numerators are non-negative, so
+    Spark ``div`` and DuckDB ``//`` agree; the final subtraction may go
+    negative but no division touches a negative). Zero-sentence /
+    zero-word docs divide by the floor-1 guard."""
+    w = token_count(text)
+    s0 = F.greatest(sentence_count(text), F.lit(1))
+    w0 = F.greatest(w, F.lit(1))
+    y = syllable_count(text)
+    return (F.lit(206835)
+            - F.floor(w * 1015 / s0).cast("long")
+            - F.floor(y * 84600 / w0).cast("long")).cast("long")
+
+
+def fk_grade_milli(text: Column) -> Column:
+    """Flesch–Kincaid grade level (Kincaid et al. 1975) in integer milli:
+    ``390·(words div sentences) + 11800·(syllables div words) − 15590``,
+    same guards and integer-exactness contract as
+    :func:`flesch_reading_ease_milli`."""
+    w = token_count(text)
+    s0 = F.greatest(sentence_count(text), F.lit(1))
+    w0 = F.greatest(w, F.lit(1))
+    y = syllable_count(text)
+    return (F.floor(w * 390 / s0).cast("long")
+            + F.floor(y * 11800 / w0).cast("long")
+            - F.lit(15590)).cast("long")

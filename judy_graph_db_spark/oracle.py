@@ -2164,6 +2164,30 @@ def words_per_sentence_sql(col: str = "text") -> str:
             f"ELSE 0 END AS BIGINT)")
 
 
+def syllable_count_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.syllable_count``."""
+    return (f"CAST(len(regexp_extract_all(lower({col}), '[aeiouy]+')) "
+            f"AS BIGINT)")
+
+
+def flesch_reading_ease_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.flesch_reading_ease_milli``."""
+    w = token_count_sql(col)
+    s = sentence_count_sql(col)
+    y = syllable_count_sql(col)
+    return (f"CAST(206835 - ({w}) * 1015 // greatest({s}, 1) "
+            f"- ({y}) * 84600 // greatest({w}, 1) AS BIGINT)")
+
+
+def fk_grade_sql(col: str = "text") -> str:
+    """Twin of ``functions.text.fk_grade_milli``."""
+    w = token_count_sql(col)
+    s = sentence_count_sql(col)
+    y = syllable_count_sql(col)
+    return (f"CAST(({w}) * 390 // greatest({s}, 1) "
+            f"+ ({y}) * 11800 // greatest({w}, 1) - 15590 AS BIGINT)")
+
+
 def char_entropy_bits_sql(id_col: str = "doc_id", text_col: str = "text",
                           table: str = "documents") -> str:
     """Twin of ``stats.char_entropy_bits``."""

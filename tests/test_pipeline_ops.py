@@ -1651,3 +1651,40 @@ def test_corpus_containment_matches_duckdb(spark, docs):
     want = sorted(map(tuple, duck.sql(O.corpus_containment_sql(
         "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END")).fetchall()))
     assert got == want
+
+
+def test_readability_hand_values(spark):
+    """Flesch / FK integer-milli formulas on a hand-computed sentence,
+    plus twin agreement and the zero-word guard."""
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.functions import text as T
+
+    rows = [(0, "The cat sat on the mat. It was happy!"),
+            (1, "Incomprehensibility characterizes bureaucratic "
+                "administrations notwithstanding organizational "
+                "simplification."),
+            (2, ""), (3, "!!!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.y, r.fre, r.fk) for r in df.select(
+        "doc_id",
+        T.syllable_count(F.col("text")).alias("y"),
+        T.flesch_reading_ease_milli(F.col("text")).alias("fre"),
+        T.fk_grade_milli(F.col("text")).alias("fk")).collect()}
+    # doc 0: W=9 tokens, S=2 sentences, Y=10 vowel groups ("happy" = a + y)
+    w, s, y = 9, 2, 10
+    assert got[0][0] == y
+    assert got[0][1] == 206835 - w * 1015 // s - y * 84600 // w
+    assert got[0][2] == w * 390 // s + y * 11800 // w - 15590
+    # doc 1 is dense polysyllabic prose: much harder than doc 0
+    assert got[1][1] < got[0][1] and got[1][2] > got[0][2]
+    # empty / no-word docs: guards keep the formula total
+    assert got[2] == (0, 206835, -15590)
+    duck = duckdb.connect()
+    duck.register("t", df.toPandas())
+    want = {r[0]: (r[1], r[2], r[3]) for r in duck.sql(
+        f"SELECT doc_id, {O.syllable_count_sql()}, "
+        f"{O.flesch_reading_ease_sql()}, {O.fk_grade_sql()} FROM t"
+    ).fetchall()}
+    assert got == want
