@@ -2955,8 +2955,39 @@ def _q_stream_maintain(spark, sf_dir):
              - ep0.cast("long")).alias("n"),
             (F.col("valid_to").cast("long")
              - ep0.cast("long")).alias("sum_value_cents"))
+        # streaming NEAR-dup fold: LSH band-bucket store maintained over
+        # two ordered micro-batches (doc_id < 150 folded before the rest,
+        # same file-then-drain choreography as the SCD2 fold); the folded
+        # flags must equal the batch first-arrival twin over the union
+        from judy_graph_db_spark.streaming.neardup import (
+            foreach_batch_neardup, read_flags)
+
+        nd_in = f"{base}/nd_in"
+        docs_nd = spark.table("documents") \
+            .filter(F.col("doc_id") < 300).select("doc_id", "text")
+        docs_nd.filter(F.col("doc_id") < 150).coalesce(1) \
+            .write.mode("overwrite").parquet(nd_in)
+
+        def nd_stream():
+            return (spark.readStream.schema("doc_id long, text string")
+                    .parquet(nd_in))
+
+        q5 = foreach_batch_neardup(nd_stream(), f"{base}/nd",
+                                   checkpoint=f"{base}/ck4")
+        q5.awaitTermination(600)
+        docs_nd.filter(F.col("doc_id") >= 150).coalesce(1) \
+            .write.mode("append").parquet(nd_in)
+        q6 = foreach_batch_neardup(nd_stream(), f"{base}/nd",
+                                   checkpoint=f"{base}/ck4")
+        q6.awaitTermination(600)
+        nd = read_flags(spark, f"{base}/nd").select(
+            F.lit("sk_ndup").alias("op"),
+            F.col("doc_id").cast("long").alias("hour_bucket"),
+            sN.alias("event_type"), F.col("dup_of").alias("n"),
+            lN.alias("sum_value_cents"))
         return (cms.unionByName(hll).unionByName(bloom).unionByName(cc)
-                .unionByName(scd).localCheckpoint(eager=True))
+                .unionByName(scd).unionByName(nd)
+                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -3469,6 +3500,9 @@ sd_rows AS (
   WHERE d.key IS NULL OR d.value <> u.value
 )
 SELECT key, value, vfrom, vto FROM sd_rows) smsd
+UNION ALL
+SELECT 'sk_ndup', doc_id, NULL, dup_of, NULL
+FROM ({O.neardup_flags_sql(where="doc_id < 300")}) smnd
 UNION ALL
 SELECT 'slide_stream', win_start, event_type, n, sum_cents
 FROM (WITH ssw_k AS (

@@ -232,6 +232,29 @@ SELECT doc_a, doc_b FROM pairs
 """
 
 
+def neardup_flags_sql(id_col: str = "doc_id", text_col: str = "text",
+                      table: str = "documents", where: str = "TRUE",
+                      num_hashes: int = NUM_HASHES,
+                      band_rows: int = BAND_ROWS) -> str:
+    """Twin of ``streaming.neardup``'s batch-equivalent flags: per doc,
+    the min first-arrival (= min id) keeper over its LSH band buckets,
+    kept when smaller than the doc's own id."""
+    chain = _lsh_cte_chain(id_col, text_col,
+                           f"(SELECT * FROM {table} WHERE {where}) ndsrc",
+                           num_hashes, band_rows)
+    return f"""
+WITH {chain},
+ndkeep AS (
+  SELECT band_idx, band_hash, MIN(doc_id) AS keep_id
+  FROM bands GROUP BY band_idx, band_hash
+)
+SELECT b.doc_id, CAST(MIN(k.keep_id) AS BIGINT) AS dup_of
+FROM bands b JOIN ndkeep k USING (band_idx, band_hash)
+WHERE k.keep_id < b.doc_id
+GROUP BY b.doc_id
+"""
+
+
 def dedup_clusters_sql(id_col: str = "doc_id", text_col: str = "text",
                        table: str = "documents",
                        num_hashes: int = NUM_HASHES,

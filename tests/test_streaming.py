@@ -741,3 +741,86 @@ def test_streaming_scd2_compaction(spark, tmp_path):
          .schema("key string, value long, ts timestamp")
          .csv(str(src))), store, **kw))
     assert _latest_version(store) == 3
+
+
+def test_streaming_neardup_equal_batch(spark, tmp_path):
+    """Near-dup flags folded over an ordered two-batch split must equal
+    the batch first-arrival semantics over the union, and the bucket
+    store must be append-only (batch 2 appends b=1, never rewrites
+    b=0)."""
+    from judy_graph_db_spark.streaming.neardup import (
+        foreach_batch_neardup, neardup_batch_equivalent, read_buckets,
+        read_flags)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide open field at dusk ")
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+            "one two three four five six seven eight nine ten eleven " * 3]
+    batch1 = [(0, base), (1, uniq[0]), (2, base)]          # 2 dups up front
+    batch2 = [(3, uniq[1]), (4, base), (5, uniq[0])]       # dups of both
+    src = tmp_path / "docs"
+    store = str(tmp_path / "nd")
+    ckpt = str(tmp_path / "ck")
+    src.mkdir()
+    spark.createDataFrame(batch1, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "p1"))
+
+    def stream():
+        return (spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 8)
+                .parquet(str(src) + "/*"))
+
+    _drain(foreach_batch_neardup(stream(), store, checkpoint=ckpt))
+    b0_files = sorted(os.listdir(os.path.join(store, "buckets", "b=0")))
+    spark.createDataFrame(batch2, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "p2"))
+    _drain(foreach_batch_neardup(stream(), store, checkpoint=ckpt))
+
+    assert sorted(os.listdir(os.path.join(store, "buckets", "b=0"))) \
+        == b0_files  # append-only: the first slice is untouched
+    full = spark.createDataFrame(batch1 + batch2,
+                                 "doc_id long, text string")
+    want = sorted(map(tuple, neardup_batch_equivalent(full).collect()))
+    got = sorted(map(tuple, read_flags(spark, store).collect()))
+    assert got == want
+    assert (0, 2) not in dict((b, a) for a, b in got).items()
+    # flags must include the cross-batch dup (4 -> 0) and in-batch (2 -> 0)
+    d = dict(got)
+    assert d[2] == 0 and d[4] == 0 and d[5] == 1 and 3 not in d
+    # bucket store equals the batch bucket-min relation
+    from judy_graph_db_spark.streaming.neardup import band_rows_of
+    want_b = sorted(map(tuple, band_rows_of(full).groupBy(
+        "band_idx", "band_hash").agg(
+        F.min("doc_id").alias("keep_id")).collect()))
+    got_b = sorted(map(tuple, read_buckets(spark, store).collect()))
+    assert got_b == want_b
+
+
+def test_streaming_neardup_replay_idempotent(spark, tmp_path):
+    """A re-delivered (replay_id, batch 0) must not append a second
+    slice."""
+    from judy_graph_db_spark.streaming.neardup import (
+        _complete_slices, foreach_batch_neardup, read_flags)
+
+    src = tmp_path / "docs"
+    store = str(tmp_path / "nd")
+    src.mkdir()
+    rows = [(0, "same text repeated here for the shingle window " * 3),
+            (1, "same text repeated here for the shingle window " * 3)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src / "p1"))
+
+    def stream():
+        return (spark.readStream.schema("doc_id long, text string")
+                .parquet(str(src) + "/*"))
+
+    _drain(foreach_batch_neardup(stream(), store,
+                                 checkpoint=str(tmp_path / "ck1"),
+                                 replay_id="nd-stream"))
+    n1 = len(_complete_slices(store, "buckets"))
+    _drain(foreach_batch_neardup(stream(), store,
+                                 checkpoint=str(tmp_path / "ck2"),
+                                 replay_id="nd-stream"))
+    assert len(_complete_slices(store, "buckets")) == n1
+    assert sorted(map(tuple, read_flags(spark, store).collect())) \
+        == [(1, 0)]
