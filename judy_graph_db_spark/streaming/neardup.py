@@ -59,26 +59,56 @@ def band_rows_of(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _best_compact(root: str) -> tuple[int, Optional[str]]:
+    """Highest COMPLETE ``compact=H`` dir (meta present), or (-1, None).
+    When a crash between a new compact's meta and the old one's deletion
+    leaves two, the higher wins — it is a superset by construction."""
+    best, best_path = -1, None
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if (d.startswith("compact=") and d[8:].isdigit()
+                    and os.path.exists(os.path.join(root, d,
+                                                    "_compact_meta.json"))):
+                hi = int(d[8:])
+                if hi > best:
+                    best, best_path = hi, os.path.join(root, d)
+    return best, best_path
+
+
 def _complete_slices(store: str, sub: str) -> list:
+    """Readable slice paths: the best compacted dir (standing in for
+    every ``b=N`` it covers) plus complete ``b=N`` dirs above it."""
     root = os.path.join(store, sub)
     if not os.path.isdir(root):
         return []
-    out = []
+    hi, compact = _best_compact(root)
+    out = [compact] if compact else []
     for d in os.listdir(root):
-        if (d.startswith("b=") and d[2:].isdigit()
+        if (d.startswith("b=") and d[2:].isdigit() and int(d[2:]) > hi
                 and os.path.exists(os.path.join(root, d,
                                                 "_batch_meta.json"))):
             out.append(os.path.join(root, d))
-    return sorted(out, key=lambda p: int(os.path.basename(p)[2:]))
+    return sorted(out, key=lambda p: (
+        0 if os.path.basename(p).startswith("compact=")
+        else 1 + int(os.path.basename(p)[2:])))
 
 
 def _latest_meta(store: str) -> tuple[Optional[int], Optional[dict]]:
+    """Latest fold version and its replay meta — from the newest ``b=N``
+    slice, or from the compact marker when compaction consumed them (the
+    compact meta carries the covered top slice's replay identity so the
+    guard survives compaction)."""
     slices = _complete_slices(store, "buckets")
     if not slices:
         return None, None
     last = slices[-1]
+    name = os.path.basename(last)
+    if name.startswith("compact="):
+        with open(os.path.join(last, "_compact_meta.json")) as fh:
+            meta = json.load(fh)
+        return int(name[8:]), meta
     with open(os.path.join(last, "_batch_meta.json")) as fh:
-        return int(os.path.basename(last)[2:]), json.load(fh)
+        return int(name[2:]), json.load(fh)
 
 
 def read_buckets(spark, store: str) -> Optional[DataFrame]:
@@ -98,15 +128,63 @@ def read_flags(spark, store: str) -> Optional[DataFrame]:
     return spark.read.parquet(*slices)
 
 
+def compact_store(spark, store: str) -> int:
+    """Opt-in small-files compaction (the ``dimensions.compact_closed``
+    pattern — after 10⁴ folds the append-only layout leaves 10⁴ tiny
+    directories per sub-store): coalesce the best compact + every
+    complete ``b=N`` of each sub-store into one ``compact=<latest>``
+    directory, meta marker after the parquet, source deletes last.
+    The compact meta carries the top slice's replay identity so the
+    replayed-batch guard survives. ``flags`` compacts before ``buckets``
+    — the version/replay state keys on ``buckets``, so a crash between
+    the two leaves a store the next fold (or compaction) handles.
+    Returns the number of source dirs coalesced."""
+    import shutil
+
+    latest, meta = _latest_meta(store)
+    if latest is None:
+        return 0
+    n = 0
+    for sub in ("flags", "buckets"):
+        root = os.path.join(store, sub)
+        sources = _complete_slices(store, sub)
+        if len(sources) <= 1 and (not sources or
+                                  "compact=" in os.path.basename(sources[0])):
+            continue  # nothing new to fold in
+        out = os.path.join(root, f"compact={latest}")
+        tmp = out + "._tmp"
+        spark.read.parquet(*sources).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)  # crashed earlier attempt
+        os.rename(tmp, out)
+        with open(os.path.join(out, "_compact_meta.json"), "w") as fh:
+            json.dump({"hi": latest,
+                       "checkpoint": (meta or {}).get("checkpoint"),
+                       "batch_id": (meta or {}).get("batch_id")}, fh)
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if full == out:
+                continue
+            if d.startswith("b=") and d[2:].isdigit() \
+                    and int(d[2:]) <= latest:
+                shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith("compact=") and d[8:].isdigit() \
+                    and int(d[8:]) < latest:
+                shutil.rmtree(full, ignore_errors=True)
+        n += len(sources)
+    return n
+
+
 def foreach_batch_neardup(stream: DataFrame, store: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           checkpoint: Optional[str] = None,
                           num_hashes: int = NUM_HASHES,
                           band_rows: int = BAND_ROWS,
                           available_now: bool = True,
-                          replay_id: Optional[str] = None):
+                          replay_id: Optional[str] = None,
+                          compact_every: Optional[int] = None):
     """Fold a document stream into the near-dup store. Returns the
-    started StreamingQuery."""
+    started StreamingQuery. ``compact_every=K`` runs
+    :func:`compact_store` after every K-th fold."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -139,6 +217,16 @@ def foreach_batch_neardup(stream: DataFrame, store: str,
             .groupBy("doc_id")
             .agg(F.min("eff_keep").alias("dup_of"))
         )
+        # content idempotence under FULL re-delivery (a fresh-checkpoint
+        # replay arrives as batch 0 and defeats the batch-id guard): a
+        # doc already flagged never re-appends — the anti-join is
+        # batch-keyed, and with monotone ids a re-delivered doc's
+        # recomputed dup_of equals its stored one, so dropping it is
+        # lossless
+        prev_flags = read_flags(spark, store)
+        if prev_flags is not None:
+            flags = flags.join(prev_flags.select("doc_id"),
+                               "doc_id", "left_anti")
         new_buckets = eff.filter("is_new").select(
             "band_idx", "band_hash", F.col("batch_keep").alias("keep_id"))
 
@@ -153,6 +241,8 @@ def foreach_batch_neardup(stream: DataFrame, store: str,
         for d in (fdir, bdir):
             with open(os.path.join(d, "_batch_meta.json"), "w") as fh:
                 json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        if compact_every and (new_version + 1) % int(compact_every) == 0:
+            compact_store(spark, store)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

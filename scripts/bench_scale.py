@@ -21,7 +21,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SECTIONS = ["core", "components", "analytics", "dedup", "similarity"]
+SECTIONS = ["core", "components", "analytics", "dedup", "similarity",
+            "curation", "stats", "temporal"]
 SF_DIRS = {"0.1": "/root/testdata/sf0.1",
            "1.0": os.path.join(REPO, ".scale", "sf1.0")}
 

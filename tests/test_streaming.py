@@ -824,3 +824,62 @@ def test_streaming_neardup_replay_idempotent(spark, tmp_path):
     assert len(_complete_slices(store, "buckets")) == n1
     assert sorted(map(tuple, read_flags(spark, store).collect())) \
         == [(1, 0)]
+
+
+def test_streaming_neardup_compaction(spark, tmp_path):
+    """compact_every folds the b=N slices into one compact dir per
+    sub-store with identical read-back content, and the replay guard
+    survives compaction (a re-delivered batch after compaction is still
+    detected)."""
+    from judy_graph_db_spark.streaming.neardup import (
+        _complete_slices, compact_store, foreach_batch_neardup,
+        neardup_batch_equivalent, read_buckets, read_flags)
+
+    src = tmp_path / "docs"
+    store = str(tmp_path / "nd")
+    src.mkdir()
+    base = "shared text for every duplicate document in this corpus " * 3
+    b1 = [(0, base), (1, "first unique filler words go here today " * 3)]
+    b2 = [(2, base), (3, "second unique filler other words here " * 3)]
+
+    def put(rows, name):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(str(src / name))
+
+    def stream():
+        return (spark.readStream.schema("doc_id long, text string")
+                .parquet(str(src) + "/*"))
+
+    put(b1, "p1")
+    _drain(foreach_batch_neardup(stream(), store,
+                                 checkpoint=str(tmp_path / "ck"),
+                                 replay_id="nd-c", compact_every=2))
+    put(b2, "p2")
+    _drain(foreach_batch_neardup(stream(), store,
+                                 checkpoint=str(tmp_path / "ck"),
+                                 replay_id="nd-c", compact_every=2))
+    # fold 2 triggered compaction: one compact slice per sub-store
+    for sub in ("buckets", "flags"):
+        slices = _complete_slices(store, sub)
+        assert len(slices) == 1
+        assert os.path.basename(slices[0]).startswith("compact=")
+    full = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    assert sorted(map(tuple, read_flags(spark, store).collect())) \
+        == sorted(map(tuple, neardup_batch_equivalent(full).collect()))
+    # FULL re-delivery from a fresh checkpoint arrives as batch 0 and
+    # defeats the batch-id guard — the fold must be a CONTENT fixpoint:
+    # no bucket changes (all already first-arrival), no re-appended flags
+    want_b = sorted(map(tuple, read_buckets(spark, store).collect()))
+    want_f = sorted(map(tuple, read_flags(spark, store).collect()))
+    _drain(foreach_batch_neardup(stream(), store,
+                                 checkpoint=str(tmp_path / "ck2"),
+                                 replay_id="nd-c"))
+    assert sorted(map(tuple, read_buckets(spark, store).collect())) == want_b
+    assert sorted(map(tuple, read_flags(spark, store).collect())) == want_f
+    # the replay fold appended (empty) b=2 slices; one compaction folds
+    # them into the marker, after which compaction is a no-op
+    compact_store(spark, store)
+    assert compact_store(spark, store) == 0
+    assert sorted(map(tuple, read_buckets(spark, store).collect())) == want_b
+    assert sorted(map(tuple, read_flags(spark, store).collect())) == want_f
