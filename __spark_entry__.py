@@ -1783,6 +1783,13 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("contam").alias("op"), "doc_id", sN.alias("split"),
         F.col("n_shingles").alias("n"), F.col("n_hits").alias("a"),
         F.col("contam_permille").alias("b"))
+    # fuzzy decontamination: corpus docs LSH-colliding with the eval set
+    fcontam = D.cross_corpus_neardup_pairs(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    ).select(
+        F.lit("fcontam").alias("op"), "doc_id", sN.alias("split"),
+        lN.alias("n"), F.col("bench_id").alias("a"), lN.alias("b"))
     qf = CU.quality_percentile_filter(docs, keep_permille=500).select(
         F.lit("quality_filter").alias("op"), "doc_id",
         F.col("lang").alias("split"), F.col("q_score").alias("n"),
@@ -1917,7 +1924,8 @@ def _q_corpus_curation(spark, sf_dir):
         (F.col("shard") * 100000 + F.col("pos_in_shard")).alias("n"),
         lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
-            .unionByName(contam).unionByName(qf).unionByName(cap)
+            .unionByName(contam).unionByName(fcontam)
+            .unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
             .unionByName(pps).unionByName(pd_).unionByName(drift)
@@ -3890,6 +3898,10 @@ SELECT 'contam', doc_id, NULL, n_shingles, n_hits, contam_permille
 FROM ({O.ngram_contamination_sql(
     "SELECT doc_id, text FROM documents WHERE doc_id % 20 != 0",
     "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0")}) t
+UNION ALL
+SELECT 'fcontam', doc_id, NULL, NULL, bench_id, NULL
+FROM ({O.cross_corpus_lsh_sql(
+    "doc_id % 20 != 0", "doc_id % 20 = 0")}) t
 UNION ALL
 SELECT 'quality_filter', doc_id, lang, q_score, NULL, NULL
 FROM ({O.quality_percentile_filter_sql(keep_permille=500)}) t

@@ -808,3 +808,54 @@ def corpus_containment(docs: DataFrame, group_col: str = "corpus",
         F.expr("1000000 * inter_est div n_a").alias("contain_a_micro"),
         F.expr("1000000 * inter_est div n_b").alias("contain_b_micro"),
     )
+
+
+def cross_corpus_neardup_pairs(corpus: DataFrame, benchmark: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               num_hashes: int = NUM_HASHES,
+                               band_rows: int = BAND_ROWS,
+                               max_bucket_size: int | None = None) -> DataFrame:
+    """FUZZY decontamination — the near-dup complement of
+    :func:`ngram_contamination` (which counts exact shingle hits): corpus
+    documents whose MinHash signature shares any LSH band bucket with a
+    benchmark/eval document. This is the whole-document analogue of the
+    GPT-3-style fuzzy eval-set dedup: a lightly paraphrased or truncated
+    eval item still collides in a band where exact shingle containment
+    has already decayed.
+
+    Returns distinct ``(doc_id, bench_id)`` candidate pairs (verify with
+    :func:`ngram_jaccard_pairs` machinery if precision matters more than
+    the banding guarantee).
+
+    Scale shape: both sides pay one signature pass (explode + per-doc min
+    agg — the corpus side is the same relation any LSH pass over it
+    builds); the join is an equi-join on (band_idx, band_hash) where the
+    benchmark side is eval-sized, so every corpus bucket row either
+    broadcasts against it or hashes into a bucket-keyed shuffle of the
+    SIGNATURE relation — never the corpus text, never all-pairs.
+    ``max_bucket_size`` drops boilerplate CORPUS buckets before the join
+    (same skew guard as :func:`minhash_lsh_candidates`).
+    """
+    def _bucket_rows(docs: DataFrame, out_id: str) -> DataFrame:
+        return (
+            minhash_signatures(docs, text_col, id_col, num_hashes)
+            .withColumn("bands", band_hashes("minhash", band_rows,
+                                             num_hashes))
+            .select(F.col(id_col).alias(out_id),
+                    F.posexplode("bands").alias("band_idx", "band_hash"))
+        )
+
+    c = _bucket_rows(corpus, "doc_id")
+    if max_bucket_size is not None:
+        sizes = c.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("_bs")
+        ).filter(F.col("_bs") <= int(max_bucket_size))
+        c = c.join(sizes.select("band_idx", "band_hash"),
+                   ["band_idx", "band_hash"], "left_semi")
+    b = _bucket_rows(benchmark, "bench_id")
+    return (
+        c.join(F.broadcast(b), ["band_idx", "band_hash"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )

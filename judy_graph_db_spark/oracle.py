@@ -232,6 +232,42 @@ SELECT doc_a, doc_b FROM pairs
 """
 
 
+def cross_corpus_lsh_sql(corpus_where: str, benchmark_where: str,
+                         table: str = "documents",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         num_hashes: int = NUM_HASHES,
+                         band_rows: int = BAND_ROWS) -> str:
+    """Twin of ``dedup.cross_corpus_neardup_pairs``: distinct
+    (doc_id, bench_id) band-bucket collisions between two filtered
+    corpora."""
+    n_bands = num_hashes // band_rows
+
+    def side(name: str, where: str) -> str:
+        return f"""{name}_sh AS (
+  SELECT {id_col} AS doc_id, {shingles_sql(text_col)} AS shingles
+  FROM {table} WHERE {where}
+),
+{name}_sig AS (
+  SELECT doc_id, {minhash_sql('shingles', num_hashes)} AS minhash
+  FROM {name}_sh
+),
+{name}_bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(
+           list_slice(minhash, b.band_idx*{band_rows}+1,
+                      b.band_idx*{band_rows}+{band_rows}), ',')) AS band_hash
+  FROM {name}_sig,
+       (SELECT unnest(generate_series(0, {n_bands-1})) AS band_idx) b
+)"""
+
+    return f"""
+WITH {side('xc', corpus_where)},
+{side('xb', benchmark_where)}
+SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+FROM xc_bands c JOIN xb_bands b USING (band_idx, band_hash)
+"""
+
+
 def neardup_flags_sql(id_col: str = "doc_id", text_col: str = "text",
                       table: str = "documents", where: str = "TRUE",
                       num_hashes: int = NUM_HASHES,

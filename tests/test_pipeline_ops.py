@@ -603,6 +603,28 @@ def test_ngram_contamination(spark):
     assert rows[1][0] > 0
 
 
+def test_cross_corpus_neardup_pairs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every day")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim leak — identical signature, collides in every band
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "zzz qqq vvv totally unrelated corpus content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_id, r.bench_id)
+             for r in D.cross_corpus_neardup_pairs(corpus, bench).collect()}
+    assert (1, 100) in pairs
+    assert all(d != 2 for d, _ in pairs)
+    # max_bucket_size=0 drops every corpus bucket -> no candidates
+    assert D.cross_corpus_neardup_pairs(
+        corpus, bench, max_bucket_size=0).count() == 0
+
+
 def test_quality_percentile_filter_per_group_cutoff(spark):
     from judy_graph_db_spark.operators.curation import quality_percentile_filter
 
