@@ -2437,6 +2437,28 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("auc").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("n_pos").alias("a"), F.col("n_neg").alias("b"),
         F.col("u2").alias("c"), F.col("auc_micro").alias("d"))
+    # batch-perceptron TRAINING of that classifier family (2 unrolled
+    # iterations twin-side): weights, final scores, and a packed
+    # (bias, n_mis_iter1·10⁶+n_mis_iter2) meta row all hash-gate
+    pfeats = STT.hashed_tf(docs, n_features=64, seed=3)
+    plabels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    pw, pbias, perrs = STT.perceptron_train(pfeats, plabels, iters=2)
+    pe1 = perrs[0]
+    pe2 = perrs[1] if len(perrs) > 1 else 0
+    ptw = pw.select(
+        F.lit("ptron_w").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("bucket").alias("a"), F.col("w").alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    pts = STT.linear_score(pfeats, pw, bias=pbias).select(
+        F.lit("ptron_s").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"), F.col("score").alias("b"),
+        lN.alias("c"), lN.alias("d"))
+    ptm = spark.range(1).select(
+        F.lit("ptron_m").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.lit(int(pbias)).cast("long").alias("a"),
+        F.lit(int(pe1) * 1_000_000 + int(pe2)).cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     return (qt.unionByName(qb).unionByName(mad).unionByName(tt)
             .unionByName(inv).unionByName(st)
             .unionByName(cm).unionByName(sp).unionByName(htf)
@@ -2448,7 +2470,8 @@ def _q_stats_ops(spark, sf_dir):
             .unionByName(pca).unionByName(voc).unionByName(enc)
             .unionByName(ng).unionByName(hg).unionByName(rep)
             .unionByName(wf).unionByName(lin).unionByName(auc)
-            .unionByName(sb))
+            .unionByName(sb).unionByName(ptw).unionByName(pts)
+            .unionByName(ptm))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -4829,6 +4852,11 @@ SELECT 'sbgram', NULL, NULL, doc_id,
        n_bigrams * {1 << 20} + n_backoffs, sb_bits, mean_bits_milli
 FROM ({O.score_bigrams_sql(score_where="doc_id % 4 = 1",
                            ref_where="doc_id % 4 <> 1")}) tsb
+UNION ALL
+SELECT CASE kind WHEN 'w' THEN 'ptron_w' WHEN 's' THEN 'ptron_s'
+       ELSE 'ptron_m' END,
+       NULL, NULL, COALESCE(doc_id, bucket), val, NULL, NULL
+FROM ({O.perceptron_sql("lang = 'en'", n_features=64, seed=3)}) tpt
 UNION ALL
 SELECT 'colloc', w_a, w_b, n_pair, score_milli, NULL, NULL
 FROM ({O.collocation_scores_sql(min_count=3, delta=1)}) t5d

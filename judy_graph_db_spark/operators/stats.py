@@ -1020,3 +1020,77 @@ def grouped_median_mad(df: DataFrame, group_cols: Sequence[str],
     mad = grouped_quantiles(dev, g, "__dev", [0.5]).select(
         *g, F.col("q_500").alias("mad"))
     return med.join(mad, g)
+
+
+def perceptron_train(features: DataFrame, labels: DataFrame,
+                     iters: int = 3, lr: int = 1,
+                     id_col: str = "doc_id"):
+    """Distributed training of the linear quality classifier that
+    :func:`linear_score` applies — the missing half of the fastText-style
+    filtering recipe (Joulin et al. 2017; CCNet / DCLM / FineWeb train a
+    small linear model, then score the corpus). Batch perceptron: per
+    iteration, every currently-misclassified document contributes
+    ``y·tf`` to its buckets' weight deltas (Minsky & Papert's perceptron
+    in its order-independent batch form — updates are SUMS, so the pass
+    is one aggregation and the result is bit-identical on any
+    partitioning, unlike sequential SGD).
+
+    All arithmetic is INTEGER (``lr`` included), so trained weights are
+    engine-portable and hash-stable — the same property
+    :func:`linear_score` demands of its input weights.
+
+    ``features`` is the :func:`hashed_tf` relation ``(id, bucket, tf)``;
+    ``labels`` maps ``(id, label)`` with label in {0,1}. Returns
+    ``(weights DataFrame (bucket, w), bias: int, errors: list[int])``
+    where ``errors[i]`` counts misclassified docs entering iteration i
+    (training stops early at 0).
+
+    Scale shape per iteration: score = broadcast-join current weights
+    (≤ n_features rows) + one id-keyed sum; delta = one semi-join of the
+    feature relation against misclassified ids + one bucket-keyed sum
+    collected to the driver (≤ n_features rows — aggregate-sized, the
+    same driver-state budget as k-means centroids). The feature relation
+    is cached once; nothing doc-cardinality ever reaches the driver.
+    """
+    spark = features.sparkSession
+    y = (F.col("label").cast("long") * 2 - 1).alias("y")
+    lab = labels.select(F.col(id_col), y)
+    f = features.join(lab, id_col).select(
+        id_col, "bucket", F.col("tf").cast("long"), "y").cache()
+    f.count()
+    try:
+        wt: dict = {}
+        bias = 0
+        errors = []
+        for _ in range(int(iters)):
+            wdf = spark.createDataFrame(
+                list(wt.items()) or [(0, 0)], "bucket long, w long")
+            scores = (
+                f.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col, "y")
+                .agg(F.coalesce(F.sum(F.col("tf") * F.col("w")),
+                                F.lit(0)).alias("s"))
+            )
+            mis = scores.filter(
+                F.col("y") * (F.lit(bias) + F.col("s")) <= 0)
+            st = mis.agg(F.count(F.lit(1)).alias("n"),
+                         F.coalesce(F.sum("y"), F.lit(0)).alias("sy")
+                         ).collect()[0]
+            errors.append(st.n)
+            if st.n == 0:
+                break
+            delta = (
+                f.join(mis.select(id_col), id_col, "left_semi")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("y") * F.col("tf")).alias("d"))
+                .collect()
+            )
+            for r in delta:
+                wt[r.bucket] = wt.get(r.bucket, 0) + int(lr) * r.d
+            bias += int(lr) * st.sy
+    finally:
+        f.unpersist()
+    wout = spark.createDataFrame(
+        sorted(wt.items()) or [(0, 0)], "bucket long, w long"
+    ).filter(F.col("w") != 0)
+    return wout, bias, errors

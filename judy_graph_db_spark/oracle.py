@@ -2619,3 +2619,57 @@ def registered_domain_sql(host_expr: str) -> str:
   THEN ({p})[-3] || '.' || ({p})[-2] || '.' || ({p})[-1]
   WHEN len({p}) >= 2 THEN ({p})[-2] || '.' || ({p})[-1]
   ELSE {host_expr} END"""
+
+
+def perceptron_sql(label_pred: str, n_features: int = 64, seed: int = 3,
+                   lr: int = 1, table: str = "documents",
+                   id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Twin of ``stats.perceptron_train`` UNROLLED for exactly 2
+    iterations, followed by ``linear_score`` with the trained weights:
+    returns ``(kind, doc_id, bucket, val)`` where kind 'w' rows carry
+    the nonzero weights, 's' rows the final per-doc scores, and the
+    single 'm' row (bias, n_mis_iter1, n_mis_iter2). Iteration 1 under
+    all-zero weights misclassifies every featured doc by definition
+    (y·0 ≤ 0), which the CTE chain exploits. Integer arithmetic
+    end-to-end; every SUM is cast back to BIGINT (DuckDB widens to
+    HUGEINT)."""
+    lr = int(lr)
+    tf = hashed_tf_sql(n_features, id_col=id_col, text_col=text_col,
+                       table=table, seed=seed)
+    return f"""
+WITH ptf AS ({tf}),
+plab AS (SELECT {id_col} AS doc_id,
+                CASE WHEN {label_pred} THEN 1 ELSE -1 END AS y
+         FROM {table}),
+pf AS (SELECT ptf.{id_col} AS doc_id, bucket, CAST(tf AS BIGINT) AS tf, y
+       FROM ptf JOIN plab ON ptf.{id_col} = plab.doc_id),
+pdocs AS (SELECT DISTINCT doc_id, y FROM pf),
+w1 AS (SELECT bucket, CAST({lr} * SUM(y * tf) AS BIGINT) AS w
+       FROM pf GROUP BY bucket),
+b1 AS (SELECT CAST({lr} * SUM(y) AS BIGINT) AS b FROM pdocs),
+s2 AS (SELECT pf.doc_id, pf.y,
+              CAST(COALESCE(SUM(pf.tf * w1.w), 0) AS BIGINT) AS s
+       FROM pf LEFT JOIN w1 USING (bucket) GROUP BY pf.doc_id, pf.y),
+mis2 AS (SELECT doc_id, y FROM s2, b1 WHERE y * (b1.b + s2.s) <= 0),
+d2 AS (SELECT bucket, CAST({lr} * SUM(y * tf) AS BIGINT) AS d
+       FROM pf WHERE doc_id IN (SELECT doc_id FROM mis2)
+       GROUP BY bucket),
+w2 AS (SELECT COALESCE(w1.bucket, d2.bucket) AS bucket,
+              CAST(COALESCE(w1.w, 0) + COALESCE(d2.d, 0) AS BIGINT) AS w
+       FROM w1 FULL OUTER JOIN d2 ON w1.bucket = d2.bucket),
+b2 AS (SELECT CAST(b1.b + {lr} * COALESCE(
+                (SELECT SUM(y) FROM mis2), 0) AS BIGINT) AS b FROM b1),
+wnz AS (SELECT bucket, w FROM w2 WHERE w <> 0),
+sf AS (SELECT pf.doc_id,
+              CAST((SELECT b FROM b2)
+                   + COALESCE(SUM(pf.tf * wnz.w), 0) AS BIGINT) AS score
+       FROM pf LEFT JOIN wnz USING (bucket) GROUP BY pf.doc_id)
+SELECT 'w' AS kind, CAST(NULL AS BIGINT) AS doc_id, bucket,
+       w AS val FROM wnz
+UNION ALL
+SELECT 's', doc_id, NULL, score FROM sf
+UNION ALL
+SELECT 'm', NULL, (SELECT b FROM b2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pdocs) * 1000000
+       + (SELECT CAST(COUNT(*) AS BIGINT) FROM mis2)
+"""

@@ -745,3 +745,33 @@ def test_grouped_median_mad(spark):
     # outlier barely moves the robust pair
     assert got["a"] == (3, 1)
     assert got["b"] == (10, 0)
+
+
+def test_perceptron_train_separable(spark):
+    # two vocabularies that never collide in 64 buckets -> separable
+    docs = spark.createDataFrame(
+        [(i, "good clean prose text" if i % 2 else "spam junk casino win")
+         for i in range(20)], "doc_id long, text string")
+    labels = docs.select("doc_id", (F.col("doc_id") % 2).alias("label"))
+    feats = ST.hashed_tf(docs, n_features=64, seed=3)
+    w, bias, errors = ST.perceptron_train(feats, labels, iters=5)
+    assert errors[0] == 20          # zero weights misclassify everything
+    assert errors[-1] == 0          # converged on a separable problem
+    scored = ST.linear_score(feats, w, bias=bias)
+    got = {r.doc_id: r.score for r in scored.collect()}
+    for i in range(20):
+        assert (got[i] > 0) == bool(i % 2), (i, got[i])
+
+
+def test_perceptron_train_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i * 3) % 11} filler word")
+         for i in range(30)], "doc_id long, text string")
+    labels = docs.select("doc_id", (F.col("doc_id") % 3 == 0)
+                         .cast("int").alias("label"))
+    feats = ST.hashed_tf(docs, n_features=32, seed=1)
+    r1 = ST.perceptron_train(feats, labels, iters=3)
+    r2 = ST.perceptron_train(feats.repartition(7), labels, iters=3)
+    assert r1[1] == r2[1] and r1[2] == r2[2]
+    assert sorted(map(tuple, r1[0].collect())) == \
+        sorted(map(tuple, r2[0].collect()))
