@@ -2869,11 +2869,20 @@ def _q_ann_search(spark, sf_dir):
         F.lit("dhist").alias("op"), sN.alias("s"),
         F.col("bucket").alias("a"), F.col("n_pairs").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # margin-criterion bitext mining between the even/odd table halves
+    bx = S.bitext_mine(embs.filter(F.col("vec_id") % 2 == 0),
+                       embs.filter(F.col("vec_id") % 2 == 1),
+                       k=4, threshold_milli=1000, dim=64).select(
+        F.lit("bitext").alias("op"), sN.alias("s"),
+        F.col("src_id").cast("long").alias("a"),
+        F.col("tgt_id").cast("long").alias("b"),
+        F.col("sim_micro").alias("c"), F.col("margin_milli").alias("d"))
     return (bk.unionByName(tk).unionByName(km).unionByName(sd)
             .unionByName(qt).unionByName(pool).unionByName(pqc)
             .unionByName(pqt).unionByName(rec).unionByName(rrf)
             .unionByName(ivfpq).unionByName(rp).unionByName(dh)
-            .unionByName(mr).unionByName(ds).unionByName(nd))
+            .unionByName(mr).unionByName(ds).unionByName(nd)
+            .unionByName(bx))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -4138,6 +4147,10 @@ FROM (
   SELECT 'knn_join', CAST(query_id AS BIGINT), vec_id, rank, sim_micro
   FROM ({O.knn_join_sql(n_queries=5, k=10)}) t5
 ) topk
+UNION ALL
+SELECT 'bitext', NULL, src_id, tgt_id, sim_micro, margin_milli
+FROM ({O.bitext_mine_sql("vec_id % 2 = 0", "vec_id % 2 = 1",
+                         k=4, threshold_milli=1000, dim=64)}) tbx
 UNION ALL
 SELECT 'kmeans', CAST(cluster AS VARCHAR), NULL, NULL, NULL, n
 FROM ({O.kmeans_sizes_sql(k=8, iters=2, dim=64)}) t6

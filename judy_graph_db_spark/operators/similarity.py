@@ -691,3 +691,77 @@ SELECT l.{q}, CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg,
        CAST(1000000 * COALESCE(d.dcg, 0) // l.idcg AS BIGINT) AS ndcg_micro
 FROM ndcg_idl l LEFT JOIN ndcg_dcg d USING ({q})
 """
+
+
+def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                threshold_milli: int = 1000,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix recipe): mine translation pairs from two embedding
+    corpora by the RATIO margin — cos(x,y) divided by the mean of x's
+    and y's average top-k neighborhood similarities — which cancels the
+    hubness that makes raw cosine thresholds useless across languages.
+    For each source vector the single best-margin target is kept
+    (forward "max" strategy) when its margin clears ``threshold_milli``
+    (1000 = exactly average; published pipelines mine at ~1060).
+
+    Integer margin: ``2000·cos·|Nx|·|Ny| div (ΣNx·|Ny| + ΣNy·|Nx|)``
+    over micro-cosines — exact integer arithmetic, hash-stable.
+    Negative-cosine candidates are dropped before the division (they are
+    never bitext, and clamping keeps both engines in nonnegative
+    territory where ``div`` and ``//`` agree).
+
+    Scale shape: two batch k-NN joins (each: broadcast the query side
+    against one corpus scan + one query-keyed top-k window) + two
+    aggregate-sized neighborhood-average relations joined back onto the
+    forward candidate pairs. For corpus×corpus scale, pre-bucket both
+    sides (:func:`hyperplane_buckets` / :func:`ivf_assign`) and mine
+    within buckets — the margin formula is unchanged.
+
+    Source and target id spaces must be disjoint only in the sense that
+    rows are matched positionally by value, never by id — same-id rows
+    in both corpora are fine and are NOT excluded (unlike
+    :func:`knn_join`'s self-pair filter).
+
+    Returns ``(src_id, tgt_id, sim_micro, margin_milli)``.
+    """
+    q = src.select(F.col(id_col).alias("src_id"),
+                   F.col(vec_col).alias("_qvec"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"),
+                   F.col(vec_col).alias("_tvec"))
+
+    def topk(queries, corpus, qid, cid, qv, cv):
+        scored = corpus.join(F.broadcast(queries)).select(
+            qid, cid,
+            cosine_sim_micro(cv, qv, dim).alias("sim_micro"))
+        w = Window.partitionBy(qid).orderBy(
+            F.col("sim_micro").desc(), F.col(cid))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= int(k)))
+
+    fwd = topk(q, t, "src_id", "tgt_id", "_qvec", "_tvec")
+    bwd = topk(t, q, "tgt_id", "src_id", "_tvec", "_qvec")
+    fs = fwd.groupBy("src_id").agg(
+        F.sum("sim_micro").alias("ssum"),
+        F.count(F.lit(1)).alias("scnt"))
+    bs = bwd.groupBy("tgt_id").agg(
+        F.sum("sim_micro").alias("tsum"),
+        F.count(F.lit(1)).alias("tcnt"))
+    m = (
+        fwd.filter(F.col("sim_micro") > 0)
+        .join(fs, "src_id").join(bs, "tgt_id")
+        .withColumn("__den", F.col("ssum") * F.col("tcnt")
+                    + F.col("tsum") * F.col("scnt"))
+        .filter(F.col("__den") > 0)
+        .withColumn("margin_milli", F.expr(
+            "(2000 * sim_micro * scnt * tcnt) div __den"))
+    )
+    wbest = Window.partitionBy("src_id").orderBy(
+        F.col("margin_milli").desc(), F.col("tgt_id"))
+    return (
+        m.withColumn("__rn", F.row_number().over(wbest))
+        .filter((F.col("__rn") == 1)
+                & (F.col("margin_milli") >= int(threshold_milli)))
+        .select("src_id", "tgt_id", "sim_micro", "margin_milli")
+    )

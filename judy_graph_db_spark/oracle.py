@@ -2673,3 +2673,59 @@ SELECT 'm', NULL, (SELECT b FROM b2),
        (SELECT CAST(COUNT(*) AS BIGINT) FROM pdocs) * 1000000
        + (SELECT CAST(COUNT(*) AS BIGINT) FROM mis2)
 """
+
+
+def bitext_mine_sql(src_where: str, tgt_where: str, k: int = 4,
+                    threshold_milli: int = 1000, dim: int = 64,
+                    table: str = "embeddings") -> str:
+    """Twin of ``similarity.bitext_mine`` — forward-max margin mining
+    between two filtered slices of the embeddings table."""
+    cos = cosine_micro_sql("s.embedding", "t.embedding", dim)
+    return f"""
+WITH bx_s AS (SELECT vec_id, embedding FROM {table} WHERE {src_where}),
+bx_t AS (SELECT vec_id, embedding FROM {table} WHERE {tgt_where}),
+bx_sc AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, {cos} AS sim_micro
+  FROM bx_s s, bx_t t
+),
+bx_f AS (
+  SELECT src_id, tgt_id, sim_micro,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+           ORDER BY sim_micro DESC, tgt_id) AS rnk
+  FROM bx_sc
+),
+bx_fk AS (SELECT * FROM bx_f WHERE rnk <= {int(k)}),
+bx_b AS (
+  SELECT src_id, tgt_id, sim_micro,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id
+           ORDER BY sim_micro DESC, src_id) AS rnk
+  FROM bx_sc
+),
+bx_bk AS (SELECT * FROM bx_b WHERE rnk <= {int(k)}),
+bx_fs AS (
+  SELECT src_id, CAST(SUM(sim_micro) AS BIGINT) AS ssum,
+         CAST(COUNT(*) AS BIGINT) AS scnt
+  FROM bx_fk GROUP BY src_id
+),
+bx_bs AS (
+  SELECT tgt_id, CAST(SUM(sim_micro) AS BIGINT) AS tsum,
+         CAST(COUNT(*) AS BIGINT) AS tcnt
+  FROM bx_bk GROUP BY tgt_id
+),
+bx_m AS (
+  SELECT f.src_id, f.tgt_id, f.sim_micro,
+         CAST((2000 * f.sim_micro * scnt * tcnt)
+              // (ssum * tcnt + tsum * scnt) AS BIGINT) AS margin_milli
+  FROM bx_fk f
+  JOIN bx_fs USING (src_id) JOIN bx_bs USING (tgt_id)
+  WHERE f.sim_micro > 0 AND ssum * tcnt + tsum * scnt > 0
+),
+bx_best AS (
+  SELECT src_id, tgt_id, sim_micro, margin_milli,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+           ORDER BY margin_milli DESC, tgt_id) AS rnk
+  FROM bx_m
+)
+SELECT src_id, tgt_id, sim_micro, margin_milli
+FROM bx_best WHERE rnk = 1 AND margin_milli >= {int(threshold_milli)}
+"""

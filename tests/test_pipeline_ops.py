@@ -1710,3 +1710,41 @@ def test_readability_hand_values(spark):
         f"{O.flesch_reading_ease_sql()}, {O.fk_grade_sql()} FROM t"
     ).fetchall()}
     assert got == want
+
+
+def test_bitext_mine_recovers_translations(spark):
+    # three "languages-aligned" pairs + one hub target near everything:
+    # the margin criterion must still map i -> 100+i and starve the hub
+    src = spark.createDataFrame(
+        [(1, [10.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 10.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 10.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(101, [9.0, 1.0, 0.0, 0.0]),
+         (102, [1.0, 9.0, 0.0, 0.0]),
+         (103, [0.0, 1.0, 9.0, 0.0]),
+         (200, [5.0, 5.0, 5.0, 5.0])],   # hub
+        "vec_id long, embedding array<double>")
+    got = {(r.src_id, r.tgt_id): r.margin_milli
+           for r in S.bitext_mine(src, tgt, k=2, threshold_milli=1000,
+                                  dim=4).collect()}
+    assert set(got) == {(1, 101), (2, 102), (3, 103)}
+    assert all(m >= 1000 for m in got.values())
+
+
+def test_bitext_mine_threshold_filters(spark):
+    # orthogonal corpora: nothing clears an above-average margin by much
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(11, [1.0, 0.0]), (12, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = S.bitext_mine(src, tgt, k=2, threshold_milli=1500, dim=2)
+    rows = out.collect()
+    # src 1 vs tgt 11: cos=1e6; its other neighbor is negative (dropped
+    # from candidates but still in the top-k average) — margin well above
+    # 1500. src 2 is orthogonal to both targets: no candidate survives
+    # the sim>0 cut.
+    assert {(r.src_id, r.tgt_id) for r in rows} == {(1, 11)}
