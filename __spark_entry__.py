@@ -22,6 +22,7 @@ from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
 from judy_graph_db_spark.operators import bpe as BPE
 from judy_graph_db_spark.operators import unigram as UNIGRAM
+from judy_graph_db_spark.operators import wordpiece as WORDPIECE
 from judy_graph_db_spark.operators import analytics as AN
 from judy_graph_db_spark.operators import dedup as D
 from judy_graph_db_spark.operators import sampling as SA_ORACLE
@@ -3178,6 +3179,17 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("uni_seg").alias("op"), lN.alias("doc_id"),
         F.col("packed").alias("a"), F.col("word").alias("s"),
         F.col("n_pieces").alias("b"))
+    # WordPiece greedy longest-match over the SAME seed pieces (word-
+    # initial ∪ ##continuation forms) and the SAME word subset — third
+    # tokenizer family, hashed against the unrolled-greedy twin
+    wpvv = WORDPIECE.wordpiece_vocab_from_pieces(useed)
+    wg = WORDPIECE.wordpiece_segment_words(
+        uwords, wpvv, max_piece_len=3).select(
+        F.lit("wp_seg").alias("op"), lN.alias("doc_id"),
+        F.col("n_pieces").alias("a"),
+        F.concat_ws("|", F.col("word"),
+                    F.array_join("pieces", "|")).alias("s"),
+        F.col("is_unk").cast("long").alias("b"))
     # tokenizer fertility on the same encoded subset: chars per token
     from judy_graph_db_spark.operators.bpe import bpe_compression
 
@@ -3191,7 +3203,7 @@ def _q_chunk_shard(spark, sf_dir):
     return (ch.unionByName(sh).unionByName(ws).unionByName(pk)
             .unionByName(bm).unionByName(bv).unionByName(be)
             .unionByName(bc).unionByName(tc).unionByName(wm)
-            .unionByName(uv).unionByName(ug))
+            .unionByName(uv).unionByName(ug).unionByName(wg))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4125,7 +4137,13 @@ UNION ALL
 SELECT 'uni_seg', NULL, packed, word, n_pieces
 FROM ({UNIGRAM.unigram_segment_oracle_sql(
             max_piece_len=3, seed_size=64, max_word_len=12,
-            where_word="word LIKE 'c%'")}) t9""",
+            where_word="word LIKE 'c%'")}) t9
+UNION ALL
+SELECT 'wp_seg', NULL, n_pieces, word || '|' || toks,
+       CAST(is_unk AS BIGINT)
+FROM ({WORDPIECE.wordpiece_segment_oracle_sql(
+            max_piece_len=3, seed_size=64, max_word_len=12,
+            where_word="word LIKE 'c%'")}) t10""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d
