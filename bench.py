@@ -279,6 +279,11 @@ def sec_similarity(spark, sf_dir, cpus, run):
     run("gram_matrix", lambda: SK.gram_matrix(embs, dim=64).count())
     run("distance_histogram",
         lambda: S.distance_histogram(embs, sample_buckets=16).count())
+    run("bitext_mine",
+        lambda: S.bitext_mine(
+            embs.filter(F.col("vec_id") % 2 == 0),
+            embs.filter(F.col("vec_id") % 2 == 1),
+            k=4, threshold_milli=1000, dim=64).count())
 
 
 def sec_curation(spark, sf_dir, cpus, run):
@@ -298,6 +303,23 @@ def sec_curation(spark, sf_dir, cpus, run):
             docs.select("doc_id", "n_chars"), 1000, "n_chars").count())
     run("epoch_shuffle",
         lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
+    # WARC/WET archive round trip over the corpus: distributed export
+    # (scan-stage record serialization + multi-char-lineSep text sink)
+    # then the scan-stage parse back
+    import shutil
+    import tempfile
+
+    from judy_graph_db_spark.sources import warc as WRC
+
+    wet_dir = tempfile.mkdtemp(prefix="bench_wet_") + "/wet"
+    wdocs = docs.withColumn(
+        "url", F.concat(F.lit("http://example.com/d/"),
+                        F.col("doc_id").cast("string")))
+    try:
+        run("wet_export", lambda: WRC.write_wet(wdocs, wet_dir), repeats=1)
+        run("wet_ingest", lambda: WRC.read_wet(spark, wet_dir).count())
+    finally:
+        shutil.rmtree(os.path.dirname(wet_dir), ignore_errors=True)
     media = MM.as_media_table(docs)
     run("media_decode", lambda: MM.decode_features(media).count())
     run("image_ahash", lambda: MM.image_ahash(media).count())
@@ -383,6 +405,20 @@ def sec_stats(spark, sf_dir, cpus, run):
         lambda: UNI.unigram_train(
             docs, rounds=2, max_piece_len=4, seed_size=512,
             vocab_size=256).count())
+    from judy_graph_db_spark.operators import wordpiece as WP
+
+    wp_vocab = WP.wordpiece_vocab_from_pieces(
+        UNI.unigram_seed_vocab(docs, max_piece_len=4, seed_size=512))
+    run("wordpiece_encode",
+        lambda: WP.wordpiece_encode(docs, wp_vocab,
+                                    max_piece_len=4).count())
+    # batch-perceptron training: 3 full passes over the hashed features
+    labels = docs.select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("label"))
+    run("perceptron_train3",
+        lambda: ST.perceptron_train(
+            ST.hashed_tf(docs, n_features=1024), labels, iters=3
+        )[0].count(), repeats=1)
 
 
 def sec_temporal(spark, sf_dir, cpus, run):

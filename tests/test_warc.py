@@ -128,3 +128,16 @@ def test_header_value_with_colon(spark, tmp_path):
     p = _write(tmp_path, "c.wet", [rec])
     row = W.read_wet(spark, p).collect()[0]
     assert row.url == "http://example.com/x?a=b:c"
+
+
+def test_write_wet_read_wet_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "http://example.com/a", "hello\nworld"),
+         (2, "http://example.com/b", "café\r\n\r\ntail\r\n\r\n")],
+        "doc_id long, url string, text string")
+    out = os.path.join(str(tmp_path), "wet_out")
+    W.write_wet(docs, out)
+    back = {r.url: r.text for r in W.read_wet(spark, out).collect()}
+    assert back == {"http://example.com/a": "hello\nworld",
+                    "http://example.com/b": "café\r\n\r\ntail\r\n\r\n"}
+    assert W.read_warc_records(spark, out).filter("malformed").count() == 0
