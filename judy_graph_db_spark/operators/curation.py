@@ -1506,3 +1506,84 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
         .agg(F.min(id_col).alias("keep_id"),
              F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
+                      keep_langs=("en",), neardup: bool = True,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      url_col: str | None = None) -> DataFrame:
+    """The RefinedWeb/FineWeb-style front-of-pipeline FUNNEL in one
+    call — the composition a crawl-to-corpus user actually runs:
+
+    1. ``url_ok``     — registered domain not on the blocklist
+       (skipped/true when ``url_col`` is None);
+    2. ``lang_ok``    — n-gram ``lang_id`` in ``keep_langs``;
+    3. ``gopher_ok``  — the published Gopher A1.1 thresholds;
+    4. ``exact_keep`` — keep-first (min id) per normalized text hash,
+       decided among rows surviving stages 1–3 only (a filtered
+       duplicate must never own the canonical slot);
+    5. ``neardup_keep`` — MinHash-LSH cluster canonical (min id) among
+       stage-4 survivors (skipped/true when ``neardup=False``).
+
+    Every stage decision stays a BOOLEAN COLUMN on the full input —
+    auditable, hash-gateable, and recountable (`keep` is their
+    conjunction); nothing is silently discarded. One pass of scan-stage
+    expressions for stages 1–3 (the Gopher relation joins back on id),
+    one md5 aggregation for stage 4, one banded LSH join + CC for
+    stage 5 — the same scale shapes as the individual operators this
+    composes (each separately driver-gated).
+    """
+    from judy_graph_db_spark.functions.text import lang_id
+
+    out = docs
+    if url_col is not None:
+        ub = url_blocklist_filter(docs, blocked_domains, url_col=url_col,
+                                  id_col=id_col)
+        out = out.join(
+            ub.select(id_col, (~F.col("blocked")).alias("url_ok")), id_col)
+    else:
+        out = out.withColumn("url_ok", F.lit(True))
+    out = out.withColumn(
+        "lang", lang_id(F.col(text_col))).withColumn(
+        "lang_ok", F.col("lang").isin(*[str(x) for x in keep_langs]))
+    gq = gopher_quality_filter(docs, id_col=id_col, text_col=text_col)
+    out = out.join(gq.select(id_col, F.col("keep").alias("gopher_ok")),
+                   id_col)
+    surv = F.col("url_ok") & F.col("lang_ok") & F.col("gopher_ok")
+    norm = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    out = out.withColumn("__h", norm)
+    winners = (out.filter(surv).groupBy("__h")
+               .agg(F.min(id_col).alias("__win")))
+    out = out.join(winners, "__h", "left").withColumn(
+        "exact_keep", surv & (F.col(id_col) == F.col("__win"))
+    ).drop("__h", "__win")
+    if neardup:
+        from judy_graph_db_spark.operators.dedup import dedup_clusters
+
+        s4 = out.filter(F.col("exact_keep")).select(id_col, text_col)
+        cl = dedup_clusters(s4, text_col=text_col, id_col=id_col)
+        losers = (cl.filter(~F.col("is_canonical"))
+                  .select(id_col).withColumn("__lose", F.lit(True)))
+        out = out.join(losers, id_col, "left").withColumn(
+            "neardup_keep",
+            F.col("exact_keep") & F.col("__lose").isNull()).drop("__lose")
+    else:
+        out = out.withColumn("neardup_keep", F.col("exact_keep"))
+    return out.withColumn("keep", F.col("neardup_keep"))
+
+
+def funnel_counts(flagged: DataFrame) -> DataFrame:
+    """One-row survivor counts down the :func:`web_corpus_funnel`
+    stages (cumulative conjunctions — the numbers a pipeline report
+    quotes). Single map-side-combinable aggregation."""
+    b = F.col("url_ok")
+    stages = [
+        ("n_total", F.lit(True)),
+        ("n_url", b),
+        ("n_lang", b & F.col("lang_ok")),
+        ("n_gopher", b & F.col("lang_ok") & F.col("gopher_ok")),
+        ("n_exact", F.col("exact_keep")),
+        ("n_neardup", F.col("neardup_keep")),
+    ]
+    return flagged.agg(*[
+        F.sum(c.cast("long")).cast("long").alias(n) for n, c in stages])

@@ -69,7 +69,25 @@ def read_warc_records(spark: SparkSession, path: str) -> DataFrame:
     the declared ``Content-Length`` — filter it like DROPMALFORMED, or
     audit it.
     """
-    raw = spark.read.option("lineSep", RECORD_SEP).text(path)
+    return parse_warc_records(
+        spark.read.option("lineSep", RECORD_SEP).text(path))
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Structured-Streaming sibling of :func:`read_warc_records`: the
+    file-stream text source takes the same multi-char ``lineSep``, so a
+    landing directory of ``.wet``/``.warc`` files parses incrementally
+    with the identical scan-stage expressions — new crawl shards become
+    micro-batches with no per-record Python and no state (the parse is
+    stateless row-wise; watermarks/dedup compose downstream)."""
+    return parse_warc_records(
+        spark.readStream.option("lineSep", RECORD_SEP).text(path))
+
+
+def parse_warc_records(raw: DataFrame) -> DataFrame:
+    """The shared scan-stage parse: ``raw`` is any (possibly streaming)
+    DataFrame with one WARC record per ``value`` row, as produced by a
+    text source with ``lineSep =`` :data:`RECORD_SEP`."""
     # the first record of each file keeps its leading version line; later
     # records had it consumed by the separator
     rec = F.regexp_replace("value", r"\AWARC/1\.0\r\n", "")

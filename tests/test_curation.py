@@ -781,3 +781,57 @@ def test_c4_plan_shapes(spark):
     wins = [ln for ln in sp_plan.splitlines() if "Window" in ln]
     assert wins and all("__id" in ln for ln in wins), wins
     assert "SinglePartition" not in sp_plan
+
+
+def test_web_corpus_funnel_end_to_end(spark):
+    from judy_graph_db_spark.operators.curation import (funnel_counts,
+                                                        web_corpus_funnel)
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a friend because that is what they "
+            "all do every single day of the week without fail and "
+            "nobody is surprised that the fox and the dog are friends "
+            "now after all this time together in the field") * 2
+    rows = [
+        (1, good, "http://ok.example.com/a"),               # survives all
+        (2, good, "http://ok.example.com/b"),               # exact dup of 1
+        (3, good + " tiny extra tail words here", "http://ok.example.com/c"),
+        (4, good, "http://spam-mill.com/x"),                # blocked domain
+        (5, "le la les et dans pour avec sur une des du il elle " * 20,
+         "http://ok.example.com/fr"),                        # not en
+        (6, "short", "http://ok.example.com/s"),             # gopher fails
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    # the blocklist matches REGISTERED domains (eTLD+1)
+    out = web_corpus_funnel(
+        docs, blocked_domains=("spam-mill.com",), keep_langs=("en",),
+        url_col="url")
+    got = {r.doc_id: r for r in out.collect()}
+    assert not got[4].url_ok and got[1].url_ok
+    assert not got[5].lang_ok and got[1].lang_ok
+    assert not got[6].gopher_ok and got[1].gopher_ok
+    # doc 2 is an exact dup of doc 1 -> 1 owns the slot
+    assert got[1].exact_keep and not got[2].exact_keep
+    # doc 3 is a near-dup of 1 (tiny tail) -> LSH cluster canonical is 1
+    assert got[3].exact_keep and not got[3].neardup_keep
+    assert got[1].keep and not any(got[i].keep for i in (2, 3, 4, 5, 6))
+    fc = funnel_counts(out).collect()[0]
+    # doc 6 ("short") fails BOTH lang-id (too little signal) and gopher
+    assert (fc.n_total, fc.n_url, fc.n_lang, fc.n_gopher,
+            fc.n_exact, fc.n_neardup) == (6, 5, 3, 3, 2, 1)
+
+
+def test_web_corpus_funnel_blocked_dup_never_owns_slot(spark):
+    from judy_graph_db_spark.operators.curation import web_corpus_funnel
+
+    text = ("the quick brown fox jumps over the lazy dog and then "
+            "walks home with all of the other animals every day") * 4
+    docs = spark.createDataFrame(
+        [(1, text, "http://spam-mill.com/a"),     # lower id, but blocked
+         (2, text, "http://ok.example.com/b")],
+        "doc_id long, text string, url string")
+    out = web_corpus_funnel(docs, blocked_domains=("spam-mill.com",),
+                            url_col="url", neardup=False)
+    got = {r.doc_id: r for r in out.collect()}
+    # the blocked doc 1 must NOT claim the canonical slot for doc 2
+    assert not got[1].keep and got[2].keep

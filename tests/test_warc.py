@@ -141,3 +141,56 @@ def test_write_wet_read_wet_roundtrip(spark, tmp_path):
     assert back == {"http://example.com/a": "hello\nworld",
                     "http://example.com/b": "café\r\n\r\ntail\r\n\r\n"}
     assert W.read_warc_records(spark, out).filter("malformed").count() == 0
+
+
+def test_streaming_wet_ingest_matches_batch(spark, tmp_path):
+    """Two WET shards land in a directory; the streaming parse (same
+    scan-stage expressions via read_warc_stream) drains them in
+    micro-batches and matches the batch parse exactly."""
+    d = os.path.join(str(tmp_path), "landing")
+    os.makedirs(d)
+    _write(d, "a.wet", [W.warc_record_bytes(
+        "conversion", {"WARC-Target-URI": "http://example.com/a"}, "one")])
+    _write(d, "b.wet", [W.warc_record_bytes(
+        "conversion", {"WARC-Target-URI": "http://example.com/b"}, "two\n\n")])
+    stream = (
+        W.read_warc_stream(spark, d)
+        .filter((F.col("warc_type") == "conversion") & ~F.col("malformed"))
+        .select(F.col("target_uri").alias("url"), "payload")
+    )
+    q = (stream.writeStream.format("memory").queryName("wet_stream")
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.url, r.payload)
+           for r in spark.sql("SELECT * FROM wet_stream").collect()}
+    want = {(r.url, r.text) for r in W.read_wet(spark, d).collect()}
+    assert got == want == {("http://example.com/a", "one"),
+                           ("http://example.com/b", "two\n\n")}
+
+
+def test_crawl_to_corpus_composition(spark, tmp_path):
+    """WARC in → curated corpus out: read_wet output feeds
+    web_corpus_funnel directly (the crawl-to-corpus path end to end)."""
+    from judy_graph_db_spark.operators.curation import web_corpus_funnel
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "all the way home with a friend because that is what they do "
+            "every single day of the week and nobody is surprised by it "
+            "anymore after all this time in the field together") * 2
+    recs = [
+        W.warc_record_bytes("conversion",
+                            {"WARC-Target-URI": "http://ok-site.com/a"},
+                            good),
+        W.warc_record_bytes("conversion",
+                            {"WARC-Target-URI": "http://spam-mill.com/x"},
+                            good),
+    ]
+    p = _write(tmp_path, "crawl.wet", recs)
+    docs = W.read_wet(spark, p).select(
+        F.monotonically_increasing_id().alias("doc_id"), "url", "text")
+    out = web_corpus_funnel(docs, blocked_domains=("spam-mill.com",),
+                            url_col="url", neardup=False)
+    got = {r.url: r.keep for r in out.collect()}
+    assert got["http://ok-site.com/a"] is True
+    assert got["http://spam-mill.com/x"] is False
