@@ -434,3 +434,33 @@ def test_adamic_adar_no_window_no_cartesian(spark):
     plan = plan_of(AN.adamic_adar(e))
     assert "Cartesian" not in plan and "Window" not in plan
     assert "partial_" in plan
+
+
+def test_bitext_mine_broadcasts_probe_sides(spark):
+    """Both kNN passes broadcast the query side and the neighborhood
+    averages broadcast back onto the candidates — no shuffle of a
+    corpus-sized relation beyond the top-k windows."""
+    from judy_graph_db_spark.operators.similarity import bitext_mine
+
+    embs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    out = bitext_mine(embs.filter("vec_id % 2 = 0"),
+                      embs.filter("vec_id % 2 = 1"), k=3, dim=3)
+    plan = plan_of(out)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perceptron_scoring_pass_broadcasts_weights(spark):
+    """The per-iteration scoring join must broadcast the n_features-row
+    weight table, never shuffle the feature relation for the join."""
+    from judy_graph_db_spark.operators import stats as ST
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i * 3) % 7}") for i in range(30)],
+        "doc_id long, text string")
+    feats = ST.hashed_tf(docs, n_features=32)
+    wdf = spark.createDataFrame([(0, 1), (1, -2)], "bucket long, w long")
+    scored = ST.linear_score(feats, wdf)
+    assert "BroadcastHashJoin" in plan_of(scored)
