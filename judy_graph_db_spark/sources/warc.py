@@ -92,11 +92,23 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
     # records had it consumed by the separator
     rec = F.regexp_replace("value", r"\AWARC/1\.0\r\n", "")
     parts = F.split(rec, r"\r\n\r\n", 2)
-    headers, payload = parts[0], parts[1]
-    # the LAST record of a file keeps its own terminator (earlier ones
-    # lost it to the separator) — strip exactly one trailing CRLF CRLF
-    payload = F.regexp_replace(payload, r"\r\n\r\n\Z", "")
+    headers, body0 = parts[0], parts[1]
     cl = _header(headers, "Content-Length").cast("long")
+    # Terminator framing by DECLARED length (found by the round-trip
+    # property test): a non-final record lost its CRLF CRLF terminator
+    # to the separator (byte length == Content-Length, keep as-is); the
+    # FINAL record of a file kept it (byte length == Content-Length + 4,
+    # strip exactly the tail) — a blind "strip one trailing CRLF CRLF"
+    # would corrupt non-final payloads that genuinely end in a blank
+    # line. Anything else is malformed; fall back to the blind strip so
+    # the byte-length check below flags it.
+    blen = F.octet_length(body0)
+    payload = (
+        F.when(blen == cl, body0)
+        .when((blen == cl + 4) & body0.endswith("\r\n\r\n"),
+              F.substr(body0, F.lit(1), F.length(body0) - 4))
+        .otherwise(F.regexp_replace(body0, r"\r\n\r\n\Z", ""))
+    )
     out = raw.select(
         *[_header(headers, h).alias(c) for c, h in _HEADERS],
         cl.alias("content_length"),
