@@ -174,6 +174,74 @@ def compact_store(spark, store: str) -> int:
     return n
 
 
+def fold_neardup_batch(batch: DataFrame, batch_id: int, store: str,
+                       ck_id: str = "",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       num_hashes: int = NUM_HASHES,
+                       band_rows: int = BAND_ROWS,
+                       compact_every: Optional[int] = None) -> Optional[int]:
+    """One near-dup fold (the body :func:`foreach_batch_neardup` runs per
+    micro-batch, callable directly — e.g. by the composed
+    ``streaming/web_corpus.py`` funnel). Returns the new store version,
+    or None when (ck_id, batch_id) was already folded (replay skip)."""
+    spark = batch.sparkSession
+    latest, meta = _latest_meta(store)
+    if (meta is not None and meta.get("checkpoint") == ck_id
+            and meta.get("batch_id") == batch_id):
+        return None  # replayed micro-batch — already folded
+    prev = read_buckets(spark, store)
+
+    rows = band_rows_of(batch, id_col, text_col, num_hashes, band_rows) \
+        .localCheckpoint(eager=True)
+    batch_min = rows.groupBy("band_idx", "band_hash") \
+        .agg(F.min("doc_id").alias("batch_keep"))
+    if prev is not None:
+        merged = batch_min.join(prev, ["band_idx", "band_hash"], "left")
+    else:
+        merged = batch_min.withColumn("keep_id",
+                                      F.lit(None).cast("long"))
+    # effective keeper per touched bucket: stored first-arrival if the
+    # bucket exists, else this batch's min (ids are monotone, so a
+    # stored keeper is always smaller)
+    eff = merged.select(
+        "band_idx", "band_hash", "batch_keep",
+        F.coalesce("keep_id", "batch_keep").alias("eff_keep"),
+        F.col("keep_id").isNull().alias("is_new"))
+    flags = (
+        rows.join(eff, ["band_idx", "band_hash"])
+        .filter(F.col("eff_keep") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("eff_keep").alias("dup_of"))
+    )
+    # content idempotence under FULL re-delivery (a fresh-checkpoint
+    # replay arrives as batch 0 and defeats the batch-id guard): a
+    # doc already flagged never re-appends — the anti-join is
+    # batch-keyed, and with monotone ids a re-delivered doc's
+    # recomputed dup_of equals its stored one, so dropping it is
+    # lossless
+    prev_flags = read_flags(spark, store)
+    if prev_flags is not None:
+        flags = flags.join(prev_flags.select("doc_id"),
+                           "doc_id", "left_anti")
+    new_buckets = eff.filter("is_new").select(
+        "band_idx", "band_hash", F.col("batch_keep").alias("keep_id"))
+
+    new_version = 0 if latest is None else latest + 1
+    fdir = os.path.join(store, "flags", f"b={new_version}")
+    bdir = os.path.join(store, "buckets", f"b={new_version}")
+    flags.write.mode("overwrite").parquet(fdir)
+    new_buckets.write.mode("overwrite").parquet(bdir)
+    # meta lands last, flags before buckets: the version is complete
+    # only when the BUCKETS meta exists (the reader keys on it), so a
+    # crash anywhere earlier leaves a slice the re-fold overwrites
+    for d in (fdir, bdir):
+        with open(os.path.join(d, "_batch_meta.json"), "w") as fh:
+            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+    if compact_every and (new_version + 1) % int(compact_every) == 0:
+        compact_store(spark, store)
+    return new_version
+
+
 def foreach_batch_neardup(stream: DataFrame, store: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           checkpoint: Optional[str] = None,
@@ -187,62 +255,9 @@ def foreach_batch_neardup(stream: DataFrame, store: str,
     :func:`compact_store` after every K-th fold."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         ck_id = replay_id if replay_id is not None else (checkpoint or "")
-        latest, meta = _latest_meta(store)
-        if (meta is not None and meta.get("checkpoint") == ck_id
-                and meta.get("batch_id") == batch_id):
-            return  # replayed micro-batch — already folded
-        prev = read_buckets(spark, store)
-
-        rows = band_rows_of(batch, id_col, text_col, num_hashes, band_rows) \
-            .localCheckpoint(eager=True)
-        batch_min = rows.groupBy("band_idx", "band_hash") \
-            .agg(F.min("doc_id").alias("batch_keep"))
-        if prev is not None:
-            merged = batch_min.join(prev, ["band_idx", "band_hash"], "left")
-        else:
-            merged = batch_min.withColumn("keep_id",
-                                          F.lit(None).cast("long"))
-        # effective keeper per touched bucket: stored first-arrival if the
-        # bucket exists, else this batch's min (ids are monotone, so a
-        # stored keeper is always smaller)
-        eff = merged.select(
-            "band_idx", "band_hash", "batch_keep",
-            F.coalesce("keep_id", "batch_keep").alias("eff_keep"),
-            F.col("keep_id").isNull().alias("is_new"))
-        flags = (
-            rows.join(eff, ["band_idx", "band_hash"])
-            .filter(F.col("eff_keep") < F.col("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.min("eff_keep").alias("dup_of"))
-        )
-        # content idempotence under FULL re-delivery (a fresh-checkpoint
-        # replay arrives as batch 0 and defeats the batch-id guard): a
-        # doc already flagged never re-appends — the anti-join is
-        # batch-keyed, and with monotone ids a re-delivered doc's
-        # recomputed dup_of equals its stored one, so dropping it is
-        # lossless
-        prev_flags = read_flags(spark, store)
-        if prev_flags is not None:
-            flags = flags.join(prev_flags.select("doc_id"),
-                               "doc_id", "left_anti")
-        new_buckets = eff.filter("is_new").select(
-            "band_idx", "band_hash", F.col("batch_keep").alias("keep_id"))
-
-        new_version = 0 if latest is None else latest + 1
-        fdir = os.path.join(store, "flags", f"b={new_version}")
-        bdir = os.path.join(store, "buckets", f"b={new_version}")
-        flags.write.mode("overwrite").parquet(fdir)
-        new_buckets.write.mode("overwrite").parquet(bdir)
-        # meta lands last, flags before buckets: the version is complete
-        # only when the BUCKETS meta exists (the reader keys on it), so a
-        # crash anywhere earlier leaves a slice the re-fold overwrites
-        for d in (fdir, bdir):
-            with open(os.path.join(d, "_batch_meta.json"), "w") as fh:
-                json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
-        if compact_every and (new_version + 1) % int(compact_every) == 0:
-            compact_store(spark, store)
+        fold_neardup_batch(batch, batch_id, store, ck_id, id_col, text_col,
+                           num_hashes, band_rows, compact_every)
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

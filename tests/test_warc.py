@@ -194,3 +194,104 @@ def test_crawl_to_corpus_composition(spark, tmp_path):
     got = {r.url: r.keep for r in out.collect()}
     assert got["http://ok-site.com/a"] is True
     assert got["http://spam-mill.com/x"] is False
+
+
+def test_streaming_web_corpus_matches_batch_funnel(spark, tmp_path):
+    """Two crawl shards drained as separate micro-batches through the
+    incremental funnel accept exactly the docs the BATCH funnel keeps
+    over the union (batch-equivalence), incl. a cross-batch near-dup."""
+    from judy_graph_db_spark.operators.curation import web_corpus_funnel
+    from judy_graph_db_spark.streaming.web_corpus import (
+        foreach_batch_web_corpus, read_corpus)
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "all the way home with a friend because that is what they do "
+            "every single day of the week and nobody is surprised by it "
+            "anymore after all this time out in the open field") * 2
+    other = ("a completely different story begins here with a cat that "
+             "sits on a warm roof all day long and watches the people "
+             "walk by while thinking about dinner and other small things "
+             "that make up a simple life in the quiet town") * 2
+    docs = {
+        1: ("http://ok-site.com/1", good),
+        2: ("http://spam-mill.com/2", good),          # blocked
+        3: ("http://ok-site.com/3", good + " tiny extra tail"),  # near-dup
+        4: ("http://ok-site.com/4", other),
+    }
+
+    def shard(ids):
+        return [W.warc_record_bytes(
+            "conversion", {"WARC-Target-URI": docs[i][0]}, docs[i][1])
+            for i in ids]
+
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    store = os.path.join(str(tmp_path), "store")
+    ck = os.path.join(str(tmp_path), "ck")
+
+    def drain():
+        stream = W.read_warc_stream(spark, landing).filter(
+            (F.col("warc_type") == "conversion") & ~F.col("malformed")
+        ).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("payload").alias("text"))
+        q = foreach_batch_web_corpus(
+            stream, store, blocked_domains=("spam-mill.com",),
+            checkpoint=ck, replay_id="rid")
+        q.awaitTermination(180)
+
+    _write(landing, "shard_a.wet", shard([1, 2]))
+    drain()
+    _write(landing, "shard_b.wet", shard([3, 4]))
+    drain()
+
+    got = {r.doc_id for r in read_corpus(spark, store).collect()}
+    batch_docs = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in docs.items()],
+        "doc_id long, url string, text string")
+    want = {r.doc_id for r in web_corpus_funnel(
+        batch_docs, blocked_domains=("spam-mill.com",),
+        url_col="url").filter("keep").collect()}
+    assert got == want == {1, 4}
+
+
+def test_streaming_web_corpus_repairs_lost_corpus_slice(spark, tmp_path):
+    """Crash between the near-dup fold and the corpus write: on
+    re-delivery the fold is replay-skipped, but the missing corpus slice
+    is recomputed from the content-idempotent flag store."""
+    import shutil
+
+    from judy_graph_db_spark.streaming.web_corpus import (
+        foreach_batch_web_corpus, read_corpus)
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "all the way home with a friend because that is what they do "
+            "every single day of the week and nobody is surprised") * 2
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    store = os.path.join(str(tmp_path), "store")
+    _write(landing, "a.wet", [W.warc_record_bytes(
+        "conversion", {"WARC-Target-URI": "http://ok-site.com/7"}, good)])
+
+    def drain(ck):
+        stream = W.read_warc_stream(spark, landing).filter(
+            (F.col("warc_type") == "conversion") & ~F.col("malformed")
+        ).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("payload").alias("text"))
+        q = foreach_batch_web_corpus(
+            stream, store, checkpoint=os.path.join(str(tmp_path), ck),
+            replay_id="rid")
+        q.awaitTermination(180)
+
+    drain("ck1")
+    assert {r.doc_id for r in read_corpus(spark, store).collect()} == {7}
+    # simulate the crash: the fold landed, the corpus slice did not
+    shutil.rmtree(os.path.join(store, "corpus", "b=0"))
+    assert read_corpus(spark, store) is None
+    drain("ck2")  # fresh checkpoint re-delivers the shard as batch 0
+    assert {r.doc_id for r in read_corpus(spark, store).collect()} == {7}
