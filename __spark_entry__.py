@@ -2870,6 +2870,14 @@ def _q_ann_search(spark, sf_dir):
         F.lit("dhist").alias("op"), sN.alias("s"),
         F.col("bucket").alias("a"), F.col("n_pairs").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # hard-negative mining: the probe-limited list minus the brute top-3
+    # positives, re-ranked — the contrastive-training data op
+    hn = S.hard_negatives(
+        ivf10, brute10.filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id"), k=5).select(
+        F.lit("hardneg").alias("op"), sN.alias("s"),
+        F.col("query_id").alias("a"), F.col("vec_id").alias("b"),
+        F.col("neg_rank").alias("c"), F.col("sim_micro").alias("d"))
     # margin-criterion bitext mining between the even/odd table halves
     bx = S.bitext_mine(embs.filter(F.col("vec_id") % 2 == 0),
                        embs.filter(F.col("vec_id") % 2 == 1),
@@ -2883,7 +2891,7 @@ def _q_ann_search(spark, sf_dir):
             .unionByName(pqt).unionByName(rec).unionByName(rrf)
             .unionByName(ivfpq).unionByName(rp).unionByName(dh)
             .unionByName(mr).unionByName(ds).unionByName(nd)
-            .unionByName(bx))
+            .unionByName(bx).unionByName(hn))
 
 
 def _q_stream_maintain(spark, sf_dir):
@@ -4234,6 +4242,16 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
        CAST(SUM(rr) // COUNT(*) AS BIGINT) AS mrr_micro
 FROM mr_q) t16
+UNION ALL
+SELECT 'hardneg', NULL, query_id, vec_id, neg_rank, sim_micro
+FROM ({S.hard_negatives_oracle_sql(
+    candidates_sql="SELECT 0 AS query_id, vec_id, sim_micro FROM ("
+                   + O.ivf_topk_sql(query_id=0, k=10, n_cells=4,
+                                    n_probe=2) + ")",
+    positives_sql="SELECT 0 AS query_id, vec_id FROM ("
+                  + O.cosine_topk_sql(query_id=0, k=10)
+                  + ") WHERE rank <= 3",
+    k=5)}) t18
 UNION ALL
 SELECT 'ndcg', NULL, query_id, dcg, idcg, ndcg_micro
 FROM ({S.ndcg_oracle_sql(

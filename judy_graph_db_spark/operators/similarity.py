@@ -765,3 +765,52 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                 & (F.col("margin_milli") >= int(threshold_milli)))
         .select("src_id", "tgt_id", "sim_micro", "margin_milli")
     )
+
+
+def hard_negatives(candidates: DataFrame, positives: DataFrame,
+                   k: int = 5, query_col: str = "query_id",
+                   id_col: str = "vec_id",
+                   sim_col: str = "sim_micro") -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the DPR /
+    contrastive-training recipe: the strongest negatives are the top
+    similarity candidates that are NOT known positives). Per query, the
+    ``k`` highest-similarity candidates after anti-joining the positive
+    set, re-ranked densely — ``(query_col, id_col, neg_rank, sim_col)``.
+
+    Both inputs are top-k-sized relations (mine from :func:`knn_join` or
+    an IVF/LSH-bucketed search); the anti-join and the re-rank window
+    are query-keyed — nothing corpus-sized shuffles here.
+    """
+    neg = candidates.join(
+        positives.select(query_col, id_col), [query_col, id_col],
+        "left_anti")
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(sim_col).desc(), F.col(id_col))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= int(k))
+        .select(query_col, id_col,
+                F.col("neg_rank").cast("long").alias("neg_rank"), sim_col)
+    )
+
+
+def hard_negatives_oracle_sql(candidates_sql: str, positives_sql: str,
+                              k: int = 5, query_col: str = "query_id",
+                              id_col: str = "vec_id",
+                              sim_col: str = "sim_micro") -> str:
+    """ANSI-SQL twin of :func:`hard_negatives` for DuckDB."""
+    return f"""WITH hn_c AS (
+  SELECT {query_col}, {id_col}, {sim_col} FROM ({candidates_sql})
+),
+hn_p AS (SELECT {query_col}, {id_col} FROM ({positives_sql})),
+hn_n AS (
+  SELECT c.* FROM hn_c c
+  WHERE NOT EXISTS (SELECT 1 FROM hn_p p
+                    WHERE p.{query_col} = c.{query_col}
+                      AND p.{id_col} = c.{id_col})
+)
+SELECT {query_col}, {id_col},
+       CAST(ROW_NUMBER() OVER (PARTITION BY {query_col}
+            ORDER BY {sim_col} DESC, {id_col}) AS BIGINT) AS neg_rank,
+       {sim_col}
+FROM hn_n QUALIFY neg_rank <= {int(k)}"""

@@ -1748,3 +1748,15 @@ def test_bitext_mine_threshold_filters(spark):
     # 1500. src 2 is orthogonal to both targets: no candidate survives
     # the sim>0 cut.
     assert {(r.src_id, r.tgt_id) for r in rows} == {(1, 11)}
+
+
+def test_hard_negatives_excludes_positives_and_reranks(spark):
+    cands = spark.createDataFrame(
+        [(0, 10, 900000), (0, 11, 800000), (0, 12, 700000),
+         (0, 13, 600000), (1, 10, 500000)],
+        "query_id long, vec_id long, sim_micro long")
+    pos = spark.createDataFrame([(0, 10)], "query_id long, vec_id long")
+    got = {(r.query_id, r.vec_id): r.neg_rank
+           for r in S.hard_negatives(cands, pos, k=2).collect()}
+    # positive 10 excluded for query 0 (but NOT for query 1), dense rerank
+    assert got == {(0, 11): 1, (0, 12): 2, (1, 10): 1}
