@@ -726,22 +726,20 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
 
     Returns ``(src_id, tgt_id, sim_micro, margin_milli)``.
     """
-    q = src.select(F.col(id_col).alias("src_id"),
-                   F.col(vec_col).alias("_qvec"))
-    t = tgt.select(F.col(id_col).alias("tgt_id"),
-                   F.col(vec_col).alias("_tvec"))
+    # ONE scored relation serves both directions (the matrix is shared;
+    # scoring it twice would double the dominant dim-wide dot cost) —
+    # each direction is then just its own top-k window over it
+    scored = bitext_scored_pairs(src, tgt, id_col, vec_col, dim) \
+        .localCheckpoint(eager=True)
 
-    def topk(queries, corpus, qid, cid, qv, cv):
-        scored = corpus.join(F.broadcast(queries)).select(
-            qid, cid,
-            cosine_sim_micro(cv, qv, dim).alias("sim_micro"))
+    def topk(qid, cid):
         w = Window.partitionBy(qid).orderBy(
             F.col("sim_micro").desc(), F.col(cid))
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= int(k)))
 
-    fwd = topk(q, t, "src_id", "tgt_id", "_qvec", "_tvec")
-    bwd = topk(t, q, "tgt_id", "src_id", "_tvec", "_qvec")
+    fwd = topk("src_id", "tgt_id")
+    bwd = topk("tgt_id", "src_id")
     fs = fwd.groupBy("src_id").agg(
         F.sum("sim_micro").alias("ssum"),
         F.count(F.lit(1)).alias("scnt"))
@@ -765,6 +763,22 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                 & (F.col("margin_milli") >= int(threshold_milli)))
         .select("src_id", "tgt_id", "sim_micro", "margin_milli")
     )
+
+
+def bitext_scored_pairs(src: DataFrame, tgt: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """The cross-corpus cosine relation ``(src_id, tgt_id, sim_micro)``
+    both :func:`bitext_mine` directions share: one corpus scan with the
+    (smaller) source side broadcast — never a CartesianProduct."""
+    q = src.select(F.col(id_col).alias("src_id"),
+                   F.col(vec_col).alias("_qvec"))
+    t = tgt.select(F.col(id_col).alias("tgt_id"),
+                   F.col(vec_col).alias("_tvec"))
+    return t.join(F.broadcast(q)).select(
+        "src_id", "tgt_id",
+        cosine_sim_micro("_tvec", "_qvec", dim).alias("sim_micro"))
 
 
 def hard_negatives(candidates: DataFrame, positives: DataFrame,

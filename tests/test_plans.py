@@ -440,16 +440,23 @@ def test_bitext_mine_broadcasts_probe_sides(spark):
     """Both kNN passes broadcast the query side and the neighborhood
     averages broadcast back onto the candidates — no shuffle of a
     corpus-sized relation beyond the top-k windows."""
-    from judy_graph_db_spark.operators.similarity import bitext_mine
+    from judy_graph_db_spark.operators.similarity import (
+        bitext_mine, bitext_scored_pairs)
 
     embs = spark.createDataFrame(
         [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)],
         "vec_id long, embedding array<double>")
-    out = bitext_mine(embs.filter("vec_id % 2 = 0"),
-                      embs.filter("vec_id % 2 = 1"), k=3, dim=3)
-    plan = plan_of(out)
+    # the shared scoring relation (checkpointed inside bitext_mine, so
+    # its plan is inspected pre-checkpoint here)
+    plan = plan_of(bitext_scored_pairs(
+        embs.filter("vec_id % 2 = 0"), embs.filter("vec_id % 2 = 1"),
+        dim=3))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # and the mining itself stays window+aggregate over that relation
+    out = bitext_mine(embs.filter("vec_id % 2 = 0"),
+                      embs.filter("vec_id % 2 = 1"), k=3, dim=3)
+    assert "CartesianProduct" not in plan_of(out)
 
 
 def test_perceptron_scoring_pass_broadcasts_weights(spark):
