@@ -2438,6 +2438,17 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("auc").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("n_pos").alias("a"), F.col("n_neg").alias("b"),
         F.col("u2").alias("c"), F.col("auc_micro").alias("d"))
+    # interpolated Kneser-Ney bigram scoring (fixed-point micro, the
+    # classic LM the Stupid-Backoff rows approximate) — same doc split
+    kn = STT.kneser_ney_score_bigrams(
+        docs.filter(F.col("doc_id") % 4 == 1),
+        docs.filter(F.col("doc_id") % 4 != 1),
+    ).select(
+        F.lit("knbits").alias("op"), sN.alias("s"), sN.alias("t"),
+        F.col("doc_id").alias("a"),
+        (F.col("n_bigrams") * F.lit(1 << 20)
+         + F.col("n_unseen")).alias("b"),
+        F.col("kn_bits").alias("c"), F.col("mean_bits_milli").alias("d"))
     # batch-perceptron TRAINING of that classifier family (2 unrolled
     # iterations twin-side): weights, final scores, and a packed
     # (bias, n_mis_iter1·10⁶+n_mis_iter2) meta row all hash-gate
@@ -2472,7 +2483,7 @@ def _q_stats_ops(spark, sf_dir):
             .unionByName(ng).unionByName(hg).unionByName(rep)
             .unionByName(wf).unionByName(lin).unionByName(auc)
             .unionByName(sb).unionByName(ptw).unionByName(pts)
-            .unionByName(ptm))
+            .unionByName(ptm).unionByName(kn))
 
 
 def _q_graph_similarity(spark, sf_dir):
@@ -4901,6 +4912,11 @@ SELECT 'sbgram', NULL, NULL, doc_id,
        n_bigrams * {1 << 20} + n_backoffs, sb_bits, mean_bits_milli
 FROM ({O.score_bigrams_sql(score_where="doc_id % 4 = 1",
                            ref_where="doc_id % 4 <> 1")}) tsb
+UNION ALL
+SELECT 'knbits', NULL, NULL, doc_id,
+       n_bigrams * {1 << 20} + n_unseen, kn_bits, mean_bits_milli
+FROM ({O.kneser_ney_sql(score_where="doc_id % 4 = 1",
+                        ref_where="doc_id % 4 <> 1")}) tkn
 UNION ALL
 SELECT CASE kind WHEN 'w' THEN 'ptron_w' WHEN 's' THEN 'ptron_s'
        ELSE 'ptron_m' END,

@@ -1094,3 +1094,87 @@ def perceptron_train(features: DataFrame, labels: DataFrame,
         sorted(wt.items()) or [(0, 0)], "bucket long, w long"
     ).filter(F.col("w") != 0)
     return wout, bias, errors
+
+
+def kneser_ney_score_bigrams(docs: DataFrame, ref_docs: DataFrame,
+                             discount_milli: int = 750,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring in fixed point — the
+    classic LM (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    form) that :func:`score_bigrams`'s Stupid Backoff approximates:
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·) + λ(w1)·Pcont(w2)
+        λ(w1)   = D·N1+(w1·)/c(w1·)
+        Pcont(w2) = N1+(·w2) / |bigram types|
+
+    with everything in integer micro-probabilities (the discount ``D``
+    is ``discount_milli``/1000, the published default 0.75) and the
+    per-bigram cost the whole-bit ``len(bin(10⁶ div max(p,1)))−1`` —
+    the engine-wide hash-stable floor-log2 idiom. An unseen history
+    backs off fully to the continuation probability; a pair whose
+    probability floors to 0 micro pays the ~20-bit cap.
+
+    Scale shape identical to :func:`score_bigrams`: the reference
+    relations are |bigram-vocab|-sized aggregations joined onto the
+    scored corpus pairs; one doc-keyed sum. Returns ``(id_col,
+    n_bigrams, n_unseen, kn_bits, mean_bits_milli)``."""
+    D = int(discount_milli)
+    rtoks = ref_docs.select(
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "term"),
+        F.col(id_col).alias("__rid"),
+    )
+    wr = Window.partitionBy("__rid").orderBy("pos")
+    rbi = (rtoks.select(F.col("term").alias("w1"),
+                        F.lead("term").over(wr).alias("w2"))
+           .filter(F.col("w2").isNotNull())
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
+    hist = rbi.groupBy("w1").agg(F.sum("cb").alias("c1b"),
+                                 F.count(F.lit(1)).alias("n1f"))
+    cont = rbi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    btypes = rbi.agg(F.count(F.lit(1)).alias("__BT"))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+            )
+        ).alias("pos", "term"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.select(
+        F.col(id_col), F.col("term").alias("w1"),
+        F.lead("term").over(wd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    scored = (
+        pairs.join(rbi, ["w1", "w2"], "left")
+        .join(hist, "w1", "left")
+        .join(cont, "w2", "left")
+        .join(F.broadcast(btypes))
+        .withColumn("__pc", F.expr("(1000000 * coalesce(n1b, 0)) div __BT"))
+        .withColumn("__p", F.when(
+            F.col("c1b").isNotNull(),
+            F.expr(f"(greatest(1000 * coalesce(cb, 0) - {D}, 0) * 1000000)"
+                   f" div (1000 * c1b)")
+            + F.expr(f"({D} * n1f * __pc) div (1000 * c1b)"))
+         .otherwise(F.col("__pc")))
+        .select(
+            F.col(id_col),
+            (F.length(F.bin(F.expr("1000000 div greatest(__p, 1)"))) - 1)
+            .alias("__bits"),
+            F.col("cb").isNull().cast("long").alias("__unseen"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("__unseen").cast("long").alias("n_unseen"),
+             F.sum("__bits").cast("long").alias("kn_bits"))
+        .select(id_col, "n_bigrams", "n_unseen", "kn_bits",
+                F.expr("(1000 * kn_bits) div n_bigrams")
+                .alias("mean_bits_milli"))
+    )

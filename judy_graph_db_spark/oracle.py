@@ -2729,3 +2729,62 @@ bx_best AS (
 SELECT src_id, tgt_id, sim_micro, margin_milli
 FROM bx_best WHERE rnk = 1 AND margin_milli >= {int(threshold_milli)}
 """
+
+
+def kneser_ney_sql(score_where: str = "TRUE", ref_where: str = "TRUE",
+                   discount_milli: int = 750, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   table: str = "documents") -> str:
+    """Twin of ``stats.kneser_ney_score_bigrams`` (interpolated KN in
+    integer micro-probabilities, whole-bit costs)."""
+    D = int(discount_milli)
+    toks = f"regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})"
+    return f"""WITH kn_ref AS (
+  SELECT {toks} AS ts FROM {table} WHERE {ref_where}
+),
+kn_rbi AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM kn_ref)
+  ) GROUP BY 1, 2
+),
+kn_hist AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1b,
+         CAST(COUNT(*) AS BIGINT) AS n1f
+  FROM kn_rbi GROUP BY 1
+),
+kn_cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM kn_rbi GROUP BY 1
+),
+kn_bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM kn_rbi),
+kn_pairs AS (
+  SELECT {id_col}, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (SELECT {id_col}, ts,
+               unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM (SELECT {id_col}, {toks} AS ts
+              FROM {table} WHERE {score_where}))
+),
+kn_scored AS (
+  SELECT p.{id_col},
+         CASE WHEN h.c1b IS NOT NULL THEN
+           (greatest(1000 * COALESCE(b.cb, 0) - {D}, 0) * 1000000)
+             // (1000 * h.c1b)
+           + ({D} * h.n1f
+              * ((1000000 * COALESCE(c.n1b, 0)) // t.bt))
+             // (1000 * h.c1b)
+         ELSE (1000000 * COALESCE(c.n1b, 0)) // t.bt END AS p_micro,
+         CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM kn_pairs p
+  LEFT JOIN kn_rbi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN kn_hist h ON p.w1 = h.w1
+  LEFT JOIN kn_cont c ON p.w2 = c.w2
+  CROSS JOIN kn_bt t
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       CAST(SUM(length(bin(1000000 // greatest(p_micro, 1))) - 1)
+            AS BIGINT) AS kn_bits,
+       (1000 * CAST(SUM(length(bin(1000000 // greatest(p_micro, 1))) - 1)
+                    AS BIGINT)) // COUNT(*) AS mean_bits_milli
+FROM kn_scored GROUP BY 1"""
