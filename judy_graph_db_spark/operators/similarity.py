@@ -696,7 +696,8 @@ FROM ndcg_idl l LEFT JOIN ndcg_dcg d USING ({q})
 def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                 threshold_milli: int = 1000,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                dim: int | None = None) -> DataFrame:
+                dim: int | None = None,
+                n_planes: int | None = None) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     LASER/CCMatrix recipe): mine translation pairs from two embedding
     corpora by the RATIO margin — cos(x,y) divided by the mean of x's
@@ -712,12 +713,18 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     never bitext, and clamping keeps both engines in nonnegative
     territory where ``div`` and ``//`` agree).
 
-    Scale shape: two batch k-NN joins (each: broadcast the query side
-    against one corpus scan + one query-keyed top-k window) + two
-    aggregate-sized neighborhood-average relations joined back onto the
-    forward candidate pairs. For corpus×corpus scale, pre-bucket both
-    sides (:func:`hyperplane_buckets` / :func:`ivf_assign`) and mine
-    within buckets — the margin formula is unchanged.
+    Scale shape: ONE shared scoring relation (broadcast the smaller
+    source side against one target scan) + two query-keyed top-k
+    windows over it + two aggregate-sized neighborhood-average
+    relations joined back onto the forward candidate pairs. For
+    corpus×corpus scale pass ``n_planes``: both sides bucket on SHARED
+    hyperplanes (signs against the ``n_planes`` lowest-id source
+    vectors) and the scoring join becomes a bucket EQUI-join — no
+    broadcast of either corpus, candidate cost ∝ within-bucket pairs.
+    The margin formula is unchanged; neighborhoods (and therefore
+    margins) are then within-bucket approximations, the standard
+    mining trade (mined pairs are a subset biased toward true pairs,
+    which co-bucket by construction).
 
     Source and target id spaces must be disjoint only in the sense that
     rows are matched positionally by value, never by id — same-id rows
@@ -729,8 +736,30 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     # ONE scored relation serves both directions (the matrix is shared;
     # scoring it twice would double the dominant dim-wide dot cost) —
     # each direction is then just its own top-k window over it
-    scored = bitext_scored_pairs(src, tgt, id_col, vec_col, dim) \
-        .localCheckpoint(eager=True)
+    if n_planes:
+        planes = src.orderBy(id_col).limit(int(n_planes)).select(
+            F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
+
+        def bucketed(df, out_id):
+            tagged = df.join(F.broadcast(planes)).withColumn(
+                "_bit", F.when(dot(vec_col, "_pvec") >= 0,
+                               F.lit("1")).otherwise(F.lit("0")))
+            b = tagged.groupBy(id_col).agg(F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("_pid", "_bit"))),
+                lambda s: s["_bit"])).alias("_bk"))
+            return df.join(b, id_col).select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias(f"_{out_id}_v"), "_bk")
+
+        scored = (
+            bucketed(src, "src_id").join(bucketed(tgt, "tgt_id"), "_bk")
+            .select("src_id", "tgt_id",
+                    cosine_sim_micro("_tgt_id_v", "_src_id_v", dim)
+                    .alias("sim_micro"))
+        )
+    else:
+        scored = bitext_scored_pairs(src, tgt, id_col, vec_col, dim)
+    scored = scored.localCheckpoint(eager=True)
 
     def topk(qid, cid):
         w = Window.partitionBy(qid).orderBy(

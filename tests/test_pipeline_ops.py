@@ -1760,3 +1760,32 @@ def test_hard_negatives_excludes_positives_and_reranks(spark):
            for r in S.hard_negatives(cands, pos, k=2).collect()}
     # positive 10 excluded for query 0 (but NOT for query 1), dense rerank
     assert got == {(0, 11): 1, (0, 12): 2, (1, 10): 1}
+
+
+def test_bitext_mine_bucketed_recovers_cobucketed_pairs(spark):
+    src = spark.createDataFrame(
+        [(1, [10.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 10.0, 0.0, 0.0]),
+         (3, [-9.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(101, [9.0, 1.0, 0.0, 0.0]),
+         (102, [1.0, 9.0, 0.0, 0.0]),
+         (103, [-8.0, 2.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    exact = {(r.src_id, r.tgt_id)
+             for r in S.bitext_mine(src, tgt, k=2, threshold_milli=1000,
+                                    dim=4).collect()}
+    approx = {(r.src_id, r.tgt_id)
+              for r in S.bitext_mine(src, tgt, k=2, threshold_milli=1000,
+                                     dim=4, n_planes=1).collect()}
+    # plane = src vector 1 ([10,0,0,0]): sign(dot) separates the -x pair
+    # (3,103) from the +x pairs — true pairs co-bucket, so the bucketed
+    # mining recovers them; mined set is a subset of plausible pairs
+    assert (1, 101) in approx and (3, 103) in approx
+    assert (1, 101) in exact
+    # the scoring join is an EQUI-join on the bucket — no broadcast of
+    # either corpus side, no cartesian
+    from tests.test_plans import plan_of
+    plan = plan_of(S.bitext_scored_pairs(src, tgt, dim=4))
+    assert "CartesianProduct" not in plan
