@@ -279,11 +279,14 @@ def sec_similarity(spark, sf_dir, cpus, run):
     run("gram_matrix", lambda: SK.gram_matrix(embs, dim=64).count())
     run("distance_histogram",
         lambda: S.distance_histogram(embs, sample_buckets=16).count())
+    # the scale path: shared-hyperplane bucket equi-join (auto-sized),
+    # the configuration a corpus x corpus mine actually runs — the brute
+    # path is exactness-gated against the DuckDB twin instead
     run("bitext_mine",
         lambda: S.bitext_mine(
             embs.filter(F.col("vec_id") % 2 == 0),
             embs.filter(F.col("vec_id") % 2 == 1),
-            k=4, threshold_milli=1000, dim=64).count())
+            k=4, threshold_milli=1000, dim=64, n_planes="auto").count())
 
 
 def sec_curation(spark, sf_dir, cpus, run):

@@ -736,6 +736,14 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     # ONE scored relation serves both directions (the matrix is shared;
     # scoring it twice would double the dominant dim-wide dot cost) —
     # each direction is then just its own top-k window over it
+    if n_planes == "auto":
+        # size buckets to ~128 occupants on the larger side, the same
+        # rule cosine_neardup_pairs uses — keeps within-bucket candidate
+        # cost ~n·128 as the corpora grow
+        import math
+
+        n = max(src.count(), tgt.count())
+        n_planes = max(1, math.ceil(math.log2(max(n / 128, 2))))
     if n_planes:
         planes = src.orderBy(id_col).limit(int(n_planes)).select(
             F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec"))
