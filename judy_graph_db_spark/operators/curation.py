@@ -1587,3 +1587,51 @@ def funnel_counts(flagged: DataFrame) -> DataFrame:
     ]
     return flagged.agg(*[
         F.sum(c.cast("long")).cast("long").alias(n) for n, c in stages])
+
+
+def compression_ratio_signals(docs: DataFrame, level: int = 6,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the "perplexity without a
+    model" quality signal (highly repetitive/boilerplate text compresses
+    far below prose; random gibberish barely compresses; both tails are
+    filter targets in published web-pipeline ablations). DEFLATE at a
+    fixed ``level`` is deterministic for a given input, so the integer
+    permille ratio is reproducible — but there is no SQL twin (DuckDB
+    has no zlib), so this operator is unit-tested rather than
+    driver-gated, like the other Arrow-stage-only ops.
+
+    One shuffle-free Arrow ``mapInPandas`` pass (zlib is C-speed; the
+    batch transfer dominates). Returns ``docs`` plus
+    ``(raw_bytes, zip_bytes, ratio_permille)`` where ratio =
+    compressed/raw — LOW means repetitive, ~1000 means incompressible.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField("raw_bytes", LongType()),
+           StructField("zip_bytes", LongType()),
+           StructField("ratio_permille", LongType())]
+    )
+    lv = int(level)
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b""
+                   for t in pdf[text_col]]
+            zb = [len(zlib.compress(b, lv)) for b in raw]
+            rb = [len(b) for b in raw]
+            pdf = pdf.copy()
+            pdf["raw_bytes"] = pd.Series(rb, index=pdf.index)
+            pdf["zip_bytes"] = pd.Series(zb, index=pdf.index)
+            pdf["ratio_permille"] = pd.Series(
+                [1000 * z // r if r else 0 for z, r in zip(zb, rb)],
+                index=pdf.index)
+            yield pdf
+
+    return docs.mapInPandas(run, schema=out_schema)

@@ -835,3 +835,30 @@ def test_web_corpus_funnel_blocked_dup_never_owns_slot(spark):
     got = {r.doc_id: r for r in out.collect()}
     # the blocked doc 1 must NOT claim the canonical slot for doc 2
     assert not got[1].keep and got[2].keep
+
+
+def test_compression_ratio_signals(spark):
+    from judy_graph_db_spark.operators.curation import (
+        compression_ratio_signals)
+
+    import hashlib
+
+    gibberish = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400),                      # hyper-repetitive
+         (2, "the quick brown fox jumps over the lazy dog and then "
+             "walks home thinking about many different things " * 8),
+         (3, gibberish)],                         # non-repeating noise
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio_signals(docs).collect()}
+    # repetitive << prose << gibberish-ish, and bytes are consistent
+    assert got[1].ratio_permille < got[2].ratio_permille
+    assert got[2].ratio_permille < got[3].ratio_permille
+    for r in got.values():
+        assert r.raw_bytes == len(r.text.encode()) and r.zip_bytes > 0
+    # determinism: same input, same integers on a different partitioning
+    again = {r.doc_id: r.ratio_permille
+             for r in compression_ratio_signals(
+                 docs.repartition(3)).collect()}
+    assert again == {i: r.ratio_permille for i, r in got.items()}
