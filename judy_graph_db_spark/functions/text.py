@@ -430,3 +430,40 @@ def fk_grade_milli(text: Column) -> Column:
     return (F.floor(w * 390 / s0).cast("long")
             + F.floor(y * 11800 / w0).cast("long")
             - F.lit(15590)).cast("long")
+
+
+# Unicode homoglyph folding: visually-identical Cyrillic/Greek letters and
+# fullwidth forms that web text (and adversarial spam) substitutes for
+# Latin, plus typographic punctuation variants. Equal-length from/to
+# tables — one JVM translate() pass; the zero-width/invisible characters
+# need a regex pass (translate cannot delete).
+CONFUSABLE_FROM = ("АВЕКМНОРСТХаеорсух"       # Cyrillic lookalikes
+                   "ΑΒΕΖΗΙΚΜΝΟΡΤΧνο"          # Greek lookalikes
+                   "‘’‚‛“”„‟"
+                   "–—− ⁄")
+CONFUSABLE_TO = ("ABEKMHOPCTXaeopcyx"
+                 "ABEZHIKMNOPTXvo"
+                 "''''\"\"\"\""
+                 "---" + " /")
+INVISIBLE_RE = "[​‌‍⁠﻿­]"
+
+
+def fold_confusables(text: Column) -> Column:
+    """Fold Unicode homoglyphs to their ASCII targets and drop
+    zero-width/invisible characters — the normalization pass that makes
+    exact/near dedup and blocklist matching robust to the Cyrillic-о
+    trick ('сlаim' with Cyrillic с/а evades an ASCII blocklist and
+    splits dedup clusters). Two scan-stage passes: one ``translate``
+    (equal-length tables) + one invisible-char regex removal. Twin:
+    :func:`fold_confusables_sql` (same tables, byte-identical)."""
+    return F.regexp_replace(
+        F.translate(text, CONFUSABLE_FROM, CONFUSABLE_TO),
+        INVISIBLE_RE, "")
+
+
+def fold_confusables_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`fold_confusables`."""
+    frm = CONFUSABLE_FROM.replace("'", "''")
+    to = CONFUSABLE_TO.replace("'", "''")
+    return (f"regexp_replace(translate({col}, '{frm}', '{to}'), "
+            f"'{INVISIBLE_RE}', '', 'g')")

@@ -1789,3 +1789,29 @@ def test_bitext_mine_bucketed_recovers_cobucketed_pairs(spark):
     from tests.test_plans import plan_of
     plan = plan_of(S.bitext_scored_pairs(src, tgt, dim=4))
     assert "CartesianProduct" not in plan
+
+
+def test_fold_confusables_defeats_homoglyph_evasion(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "сlаim yоur рrizе"),       # Cyrillic с а о р е
+         (2, "claim your prize"),       # ASCII
+         (3, "“smart” – ‘quotes’"),
+         (4, "zero​width‍joined")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.f for r in docs.select(
+        "doc_id", T.fold_confusables(F.col("text")).alias("f")).collect()}
+    # the homoglyph spam folds to the exact ASCII text -> dedup/blocklist
+    # sees one string
+    assert got[1] == got[2] == "claim your prize"
+    assert got[3] == "\"smart\" - 'quotes'"
+    assert got[4] == "zerowidthjoined"
+    # twin agreement on the same rows
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    for r in docs.collect():
+        con.execute("INSERT INTO t VALUES (?, ?)", [r.doc_id, r.text])
+    want = dict(con.sql(
+        f"SELECT doc_id, {T.fold_confusables_sql()} FROM t").fetchall())
+    assert got == want
