@@ -1924,13 +1924,36 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("shuffle").alias("op"), "doc_id", sN.alias("split"),
         (F.col("shard") * 100000 + F.col("pos_in_shard")).alias("n"),
         lN.alias("a"), lN.alias("b"))
+    # the COMPOSED crawl funnel (URL blocklist → lang → Gopher → exact
+    # keep-first → LSH cluster canonical) with synthesized URLs and
+    # fixture-fitting Gopher knobs so every stage does real work; all
+    # five stage decisions pack into one hashed integer per doc
+    fdocs = docs.withColumn(
+        "url", F.concat(F.lit("http://d"),
+                        (F.col("doc_id") % 37).cast("string"),
+                        F.lit("-site.com/p/"),
+                        F.col("doc_id").cast("string")))
+    wfn = CU.web_corpus_funnel(
+        fdocs, blocked_domains=("d3-site.com", "d7-site.com"),
+        keep_langs=("en",), url_col="url",
+        gopher_kwargs={"min_words": 20, "min_stop_hits": 0})
+    fn = wfn.select(
+        F.lit("funnel").alias("op"), "doc_id",
+        F.col("lang").alias("split"),
+        (F.col("url_ok").cast("long") * 16
+         + F.col("lang_ok").cast("long") * 8
+         + F.col("gopher_ok").cast("long") * 4
+         + F.col("exact_keep").cast("long") * 2
+         + F.col("neardup_keep").cast("long")).alias("n"),
+        lN.alias("a"), lN.alias("b"))
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(fcontam)
             .unionByName(qf).unionByName(cap)
             .unionByName(mx).unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
             .unionByName(pps).unionByName(pd_).unionByName(drift)
-            .unionByName(psig).unionByName(pflt).unionByName(shf))
+            .unionByName(psig).unionByName(pflt).unionByName(shf)
+            .unionByName(fn))
 
 
 def _q_delete_ops(spark, sf_dir):
@@ -3965,6 +3988,11 @@ UNION ALL
 SELECT 'fcontam', doc_id, NULL, NULL, bench_id, NULL
 FROM ({O.cross_corpus_lsh_sql(
     "doc_id % 20 != 0", "doc_id % 20 = 0")}) t
+UNION ALL
+SELECT 'funnel', doc_id, lang,
+       url_ok::BIGINT * 16 + lang_ok::BIGINT * 8 + gopher_ok::BIGINT * 4
+       + exact_keep::BIGINT * 2 + neardup_keep::BIGINT, NULL, NULL
+FROM ({O.web_funnel_sql(min_words=20, min_stop_hits=0)}) t
 UNION ALL
 SELECT 'quality_filter', doc_id, lang, q_score, NULL, NULL
 FROM ({O.quality_percentile_filter_sql(keep_permille=500)}) t

@@ -311,8 +311,13 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
         return merges_df, vocab
     merges = []
     for rank in range(n_merges):
+        # size guard: a fully-merged word has ONE symbol left and
+        # sequence(1, 0) is DESCENDING in Spark — the unguarded
+        # transform then probes element_at(syms, 2) and throws (found
+        # by the sf1.0 scale probe, whose mutated replicas drive more
+        # words to a single symbol within 16 merges)
         pairs = (
-            words.select(
+            words.filter(F.size("syms") >= 2).select(
                 "freq",
                 F.explode(
                     F.expr(

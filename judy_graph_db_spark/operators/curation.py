@@ -1511,7 +1511,8 @@ def url_dedup(docs: DataFrame, url_col: str = "url",
 def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
                       keep_langs=("en",), neardup: bool = True,
                       id_col: str = "doc_id", text_col: str = "text",
-                      url_col: str | None = None) -> DataFrame:
+                      url_col: str | None = None,
+                      gopher_kwargs: dict | None = None) -> DataFrame:
     """The RefinedWeb/FineWeb-style front-of-pipeline FUNNEL in one
     call — the composition a crawl-to-corpus user actually runs:
 
@@ -1546,7 +1547,8 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
     out = out.withColumn(
         "lang", lang_id(F.col(text_col))).withColumn(
         "lang_ok", F.col("lang").isin(*[str(x) for x in keep_langs]))
-    gq = gopher_quality_filter(docs, id_col=id_col, text_col=text_col)
+    gq = gopher_quality_filter(docs, id_col=id_col, text_col=text_col,
+                               **(gopher_kwargs or {}))
     out = out.join(gq.select(id_col, F.col("keep").alias("gopher_ok")),
                    id_col)
     surv = F.col("url_ok") & F.col("lang_ok") & F.col("gopher_ok")

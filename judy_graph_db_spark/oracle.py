@@ -1750,17 +1750,19 @@ FROM gq_s"""
 
 
 def gopher_keep_sql(id_col: str = "doc_id", text_col: str = "text",
-                    table: str = "documents") -> str:
-    """Twin of ``curation.gopher_quality_filter``'s keep flag at the
-    paper's default thresholds."""
+                    table: str = "documents", min_words: int = 50,
+                    min_stop_hits: int = 2) -> str:
+    """Twin of ``curation.gopher_quality_filter``'s keep flag (the
+    paper's thresholds by default; ``min_words``/``min_stop_hits``
+    mirror the operator's corresponding knobs)."""
     return f"""SELECT {id_col},
-       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+       CAST(CASE WHEN n_words BETWEEN {int(min_words)} AND 100000
                   AND mean_word_len_milli BETWEEN 3000 AND 10000
                   AND symbol_word_milli <= 100
                   AND bullet_line_milli <= 900
                   AND ellipsis_line_milli <= 300
                   AND alpha_word_milli >= 800
-                  AND stop_hits >= 2
+                  AND stop_hits >= {int(min_stop_hits)}
             THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM ({gopher_signals_sql(id_col, text_col, table)}) gk"""
 
@@ -2788,3 +2790,57 @@ SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        (1000 * CAST(SUM(length(bin(1000000 // greatest(p_micro, 1))) - 1)
                     AS BIGINT)) // COUNT(*) AS mean_bits_milli
 FROM kn_scored GROUP BY 1"""
+
+
+def web_funnel_sql(blocked_domains=("d3-site.com", "d7-site.com"),
+                   keep_langs=("en",),
+                   url_expr: str = ("'http://d' || (doc_id % 37) || "
+                                    "'-site.com/p/' || doc_id"),
+                   table: str = "documents", min_words: int = 50,
+                   min_stop_hits: int = 2) -> str:
+    """Twin of ``curation.web_corpus_funnel`` — the COMPOSED funnel,
+    assembled from the already-twinned components (registered-domain
+    blocklist, lang-id, Gopher keep, normalized-md5 keep-first among
+    survivors, recursive-CTE LSH cluster canonical among exact
+    survivors). Returns one row per doc:
+    ``(doc_id, lang, url_ok, lang_ok, gopher_ok, exact_keep,
+    neardup_keep)``."""
+    from judy_graph_db_spark.functions.text import lang_id_sql
+
+    rd = registered_domain_sql(url_host_sql(url_expr))
+    bl = ", ".join(f"'{d}'" for d in blocked_domains)
+    kl = ", ".join(f"'{x}'" for x in keep_langs)
+    clusters = dedup_clusters_sql(
+        table=f"(SELECT doc_id, text FROM fn_e WHERE exact_keep)")
+    return f"""
+WITH fn_u AS (
+  SELECT doc_id, text, NOT ({rd} IN ({bl})) AS url_ok,
+         {lang_id_sql('text')} AS lang
+  FROM {table}
+),
+fn_f AS (
+  SELECT u.doc_id, u.text, u.lang, u.url_ok,
+         u.lang IN ({kl}) AS lang_ok,
+         g.keep AS gopher_ok,
+         md5(lower(regexp_replace(u.text, '\\s+', ' ', 'g'))) AS h
+  FROM fn_u u JOIN ({gopher_keep_sql(table=table, min_words=min_words,
+                                     min_stop_hits=min_stop_hits)}) g
+    USING (doc_id)
+),
+fn_w AS (
+  SELECT h, MIN(doc_id) AS win FROM fn_f
+  WHERE url_ok AND lang_ok AND gopher_ok GROUP BY h
+),
+fn_e AS (
+  SELECT f.*,
+         (f.url_ok AND f.lang_ok AND f.gopher_ok
+          AND f.doc_id = w.win) AS exact_keep
+  FROM fn_f f LEFT JOIN fn_w w ON f.h = w.h
+),
+fn_l AS (
+  SELECT doc_id FROM ({clusters}) WHERE NOT is_canonical
+)
+SELECT e.doc_id, e.lang, e.url_ok, e.lang_ok, e.gopher_ok, e.exact_keep,
+       (e.exact_keep AND l.doc_id IS NULL) AS neardup_keep
+FROM fn_e e LEFT JOIN fn_l l ON e.doc_id = l.doc_id
+"""

@@ -820,3 +820,19 @@ def test_kneser_ney_prefers_plausible_sequences(spark):
     got = {r.doc_id: r.mean_bits_milli
            for r in ST.kneser_ney_score_bigrams(probe, ref).collect()}
     assert got[100] < got[200]
+
+
+def test_bpe_train_single_symbol_words_survive_merges(spark):
+    """A word that collapses to ONE symbol mid-training must not crash
+    the pair scan (Spark's sequence(1,0) is descending — regression for
+    the sf1.0 probe crash)."""
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab x x x ab")], "doc_id long, text string")
+    # merge 1 fuses a+b -> 'ab' becomes a single symbol; later rounds
+    # must still scan pairs without touching out-of-bounds indices
+    merges, vocab = bpe_train(docs, n_merges=4, strategy="relational")
+    assert merges.count() >= 1
+    syms = {r.symbol for r in vocab.collect()}
+    assert "x</w>" in syms and any(s.startswith("ab") for s in syms)
