@@ -1512,7 +1512,9 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
                       keep_langs=("en",), neardup: bool = True,
                       id_col: str = "doc_id", text_col: str = "text",
                       url_col: str | None = None,
-                      gopher_kwargs: dict | None = None) -> DataFrame:
+                      gopher_kwargs: dict | None = None,
+                      robots_rules: DataFrame | None = None,
+                      robots_agent: str = "*") -> DataFrame:
     """The RefinedWeb/FineWeb-style front-of-pipeline FUNNEL in one
     call — the composition a crawl-to-corpus user actually runs:
 
@@ -1542,6 +1544,18 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
                                   id_col=id_col)
         out = out.join(
             ub.select(id_col, (~F.col("blocked")).alias("url_ok")), id_col)
+        if robots_rules is not None:
+            # optional stage 0: drop URLs the host's robots.txt
+            # disallowed for this agent (RFC 9309 longest-match)
+            from judy_graph_db_spark.sources.robots import robots_url_policy
+
+            pol = robots_url_policy(
+                docs.select(id_col, url_col), robots_rules,
+                agent=robots_agent, url_col=url_col)
+            out = out.join(
+                pol.select(url_col, "allowed").distinct(), url_col
+            ).withColumn("url_ok", F.col("url_ok") & F.col("allowed")) \
+                .drop("allowed")
     else:
         out = out.withColumn("url_ok", F.lit(True))
     out = out.withColumn(

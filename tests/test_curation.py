@@ -862,3 +862,22 @@ def test_compression_ratio_signals(spark):
              for r in compression_ratio_signals(
                  docs.repartition(3)).collect()}
     assert again == {i: r.ratio_permille for i, r in got.items()}
+
+
+def test_web_corpus_funnel_respects_robots(spark):
+    from judy_graph_db_spark.operators.curation import web_corpus_funnel
+    from judy_graph_db_spark.sources.robots import parse_robots
+
+    text = ("the quick brown fox jumps over the lazy dog and then walks "
+            "home with all of the other animals every single day") * 4
+    docs = spark.createDataFrame(
+        [(1, text, "http://ok-site.com/private/page"),
+         (2, text + " b", "http://ok-site.com/public/page")],
+        "doc_id long, text string, url string")
+    rules = parse_robots(spark.createDataFrame(
+        [("ok-site.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, text string"))
+    out = web_corpus_funnel(docs, url_col="url", neardup=False,
+                            robots_rules=rules)
+    got = {r.doc_id: (r.url_ok, r.keep) for r in out.collect()}
+    assert got[1] == (False, False) and got[2] == (True, True)
