@@ -3232,6 +3232,25 @@ def _q_chunk_shard(spark, sf_dir):
         F.concat_ws("|", F.col("word"),
                     F.array_join("pieces", "|")).alias("s"),
         F.col("is_unk").cast("long").alias("b"))
+    # the TERMINAL pipeline step, whole-path gated: WordPiece-encode the
+    # corpus with dense-rank ids over the same vocab, concatenate with
+    # EOD separators, cut into complete 64-token sequences — each
+    # sequence's full id string hashes against the composed twin
+    from pyspark.sql import Window as _WW
+
+    from judy_graph_db_spark.operators import curation as CU
+
+    emvocab = wpvv.withColumn(
+        "token_id",
+        F.row_number().over(_WW.orderBy("piece")).cast("long"))
+    emseqs = CU.emit_training_sequences(
+        WORDPIECE.wordpiece_encode(spark.table("documents"), wpvv,
+                                   max_piece_len=3),
+        emvocab, seq_len=64)
+    em = emseqs.select(
+        F.lit("emit").alias("op"), F.col("seq_id").alias("doc_id"),
+        F.col("n_tokens").alias("a"),
+        F.concat_ws("|", "tokens").alias("s"), lN.alias("b"))
     # tokenizer fertility on the same encoded subset: chars per token
     from judy_graph_db_spark.operators.bpe import bpe_compression
 
@@ -3245,7 +3264,8 @@ def _q_chunk_shard(spark, sf_dir):
     return (ch.unionByName(sh).unionByName(ws).unionByName(pk)
             .unionByName(bm).unionByName(bv).unionByName(be)
             .unionByName(bc).unionByName(tc).unionByName(wm)
-            .unionByName(uv).unionByName(ug).unionByName(wg))
+            .unionByName(uv).unionByName(ug).unionByName(wg)
+            .unionByName(em))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4190,7 +4210,12 @@ SELECT 'wp_seg', NULL, n_pieces, word || '|' || toks,
        CAST(is_unk AS BIGINT)
 FROM ({WORDPIECE.wordpiece_segment_oracle_sql(
             max_piece_len=3, seed_size=64, max_word_len=12,
-            where_word="word LIKE 'c%'")}) t10""",
+            where_word="word LIKE 'c%'")}) t10
+UNION ALL
+SELECT 'emit', seq_id, n_tokens, toks, NULL
+FROM ({WORDPIECE.wordpiece_emit_oracle_sql(
+            seq_len=64, max_piece_len=3, seed_size=64,
+            max_word_len=12)}) t11""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

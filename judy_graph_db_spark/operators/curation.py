@@ -1651,3 +1651,72 @@ def compression_ratio_signals(docs: DataFrame, level: int = 6,
             yield pdf
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+def emit_training_sequences(pieces: DataFrame, vocab: DataFrame,
+                            seq_len: int, eod_id: int = 0,
+                            unk_id: int | None = None,
+                            id_col: str = "doc_id",
+                            drop_partial: bool = True) -> DataFrame:
+    """The TERMINAL pipeline step — materialize fixed-length token-ID
+    training sequences (the Megatron/GPT .bin layout, as a relation):
+    documents' subword ids concatenate in ``id_col`` order, each doc
+    followed by ``eod_id``, the stream cut every ``seq_len`` tokens,
+    the trailing partial sequence dropped (``drop_partial=False`` keeps
+    it). This is what :func:`pack_sequences` computes PLACEMENT for;
+    here the actual ids are emitted, ready to write as parquet shards.
+
+    ``pieces`` is the output shape of any of the three encoders
+    (``bpe_encode`` / ``unigram_encode`` / ``wordpiece_encode``:
+    ``(id_col, word_pos, piece_pos, piece)``); ``vocab`` maps
+    ``(piece, token_id)`` and is broadcast. Pieces missing from the
+    vocab raise unless ``unk_id`` is given (silent OOV would corrupt
+    training data).
+
+    Scale shape: one broadcast vocab join; per-doc local positions are
+    one doc-keyed window; the doc→global offset is the same two-pass
+    distributed prefix sum as :func:`shard_by_token_budget` (never a
+    global window over tokens); sequences assemble with one
+    ``seq_id``-keyed aggregation. Returns ``(seq_id, tokens
+    array<bigint>, n_tokens)`` with ``n_tokens = seq_len`` for every
+    complete sequence.
+    """
+    v = vocab.select("piece", F.col("token_id").cast("long"))
+    ids = pieces.join(F.broadcast(v), "piece", "left")
+    if unk_id is None:
+        ids = ids.withColumn(
+            "token_id",
+            F.when(F.col("token_id").isNull(),
+                   F.raise_error(F.concat(F.lit("piece not in vocab: "),
+                                          F.col("piece"))))
+            .otherwise(F.col("token_id")))
+    else:
+        ids = ids.na.fill({"token_id": int(unk_id)})
+    wdoc = Window.partitionBy(id_col).orderBy("word_pos", "piece_pos")
+    local = ids.select(
+        F.col(id_col), F.col("token_id"),
+        (F.row_number().over(wdoc) - 1).alias("__li"))
+    counts = local.groupBy(id_col).agg(
+        (F.count(F.lit(1)) + 1).alias("__n"))  # +1 for the EOD token
+    pre = _token_prefix(counts, id_col, id_col, None,
+                        weight=F.col("__n"))
+    placed = local.join(pre.select(id_col, "__start"), id_col).select(
+        (F.col("__start") + F.col("__li")).alias("gpos"), "token_id")
+    eods = pre.select(
+        (F.col("__start") + F.col("n_tokens") - 1).alias("gpos"),
+        F.lit(int(eod_id)).cast("long").alias("token_id"))
+    stream = placed.unionByName(eods)
+    out = stream.select(
+        F.expr(f"gpos div {int(seq_len)}").alias("seq_id"),
+        (F.col("gpos") % int(seq_len)).alias("__pos"), "token_id")
+    if drop_partial:
+        total = pre.agg(F.sum("n_tokens")).first()[0] or 0
+        out = out.filter(F.col("seq_id") < int(total) // int(seq_len))
+    return (
+        out.groupBy("seq_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "token_id"))),
+            lambda s: s["token_id"]).alias("tokens"))
+        .select("seq_id", "tokens", F.size("tokens").cast("long")
+                .alias("n_tokens"))
+    )

@@ -188,3 +188,81 @@ SELECT word,
        failed AS is_unk
 FROM g{maxw}""")
     return "\n".join(parts)
+
+
+def wordpiece_emit_oracle_sql(seq_len: int = 64, max_piece_len: int = 4,
+                              seed_size: int = 512,
+                              max_word_len: int = 12,
+                              text_col: str = "text",
+                              table: str = "documents",
+                              min_word_freq: int = 1) -> str:
+    """Twin of the full tokenize-and-pack path:
+    ``wordpiece_encode`` over :func:`wordpiece_vocab_from_pieces` of the
+    unigram seed (ids = dense rank over piece text, EOD id 0) fed into
+    ``curation.emit_training_sequences`` — complete ``seq_len``
+    sequences only. Returns ``(seq_id, toks, n_tokens)`` with toks =
+    '|'-joined token ids in order. The global prefix sum is one
+    corpus-sized window here (oracle scale); Spark uses the two-pass
+    partition-subtotal shape."""
+    from judy_graph_db_spark.oracle import WORD_TOKEN_RE_SQL
+
+    seg = wordpiece_segment_oracle_sql(
+        max_piece_len, seed_size, max_word_len, "TRUE",
+        text_col, table, min_word_freq)
+    from judy_graph_db_spark.operators.unigram import \
+        unigram_seed_oracle_sql
+    seed = unigram_seed_oracle_sql(max_piece_len, seed_size, text_col,
+                                   table, min_word_freq)
+    return f"""
+WITH em_seg AS (SELECT word, toks FROM ({seg})),
+em_vocab AS (
+  SELECT piece,
+         CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS token_id
+  FROM (SELECT piece FROM ({seed})
+        UNION ALL SELECT '##' || piece FROM ({seed}))
+),
+em_words AS (
+  SELECT doc_id, i - 1 AS word_pos, ts[i] AS word
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower({text_col}), {WORD_TOKEN_RE_SQL})
+                 AS ts
+        FROM {table}),
+       unnest(generate_series(1, len(ts))) AS u(i)
+),
+em_p AS (
+  SELECT w.doc_id, w.word_pos, p.piece_pos - 1 AS piece_pos, p.piece
+  FROM em_words w
+  JOIN em_seg s ON s.word = w.word,
+  LATERAL (SELECT UNNEST(string_split(s.toks, '|')) AS piece,
+                  generate_subscripts(string_split(s.toks, '|'), 1)
+                    AS piece_pos) p
+),
+em_i AS (
+  SELECT e.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+           ORDER BY e.word_pos, e.piece_pos) - 1 AS li,
+         v.token_id
+  FROM em_p e JOIN em_vocab v ON v.piece = e.piece
+),
+em_n AS (
+  SELECT doc_id, CAST(COUNT(*) + 1 AS BIGINT) AS n FROM em_i GROUP BY 1
+),
+em_s AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS st
+  FROM em_n
+),
+em_stream AS (
+  SELECT s.st + i.li AS gpos, i.token_id
+  FROM em_i i JOIN em_s s USING (doc_id)
+  UNION ALL
+  SELECT st + n - 1, CAST(0 AS BIGINT) FROM em_s
+),
+em_t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM em_n)
+SELECT CAST(gpos // {int(seq_len)} AS BIGINT) AS seq_id,
+       string_agg(token_id, '|' ORDER BY gpos) AS toks,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM em_stream, em_t
+WHERE gpos // {int(seq_len)} < total // {int(seq_len)}
+GROUP BY 1"""

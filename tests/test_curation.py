@@ -881,3 +881,69 @@ def test_web_corpus_funnel_respects_robots(spark):
                             robots_rules=rules)
     got = {r.doc_id: (r.url_ok, r.keep) for r in out.collect()}
     assert got[1] == (False, False) and got[2] == (True, True)
+
+
+def test_emit_training_sequences_layout(spark):
+    from judy_graph_db_spark.operators.curation import (
+        emit_training_sequences)
+
+    # hand-built encoder output: doc1 -> pieces a b c ; doc2 -> d e
+    pieces = spark.createDataFrame(
+        [(1, 0, 0, "a"), (1, 0, 1, "b"), (1, 1, 0, "c"),
+         (2, 0, 0, "d"), (2, 1, 0, "e")],
+        "doc_id long, word_pos long, piece_pos long, piece string")
+    vocab = spark.createDataFrame(
+        [("a", 11), ("b", 12), ("c", 13), ("d", 14), ("e", 15)],
+        "piece string, token_id long")
+    # stream = 11 12 13 EOD 14 15 EOD  (7 tokens) -> seq_len=3 gives
+    # [11,12,13] [0,14,15] and a dropped partial [0]
+    out = {r.seq_id: list(r.tokens)
+           for r in emit_training_sequences(pieces, vocab, 3).collect()}
+    assert out == {0: [11, 12, 13], 1: [0, 14, 15]}
+    # keep_partial keeps the tail
+    out2 = {r.seq_id: list(r.tokens)
+            for r in emit_training_sequences(
+                pieces, vocab, 3, drop_partial=False).collect()}
+    assert out2[2] == [0]
+
+
+def test_emit_training_sequences_oov(spark):
+    from judy_graph_db_spark.operators.curation import (
+        emit_training_sequences)
+
+    pieces = spark.createDataFrame(
+        [(1, 0, 0, "a"), (1, 0, 1, "zz")],
+        "doc_id long, word_pos long, piece_pos long, piece string")
+    vocab = spark.createDataFrame([("a", 1)], "piece string, token_id long")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="not in vocab"):
+        emit_training_sequences(pieces, vocab, 4).collect()
+    out = emit_training_sequences(pieces, vocab, 4, unk_id=9,
+                                  drop_partial=False).collect()
+    assert list(out[0].tokens) == [1, 9, 0]
+
+
+def test_emit_training_sequences_end_to_end_wordpiece(spark):
+    """corpus → seed vocab → WordPiece encode → id sequences: the whole
+    tokenize-and-pack path, deterministic under repartitioning."""
+    from judy_graph_db_spark.operators import unigram as U
+    from judy_graph_db_spark.operators import wordpiece as W
+    from judy_graph_db_spark.operators.curation import (
+        emit_training_sequences)
+
+    docs = spark.createDataFrame(
+        [(i, "banana cab ban " * 3) for i in range(1, 7)],
+        "doc_id long, text string")
+    wpv = W.wordpiece_vocab_from_pieces(
+        U.unigram_seed_vocab(docs, max_piece_len=3, seed_size=16))
+    from pyspark.sql import Window as _W
+    vocab = wpv.withColumn(
+        "token_id", F.row_number().over(_W.orderBy("piece")).cast("long"))
+    enc = W.wordpiece_encode(docs, wpv, max_piece_len=3)
+    seqs = emit_training_sequences(enc, vocab, seq_len=16)
+    rows = seqs.collect()
+    assert rows and all(r.n_tokens == 16 for r in rows)
+    again = emit_training_sequences(
+        enc.repartition(5), vocab, seq_len=16).collect()
+    assert {r.seq_id: tuple(r.tokens) for r in rows} == \
+        {r.seq_id: tuple(r.tokens) for r in again}

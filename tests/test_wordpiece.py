@@ -89,3 +89,29 @@ def test_wordpiece_twin_agreement(spark):
         W.wordpiece_segment_oracle_sql(max_piece_len=3, seed_size=24,
                                        max_word_len=12))
     assert ok, msg
+
+
+def test_wordpiece_emit_twin_agreement(spark):
+    """Full tokenize-and-pack path vs the composed DuckDB twin."""
+    from pyspark.sql import Window as _W
+
+    from judy_graph_db_spark.operators.curation import (
+        emit_training_sequences)
+
+    texts = ["banana band cabana cab abba", "cab cabal banal banana",
+             "ban cab abba banana cabana"]
+    docs = _docs(spark, texts)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i + 1, t])
+    wpv = W.wordpiece_vocab_from_pieces(
+        U.unigram_seed_vocab(docs, max_piece_len=3, seed_size=24))
+    vocab = wpv.withColumn(
+        "token_id", F.row_number().over(_W.orderBy("piece")).cast("long"))
+    enc = W.wordpiece_encode(docs, wpv, max_piece_len=3)
+    out = emit_training_sequences(enc, vocab, seq_len=8).select(
+        "seq_id", F.concat_ws("|", "tokens").alias("toks"), "n_tokens")
+    ok, msg = compare(out, con, W.wordpiece_emit_oracle_sql(
+        seq_len=8, max_piece_len=3, seed_size=24))
+    assert ok, msg
