@@ -415,6 +415,18 @@ def sec_stats(spark, sf_dir, cpus, run):
     run("wordpiece_encode",
         lambda: WP.wordpiece_encode(docs, wp_vocab,
                                     max_piece_len=4).count())
+    # the terminal tokenize-and-pack step: encode + EOD-concat + cut
+    # into complete 1024-token id sequences
+    from pyspark.sql import Window as _W
+
+    from judy_graph_db_spark.operators import curation as CUR
+
+    emit_vocab = wp_vocab.withColumn(
+        "token_id", F.row_number().over(_W.orderBy("piece")).cast("long"))
+    run("emit_sequences",
+        lambda: CUR.emit_training_sequences(
+            WP.wordpiece_encode(docs, wp_vocab, max_piece_len=4),
+            emit_vocab, seq_len=1024).count(), repeats=1)
     # batch-perceptron training: 3 full passes over the hashed features
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("int").alias("label"))

@@ -92,7 +92,12 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
     # records had it consumed by the separator
     rec = F.regexp_replace("value", r"\AWARC/1\.0\r\n", "")
     parts = F.split(rec, r"\r\n\r\n", 2)
-    headers, body0 = parts[0], parts[1]
+    # get() not []: a separator collision inside a payload can leave a
+    # fragment with NO header/payload blank line — one element after the
+    # split, where [1] throws under ANSI and get() yields NULL (which
+    # the malformed flag below absorbs). Found by the hypothesis
+    # round-trip property.
+    headers, body0 = parts[0], F.get(parts, 1)
     cl = _header(headers, "Content-Length").cast("long")
     # Terminator framing by DECLARED length (found by the round-trip
     # property test): a non-final record lost its CRLF CRLF terminator

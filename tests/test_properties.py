@@ -349,20 +349,26 @@ def test_warc_roundtrip_arbitrary_payloads(spark, tmp_path_factory, payloads):
     parsed = {r.url: r.text
               for r in W.read_wet(spark, path).collect()}
     n_bad = W.read_warc_records(spark, path).filter("malformed").count()
-    clean, dirty = {}, 0
-    for i, p in enumerate(payloads):
-        # a separator inside payload i corrupts i AND the framing of the
-        # record it spills into; count expected clean conservatively
-        if W.RECORD_SEP in p:
-            dirty += 1
-        else:
-            clean[f"http://example.com/{i}"] = p
-    if dirty == 0:
-        assert n_bad == 0 and parsed == clean
+    # a collision is ANY separator byte-sequence occurrence at a
+    # non-boundary position — it can live inside one payload OR compose
+    # across framing bytes (e.g. header blank line + payload starting
+    # 'WARC/1.0' + terminator), so classify on the actual byte stream
+    blob = b"".join(recs)
+    sep = W.RECORD_SEP.encode()
+    legit, pos = set(), 0
+    for r in recs[:-1]:
+        pos += len(r)
+        legit.add(pos - 4)  # terminator CRLF CRLF + next version line
+    collisions = [i for i in range(len(blob))
+                  if blob.startswith(sep, i) and i not in legit]
+    expected = {f"http://example.com/{i}": p
+                for i, p in enumerate(payloads)}
+    if not collisions:
+        assert n_bad == 0 and parsed == expected
     else:
-        # every clean payload either parses exactly or was collateral
-        # damage of an adjacent separator-corrupted record — but NO
-        # parsed text may ever differ from what was written
+        # records may be lost to the collision, but NO parsed text may
+        # ever differ from what was written — corruption is only ever a
+        # malformed flag
         for url, text in parsed.items():
-            assert clean.get(url) == text
-        assert n_bad >= dirty
+            assert expected.get(url) == text
+        assert n_bad >= 1
