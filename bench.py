@@ -260,6 +260,19 @@ def sec_dedup(spark, sf_dir, cpus, run):
             docs.withColumn("text", F.concat_ws(
                 "\n\n", F.lit("menu"), F.col("text"), F.lit("ok"))),
             min_words=3).count())
+    # the composed crawl funnel (blocklist -> lang -> gopher -> exact
+    # keep-first -> LSH near-dup canonical) over synthesized URLs
+    fdocs = docs.withColumn(
+        "url", F.concat(F.lit("http://d"),
+                        (F.col("doc_id") % 37).cast("string"),
+                        F.lit("-site.com/p/"),
+                        F.col("doc_id").cast("string")))
+    run("web_funnel",
+        lambda: CU.web_corpus_funnel(
+            fdocs, blocked_domains=("d3-site.com", "d7-site.com"),
+            url_col="url",
+            gopher_kwargs={"min_words": 20, "min_stop_hits": 0}
+        ).filter("keep").count(), repeats=1)
 
 
 def sec_similarity(spark, sf_dir, cpus, run):
@@ -373,6 +386,10 @@ def sec_stats(spark, sf_dir, cpus, run):
             docs.filter(F.col("doc_id") % 2 == 1)).collect())
     run("bigram_backoff",
         lambda: ST.score_bigrams(
+            docs.filter(F.col("doc_id") % 4 == 1),
+            docs.filter(F.col("doc_id") % 4 != 1)).count())
+    run("kneser_ney",
+        lambda: ST.kneser_ney_score_bigrams(
             docs.filter(F.col("doc_id") % 4 == 1),
             docs.filter(F.col("doc_id") % 4 != 1)).count())
     run("median_mad",

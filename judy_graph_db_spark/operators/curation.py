@@ -1568,24 +1568,37 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
     surv = F.col("url_ok") & F.col("lang_ok") & F.col("gopher_ok")
     norm = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     out = out.withColumn("__h", norm)
-    winners = (out.filter(surv).groupBy("__h")
+    # the winner aggregation, the near-dup branch, and the final output
+    # all re-derive this relation — checkpoint the NARROW flags (no
+    # text) once so the Gopher/lang-id regex signals are computed in
+    # ONE corpus pass instead of once per branch
+    flags = out.drop(text_col).localCheckpoint(eager=True)
+    winners = (flags.filter(surv).groupBy("__h")
                .agg(F.min(id_col).alias("__win")))
-    out = out.join(winners, "__h", "left").withColumn(
+    flags = flags.join(winners, "__h", "left").withColumn(
         "exact_keep", surv & (F.col(id_col) == F.col("__win"))
     ).drop("__h", "__win")
     if neardup:
         from judy_graph_db_spark.operators.dedup import dedup_clusters
 
-        s4 = out.filter(F.col("exact_keep")).select(id_col, text_col)
+        s4 = docs.select(id_col, text_col).join(
+            flags.filter(F.col("exact_keep")).select(id_col),
+            id_col, "left_semi")
         cl = dedup_clusters(s4, text_col=text_col, id_col=id_col)
         losers = (cl.filter(~F.col("is_canonical"))
                   .select(id_col).withColumn("__lose", F.lit(True)))
-        out = out.join(losers, id_col, "left").withColumn(
+        flags = flags.join(losers, id_col, "left").withColumn(
             "neardup_keep",
             F.col("exact_keep") & F.col("__lose").isNull()).drop("__lose")
     else:
-        out = out.withColumn("neardup_keep", F.col("exact_keep"))
-    return out.withColumn("keep", F.col("neardup_keep"))
+        flags = flags.withColumn("neardup_keep", F.col("exact_keep"))
+    # join the computed flags back onto the full docs: flag columns
+    # REPLACE any same-named doc column (e.g. a fixture `lang`), and the
+    # url column rides on docs, never duplicated
+    payload = [c for c in flags.columns if c not in (id_col, url_col)]
+    base = docs.drop(*[c for c in payload if c in docs.columns])
+    return (base.join(flags.select(id_col, *payload), id_col)
+            .withColumn("keep", F.col("neardup_keep")))
 
 
 def funnel_counts(flagged: DataFrame) -> DataFrame:
