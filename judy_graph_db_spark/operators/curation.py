@@ -812,7 +812,8 @@ def _milli(num, den):
 
 
 def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           passthrough: bool = False) -> DataFrame:
     """Per-document MassiveWeb quality signals (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", Appendix A1.1) — the
     published rule-based web filter every large English corpus build
@@ -838,7 +839,11 @@ def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
     Returns one row per input row:
     ``(id, n_words, mean_word_len_milli, symbol_word_milli,
     bullet_line_milli, ellipsis_line_milli, alpha_word_milli,
-    stop_hits)``.
+    stop_hits)`` — or, with ``passthrough=True``, every input column
+    plus the signals (the zero-join form compositions like
+    ``web_corpus_funnel`` use: the signals are scan-stage expressions,
+    so joining this projection back onto ``docs`` by id would pay two
+    corpus shuffles for nothing).
     """
     t = F.col(text_col)
     words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
@@ -869,8 +874,10 @@ def gopher_quality_signals(docs: DataFrame, id_col: str = "doc_id",
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(F.transform(words, F.lower)),
         F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+    lead = [F.col(c) for c in docs.columns] if passthrough \
+        else [F.col(id_col)]
     return docs.select(
-        F.col(id_col),
+        *lead,
         n_words.alias("n_words"),
         _milli(wl_sum, n_words).alias("mean_word_len_milli"),
         _milli(n_hash + n_ell, n_words).alias("symbol_word_milli"),
@@ -890,7 +897,8 @@ def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id",
                           max_bullet_line_milli: int = 900,
                           max_ellipsis_line_milli: int = 300,
                           min_alpha_word_milli: int = 800,
-                          min_stop_hits: int = 2) -> DataFrame:
+                          min_stop_hits: int = 2,
+                          passthrough: bool = False) -> DataFrame:
     """Apply the published Gopher A1.1 quality thresholds (the defaults
     ARE the paper's numbers: 50–100k words, mean word length 3–10,
     symbol ratio ≤0.1, ≤90% bulleted / ≤30% ellipsis lines, ≥80%
@@ -898,7 +906,8 @@ def gopher_quality_filter(docs: DataFrame, id_col: str = "doc_id",
     :func:`gopher_quality_signals`. Returns the signal relation plus a
     ``keep`` boolean — callers filter or route; keeping the flag (not
     pre-filtering) makes the decision auditable and hash-gateable."""
-    s = gopher_quality_signals(docs, id_col, text_col)
+    s = gopher_quality_signals(docs, id_col, text_col,
+                               passthrough=passthrough)
     keep = (
         F.col("n_words").between(int(min_words), int(max_words))
         & F.col("mean_word_len_milli").between(
@@ -1536,14 +1545,37 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
     stage 5 — the same scale shapes as the individual operators this
     composes (each separately driver-gated).
     """
-    from judy_graph_db_spark.functions.text import lang_id
+    from judy_graph_db_spark.functions.text import (lang_id,
+                                                    registered_domain,
+                                                    url_host)
 
-    out = docs
+    # stages 1-3 as COLUMN EXPRESSIONS on one relation — the earlier
+    # join-back-by-id shape paid two corpus-text shuffles for signals
+    # that are all scan-stage (measured: the no-dedup funnel dropped
+    # 5.0→1.3s at sf0.1 when the joins went away)
+    sigcols = ("n_words", "mean_word_len_milli", "symbol_word_milli",
+               "bullet_line_milli", "ellipsis_line_milli",
+               "alpha_word_milli", "stop_hits")
+    out = gopher_quality_filter(
+        docs, id_col=id_col, text_col=text_col, passthrough=True,
+        **(gopher_kwargs or {})
+    ).withColumnRenamed("keep", "gopher_ok").drop(*sigcols)
     if url_col is not None:
-        ub = url_blocklist_filter(docs, blocked_domains, url_col=url_col,
-                                  id_col=id_col)
-        out = out.join(
-            ub.select(id_col, (~F.col("blocked")).alias("url_ok")), id_col)
+        dom = registered_domain(url_host(F.col(url_col)))
+        if isinstance(blocked_domains, DataFrame):
+            bl = (blocked_domains.toDF("__bl_rd")
+                  .select(F.lower("__bl_rd").alias("__bl_rd")).distinct()
+                  .withColumn("__blk", F.lit(True)))
+            out = (out.withColumn("__rd", dom)
+                   .join(F.broadcast(bl),
+                         F.col("__rd") == F.col("__bl_rd"), "left")
+                   .withColumn("url_ok", F.col("__blk").isNull())
+                   .drop("__rd", "__bl_rd", "__blk"))
+        else:
+            blocked = tuple(str(d).lower() for d in blocked_domains)
+            out = out.withColumn(
+                "url_ok",
+                ~dom.isin(*blocked) if blocked else F.lit(True))
         if robots_rules is not None:
             # optional stage 0: drop URLs the host's robots.txt
             # disallowed for this agent (RFC 9309 longest-match)
@@ -1561,10 +1593,6 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
     out = out.withColumn(
         "lang", lang_id(F.col(text_col))).withColumn(
         "lang_ok", F.col("lang").isin(*[str(x) for x in keep_langs]))
-    gq = gopher_quality_filter(docs, id_col=id_col, text_col=text_col,
-                               **(gopher_kwargs or {}))
-    out = out.join(gq.select(id_col, F.col("keep").alias("gopher_ok")),
-                   id_col)
     surv = F.col("url_ok") & F.col("lang_ok") & F.col("gopher_ok")
     norm = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     out = out.withColumn("__h", norm)

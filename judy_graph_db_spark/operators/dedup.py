@@ -185,12 +185,48 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     closure."""
     from judy_graph_db_spark.operators.analytics import connected_components
 
+    if candidates is None:
+        # parallelism guard: AQE rightly coalesces a small upstream join
+        # to few partitions, but the signature stage EXPANDS each doc by
+        # |shingles|·num_hashes — a 1-partition input then runs the
+        # whole corpus single-threaded (measured 6.6s vs 0.5s at sf0.1
+        # inside web_corpus_funnel). Re-spread only when the input
+        # arrives under-partitioned; a well-partitioned 100 TB scan is
+        # left untouched.
+        want = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() * 2 < want:
+            docs = docs.repartition(want)
     pairs = candidates if candidates is not None else minhash_lsh_candidates(
         docs, text_col, id_col, num_hashes, band_rows, max_bucket_size
     )
-    comp = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")) \
+        .localCheckpoint(eager=True)
+    # Runtime-stats dispatch (the analytics MSF pattern): near-dup pair
+    # graphs are SPARSE — a healthy corpus yields far fewer pairs than
+    # docs — so when the pair set fits comfortably on the driver a local
+    # union-find replaces ~10 latency-bound distributed CC rounds; a
+    # boilerplate-heavy corpus (or 100 TB) exceeds the guard and stays
+    # on the distributed large-star/small-star path.
+    if edges.count() <= 500_000:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in edges.collect():
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        mapping = [(c, find(c)) for c in parent]
+        comp = docs.sparkSession.createDataFrame(
+            mapping or [(-1, -1)], "id long, component long"
+        ).filter(F.col("id") >= 0)
+    else:
+        comp = connected_components(edges)
     return (
         docs.select(F.col(id_col))
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
