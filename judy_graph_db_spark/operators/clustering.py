@@ -307,11 +307,15 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
         .groupBy(id_col)
         .agg(F.sum("__dq").alias("dist_q"))
     )
+    # top-k via sort+limit (TakeOrdered: per-partition heaps + a
+    # driver-sized merge of k rows), THEN rank over the k survivors — a
+    # bare global row_number window would funnel the corpus-sized scored
+    # relation through one partition (same fix as similarity.py's
+    # cosine_topk_bruteforce).
+    top = scored.orderBy(F.col("dist_q").asc(), F.col(id_col).asc()).limit(
+        int(topk))
     w = Window.orderBy(F.col("dist_q").asc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def ivf_pq_topk(embeddings: DataFrame, query_id: int, topk: int = 10,

@@ -356,19 +356,25 @@ def misra_gries(df: DataFrame, col: str, m: int = 64) -> DataFrame:
         raise ValueError("m must be positive")
     counts = df.groupBy(F.col(col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
-    ranked = counts.select("key", "cnt", F.row_number().over(w).alias("__r"))
-    thresh = (ranked.filter(F.col("__r") == m + 1)
-              .select(F.col("cnt").alias("__t")))
     return (
-        counts.join(F.broadcast(
-            thresh.unionByName(
-                counts.sparkSession.createDataFrame([(0,)], "__t long")
-            ).agg(F.max("__t").alias("__t"))), how="cross")
+        counts.join(F.broadcast(_mg_threshold(counts, m)), how="cross")
         .filter(F.col("cnt") > F.col("__t"))
         .select("key", (F.col("cnt") - F.col("__t")).alias("count"),
                 F.col("__t").alias("subtracted"))
     )
+
+
+def _mg_threshold(counts: DataFrame, m: int) -> DataFrame:
+    """The (m+1)-th largest ``cnt`` as a 1-row ``__t`` relation (0 when
+    fewer than m+1 counters exist). Shape: ``orderBy().limit(m+1)`` is a
+    TakeOrdered (per-partition heaps + an (m+1)-row driver merge), then a
+    scalar agg over those m+1 rows — the value at the boundary row is
+    their MIN under the same total ordering, so no global row_number
+    window ever ranks the vocabulary-sized counter relation."""
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(m + 1)
+    return top.agg(
+        F.when(F.count(F.lit(1)) == m + 1, F.min("cnt"))
+        .otherwise(F.lit(0)).cast("long").alias("__t"))
 
 
 def mg_merge(a: DataFrame, b: DataFrame, m: int = 64) -> DataFrame:
@@ -380,20 +386,13 @@ def mg_merge(a: DataFrame, b: DataFrame, m: int = 64) -> DataFrame:
     rows). Deterministic; used by the streaming fold."""
     both = (a.select("key", "count").unionByName(b.select("key", "count"))
             .groupBy("key").agg(F.sum("count").alias("cnt")))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
-    ranked = both.select("key", "cnt", F.row_number().over(w).alias("__r"))
-    thresh = (ranked.filter(F.col("__r") == m + 1)
-              .select(F.col("cnt").alias("__t")))
     prior = (
         a.select(F.col("subtracted").alias("__s")).limit(1)
         .unionByName(b.select(F.col("subtracted").alias("__s")).limit(1))
         .unionByName(a.sparkSession.createDataFrame([(0,)], "__s long"))
         .agg(F.sum("__s").alias("__prior")))
-    t = (thresh.unionByName(
-            a.sparkSession.createDataFrame([(0,)], "__t long"))
-         .agg(F.max("__t").alias("__t")))
     return (
-        both.join(F.broadcast(t), how="cross")
+        both.join(F.broadcast(_mg_threshold(both, m)), how="cross")
         .join(F.broadcast(prior), how="cross")
         .filter(F.col("cnt") > F.col("__t"))
         .select("key", (F.col("cnt") - F.col("__t")).alias("count"),

@@ -1460,6 +1460,22 @@ FROM pr LEFT JOIN cms ON pr.d = cms.d AND pr.w = cms.w
 GROUP BY pr.{out_col}"""
 
 
+def misra_gries_sql(expr: str, from_clause: str, m: int = 64) -> str:
+    """Twin of ``sketch.misra_gries``: exact counts, subtract the
+    (m+1)-th largest count (0 when fewer than m+1 counters), keep the
+    strictly positive — deterministic, no tiebreak needed."""
+    return f"""
+WITH counts AS (
+  SELECT {expr} AS key, COUNT(*) AS cnt {from_clause} GROUP BY {expr}
+),
+t AS (
+  SELECT CASE WHEN COUNT(*) = {m + 1} THEN MIN(cnt) ELSE 0 END AS t
+  FROM (SELECT cnt FROM counts ORDER BY cnt DESC, key LIMIT {m + 1})
+)
+SELECT key, cnt - t.t AS count, t.t AS subtracted
+FROM counts, t WHERE cnt > t.t"""
+
+
 def hll_registers_sql(expr: str, from_clause: str, p: int = 8,
                       w: int = 48) -> str:
     """Twin of ``sketch.hll_registers``: rho from length(bin(r)) — pure

@@ -311,6 +311,31 @@ def test_encode_tokens_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_pq_adc_topk_no_global_window(spark):
+    """The PQ ADC top-k must take its k rows via TakeOrdered (per-partition
+    heaps + a k-row driver merge) — never a global row_number window over
+    the corpus-sized scored relation (a single-task sort at corpus scale).
+    The rank column is computed over the k survivors only."""
+    from judy_graph_db_spark.operators import clustering as CL
+
+    embs = spark.createDataFrame(
+        [(i, [float((i + j) % 5) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    codes = CL.pq_train_encode(embs, m=2, k=2, iters=1, dim=8)
+    cbs = CL.pq_codebooks(embs, codes, m=2, dim=8)
+    out = CL.pq_adc_topk(codes, cbs, embs.limit(1).select("embedding"),
+                         m=2, dim=8, topk=3)
+    plan = plan_of(out)
+    assert "TakeOrderedAndProject" in plan
+    # the dist_q rank window must consume the TakeOrdered's k rows
+    # directly — its child in the plan text is the TakeOrdered, never an
+    # exchange/sort over the corpus-sized scored relation
+    lines = plan.splitlines()
+    (w_idx,) = [i for i, ln in enumerate(lines)
+                if "row_number" in ln and "dist_q" in ln]
+    assert "TakeOrderedAndProject" in lines[w_idx + 1]
+
+
 def test_count_min_partial_aggregates(spark):
     """CMS build must map-side combine: two HashAggregates around one
     exchange, so the shuffle moves at most depth x width rows/partition."""

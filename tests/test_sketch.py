@@ -160,6 +160,79 @@ def test_pca_components_against_numpy(spark):
     assert abs(v[0]) > 0.9
 
 
+def _zipfish(spark):
+    """200 rows, key frequency ~ Zipf: k0 appears 40x, k1 20x, ... tail 1x."""
+    rows = []
+    for k, n in [("k0", 40), ("k1", 20), ("k2", 13), ("k3", 10), ("k4", 8)]:
+        rows += [(k,)] * n
+    rows += [(f"tail{i}",) for i in range(109)]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_misra_gries_bounds_and_duckdb(spark, duck):
+    df = _zipfish(spark)
+    out = {r["key"]: (r["count"], r["subtracted"])
+           for r in SK.misra_gries(df, "tok", m=4).collect()}
+    # at most m counters survive; every survivor is a true heavy hitter
+    assert len(out) <= 4
+    true = {"k0": 40, "k1": 20, "k2": 13, "k3": 10, "k4": 8}
+    for k, (cnt, sub) in out.items():
+        assert k in true
+        # lower bound: count <= true <= count + subtracted
+        assert cnt <= true[k] <= cnt + sub
+    # threshold here is the 5th largest count (=8), so k0..k3 survive
+    assert set(out) == {"k0", "k1", "k2", "k3"}
+    assert all(sub == 8 for _, sub in out.values())
+    # cross-engine twin
+    duck.sql("CREATE TABLE _mg(tok VARCHAR)")
+    for (t,) in df.collect():
+        duck.execute("INSERT INTO _mg VALUES (?)", [t])
+    ok, msg = compare(SK.misra_gries(df, "tok", m=4), duck,
+                      O.misra_gries_sql("tok", "FROM _mg", m=4))
+    assert ok, msg
+
+
+def test_misra_gries_fewer_keys_than_m(spark):
+    # with fewer than m+1 distinct keys the threshold is 0: exact counts
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2, "tok string")
+    out = {r["key"]: (r["count"], r["subtracted"])
+           for r in SK.misra_gries(df, "tok", m=8).collect()}
+    assert out == {"a": (3, 0), "b": (2, 0)}
+
+
+def test_mg_merge_composes_error_bound(spark):
+    df = _zipfish(spark)
+    half_a = df.filter(F.col("tok").isin("k0", "k1", "k2") |
+                       F.col("tok").startswith("tail"))
+    half_b = df.filter(~F.col("tok").startswith("tail"))
+    sa = SK.misra_gries(half_a, "tok", m=4)
+    sb = SK.misra_gries(half_b, "tok", m=4)
+    merged = {r["key"]: (r["count"], r["subtracted"])
+              for r in SK.mg_merge(sa, sb, m=4).collect()}
+    assert len(merged) <= 4
+    # merged counter is still a lower bound within the summed undercount
+    direct = {r["key"]: r["cnt"] for r in
+              half_a.unionByName(half_b).groupBy(F.col("tok").alias("key"))
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for k, (cnt, sub) in merged.items():
+        assert cnt <= direct[k] <= cnt + sub
+
+
+def test_misra_gries_plan_has_no_global_window(spark):
+    """The threshold must come from a TakeOrdered limit, never a global
+    row_number over the counter relation (single-partition sort at
+    vocabulary scale)."""
+    df = _zipfish(spark)
+    plan = SK.misra_gries(df, "tok", m=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    assert "TakeOrdered" in plan
+    merged = SK.mg_merge(SK.misra_gries(df, "tok", m=4),
+                         SK.misra_gries(df, "tok", m=4), m=4)
+    plan2 = merged._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan2.lower()
+
+
 # --- PII detection / scrubbing (functions/text.py additions) ----------------
 
 def test_pii_counts_and_redaction(spark):
