@@ -89,14 +89,46 @@ def assign_dense_ids(df: DataFrame, name_col: str, label_col: str | None = None)
     ``label_col`` is given — reproducing the reference's range model where
     node-id spans encode the label (``README.md:57-59``, SURVEY.md §3.4).
 
-    Returns ``(name, label?, id)``. Uses a sort + row_number rather than
-    ``monotonically_increasing_id`` so the assignment is deterministic."""
+    Returns ``(name, label?, id)`` with ids assigned by the deterministic
+    ``(label, name)`` lexicographic order (non-string names order by their
+    string form) — never ``monotonically_increasing_id``, so re-runs and
+    twins emit identical tables.
+
+    Scale shape (same two-level rank as ``stats.build_vocab``): the
+    name→id map of a 100 TB graph is billions of rows, so no global
+    unpartitioned window may rank it. Names bucket by ``(label, 2-char
+    name prefix)``; ranks within a bucket come from a PARTITIONED
+    row_number (prefix order is compatible with full-name order, so
+    bucket-local order + bucket start offsets reproduce the global rank
+    exactly); offsets come from a running sum over the bucket-stats
+    relation — |distinct (label, prefix)| rows, ≤ |labels|·|alphabet|²,
+    the aggregate-sized place a single-partition window is acceptable."""
     from pyspark.sql import Window
 
-    names = df.select(name_col, *( [label_col] if label_col else [] )).distinct()
-    order = [label_col, name_col] if label_col else [name_col]
-    w = Window.orderBy(*order)
-    return names.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+    keys = [label_col] if label_col else []
+    names = (
+        df.select(F.col(name_col).cast("string").alias(name_col), *keys)
+        .distinct()
+        .withColumn("__b", F.substring(F.col(name_col), 1, 2))
+    )
+    bstat = names.groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy(*[F.col(c).asc() for c in keys + ["__b"]])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bstat.select(
+        *keys, "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy(*keys, "__b").orderBy(F.col(name_col).asc())
+    return (
+        names.join(F.broadcast(offs), keys + ["__b"])
+        .select(
+            name_col, *keys,
+            (F.col("__off") + F.row_number().over(w_in) - 1)
+            .cast("long").alias("id"),
+        )
+    )
 
 
 def read_json_edges(

@@ -124,6 +124,55 @@ def test_json_edges_roundtrip_and_edge_list_export(spark, tmp_path):
     assert {(r.src, r.dst) for r in g2.edges.collect()} == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_assign_dense_ids_matches_global_rank(spark):
+    """The bucketed two-level rank must reproduce the global
+    (label, name) lexicographic rank exactly — dense, 0-based,
+    contiguous per label — without any unpartitioned window over the
+    name relation."""
+    from pyspark.sql import Window
+
+    from judy_graph_db_spark.sources.edge_list import assign_dense_ids
+
+    rows = [(f"n{i % 7:02d}", ["A", "B", "C"][i % 3]) for i in range(60)]
+    rows += [("aa", "A"), ("zz", "C"), ("aa", "B")]
+    df = spark.createDataFrame(rows, "name string, lbl string")
+    got = {(r.name, r.lbl): r.id
+           for r in assign_dense_ids(df, "name", "lbl").collect()}
+    expect_df = (
+        df.select("name", "lbl").distinct()
+        .withColumn("id", F.row_number().over(
+            Window.orderBy("lbl", "name")) - 1)
+    )
+    expect = {(r.name, r.lbl): r.id for r in expect_df.collect()}
+    assert got == expect
+    # ids are dense 0..n-1 and per-label spans are contiguous
+    assert sorted(got.values()) == list(range(len(got)))
+
+    # no-label variant: rank by name alone
+    got1 = {r.name: r.id for r in assign_dense_ids(df, "name").collect()}
+    names = sorted({n for n, _ in rows})
+    assert got1 == {n: i for i, n in enumerate(names)}
+
+
+def test_assign_dense_ids_plan_buckets_the_rank(spark):
+    """Every row_number in the plan must be partitioned (the bucketed
+    rank); the only unpartitioned window is the running-sum offset over
+    the aggregate-sized bucket-stats relation."""
+    from judy_graph_db_spark.sources.edge_list import assign_dense_ids
+
+    df = spark.createDataFrame([(f"n{i}", "A") for i in range(50)],
+                               "name string, lbl string")
+    plan = (assign_dense_ids(df, "name", "lbl")
+            ._jdf.queryExecution().executedPlan().toString())
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            assert "], [" in ln and ln.index("row_number()") > 0
+            # partitioned window lines print 'windowspecdefinition(<cols>,
+            # <order> ...' inside a Window with a partition spec:
+            # 'Window [...], [part cols], [order]' has three brackets
+            assert ln.count("], [") >= 2, f"unpartitioned rank: {ln}"
+
+
 def test_save_load_roundtrip_orc(spark, tmp_path):
     # same persistence contract through the ORC writer (stripe stats play
     # the role of parquet row-group stats for pruning)
