@@ -1584,10 +1584,17 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
             pol = robots_url_policy(
                 docs.select(id_col, url_col), robots_rules,
                 agent=robots_agent, url_col=url_col)
+            # LEFT join + missing-policy-is-allowed: a NULL url (or a url
+            # the policy relation lacks) must keep its row with
+            # allowed=true — an inner equi-join would silently DROP
+            # NULL-url docs (NULL != NULL), violating the every-stage-
+            # stays-a-boolean-column contract
             out = out.join(
-                pol.select(url_col, "allowed").distinct(), url_col
-            ).withColumn("url_ok", F.col("url_ok") & F.col("allowed")) \
-                .drop("allowed")
+                pol.select(url_col, "allowed").distinct(), url_col, "left"
+            ).withColumn(
+                "url_ok",
+                F.col("url_ok") & F.coalesce(F.col("allowed"), F.lit(True))
+            ).drop("allowed")
     else:
         out = out.withColumn("url_ok", F.lit(True))
     out = out.withColumn(

@@ -12,10 +12,14 @@ file), and policy evaluation is a relational LONGEST-MATCH join — per
 matched pairs. No UDF anywhere.
 
 Reference: judy-graph-db has no crawl surface (parity-plus); semantics
-follow the public RFC. Wildcard ``*`` / ``$`` patterns (a Google
-extension, not RFC-required) are intentionally not expanded — rules
-containing ``*`` match literally up to it; the ``matched_wild`` flag
-marks them for callers who want to drop or special-case such rules.
+follow the public RFC. Wildcard ``*`` (any char run) and the ``$``
+end-anchor — the Google extension RFC 9309 §2.2.3 explicitly permits
+and every large crawler honors — are fully evaluated: wildcard rules
+translate to anchored regexes in the match join and rank by raw pattern
+length, the tie-break Google's reference matcher implements. A wildcard
+rule that does not actually match never ranks at all, so the old
+literal-prefix false positives are gone. ``matched_wild`` still marks
+wins by wildcard rules for audits.
 """
 
 from __future__ import annotations
@@ -78,13 +82,23 @@ def robots_url_policy(urls: DataFrame, rules: DataFrame,
     fallback to the ``'*'`` group when the named agent has no group on
     that host, RFC 9309 §2.2.1): longest matching path prefix wins,
     ``allow`` beats ``disallow`` at equal length, no matching rule =
-    allowed. Returns ``(url_col, host, allowed, matched_rule,
-    matched_path, matched_wild)``.
+    allowed. Rule paths may use the ``*`` wildcard and ``$`` end anchor
+    (RFC 9309 §2.2.3 / Google's documented extension); "length" for the
+    longest-match rank is the RAW pattern length including wildcard
+    characters — the tie-break Google's reference matcher implements and
+    its published example table requires (``allow: /page`` loses to
+    ``disallow: /*.htm`` on ``/page.htm``: 5 < 6).
+    Returns ``(url_col, host, allowed, matched_rule, matched_path,
+    matched_wild)`` — ONE row per distinct URL value: duplicate input
+    rows collapse and extra input columns are not carried through (join
+    the result back on ``url_col`` to re-attach them).
 
     Relational shape: rules are a broadcast-sized asset (robots files
-    are small); the match is one broadcast join on host + a prefix
-    predicate, then one url-keyed window picks the winner. URLs with no
-    rules stay via the left join."""
+    are small); the match is one broadcast join on host, then one
+    url-keyed window picks the winner. Literal rules (the overwhelming
+    majority) match with a plain ``startswith`` prefix predicate;
+    only rules actually containing ``*``/``$`` take the per-row regex
+    branch — both scan-stage, no UDF."""
     from judy_graph_db_spark.functions.text import url_host
 
     a = str(agent).lower()
@@ -106,10 +120,22 @@ def robots_url_policy(urls: DataFrame, rules: DataFrame,
                                         r"^[a-z+.\-]*://[^/]+(/.*)$", 1)),
             F.lit("/")),
     )
+    # wildcard translation: strip a trailing '$' anchor, regex-escape the
+    # literal chars, turn '*' into '.*', re-anchor — only for rules that
+    # actually need it (the startswith fast path covers literal rules)
+    anchored = F.col("path").endswith("$")
+    core = F.when(anchored,
+                  F.expr("substring(path, 1, length(path) - 1)")) \
+        .otherwise(F.col("path"))
+    esc = F.regexp_replace(core, r"([\\^$.|?+()\[\]{}])", r"\\$1")
+    rex = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                   F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    is_wild = F.col("path").contains("*") | anchored
     cand = u.join(F.broadcast(rules), "host", "left").withColumn(
         "__m",
-        F.col("path").isNotNull() & F.col("__path").startswith(
-            F.regexp_replace("path", r"\*.*$", "")),
+        F.col("path").isNotNull() & F.when(
+            is_wild, F.rlike(F.col("__path"), rex)
+        ).otherwise(F.col("__path").startswith(F.col("path"))),
     )
     win = Window.partitionBy(url_col).orderBy(
         F.when(F.col("__m"), F.length("path")).otherwise(-1).desc(),

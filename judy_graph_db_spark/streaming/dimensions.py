@@ -32,9 +32,12 @@ above the latest COMPLETE open version.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from typing import Optional
+
+from judy_graph_db_spark.streaming.pathio import (fs_delete, fs_exists,
+                                                  fs_isdir, fs_listdir,
+                                                  fs_read_text,
+                                                  fs_write_text, pjoin)
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -44,12 +47,12 @@ from judy_graph_db_spark.operators.temporal import scd2_merge
 def _latest_version(store: str) -> Optional[int]:
     """Latest COMPLETE version (open dirs without meta = crash
     leftovers)."""
-    root = os.path.join(store, "open")
-    if not os.path.isdir(root):
+    root = pjoin(store, "open")
+    if not fs_isdir(root):
         return None
-    vs = [int(d[2:]) for d in os.listdir(root)
+    vs = [int(d[2:]) for d in fs_listdir(root)
           if d.startswith("v=") and d[2:].isdigit()
-          and os.path.exists(os.path.join(root, d, "_batch_meta.json"))]
+          and fs_exists(pjoin(root, d, "_batch_meta.json"))]
     return max(vs) if vs else None
 
 
@@ -60,17 +63,16 @@ def _latest_compact(store: str, latest: int):
     two complete compacts coexist (crash between the new compact's meta
     write and the old one's deletion) the higher one wins — it is a
     superset of the lower by construction."""
-    root = os.path.join(store, "closed")
+    root = pjoin(store, "closed")
     best, best_path = -1, None
-    if os.path.isdir(root):
-        for d in os.listdir(root):
+    if fs_isdir(root):
+        for d in fs_listdir(root):
             if (d.startswith("compact=") and d[8:].isdigit()
                     and int(d[8:]) <= latest
-                    and os.path.exists(
-                        os.path.join(root, d, "_compact_meta.json"))):
+                    and fs_exists(pjoin(root, d, "_compact_meta.json"))):
                 hi = int(d[8:])
                 if hi > best:
-                    best, best_path = hi, os.path.join(root, d)
+                    best, best_path = hi, pjoin(root, d)
     return best, best_path
 
 
@@ -79,12 +81,12 @@ def _closed_paths(store: str, latest: int) -> list:
     (a ``b=N`` above it is a crash leftover the re-fold will overwrite).
     If a compacted slice exists, it stands in for every ``b=N`` it
     covers; only the folds after it are read as individual dirs."""
-    root = os.path.join(store, "closed")
-    if not os.path.isdir(root):
+    root = pjoin(store, "closed")
+    if not fs_isdir(root):
         return []
     base_hi, base_path = _latest_compact(store, latest)
     paths = [base_path] if base_path else []
-    paths += [os.path.join(root, d) for d in sorted(os.listdir(root))
+    paths += [pjoin(root, d) for d in sorted(fs_listdir(root))
               if d.startswith("b=") and d[2:].isdigit()
               and base_hi < int(d[2:]) <= latest]
     return paths
@@ -113,36 +115,36 @@ def compact_closed(spark, store: str) -> int:
     latest = _latest_version(store)
     if latest is None:
         return 0
-    root = os.path.join(store, "closed")
-    if not os.path.isdir(root):
+    root = pjoin(store, "closed")
+    if not fs_isdir(root):
         return 0
     base_hi, base_path = _latest_compact(store, latest)
-    b_dirs = [(int(d[2:]), os.path.join(root, d))
-              for d in sorted(os.listdir(root))
+    b_dirs = [(int(d[2:]), pjoin(root, d))
+              for d in sorted(fs_listdir(root))
               if d.startswith("b=") and d[2:].isdigit()
               and int(d[2:]) <= latest]
     fresh = [(n, p) for n, p in b_dirs if n > base_hi]
     stale = [(n, p) for n, p in b_dirs if n <= base_hi]  # crashed deletes
     if not fresh:
         for _, p in stale:
-            shutil.rmtree(p, ignore_errors=True)
+            fs_delete(p)
         return 0
     sources = ([base_path] if base_path else []) + [p for _, p in fresh]
-    out = os.path.join(root, f"compact={latest}")
+    out = pjoin(root, f"compact={latest}")
     spark.read.parquet(*sources).write.mode("overwrite").parquet(out)
-    with open(os.path.join(out, "_compact_meta.json"), "w") as fh:
-        json.dump({"hi": latest}, fh)
+    fs_write_text(pjoin(out, "_compact_meta.json"),
+                  json.dumps({"hi": latest}))
     # sources are now redundant: old compacts (incl. incomplete
     # leftovers), covered b=N dirs, and any stale pre-compact b dirs
-    for d in os.listdir(root):
-        full = os.path.join(root, d)
+    for d in fs_listdir(root):
+        full = pjoin(root, d)
         if full == out:
             continue
         if d.startswith("compact=") and d[8:].isdigit() \
                 and int(d[8:]) <= latest:
-            shutil.rmtree(full, ignore_errors=True)
+            fs_delete(full)
     for _, p in fresh + stale:
-        shutil.rmtree(p, ignore_errors=True)
+        fs_delete(p)
     return len(sources)
 
 
@@ -153,7 +155,7 @@ def read_dimension(spark, store: str) -> Optional[DataFrame]:
     if latest is None:
         return None
     paths = _closed_paths(store, latest) + [
-        os.path.join(store, "open", f"v={latest}", "dim")]
+        pjoin(store, "open", f"v={latest}", "dim")]
     return spark.read.parquet(*paths)
 
 
@@ -190,13 +192,13 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
         ck_id = replay_id if replay_id is not None else (checkpoint or "")
         prev_open = None
         if latest is not None:
-            vdir = os.path.join(store, "open", f"v={latest}")
-            with open(os.path.join(vdir, "_batch_meta.json")) as fh:
-                meta = json.load(fh)
+            vdir = pjoin(store, "open", f"v={latest}")
+            meta = json.loads(
+                fs_read_text(pjoin(vdir, "_batch_meta.json")))
             if (meta.get("checkpoint") == ck_id
                     and meta.get("batch_id") == batch_id):
                 return  # replayed micro-batch — already folded
-            prev_open = spark.read.parquet(os.path.join(vdir, "dim"))
+            prev_open = spark.read.parquet(pjoin(vdir, "dim"))
         if prev_open is None:
             # bootstrap schema FROM the batch (key/value dtypes are
             # whatever the stream carries; the validity columns take the
@@ -223,19 +225,19 @@ def foreach_batch_scd2(stream: DataFrame, store: str,
         new_version = 0 if latest is None else latest + 1
         merged.filter(F.col("valid_to").isNotNull()).write.mode(
             "overwrite").parquet(
-            os.path.join(store, "closed", f"b={new_version}"))
-        vdir = os.path.join(store, "open", f"v={new_version}")
+            pjoin(store, "closed", f"b={new_version}"))
+        vdir = pjoin(store, "open", f"v={new_version}")
         merged.filter(F.col("valid_to").isNull()).write.mode(
-            "overwrite").parquet(os.path.join(vdir, "dim"))
-        with open(os.path.join(vdir, "_batch_meta.json"), "w") as fh:
-            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+            "overwrite").parquet(pjoin(vdir, "dim"))
+        fs_write_text(pjoin(vdir, "_batch_meta.json"), json.dumps(
+            {"checkpoint": ck_id, "batch_id": batch_id}))
         # GC open versions past the retention window (closed dirs are the
         # history itself — never collected)
-        root = os.path.join(store, "open")
-        for d in os.listdir(root):
+        root = pjoin(store, "open")
+        for d in fs_listdir(root):
             if (d.startswith("v=") and d[2:].isdigit()
                     and int(d[2:]) <= new_version - retain_versions):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                fs_delete(pjoin(root, d))
         if compact_every and (new_version + 1) % compact_every == 0:
             compact_closed(spark, store)
 

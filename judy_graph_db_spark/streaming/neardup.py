@@ -39,6 +39,11 @@ import json
 import os
 from typing import Optional
 
+from judy_graph_db_spark.streaming.pathio import (fs_delete, fs_exists,
+                                                  fs_isdir, fs_listdir,
+                                                  fs_read_text, fs_rename,
+                                                  fs_write_text, pjoin)
+
 from pyspark.sql import DataFrame, functions as F
 
 from judy_graph_db_spark.operators.dedup import (BAND_ROWS, NUM_HASHES,
@@ -64,30 +69,28 @@ def _best_compact(root: str) -> tuple[int, Optional[str]]:
     When a crash between a new compact's meta and the old one's deletion
     leaves two, the higher wins — it is a superset by construction."""
     best, best_path = -1, None
-    if os.path.isdir(root):
-        for d in os.listdir(root):
+    if fs_isdir(root):
+        for d in fs_listdir(root):
             if (d.startswith("compact=") and d[8:].isdigit()
-                    and os.path.exists(os.path.join(root, d,
-                                                    "_compact_meta.json"))):
+                    and fs_exists(pjoin(root, d, "_compact_meta.json"))):
                 hi = int(d[8:])
                 if hi > best:
-                    best, best_path = hi, os.path.join(root, d)
+                    best, best_path = hi, pjoin(root, d)
     return best, best_path
 
 
 def _complete_slices(store: str, sub: str) -> list:
     """Readable slice paths: the best compacted dir (standing in for
     every ``b=N`` it covers) plus complete ``b=N`` dirs above it."""
-    root = os.path.join(store, sub)
-    if not os.path.isdir(root):
+    root = pjoin(store, sub)
+    if not fs_isdir(root):
         return []
     hi, compact = _best_compact(root)
     out = [compact] if compact else []
-    for d in os.listdir(root):
+    for d in fs_listdir(root):
         if (d.startswith("b=") and d[2:].isdigit() and int(d[2:]) > hi
-                and os.path.exists(os.path.join(root, d,
-                                                "_batch_meta.json"))):
-            out.append(os.path.join(root, d))
+                and fs_exists(pjoin(root, d, "_batch_meta.json"))):
+            out.append(pjoin(root, d))
     return sorted(out, key=lambda p: (
         0 if os.path.basename(p).startswith("compact=")
         else 1 + int(os.path.basename(p)[2:])))
@@ -104,11 +107,10 @@ def _latest_meta(store: str) -> tuple[Optional[int], Optional[dict]]:
     last = slices[-1]
     name = os.path.basename(last)
     if name.startswith("compact="):
-        with open(os.path.join(last, "_compact_meta.json")) as fh:
-            meta = json.load(fh)
+        meta = json.loads(fs_read_text(pjoin(last, "_compact_meta.json")))
         return int(name[8:]), meta
-    with open(os.path.join(last, "_batch_meta.json")) as fh:
-        return int(name[2:]), json.load(fh)
+    return int(name[2:]), json.loads(
+        fs_read_text(pjoin(last, "_batch_meta.json")))
 
 
 def read_buckets(spark, store: str) -> Optional[DataFrame]:
@@ -139,37 +141,35 @@ def compact_store(spark, store: str) -> int:
     — the version/replay state keys on ``buckets``, so a crash between
     the two leaves a store the next fold (or compaction) handles.
     Returns the number of source dirs coalesced."""
-    import shutil
-
     latest, meta = _latest_meta(store)
     if latest is None:
         return 0
     n = 0
     for sub in ("flags", "buckets"):
-        root = os.path.join(store, sub)
+        root = pjoin(store, sub)
         sources = _complete_slices(store, sub)
         if len(sources) <= 1 and (not sources or
                                   "compact=" in os.path.basename(sources[0])):
             continue  # nothing new to fold in
-        out = os.path.join(root, f"compact={latest}")
+        out = pjoin(root, f"compact={latest}")
         tmp = out + "._tmp"
         spark.read.parquet(*sources).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(out, ignore_errors=True)  # crashed earlier attempt
-        os.rename(tmp, out)
-        with open(os.path.join(out, "_compact_meta.json"), "w") as fh:
-            json.dump({"hi": latest,
-                       "checkpoint": (meta or {}).get("checkpoint"),
-                       "batch_id": (meta or {}).get("batch_id")}, fh)
-        for d in os.listdir(root):
-            full = os.path.join(root, d)
+        fs_delete(out)  # crashed earlier attempt
+        fs_rename(tmp, out)
+        fs_write_text(pjoin(out, "_compact_meta.json"), json.dumps(
+            {"hi": latest,
+             "checkpoint": (meta or {}).get("checkpoint"),
+             "batch_id": (meta or {}).get("batch_id")}))
+        for d in fs_listdir(root):
+            full = pjoin(root, d)
             if full == out:
                 continue
             if d.startswith("b=") and d[2:].isdigit() \
                     and int(d[2:]) <= latest:
-                shutil.rmtree(full, ignore_errors=True)
+                fs_delete(full)
             elif d.startswith("compact=") and d[8:].isdigit() \
                     and int(d[8:]) < latest:
-                shutil.rmtree(full, ignore_errors=True)
+                fs_delete(full)
         n += len(sources)
     return n
 
@@ -227,16 +227,16 @@ def fold_neardup_batch(batch: DataFrame, batch_id: int, store: str,
         "band_idx", "band_hash", F.col("batch_keep").alias("keep_id"))
 
     new_version = 0 if latest is None else latest + 1
-    fdir = os.path.join(store, "flags", f"b={new_version}")
-    bdir = os.path.join(store, "buckets", f"b={new_version}")
+    fdir = pjoin(store, "flags", f"b={new_version}")
+    bdir = pjoin(store, "buckets", f"b={new_version}")
     flags.write.mode("overwrite").parquet(fdir)
     new_buckets.write.mode("overwrite").parquet(bdir)
     # meta lands last, flags before buckets: the version is complete
     # only when the BUCKETS meta exists (the reader keys on it), so a
     # crash anywhere earlier leaves a slice the re-fold overwrites
     for d in (fdir, bdir):
-        with open(os.path.join(d, "_batch_meta.json"), "w") as fh:
-            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        fs_write_text(pjoin(d, "_batch_meta.json"), json.dumps(
+            {"checkpoint": ck_id, "batch_id": batch_id}))
     if compact_every and (new_version + 1) % int(compact_every) == 0:
         compact_store(spark, store)
     return new_version

@@ -32,7 +32,6 @@ only accepted docs. Nothing corpus-sized is rewritten per batch.
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -41,6 +40,8 @@ from judy_graph_db_spark.streaming.neardup import (_complete_slices,
                                                    _latest_meta,
                                                    fold_neardup_batch,
                                                    read_flags)
+from judy_graph_db_spark.streaming.pathio import (fs_exists, fs_write_text,
+                                                  pjoin)
 
 
 def read_corpus(spark, store: str) -> Optional[DataFrame]:
@@ -78,7 +79,7 @@ def foreach_batch_web_corpus(stream: DataFrame, store: str,
             # between the fold and the corpus write: acceptance is
             # recomputable (flags are content-idempotent)
             version, meta = _latest_meta(store)
-            if version is None or os.path.exists(os.path.join(
+            if version is None or fs_exists(pjoin(
                     store, "corpus", f"b={version}", "_batch_meta.json")):
                 return
             if not (meta and meta.get("checkpoint") == ck_id
@@ -90,10 +91,10 @@ def foreach_batch_web_corpus(stream: DataFrame, store: str,
             accepted = surv.join(
                 flags.select(F.col("doc_id").alias(id_col)),
                 id_col, "left_anti")
-        cdir = os.path.join(store, "corpus", f"b={version}")
+        cdir = pjoin(store, "corpus", f"b={version}")
         accepted.write.mode("overwrite").parquet(cdir)
-        with open(os.path.join(cdir, "_batch_meta.json"), "w") as fh:
-            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        fs_write_text(pjoin(cdir, "_batch_meta.json"), json.dumps(
+            {"checkpoint": ck_id, "batch_id": batch_id}))
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -872,7 +872,8 @@ def test_web_corpus_funnel_respects_robots(spark):
             "home with all of the other animals every single day") * 4
     docs = spark.createDataFrame(
         [(1, text, "http://ok-site.com/private/page"),
-         (2, text + " b", "http://ok-site.com/public/page")],
+         (2, text + " b", "http://ok-site.com/public/page"),
+         (3, text + " c", None)],
         "doc_id long, text string, url string")
     rules = parse_robots(spark.createDataFrame(
         [("ok-site.com", "User-agent: *\nDisallow: /private/\n")],
@@ -881,6 +882,9 @@ def test_web_corpus_funnel_respects_robots(spark):
                             robots_rules=rules)
     got = {r.doc_id: (r.url_ok, r.keep) for r in out.collect()}
     assert got[1] == (False, False) and got[2] == (True, True)
+    # a NULL url must NOT be silently dropped by the policy join — the
+    # row stays, with missing policy treated as allowed
+    assert got[3] == (True, True)
 
 
 def test_emit_training_sequences_layout(spark):

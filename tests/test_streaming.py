@@ -883,3 +883,72 @@ def test_streaming_neardup_compaction(spark, tmp_path):
     assert compact_store(spark, store) == 0
     assert sorted(map(tuple, read_buckets(spark, store).collect())) == want_b
     assert sorted(map(tuple, read_flags(spark, store).collect())) == want_f
+
+
+def test_neardup_store_file_scheme_uri(spark, tmp_path):
+    """The whole versioned-store protocol (slice discovery, marker reads
+    and writes, compaction's rename + delete) must work through a
+    scheme-qualified URI — the Hadoop FileSystem shim, the same code path
+    an hdfs:// or s3a:// store takes — not just a bare POSIX path."""
+    from judy_graph_db_spark.streaming.neardup import (
+        compact_store, fold_neardup_batch, neardup_batch_equivalent,
+        read_flags)
+
+    store = "file:" + str(tmp_path / "nd_uri")
+    base = "shared text for every duplicate document in this corpus " * 3
+    b1 = [(0, base), (1, "first unique filler words go here today " * 3)]
+    b2 = [(2, base), (3, "second unique filler other words here " * 3)]
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    df2 = spark.createDataFrame(b2, "doc_id long, text string")
+    assert fold_neardup_batch(df1, 0, store, "uri-test") == 0
+    assert fold_neardup_batch(df2, 1, store, "uri-test") == 1
+    # replay guard works through the URI too
+    assert fold_neardup_batch(df2, 1, store, "uri-test") is None
+    full = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    assert sorted(map(tuple, read_flags(spark, store).collect())) \
+        == sorted(map(tuple, neardup_batch_equivalent(full).collect()))
+    # compaction (rename + recursive delete through the shim)
+    assert compact_store(spark, store) > 0
+    assert sorted(map(tuple, read_flags(spark, store).collect())) \
+        == sorted(map(tuple, neardup_batch_equivalent(full).collect()))
+    # nothing was written to a literal "file:..." POSIX directory
+    assert not os.path.exists("file:" + str(tmp_path / "nd_uri"))
+
+
+def test_scd2_store_file_scheme_uri(spark, tmp_path):
+    """SCD2 fold + read-back + compaction through a file: URI."""
+    from judy_graph_db_spark.streaming.dimensions import (
+        compact_closed, foreach_batch_scd2, read_dimension)
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    store = "file:" + str(tmp_path / "dim_uri")
+
+    def put(rows, name):
+        (spark.createDataFrame(rows, "key string, value long, ts string")
+         .selectExpr("key", "value", "CAST(ts AS TIMESTAMP) ts")
+         .coalesce(1).write.mode("overwrite").parquet(str(src / name)))
+
+    def stream():
+        return (spark.readStream
+                .schema("key string, value long, ts timestamp")
+                .parquet(str(src) + "/*"))
+
+    put([("a", 1, "2024-01-01"), ("b", 2, "2024-01-01")], "p1")
+    _drain(foreach_batch_scd2(stream(), store, key_col="key",
+                              value_cols=("value",), ts_col="ts",
+                              checkpoint=str(tmp_path / "ck"),
+                              replay_id="scd2-uri"))
+    put([("a", 5, "2024-02-01")], "p2")
+    _drain(foreach_batch_scd2(stream(), store, key_col="key",
+                              value_cols=("value",), ts_col="ts",
+                              checkpoint=str(tmp_path / "ck"),
+                              replay_id="scd2-uri"))
+    dim = {(r.key, r.value, r.valid_to is None)
+           for r in read_dimension(spark, store).collect()}
+    assert ("a", 1, False) in dim and ("a", 5, True) in dim
+    assert ("b", 2, True) in dim
+    compact_closed(spark, store)
+    dim2 = {(r.key, r.value, r.valid_to is None)
+            for r in read_dimension(spark, store).collect()}
+    assert dim2 == dim
