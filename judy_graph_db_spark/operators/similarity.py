@@ -697,7 +697,8 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
                 threshold_milli: int = 1000,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 dim: int | None = None,
-                n_planes: int | None = None) -> DataFrame:
+                n_planes: "int | str | None" = None,
+                approx_n: int | None = None) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
     LASER/CCMatrix recipe): mine translation pairs from two embedding
     corpora by the RATIO margin — cos(x,y) divided by the mean of x's
@@ -726,6 +727,14 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
     mining trade (mined pairs are a subset biased toward true pairs,
     which co-bucket by construction).
 
+    ``n_planes``: ``None`` (default) = exact path, no bucketing; an int
+    pins the plane count (oracle-twinned gates do this so their DuckDB
+    SQL stays in lockstep); the literal string ``"auto"`` sizes planes
+    for ~128-occupant buckets from the larger corpus count — pass
+    ``approx_n`` (a known/cached row-count upper bound) to skip the
+    sizing count job entirely; without it the auto path runs ONE
+    combined count job over both sides, never two.
+
     Source and target id spaces must be disjoint only in the sense that
     rows are matched positionally by value, never by id — same-id rows
     in both corpora are fine and are NOT excluded (unlike
@@ -742,7 +751,14 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
         # cost ~n·128 as the corpora grow
         import math
 
-        n = max(src.count(), tgt.count())
+        if approx_n is not None:
+            n = int(approx_n)
+        else:
+            # one job: both corpus counts union into a single max agg
+            # (two separate .count() calls would be two full jobs)
+            n = (src.select(F.count(F.lit(1)).alias("__n"))
+                 .unionByName(tgt.select(F.count(F.lit(1)).alias("__n")))
+                 .agg(F.max("__n")).collect()[0][0])
         n_planes = max(1, math.ceil(math.log2(max(n / 128, 2))))
     if n_planes:
         planes = src.orderBy(id_col).limit(int(n_planes)).select(

@@ -17,9 +17,14 @@ costs are WHOLE BITS — ``cost(p) = len(bin(total div cnt_p))`` =
 ``floor(log2(total/cnt_p)) + 1`` — the engine-wide integer-log2 idiom, so
 Spark, the Python Viterbi, and the DuckDB twin agree exactly where float
 log-probs would not hash-gate.  A segmentation is scored by the packed
-integer ``total_cost * 64 + n_pieces`` (additive per piece:
-``cost*64 + 1``; n_pieces ≤ word length < 64, so no field carry), making
-"minimum cost, then fewest pieces" a single MIN both engines compute.
+integer ``total_cost * PACK + n_pieces`` (additive per piece:
+``cost*PACK + 1``), making "minimum cost, then fewest pieces" a single
+MIN both engines compute.  The no-carry invariant is ``n_pieces ≤ word
+length < PACK``: with ``PACK = 2**20`` any word under ~1M characters
+packs exactly (WORD_TOKEN_RE admits arbitrarily long alphanumeric runs
+— base64 blobs, URLs — so the old PACK=64 bound was violable);
+segmentation raises loudly on longer words rather than silently
+mis-ranking them.
 Training is the deterministic hard-EM (Viterbi-EM) variant: the E-step
 takes each word's single best segmentation instead of expected counts
 over all segmentations — coarser than Kudo's full EM + ~20%-prune
@@ -48,8 +53,11 @@ __all__ = [
     "unigram_segment_oracle_sql",
 ]
 
-#: packed segmentation score = cost_bits * PACK + n_pieces (see module doc)
-PACK = 64
+#: packed segmentation score = cost_bits * PACK + n_pieces (see module
+#: doc); n_pieces ≤ word length must stay < PACK for the fields not to
+#: carry — 2**20 covers any non-pathological token, and _viterbi raises
+#: on longer words instead of silently mis-ranking
+PACK = 1 << 20
 
 #: per-character cost for characters outside the vocabulary (only possible
 #: when segmenting text the vocab was not trained on)
@@ -127,8 +135,15 @@ def _viterbi(word: str, costs: dict, max_piece_len: int,
     """Min-packed-cost segmentation: dp over end positions, candidates =
     vocabulary pieces ending there (longest candidate considered first, so
     equal-cost ties resolve to the longer last piece — deterministic).
-    Returns (pieces, packed)."""
+    Returns (pieces, packed). Raises on words of PACK (2**20) or more
+    characters — the packed score's n_pieces field would carry into the
+    cost field and the min would silently mis-rank."""
     n = len(word)
+    if n >= PACK:
+        raise ValueError(
+            f"unigram segmentation word length {n} >= PACK ({PACK}); "
+            "pre-filter pathological tokens (base64 blobs, data URLs) "
+            "before segmenting")
     dp = [None] * (n + 1)
     back = [0] * (n + 1)
     dp[0] = 0

@@ -1791,6 +1791,23 @@ def test_bitext_mine_bucketed_recovers_cobucketed_pairs(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bitext_mine_auto_planes_and_approx_n(spark):
+    """'auto' sizes planes from the larger corpus; approx_n supplies
+    that size without any count job, giving identical plane counts (and
+    therefore identical mined pairs) for the same bound."""
+    src = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    tgt = spark.createDataFrame(
+        [(100 + i, [float(i + 1), 0.1]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    auto = sorted(map(tuple, S.bitext_mine(
+        src, tgt, k=2, dim=2, n_planes="auto").collect()))
+    hinted = sorted(map(tuple, S.bitext_mine(
+        src, tgt, k=2, dim=2, n_planes="auto", approx_n=6).collect()))
+    assert auto == hinted and auto  # non-empty, byte-identical
+
+
 def test_fold_confusables_defeats_homoglyph_evasion(spark):
     import duckdb
 

@@ -65,6 +65,20 @@ def test_viterbi_tie_prefers_fewer_pieces():
     assert packed == 6 * U.PACK + 1
 
 
+def test_viterbi_long_words_pack_without_carry():
+    import pytest
+
+    # 100 single-char pieces: n_pieces=100 must not carry into cost_bits
+    # (it did under the old PACK=64)
+    word = "a" * 100
+    pieces, packed = U._viterbi(word, {"a": 2}, 4, 64)
+    assert len(pieces) == 100
+    assert packed // U.PACK == 200 and packed % U.PACK == 100
+    # at the documented bound the guard fires loudly
+    with pytest.raises(ValueError, match="PACK"):
+        U._viterbi("a" * U.PACK, {"a": 2}, 4, 64)
+
+
 def test_segment_words_matches_local_viterbi(spark):
     docs = _docs(spark, ["the cat sat on the mat", "that hat is flat"])
     costed = U.with_piece_costs(
