@@ -196,11 +196,57 @@ def _train_merges_local(words: list, n_merges: int) -> list:
     return merges
 
 
+def _select_disjoint_merges(rows, max_batch: int, window_full: bool):
+    """Greedy prefix of the ranked pair list that sequential BPE would
+    provably pick in the same order — the per-round batch of the
+    distributed trainer.
+
+    ``rows`` is ``[(a, b, cnt), …]`` in ``(cnt DESC, a ASC, b ASC)``
+    order (the ranked top of the pair table; ``window_full`` says the
+    list was truncated at a limit, i.e. unseen pairs with
+    ``cnt ≤ rows[-1].cnt`` exist). Acceptance rule: walk in rank order,
+    accept pairs sharing no symbol (nor concatenated product) with any
+    earlier acceptance, then keep only the prefix whose counts STRICTLY
+    exceed every conflicting count — any pair a merge of an earlier
+    acceptance can create has count bounded by some existing pair that
+    conflicts with it, so a later acceptance that beats all conflicts
+    also beats every pair the earlier merges can create, and the
+    sequential greedy (same tiebreak) must select it next. The first
+    pair is exempt (sequential picks it unconditionally).
+    """
+    tentative, used = [], set()
+    for a, b, cnt in rows:
+        syms = {a, b, a + b}
+        if tentative and (syms & used):
+            continue
+        tentative.append((a, b, cnt))
+        used |= syms
+        if len(tentative) >= max_batch:
+            break
+    if len(tentative) <= 1:
+        return tentative
+    # the strict bound every non-first acceptance must clear: the best
+    # conflicting count in the window, and the truncation boundary when
+    # pairs below the window exist (they conflict unseen)
+    bound = max((cnt for a, b, cnt in rows
+                 if ({a, b, a + b} & used) and (a, b, cnt) not in tentative),
+                default=-1)
+    if window_full:
+        bound = max(bound, rows[-1][2])
+    out = [tentative[0]]
+    for a, b, cnt in tentative[1:]:
+        if cnt <= bound:
+            break
+        out.append((a, b, cnt))
+    return out
+
+
 def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
               end_of_word: str = "</w>",
               strategy: str = "auto", min_word_freq: int = 1,
               max_collect_rows: int = 50_000_000,
-              score: str = "freq") -> tuple[DataFrame, DataFrame]:
+              score: str = "freq",
+              merges_per_round: int = 8) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns ``(merges, symbol_vocab)``:
     ``merges(rank, a, b, count)`` in learned order and
     ``symbol_vocab(symbol, freq)`` — the corpus frequency of every symbol
@@ -256,6 +302,20 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
       scaled score.  Tiebreak (score DESC, cnt DESC, a ASC, b ASC).
       The learned merges feed :func:`bpe_encode` unchanged — only the
       selection rule differs.
+
+    ``merges_per_round`` batches the RELATIONAL ``score="freq"`` loop:
+    each round ranks the pair table once, then accepts up to this many
+    symbol-disjoint merges whose counts strictly beat every conflicting
+    count (:func:`_select_disjoint_merges` — a sufficient condition for
+    the batch to be BYTE-IDENTICAL to one-merge-at-a-time greedy, since
+    a merge can only create pairs bounded by counts it conflicts with),
+    and applies them in ONE fold pass. A 50k-merge production vocab
+    drops from 50k sequential latency-bound Spark jobs to ~50k/N rounds
+    with no semantic change; conflicts simply re-enter the next round's
+    count. ``score="likelihood"`` always runs one merge per round (a
+    merge changes its symbols' unit counts, so the bound argument does
+    not transfer) — as does ``strategy="local"``, which is already
+    in-memory.
     """
     if strategy not in ("auto", "relational", "local"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -310,7 +370,8 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
         )
         return merges_df, vocab
     merges = []
-    for rank in range(n_merges):
+    mpr = max(1, int(merges_per_round)) if score == "freq" else 1
+    while len(merges) < n_merges:
         # size guard: a fully-merged word has ONE symbol left and
         # sequence(1, 0) is DESCENDING in Spark — the unguarded
         # transform then probes element_at(syms, 2) and throws (found
@@ -346,18 +407,29 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
                 F.col("wp_score").desc(), F.col("cnt").desc(),
                 F.col("a").asc(), F.col("b").asc(),
             ).limit(1).collect()
+            batch = [(r["a"], r["b"], int(r["wp_score"])) for r in best]
         else:
-            best = pairs.orderBy(
+            remaining = n_merges - len(merges)
+            k = min(mpr, remaining)
+            # the window must expose enough conflicts to bound the batch;
+            # 4x the batch is plenty and stays a driver-sized collect
+            win = max(4 * k, 8)
+            top = pairs.orderBy(
                 F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-            ).limit(1).collect()
-        if not best:
+            ).limit(win).collect()
+            batch = _select_disjoint_merges(
+                [(r["a"], r["b"], int(r["cnt"])) for r in top],
+                k, window_full=len(top) == win)
+        if not batch:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        cnt = int(best[0]["wp_score" if score == "likelihood" else "cnt"])
-        merges.append((rank, a, b, cnt))
-        nxt = words.withColumn("syms", _merge_fold(F.col("syms"), a, b)) \
-                   .localCheckpoint(eager=True)
-        words = nxt
+        folded = F.col("syms")
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, cnt))
+            # disjoint symbols ⇒ the chained folds commute and equal
+            # sequential application; one projection, one job per round
+            folded = _merge_fold(folded, a, b)
+        words = words.withColumn("syms", folded) \
+                     .localCheckpoint(eager=True)
     merges_df = spark.createDataFrame(
         merges or [], "rank long, a string, b string, count long"
     )

@@ -153,6 +153,55 @@ def test_bpe_train_min_freq_and_budget_guard(spark):
         bpe_train(docs, n_merges=3, strategy="local", max_collect_rows=1)
 
 
+def test_bpe_batched_merges_equal_sequential(spark):
+    """merges_per_round > 1 must learn the byte-identical merge list the
+    one-merge-at-a-time loop learns (the disjoint-batch acceptance rule
+    is a sufficient condition, not an approximation)."""
+    from judy_graph_db_spark.operators.bpe import bpe_train
+
+    texts = [(1, "the cat sat on the mat and the rat sat flat"),
+             (2, "that hat is flat and the chat was fast"),
+             (3, "cats chatter at the fat bats")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    key = lambda r: r.rank  # noqa: E731
+    seq, _ = bpe_train(docs, n_merges=10, strategy="relational",
+                       merges_per_round=1)
+    bat, _ = bpe_train(docs, n_merges=10, strategy="relational",
+                       merges_per_round=8)
+    assert [tuple(r) for r in sorted(seq.collect(), key=key)] == \
+           [tuple(r) for r in sorted(bat.collect(), key=key)]
+
+
+def test_select_disjoint_merges_conflict_rules():
+    """The batch acceptance rule: conflicts are skipped, an acceptance
+    must STRICTLY beat every conflicting count (a created pair could tie
+    it otherwise), and a truncated window bounds by its last row."""
+    from judy_graph_db_spark.operators.bpe import _select_disjoint_merges
+
+    # (l,o) wins; (o,w) shares 'o' -> conflict at 90; (x,y) at 95 beats
+    # the conflict bound and batches; (p,q) at 90 does NOT (ties the
+    # conflicting count a created pair could reach)
+    rows = [("l", "o", 100), ("x", "y", 95), ("o", "w", 90),
+            ("p", "q", 90), ("r", "s", 80)]
+    got = _select_disjoint_merges(rows, 4, window_full=False)
+    assert got == [("l", "o", 100), ("x", "y", 95)]
+    # a forced conflict between the top two: only the first survives
+    rows2 = [("a", "b", 50), ("b", "c", 49), ("d", "e", 48)]
+    got2 = _select_disjoint_merges(rows2, 4, window_full=False)
+    assert got2 == [("a", "b", 50)]  # (d,e)=48 <= conflict bound 49
+    # concatenated-product collision counts as a conflict: ab == "ab"
+    rows3 = [("a", "b", 50), ("ab", "c", 40), ("d", "e", 39)]
+    got3 = _select_disjoint_merges(rows3, 4, window_full=False)
+    assert got3 == [("a", "b", 50)]
+    # truncated window: the last row's count bounds later acceptances
+    rows4 = [("a", "b", 50), ("c", "d", 50)]
+    assert _select_disjoint_merges(rows4, 4, window_full=True) == \
+        [("a", "b", 50)]
+    assert _select_disjoint_merges(rows4, 4, window_full=False) == rows4
+    # max_batch caps the batch
+    assert len(_select_disjoint_merges(rows, 1, window_full=False)) == 1
+
+
 def test_bpe_train_matches_duckdb(spark):
     import duckdb
 
