@@ -2311,6 +2311,13 @@ def _q_stats_ops(spark, sf_dir):
         F.lit("cms").alias("op"), sN.alias("s"), sN.alias("t"),
         F.col("d").cast("long").alias("a"), F.col("w").alias("b"),
         F.col("cnt").alias("c"), lN.alias("d"))
+    # Misra-Gries heavy hitters over the same token stream: m=32 counters,
+    # every surviving key's count is the deterministic lower bound and the
+    # uniform undercount rides in 'c' (the batch-exact compress form)
+    mg = SKT.misra_gries(toks, "tok", m=32).select(
+        F.lit("mg").alias("op"), F.col("key").alias("s"), sN.alias("t"),
+        F.col("count").alias("a"), F.col("subtracted").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     # cms_lookup: probe a deterministic doc subset's tokens against the
     # SAME sketch — min-over-depth estimates, misses counted as 0
     probe_items = docs.filter(F.col("doc_id") % 101 == 0).select(
@@ -2499,7 +2506,7 @@ def _q_stats_ops(spark, sf_dir):
             .unionByName(cm).unionByName(sp).unionByName(htf)
             .unionByName(col).unionByName(ent).unionByName(nv)
             .unionByName(z1).unionByName(z2).unionByName(ou)
-            .unionByName(cms)
+            .unionByName(cms).unionByName(mg)
             .unionByName(cmq).unionByName(hll).unionByName(hle)
             .unionByName(bm).unionByName(bl).unionByName(gm)
             .unionByName(pca).unionByName(voc).unionByName(enc)
@@ -5002,6 +5009,14 @@ FROM ({O.count_min_sql(
             f"{O.WORD_TOKEN_RE_SQL})) AS tok FROM documents) tk",
             width=128, depth=3,
         )}) t7
+UNION ALL
+SELECT 'mg', key, NULL, count, subtracted, NULL, NULL
+FROM ({O.misra_gries_sql(
+            "tok",
+            "FROM (SELECT unnest(regexp_extract_all(lower(text), "
+            f"{O.WORD_TOKEN_RE_SQL})) AS tok FROM documents) tk",
+            m=32,
+        )}) t7mg
 UNION ALL
 SELECT 'cmsq', tok, NULL, est, NULL, NULL, NULL
 FROM ({O.cms_lookup_sql(
