@@ -414,6 +414,8 @@ def sec_stats(spark, sf_dir, cpus, run):
         ).count()
 
     run("bloom_cms_hll", _sketches)
+    run("heavy_hitters",
+        lambda: SK.misra_gries(toks, "tok", m=64).count())
 
     # tokenizer training: one corpus-wide word count feeds both learners
     from judy_graph_db_spark.operators import bpe as BPE

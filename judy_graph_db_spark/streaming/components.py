@@ -21,13 +21,15 @@ hash-partitioned.
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
 from judy_graph_db_spark.operators.analytics import (
     connected_components, incremental_connected_components)
+from judy_graph_db_spark.streaming.pathio import (fs_exists, fs_isdir,
+                                                  fs_listdir, fs_read_text,
+                                                  fs_write_text, pjoin)
 
 
 def _latest_version(store: str) -> Optional[int]:
@@ -35,11 +37,11 @@ def _latest_version(store: str) -> Optional[int]:
     crash leftovers (parquet landed, meta did not) and are skipped so a
     replayed batch folds against ``v=N-1`` and overwrites ``v=N`` instead
     of folding the half-written labels twice (see sketches.py)."""
-    if not os.path.isdir(store):
+    if not fs_isdir(store):
         return None
-    vs = [int(d[2:]) for d in os.listdir(store)
+    vs = [int(d[2:]) for d in fs_listdir(store)
           if d.startswith("v=") and d[2:].isdigit()
-          and os.path.exists(os.path.join(store, d, "_batch_meta.json"))]
+          and fs_exists(pjoin(store, d, "_batch_meta.json"))]
     return max(vs) if vs else None
 
 
@@ -48,7 +50,7 @@ def read_labels(spark, store: str) -> Optional[DataFrame]:
     latest = _latest_version(store)
     if latest is None:
         return None
-    return spark.read.parquet(os.path.join(store, f"v={latest}", "labels"))
+    return spark.read.parquet(pjoin(store, f"v={latest}", "labels"))
 
 
 def foreach_batch_components(stream: DataFrame, store: str,
@@ -65,15 +67,14 @@ def foreach_batch_components(stream: DataFrame, store: str,
         ck_id = replay_id if replay_id is not None else (checkpoint or "")
         prev = None
         if latest is not None:
-            vdir = os.path.join(store, f"v={latest}")
-            meta_file = os.path.join(vdir, "_batch_meta.json")
-            if os.path.exists(meta_file):
-                with open(meta_file) as fh:
-                    meta = json.load(fh)
+            vdir = pjoin(store, f"v={latest}")
+            meta_file = pjoin(vdir, "_batch_meta.json")
+            if fs_exists(meta_file):
+                meta = json.loads(fs_read_text(meta_file))
                 if (meta.get("checkpoint") == ck_id
                         and meta.get("batch_id") == batch_id):
                     return  # replayed micro-batch — already folded
-            prev = spark.read.parquet(os.path.join(vdir, "labels"))
+            prev = spark.read.parquet(pjoin(vdir, "labels"))
 
         edges = batch.select("src", "dst")
         if prev is None:
@@ -82,14 +83,14 @@ def foreach_batch_components(stream: DataFrame, store: str,
             labels = incremental_connected_components(prev, edges)
 
         new_version = 0 if latest is None else latest + 1
-        vdir = os.path.join(store, f"v={new_version}")
+        vdir = pjoin(store, f"v={new_version}")
         labels.repartition(
             max(4, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
                 // 4),
             "id",
-        ).write.mode("overwrite").parquet(os.path.join(vdir, "labels"))
-        with open(os.path.join(vdir, "_batch_meta.json"), "w") as fh:
-            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        ).write.mode("overwrite").parquet(pjoin(vdir, "labels"))
+        fs_write_text(pjoin(vdir, "_batch_meta.json"), json.dumps(
+            {"checkpoint": ck_id, "batch_id": batch_id}))
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

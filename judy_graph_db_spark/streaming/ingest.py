@@ -23,12 +23,15 @@ scheme here is the same idea expressed with plain parquet.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from judy_graph_db_spark.streaming.pathio import (fs_delete, fs_exists,
+                                                  fs_isdir, fs_listdir,
+                                                  fs_read_text,
+                                                  fs_write_text, pjoin)
 
 EDGE_CSV_SCHEMA = "src LONG, dst LONG, label STRING"
 
@@ -69,10 +72,11 @@ def _counters_dir(edges_sink: str) -> str:
 
 
 def _latest_counter_version(cdir: str) -> Optional[int]:
-    if not os.path.isdir(cdir):
+    if not fs_isdir(cdir):
         return None
     versions = [
-        int(d[2:]) for d in os.listdir(cdir) if d.startswith("v=") and d[2:].isdigit()
+        int(d[2:]) for d in fs_listdir(cdir)
+        if d.startswith("v=") and d[2:].isdigit()
     ]
     return max(versions) if versions else None
 
@@ -106,18 +110,17 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
         ck_id = checkpoint or ""
 
         if latest is not None:
-            vdir = os.path.join(cdir, f"v={latest}")
-            meta_file = os.path.join(vdir, "_batch_meta.json")
-            if os.path.exists(meta_file):
-                with open(meta_file) as fh:
-                    meta = json.load(fh)
+            vdir = pjoin(cdir, f"v={latest}")
+            meta_file = pjoin(vdir, "_batch_meta.json")
+            if fs_exists(meta_file):
+                meta = json.loads(fs_read_text(meta_file))
                 if meta.get("checkpoint") == ck_id and meta.get("batch_id") == batch_id:
                     return  # replayed micro-batch — already folded, stay idempotent
             base = spark.read.parquet(vdir).select(
                 *key, F.col("max_seq").alias("_base")
             )
-        elif os.path.exists(edges_sink) and any(
-            f.endswith(".parquet") for f in os.listdir(edges_sink)
+        elif fs_exists(edges_sink) and any(
+            f.endswith(".parquet") for f in fs_listdir(edges_sink)
         ):
             # one-time bootstrap: sink primed before counters existed
             base = (
@@ -155,7 +158,7 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
         else:
             merged = batch_max
         new_version = 0 if latest is None else latest + 1
-        new_vdir = os.path.join(cdir, f"v={new_version}")
+        new_vdir = pjoin(cdir, f"v={new_version}")
         # the counter relation is O(distinct (src,label,is_back)) — node
         # scale on a big graph — so write it hash-partitioned on the key
         # (a coalesce(1) single file would serialize every micro-batch
@@ -178,12 +181,12 @@ def foreach_batch_insert(stream: DataFrame, edges_sink: str,
             )
         finally:
             spark.conf.set(coalesce_key, prev_coalesce)
-        with open(os.path.join(new_vdir, "_batch_meta.json"), "w") as fh:
-            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+        fs_write_text(pjoin(new_vdir, "_batch_meta.json"), json.dumps(
+            {"checkpoint": ck_id, "batch_id": batch_id}))
         # keep the previous version as a fallback; prune anything older
-        for d in os.listdir(cdir):
+        for d in fs_listdir(cdir):
             if d.startswith("v=") and d[2:].isdigit() and int(d[2:]) < new_version - 1:
-                shutil.rmtree(os.path.join(cdir, d), ignore_errors=True)
+                fs_delete(pjoin(cdir, d))
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

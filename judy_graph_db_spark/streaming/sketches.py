@@ -23,13 +23,15 @@ expensive relation (the corpus) is touched only by the incoming batch scan.
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
 from judy_graph_db_spark.operators.sketch import (bloom_build, count_min,
                                                   hll_registers)
+from judy_graph_db_spark.streaming.pathio import (fs_exists, fs_isdir,
+                                                  fs_listdir, fs_read_text,
+                                                  fs_write_text, pjoin)
 
 
 def _store_versions(store: str) -> Optional[int]:
@@ -39,11 +41,11 @@ def _store_versions(store: str) -> Optional[int]:
     incomplete ``v=N`` that is skipped here: replay then reads prev from
     ``v=N-1`` and overwrites ``v=N`` instead of folding the half-written
     version a second time (which would double CMS counts)."""
-    if not os.path.isdir(store):
+    if not fs_isdir(store):
         return None
-    vs = [int(d[2:]) for d in os.listdir(store)
+    vs = [int(d[2:]) for d in fs_listdir(store)
           if d.startswith("v=") and d[2:].isdigit()
-          and os.path.exists(os.path.join(store, d, "_batch_meta.json"))]
+          and fs_exists(pjoin(store, d, "_batch_meta.json"))]
     return max(vs) if vs else None
 
 
@@ -52,9 +54,9 @@ def read_sketches(spark, store: str) -> Optional[dict[str, DataFrame]]:
     latest = _store_versions(store)
     if latest is None:
         return None
-    vdir = os.path.join(store, f"v={latest}")
+    vdir = pjoin(store, f"v={latest}")
     return {
-        name: spark.read.parquet(os.path.join(vdir, name))
+        name: spark.read.parquet(pjoin(vdir, name))
         for name in ("cms", "hll", "bloom")
     }
 
@@ -78,16 +80,15 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
         ck_id = replay_id if replay_id is not None else (checkpoint or "")
         prev = None
         if latest is not None:
-            vdir = os.path.join(store, f"v={latest}")
-            meta_file = os.path.join(vdir, "_batch_meta.json")
-            if os.path.exists(meta_file):
-                with open(meta_file) as fh:
-                    meta = json.load(fh)
+            vdir = pjoin(store, f"v={latest}")
+            meta_file = pjoin(vdir, "_batch_meta.json")
+            if fs_exists(meta_file):
+                meta = json.loads(fs_read_text(meta_file))
                 if (meta.get("checkpoint") == ck_id
                         and meta.get("batch_id") == batch_id):
                     return  # replayed micro-batch — already folded
             prev = {
-                name: spark.read.parquet(os.path.join(vdir, name))
+                name: spark.read.parquet(pjoin(vdir, name))
                 for name in ("cms", "hll", "bloom")
             }
 
@@ -104,11 +105,11 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
                        .agg(F.bit_or("bits").alias("bits")))
 
         new_version = 0 if latest is None else latest + 1
-        new_vdir = os.path.join(store, f"v={new_version}")
+        new_vdir = pjoin(store, f"v={new_version}")
         for name, df in (("cms", cms_b), ("hll", hll_b), ("bloom", bloom_b)):
-            df.write.mode("overwrite").parquet(os.path.join(new_vdir, name))
-        with open(os.path.join(new_vdir, "_batch_meta.json"), "w") as fh:
-            json.dump({"checkpoint": ck_id, "batch_id": batch_id}, fh)
+            df.write.mode("overwrite").parquet(pjoin(new_vdir, name))
+        fs_write_text(pjoin(new_vdir, "_batch_meta.json"), json.dumps(
+            {"checkpoint": ck_id, "batch_id": batch_id}))
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:
