@@ -1671,7 +1671,51 @@ def _q_web_filter_ops(spark, sf_dir):
         lN.alias("c"), lN.alias("d"), sN.alias("h"))
     return sig.unionByName(keep).unionByName(dline) \
         .unionByName(top2).unionByName(dup5) \
-        .unionByName(_c4_part(spark, sf_dir))
+        .unionByName(_c4_part(spark, sf_dir)) \
+        .unionByName(_robots_part(spark, sf_dir))
+
+
+def _robots_part(spark, sf_dir):
+    """robots.txt policy rows of the ``web_filter_ops`` bundle: URLs
+    synthesized from doc ids (6 path shapes exercising literal prefixes,
+    the allow override, '$'-anchored and interior wildcards, query
+    strings defeating the '$' anchor, and hosts with no robots at all)
+    evaluated by :func:`robots_url_policy` against
+    ``oracle.ROBOTS_GATE_BODY`` parsed for 5 of the 7 hosts — the DuckDB
+    twin (:func:`oracle.robots_policy_sql`) inlines the EXPECTED parse as
+    VALUES, so a parser divergence breaks the hash too."""
+    from judy_graph_db_spark.sources.robots import (parse_robots,
+                                                    robots_url_policy)
+
+    load_tpch_views(spark, sf_dir)
+    lN = F.lit(None).cast("long")
+    robots = spark.range(5).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.lit(O.ROBOTS_GATE_BODY).alias("text"))
+    urls = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com"),
+            F.element_at(
+                F.array(F.lit("/private/x"), F.lit("/private/ok/y"),
+                        F.lit("/file"), F.lit("/file"),
+                        F.lit("/tmp"), F.lit("/p")),
+                (F.col("doc_id") % 6 + 1).cast("int")),
+            F.col("doc_id").cast("string"),
+            F.element_at(
+                F.array(F.lit(""), F.lit(""), F.lit(".php"),
+                        F.lit(".php?x=1"), F.lit("junk"), F.lit("")),
+                (F.col("doc_id") % 6 + 1).cast("int")),
+        ).alias("url"))
+    pol = robots_url_policy(urls.select("url"), parse_robots(robots))
+    return urls.join(pol, "url").select(
+        F.lit("robots").alias("op"), "doc_id",
+        F.col("allowed").cast("long").alias("a"),
+        F.col("matched_wild").cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"),
+        F.col("matched_path").alias("h"))
 
 
 C4_INJECT_SQL = (
@@ -3846,7 +3890,34 @@ FROM ({O.c4_keep_sql(table='c4_docs',
 UNION ALL
 SELECT 'span', doc_id, n_removed_sentences, NULL, NULL, NULL,
        md5(clean_text)
-FROM ({O.c4_span_dedup_sql(table='c4_span_docs')}) cs""",
+FROM ({O.c4_span_dedup_sql(table='c4_span_docs')}) cs
+UNION ALL
+SELECT 'robots', doc_id, CAST(allowed AS BIGINT),
+       CAST(matched_wild AS BIGINT), NULL, NULL, matched_path
+FROM ({O.robots_policy_sql('''
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+    CASE doc_id % 6
+      WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/file' || CAST(doc_id AS VARCHAR) || '.php'
+      WHEN 3 THEN '/file' || CAST(doc_id AS VARCHAR) || '.php?x=1'
+      WHEN 4 THEN '/tmp' || CAST(doc_id AS VARCHAR) || 'junk'
+      ELSE '/p' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents''')}) rb
+JOIN (
+  SELECT doc_id,
+    'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ||
+    CASE doc_id % 6
+      WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/ok/y' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/file' || CAST(doc_id AS VARCHAR) || '.php'
+      WHEN 3 THEN '/file' || CAST(doc_id AS VARCHAR) || '.php?x=1'
+      WHEN 4 THEN '/tmp' || CAST(doc_id AS VARCHAR) || 'junk'
+      ELSE '/p' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents) ru USING (url)""",
         "persisted_roundtrip": f"""{P}
 SELECT 'roundtrip' AS op, label, CAST(is_back AS BIGINT) AS n1,
        COUNT(*) AS n2,

@@ -2614,6 +2614,82 @@ LEFT JOIN c4s_clean c ON d.{id_col} = c.__id"""
 # --- URL host / registered domain twins --------------------------------------
 
 
+#: the fixed robots.txt body the `robots` gate part evaluates — exercises
+#: literal prefixes, allow-overrides, '$'-anchored wildcards, interior
+#: wildcards, and the catch-all disallow
+ROBOTS_GATE_BODY = ("User-agent: *\n"
+                    "Disallow: /private/\n"
+                    "Allow: /private/ok/\n"
+                    "Disallow: /*.php$\n"
+                    "Disallow: /tmp*junk\n"
+                    "Allow: /p\n"
+                    "Disallow: /\n")
+
+#: parse_robots' output rows for ROBOTS_GATE_BODY (agent '*', 1-based
+#: line order) — inlined as VALUES so the policy twin gates the PARSER
+#: implicitly: a parse divergence shifts these rows and the hash breaks
+_ROBOTS_GATE_RULES = [("disallow", "/private/", 1),
+                      ("allow", "/private/ok/", 2),
+                      ("disallow", "/*.php$", 3),
+                      ("disallow", "/tmp*junk", 4),
+                      ("allow", "/p", 5),
+                      ("disallow", "/", 6)]
+
+
+def robots_policy_sql(urls_sql: str, n_hosts: int = 5) -> str:
+    """Twin of ``robots.robots_url_policy`` for the '*' agent over the
+    fixed :data:`ROBOTS_GATE_BODY` rule set replicated across ``n_hosts``
+    hosts ``h{0..n-1}.example.com``: same host/path extraction, same
+    wildcard→anchored-regex translation, same raw-pattern-length rank
+    with allow-beats-disallow ties. ``urls_sql`` must yield a ``url``
+    column. Returns ``(url, host, allowed, matched_rule, matched_path,
+    matched_wild)``."""
+    rule_rows = ",\n  ".join(
+        f"('h{h}.example.com', '{r}', '{p}', {o})"
+        for h in range(int(n_hosts))
+        for r, p, o in _ROBOTS_GATE_RULES)
+    return f"""
+WITH rb_rules(host, rule, path, ord) AS (VALUES
+  {rule_rows}
+),
+rb_u AS (
+  SELECT url, {url_host_sql('url')} AS host,
+    COALESCE(NULLIF(regexp_extract(url,
+      '^[a-z+.\\-]*://[^/]+(/.*)$', 1), ''), '/') AS upath
+  FROM ({urls_sql}) rb_urls
+),
+rb_cand AS (
+  SELECT rb_u.url, rb_u.host, r.rule, r.path AS rpath, r.ord,
+    CASE WHEN r.path IS NULL THEN FALSE
+         WHEN r.path LIKE '%*%' OR r.path LIKE '%$' THEN
+           regexp_matches(rb_u.upath,
+             '^' ||
+             regexp_replace(
+               regexp_replace(
+                 CASE WHEN r.path LIKE '%$'
+                      THEN substr(r.path, 1, len(r.path) - 1)
+                      ELSE r.path END,
+                 '([\\\\^$.|?+()\\[\\]{{}}])', '\\\\\\1', 'g'),
+               '\\*', '.*', 'g')
+             || CASE WHEN r.path LIKE '%$' THEN '$' ELSE '' END)
+         ELSE starts_with(rb_u.upath, r.path) END AS m
+  FROM rb_u LEFT JOIN rb_rules r USING (host)
+),
+rb_best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY url ORDER BY
+    CASE WHEN m THEN len(rpath) ELSE -1 END DESC,
+    rule ASC NULLS LAST, ord ASC NULLS LAST) AS rn
+  FROM rb_cand
+)
+SELECT url, host,
+  (NOT COALESCE(m, FALSE)) OR COALESCE(rule = 'allow', FALSE) AS allowed,
+  CASE WHEN m THEN rule END AS matched_rule,
+  CASE WHEN m THEN rpath END AS matched_path,
+  COALESCE(CASE WHEN m THEN (rpath LIKE '%*%' OR rpath LIKE '%$') END,
+           FALSE) AS matched_wild
+FROM rb_best WHERE rn = 1"""
+
+
 def url_host_sql(expr: str) -> str:
     """Twin of ``text.url_host``: authority between // and the first
     /?#, lowercased, userinfo and port stripped."""
