@@ -952,3 +952,37 @@ def test_scd2_store_file_scheme_uri(spark, tmp_path):
     dim2 = {(r.key, r.value, r.valid_to is None)
             for r in read_dimension(spark, store).collect()}
     assert dim2 == dim
+
+
+def test_pathio_primitives_through_hadoop_fs(spark, tmp_path):
+    """The shim's primitives against the Hadoop LocalFileSystem (the
+    same code path a remote scheme takes): join, list, exists, isdir,
+    text round-trip, rename, recursive delete."""
+    from judy_graph_db_spark.streaming import pathio as P
+
+    root = "file:" + str(tmp_path / "store")
+    assert P.pjoin("s3a://bucket/store", "flags", "b=0") \
+        == "s3a://bucket/store/flags/b=0"
+    assert P._strip_file_scheme("/x/y") == "/x/y"
+    assert P._strip_file_scheme("file:/x/y") == "/x/y"
+    assert P._strip_file_scheme("file:///x/y") == "/x/y"
+    assert P._strip_file_scheme("s3a://b/x") is None
+
+    assert not P.fs_exists(root)
+    assert P.fs_listdir(root) == []
+    sub = P.pjoin(root, "b=0")
+    P.fs_write_text(P.pjoin(sub, "_meta.json"), '{"v": 1}')
+    assert P.fs_exists(sub) and P.fs_isdir(sub)
+    assert not P.fs_isdir(P.pjoin(sub, "_meta.json"))
+    assert P.fs_read_text(P.pjoin(sub, "_meta.json")) == '{"v": 1}'
+    # overwrite is create-or-replace
+    P.fs_write_text(P.pjoin(sub, "_meta.json"), '{"v": 2}')
+    assert P.fs_read_text(P.pjoin(sub, "_meta.json")) == '{"v": 2}'
+    assert P.fs_listdir(root) == ["b=0"]
+    P.fs_rename(sub, P.pjoin(root, "compact=0"))
+    assert P.fs_listdir(root) == ["compact=0"]
+    assert P.fs_read_text(
+        P.pjoin(root, "compact=0", "_meta.json")) == '{"v": 2}'
+    P.fs_delete(P.pjoin(root, "compact=0"))
+    assert P.fs_listdir(root) == []
+    P.fs_delete(P.pjoin(root, "compact=0"))  # silent when missing
