@@ -8,6 +8,14 @@ always byte-identical to the batch sketch over everything ingested so far
 (asserted by the batch-equivalence tests, the same contract the windowed
 aggregation and interval-join streams are held to).
 
+The OPTIONAL Misra-Gries fold (``mg_m=``) is the one deliberate exception
+to byte-equality: MG summaries merge with ADDITIVE error bounds (Agarwal
+et al. 2012, Thm 1) — the folded counter is a lower bound on the true
+count within the summed ``subtracted`` undercount, but is generally NOT
+identical to the one-shot batch summary. The property test asserts the
+bound instead of equality; use the CMS rows when byte-stable estimates
+matter more than a guaranteed top-m candidate set.
+
 Store layout mirrors ``streaming/ingest.py``'s counter table: one
 ``v=N`` directory per fold with ``_batch_meta.json`` carrying
 (checkpoint, batch_id) for replay idempotence — a replayed micro-batch is
@@ -28,7 +36,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from judy_graph_db_spark.operators.sketch import (bloom_build, count_min,
-                                                  hll_registers)
+                                                  hll_registers, mg_merge,
+                                                  misra_gries)
 from judy_graph_db_spark.streaming.pathio import (fs_exists, fs_isdir,
                                                   fs_listdir, fs_read_text,
                                                   fs_write_text, pjoin)
@@ -55,10 +64,10 @@ def read_sketches(spark, store: str) -> Optional[dict[str, DataFrame]]:
     if latest is None:
         return None
     vdir = pjoin(store, f"v={latest}")
-    return {
-        name: spark.read.parquet(pjoin(vdir, name))
-        for name in ("cms", "hll", "bloom")
-    }
+    names = ["cms", "hll", "bloom"]
+    if fs_isdir(pjoin(vdir, "mg")):
+        names.append("mg")
+    return {name: spark.read.parquet(pjoin(vdir, name)) for name in names}
 
 
 def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
@@ -66,10 +75,15 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
                            width: int = 256, depth: int = 4, p: int = 8,
                            m_bits: int = 1 << 16, k: int = 4,
                            available_now: bool = True,
-                           replay_id: Optional[str] = None):
-    """Fold a document stream into the three mergeable sketches over
-    ``col``: CMS (frequency, counters ADD), HLL (distinct, registers MAX),
-    Bloom (membership, words OR). Returns the started StreamingQuery."""
+                           replay_id: Optional[str] = None,
+                           mg_m: Optional[int] = None):
+    """Fold a document stream into the mergeable sketches over ``col``:
+    CMS (frequency, counters ADD), HLL (distinct, registers MAX), Bloom
+    (membership, words OR), and — when ``mg_m`` is set — a Misra-Gries
+    heavy-hitter summary of at most ``mg_m`` counters (summaries MERGE
+    with additive error bounds; see the module docstring for why this one
+    is bound-equivalent, not byte-equivalent, to the batch form).
+    Returns the started StreamingQuery."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -87,14 +101,17 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
                 if (meta.get("checkpoint") == ck_id
                         and meta.get("batch_id") == batch_id):
                     return  # replayed micro-batch — already folded
+            prev_names = ["cms", "hll", "bloom"] + (
+                ["mg"] if mg_m and fs_isdir(pjoin(vdir, "mg")) else [])
             prev = {
                 name: spark.read.parquet(pjoin(vdir, name))
-                for name in ("cms", "hll", "bloom")
+                for name in prev_names
             }
 
         cms_b = count_min(batch, col, width=width, depth=depth)
         hll_b = hll_registers(batch, col, p=p)
         bloom_b = bloom_build(batch, col, m_bits=m_bits, k=k)
+        mg_b = misra_gries(batch, col, m=int(mg_m)) if mg_m else None
         if prev is not None:
             cms_b = (prev["cms"].unionByName(cms_b)
                      .groupBy("d", "w").agg(F.sum("cnt").alias("cnt")))
@@ -103,10 +120,15 @@ def foreach_batch_sketches(stream: DataFrame, store: str, col: str,
             bloom_b = (prev["bloom"].unionByName(bloom_b)
                        .groupBy("word")
                        .agg(F.bit_or("bits").alias("bits")))
+            if mg_b is not None and "mg" in prev:
+                mg_b = mg_merge(prev["mg"], mg_b, m=int(mg_m))
 
         new_version = 0 if latest is None else latest + 1
         new_vdir = pjoin(store, f"v={new_version}")
-        for name, df in (("cms", cms_b), ("hll", hll_b), ("bloom", bloom_b)):
+        outs = [("cms", cms_b), ("hll", hll_b), ("bloom", bloom_b)]
+        if mg_b is not None:
+            outs.append(("mg", mg_b))
+        for name, df in outs:
             df.write.mode("overwrite").parquet(pjoin(new_vdir, name))
         fs_write_text(pjoin(new_vdir, "_batch_meta.json"), json.dumps(
             {"checkpoint": ck_id, "batch_id": batch_id}))

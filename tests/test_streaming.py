@@ -986,3 +986,54 @@ def test_pathio_primitives_through_hadoop_fs(spark, tmp_path):
     P.fs_delete(P.pjoin(root, "compact=0"))
     assert P.fs_listdir(root) == []
     P.fs_delete(P.pjoin(root, "compact=0"))  # silent when missing
+
+
+def test_streaming_mg_fold_bound_holds(spark, tmp_path):
+    """The optional Misra-Gries fold (mg_m=): folded counters are lower
+    bounds on true counts within the summed undercount, at most mg_m
+    survive, and every high-frequency key is present (true count above
+    the undercount guarantees survival). Bound-equivalence, not
+    byte-equality — the documented MG merge contract."""
+    from judy_graph_db_spark.streaming.sketches import (
+        foreach_batch_sketches, read_sketches)
+
+    src = tmp_path / "in"
+    store = str(tmp_path / "sk")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    # heavy keys h0 (60x) / h1 (30x) across two batches + tail noise
+    (src / "a.txt").write_text(
+        "\n".join(["h0"] * 40 + ["h1"] * 10 + [f"t{i}" for i in range(30)]))
+
+    def stream():
+        return (spark.readStream.format("text")
+                .schema("value string").load(str(src))
+                .withColumnRenamed("value", "tok"))
+
+    _drain(foreach_batch_sketches(stream(), store, "tok", ckpt,
+                                  width=16, depth=2, p=4,
+                                  m_bits=1 << 10, mg_m=4))
+    (src / "b.txt").write_text(
+        "\n".join(["h0"] * 20 + ["h1"] * 20 + [f"u{i}" for i in range(30)]))
+    _drain(foreach_batch_sketches(stream(), store, "tok", ckpt,
+                                  width=16, depth=2, p=4,
+                                  m_bits=1 << 10, mg_m=4))
+
+    got = read_sketches(spark, store)
+    assert "mg" in got
+    mg = {r["key"]: (r["count"], r["subtracted"])
+          for r in got["mg"].collect()}
+    assert len(mg) <= 4
+    true = {"h0": 60, "h1": 30}
+    sub_max = max(s for _, s in mg.values())
+    # heavy keys whose true count exceeds the undercount must be present
+    for k, t in true.items():
+        assert k in mg, f"heavy hitter {k} lost by the fold"
+        cnt, sub = mg[k]
+        assert cnt <= t <= cnt + sub
+    # no surviving counter overstates its true count
+    full_counts = {"h0": 60, "h1": 30}
+    for k, (cnt, sub) in mg.items():
+        t = full_counts.get(k, 1)
+        assert cnt <= t
+    assert sub_max < 60  # the undercount stays well under the heavy mass
