@@ -552,7 +552,22 @@ def _q_dedup_docs(spark, sf_dir):
                      F.col("jaccard_micro").alias("a"),
                      F.col("contain_a_micro").alias("b"),
                      F.col("contain_b_micro").alias("c"))
-    return exact.unionByName(clus).unionByName(c1).unionByName(c2)
+    # exact-substring dedup (Lee et al. 2021 at token granularity) over a
+    # dup-injected variant: every 3rd doc carries the SAME 10-token
+    # sentinel prefix, so cross-doc windows really fire at every k
+    esd_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("shared sentinel prefix tokens one two three "
+                           "four five six "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"))
+    esd = D.exact_substring_dedup(esd_docs, k=6).select(
+        F.lit("esd").alias("op"), F.md5("clean_text").alias("h"),
+        F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
+        F.col("n_removed_tokens").alias("c"))
+    return (exact.unionByName(clus).unionByName(c1).unionByName(c2)
+            .unionByName(esd))
 
 
 # -------------------------------------------------------------- multimodal
@@ -3768,7 +3783,14 @@ UNION ALL
 SELECT 'containj', corpus_a || '|' || corpus_b, jaccard_micro,
        contain_a_micro, contain_b_micro
 FROM ({O.corpus_containment_sql(
-        "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END")}) cc2""",
+        "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END")}) cc2
+UNION ALL
+SELECT 'esd', md5(clean_text), doc_id, n_tokens, n_removed_tokens
+FROM ({O.exact_substring_dedup_sql(
+        k=6,
+        table="(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+              "'shared sentinel prefix tokens one two three four five six '"
+              " || text ELSE text END AS text FROM documents) esd_src")}) ee""",
         # fixture text is pure ASCII (verified octet_length == length), so
         # md5(text)/ascii(char) equal the byte-level values the Python
         # decoder computes on the utf-8 payload

@@ -249,6 +249,9 @@ def sec_dedup(spark, sf_dir, cpus, run):
     run("minhash_lsh", lambda: D.minhash_lsh_candidates(docs).count())
     run("simhash_neardup", lambda: D.simhash_neardup_pairs(docs).count())
     run("ppjoin_exact", lambda: D.jaccard_similarity_join(docs, 800).count())
+    run("exact_substring",
+        lambda: D.exact_substring_dedup(docs, k=8)
+        .agg(F.sum("n_removed_tokens")).collect())
     run("dedup_paragraphs",
         lambda: CU.dedup_paragraphs(
             docs.withColumn(

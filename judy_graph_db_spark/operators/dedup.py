@@ -414,6 +414,129 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(keep, id_col, "left_semi")
 
 
+#: position packing for the exact-substring keeper tiebreak: the keeper of
+#: a duplicated window is min(doc_id * ESD_POS_PACK + pos) — exact while
+#: every doc has fewer than 2^20 tokens (loudly guarded)
+ESD_POS_PACK = 1 << 20
+
+
+def exact_substring_spans(docs: DataFrame, k: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Duplicated exact k-TOKEN windows across (and within) documents —
+    the span-discovery half of Lee et al. 2021's "Deduplicating Training
+    Data Makes Language Models Better" exact-substring recipe, at token
+    granularity (the paper's suffix array finds maximal repeats ≥ 50
+    tokens; fixed-k windows with union-of-overlaps remove the same mass
+    for k ≤ the threshold, expressed relationally).
+
+    Tokens are the lowercased ``WORD_TOKEN_RE`` stream (the house
+    tokenization every text operator shares). Every occurrence of a
+    window whose k tokens appear elsewhere is returned with its
+    first-occurrence keeper: ``(doc_id, pos, h, n_occurrences,
+    is_keeper)`` — ``pos`` 1-based in the token stream, keeper = min
+    ``(doc_id, pos)``.
+
+    Scale shape: windows come from ``slice`` over the per-row token
+    array — SCAN-stage, no explode-then-window shuffle; the only
+    corpus-sized shuffle is the groupBy on the window hash (md5, 32
+    chars), and the occurrence join back is the same key. Window count =
+    token count — the same linear blowup any tokenize pays."""
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+
+    k = int(k)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+        ).alias("__toks"))
+    occ = (
+        toks.select(
+            id_col,
+            F.posexplode(F.expr(
+                f"transform(sequence(1, greatest(size(__toks) - {k - 1},"
+                f" 0)), i -> array_join(slice(__toks, i, {k}), ' '))"
+            )).alias("__p0", "__gram"))
+        .select(id_col, (F.col("__p0") + 1).alias("pos"),
+                F.md5("__gram").alias("h"))
+    )
+    keep = occ.groupBy("h").agg(
+        F.min(F.col(id_col) * ESD_POS_PACK + F.col("pos")).alias("__keep"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("pos").alias("__maxpos"))
+    # in-plan guard (no extra job): a doc with >= 2^20 tokens would make
+    # the packed keeper tiebreak collide — fail the task loudly instead
+    guarded = F.when(
+        F.col("__maxpos") >= ESD_POS_PACK,
+        F.raise_error(F.lit(
+            f"exact_substring_spans: a document has >= {ESD_POS_PACK} "
+            "tokens; the packed keeper tiebreak would collide — split "
+            "the document or raise ESD_POS_PACK"))
+    ).otherwise(F.col("__keep"))
+    return (
+        occ.join(keep.withColumn("__keep", guarded), "h")
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            id_col, "pos", "h", "n_occurrences",
+            (F.col(id_col) * ESD_POS_PACK + F.col("pos")
+             == F.col("__keep")).alias("is_keeper"))
+    )
+
+
+def exact_substring_dedup(docs: DataFrame, k: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Remove every NON-FIRST occurrence of a duplicated k-token window
+    (overlapping duplicate windows union, so runs of duplicated text
+    excise in one piece) and rebuild each document from its surviving
+    tokens. Returns ``(id_col, n_tokens, n_removed_tokens, clean_text)``
+    — ``clean_text`` is the surviving lowercased token stream joined by
+    single spaces (the same normalized-stream concession
+    ``c4_span_dedup`` makes at sentence granularity: byte-exact source
+    formatting does not survive token-level surgery).
+
+    Shuffle profile: :func:`exact_substring_spans`' hash agg + join,
+    one (doc, pos)-keyed anti-join of removed positions, one per-doc
+    rebuild agg — all linear in token count."""
+    from judy_graph_db_spark.functions.text import WORD_TOKEN_RE
+
+    k = int(k)
+    spans = exact_substring_spans(docs, k, text_col, id_col)
+    removed = (
+        spans.filter(~F.col("is_keeper"))
+        .select(id_col,
+                F.explode(F.expr(
+                    f"sequence(pos, pos + {k - 1})")).alias("pos"))
+        .distinct()
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_TOKEN_RE), F.lit(0)
+        )).alias("__p0", "tok")
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "tok")
+    kept = toks.join(removed, [id_col, "pos"], "left_anti")
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"]),
+            " ").alias("clean_text"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .alias("n_removed_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"))
+    )
+
+
 def incremental_exact_dedup(new_docs: DataFrame, existing_docs: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:

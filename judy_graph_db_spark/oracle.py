@@ -232,6 +232,58 @@ SELECT doc_a, doc_b FROM pairs
 """
 
 
+def exact_substring_dedup_sql(k: int = 8, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              table: str = "documents",
+                              pos_pack: int = 1 << 20) -> str:
+    """Twin of ``dedup.exact_substring_dedup``: duplicated k-token
+    windows (md5 over space-joined tokens), keeper = min packed
+    ``doc_id * pos_pack + pos``, overlapping loser windows union into
+    removed positions, docs rebuilt from survivors. Returns
+    ``(id_col, n_tokens, n_removed_tokens, clean_text)``."""
+    k = int(k)
+    return f"""
+WITH esd_t AS MATERIALIZED (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}),
+                                      {WORD_TOKEN_RE_SQL}) AS toks
+  FROM {table}
+),
+esd_g AS MATERIALIZED (
+  SELECT {id_col}, i AS pos,
+         md5(array_to_string(toks[i:i + {k - 1}], ' ')) AS h
+  FROM esd_t,
+       UNNEST(generate_series(1, greatest(len(toks) - {k - 1}, 0))) u(i)
+),
+esd_keep AS (
+  SELECT h, MIN({id_col} * {int(pos_pack)} + pos) AS keep_key,
+         COUNT(*) AS n FROM esd_g GROUP BY h
+),
+esd_rm AS (
+  SELECT DISTINCT g.{id_col}, g.pos + o.off AS pos
+  FROM esd_g g JOIN esd_keep USING (h),
+       UNNEST(generate_series(0, {k - 1})) o(off)
+  WHERE esd_keep.n > 1
+    AND g.{id_col} * {int(pos_pack)} + g.pos <> esd_keep.keep_key
+),
+esd_tok AS (
+  SELECT {id_col}, i AS pos, toks[i] AS tok
+  FROM esd_t, UNNEST(generate_series(1, len(toks))) u(i)
+),
+esd_kept AS (
+  SELECT tk.{id_col},
+         COUNT(*) AS n_kept,
+         array_to_string(list(tk.tok ORDER BY tk.pos), ' ') AS clean_text
+  FROM esd_tok tk ANTI JOIN esd_rm r
+    ON tk.{id_col} = r.{id_col} AND tk.pos = r.pos
+  GROUP BY tk.{id_col}
+)
+SELECT t.{id_col}, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(kk.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens,
+       COALESCE(kk.clean_text, '') AS clean_text
+FROM esd_t t LEFT JOIN esd_kept kk USING ({id_col})"""
+
+
 def cross_corpus_lsh_sql(corpus_where: str, benchmark_where: str,
                          table: str = "documents",
                          id_col: str = "doc_id", text_col: str = "text",

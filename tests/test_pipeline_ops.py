@@ -1832,3 +1832,54 @@ def test_fold_confusables_defeats_homoglyph_evasion(spark):
     want = dict(con.sql(
         f"SELECT doc_id, {T.fold_confusables_sql()} FROM t").fetchall())
     assert got == want
+
+
+# ------------------------------------------- exact-substring (ESD) dedup
+
+def test_exact_substring_dedup_semantics(spark):
+    """Non-first occurrences of duplicated k-token windows are excised;
+    overlapping duplicate windows union; unique text survives intact;
+    within-doc repeats count as duplicates."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    docs = spark.createDataFrame(
+        [(1, f"{shared} one two three"),
+         (2, f"zero {shared} four five"),          # cross-doc dup of shared
+         (3, "india juliet kilo lima mike november oscar papa"),
+         (4, f"{shared} middle words {shared}")],  # within-doc repeat
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in D.exact_substring_dedup(
+        docs, k=8).collect()}
+    # doc 1 is the keeper (min (doc_id, pos)): nothing removed
+    assert out[1].n_removed_tokens == 0
+    assert out[1].clean_text.startswith("alpha bravo")
+    # doc 2 loses exactly the 8 shared tokens, keeps its own
+    assert out[2].n_removed_tokens == 8
+    assert out[2].clean_text == "zero four five"
+    # unique doc untouched
+    assert out[3].n_removed_tokens == 0
+    # doc 4: first occurrence is NOT the global keeper (doc 1 is), and
+    # the second occurrence is a dup too -> both excised
+    assert out[4].n_removed_tokens == 16
+    assert out[4].clean_text == "middle words"
+    # totals line up
+    assert out[2].n_tokens == 11 and out[4].n_tokens == 18
+
+
+def test_exact_substring_dedup_matches_duckdb(spark, docs):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from tests.oracle_utils import compare
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')")
+    out = D.exact_substring_dedup(
+        docs.select("doc_id", "text"), k=6).select(
+        "doc_id", "n_tokens", "n_removed_tokens",
+        F.md5("clean_text").alias("clean_md5"))
+    sql = f"""SELECT
+        doc_id, n_tokens, n_removed_tokens, md5(clean_text) AS clean_md5
+        FROM ({O.exact_substring_dedup_sql(k=6)}) t"""
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
