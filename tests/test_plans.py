@@ -336,6 +336,20 @@ def test_pq_adc_topk_no_global_window(spark):
     assert "TakeOrderedAndProject" in lines[w_idx + 1]
 
 
+def test_exact_substring_spans_is_scan_plus_hash_agg(spark):
+    """ESD window extraction must come from scan-stage slice over the
+    per-row token array — no Window operator anywhere, and the window
+    hash agg map-side combines."""
+    from judy_graph_db_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta echo foxtrot golf hotel india")
+         for i in range(4)], "doc_id long, text string")
+    plan = plan_of(D.exact_substring_spans(docs, k=4))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on the hash
+
+
 def test_count_min_partial_aggregates(spark):
     """CMS build must map-side combine: two HashAggregates around one
     exchange, so the shuffle moves at most depth x width rows/partition."""
