@@ -3317,6 +3317,17 @@ def _q_chunk_shard(spark, sf_dir):
         F.lit("emit").alias("op"), F.col("seq_id").alias("doc_id"),
         F.col("n_tokens").alias("a"),
         F.concat_ws("|", "tokens").alias("s"), lN.alias("b"))
+    # T5-style span corruption over those same packed sequences: the
+    # hashed block placement, sentinel substitution and targets+EOS
+    # assembly all hash against the composed twin
+    spanc = CU.emit_span_corruption(
+        emseqs.select("seq_id", "tokens"), mean_span_len=3,
+        noise_permille=150).select(
+        F.lit("spanc").alias("op"), F.col("seq_id").alias("doc_id"),
+        F.col("n_spans").alias("a"),
+        F.concat_ws("#", F.array_join("inputs", "|"),
+                    F.array_join("targets", "|")).alias("s"),
+        F.size("inputs").cast("long").alias("b"))
     # tokenizer fertility on the same encoded subset: chars per token
     from judy_graph_db_spark.operators.bpe import bpe_compression
 
@@ -3331,7 +3342,7 @@ def _q_chunk_shard(spark, sf_dir):
             .unionByName(bm).unionByName(bv).unionByName(be)
             .unionByName(bc).unionByName(tc).unionByName(wm)
             .unionByName(uv).unionByName(ug).unionByName(wg)
-            .unionByName(em))
+            .unionByName(em).unionByName(spanc))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4315,7 +4326,20 @@ UNION ALL
 SELECT 'emit', seq_id, n_tokens, toks, NULL
 FROM ({WORDPIECE.wordpiece_emit_oracle_sql(
             seq_len=64, max_piece_len=3, seed_size=64,
-            max_word_len=12)}) t11""",
+            max_word_len=12)}) t11
+UNION ALL
+SELECT 'spanc', seq_id, n_spans,
+       array_to_string(inputs, '|') || '#' ||
+       array_to_string(targets, '|'),
+       CAST(len(inputs) AS BIGINT)
+FROM ({O.span_corruption_sql(
+            "SELECT seq_id, list_transform(string_split(toks, '|'), "
+            "x -> CAST(x AS BIGINT)) AS tokens FROM ("
+            + WORDPIECE.wordpiece_emit_oracle_sql(
+                seq_len=64, max_piece_len=3, seed_size=64,
+                max_word_len=12)
+            + ") em_base",
+            mean_span_len=3, noise_permille=150)}) t12""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

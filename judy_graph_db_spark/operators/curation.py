@@ -1768,3 +1768,98 @@ def emit_training_sequences(pieces: DataFrame, vocab: DataFrame,
         .select("seq_id", "tokens", F.size("tokens").cast("long")
                 .alias("n_tokens"))
     )
+
+
+def emit_span_corruption(seqs: DataFrame, mean_span_len: int = 3,
+                         noise_permille: int = 150,
+                         sentinel_base: int = 32000, eos_id: int = 1,
+                         id_col: str = "seq_id",
+                         tokens_col: str = "tokens") -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4) over token-id
+    sequences (the :func:`emit_training_sequences` output shape, or any
+    ``(id, tokens array<bigint>)`` relation): mask spans of
+    ``mean_span_len`` tokens at ``noise_permille``/1000 density, emit
+    encoder ``inputs`` (each masked span replaced by one sentinel) and
+    decoder ``targets`` (sentinel + span tokens per span, then
+    ``eos_id``).
+
+    Deterministic blocked placement instead of T5's RNG: positions
+    partition into blocks of ``B = max(L, round(L·1000/noise))`` tokens;
+    each FULL block masks exactly one L-token span at offset
+    ``h(id, block) % (B − L + 1)`` (seeded md5 — the engine-wide _h60
+    idiom, so the DuckDB twin reproduces every mask bit). Density is
+    exactly L/B on full blocks; the partial tail block never masks, so
+    spans never cross sequence ends. Sentinel for span ordinal ``b`` is
+    ``sentinel_base + b``.
+
+    Scale shape: pure per-row array expressions (sequence/transform/
+    flatten/slice) — scan-stage, zero shuffles, whole-stage codegen.
+    Returns ``(id_col, inputs, targets, n_spans)``.
+    """
+    L = int(mean_span_len)
+    noise = int(noise_permille)
+    if L < 1:
+        raise ValueError("mean_span_len must be >= 1")
+    if not 0 < noise <= 1000:
+        raise ValueError("noise_permille must be in (0, 1000]")
+    B = max(L, round(L * 1000 / noise))
+    rng = B - L + 1
+    toks = F.col(tokens_col)
+    n_blocks = F.expr(f"size({tokens_col}) div {B}")
+
+    def h_off(b):
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.lit("spanc:"), F.col(id_col).cast("string"),
+            F.lit(":"), b.cast("string"))), 1, 15), 16, 10)
+            .cast("long") % rng)
+
+    offs = F.when(n_blocks > 0, F.transform(
+        F.sequence(F.lit(0), n_blocks - 1), h_off)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)"))
+    out = seqs.withColumn("__offs", offs)
+
+    def masked(p):
+        # p is the 1-based position; blk the 0-based block index. F.get
+        # (0-based, NULL past the end — never an ANSI index error) makes
+        # the tail-block predicate NULL, which the when() treats as false
+        blk = F.floor((p - 1).cast("long") / F.lit(B)).cast("int")
+        inb = (p - 1) % B
+        off = F.get(F.col("__offs"), blk)
+        return off.isNotNull() & (inb >= off) & (inb < off + L)
+
+    def span_start(p):
+        blk = F.floor(((p - 1).cast("long")) / F.lit(B)).cast("int")
+        inb = (p - 1) % B
+        off = F.get(F.col("__offs"), blk)
+        return off.isNotNull() & (inb == off)
+
+    def sentinel(p):
+        blk = F.floor(((p - 1).cast("long")) / F.lit(B)).cast("long")
+        return F.lit(int(sentinel_base)) + blk
+
+    inputs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda p: F.when(span_start(p), F.array(sentinel(p)))
+        .when(masked(p), F.expr("CAST(array() AS array<bigint>)"))
+        .otherwise(F.array(F.element_at(toks, p).cast("long")))))
+    targets = F.concat(
+        F.flatten(F.transform(
+            F.sequence(F.lit(1), F.size("__offs")),
+            lambda b: F.concat(
+                F.array((F.lit(int(sentinel_base)) + b - 1).cast("long")),
+                F.transform(
+                    F.slice(toks,
+                            ((b - 1) * B
+                             + F.get(F.col("__offs"), b - 1) + 1
+                             ).cast("int"),
+                            L),
+                    lambda x: x.cast("long"))))),
+        F.array(F.lit(int(eos_id)).cast("long")))
+    empty = F.expr("CAST(array() AS array<bigint>)")
+    return out.select(
+        id_col,
+        F.when(F.size(toks) > 0, inputs).otherwise(empty).alias("inputs"),
+        F.when(F.size("__offs") > 0, targets)
+        .otherwise(F.array(F.lit(int(eos_id)).cast("long")))
+        .alias("targets"),
+        F.size("__offs").cast("long").alias("n_spans"))

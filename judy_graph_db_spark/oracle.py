@@ -232,6 +232,52 @@ SELECT doc_a, doc_b FROM pairs
 """
 
 
+def span_corruption_sql(seqs_sql: str, mean_span_len: int = 3,
+                        noise_permille: int = 150,
+                        sentinel_base: int = 32000, eos_id: int = 1,
+                        id_col: str = "seq_id",
+                        tokens_col: str = "tokens") -> str:
+    """Twin of ``curation.emit_span_corruption`` over a ``seqs_sql``
+    relation yielding ``(id_col, tokens_col LIST(BIGINT))``: identical
+    blocked placement (seeded-md5 offset per full block), sentinel ids,
+    and targets+EOS assembly. Returns ``(id_col, inputs, targets,
+    n_spans)`` with list-typed inputs/targets."""
+    L = int(mean_span_len)
+    noise = int(noise_permille)
+    B = max(L, round(L * 1000 / noise))
+    rng = B - L + 1
+    sent = int(sentinel_base)
+    t, i = tokens_col, id_col
+    off_p = f"offs[(p - 1) // {B} + 1]"
+    return f"""
+WITH sc_in AS ({seqs_sql}),
+sc_o AS (
+  SELECT {i}, {t} AS toks,
+    list_transform(generate_series(0, len({t}) // {B} - 1),
+      b -> CAST(CAST('0x' || substring(md5('spanc:' ||
+             CAST({i} AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)
+           AS UBIGINT) % {rng} AS BIGINT)) AS offs
+  FROM sc_in
+)
+SELECT {i},
+  flatten(list_transform(generate_series(1, len(toks)), p ->
+    CASE WHEN {off_p} IS NOT NULL AND (p - 1) % {B} = {off_p}
+         THEN [CAST({sent} + (p - 1) // {B} AS BIGINT)]
+         WHEN {off_p} IS NOT NULL AND (p - 1) % {B} >= {off_p}
+              AND (p - 1) % {B} < {off_p} + {L}
+         THEN CAST([] AS BIGINT[])
+         ELSE [toks[p]] END)) AS inputs,
+  CASE WHEN len(offs) > 0 THEN
+    flatten(list_transform(generate_series(1, len(offs)), b ->
+      [CAST({sent} + b - 1 AS BIGINT)] ||
+      toks[(b - 1) * {B} + offs[b] + 1 :
+           (b - 1) * {B} + offs[b] + {L}]))
+    || [CAST({int(eos_id)} AS BIGINT)]
+  ELSE [CAST({int(eos_id)} AS BIGINT)] END AS targets,
+  CAST(len(offs) AS BIGINT) AS n_spans
+FROM sc_o"""
+
+
 def exact_substring_dedup_sql(k: int = 8, id_col: str = "doc_id",
                               text_col: str = "text",
                               table: str = "documents",

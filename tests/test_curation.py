@@ -951,3 +951,69 @@ def test_emit_training_sequences_end_to_end_wordpiece(spark):
         enc.repartition(5), vocab, seq_len=16).collect()
     assert {r.seq_id: tuple(r.tokens) for r in rows} == \
         {r.seq_id: tuple(r.tokens) for r in again}
+
+
+def test_emit_span_corruption_semantics(spark):
+    """T5 span corruption: one L-span per full block at the hashed
+    offset; inputs replace each span with its ordinal sentinel; targets
+    concatenate sentinel+span per span then EOS; short/empty sequences
+    emit unchanged inputs and an EOS-only target."""
+    from judy_graph_db_spark.operators.curation import emit_span_corruption
+
+    seqs = spark.createDataFrame(
+        [(0, list(range(100, 140))),   # 40 tokens -> 2 blocks at B=20
+         (1, list(range(200, 205))),   # sub-block: no masking
+         (2, [])],
+        "seq_id long, tokens array<bigint>")
+    out = {r.seq_id: r for r in emit_span_corruption(
+        seqs, mean_span_len=3, noise_permille=150).collect()}
+    r0 = out[0]
+    assert r0.n_spans == 2
+    # reconstruction invariants (placement itself is hash-driven):
+    # inputs = originals minus 2 spans of 3, plus 2 sentinels
+    assert len(r0.inputs) == 40 - 6 + 2
+    assert 32000 in r0.inputs and 32001 in r0.inputs
+    # targets = per span (sentinel + 3 tokens) + EOS
+    assert len(r0.targets) == 2 * 4 + 1 and r0.targets[-1] == 1
+    assert r0.targets[0] == 32000 and r0.targets[4] == 32001
+    # masked tokens appear in targets, not inputs; union restores all
+    masked = set(r0.targets[:-1]) - {32000, 32001}
+    assert masked.isdisjoint(set(r0.inputs))
+    assert masked | (set(r0.inputs) - {32000, 32001}) \
+        == set(range(100, 140))
+    # spans sit inside their blocks: targets slots 1-3 from block 0
+    assert all(100 <= t < 120 for t in r0.targets[1:4])
+    assert all(120 <= t < 140 for t in r0.targets[5:8])
+    assert out[1].n_spans == 0 and list(out[1].inputs) == \
+        [200, 201, 202, 203, 204] and list(out[1].targets) == [1]
+    assert out[2].n_spans == 0 and list(out[2].inputs) == [] \
+        and list(out[2].targets) == [1]
+
+
+def test_emit_span_corruption_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.operators.curation import emit_span_corruption
+    from tests.oracle_utils import compare
+
+    rows = [(i, [int(j * 7 + i) for j in range(5 + (i * 13) % 60)])
+            for i in range(30)]
+    seqs = spark.createDataFrame(rows, "seq_id long, tokens array<bigint>")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE sc_seqs (seq_id BIGINT, tokens BIGINT[])")
+    for i, toks in rows:
+        con.execute("INSERT INTO sc_seqs VALUES (?, ?)", [i, toks])
+    out = emit_span_corruption(seqs, mean_span_len=4,
+                               noise_permille=250).select(
+        "seq_id",
+        F.array_join("inputs", "|").alias("inp"),
+        F.array_join("targets", "|").alias("tgt"),
+        "n_spans")
+    sql = f"""SELECT seq_id, array_to_string(inputs, '|') AS inp,
+        array_to_string(targets, '|') AS tgt, n_spans
+        FROM ({O.span_corruption_sql('SELECT * FROM sc_seqs',
+                                     mean_span_len=4,
+                                     noise_permille=250)}) t"""
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
