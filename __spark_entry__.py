@@ -3328,6 +3328,25 @@ def _q_chunk_shard(spark, sf_dir):
         F.concat_ws("#", F.array_join("inputs", "|"),
                     F.array_join("targets", "|")).alias("s"),
         F.size("inputs").cast("long").alias("b"))
+    # SFT packing with loss masks over doc-id-derived synthetic
+    # prompt/response id arrays (both engines derive the same arrays
+    # from doc_id alone); 'b' carries the per-sequence trainable-token
+    # count so a mask regression can't hide in the string
+    sftp = spark.table("documents").select(
+        F.col("doc_id").alias("example_id"),
+        F.expr("transform(sequence(1, 1 + CAST(doc_id % 5 AS INT)), "
+               "j -> CAST((doc_id * 31 + j - 1) % 997 AS BIGINT))")
+        .alias("prompt_ids"),
+        F.expr("transform(sequence(1, 1 + CAST(doc_id % 4 AS INT)), "
+               "j -> CAST((doc_id * 17 + j - 1) % 991 AS BIGINT))")
+        .alias("response_ids"))
+    sft = CU.emit_sft_sequences(sftp, seq_len=32).select(
+        F.lit("sft").alias("op"), F.col("seq_id").alias("doc_id"),
+        F.col("n_tokens").alias("a"),
+        F.concat_ws("#", F.array_join("tokens", "|"),
+                    F.array_join("loss_mask", "|")).alias("s"),
+        F.aggregate("loss_mask", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("b"))
     # tokenizer fertility on the same encoded subset: chars per token
     from judy_graph_db_spark.operators.bpe import bpe_compression
 
@@ -3342,7 +3361,7 @@ def _q_chunk_shard(spark, sf_dir):
             .unionByName(bm).unionByName(bv).unionByName(be)
             .unionByName(bc).unionByName(tc).unionByName(wm)
             .unionByName(uv).unionByName(ug).unionByName(wg)
-            .unionByName(em).unionByName(spanc))
+            .unionByName(em).unionByName(spanc).unionByName(sft))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4339,7 +4358,20 @@ FROM ({O.span_corruption_sql(
                 seq_len=64, max_piece_len=3, seed_size=64,
                 max_word_len=12)
             + ") em_base",
-            mean_span_len=3, noise_permille=150)}) t12""",
+            mean_span_len=3, noise_permille=150)}) t12
+UNION ALL
+SELECT 'sft', seq_id, n_tokens, toks || '#' || mask,
+       CAST(len(list_filter(string_split(mask, '|'), x -> x = '1'))
+            AS BIGINT)
+FROM ({O.sft_sequences_sql(
+            "SELECT doc_id AS example_id, "
+            "list_transform(generate_series(1, 1 + doc_id % 5), "
+            "j -> CAST((doc_id * 31 + j - 1) % 997 AS BIGINT)) "
+            "AS prompt_ids, "
+            "list_transform(generate_series(1, 1 + doc_id % 4), "
+            "j -> CAST((doc_id * 17 + j - 1) % 991 AS BIGINT)) "
+            "AS response_ids FROM documents",
+            seq_len=32)}) t13""",
         "ann_search": f"""
 SELECT op, bucket AS s, CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
        CAST(NULL AS BIGINT) AS c, n AS d

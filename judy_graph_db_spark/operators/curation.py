@@ -1770,6 +1770,76 @@ def emit_training_sequences(pieces: DataFrame, vocab: DataFrame,
     )
 
 
+def emit_sft_sequences(pairs: DataFrame, seq_len: int, eod_id: int = 0,
+                       train_on_eod: bool = True,
+                       id_col: str = "example_id",
+                       prompt_col: str = "prompt_ids",
+                       response_col: str = "response_ids",
+                       drop_partial: bool = True) -> DataFrame:
+    """Pack supervised fine-tuning examples into fixed-length training
+    sequences WITH loss masks — the SFT counterpart of
+    :func:`emit_training_sequences`: each example's token stream is
+    ``prompt_ids ++ response_ids ++ [eod_id]``, examples concatenate in
+    ``id_col`` order, the stream cuts every ``seq_len`` tokens; the
+    parallel ``loss_mask`` is 0 over prompt tokens (no gradient on the
+    instruction) and 1 over response tokens (and over the EOD separator
+    when ``train_on_eod``, the usual convention so the model learns to
+    stop). Inputs are ALREADY-ENCODED id arrays, so any of the three
+    encoders (or an external tokenizer) feeds it.
+
+    Scale shape: identical to :func:`emit_training_sequences` — one
+    posexplode per side (scan-stage), the two-pass distributed prefix
+    sum for example→global offsets (never a token-cardinality global
+    window), one ``seq_id``-keyed assembly agg. Returns ``(seq_id,
+    tokens, loss_mask, n_tokens)`` with aligned equal-length arrays.
+    """
+    plen = F.size(prompt_col)
+    rlen = F.size(response_col)
+    counts = pairs.select(
+        F.col(id_col), (plen + rlen + 1).cast("long").alias("__n"))
+    pre = _token_prefix(counts, id_col, id_col, None, weight=F.col("__n"))
+    base = pairs.join(pre.select(id_col, "__start"), id_col)
+    prom = base.select(
+        F.col("__start"),
+        F.posexplode(prompt_col).alias("__i", "token_id"),
+    ).select((F.col("__start") + F.col("__i")).alias("gpos"),
+             F.col("token_id").cast("long"),
+             F.lit(0).cast("long").alias("mask"))
+    resp = base.select(
+        F.col("__start"), F.size(prompt_col).alias("__pl"),
+        F.posexplode(response_col).alias("__i", "token_id"),
+    ).select((F.col("__start") + F.col("__pl") + F.col("__i")).alias("gpos"),
+             F.col("token_id").cast("long"),
+             F.lit(1).cast("long").alias("mask"))
+    eods = base.select(
+        (F.col("__start") + F.size(prompt_col) + F.size(response_col))
+        .alias("gpos"),
+        F.lit(int(eod_id)).cast("long").alias("token_id"),
+        F.lit(1 if train_on_eod else 0).cast("long").alias("mask"))
+    stream = prom.unionByName(resp).unionByName(eods)
+    out = stream.select(
+        F.expr(f"gpos div {int(seq_len)}").alias("seq_id"),
+        (F.col("gpos") % int(seq_len)).alias("__pos"),
+        "token_id", "mask")
+    if drop_partial:
+        total = pre.agg(F.sum("n_tokens")).first()[0] or 0
+        out = out.filter(F.col("seq_id") < int(total) // int(seq_len))
+    return (
+        out.groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__pos", "token_id", "mask"))),
+                lambda s: s["token_id"]).alias("tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("__pos", "token_id", "mask"))),
+                lambda s: s["mask"]).alias("loss_mask"))
+        .select("seq_id", "tokens", "loss_mask",
+                F.size("tokens").cast("long").alias("n_tokens"))
+    )
+
+
 def emit_span_corruption(seqs: DataFrame, mean_span_len: int = 3,
                          noise_permille: int = 150,
                          sentinel_base: int = 32000, eos_id: int = 1,

@@ -232,6 +232,55 @@ SELECT doc_a, doc_b FROM pairs
 """
 
 
+def sft_sequences_sql(pairs_sql: str, seq_len: int, eod_id: int = 0,
+                      train_on_eod: bool = True,
+                      id_col: str = "example_id",
+                      prompt_col: str = "prompt_ids",
+                      response_col: str = "response_ids",
+                      drop_partial: bool = True) -> str:
+    """Twin of ``curation.emit_sft_sequences`` over a ``pairs_sql``
+    relation yielding ``(id_col, prompt_col LIST, response_col LIST)``.
+    Returns ``(seq_id, toks, mask, n_tokens)`` with toks/mask =
+    '|'-joined aligned streams. The global prefix sum is one window here
+    (oracle scale); Spark uses the two-pass partition-subtotal shape."""
+    i, p, r = id_col, prompt_col, response_col
+    eod_mask = 1 if train_on_eod else 0
+    partial = (f"WHERE gpos // {int(seq_len)} < total // {int(seq_len)}"
+               if drop_partial else "")
+    return f"""
+WITH sft_in AS ({pairs_sql}),
+sft_n AS (
+  SELECT {i}, CAST(len({p}) + len({r}) + 1 AS BIGINT) AS n FROM sft_in
+),
+sft_s AS (
+  SELECT {i}, n, CAST(SUM(n) OVER (ORDER BY {i}
+         ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS st
+  FROM sft_n
+),
+sft_stream AS (
+  SELECT s.st + u.ii - 1 AS gpos, d.{p}[u.ii] AS token_id,
+         CAST(0 AS BIGINT) AS mask
+  FROM sft_in d JOIN sft_s s USING ({i}),
+       UNNEST(generate_series(1, len(d.{p}))) u(ii)
+  UNION ALL
+  SELECT s.st + len(d.{p}) + u.ii - 1, d.{r}[u.ii], CAST(1 AS BIGINT)
+  FROM sft_in d JOIN sft_s s USING ({i}),
+       UNNEST(generate_series(1, len(d.{r}))) u(ii)
+  UNION ALL
+  SELECT st + n - 1, CAST({int(eod_id)} AS BIGINT),
+         CAST({eod_mask} AS BIGINT)
+  FROM sft_s
+),
+sft_t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM sft_n)
+SELECT CAST(gpos // {int(seq_len)} AS BIGINT) AS seq_id,
+       string_agg(token_id, '|' ORDER BY gpos) AS toks,
+       string_agg(mask, '|' ORDER BY gpos) AS mask,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM sft_stream, sft_t
+{partial}
+GROUP BY 1"""
+
+
 def span_corruption_sql(seqs_sql: str, mean_span_len: int = 3,
                         noise_permille: int = 150,
                         sentinel_base: int = 32000, eos_id: int = 1,

@@ -1017,3 +1017,53 @@ def test_emit_span_corruption_matches_duckdb(spark):
                                      noise_permille=250)}) t"""
     ok, msg = compare(out, con, sql)
     assert ok, msg
+
+
+def test_emit_sft_sequences_layout_and_masks(spark):
+    from judy_graph_db_spark.operators.curation import emit_sft_sequences
+
+    pairs = spark.createDataFrame(
+        [(1, [10, 11], [20, 21, 22]),
+         (2, [30], [40]),
+         (3, [50, 51, 52], [60])],
+        "example_id long, prompt_ids array<bigint>, "
+        "response_ids array<bigint>")
+    out = {r.seq_id: r for r in emit_sft_sequences(pairs, 7).collect()}
+    assert list(out[0].tokens) == [10, 11, 20, 21, 22, 0, 30]
+    assert list(out[0].loss_mask) == [0, 0, 1, 1, 1, 1, 0]
+    assert list(out[1].tokens) == [40, 0, 50, 51, 52, 60, 0]
+    assert list(out[1].loss_mask) == [1, 1, 0, 0, 0, 1, 1]
+    # train_on_eod=False flips only the EOD mask bits
+    out2 = {r.seq_id: list(r.loss_mask) for r in emit_sft_sequences(
+        pairs, 7, train_on_eod=False).collect()}
+    assert out2[0] == [0, 0, 1, 1, 1, 0, 0]
+    assert out2[1] == [1, 0, 0, 0, 0, 1, 0]
+    # keep_partial keeps the (empty here) tail: 14 tokens = exactly 2x7
+    assert len(out) == 2
+
+
+def test_emit_sft_sequences_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.operators.curation import emit_sft_sequences
+    from tests.oracle_utils import compare
+
+    rows = [(i,
+             [int((i * 31 + j) % 997) for j in range(1 + i % 5)],
+             [int((i * 17 + j) % 991) for j in range(1 + i % 4)])
+            for i in range(40)]
+    pairs = spark.createDataFrame(
+        rows, "example_id long, prompt_ids array<bigint>, "
+              "response_ids array<bigint>")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE sft_pairs (example_id BIGINT, "
+            "prompt_ids BIGINT[], response_ids BIGINT[])")
+    for i, p, r in rows:
+        con.execute("INSERT INTO sft_pairs VALUES (?, ?, ?)", [i, p, r])
+    out = emit_sft_sequences(pairs, seq_len=16).select(
+        "seq_id", F.array_join("tokens", "|").alias("toks"),
+        F.array_join("loss_mask", "|").alias("mask"), "n_tokens")
+    ok, msg = compare(out, con, O.sft_sequences_sql(
+        "SELECT * FROM sft_pairs", seq_len=16))
+    assert ok, msg
