@@ -3328,6 +3328,14 @@ def _q_chunk_shard(spark, sf_dir):
         F.concat_ws("#", F.array_join("inputs", "|"),
                     F.array_join("targets", "|")).alias("s"),
         F.size("inputs").cast("long").alias("b"))
+    # FIM (fill-in-the-middle) over the same packed sequences: seeded
+    # selection + split points, PSM sentinel layout — hashed end to end
+    fim = CU.emit_fim_sequences(
+        emseqs.select("seq_id", "tokens"), fim_permille=500).select(
+        F.lit("fim").alias("op"), F.col("seq_id").alias("doc_id"),
+        F.col("is_fim").cast("long").alias("a"),
+        F.array_join("tokens", "|").alias("s"),
+        F.size("tokens").cast("long").alias("b"))
     # SFT packing with loss masks over doc-id-derived synthetic
     # prompt/response id arrays (both engines derive the same arrays
     # from doc_id alone); 'b' carries the per-sequence trainable-token
@@ -3361,7 +3369,8 @@ def _q_chunk_shard(spark, sf_dir):
             .unionByName(bm).unionByName(bv).unionByName(be)
             .unionByName(bc).unionByName(tc).unionByName(wm)
             .unionByName(uv).unionByName(ug).unionByName(wg)
-            .unionByName(em).unionByName(spanc).unionByName(sft))
+            .unionByName(em).unionByName(spanc).unionByName(sft)
+            .unionByName(fim))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4359,6 +4368,18 @@ FROM ({O.span_corruption_sql(
                 max_word_len=12)
             + ") em_base",
             mean_span_len=3, noise_permille=150)}) t12
+UNION ALL
+SELECT 'fim', seq_id, CAST(is_fim AS BIGINT),
+       COALESCE(array_to_string(tokens, '|'), ''),
+       CAST(len(tokens) AS BIGINT)
+FROM ({O.fim_sequences_sql(
+            "SELECT seq_id, list_transform(string_split(toks, '|'), "
+            "x -> CAST(x AS BIGINT)) AS tokens FROM ("
+            + WORDPIECE.wordpiece_emit_oracle_sql(
+                seq_len=64, max_piece_len=3, seed_size=64,
+                max_word_len=12)
+            + ") fim_base",
+            fim_permille=500)}) t12f
 UNION ALL
 SELECT 'sft', seq_id, n_tokens, toks || '#' || mask,
        CAST(len(list_filter(string_split(mask, '|'), x -> x = '1'))

@@ -1840,6 +1840,61 @@ def emit_sft_sequences(pairs: DataFrame, seq_len: int, eod_id: int = 0,
     )
 
 
+def emit_fim_sequences(seqs: DataFrame, fim_permille: int = 500,
+                       prefix_id: int = 32100, middle_id: int = 32101,
+                       suffix_id: int = 32102,
+                       id_col: str = "seq_id",
+                       tokens_col: str = "tokens") -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022, "FIM")
+    over token-id sequences: a deterministic ``fim_permille``/1000
+    fraction of sequences is reordered into the PSM layout
+    ``[PRE] prefix [SUF] suffix [MID] middle`` (the model learns to
+    infill after seeing both sides); the rest pass through unchanged.
+    Selection and the two split points are seeded-md5 functions of the
+    id, so both engines emit identical bits and re-runs are stable.
+
+    Split points: ``p1 = h1 % (n+1)``, ``p2 = p1 + h2 % (n - p1 + 1)``
+    — uniform over ordered pairs 0 ≤ p1 ≤ p2 ≤ n; empty segments are
+    legal (as in the paper's character-level splits). Sequences shorter
+    than 2 tokens pass through.
+
+    Scale shape: pure per-row slice/concat expressions — scan-stage,
+    zero shuffles. Returns ``(id_col, tokens, is_fim)`` where
+    transformed rows carry n+3 tokens (three sentinels added).
+    """
+    rate = int(fim_permille)
+    if not 0 <= rate <= 1000:
+        raise ValueError("fim_permille must be in [0, 1000]")
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+
+    def h(seed):
+        return F.conv(F.substring(F.md5(F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15),
+            16, 10).cast("long")
+
+    pick = (h("fimsel") % 1000) < rate
+    p1 = h("fimp1") % (n.cast("long") + 1)
+    p2 = p1 + h("fimp2") % (n.cast("long") - p1 + 1)
+    is_fim = pick & (n >= 2)
+    lng = lambda v: F.lit(int(v)).cast("long")  # noqa: E731
+    fim = F.concat(
+        F.array(lng(prefix_id)),
+        F.slice(toks, 1, p1.cast("int")),
+        F.array(lng(suffix_id)),
+        F.slice(toks, (p2 + 1).cast("int"),
+                F.greatest(n.cast("long") - p2, F.lit(0)).cast("int")),
+        F.array(lng(middle_id)),
+        F.slice(toks, (p1 + 1).cast("int"),
+                (p2 - p1).cast("int")),
+    )
+    return seqs.select(
+        id_col,
+        F.when(is_fim, fim).otherwise(
+            F.transform(toks, lambda x: x.cast("long"))).alias("tokens"),
+        is_fim.alias("is_fim"))
+
+
 def emit_span_corruption(seqs: DataFrame, mean_span_len: int = 3,
                          noise_permille: int = 150,
                          sentinel_base: int = 32000, eos_id: int = 1,

@@ -281,6 +281,44 @@ FROM sft_stream, sft_t
 GROUP BY 1"""
 
 
+def fim_sequences_sql(seqs_sql: str, fim_permille: int = 500,
+                      prefix_id: int = 32100, middle_id: int = 32101,
+                      suffix_id: int = 32102, id_col: str = "seq_id",
+                      tokens_col: str = "tokens") -> str:
+    """Twin of ``curation.emit_fim_sequences`` over a ``seqs_sql``
+    relation ``(id_col, tokens_col LIST(BIGINT))``: identical seeded-md5
+    selection and split points, PSM sentinel layout. Returns
+    ``(id_col, tokens, is_fim)``."""
+    i, t = id_col, tokens_col
+
+    def h(seed):
+        return (f"CAST(CAST('0x' || substring(md5('{seed}:' || "
+                f"CAST({i} AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)")
+
+    return f"""
+WITH fim_in AS ({seqs_sql}),
+fim_p AS (
+  SELECT {i}, {t} AS toks,
+         ({h('fimsel')} % 1000) < {int(fim_permille)} AS pick,
+         {h('fimp1')} % (len({t}) + 1) AS p1,
+         {h('fimp2')} AS h2
+  FROM fim_in
+),
+fim_q AS (
+  SELECT {i}, toks, pick AND len(toks) >= 2 AS is_fim,
+         p1, p1 + h2 % (len(toks) - p1 + 1) AS p2
+  FROM fim_p
+)
+SELECT {i},
+  CASE WHEN is_fim THEN
+    [CAST({int(prefix_id)} AS BIGINT)] || toks[1 : p1] ||
+    [CAST({int(suffix_id)} AS BIGINT)] || toks[p2 + 1 : len(toks)] ||
+    [CAST({int(middle_id)} AS BIGINT)] || toks[p1 + 1 : p2]
+  ELSE toks END AS tokens,
+  is_fim
+FROM fim_q"""
+
+
 def span_corruption_sql(seqs_sql: str, mean_span_len: int = 3,
                         noise_permille: int = 150,
                         sentinel_base: int = 32000, eos_id: int = 1,

@@ -1067,3 +1067,64 @@ def test_emit_sft_sequences_matches_duckdb(spark):
     ok, msg = compare(out, con, O.sft_sequences_sql(
         "SELECT * FROM sft_pairs", seq_len=16))
     assert ok, msg
+
+
+def test_emit_fim_sequences_psm_layout(spark):
+    from judy_graph_db_spark.operators.curation import emit_fim_sequences
+
+    seqs = spark.createDataFrame(
+        [(i, [int(100 + j) for j in range(10)]) for i in range(20)]
+        + [(99, [1]), (98, [])],
+        "seq_id long, tokens array<bigint>")
+    out = {r.seq_id: r for r in emit_fim_sequences(
+        seqs, fim_permille=600).collect()}
+    fim_rows = [r for r in out.values() if r.is_fim]
+    plain = [r for r in out.values() if not r.is_fim]
+    assert fim_rows and plain  # both populations present at 60%
+    base = set(range(100, 110))
+    for r in fim_rows:
+        toks = list(r.tokens)
+        assert len(toks) == 13  # n + 3 sentinels
+        assert toks[0] == 32100 and 32101 in toks and 32102 in toks
+        # PSM reorder is a permutation: stripping sentinels restores
+        # the original token multiset, and prefix++middle++suffix
+        # reassembles the original order
+        body = [x for x in toks if x < 32100]
+        assert set(body) == base
+        isuf, imid = toks.index(32102), toks.index(32101)
+        pre, suf, mid = toks[1:isuf], toks[isuf + 1:imid], toks[imid + 1:]
+        assert pre + mid + suf == sorted(base)
+    # short/empty sequences pass through untransformed
+    assert not out[99].is_fim and list(out[99].tokens) == [1]
+    assert not out[98].is_fim and list(out[98].tokens) == []
+    # rate 0 -> nothing transformed; rate 1000 -> everything eligible is
+    full = emit_fim_sequences(seqs, fim_permille=1000)
+    assert full.filter("size(tokens) >= 2 AND NOT is_fim").count() == 0
+    none = emit_fim_sequences(seqs, fim_permille=0)
+    assert none.filter("is_fim").count() == 0
+
+
+def test_emit_fim_sequences_matches_duckdb(spark):
+    import duckdb
+
+    from judy_graph_db_spark import oracle as O
+    from judy_graph_db_spark.operators.curation import emit_fim_sequences
+    from tests.oracle_utils import compare
+
+    rows = [(i, [int((i * 13 + j) % 500) for j in range(i % 12)])
+            for i in range(40)]
+    seqs = spark.createDataFrame(rows, "seq_id long, tokens array<bigint>")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE fim_seqs (seq_id BIGINT, tokens BIGINT[])")
+    for i, toks in rows:
+        con.execute("INSERT INTO fim_seqs VALUES (?, ?)", [i, toks])
+    out = emit_fim_sequences(seqs, fim_permille=700).select(
+        "seq_id", F.array_join("tokens", "|").alias("toks"),
+        F.col("is_fim").cast("long").alias("is_fim"))
+    sql = f"""SELECT seq_id,
+        COALESCE(array_to_string(tokens, '|'), '') AS toks,
+        CAST(is_fim AS BIGINT) AS is_fim
+        FROM ({O.fim_sequences_sql('SELECT * FROM fim_seqs',
+                                   fim_permille=700)}) t"""
+    ok, msg = compare(out, con, sql)
+    assert ok, msg
