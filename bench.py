@@ -449,6 +449,28 @@ def sec_stats(spark, sf_dir, cpus, run):
         lambda: CUR.emit_training_sequences(
             WP.wordpiece_encode(docs, wp_vocab, max_piece_len=4),
             emit_vocab, seq_len=1024).count(), repeats=1)
+    # the three training-objective transforms over one packed relation
+    emitted = CUR.emit_training_sequences(
+        WP.wordpiece_encode(docs, wp_vocab, max_piece_len=4),
+        emit_vocab, seq_len=1024).select("seq_id", "tokens") \
+        .localCheckpoint(eager=True)
+    run("span_corrupt",
+        lambda: CUR.emit_span_corruption(emitted)
+        .agg(F.sum("n_spans")).collect(), repeats=1)
+    run("fim_transform",
+        lambda: CUR.emit_fim_sequences(emitted)
+        .agg(F.sum(F.size("tokens"))).collect(), repeats=1)
+    sft_pairs = docs.select(
+        F.col("doc_id").alias("example_id"),
+        F.expr("transform(sequence(1, 8 + CAST(doc_id % 9 AS INT)), "
+               "j -> CAST((doc_id * 31 + j) % 997 AS BIGINT))")
+        .alias("prompt_ids"),
+        F.expr("transform(sequence(1, 16 + CAST(doc_id % 17 AS INT)), "
+               "j -> CAST((doc_id * 17 + j) % 991 AS BIGINT))")
+        .alias("response_ids"))
+    run("sft_pack",
+        lambda: CUR.emit_sft_sequences(sft_pairs, seq_len=1024)
+        .count(), repeats=1)
     # batch-perceptron training: 3 full passes over the hashed features
     labels = docs.select(
         "doc_id", (F.col("lang") == "en").cast("int").alias("label"))
