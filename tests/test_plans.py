@@ -336,6 +336,21 @@ def test_pq_adc_topk_no_global_window(spark):
     assert "TakeOrderedAndProject" in lines[w_idx + 1]
 
 
+def test_span_corruption_and_fim_are_shuffle_free(spark):
+    """Both training-objective transforms are pure per-row array
+    expressions: zero exchanges, zero UDFs, no windows."""
+    from judy_graph_db_spark.operators.curation import (
+        emit_fim_sequences, emit_span_corruption)
+
+    seqs = spark.createDataFrame(
+        [(0, [1, 2, 3, 4])], "seq_id long, tokens array<bigint>")
+    for out in (emit_span_corruption(seqs), emit_fim_sequences(seqs)):
+        plan = plan_of(out)
+        assert "Exchange" not in plan
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_exact_substring_spans_is_scan_plus_hash_agg(spark):
     """ESD window extraction must come from scan-stage slice over the
     per-row token array — no Window operator anywhere, and the window
