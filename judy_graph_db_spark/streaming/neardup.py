@@ -130,7 +130,8 @@ def read_flags(spark, store: str) -> Optional[DataFrame]:
     return spark.read.parquet(*slices)
 
 
-def compact_store(spark, store: str) -> int:
+def compact_store(spark, store: str,
+                  subs: tuple = ("flags", "buckets")) -> int:
     """Opt-in small-files compaction (the ``dimensions.compact_closed``
     pattern — after 10⁴ folds the append-only layout leaves 10⁴ tiny
     directories per sub-store): coalesce the best compact + every
@@ -140,12 +141,14 @@ def compact_store(spark, store: str) -> int:
     replayed-batch guard survives. ``flags`` compacts before ``buckets``
     — the version/replay state keys on ``buckets``, so a crash between
     the two leaves a store the next fold (or compaction) handles.
-    Returns the number of source dirs coalesced."""
+    The composed crawl-corpus store passes ``subs`` including its
+    ``corpus`` slices (list ``buckets`` LAST there too — the version
+    key). Returns the number of source dirs coalesced."""
     latest, meta = _latest_meta(store)
     if latest is None:
         return 0
     n = 0
-    for sub in ("flags", "buckets"):
+    for sub in subs:
         root = pjoin(store, sub)
         sources = _complete_slices(store, sub)
         if len(sources) <= 1 and (not sources or

@@ -57,11 +57,16 @@ def foreach_batch_web_corpus(stream: DataFrame, store: str,
                              url_col: str = "url",
                              checkpoint: Optional[str] = None,
                              available_now: bool = True,
-                             replay_id: Optional[str] = None):
+                             replay_id: Optional[str] = None,
+                             compact_every: Optional[int] = None):
     """Start the incremental funnel over a documents-shaped stream
     (``id_col`` monotone across batches — the stream ingest contract).
-    Returns the started StreamingQuery."""
+    ``compact_every=K`` compacts ALL THREE sub-stores (corpus first,
+    then flags, then buckets — the version key compacts last) every K
+    folds so none of them accumulates unbounded ``b=N`` directories
+    under continuous ingest. Returns the started StreamingQuery."""
     from judy_graph_db_spark.operators.curation import web_corpus_funnel
+    from judy_graph_db_spark.streaming.neardup import compact_store
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -95,6 +100,9 @@ def foreach_batch_web_corpus(stream: DataFrame, store: str,
         accepted.write.mode("overwrite").parquet(cdir)
         fs_write_text(pjoin(cdir, "_batch_meta.json"), json.dumps(
             {"checkpoint": ck_id, "batch_id": batch_id}))
+        if compact_every and (version + 1) % int(compact_every) == 0:
+            compact_store(spark, store,
+                          subs=("corpus", "flags", "buckets"))
 
     writer = stream.writeStream.foreachBatch(handle)
     if checkpoint:

@@ -295,3 +295,54 @@ def test_streaming_web_corpus_repairs_lost_corpus_slice(spark, tmp_path):
     assert read_corpus(spark, store) is None
     drain("ck2")  # fresh checkpoint re-delivers the shard as batch 0
     assert {r.doc_id for r in read_corpus(spark, store).collect()} == {7}
+
+
+def test_streaming_web_corpus_compaction(spark, tmp_path):
+    """compact_every folds the corpus/flags/buckets b=N slices into one
+    compact dir each with identical read-back, and later folds keep
+    working against the compacted store."""
+    from judy_graph_db_spark.streaming.neardup import _complete_slices
+    from judy_graph_db_spark.streaming.web_corpus import (
+        foreach_batch_web_corpus, read_corpus)
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "all the way home with a friend because that is what they do "
+            "every single day of the week and nobody is surprised") * 2
+    other = ("a completely different story begins here with a cat that "
+             "sits on a warm roof all day watching people walk past the "
+             "house while thinking about dinner and other small things") * 2
+    landing = os.path.join(str(tmp_path), "landing")
+    os.makedirs(landing)
+    store = os.path.join(str(tmp_path), "store")
+    ck = os.path.join(str(tmp_path), "ck")
+
+    def put(name, i, text):
+        _write(landing, name, [W.warc_record_bytes(
+            "conversion", {"WARC-Target-URI": f"http://ok-site.com/{i}"},
+            text)])
+
+    def drain():
+        stream = W.read_warc_stream(spark, landing).filter(
+            (F.col("warc_type") == "conversion") & ~F.col("malformed")
+        ).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("payload").alias("text"))
+        q = foreach_batch_web_corpus(stream, store, checkpoint=ck,
+                                     replay_id="rid", compact_every=2)
+        q.awaitTermination(180)
+
+    put("a.wet", 1, good)
+    drain()
+    put("b.wet", 2, other)
+    drain()  # fold 2 triggers compaction of all three sub-stores
+    for sub in ("corpus", "flags", "buckets"):
+        slices = _complete_slices(store, sub)
+        assert len(slices) == 1, (sub, slices)
+        assert os.path.basename(slices[0]).startswith("compact=")
+    assert {r.doc_id for r in read_corpus(spark, store).collect()} == {1, 2}
+    # a post-compaction fold (incl. a near-dup of doc 1) still works
+    put("c.wet", 3, good + " small tail")
+    drain()
+    assert {r.doc_id for r in read_corpus(spark, store).collect()} == {1, 2}
