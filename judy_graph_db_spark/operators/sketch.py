@@ -43,8 +43,6 @@ module is the parity-plus replacement for that RAM-residency assumption.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
