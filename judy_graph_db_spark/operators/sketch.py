@@ -55,6 +55,8 @@ __all__ = [
     "hll_estimate",
     "gram_matrix",
     "pca_components",
+    "misra_gries",
+    "mg_merge",
 ]
 
 # 63-bit words keep every set bit out of the BIGINT sign position, so the
