@@ -349,7 +349,7 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, topk: int = 10,
         embeddings.orderBy(id_col).limit(n_cells)
         .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
     )
-    q = embeddings.filter(F.col(id_col) == int(query_id)).select(
+    q = embeddings.filter(F.col(id_col) == int(query_id)).limit(1).select(
         F.col(vec_col).alias("_qvec"))
     probe_cells = (
         F.broadcast(cents).join(F.broadcast(q))
@@ -372,7 +372,8 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, topk: int = 10,
                                 id_col=id_col, vec_col=vec_col)
     cb = codebooks if codebooks is not None else pq_codebooks(
         embeddings, codes, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    qv = embeddings.filter(F.col(id_col) == int(query_id)).select(vec_col)
+    qv = embeddings.filter(F.col(id_col) == int(query_id)).limit(1) \
+        .select(vec_col)
     restricted = codes.join(cand, id_col, "left_semi")
     return pq_adc_topk(restricted, cb, qv, m=m, dim=dim, topk=topk,
                        id_col=id_col, vec_col=vec_col)

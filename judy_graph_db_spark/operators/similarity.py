@@ -57,7 +57,10 @@ def cosine_topk_bruteforce(embeddings: DataFrame, query_id: int, k: int = 10,
     """Exact top-k cosine neighbors of one stored vector: broadcast the query
     row against the full table — one scan, no shuffle except the final top-k.
     Returns (vec_id, rank, sim_micro)."""
-    q = embeddings.filter(F.col(id_col) == int(query_id)).select(
+    # limit(1) makes the broadcast side PROVABLY one-row (ids are unique,
+    # but the bound lets the plan linter verify it statically) — this is
+    # the shape `plans.lint` certifies as a scalar nested-loop build
+    q = embeddings.filter(F.col(id_col) == int(query_id)).limit(1).select(
         F.col(vec_col).alias("_qvec"))
     scored = (
         embeddings.filter(F.col(id_col) != int(query_id))
@@ -229,7 +232,7 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_cells: int = 4
         embeddings.orderBy(id_col).limit(n_cells)
         .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
     )
-    q = embeddings.filter(F.col(id_col) == int(query_id)).select(
+    q = embeddings.filter(F.col(id_col) == int(query_id)).limit(1).select(
         F.col(vec_col).alias("_qvec"))
     probe_cells = (
         F.broadcast(cents).join(F.broadcast(q))
