@@ -122,6 +122,30 @@ def _q_pattern_where(spark, sf_dir):
     return table(g, pat)
 
 
+def _q_pattern_optional(spark, sf_dir):
+    """OPTIONAL MATCH hop (parity-plus; Cypher semantics): every CUSTOMER
+    row survives — those without orders carry NULL edge/node columns
+    (TPC-H leaves ~1/3 of customers orderless, so the LEFT-join path is
+    genuinely exercised). Twin: LEFT JOIN in the oracle."""
+    g = tpch_graph(spark, sf_dir)
+    pat = (N(labels=["CUSTOMER"])
+           >> E("PLACED", direction="r", optional=True) >> N())
+    return table(g, pat)
+
+
+def _q_pattern_not_edge(spark, sf_dir):
+    """Bound-position negation (`table(..., not_edges=...)`): customer→
+    order bindings minus pairs connected by a PLACED edge with
+    edge_seq >= 3 — i.e. keep each customer's first two orders via the
+    anti-join (NOT the where= filter, which the where_seq part already
+    covers). Twin: NOT EXISTS in the oracle."""
+    g = tpch_graph(spark, sf_dir)
+    pat = N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N()
+    return table(g, pat, not_edges=[
+        (0, E("PLACED", direction="r",
+              where=lambda c: c["edge_seq"] >= 3), 1)])
+
+
 def _q_edge_list_ingest(spark, sf_dir):
     """insertNodeLines (``Enum.hs:387-407``): ingest the reference's OWN
     benchmark dataset (367,662 tab-separated int pairs, CRLF) through our
@@ -1316,6 +1340,8 @@ def _q_pattern_1hop_matrix(spark, sf_dir):
         ("backward", _q_pattern_backward),
         ("orth_bulk", _q_pattern_orth),
         ("where_seq", _q_pattern_where),
+        ("optional", _q_pattern_optional),
+        ("not_edge", _q_pattern_not_edge),
     ]
     out = None
     for tag, fn in parts:
@@ -3537,7 +3563,19 @@ SELECT 'orth_bulk', src, label, edge_seq, dst
 FROM edges WHERE is_bulk AND NOT is_back
 UNION ALL
 SELECT 'where_seq', src, label, edge_seq, dst
-FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq <= 2""",
+FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq <= 2
+UNION ALL
+SELECT 'optional', n.id, e.label, e.edge_seq, e.dst
+FROM nodes_g n LEFT JOIN (
+  SELECT * FROM edges WHERE label = 'PLACED' AND NOT is_back) e
+  ON e.src = n.id
+WHERE n.label = 'CUSTOMER'
+UNION ALL
+SELECT 'not_edge', src, label, edge_seq, dst
+FROM edges e WHERE label = 'PLACED' AND NOT is_back AND NOT EXISTS (
+  SELECT 1 FROM edges x
+  WHERE x.src = e.src AND x.dst = e.dst AND x.label = 'PLACED'
+    AND NOT x.is_back AND x.edge_seq >= 3)""",
         # standalone (not oracle_prefix): DuckDB's WITH RECURSIVE changes CTE
         # scoping for union-shaped CTEs, breaking the nested WITH inside the
         # edges CTE — so derive the NEXT_ORDER relation directly from orders.

@@ -14,6 +14,7 @@ from judy_graph_db_spark.plans.motif import parse_motif
 from judy_graph_db_spark.plans.pattern import N, E, node, edge, any_node, labels, nodes32
 from judy_graph_db_spark.plans.compiler import (
     table,
+    exclude_edges,
     temp,
     flat_table,
     nested_layers,
@@ -37,6 +38,7 @@ __all__ = [
     "nodes32",
     "parse_motif",
     "table",
+    "exclude_edges",
     "temp",
     "flat_table",
     "nested_layers",

@@ -142,10 +142,36 @@ def compile_pattern(g: Graph, pattern: Pattern) -> DataFrame:
 
     bindings = materialize_node_spec(g, node_specs[0], "n0")
 
+    seen_optional = False
     for i, espec in enumerate(edge_specs):
         cur, nxt = f"n{i}", f"n{i+1}"
+        if seen_optional and not espec.optional:
+            raise ValueError(
+                f"edge {i} is required but an earlier edge is optional — "
+                "an inner join above a NULL frontier would silently drop "
+                "the optionally-kept rows; make every hop after the first "
+                "optional one optional too (Cypher's OPTIONAL MATCH scope)")
         if espec.several is not None:
             bindings = _walk_several(g, bindings, espec, cur, nxt, i)
+            bindings = restrict_to_node_spec(g, bindings, nxt,
+                                             node_specs[i + 1])
+        elif espec.optional:
+            # OPTIONAL MATCH hop: the nxt node's filters apply INSIDE the
+            # optional side (a prefix row that cannot extend keeps NULLs;
+            # filtering after the left join would re-drop it), then LEFT
+            # join. Later optional hops extend naturally: a NULL cur never
+            # equi-matches, so the row just stays NULL — no special case.
+            seen_optional = True
+            rel = edge_relation(g, espec).select(
+                F.col("src").alias(f"_src_{i}"),
+                F.col("dst").alias(nxt),
+                F.col("label").alias(f"e{i}_label"),
+                F.col("edge_seq").alias(f"e{i}_seq"),
+            )
+            rel = restrict_to_node_spec(g, rel, nxt, node_specs[i + 1])
+            bindings = bindings.join(
+                rel, bindings[cur] == rel[f"_src_{i}"], "left"
+            ).drop(f"_src_{i}")
         else:
             rel = edge_relation(g, espec).select(
                 F.col("src").alias(f"_src_{i}"),
@@ -156,7 +182,8 @@ def compile_pattern(g: Graph, pattern: Pattern) -> DataFrame:
             bindings = bindings.join(
                 rel, bindings[cur] == rel[f"_src_{i}"], "inner"
             ).drop(f"_src_{i}")
-        bindings = restrict_to_node_spec(g, bindings, nxt, node_specs[i + 1])
+            bindings = restrict_to_node_spec(g, bindings, nxt,
+                                             node_specs[i + 1])
     return bindings
 
 
@@ -314,8 +341,44 @@ def _binding_col_order(c: str) -> tuple:
     return (2 * int(c[1:].split("_")[0]) + 1, 1, c)
 
 
-def table(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
+def exclude_edges(g: Graph, bindings: DataFrame,
+                  not_edges) -> DataFrame:
+    """Negation between BOUND pattern positions — Cypher's
+    ``WHERE NOT (a)-[:X]->(b)`` as an anti-join (the reference has no
+    negation; parity-plus). ``not_edges`` is a list of
+    ``(src_pos, E(...), dst_pos)``: drop every binding row where an edge
+    matching the spec connects position ``src_pos`` to ``dst_pos``.
+
+    Only bound-to-bound negation exists by design: a negated hop to an
+    unbound node means "every non-neighbor" — a cross product no engine
+    should run at corpus scale (see ``pattern.py`` module doc). Scale
+    shape: one LEFT ANTI hash join per constraint on the composite
+    (src, dst) key; the edge side carries the spec's label/direction/
+    where filters down to the scan."""
+    for a, espec, b in not_edges:
+        if espec.several is not None or espec.optional:
+            raise ValueError(
+                "not_edges specs must be plain single hops "
+                "(no several/optional)")
+        rel = edge_relation(g, espec).select(
+            F.col("src").alias("__na"), F.col("dst").alias("__nb"))
+        bindings = bindings.join(
+            rel,
+            (bindings[f"n{a}"] == rel["__na"])
+            & (bindings[f"n{b}"] == rel["__nb"]),
+            "left_anti",
+        )
+    return bindings
+
+
+def table(g: Graph, pattern: Pattern, quick: bool = True,
+          not_edges=None) -> DataFrame:
     """Evaluate a pattern → bindings DataFrame (``table``, ``Cypher.hs:423-427``).
+
+    ``not_edges=[(i, E(...), j)]`` anti-joins away bindings where such an
+    edge connects position i to position j (:func:`exclude_edges`).
+    Patterns with ``optional`` hops always evaluate left→right (the
+    cost-based reversal would put required hops after optional ones).
 
     ``quick=True`` evaluates left→right as written (``evalLtoR``).
     ``quick=False`` is the cost-based strategy (``runOnE``,
@@ -329,6 +392,10 @@ def table(g: Graph, pattern: Pattern, quick: bool = True) -> DataFrame:
     frontier), joining the halves back on the shared node; Catalyst/AQE
     does statistics-based ordering within each chain.
     """
+    if any(e.optional for e in pattern.edge_specs):
+        quick = True
+    if not_edges:
+        return exclude_edges(g, table(g, pattern, quick), not_edges)
     if not quick:
         costs = [_endpoint_cost(g, s) for s in pattern.node_specs]
         k = len(costs)

@@ -25,6 +25,24 @@ Edge specifiers (``Cypher.hs:212-224,252-274``):
                                cols is a dict of the edge's columns
     ``E(..., several=(lo,hi))`` — variable-length path, Neo4j ``[*lo..hi]``
                                (``Cypher.hs:127-136,273-274``); hi=None = ``***``
+    ``E(..., optional=True)`` — OPTIONAL MATCH semantics for this hop and
+                               everything after it: bindings that cannot
+                               extend keep their prefix with NULL edge/node
+                               columns (relationally: a LEFT join, with the
+                               hop's node/edge filters applied INSIDE the
+                               optional side, exactly Cypher's OPTIONAL
+                               MATCH scoping). The reference has no
+                               optional patterns (parity-plus); once a hop
+                               is optional every later hop must be too —
+                               the compiler raises otherwise, because an
+                               inner join above a NULL frontier silently
+                               drops the kept rows.
+
+Negation (``WHERE NOT (a)-[:X]->(b)``) is NOT an edge flag: a negated hop
+to an UNBOUND node is a cross product (every non-neighbor). It is the
+post-filter :func:`judy_graph_db_spark.plans.compiler.exclude_edges` /
+``table(..., not_edges=[(i, E(...), j)])`` between two bound positions —
+an anti-join, the only scale-safe relational form.
 """
 
 from __future__ import annotations
@@ -72,6 +90,7 @@ class E:
     several: Optional[tuple] = None  # (lo, hi); hi=None → unbounded (***)
     direction: Optional[str] = None  # 'r' (|-->), 'l' (<--|), None (undirected)
     name: Optional[str] = None
+    optional: bool = False  # OPTIONAL MATCH hop (left join)
 
     def __post_init__(self):
         if isinstance(self.attr, str):
@@ -82,6 +101,11 @@ class E:
             lo, hi = self.several
             if lo < 0 or (hi is not None and hi < lo):
                 raise ValueError(f"bad several bounds {self.several}")
+            if self.optional:
+                raise ValueError(
+                    "several + optional is unsupported: an optional "
+                    "variable-length hop is ambiguous (which depth is "
+                    "'absent'?) — make the whole pattern optional instead")
 
     def right(self) -> "E":
         self.direction = "r"
@@ -99,7 +123,8 @@ class E:
     def flipped(self) -> "E":
         d = {"r": "l", "l": "r", None: None}[self.direction]
         return E(attr=self.attr, orth=self.orth, where=self.where,
-                 several=self.several, direction=d, name=self.name)
+                 several=self.several, direction=d, name=self.name,
+                 optional=self.optional)
 
 
 class Pattern:
