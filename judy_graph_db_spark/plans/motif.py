@@ -17,6 +17,7 @@ execution:
     -[o~BULK]->                 orth multi-label match   E(orth=["BULK"], ...)
     -[:NEXT*1..3]->             variable length          E(..., several=(1, 3))
     -[:NEXT*]->                 unbounded (***)          E(..., several=(1, None))
+    -[:PLACED?]-> / -[?]->      optional hop (left join) E(..., optional=True)
     --> / <-- / --              unlabeled edges          E(direction=...)
 
 Node/edge variable names (the ``a`` in ``(a:...)`` / ``[e:...]``) are kept
@@ -32,7 +33,8 @@ from judy_graph_db_spark.plans.pattern import E, N, Pattern
 
 _NODE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z_0-9]*)?\s*(:[^)=]+|=[^)]+)?\s*\)")
 _EDGE_BODY_RE = re.compile(
-    r"\[\s*([A-Za-z_][A-Za-z_0-9]*)?\s*([:~][^\]*]+)?\s*(\*[^\]]*)?\s*\]"
+    r"\[\s*([A-Za-z_][A-Za-z_0-9]*)?\s*([:~][^\]*?]+)?\s*(\*[^\]?]*)?"
+    r"\s*(\?)?\s*\]"
 )
 
 
@@ -86,7 +88,7 @@ def _parse_edge(segment: str) -> E:
     m = _EDGE_BODY_RE.fullmatch(s)
     if not m:
         raise ValueError(f"cannot parse edge segment {segment!r}")
-    name, body, star = m.groups()
+    name, body, star, opt = m.groups()
     attr = orth = None
     if body:
         labels = [t.strip() for t in body[1:].split("|") if t.strip()]
@@ -95,7 +97,8 @@ def _parse_edge(segment: str) -> E:
         else:  # '~' — orthogonal multi-label overlay (SURVEY.md §1.6)
             orth = labels
     several = _parse_several(star) if star else None
-    return E(attr=attr, orth=orth, several=several, direction=direction, name=name)
+    return E(attr=attr, orth=orth, several=several, direction=direction,
+             name=name, optional=opt is not None)
 
 
 def parse_motif(motif: str) -> Pattern:

@@ -64,3 +64,27 @@ def test_motif_executes_like_combinators(spark):
     via_edsl = table(g, N(ids=[0]) >> E("Raises", direction="r") >> N()).collect()
     assert sorted(map(tuple, via_str)) == sorted(map(tuple, via_edsl))
     assert len(via_str) > 0
+
+
+def test_optional_edge_forms():
+    assert specs("(a)-[:PLACED?]->(b)")[1].optional is True
+    assert specs("(a)-[?]->(b)")[1].optional is True
+    e = specs("(a)<-[r:X|Y?]-(b)")[1]
+    assert e.optional and e.attr == ["X", "Y"] and e.direction == "l"
+    assert specs("(a)-[:PLACED]->(b)")[1].optional is False
+
+
+def test_optional_motif_executes_like_combinators(spark):
+    g = f2_issue_tracker(spark)
+    via_str = table(
+        g, parse_motif("(p:PROGRAMMER)-[:Raises?]->(i)")).collect()
+    via_edsl = table(
+        g, N(labels=["PROGRAMMER"])
+        >> E("Raises", direction="r", optional=True) >> N()).collect()
+    assert sorted(map(tuple, via_str)) == sorted(map(tuple, via_edsl))
+    assert any(r["n1"] is None for r in via_str)  # programmer 1
+
+
+def test_several_optional_motif_raises():
+    with pytest.raises(ValueError, match="several \\+ optional"):
+        parse_motif("(a)-[:N*1..3?]->(b)")
