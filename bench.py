@@ -153,6 +153,14 @@ def sec_core(spark, sf_dir, cpus, run):
         >> E("CONTAINS", direction="r") >> N(labels=["PART"])
     )
     run("pattern_2hop", lambda: table(g, pat2).count())
+    pato = (N(labels=["CUSTOMER"])
+            >> E("PLACED", direction="r", optional=True) >> N())
+    run("pattern_optional", lambda: table(g, pato).count())
+    patn = N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N()
+    run("pattern_not_edge", lambda: table(
+        g, patn, not_edges=[
+            (0, E("PLACED", direction="r",
+                  where=lambda c: c["edge_seq"] >= 3), 1)]).count())
     patv = N(labels=["ORDER"]) >> E(
         "NEXT_ORDER", direction="r", several=(1, 3)) >> N()
     run("var_length_3hop", lambda: table(g, patv).count())
