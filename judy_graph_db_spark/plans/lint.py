@@ -81,10 +81,13 @@ _SCALAR_PARENTS = ("HashAggregate(keys=[]", "ObjectHashAggregate(keys=[]",
                    "SortAggregate(key=[]", "CollectLimit", "GlobalLimit")
 
 #: build-side markers that make a BroadcastNestedLoopJoin benign —
-#: the broadcast relation is provably scalar- or k-sized
+#: the broadcast relation is provably scalar- or k-sized, or is a
+#: LocalTableScan (driver-literal data, e.g. the ranges table — it
+#: already lives whole on the driver, so broadcasting it is free by
+#: definition)
 _SCALAR_BUILD = ("HashAggregate(keys=[]", "ObjectHashAggregate(keys=[]",
                  "SortAggregate(key=[]", "GlobalLimit", "LocalLimit",
-                 "CollectLimit", "TakeOrderedAndProject")
+                 "CollectLimit", "TakeOrderedAndProject", "LocalTableScan")
 
 
 def _parse(plan: str) -> "list[tuple[int, str, int]]":
@@ -166,8 +169,25 @@ def lint_plan(df_or_plan: Union[DataFrame, str],
         elif name.startswith("CartesianProduct"):
             hit("cartesian-product", i)
         elif name.startswith("BroadcastNestedLoopJoin"):
-            sub = _subtree(nodes, i)
-            if not any(s.startswith(_SCALAR_BUILD) for s in sub):
+            # judge only the BUILD side: the subtree under the join's
+            # BroadcastExchange (a ReusedExchange build is benign — its
+            # original exchange is linted where it first appears)
+            d0 = nodes[i][0]
+            kids = []  # the join's DIRECT children (min depth in subtree)
+            for j in range(i + 1, len(nodes)):
+                if nodes[j][0] <= d0:
+                    break
+                if not kids or nodes[j][0] < nodes[kids[0]][0]:
+                    kids = [j]
+                elif nodes[j][0] == nodes[kids[0]][0]:
+                    kids.append(j)
+            bj = next((j for j in kids if nodes[j][1].startswith(
+                ("BroadcastExchange", "ReusedExchange"))), None)
+            if bj is None:
+                hit("nested-loop-join", i)  # can't identify a build side
+            elif not nodes[bj][1].startswith("ReusedExchange") and not any(
+                    s.startswith(_SCALAR_BUILD)
+                    for s in _subtree(nodes, bj)):
                 hit("nested-loop-join", i)
         elif name.startswith("BatchEvalPython"):
             hit("python-row-udf", i)
