@@ -1890,6 +1890,12 @@ def _q_corpus_curation(spark, sf_dir):
         F.lit("mixture").alias("op"), lN.alias("doc_id"),
         F.col("source").alias("split"), F.col("n_tokens").alias("n"),
         F.col("target_permille").alias("a"), F.col("keep_permille").alias("b"))
+    # temperature-flattened mixture (α = 2^-2): targets DERIVED from the
+    # corpus token shares by nested-sqrt flattening, not user-given
+    tmx = CU.temperature_mixture(docs, alpha_pow2=2).select(
+        F.lit("tmix").alias("op"), lN.alias("doc_id"),
+        F.col("source").alias("split"), F.col("n_tokens").alias("n"),
+        F.col("target_permille").alias("a"), F.col("keep_permille").alias("b"))
     ls = CU.leakage_safe_split(
         docs.select("doc_id"), D.dedup_clusters(docs),
         {"train": 240, "val": 8, "test": 8},
@@ -2034,7 +2040,8 @@ def _q_corpus_curation(spark, sf_dir):
     return (sample.unionByName(splits).unionByName(canon)
             .unionByName(contam).unionByName(fcontam)
             .unionByName(qf).unionByName(cap)
-            .unionByName(mx).unionByName(df_).unionByName(ls)
+            .unionByName(mx).unionByName(tmx)
+            .unionByName(df_).unionByName(ls)
             .unionByName(bo).unionByName(summ).unionByName(dsir)
             .unionByName(pps).unionByName(pd_).unionByName(drift)
             .unionByName(psig).unionByName(pflt).unionByName(shf)
@@ -4199,6 +4206,9 @@ FROM ({O.cap_per_group_sql(group_col='source', n=40)}) t
 UNION ALL
 SELECT 'mixture', NULL, source, n_tokens, target_permille, keep_permille
 FROM ({O.plan_mixture_sql({'src0': 300, 'src1': 100, 'src2': 50})}) t
+UNION ALL
+SELECT 'tmix', NULL, source, n_tokens, target_permille, keep_permille
+FROM ({O.temperature_mixture_sql(alpha_pow2=2)}) t
 UNION ALL
 SELECT 'diff', doc_id, status, NULL, NULL, NULL
 FROM ({snap_diff_sql}) t

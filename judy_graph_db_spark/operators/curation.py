@@ -353,6 +353,62 @@ def plan_mixture(df: DataFrame, targets: dict[str, int],
     )
 
 
+def temperature_mixture(df: DataFrame, alpha_pow2: int = 1,
+                        source_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-flattened domain mixture (the Gopher §A.3 / mT5 §3.1
+    sampling knob): target share per source ∝ (token share)^α with
+    α = 2^-alpha_pow2, then :func:`plan_mixture`'s water-filling keep
+    rates for those targets. α < 1 up-weights scarce domains (the reason
+    multilingual/multi-domain corpora use it); ``alpha_pow2=0`` (α=1) is
+    the proportional no-op mix — every keep rate comes out ~1000‰.
+
+    Power-of-two temperatures only, for the same reason
+    ``analytics.katz_centrality`` pins damping to 2^-k: α = 2^-k means
+    the weight is k NESTED IEEE sqrt calls — each correctly rounded, so
+    Spark and DuckDB produce bit-identical doubles — and the floor to
+    integer micro (``w = floor(10^6 · n^α)``) plus integer-``div``
+    normalization keep every downstream number hash-exact. A free-form
+    float ``pow(n, 0.7)`` is NOT guaranteed correctly rounded and can
+    diverge between engines in the last ulp, flipping a rounded
+    permille. Sources whose flattened share rounds to 0‰ (< 0.1% of
+    flattened mass) drop, exactly like untargeted sources in
+    :func:`plan_mixture` — at that size they cannot influence the mix.
+
+    Scale shape: one token-count aggregation (|sources| rows), one
+    scalar total broadcast back, pure expressions after — the same
+    profile as ``plan_mixture``. Returns ``(source_col, n_tokens,
+    target_permille, keep_permille)``."""
+    k = int(alpha_pow2)
+    if k < 0 or k > 6:
+        raise ValueError("alpha_pow2 must be in 0..6 (alpha = 2^-k)")
+    tok = df.select(
+        F.col(source_col), token_count(F.col(text_col)).alias("__nt")
+    ).groupBy(source_col).agg(F.sum("__nt").alias("n_tokens"))
+    expr = "cast(n_tokens as double)"
+    for _ in range(k):
+        expr = f"sqrt({expr})"
+    w = tok.withColumn(
+        "__w", F.expr(f"cast(floor(1000000.0 * {expr}) as bigint)"))
+    tot = w.agg(F.sum("__w").cast("long").alias("__tot"))
+    t = w.join(F.broadcast(tot)).withColumn(
+        "target_permille", F.expr("(__w * 1000) div __tot"))
+    kmax = (
+        t.filter(F.col("target_permille") > 0)
+        .select(F.expr("(n_tokens * 1000) div target_permille")
+                .alias("__cap"))
+        .agg(F.min("__cap").alias("__kmax"))
+    )
+    return t.join(F.broadcast(kmax)).select(
+        source_col, "n_tokens", "target_permille",
+        F.when(F.col("target_permille") == 0, F.lit(0).cast("long"))
+        .otherwise(F.least(
+            F.lit(1000).cast("long"),
+            F.expr("(target_permille * __kmax) div n_tokens"),
+        )).alias("keep_permille"),
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Content-level diff of two corpus snapshots — the dataset-versioning

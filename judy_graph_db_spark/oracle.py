@@ -1490,6 +1490,45 @@ SELECT {source_col}, n_tokens, target_permille,
 FROM t, k"""
 
 
+def temperature_mixture_sql(alpha_pow2: int = 1, source_col: str = "source",
+                            text_col: str = "text",
+                            table: str = "documents") -> str:
+    """Twin of ``curation.temperature_mixture`` — the same nested-sqrt
+    weight (IEEE sqrt is correctly rounded, so the doubles match
+    bit-exactly), integer-micro floor, and ``//`` normalization.
+    SUM(BIGINT) widens to HUGEINT in DuckDB — cast back."""
+    expr = "CAST(n_tokens AS DOUBLE)"
+    for _ in range(int(alpha_pow2)):
+        expr = f"SQRT({expr})"
+    return f"""
+WITH tok AS (
+  SELECT {source_col}, CAST(SUM({token_count_sql(text_col)}) AS BIGINT)
+         AS n_tokens
+  FROM {table} GROUP BY 1
+),
+w AS (
+  SELECT {source_col}, n_tokens,
+         CAST(FLOOR(1000000.0 * {expr}) AS BIGINT) AS w
+  FROM tok
+),
+t AS (
+  SELECT {source_col}, n_tokens,
+         (w * 1000) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)
+         AS target_permille
+  FROM w
+),
+k AS (
+  SELECT MIN((n_tokens * 1000) // target_permille) AS kmax
+  FROM t WHERE target_permille > 0
+)
+SELECT {source_col}, n_tokens, CAST(target_permille AS BIGINT)
+       AS target_permille,
+       CAST(CASE WHEN target_permille = 0 THEN 0
+            ELSE LEAST(1000, (target_permille * kmax) // n_tokens)
+            END AS BIGINT) AS keep_permille
+FROM t, k"""
+
+
 def funnel_steps_sql(steps, within_seconds: int, key_col: str = "user_id",
                      ts_col: str = "ts", type_col: str = "event_type",
                      table: str = "events") -> str:

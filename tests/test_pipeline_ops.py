@@ -850,6 +850,52 @@ def test_plan_mixture_water_filling(spark):
         plan_mixture(docs, {})
 
 
+def test_temperature_mixture_flattens(spark):
+    import math
+
+    from judy_graph_db_spark.operators.curation import temperature_mixture
+
+    # 100 vs 6400 tokens; alpha = 1/2 flattens 1:64 to 1:8
+    rows = [(1, "w " * 100, "A"), (2, "w " * 6400, "B")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           temperature_mixture(docs, alpha_pow2=1).collect()}
+    wa = math.floor(1e6 * math.sqrt(100.0))
+    wb = math.floor(1e6 * math.sqrt(6400.0))
+    assert out["A"]["target_permille"] == (wa * 1000) // (wa + wb)  # 111
+    assert out["B"]["target_permille"] == (wb * 1000) // (wa + wb)  # 888
+    # scarce source is the bottleneck: kept (nearly) whole — integer
+    # water-filling floors twice, so 999 is exact here; big source
+    # downsamples hard vs its 1000 proportional keep
+    assert out["A"]["keep_permille"] >= 999
+    assert out["B"]["keep_permille"] < 200
+    # alpha = 1 (alpha_pow2=0) is the ~proportional no-op mix: keeps are
+    # high for BOTH sources, limited only by permille granularity (A's
+    # true share 15.38 rounds down to 15 -> its keep floors at 975)
+    out0 = {r["source"]: r for r in
+            temperature_mixture(docs, alpha_pow2=0).collect()}
+    assert out0["A"]["keep_permille"] >= 970
+    assert out0["B"]["keep_permille"] >= 970
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_mixture(docs, alpha_pow2=9)
+
+
+def test_temperature_mixture_matches_oracle(spark):
+    from judy_graph_db_spark.operators.curation import temperature_mixture
+    from judy_graph_db_spark.oracle import temperature_mixture_sql
+    from tests.oracle_utils import compare, duck_connection
+
+    duck = duck_connection("/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for k in (0, 1, 3):
+        ok, msg = compare(temperature_mixture(docs, alpha_pow2=k),
+                          duck, temperature_mixture_sql(alpha_pow2=k))
+        assert ok, f"alpha_pow2={k}: {msg}"
+
+
 def test_snapshot_diff_classifies(spark):
     from judy_graph_db_spark.operators.curation import snapshot_diff
 
