@@ -1060,7 +1060,16 @@ def _q_pagerank(spark, sf_dir):
     wpr = AN.pagerank(fwd, iters=3, weight_col="edge_seq").select(
         F.lit("wpr").alias("op"), "id",
         F.round(F.col("rank") * 10000).cast("long").alias("rank_e4"))
-    return pr.unionByName(wpr)
+    # warm start (evolving-graph resume): 2 cold iters, then 1 more from
+    # their ranks — the identical join/sum sequence as cold 3 iters, so
+    # the oracle is the SAME 3-iter unroll; a warm-start regression
+    # (dropped init, wrong default for unseen nodes) breaks the hash
+    warm = AN.pagerank(
+        fwd, iters=1, init_ranks=AN.pagerank(fwd, iters=2)
+    ).select(
+        F.lit("warm").alias("op"), "id",
+        F.round(F.col("rank") * 10000).cast("long").alias("rank_e4"))
+    return pr.unionByName(wpr).unionByName(warm)
 
 
 def _q_link_analysis(spark, sf_dir):
@@ -4753,7 +4762,12 @@ SELECT 'wpr', id, rank_e4
 FROM ({AN.pagerank_oracle_sql(
             "SELECT src, dst, edge_seq AS w FROM edges WHERE NOT is_back",
             iters=3, prefix=P, weighted=True,
-        )}) t2""",
+        )}) t2
+UNION ALL
+SELECT 'warm', id, rank_e4
+FROM ({AN.pagerank_oracle_sql(
+            "SELECT src, dst FROM edges WHERE NOT is_back", iters=3, prefix=P
+        )}) t3""",
         # each half is a self-contained unrolled-CTE statement (its own
         # WITH chain over the graph prefix), combined as derived tables
         "link_analysis": f"""

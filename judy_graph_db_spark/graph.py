@@ -248,6 +248,18 @@ class Graph:
     def ranges_df(self) -> DataFrame:
         return self.ranges.to_df(self.spark)
 
+    def register_views(self, prefix: str = "g") -> None:
+        """Expose the graph as SQL temp views ``<prefix>_nodes``,
+        ``<prefix>_edges``, ``<prefix>_ranges`` so plain ``spark.sql``
+        users can query it relationally (the property-graph tables ARE
+        the engine's data model — SURVEY §1.2; the reference's EDSL-only
+        surface has no SQL door at all). Views are session-scoped and
+        zero-copy: they name the live DataFrames, so Catalyst prunes/
+        pushes down through them exactly as through the Python API."""
+        self.nodes.createOrReplaceTempView(f"{prefix}_nodes")
+        self.edges.createOrReplaceTempView(f"{prefix}_edges")
+        self.ranges_df().createOrReplaceTempView(f"{prefix}_ranges")
+
     def with_node_labels(self, df: DataFrame, id_col: str, out_col: str = "label") -> DataFrame:
         """Range-dispatch labels onto an id column (``nodeLabel``,
         ``FastAccess.hs:658-667``): broadcast range join, first matching range.

@@ -221,6 +221,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def pagerank(
     edges: DataFrame, iters: int = 3, damping: float = 0.85,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by fixed-round power iteration, GraphX semantics:
     ``rank = (1-d) + d * Σ_{in-neighbors} rank/outdeg`` starting from 1.0,
@@ -276,7 +277,20 @@ def pagerank(
     # partitioning to every later join (an in-flight one does not)
     ldeg.count()
     nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+    else:
+        # warm start (evolving-graph serving: resume from the previous
+        # snapshot's ranks instead of re-converging from scratch; nodes
+        # the init relation lacks — newly arrived — start at 1.0, the
+        # cold-start value). Restarting k iterations from cold(j) output
+        # runs the SAME join/sum sequence as cold(j+k), so warm resume
+        # is bit-identical to the longer cold run — the self-consistency
+        # the `warm` gate part checks.
+        ranks = nodes.join(
+            init_ranks.select(F.col("id"), F.col("rank").alias("__r0")),
+            "id", "left",
+        ).select("id", F.coalesce(F.col("__r0"), F.lit(1.0)).alias("rank"))
     for i in range(iters):
         contribs = (
             ldeg.join(ranks, ldeg.src == ranks.id)

@@ -139,6 +139,32 @@ def test_triangle_count_random_vs_bruteforce(spark):
     assert got == want
 
 
+def test_pagerank_warm_start_equals_cold(spark):
+    # 2 cold iters + 1 warm iter runs the identical join/sum sequence as
+    # 3 cold iters -> bit-identical floats, not just approximately equal
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 1)]
+    e = edges_df(spark, pairs)
+    cold = {r["id"]: r["rank"] for r in AN.pagerank(e, iters=3).collect()}
+    warm = {r["id"]: r["rank"] for r in AN.pagerank(
+        e, iters=1, init_ranks=AN.pagerank(e, iters=2)).collect()}
+    assert warm == cold
+
+
+def test_pagerank_warm_start_new_nodes_default_cold(spark):
+    # a node absent from init_ranks (newly arrived in the snapshot)
+    # starts at the cold 1.0, so its rank after one warm iteration
+    # matches a hand computation: 5 -> 0 added; init covers only 0..4
+    e0 = edges_df(spark, [(1, 0), (2, 0)])
+    init = AN.pagerank(e0, iters=1)
+    e1 = edges_df(spark, [(1, 0), (2, 0), (5, 0)])
+    warm = {r["id"]: r["rank"] for r in AN.pagerank(
+        e1, iters=1, init_ranks=init).collect()}
+    # rank(0) = 0.15 + 0.85*(r1 + r2 + r5) with r1 = r2 = 0.15 (from
+    # init), r5 = 1.0 (cold default)
+    assert abs(warm[0] - (0.15 + 0.85 * (0.15 + 0.15 + 1.0))) < 1e-9
+    assert abs(warm[5] - 0.15) < 1e-9
+
+
 def test_pagerank_random_vs_numpy(spark):
     import random
 

@@ -308,3 +308,20 @@ def test_synthetic_graph_generators(spark):
     again = sorted((r.src, r.dst) for r in
                    chung_lu_zipf_graph(spark, 64, 600, seed=9).collect())
     assert again == sorted(rows)
+
+
+def test_register_views_sql_door(spark):
+    from tests.fixtures import f2_issue_tracker
+
+    g = f2_issue_tracker(spark)
+    g.register_views(prefix="f2")
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM f2_edges "
+        "WHERE label = 'Raises' AND NOT is_back").collect()[0]["n"]
+    assert n == 4
+    # the ranges view range-dispatches labels like with_node_labels does
+    lbl = spark.sql(
+        "SELECT r.label FROM f2_nodes n JOIN f2_ranges r "
+        "ON n.id >= r.range_start AND n.id < r.range_start + r.range_len "
+        "WHERE n.id = 7").collect()[0]["label"]
+    assert lbl == "PULL_REQUEST"
