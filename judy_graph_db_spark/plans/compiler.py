@@ -360,6 +360,11 @@ def exclude_edges(g: Graph, bindings: DataFrame,
             raise ValueError(
                 "not_edges specs must be plain single hops "
                 "(no several/optional)")
+        for pos in (a, b):
+            if f"n{pos}" not in bindings.columns:
+                raise ValueError(
+                    f"not_edges position {pos} is not bound "
+                    f"(columns: {sorted(bindings.columns)})")
         rel = edge_relation(g, espec).select(
             F.col("src").alias("__na"), F.col("dst").alias("__nb"))
         bindings = bindings.join(

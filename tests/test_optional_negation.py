@@ -98,3 +98,25 @@ def test_not_edges_spec_validation(g):
 def test_optional_flip_survives_reversal_fields():
     e = E("Raises", direction="r", optional=True).flipped()
     assert e.optional and e.direction == "l"
+
+
+def test_not_edges_unbound_position_raises(g):
+    pat = N(labels=["PROGRAMMER"]) >> E("Raises", direction="r") >> N()
+    with pytest.raises(ValueError, match="position 5 is not bound"):
+        table(g, pat, not_edges=[(0, E("Closes", direction="r"), 5)])
+
+
+def test_optional_pattern_through_flat_and_nested_views(g):
+    """flat_table / nested_layers must absorb NULL tails, not crash."""
+    from judy_graph_db_spark import flat_table, nested_layers
+
+    pat = (N(labels=["PROGRAMMER"])
+           >> E("Raises", direction="r", optional=True) >> N())
+    ft = {r["position"]: r["node_set"]
+          for r in flat_table(g, pat).collect()}
+    assert set(ft[0]) == {0, 1}
+    # collect_set drops the NULL tail; the bound issues all appear
+    assert set(ft[1]) == {3, 4, 5, 6}
+    nl = nested_layers(table(g, pat))
+    by_n0 = {r["n0"]: r for r in nl.collect()}
+    assert 1 in by_n0  # the NULL-tail programmer still has a row
