@@ -330,6 +330,8 @@ def sec_curation(spark, sf_dir, cpus, run):
             docs.select("doc_id", "n_chars"), 1000, "n_chars").count())
     run("epoch_shuffle",
         lambda: CU.epoch_shuffle(docs.select("doc_id"), seed=1).count())
+    run("temperature_mixture",
+        lambda: CU.temperature_mixture(docs, alpha_pow2=2).count())
     # WARC/WET archive round trip over the corpus: distributed export
     # (scan-stage record serialization + multi-char-lineSep text sink)
     # then the scan-stage parse back
