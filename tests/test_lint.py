@@ -154,3 +154,17 @@ def test_pattern_and_adjacency_plans_are_scale_safe(spark):
     pat = (N(labels=["CUSTOMER"]) >> E("PLACED", direction="r") >> N()
            >> E("CONTAINS", direction="r") >> N(labels=["PART"]))
     assert_scale_safe(table(g, pat))
+    # optional hop compiles to a LEFT hash join, not a loop join, and
+    # still prunes the union to the one producing table
+    opt = table(g, N(labels=["CUSTOMER"])
+                >> E("PLACED", direction="r", optional=True) >> N())
+    assert_scale_safe(opt)
+    opt_plan = opt._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in opt_plan and "lineitem.parquet" not in opt_plan
+    # negation compiles to a LEFT ANTI hash join on the composite key
+    neg = table(g, N(labels=["CUSTOMER"]) >> E("PLACED", direction="r")
+                >> N(),
+                not_edges=[(0, E("PLACED", direction="r",
+                                 where=lambda c: c["edge_seq"] >= 3), 1)])
+    assert_scale_safe(neg)
+    assert "LeftAnti" in neg._jdf.queryExecution().executedPlan().toString()
