@@ -376,14 +376,43 @@ def exclude_edges(g: Graph, bindings: DataFrame,
     return bindings
 
 
+def _apply_names(pattern: Pattern, bindings: DataFrame) -> DataFrame:
+    """Rename positional binding columns to the specs' variable names:
+    node ``name`` replaces ``n{i}``; edge ``name`` prefixes its columns
+    (``{name}_label``, ``{name}_seq``, ``{name}_depth``). Unnamed
+    positions keep their positional names. Duplicate names raise."""
+    ren: "dict[str, str]" = {}
+    for i, spec in enumerate(pattern.node_specs):
+        if spec.name:
+            ren[f"n{i}"] = spec.name
+    for i, spec in enumerate(pattern.edge_specs):
+        if spec.name:
+            for suffix in ("label", "seq", "depth"):
+                ren[f"e{i}_{suffix}"] = f"{spec.name}_{suffix}"
+    targets = list(ren.values())
+    clash = {t for t in targets if targets.count(t) > 1} | (
+        set(targets) & (set(bindings.columns) - set(ren)))
+    if clash:
+        raise ValueError(f"duplicate binding names: {sorted(clash)}")
+    return bindings.select(*[
+        F.col(c).alias(ren[c]) if c in ren else F.col(c)
+        for c in bindings.columns
+    ])
+
+
 def table(g: Graph, pattern: Pattern, quick: bool = True,
-          not_edges=None) -> DataFrame:
+          not_edges=None, named: bool = False) -> DataFrame:
     """Evaluate a pattern → bindings DataFrame (``table``, ``Cypher.hs:423-427``).
 
     ``not_edges=[(i, E(...), j)]`` anti-joins away bindings where such an
     edge connects position i to position j (:func:`exclude_edges`).
     Patterns with ``optional`` hops always evaluate left→right (the
     cost-based reversal would put required hops after optional ones).
+    ``named=True`` renames binding columns to the specs' variable names
+    (``N(name='c')`` / the ``c`` of a motif string's ``(c:CUSTOMER)``) —
+    the final-consumption view; the positional ``n0, e0_*`` scheme stays
+    the default because every composition helper
+    (``flat_table``/``nested_layers``/``exclude_edges``) keys on it.
 
     ``quick=True`` evaluates left→right as written (``evalLtoR``).
     ``quick=False`` is the cost-based strategy (``runOnE``,
@@ -397,6 +426,8 @@ def table(g: Graph, pattern: Pattern, quick: bool = True,
     frontier), joining the halves back on the shared node; Catalyst/AQE
     does statistics-based ordering within each chain.
     """
+    if named:
+        return _apply_names(pattern, table(g, pattern, quick, not_edges))
     if any(e.optional for e in pattern.edge_specs):
         quick = True
     if not_edges:

@@ -88,3 +88,20 @@ def test_optional_motif_executes_like_combinators(spark):
 def test_several_optional_motif_raises():
     with pytest.raises(ValueError, match="several \\+ optional"):
         parse_motif("(a)-[:N*1..3?]->(b)")
+
+
+def test_named_bindings_from_motif(spark):
+    g = f2_issue_tracker(spark)
+    df = table(g, parse_motif("(p=0)-[r:Raises]->(i:ISSUE)"), named=True)
+    assert set(df.columns) == {"p", "r_label", "r_seq", "i"}
+    rows = {(x["p"], x["i"]) for x in df.collect()}
+    assert rows == {(0, 3), (0, 4), (0, 5), (0, 6)}
+    # unnamed positions keep their positional columns
+    df2 = table(g, parse_motif("(p=0)-[:Raises]->(i)"), named=True)
+    assert "e0_label" in df2.columns and "p" in df2.columns
+
+
+def test_named_bindings_duplicate_raises(spark):
+    g = f2_issue_tracker(spark)
+    with pytest.raises(ValueError, match="duplicate binding names"):
+        table(g, parse_motif("(x=0)-[:Raises]->(x)"), named=True)
