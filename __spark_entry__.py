@@ -2706,6 +2706,14 @@ def _q_graph_similarity(spark, sf_dir):
         F.lit("betw").alias("op"), F.col("id").alias("a"),
         F.round(F.col("betweenness")).cast("long").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # edge betweenness over the same chains + shared closure: the i-th
+    # edge of an L-chain carries i·(L-i) unit-σ pairs — integer-exact,
+    # closed-form oracle (the Girvan-Newman removal quantity)
+    ebt = AN.edge_betweenness(chains, closure=sigc).select(
+        F.lit("ebetw").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.round(F.col("betweenness")).cast("long").alias("c"),
+        lN.alias("d"))
     # resource-allocation + preferential-attachment link prediction on the
     # same supplier~part incidence graph as the jaccard part (supplier-side
     # pairs only — the part side is the row-budget blowup)
@@ -2777,7 +2785,8 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("max_rho").cast("long").alias("c"), lN.alias("d"))
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
-            .unionByName(sig).unionByName(btw).unionByName(ra)
+            .unionByName(sig).unionByName(btw).unionByName(ebt)
+            .unionByName(ra)
             .unionByName(aa).unionByName(spt).unionByName(diam)
             .unionByName(lmd).unionByName(lmu).unionByName(hb))
 
@@ -5451,6 +5460,20 @@ FROM (WITH pos AS (
 SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS id,
        CAST((i - 1) * (L - i) AS BIGINT) AS betw
 FROM pos WHERE i > 1 AND i < L) t8b
+UNION ALL
+SELECT 'ebetw', a, b, eb, NULL
+FROM (WITH pos AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER wd AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L,
+         LEAD(o_orderkey) OVER wd AS nxt
+  FROM orders
+  WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS a,
+       CAST(5*{B} + nxt AS BIGINT) AS b,
+       CAST(i * (L - i) AS BIGINT) AS eb
+FROM pos WHERE nxt IS NOT NULL) t8c
 UNION ALL
 SELECT 'ra', a, b, ra_micro, pa
 FROM ({O.resource_allocation_sql(

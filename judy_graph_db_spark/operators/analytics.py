@@ -3290,6 +3290,64 @@ def betweenness_centrality(edges: DataFrame,
     )
 
 
+def edge_betweenness(edges: DataFrame,
+                     sources: DataFrame | None = None,
+                     closure: DataFrame | None = None,
+                     max_iter: int = 100) -> DataFrame:
+    """Edge betweenness (Girvan & Newman 2002 — the quantity their
+    community-splitting algorithm repeatedly removes the maximum of):
+    ``eb(u→v) = Σ_{s,t} σ_st(u→v) / σ_st``, the fraction of shortest
+    paths traversing each edge. Composition over the same σ closure as
+    :func:`betweenness_centrality` / :func:`stress_centrality` (pass
+    ``closure=`` to share one materialization): a shortest s→t path uses
+    edge (u,v) iff ``d(s,u) + 1 + d(v,t) = d(s,t)``, and then
+    ``σ_st(u→v) = σ_su · σ_vt``. The closure has no diagonal, so the
+    s=u / v=t legs join through an appended ``(x, x, 0, 1)`` diagonal
+    over the edge-incident nodes. Returns ``(src, dst, betweenness
+    DOUBLE)`` for edges on at least one shortest path.
+
+    Float by necessity (σ ratios), same house rule as
+    :func:`betweenness_centrality`: unit-tested against hand values;
+    the driver row hash-gates it ONLY on the chain fixture where every
+    σ=1 makes the sum integer-exact (closed form ``i·(L-i)`` for the
+    i-th edge of an L-chain). ``sources`` restricts the s side (Brandes
+    & Pich sampling) with the same linear shrink as the node variant;
+    closure-sized state is the documented trade.
+    """
+    C = closure if closure is not None else shortest_path_counts(
+        edges, max_iter=max_iter).localCheckpoint(eager=True)
+    base = (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")).distinct())
+    nodes = base.select(F.col("src").alias("id")).union(
+        base.select(F.col("dst").alias("id"))).distinct()
+    diag = nodes.select(
+        F.col("id").alias("src"), F.col("id").alias("dst"),
+        F.lit(0).cast("long").alias("depth"),
+        F.lit(1).cast("long").alias("sigma"))
+    aug = C.select("src", "dst", "depth", "sigma").unionByName(diag)
+    a = aug.select(F.col("src").alias("s"), F.col("dst").alias("u"),
+                   F.col("depth").alias("d1"), F.col("sigma").alias("sig1"))
+    if sources is not None:
+        a = a.join(sources.select(F.col("id").alias("s")).distinct(), "s")
+    e = base.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = aug.select(F.col("src").alias("w"), F.col("dst").alias("t"),
+                   F.col("depth").alias("d2"), F.col("sigma").alias("sig2"))
+    st = C.select(F.col("src").alias("s"), F.col("dst").alias("t"),
+                  F.col("depth").alias("dst_d"),
+                  F.col("sigma").alias("sig_st"))
+    return (
+        a.join(e, "u")
+        .join(b, "w")
+        .filter(F.col("s") != F.col("t"))
+        .join(st, ["s", "t"])
+        .filter(F.col("d1") + 1 + F.col("d2") == F.col("dst_d"))
+        .groupBy(F.col("u").alias("src"), F.col("w").alias("dst"))
+        .agg(F.sum(
+            (F.col("sig1") * F.col("sig2")).cast("double") / F.col("sig_st")
+        ).alias("betweenness"))
+    )
+
+
 def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
                         seed: int = 0, max_iter: int = 100,
                         scale: bool = True) -> DataFrame:

@@ -1452,6 +1452,33 @@ def test_betweenness_centrality(spark):
     assert all(abs(got4[v] - ref4[v]) < 1e-9 for v in ref4)
 
 
+def test_edge_betweenness_chain_and_diamond(spark):
+    # directed 4-chain 0->1->2->3: eb(i->i+1) = (i+1)(3-i) pairs, all
+    # sigma=1 -> 3, 4, 3
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    eb = {(r["src"], r["dst"]): r["betweenness"]
+          for r in AN.edge_betweenness(e).collect()}
+    assert eb == {(0, 1): 3.0, (1, 2): 4.0, (2, 3): 3.0}
+    # diamond 0->1->3, 0->2->3: sigma(0,3)=2, each edge carries
+    # 1 (endpoint pair) + 0.5 (the split 0->3 mass) = 1.5
+    d = edges_df(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    eb2 = {(r["src"], r["dst"]): r["betweenness"]
+           for r in AN.edge_betweenness(d).collect()}
+    assert eb2 == {(0, 1): 1.5, (0, 2): 1.5, (1, 3): 1.5, (2, 3): 1.5}
+
+
+def test_edge_betweenness_mass_conservation(spark):
+    # sum over edges of eb = sum over reachable pairs of d(s,t): every
+    # s->t shortest path distributes exactly d(s,t) units of edge mass
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (4, 1)]
+    e = edges_df(spark, pairs)
+    total = sum(r["betweenness"]
+                for r in AN.edge_betweenness(e).collect())
+    dsum = sum(r["depth"]
+               for r in AN.shortest_path_counts(e).collect())
+    assert abs(total - dsum) < 1e-9
+
+
 def test_betweenness_sampled(spark):
     """k-pivot Brandes: with every node a pivot it is EXACT (equals the
     full-closure operator and the textbook replica); with k<n pivots it
