@@ -3348,6 +3348,58 @@ def edge_betweenness(edges: DataFrame,
     )
 
 
+def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
+                        max_iter: int = 100) -> "tuple[DataFrame, DataFrame]":
+    """Girvan & Newman 2002 divisive community detection, the fixed-budget
+    form: ``n_removals`` rounds of (recompute edge betweenness over the
+    UNDIRECTED view → delete the max-eb edge pair → repeat), then label
+    the survivors' connected components. Returns ``(removed, labels)``:
+    ``removed(round, src, dst, betweenness)`` in removal order and
+    ``labels(id, component)`` over the original node set (a node whose
+    every edge was removed keeps its own id as component, exactly what
+    :func:`connected_components` yields for isolates' self-loops... the
+    node set here is preserved by labeling the ORIGINAL incident nodes).
+
+    Determinism: ties on betweenness break by (src, dst) ascending over
+    the canonical ``src < dst`` undirected representative — a fixed
+    total order, so the output is a pure function of the input (the
+    engine-wide gate requirement; the paper leaves ties unspecified).
+
+    Scale shape: each round is one σ-closure + one closure²-style join
+    (the :func:`edge_betweenness` cost) and a 1-row collect of the max;
+    ``n_removals`` is a small constant (the dendrogram prefix you
+    actually inspect), NOT |E| — the full dendrogram is O(|E|) rounds
+    and out of scope by design.
+    """
+    und = (edges.select("src", "dst")
+           .filter(F.col("src") != F.col("dst")))
+    und = und.union(und.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct() \
+        .localCheckpoint(eager=True)
+    all_nodes = und.select(F.col("src").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    removed = []
+    for r in range(int(n_removals)):
+        eb = edge_betweenness(und, max_iter=max_iter)
+        top = (eb.filter(F.col("src") < F.col("dst"))
+               .orderBy(F.col("betweenness").desc(),
+                        F.col("src").asc(), F.col("dst").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        a, b, score = top[0]["src"], top[0]["dst"], top[0]["betweenness"]
+        removed.append((r, a, b, float(score)))
+        und = und.filter(
+            ~((F.col("src") == a) & (F.col("dst") == b))
+            & ~((F.col("src") == b) & (F.col("dst") == a))
+        ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    rem_df = spark.createDataFrame(
+        removed, "round long, src long, dst long, betweenness double")
+    labels = connected_components(und, nodes=all_nodes)
+    return rem_df, labels
+
+
 def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
                         seed: int = 0, max_iter: int = 100,
                         scale: bool = True) -> DataFrame:

@@ -1479,6 +1479,26 @@ def test_edge_betweenness_mass_conservation(spark):
     assert abs(total - dsum) < 1e-9
 
 
+def test_girvan_newman_splits_barbell(spark):
+    # two triangles joined by a bridge: the bridge carries every cross
+    # pair -> max eb; one removal splits the graph in two
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = edges_df(spark, pairs)
+    removed, labels = AN.girvan_newman_split(e, n_removals=1)
+    (r,) = removed.collect()
+    assert (r["src"], r["dst"]) == (2, 3)
+    comp = {x["id"]: x["component"] for x in labels.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_girvan_newman_exhausts_edges_gracefully(spark):
+    e = edges_df(spark, [(0, 1)])
+    removed, labels = AN.girvan_newman_split(e, n_removals=5)
+    assert removed.count() == 1  # only one undirected edge existed
+    comp = {x["id"]: x["component"] for x in labels.collect()}
+    assert comp == {0: 0, 1: 1}  # both survive as singletons
+
+
 def test_betweenness_sampled(spark):
     """k-pivot Brandes: with every node a pivot it is EXACT (equals the
     full-closure operator and the textbook replica); with k<n pivots it
