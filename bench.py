@@ -245,6 +245,15 @@ def sec_analytics(spark, sf_dir, cpus, run):
     run("synth_graph_100k",
         lambda: chung_lu_zipf_graph(spark, 10000, 100000, seed=1).count(),
         repeats=1)
+    # horizon-8 + sampled-sources variant: the exact all-pairs form costs
+    # one sigma-closure round PER HOP of the longest chain (~40 rounds,
+    # ~41s at sf0.1, latency- not data-bound); the bounded-horizon +
+    # Brandes-Pich-sampled form is what a 100 TB deployment runs, so it
+    # is what the bench tracks
+    eb_sources = chains.select(F.col("src").alias("id")) \
+        .filter(F.col("id") % 20 == 0).distinct()
+    run("edge_betweenness_h8", lambda: AN.edge_betweenness(
+        chains, sources=eb_sources, max_iter=8).count(), repeats=1)
 
 
 def sec_dedup(spark, sf_dir, cpus, run):
