@@ -245,11 +245,12 @@ def sec_analytics(spark, sf_dir, cpus, run):
     run("synth_graph_100k",
         lambda: chung_lu_zipf_graph(spark, 10000, 100000, seed=1).count(),
         repeats=1)
-    # horizon-8 + sampled-sources variant: the exact all-pairs form costs
-    # one sigma-closure round PER HOP of the longest chain (~40 rounds,
-    # ~41s at sf0.1, latency- not data-bound); the bounded-horizon +
-    # Brandes-Pich-sampled form is what a 100 TB deployment runs, so it
-    # is what the bench tracks
+    # horizon-8 + sampled-sources variant: since r12, sources= routes to
+    # the k-pivot edge-level Brandes pass (edge_betweenness_sampled) —
+    # k*|V| BFS state, the all-pairs sigma closure is never materialized
+    # (r11's version still built the full horizon closure; VERDICT r11
+    # item 1). Bounded-horizon + Brandes-Pich-sampled is what a 100 TB
+    # deployment runs, so it is what the bench tracks.
     eb_sources = chains.select(F.col("src").alias("id")) \
         .filter(F.col("id") % 20 == 0).distinct()
     run("edge_betweenness_h8", lambda: AN.edge_betweenness(
@@ -557,6 +558,21 @@ def sec_temporal(spark, sf_dir, cpus, run):
     )
 
 
+def sec_canary(spark, sf_dir, cpus, run):
+    """Host-drift canary: ONLY the fixed cw_1hop entry, in its own fresh
+    JVM. The orchestrator runs this at recording start / middle / end and
+    stores the three values, so a future reader can separate host/VM
+    throughput decay from code regressions without forensics (the r11
+    record carried a ~1.3x uniform host slowdown that cost exactly that
+    forensic pass — VERDICT r11)."""
+    from judy_graph_db_spark.operators import adjacency as A
+    from judy_graph_db_spark.sources.tpch_graph import B
+
+    g = _graph(spark, sf_dir)
+    run("canary_cw_1hop", lambda: A.adjacent_nodes_by_attr(
+        g, 3 * B + 1, "PLACED", backwards=False).count())
+
+
 SECTIONS = {
     "core": sec_core,
     "components": sec_components,
@@ -566,6 +582,7 @@ SECTIONS = {
     "curation": sec_curation,
     "stats": sec_stats,
     "temporal": sec_temporal,
+    "canary": sec_canary,  # orchestrator-internal; not a suite section
 }
 
 
@@ -614,34 +631,49 @@ def _orchestrate() -> None:
     noisy = {"core", "components", "analytics", "dedup"}
     env_reps = os.environ.get("SPARK_GRAFT_BENCH_REPS")
     only = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS")
-    names = [s for s in SECTIONS
-             if only is None or s in only.split(",")]
+    names = [s for s in SECTIONS if s != "canary"
+             and (only is None or s in only.split(","))]
     reps_of = {s: (int(env_reps) if env_reps
                    else (3 if s in noisy else 1)) for s in names}
     samples: dict = {}  # entry -> [seconds per rep]
     here = os.path.abspath(__file__)
-    for rep in range(max(reps_of.values())):
+
+    def run_jvm(name: str) -> dict:
+        proc = subprocess.run(
+            [sys.executable, here, "--section", name],
+            capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(
+                f"bench section {name!r} failed rc={proc.returncode}")
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)["queries"]
+
+    def canary(tag: str) -> float:
+        v = run_jvm("canary")["canary_cw_1hop"]
+        sys.stderr.write(f"[bench] canary@{tag}: {v}s\n")
+        return v
+
+    canary_vals = {"start": canary("start")}
+    max_reps = max(reps_of.values())
+    for rep in range(max_reps):
+        if max_reps > 1 and rep == (max_reps + 1) // 2:
+            canary_vals["middle"] = canary("middle")
         for name in names:
             if rep >= reps_of[name]:
                 continue
             t0 = time.time()
-            proc = subprocess.run(
-                [sys.executable, here, "--section", name],
-                capture_output=True, text=True, timeout=3600)
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr[-4000:])
-                raise SystemExit(
-                    f"bench section {name!r} (rep {rep}) failed "
-                    f"rc={proc.returncode}")
-            line = [ln for ln in proc.stdout.splitlines()
-                    if ln.startswith("{")][-1]
-            got = json.loads(line)["queries"]
+            got = run_jvm(name)
             for k, v in got.items():
                 samples.setdefault(k, []).append(v)
             sys.stderr.write(
                 f"[bench] rep {rep + 1}/{reps_of[name]} section {name}: "
                 f"{round(sum(got.values()), 1)}s entries, "
                 f"{round(time.time() - t0, 1)}s wall\n")
+    canary_vals["end"] = canary("end")
+    cmin, cmax = min(canary_vals.values()), max(canary_vals.values())
+    canary_vals["max_over_min"] = round(cmax / cmin, 3) if cmin else -1.0
 
     def median(xs):
         s = sorted(xs)
@@ -659,7 +691,17 @@ def _orchestrate() -> None:
         "isolation": "fresh-jvm-per-section-median",
         "spread": {k: [min(v), max(v)] for k, v in samples.items()
                    if len(v) > 1},
+        # fixed-entry drift canary (fresh JVM at recording start/middle/
+        # end): max_over_min > 1.10 means the host was NOT steady during
+        # the recording and absolute numbers are not comparable across
+        # records — the r11 forensics, made a field (VERDICT r11 task 3)
+        "canary": canary_vals,
     }
+    if canary_vals["max_over_min"] > 1.10:
+        out["host_note"] = (
+            "CANARY DRIFT {}x across the recording — host/VM throughput "
+            "was not steady; compare entries within this record only"
+        ).format(canary_vals["max_over_min"])
     print(json.dumps(out))
 
 

@@ -1252,19 +1252,30 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
     settled: DataFrame | None = None
     fw_bw_rounds = trim_iters = 0
     for _ in range(max_peel_rounds):
-        # 0. trim: settle degree-0-in-or-out nodes until none remain
+        # 0. trim: settle degree-0-in-or-out nodes until none remain.
+        # One (id)-keyed max-aggregation per iteration computes both
+        # degree flags (map-side combined), and its count doubles as the
+        # emptiness check — r12 profiling showed the previous
+        # 2-distinct + 2-anti-join + 2-probe form spent ~6 jobs per
+        # iteration, and chain fixtures run O(chain length / 2)
+        # iterations (the bench fixture: 11), so trim dominated the
+        # coloring wall-time (CHANGELOG item 58)
         while True:
-            if active_nodes.limit(1).count() == 0:
-                break
-            has_in = active_edges.select(F.col("dst").alias("id")).distinct()
-            has_out = active_edges.select(F.col("src").alias("id")).distinct()
-            trivial = (
-                active_nodes.join(has_in, "id", "left_anti")
-                .union(active_nodes.join(has_out, "id", "left_anti"))
-                .distinct()
-                .localCheckpoint(eager=True)
+            keep = (
+                active_edges.select(F.col("src").alias("id"),
+                                    F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .unionByName(
+                    active_edges.select(F.col("dst").alias("id"),
+                                        F.lit(0).alias("o"),
+                                        F.lit(1).alias("i")))
+                .groupBy("id")
+                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+                .filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
+                .select("id")
             )
-            if trivial.limit(1).count() == 0:
+            trivial = active_nodes.join(
+                keep, "id", "left_anti").localCheckpoint(eager=True)
+            if trivial.count() == 0:
                 _unpersist_checkpoint(trivial)
                 break
             trim_iters += 1
@@ -3297,23 +3308,41 @@ def edge_betweenness(edges: DataFrame,
     """Edge betweenness (Girvan & Newman 2002 — the quantity their
     community-splitting algorithm repeatedly removes the maximum of):
     ``eb(u→v) = Σ_{s,t} σ_st(u→v) / σ_st``, the fraction of shortest
-    paths traversing each edge. Composition over the same σ closure as
-    :func:`betweenness_centrality` / :func:`stress_centrality` (pass
-    ``closure=`` to share one materialization): a shortest s→t path uses
-    edge (u,v) iff ``d(s,u) + 1 + d(v,t) = d(s,t)``, and then
-    ``σ_st(u→v) = σ_su · σ_vt``. The closure has no diagonal, so the
-    s=u / v=t legs join through an appended ``(x, x, 0, 1)`` diagonal
-    over the edge-incident nodes. Returns ``(src, dst, betweenness
+    paths traversing each edge. Returns ``(src, dst, betweenness
     DOUBLE)`` for edges on at least one shortest path.
+
+    Two physical strategies behind one logical result:
+
+    * **closure composition** (default, and whenever ``closure=`` is
+      passed to share one σ materialization with
+      :func:`betweenness_centrality` / :func:`stress_centrality`): a
+      shortest s→t path uses edge (u,v) iff ``d(s,u) + 1 + d(v,t) =
+      d(s,t)``, and then ``σ_st(u→v) = σ_su · σ_vt`` — three keyed
+      joins over the closure. The closure has no diagonal, so the
+      s=u / v=t legs join through an appended ``(x, x, 0, 1)``
+      diagonal over the edge-incident nodes. Closure-sized state —
+      affordable exactly when the closure already exists.
+    * **k-pivot Brandes pass** (``sources=`` without an explicit
+      closure): delegates to :func:`edge_betweenness_sampled` with the
+      given sources as pivots and ``scale=False`` — the SAME
+      restricted sum ``Σ_{s∈sources} Σ_t σ_st(e)/σ_st`` (unit-tested
+      equal to the closure path), but state is the k·|V| pivot BFS
+      relation and the all-pairs closure is never materialized. This
+      is the 100 TB path (Brandes & Pich 2007 sampling). ``max_iter``
+      keeps the closure path's horizon convention — paths of up to
+      ``max_iter + 1`` hops, the depths :func:`shortest_path_counts`
+      settles — truncating at the bound instead of erroring.
 
     Float by necessity (σ ratios), same house rule as
     :func:`betweenness_centrality`: unit-tested against hand values;
     the driver row hash-gates it ONLY on the chain fixture where every
     σ=1 makes the sum integer-exact (closed form ``i·(L-i)`` for the
-    i-th edge of an L-chain). ``sources`` restricts the s side (Brandes
-    & Pich sampling) with the same linear shrink as the node variant;
-    closure-sized state is the documented trade.
+    i-th edge of an L-chain).
     """
+    if sources is not None and closure is None:
+        return edge_betweenness_sampled(
+            edges, pivots=sources, scale=False,
+            max_iter=max_iter + 1, horizon=True)
     C = closure if closure is not None else shortest_path_counts(
         edges, max_iter=max_iter).localCheckpoint(eager=True)
     base = (edges.select("src", "dst")
@@ -3349,55 +3378,237 @@ def edge_betweenness(edges: DataFrame,
 
 
 def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
-                        max_iter: int = 100) -> "tuple[DataFrame, DataFrame]":
+                        max_iter: int = 100,
+                        n_pivots: int | None = None, seed: int = 0,
+                        pick: str | None = None
+                        ) -> "tuple[DataFrame, DataFrame]":
     """Girvan & Newman 2002 divisive community detection, the fixed-budget
     form: ``n_removals`` rounds of (recompute edge betweenness over the
     UNDIRECTED view → delete the max-eb edge pair → repeat), then label
     the survivors' connected components. Returns ``(removed, labels)``:
     ``removed(round, src, dst, betweenness)`` in removal order and
-    ``labels(id, component)`` over the original node set (a node whose
-    every edge was removed keeps its own id as component, exactly what
-    :func:`connected_components` yields for isolates' self-loops... the
-    node set here is preserved by labeling the ORIGINAL incident nodes).
+    ``labels(id, component)`` over the original node set — including
+    nodes whose only edges are self-loops (labeled with their own id,
+    exactly what :func:`connected_components` yields for isolates).
 
-    Determinism: ties on betweenness break by (src, dst) ascending over
-    the canonical ``src < dst`` undirected representative — a fixed
-    total order, so the output is a pure function of the input (the
-    engine-wide gate requirement; the paper leaves ties unspecified).
+    ``n_pivots=`` switches each round's betweenness to the k-pivot
+    sampled estimator :func:`edge_betweenness_sampled` (the large-graph
+    configuration the paper itself recommends, via Brandes & Pich
+    2007): per-round state drops from the |V|² σ closure to a k·|V|
+    BFS relation. Exact mode (default) is right for small graphs and
+    shares one closure per round.
 
-    Scale shape: each round is one σ-closure + one closure²-style join
-    (the :func:`edge_betweenness` cost) and a 1-row collect of the max;
-    ``n_removals`` is a small constant (the dendrogram prefix you
-    actually inspect), NOT |E| — the full dendrogram is O(|E|) rounds
-    and out of scope by design.
+    ``pick="modularity"`` returns the cut with maximum Newman
+    modularity instead of the final one: every prefix cut (0 removals
+    .. n_removals) is scored with :func:`modularity_scaled` against the
+    ORIGINAL graph (Newman & Girvan 2004 §V's stopping rule) and
+    ``labels`` becomes the argmax cut's components (ties → fewest
+    removals; the comparison is on the integer ``q_scaled`` sum, so the
+    argmax is engine-exact). ``removed`` still records the full prefix.
+
+    Determinism: the max-eb choice orders by betweenness rounded to
+    integer MICRO-units, then (src, dst) ascending over the canonical
+    ``src < dst`` representative. Betweenness is a distributed float
+    sum whose accumulation order varies run-to-run, so near-ties
+    (within 1e-6) would otherwise flip the argmax across runs; with
+    micro-unit rounding the output is deterministic given eb values
+    that differ by more than 1e-6 (genuinely closer scores tie-break
+    by edge id, also deterministically).
+
+    Scale shape: each round is one eb computation (closure-sized exact,
+    or k·|V| sampled), a 1-row collect of the max, and nothing else;
+    superseded checkpoints — the previous round's undirected view, the
+    exact path's σ closure, the sampled path's BFS state — are freed
+    eagerly, so live storage is one round's state, not
+    O(n_removals). ``n_removals`` is a small constant (the dendrogram
+    prefix you actually inspect), NOT |E| — the full dendrogram is
+    O(|E|) rounds and out of scope by design. ``pick="modularity"``
+    adds one :func:`connected_components` + one integer modularity
+    aggregation per round.
     """
-    und = (edges.select("src", "dst")
-           .filter(F.col("src") != F.col("dst")))
-    und = und.union(und.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst"))).distinct() \
+    if pick not in (None, "modularity"):
+        raise ValueError(f"unknown pick={pick!r}; use None or 'modularity'")
+    spark = edges.sparkSession
+    # node set from the RAW edges — a node whose only edges are
+    # self-loops must still appear in the labels output
+    all_nodes = (edges.select(F.col("src").alias("id"))
+                 .unionByName(edges.select(F.col("dst").alias("id")))
+                 .distinct().localCheckpoint(eager=True))
+    und0 = (edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst")))
+    und0 = und0.union(und0.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).distinct() \
         .localCheckpoint(eager=True)
-    all_nodes = und.select(F.col("src").alias("id")).distinct() \
-        .localCheckpoint(eager=True)
+    und = und0
+
+    def _q_scaled(cut_und):
+        labels = connected_components(cut_und, nodes=all_nodes).select(
+            "id", F.col("component").alias("community"))
+        q = modularity_scaled(und0, labels).agg(
+            F.sum("q_scaled")).collect()[0][0]
+        return int(q or 0)
+
+    best_r = 0
+    best_q = _q_scaled(und0) if pick == "modularity" else 0
     removed = []
+    eb_micro = F.round(F.col("betweenness") * 1e6).cast("long")
     for r in range(int(n_removals)):
-        eb = edge_betweenness(und, max_iter=max_iter)
-        top = (eb.filter(F.col("src") < F.col("dst"))
-               .orderBy(F.col("betweenness").desc(),
-                        F.col("src").asc(), F.col("dst").asc())
-               .limit(1).collect())
+        if n_pivots is not None:
+            ck: list = []
+            eb = edge_betweenness_sampled(
+                und, n_pivots=n_pivots, seed=seed, max_iter=max_iter,
+                _ckpts=ck)
+            top = (eb.filter(F.col("src") < F.col("dst"))
+                   .orderBy(eb_micro.desc(),
+                            F.col("src").asc(), F.col("dst").asc())
+                   .limit(1).collect())
+            for c in ck:
+                _unpersist_checkpoint(c)
+        else:
+            C = shortest_path_counts(und, max_iter=max_iter)
+            eb = edge_betweenness(und, closure=C)
+            top = (eb.filter(F.col("src") < F.col("dst"))
+                   .orderBy(eb_micro.desc(),
+                            F.col("src").asc(), F.col("dst").asc())
+                   .limit(1).collect())
+            _unpersist_checkpoint(C)
         if not top:
             break
         a, b, score = top[0]["src"], top[0]["dst"], top[0]["betweenness"]
         removed.append((r, a, b, float(score)))
+        prev = und
         und = und.filter(
             ~((F.col("src") == a) & (F.col("dst") == b))
             & ~((F.col("src") == b) & (F.col("dst") == a))
         ).localCheckpoint(eager=True)
-    spark = edges.sparkSession
+        if prev is not und0:  # und0 backs the modularity scoring
+            _unpersist_checkpoint(prev)
+        if pick == "modularity":
+            q = _q_scaled(und)
+            if q > best_q:
+                best_r, best_q = r + 1, q
     rem_df = spark.createDataFrame(
         removed, "round long, src long, dst long, betweenness double")
-    labels = connected_components(und, nodes=all_nodes)
+    if pick == "modularity" and best_r < len(removed):
+        cut = und0
+        for _rr, a, b, _s in removed[:best_r]:
+            cut = cut.filter(
+                ~((F.col("src") == a) & (F.col("dst") == b))
+                & ~((F.col("src") == b) & (F.col("dst") == a)))
+        labels = connected_components(cut, nodes=all_nodes)
+    else:
+        labels = connected_components(und, nodes=all_nodes)
     return rem_df, labels
+
+
+def _pivot_sigma_bfs(e: DataFrame, pivots: DataFrame, max_iter: int,
+                     horizon: bool = False,
+                     ckpts: "list | None" = None) -> DataFrame:
+    """Forward σ-accumulating multi-source BFS from a pivot relation:
+    the checkpointed k·|V|-bounded relation ``(s, id, depth, sigma)``
+    with depth = d(s, id) and sigma = σ_s(id) — all pivots riding the
+    same frontier joins (the :func:`landmark_distances` scheme with a
+    ``sum(sigma)`` instead of a min; one settled depth slice per BFS
+    level, anti-joined so first settlement = min depth and the σ sum is
+    complete when written). Superseded per-round checkpoints are freed
+    eagerly; the returned relation is appended to ``ckpts`` (when
+    given) for the caller to free after materializing its result.
+    ``horizon=True`` truncates at ``max_iter`` hops — bounded-horizon
+    semantics (only paths of ≤ max_iter hops count) — otherwise an
+    unsettled frontier raises.
+    """
+    frontier = pivots.select(
+        F.col("id").alias("s"), "id",
+        F.lit(1).cast("long").alias("sigma")).localCheckpoint(eager=True)
+    sp = frontier.select(
+        "s", "id", F.lit(0).cast("long").alias("depth"),
+        "sigma").localCheckpoint(eager=True)
+    for depth in range(1, max_iter + 1):
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select("s", F.col("dst").alias("id"), "sigma")
+            .join(sp.select("s", "id"), ["s", "id"], "left_anti")
+            .groupBy("s", "id").agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        prev = sp
+        sp = sp.unionByName(nxt.select(
+            "s", "id", F.lit(depth).cast("long").alias("depth"), "sigma")
+        ).localCheckpoint(eager=True)
+        _unpersist_checkpoint(prev)
+        _unpersist_checkpoint(frontier)
+        frontier = nxt
+    else:
+        if frontier.limit(1).count():
+            if not horizon:
+                raise RuntimeError(
+                    f"pivot sigma-BFS not settled in {max_iter} rounds "
+                    "— raise max_iter (or pass horizon=True for "
+                    "bounded-horizon betweenness)")
+            _unpersist_checkpoint(frontier)
+    if ckpts is not None:
+        ckpts.append(sp)
+    return sp
+
+
+def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
+                      ckpts: "list | None" = None):
+    """Brandes' level-synchronous backward accumulation over the pivot
+    BFS relation ``sp(s, id, depth, sigma)``: from the deepest layer
+    upward, per level one edge join between adjacent depth slices and
+    one (s, v)-keyed aggregation computes the node dependency ``δ_s(v)
+    = Σ_{w: d(s,w)=d(s,v)+1, (v,w)∈E} σ_sv/σ_sw · (1 + δ_s(w))``
+    (Brandes 2001). The summand feeding that aggregation IS the
+    per-EDGE dependency ``δ_s(v,w) = σ_sv/σ_sw · (1 + δ_s(w))``
+    (Brandes 2008, "On variants of shortest-path betweenness centrality
+    and their generic computation", the edge-betweenness accumulation),
+    so ``want_edges`` taps the same join with a second, (v, w)-keyed
+    aggregation per level. Returns ``(node_parts, edge_parts)`` —
+    per-level relations the caller unions and aggregates. Per-level δ
+    checkpoints stay live (both parts lists reference them through
+    lineage-truncated plans, so freeing early would lose data); they
+    are appended to ``ckpts`` (when given) for the caller to free after
+    materializing its result. ~diameter rounds; the only driver-side
+    value is the max-depth scalar.
+    """
+    maxd = int(sp.agg(F.max("depth")).collect()[0][0] or 0)
+    node_parts: list = []
+    edge_parts: list = []
+    delta = sp.filter(F.col("depth") == maxd).select(
+        "s", "id", F.lit(0.0).alias("delta"))
+    for d in range(maxd - 1, -1, -1):
+        succ = (sp.filter(F.col("depth") == d + 1)
+                .join(delta, ["s", "id"])
+                .select("s", F.col("id").alias("dst"),
+                        F.col("sigma").alias("__sw"),
+                        F.col("delta").alias("__dw")))
+        lvl = sp.filter(F.col("depth") == d)
+        terms = (
+            lvl.join(e.withColumnRenamed("src", "id"), "id")
+            .join(succ, ["s", "dst"])
+            .select("s", "id", "dst",
+                    (F.col("sigma").cast("double") / F.col("__sw")
+                     * (F.lit(1.0) + F.col("__dw"))).alias("__term")))
+        if want_edges:
+            edge_parts.append(
+                terms.groupBy(F.col("id").alias("src"), "dst")
+                .agg(F.sum("__term").alias("delta")))
+        contrib = terms.groupBy("s", "id").agg(
+            F.sum("__term").alias("delta"))
+        delta = (
+            lvl.select("s", "id")
+            .join(contrib, ["s", "id"], "left")
+            .select("s", "id",
+                    F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if ckpts is not None:
+            ckpts.append(delta)
+        if d > 0:  # depth 0 is the pivot itself (v = s: excluded)
+            node_parts.append(delta)
+    return node_parts, edge_parts
 
 
 def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
@@ -3418,14 +3629,15 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
 
     Scale shape — this is the 100 TB path: state is the k·|V| pivot
     BFS relation (``(s, v, depth, σ)``), never the |V|² closure.
-    Forward: the :func:`landmark_distances` multi-source BFS with a
-    σ-accumulating ``(s, dst)`` sum instead of a min — all k pivots ride
-    the same frontier joins, O(frontier) per round. Backward: Brandes'
-    accumulation runs level-synchronously from the deepest BFS layer up
-    — per level one edge join between adjacent depth slices of the
-    checkpointed BFS relation and one ``(s, v)`` aggregation; ~diameter
-    rounds each way, no global window, no driver-side node state (the
-    only collects are the k-row pivot list and two scalars).
+    Forward: :func:`_pivot_sigma_bfs` — the :func:`landmark_distances`
+    multi-source BFS with a σ-accumulating ``(s, dst)`` sum instead of
+    a min; all k pivots ride the same frontier joins, O(frontier) per
+    round. Backward: :func:`_brandes_backward` — Brandes' accumulation
+    level-synchronously from the deepest BFS layer up, per level one
+    edge join between adjacent depth slices and one ``(s, v)``
+    aggregation; ~diameter rounds each way, no global window, no
+    driver-side node state (the only driver values are three scalars:
+    the node count, the pivot count, the max depth).
 
     Pivots are the top-k by ``md5(seed || id)`` — a deterministic
     uniform sample, reproducible across runs (house rule: no RNG in
@@ -3448,68 +3660,97 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
     pick = nodes.orderBy(
         F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
                           F.col("id").cast("string"))).asc(),
-        F.col("id").asc()).limit(int(n_pivots))
-    pivots = [int(r["id"]) for r in pick.collect()]  # k rows, bounded
-    k = len(pivots)
-    frontier = spark.createDataFrame(
-        [(p, p, 1) for p in pivots], "s BIGINT, id BIGINT, sigma BIGINT"
-    ).localCheckpoint(eager=True)
-    sp = frontier.select("s", "id", F.lit(0).cast("long").alias("depth"),
-                         "sigma").localCheckpoint(eager=True)
-    for depth in range(1, max_iter + 1):
-        if frontier.limit(1).count() == 0:
-            break
-        nxt = (
-            frontier.join(e.withColumnRenamed("src", "id"), "id")
-            .select("s", F.col("dst").alias("id"), "sigma")
-            .join(sp.select("s", "id"), ["s", "id"], "left_anti")
-            .groupBy("s", "id").agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
-        sp = sp.unionByName(nxt.select(
-            "s", "id", F.lit(depth).cast("long").alias("depth"), "sigma")
-        ).localCheckpoint(eager=True)
-        frontier = nxt
-    else:
-        if frontier.limit(1).count():
-            raise RuntimeError(
-                f"betweenness_sampled: BFS not settled in {max_iter} "
-                "rounds — raise max_iter")
-    maxd = int(sp.agg(F.max("depth")).collect()[0][0] or 0)
-    acc_parts = []
-    # deepest layer has no successors: δ = 0 there; walk levels upward
-    delta = sp.filter(F.col("depth") == maxd).select(
-        "s", "id", F.lit(0.0).alias("delta"))
-    for d in range(maxd - 1, -1, -1):
-        succ = (sp.filter(F.col("depth") == d + 1)
-                .join(delta, ["s", "id"])
-                .select("s", F.col("id").alias("dst"),
-                        F.col("sigma").alias("__sw"),
-                        F.col("delta").alias("__dw")))
-        lvl = sp.filter(F.col("depth") == d)
-        contrib = (
-            lvl.join(e.withColumnRenamed("src", "id"), "id")
-            .join(succ, ["s", "dst"])
-            .groupBy("s", "id")
-            .agg(F.sum(F.col("sigma").cast("double") / F.col("__sw")
-                       * (F.lit(1.0) + F.col("__dw"))).alias("delta"))
-        )
-        delta = (
-            lvl.select("s", "id")
-            .join(contrib, ["s", "id"], "left")
-            .select("s", "id",
-                    F.coalesce("delta", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=True)
-        )
-        if d > 0:  # depth 0 is the pivot itself (v = s: excluded)
-            acc_parts.append(delta)
-    if not acc_parts:
+        F.col("id").asc()).limit(int(n_pivots)).localCheckpoint(eager=True)
+    k = pick.count()
+    sp = _pivot_sigma_bfs(e, pick, max_iter)
+    node_parts, _ = _brandes_backward(sp, e, want_edges=False)
+    if not node_parts:
         return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
-    acc = acc_parts[0]
-    for p in acc_parts[1:]:
+    acc = node_parts[0]
+    for p in node_parts[1:]:
         acc = acc.unionByName(p)
     factor = float(n) / k if scale else 1.0
     return (acc.groupBy("id")
+            .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
+            .filter(F.col("betweenness") > 0))
+
+
+def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
+                             seed: int = 0, max_iter: int = 100,
+                             scale: bool = True,
+                             pivots: DataFrame | None = None,
+                             horizon: bool = False,
+                             _ckpts: "list | None" = None) -> DataFrame:
+    """k-pivot sampled EDGE betweenness — Brandes & Pich 2007 pivot
+    sampling applied to Brandes 2008's edge-betweenness accumulation:
+    ``êb(u→v) = (n/k) · Σ_{s∈S} δ_s(u,v)`` with the per-edge dependency
+    ``δ_s(u,v) = σ_su/σ_sv · (1 + δ_s(v))`` emitted by the same
+    level-synchronous backward pass as :func:`betweenness_sampled`
+    (the summand feeding the node aggregation IS the edge dependency;
+    :func:`_brandes_backward` taps it with a (u, v)-keyed aggregation).
+    With every node a pivot the result is EXACT edge betweenness —
+    unit-tested equal to :func:`edge_betweenness`.
+
+    Scale shape — the 100 TB estimator the exact operator cannot be:
+    state is the k·|V| pivot BFS relation, NEVER the |V|² σ closure
+    (the exact operator's documented trade); forward and backward are
+    each ~diameter rounds of frontier-sized keyed joins. The only
+    driver-side values are three scalars (node count, pivot count, max
+    depth).
+
+    ``pivots=`` (a DataFrame of ``id``) substitutes an explicit source
+    set for the hash sample — :func:`edge_betweenness` routes its
+    ``sources=`` here with ``scale=False`` so scores stay the
+    restricted sum; pivot ids not in the graph are ignored.
+    ``horizon=True`` truncates the BFS at ``max_iter`` hops instead of
+    erroring — bounded-horizon betweenness (only paths of ≤ max_iter
+    hops count), the web-graph deployment mode where full-diameter
+    convergence is latency-bound.
+
+    Pivot choice, determinism, float policy: exactly
+    :func:`betweenness_sampled` (seeded-md5 top-k, no RNG in
+    operators; float by necessity → unit-tested, not hash-gated).
+    ``_ckpts`` (internal) collects every live checkpoint for callers
+    that consume the result eagerly and want to free the BFS state —
+    :func:`girvan_newman_split` uses it per removal round. Returns
+    ``(src, dst, betweenness DOUBLE)`` for edges with positive score.
+    """
+    spark = edges.sparkSession
+    empty = "src BIGINT, dst BIGINT, betweenness DOUBLE"
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct().localCheckpoint(eager=True))
+    if _ckpts is not None:
+        _ckpts.append(e)
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], empty)
+    if pivots is not None:
+        pick = (pivots.select("id").distinct().join(nodes, "id")
+                .localCheckpoint(eager=True))
+    else:
+        if n_pivots <= 0:
+            raise ValueError("n_pivots must be positive")
+        pick = nodes.orderBy(
+            F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
+                              F.col("id").cast("string"))).asc(),
+            F.col("id").asc()).limit(int(n_pivots)) \
+            .localCheckpoint(eager=True)
+    if _ckpts is not None:
+        _ckpts.append(pick)
+    k = pick.count()
+    if k == 0:
+        return spark.createDataFrame([], empty)
+    sp = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon, ckpts=_ckpts)
+    _, edge_parts = _brandes_backward(sp, e, want_edges=True, ckpts=_ckpts)
+    if not edge_parts:
+        return spark.createDataFrame([], empty)
+    acc = edge_parts[0]
+    for p in edge_parts[1:]:
+        acc = acc.unionByName(p)
+    factor = float(n) / k if scale else 1.0
+    return (acc.groupBy("src", "dst")
             .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
             .filter(F.col("betweenness") > 0))
 

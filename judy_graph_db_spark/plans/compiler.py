@@ -354,7 +354,16 @@ def exclude_edges(g: Graph, bindings: DataFrame,
     should run at corpus scale (see ``pattern.py`` module doc). Scale
     shape: one LEFT ANTI hash join per constraint on the composite
     (src, dst) key; the edge side carries the spec's label/direction/
-    where filters down to the scan."""
+    where filters down to the scan.
+
+    NULL positions (a binding that came through an ``optional`` hop
+    unmatched) are KEPT: the anti-join condition evaluates to NULL, so
+    the row survives — read as "the endpoint doesn't exist, so no such
+    edge exists either". Note this diverges from Cypher, whose
+    ``WHERE NOT (a)-[:X]->(b)`` with NULL ``b`` evaluates to NULL and
+    FILTERS the row; to get Cypher's behavior, drop unmatched optionals
+    first (``bindings.filter(F.col(f"n{b}").isNotNull())``). Pinned by
+    ``test_pattern_negation_keeps_null_optional_bindings``."""
     for a, espec, b in not_edges:
         if espec.several is not None or espec.optional:
             raise ValueError(
@@ -380,7 +389,15 @@ def _apply_names(pattern: Pattern, bindings: DataFrame) -> DataFrame:
     """Rename positional binding columns to the specs' variable names:
     node ``name`` replaces ``n{i}``; edge ``name`` prefixes its columns
     (``{name}_label``, ``{name}_seq``, ``{name}_depth``). Unnamed
-    positions keep their positional names. Duplicate names raise."""
+    positions keep their positional names.
+
+    Names are output LABELS, not join constraints: repeating a name does
+    NOT unify the positions the way Cypher's ``(a)-->(b)-->(a)`` closes a
+    cycle, so duplicates raise rather than silently producing two columns
+    that merely share a label. To express a cycle, add the equality as an
+    explicit filter on the positional columns —
+    ``table(g, pat).filter(F.col("n0") == F.col("n2"))`` — before
+    ``named=True`` renaming."""
     ren: "dict[str, str]" = {}
     for i, spec in enumerate(pattern.node_specs):
         if spec.name:
@@ -393,7 +410,11 @@ def _apply_names(pattern: Pattern, bindings: DataFrame) -> DataFrame:
     clash = {t for t in targets if targets.count(t) > 1} | (
         set(targets) & (set(bindings.columns) - set(ren)))
     if clash:
-        raise ValueError(f"duplicate binding names: {sorted(clash)}")
+        raise ValueError(
+            f"duplicate binding names: {sorted(clash)} — names label "
+            "output columns, they do not unify positions; for a cycle "
+            "like (a)-->(b)-->(a), filter on the positional columns "
+            "instead (e.g. .filter(F.col('n0') == F.col('n2')))")
     return bindings.select(*[
         F.col(c).alias(ren[c]) if c in ren else F.col(c)
         for c in bindings.columns

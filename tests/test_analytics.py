@@ -1821,3 +1821,190 @@ def test_adamic_adar(spark):
     # hub cap drops hub-pivot wedges entirely
     capped = {(r.a, r.b) for r in AN.adamic_adar(e, max_degree=3).collect()}
     assert capped == {(1, 2), (100, 200)}
+
+
+def _edge_brandes_reference(pairs, sources=None, horizon=None):
+    """Textbook per-source BFS with Brandes 2008 EDGE accumulation —
+    the float oracle for edge betweenness: on each backward step the
+    edge (v, w) receives sigma_v/sigma_w * (1 + delta_w) before that
+    quantity folds into delta_v. ``horizon`` bounds path length."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            adj[a].append(b)
+            nodes |= {a, b}
+    eb = defaultdict(float)
+    for s in (sources if sources is not None else sorted(nodes)):
+        if s not in nodes:
+            continue
+        dist = {s: 0}
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        preds = defaultdict(list)
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            if horizon is not None and dist[v] >= horizon:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                c = sigma[v] / sigma[w] * (1 + delta[w])
+                eb[(v, w)] += c
+                delta[v] += c
+    return {k: v for k, v in eb.items() if v > 0}
+
+
+def test_edge_betweenness_sampled(spark):
+    """k-pivot edge Brandes: all-pivots == the exact closure operator ==
+    the textbook replica; k<n pivots == (n/k)-scaled replica restricted
+    to the md5-chosen pivots; unscaled == the raw restricted sum."""
+    import hashlib
+    import random
+
+    rng = random.Random(43)
+    pairs = sorted({(rng.randrange(12), rng.randrange(12))
+                    for _ in range(34)} - {(i, i) for i in range(12)})
+    nodes = sorted({v for p in pairs for v in p})
+    e = edges_df(spark, pairs)
+
+    # exact: every node a pivot -> equals closure operator AND replica
+    got = {(r.src, r.dst): r.betweenness for r in
+           AN.edge_betweenness_sampled(e, n_pivots=len(nodes)).collect()}
+    via_closure = {(r.src, r.dst): r.betweenness
+                   for r in AN.edge_betweenness(e).collect()}
+    ref = _edge_brandes_reference(pairs)
+    assert set(got) == set(ref) == set(via_closure)
+    assert all(abs(got[k] - ref[k]) < 1e-9 for k in ref)
+    assert all(abs(via_closure[k] - ref[k]) < 1e-9 for k in ref)
+
+    # sampled: replicate the md5 pivot choice, compare to scaled replica
+    k, seed = 3, 0
+    pivots = sorted(
+        nodes,
+        key=lambda i: (hashlib.md5(f"piv{seed}|{i}".encode()).hexdigest(),
+                       i))[:k]
+    ref_s = _edge_brandes_reference(pairs, sources=pivots)
+    factor = len(nodes) / k
+    want = {kk: v * factor for kk, v in ref_s.items()}
+    got_s = {(r.src, r.dst): r.betweenness for r in
+             AN.edge_betweenness_sampled(e, n_pivots=k,
+                                         seed=seed).collect()}
+    assert set(got_s) == set(want)
+    assert all(abs(got_s[kk] - want[kk]) < 1e-9 for kk in want)
+    got_raw = {(r.src, r.dst): r.betweenness for r in
+               AN.edge_betweenness_sampled(e, n_pivots=k, seed=seed,
+                                           scale=False).collect()}
+    assert all(abs(got_raw[kk] - ref_s[kk]) < 1e-9 for kk in got_raw)
+
+    # chain closed form i*(L-i) survives the sampling machinery
+    chain = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    gc = {(r.src, r.dst): r.betweenness for r in
+          AN.edge_betweenness_sampled(chain, n_pivots=10).collect()}
+    assert gc == {(0, 1): 3.0, (1, 2): 4.0, (2, 3): 3.0}
+
+
+def test_edge_betweenness_sources_routes_to_pivot_pass(spark):
+    """edge_betweenness(sources=) without a closure now runs the k-pivot
+    pass (k*|V| state) — results must equal the closure composition
+    restricted to the same sources, including at a bounded horizon."""
+    import random
+
+    rng = random.Random(7)
+    pairs = sorted({(rng.randrange(14), rng.randrange(14))
+                    for _ in range(30)} - {(i, i) for i in range(14)})
+    e = edges_df(spark, pairs)
+    srcs_py = [0, 3, 5, 99]  # 99: not in the graph -> ignored
+    srcs = spark.createDataFrame([(s,) for s in srcs_py], "id long")
+
+    got = {(r.src, r.dst): r.betweenness for r in
+           AN.edge_betweenness(e, sources=srcs).collect()}
+    via_closure = {(r.src, r.dst): r.betweenness for r in
+                   AN.edge_betweenness(
+                       e, sources=srcs,
+                       closure=AN.shortest_path_counts(e)).collect()}
+    ref = _edge_brandes_reference(pairs, sources=srcs_py)
+    assert set(got) == set(ref) == set(via_closure)
+    assert all(abs(got[k] - ref[k]) < 1e-9 for k in ref)
+
+    # horizon convention: max_iter=h == closure(max_iter=h) == replica
+    # bounded to h+1 hops (shortest_path_counts settles depths <= h+1)
+    chain = edges_df(spark, [(i, i + 1) for i in range(6)])
+    all_src = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    h = 2
+    got_h = {(r.src, r.dst): r.betweenness for r in
+             AN.edge_betweenness(chain, sources=all_src,
+                                 max_iter=h).collect()}
+    via_h = {(r.src, r.dst): r.betweenness for r in
+             AN.edge_betweenness(
+                 chain, sources=all_src,
+                 closure=AN.shortest_path_counts(
+                     chain, max_iter=h)).collect()}
+    ref_h = _edge_brandes_reference([(i, i + 1) for i in range(6)],
+                                    horizon=h + 1)
+    assert got_h == via_h
+    assert set(got_h) == set(ref_h)
+    assert all(abs(got_h[k] - ref_h[k]) < 1e-9 for k in ref_h)
+
+
+def test_girvan_newman_sampled_splits_barbell(spark):
+    """With every node a pivot the sampled estimator is exact, so GN
+    under n_pivots still removes the bridge first."""
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = edges_df(spark, pairs)
+    removed, labels = AN.girvan_newman_split(e, n_removals=1, n_pivots=6)
+    (r,) = removed.collect()
+    assert (r["src"], r["dst"]) == (2, 3)
+    comp = {x["id"]: x["component"] for x in labels.collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_girvan_newman_modularity_peak(spark):
+    """pick="modularity": with a removal budget past the peak, labels
+    come from the argmax-Q prefix cut, not the over-fragmented final
+    cut; removed still records the full prefix. Path 0-1-2-3: removing
+    the middle edge gives Q_scaled=16 (two pairs); every further
+    removal only fragments (prefix 2 -> 6, prefix 3 -> -10), so the
+    default (final-cut) labels are singletons while the modularity pick
+    restores the two-pair cut."""
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    e = edges_df(spark, pairs)
+    removed_d, labels_d = AN.girvan_newman_split(e, n_removals=3)
+    comp_d = {x["id"]: x["component"] for x in labels_d.collect()}
+    assert comp_d == {0: 0, 1: 1, 2: 2, 3: 3}  # final cut: singletons
+    removed, labels = AN.girvan_newman_split(
+        e, n_removals=3, pick="modularity")
+    assert removed.count() == 3  # budget fully spent and recorded
+    assert [(r["src"], r["dst"]) for r in
+            removed.orderBy("round").collect()] == [(1, 2), (0, 1), (2, 3)]
+    comp = {x["id"]: x["component"] for x in labels.collect()}
+    assert comp == {0: 0, 1: 0, 2: 2, 3: 2}  # the Q peak, not the end
+    # sampled estimator threads through: all-pivots == exact
+    removed_s, labels_s = AN.girvan_newman_split(
+        e, n_removals=3, n_pivots=4, pick="modularity")
+    comp_s = {x["id"]: x["component"] for x in labels_s.collect()}
+    assert comp_s == comp
+    import pytest
+    with pytest.raises(ValueError):
+        AN.girvan_newman_split(e, pick="conductance")
+
+
+def test_girvan_newman_selfloop_only_node_in_labels(spark):
+    """A node whose only edges are self-loops still appears in labels
+    (own id as component) — the node set comes from the RAW edges."""
+    e = edges_df(spark, [(0, 1), (2, 2)])
+    removed, labels = AN.girvan_newman_split(e, n_removals=1)
+    comp = {x["id"]: x["component"] for x in labels.collect()}
+    assert comp == {0: 0, 1: 1, 2: 2}

@@ -120,3 +120,22 @@ def test_optional_pattern_through_flat_and_nested_views(g):
     nl = nested_layers(table(g, pat))
     by_n0 = {r["n0"]: r for r in nl.collect()}
     assert 1 in by_n0  # the NULL-tail programmer still has a row
+
+
+def test_pattern_negation_keeps_null_optional_bindings(g):
+    """Pin the optional+not_edges composition: a binding whose position
+    is NULL (unmatched optional hop) SURVIVES negation — the anti-join
+    condition is NULL, read as "no endpoint, so no such edge". This is
+    the documented divergence from Cypher, whose WHERE NOT with a NULL
+    endpoint filters the row (exclude_edges docstring); Cypher's
+    behavior is one .isNotNull() filter away."""
+    pat = (N(labels=["PROGRAMMER"])
+           >> E("Raises", direction="r", optional=True) >> N())
+    kept = table(g, pat, not_edges=[(0, E("Closes", direction="r"), 1)])
+    rows = {(r["n0"], r["n1"]) for r in kept.collect()}
+    # (0,3) dropped (0 Closes 3); programmer 1's NULL row KEPT
+    assert rows == {(0, 4), (0, 5), (0, 6), (1, None)}
+    # the one-filter recipe for Cypher's NULL-filters semantics
+    cypherish = {(r["n0"], r["n1"])
+                 for r in kept.filter(F.col("n1").isNotNull()).collect()}
+    assert cypherish == {(0, 4), (0, 5), (0, 6)}

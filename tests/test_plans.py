@@ -525,3 +525,52 @@ def test_perceptron_scoring_pass_broadcasts_weights(spark):
     wdf = spark.createDataFrame([(0, 1), (1, -2)], "bucket long, w long")
     scored = ST.linear_score(feats, wdf)
     assert "BroadcastHashJoin" in plan_of(scored)
+
+
+def test_bucketed_graph_pattern_probe_is_shuffle_free(spark):
+    """The composed 100 TB pattern-engine recipe (docs/PIPELINE.md
+    "Deploying the pattern engine at 100 TB"): save_table(buckets=N) ->
+    from_table -> query. Two physical-shape contracts: (a) the 1-hop
+    table() join keeps the bucketed EDGES side shuffle-free — the
+    node-filter frontier broadcasts, every Exchange in the plan sits on
+    the frontier's build branch; (b) a src-keyed degree rollup over the
+    bucketed edges is bucket-local end-to-end — Bucketed: true scan,
+    zero Exchange anywhere."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from judy_graph_db_spark.graph import Graph
+    from tests.fixtures import f2_issue_tracker
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tables = ("rcp100_edges", "rcp100_nodes", "rcp100_ranges")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    f2_issue_tracker(spark).save_table("rcp100", buckets=4)
+    try:
+        g = Graph.from_table(spark, "rcp100")
+        # (a) 1-hop pattern: every Exchange confined to the broadcast
+        # build branch (lines carrying the ':' tree prefix); the edges
+        # probe branch (no ':') has none
+        hop = table(g, N(labels=["PROGRAMMER"])
+                    >> E("Raises", direction="r") >> N())
+        plan = plan_of(hop)
+        assert "BroadcastHashJoin" in plan, plan
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert ":" in line.split("Exchange")[0], (
+                    "shuffle on the probe (edges) side:\n" + plan)
+        probe = [ln for ln in plan.splitlines()
+                 if "FileScan" in ln and "rcp100_edges" in ln
+                 and ":" not in ln.split("FileScan")[0]]
+        assert probe, "bucketed edges scan not on the streamed side:\n" + plan
+        # (b) degree rollup: bucket-local, no shuffle at all
+        deg = g.edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        dplan = plan_of(deg)
+        assert "Bucketed: true" in dplan, dplan
+        assert "Exchange" not in dplan, dplan
+        assert "partial_count" in dplan, dplan
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
