@@ -168,3 +168,15 @@ def test_pattern_and_adjacency_plans_are_scale_safe(spark):
                                  where=lambda c: c["edge_seq"] >= 3), 1)])
     assert_scale_safe(neg)
     assert "LeftAnti" in neg._jdf.queryExecution().executedPlan().toString()
+
+
+def test_edge_betweenness_sampled_plan_is_scale_safe(spark):
+    """The k-pivot edge Brandes pass (the 100 TB edge-betweenness path)
+    must keep the shapes the linter bans out of its plan: no
+    unpartitioned window, no cartesian/non-scalar BNLJ, no row UDF."""
+    from judy_graph_db_spark.operators import analytics as AN
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)], "src long, dst long")
+    df = AN.edge_betweenness_sampled(e, n_pivots=2)
+    assert_scale_safe(df)
