@@ -2714,6 +2714,22 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("dst").alias("b"),
         F.round(F.col("betweenness")).cast("long").alias("c"),
         lN.alias("d"))
+    # sampled-sources edge betweenness at a bounded horizon — this is the
+    # k-pivot edge-level Brandes PASS (sources= without a closure routes
+    # to edge_betweenness_sampled: k·|V| BFS state, the closure above is
+    # NOT consulted), hash-gated via the chain closed form: with sources
+    # S = {orderkey%3==0} and horizon 7 hops (max_iter=6 → ≤ 6+1), the
+    # edge after position i of an L-chain carries Σ_{s∈S, i-6 ≤ s ≤ i}
+    # (min(L, s+7) − i) unit-σ paths — integer-exact, stated by the
+    # oracle independently of the BFS/backward-accumulation logic
+    eb_src = spark.table("orders").filter(
+        F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_orderkey") + F.lit(5 * B)).alias("id"))
+    ebs = AN.edge_betweenness(chains, sources=eb_src, max_iter=6).select(
+        F.lit("ebetws").alias("op"), F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.round(F.col("betweenness")).cast("long").alias("c"),
+        lN.alias("d"))
     # resource-allocation + preferential-attachment link prediction on the
     # same supplier~part incidence graph as the jaccard part (supplier-side
     # pairs only — the part side is the row-budget blowup)
@@ -2786,7 +2802,7 @@ def _q_graph_similarity(spark, sf_dir):
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
             .unionByName(sig).unionByName(btw).unionByName(ebt)
-            .unionByName(ra)
+            .unionByName(ebs).unionByName(ra)
             .unionByName(aa).unionByName(spt).unionByName(diam)
             .unionByName(lmd).unionByName(lmu).unionByName(hb))
 
@@ -5474,6 +5490,26 @@ SELECT CAST(5*{B} + o_orderkey AS BIGINT) AS a,
        CAST(5*{B} + nxt AS BIGINT) AS b,
        CAST(i * (L - i) AS BIGINT) AS eb
 FROM pos WHERE nxt IS NOT NULL) t8c
+UNION ALL
+SELECT 'ebetws', a, b, eb, NULL
+FROM (WITH pos AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER wd AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L,
+         LEAD(o_orderkey) OVER wd AS nxt
+  FROM orders
+  WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+srcs AS (
+  SELECT o_custkey, i AS si FROM pos WHERE o_orderkey % 3 = 0
+)
+SELECT CAST(5*{B} + p.o_orderkey AS BIGINT) AS a,
+       CAST(5*{B} + p.nxt AS BIGINT) AS b,
+       CAST(SUM(LEAST(p.L, s.si + 7) - p.i) AS BIGINT) AS eb
+FROM pos p JOIN srcs s
+  ON s.o_custkey = p.o_custkey AND s.si BETWEEN p.i - 6 AND p.i
+WHERE p.nxt IS NOT NULL
+GROUP BY p.o_custkey, p.o_orderkey, p.nxt, p.i, p.L) t8d
 UNION ALL
 SELECT 'ra', a, b, ra_micro, pa
 FROM ({O.resource_allocation_sql(
