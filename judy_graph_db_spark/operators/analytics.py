@@ -3505,51 +3505,58 @@ def _pivot_sigma_bfs(e: DataFrame, pivots: DataFrame, max_iter: int,
                      horizon: bool = False,
                      ckpts: "list | None" = None) -> DataFrame:
     """Forward σ-accumulating multi-source BFS from a pivot relation:
-    the checkpointed k·|V|-bounded relation ``(s, id, depth, sigma)``
-    with depth = d(s, id) and sigma = σ_s(id) — all pivots riding the
-    same frontier joins (the :func:`landmark_distances` scheme with a
-    ``sum(sigma)`` instead of a min; one settled depth slice per BFS
-    level, anti-joined so first settlement = min depth and the σ sum is
-    complete when written). Superseded per-round checkpoints are freed
-    eagerly; the returned relation is appended to ``ckpts`` (when
-    given) for the caller to free after materializing its result.
-    ``horizon=True`` truncates at ``max_iter`` hops — bounded-horizon
-    semantics (only paths of ≤ max_iter hops count) — otherwise an
-    unsettled frontier raises.
+    the k·|V|-bounded relation ``(s, id, depth, sigma)`` with depth =
+    d(s, id) and sigma = σ_s(id) — all pivots riding the same frontier
+    joins (the :func:`landmark_distances` scheme with a ``sum(sigma)``
+    instead of a min; one settled depth slice per BFS level, anti-joined
+    so first settlement = min depth and the σ sum is complete when
+    written). The result is a UNION of per-level checkpointed slices,
+    never a re-checkpointed whole: each round materializes only the new
+    frontier (O(level) writes, not O(|sp|) — the r12 rewrite; the old
+    form re-checkpointed the growing relation every round, O(rounds ×
+    |sp|) redundant writes), and a downstream ``depth == d`` filter
+    constant-folds every other branch of the union away, so
+    :func:`_brandes_backward`'s level slicing reads one level's
+    checkpoint instead of scanning the whole relation. Every live
+    checkpoint is appended to ``ckpts`` (when given) for the caller to
+    free after materializing its result. ``horizon=True`` truncates at
+    ``max_iter`` hops — bounded-horizon semantics (only paths of ≤
+    max_iter hops count) — otherwise an unsettled frontier raises.
     """
     frontier = pivots.select(
         F.col("id").alias("s"), "id",
         F.lit(1).cast("long").alias("sigma")).localCheckpoint(eager=True)
-    sp = frontier.select(
-        "s", "id", F.lit(0).cast("long").alias("depth"),
-        "sigma").localCheckpoint(eager=True)
+    if ckpts is not None:
+        ckpts.append(frontier)
+    slices = [frontier.select(
+        "s", "id", F.lit(0).cast("long").alias("depth"), "sigma")]
     for depth in range(1, max_iter + 1):
         if frontier.limit(1).count() == 0:
             break
+        seen = slices[0].select("s", "id")
+        for sl in slices[1:]:
+            seen = seen.unionByName(sl.select("s", "id"))
         nxt = (
             frontier.join(e.withColumnRenamed("src", "id"), "id")
             .select("s", F.col("dst").alias("id"), "sigma")
-            .join(sp.select("s", "id"), ["s", "id"], "left_anti")
+            .join(seen, ["s", "id"], "left_anti")
             .groupBy("s", "id").agg(F.sum("sigma").alias("sigma"))
             .localCheckpoint(eager=True)
         )
-        prev = sp
-        sp = sp.unionByName(nxt.select(
-            "s", "id", F.lit(depth).cast("long").alias("depth"), "sigma")
-        ).localCheckpoint(eager=True)
-        _unpersist_checkpoint(prev)
-        _unpersist_checkpoint(frontier)
+        if ckpts is not None:
+            ckpts.append(nxt)
+        slices.append(nxt.select(
+            "s", "id", F.lit(depth).cast("long").alias("depth"), "sigma"))
         frontier = nxt
     else:
-        if frontier.limit(1).count():
-            if not horizon:
-                raise RuntimeError(
-                    f"pivot sigma-BFS not settled in {max_iter} rounds "
-                    "— raise max_iter (or pass horizon=True for "
-                    "bounded-horizon betweenness)")
-            _unpersist_checkpoint(frontier)
-    if ckpts is not None:
-        ckpts.append(sp)
+        if not horizon and frontier.limit(1).count():
+            raise RuntimeError(
+                f"pivot sigma-BFS not settled in {max_iter} rounds "
+                "— raise max_iter (or pass horizon=True for "
+                "bounded-horizon betweenness)")
+    sp = slices[0]
+    for sl in slices[1:]:
+        sp = sp.unionByName(sl)
     return sp
 
 
