@@ -2730,6 +2730,15 @@ def _q_graph_similarity(spark, sf_dir):
         F.col("dst").alias("b"),
         F.round(F.col("betweenness")).cast("long").alias("c"),
         lN.alias("d"))
+    # NODE-level sibling through the same routing (sources= without a
+    # closure → betweenness_sampled's k-pivot pass): position p of an
+    # L-chain with sources S at horizon 7 mediates
+    # Σ_{s∈S, p-6 ≤ s ≤ p-1} (min(L, s+7) − p) unit-σ paths
+    bts = AN.betweenness_centrality(
+        chains, sources=eb_src, max_iter=6).select(
+        F.lit("betws").alias("op"), F.col("id").alias("a"),
+        F.round(F.col("betweenness")).cast("long").alias("b"),
+        lN.alias("c"), lN.alias("d"))
     # resource-allocation + preferential-attachment link prediction on the
     # same supplier~part incidence graph as the jaccard part (supplier-side
     # pairs only — the part side is the row-budget blowup)
@@ -2802,7 +2811,7 @@ def _q_graph_similarity(spark, sf_dir):
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
             .unionByName(sig).unionByName(btw).unionByName(ebt)
-            .unionByName(ebs).unionByName(ra)
+            .unionByName(ebs).unionByName(bts).unionByName(ra)
             .unionByName(aa).unionByName(spt).unionByName(diam)
             .unionByName(lmd).unionByName(lmu).unionByName(hb))
 
@@ -5510,6 +5519,24 @@ FROM pos p JOIN srcs s
   ON s.o_custkey = p.o_custkey AND s.si BETWEEN p.i - 6 AND p.i
 WHERE p.nxt IS NOT NULL
 GROUP BY p.o_custkey, p.o_orderkey, p.nxt, p.i, p.L) t8d
+UNION ALL
+SELECT 'betws', id, b, NULL, NULL
+FROM (WITH pos AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS L
+  FROM orders
+),
+srcs AS (
+  SELECT o_custkey, i AS si FROM pos WHERE o_orderkey % 3 = 0
+)
+SELECT CAST(5*{B} + p.o_orderkey AS BIGINT) AS id,
+       CAST(SUM(LEAST(p.L, s.si + 7) - p.i) AS BIGINT) AS b
+FROM pos p JOIN srcs s
+  ON s.o_custkey = p.o_custkey AND s.si BETWEEN p.i - 6 AND p.i - 1
+WHERE p.i < p.L
+GROUP BY p.o_custkey, p.o_orderkey, p.i, p.L) t8e
 UNION ALL
 SELECT 'ra', a, b, ra_micro, pa
 FROM ({O.resource_allocation_sql(

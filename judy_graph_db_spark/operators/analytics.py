@@ -3272,12 +3272,23 @@ def betweenness_centrality(edges: DataFrame,
     :func:`stress_centrality` carries the family's driver row.
 
     ``sources`` (a DataFrame of ``id``) restricts the s side — the
-    standard sampled approximation (Brandes & Pich 2007): scores scale
-    to the sample, ranks converge fast, and the triple join shrinks
-    linearly in |sources|. Closure-sized state is the documented trade;
-    for hub-heavy 100 TB graphs sample sources AND cap the closure with
-    the same hub guards the other closure consumers use.
+    standard sampled approximation (Brandes & Pich 2007). Without an
+    explicit ``closure=`` this delegates to :func:`betweenness_sampled`
+    with the given sources as pivots and ``scale=False`` — the SAME
+    restricted sum (unit-tested equal to the closure composition), but
+    over the k·|V| pivot BFS relation; the all-pairs closure is never
+    materialized (the b-leg of the triple join inherently reads the
+    whole closure, so merely filtering the s-leg never shrank the
+    state — the r12 fix mirrors :func:`edge_betweenness`'s).
+    ``max_iter`` keeps the closure path's ≤ max_iter+1-hop horizon
+    convention, truncating at the bound instead of erroring. With
+    ``closure=`` given, the triple join runs as before (right when the
+    closure already exists for stress/closeness siblings).
     """
+    if sources is not None and closure is None:
+        return betweenness_sampled(
+            edges, pivots=sources, scale=False,
+            max_iter=max_iter + 1, horizon=True)
     C = closure if closure is not None else shortest_path_counts(
         edges, max_iter=max_iter).localCheckpoint(eager=True)
     a = C.select(F.col("src").alias("s"), F.col("dst").alias("v"),
@@ -3620,7 +3631,10 @@ def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
 
 def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
                         seed: int = 0, max_iter: int = 100,
-                        scale: bool = True) -> DataFrame:
+                        scale: bool = True,
+                        pivots: DataFrame | None = None,
+                        horizon: bool = False,
+                        _ckpts: "list | None" = None) -> DataFrame:
     """k-pivot sampled Brandes betweenness (Brandes & Pich 2007,
     "Centrality Estimation in Large Networks"): the production estimator
     for graphs where the all-pairs σ closure behind
@@ -3648,29 +3662,49 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
 
     Pivots are the top-k by ``md5(seed || id)`` — a deterministic
     uniform sample, reproducible across runs (house rule: no RNG in
-    operators). ``scale=False`` returns the raw ``Σ_{s∈S} δ_s(v)``.
-    Returns ``(id, betweenness DOUBLE)`` for nodes with positive score.
-    Float by necessity, so unit-tested against a replica, not
-    hash-gated — the bm25/pca house rule (the integer-exact
-    :func:`stress_centrality` carries the family's driver row).
+    operators); ``pivots=`` (a DataFrame of ``id``) substitutes an
+    explicit source set for the hash sample — the
+    ``betweenness_centrality(sources=)`` routing, with ``scale=False``
+    so scores stay the restricted sum; pivot ids not in the graph are
+    ignored. ``horizon=True`` truncates the BFS at ``max_iter`` hops
+    instead of erroring (bounded-horizon betweenness). ``scale=False``
+    returns the raw ``Σ_{s∈S} δ_s(v)``. ``_ckpts`` (internal) collects
+    every live checkpoint for eager callers to free. Returns ``(id,
+    betweenness DOUBLE)`` for nodes with positive score. Float by
+    necessity, so the estimator is unit-tested against a replica; the
+    restricted-sum route carries a driver hash gate on the chain
+    fixture where σ=1 makes it integer-exact (`graph_similarity` op
+    `betws`).
     """
-    if n_pivots <= 0:
-        raise ValueError("n_pivots must be positive")
     spark = edges.sparkSession
     e = (edges.filter(F.col("src") != F.col("dst"))
          .select("src", "dst").distinct().localCheckpoint(eager=True))
+    if _ckpts is not None:
+        _ckpts.append(e)
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     n = nodes.count()
     if n == 0:
         return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
-    pick = nodes.orderBy(
-        F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
-                          F.col("id").cast("string"))).asc(),
-        F.col("id").asc()).limit(int(n_pivots)).localCheckpoint(eager=True)
+    if pivots is not None:
+        pick = (pivots.select("id").distinct().join(nodes, "id")
+                .localCheckpoint(eager=True))
+    else:
+        if n_pivots <= 0:
+            raise ValueError("n_pivots must be positive")
+        pick = nodes.orderBy(
+            F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
+                              F.col("id").cast("string"))).asc(),
+            F.col("id").asc()).limit(int(n_pivots)) \
+            .localCheckpoint(eager=True)
+    if _ckpts is not None:
+        _ckpts.append(pick)
     k = pick.count()
-    sp = _pivot_sigma_bfs(e, pick, max_iter)
-    node_parts, _ = _brandes_backward(sp, e, want_edges=False)
+    if k == 0:
+        return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
+    sp = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon, ckpts=_ckpts)
+    node_parts, _ = _brandes_backward(sp, e, want_edges=False,
+                                      ckpts=_ckpts)
     if not node_parts:
         return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
     acc = node_parts[0]

@@ -2008,3 +2008,50 @@ def test_girvan_newman_selfloop_only_node_in_labels(spark):
     removed, labels = AN.girvan_newman_split(e, n_removals=1)
     comp = {x["id"]: x["component"] for x in labels.collect()}
     assert comp == {0: 0, 1: 1, 2: 2}
+
+
+def test_betweenness_sources_routes_to_pivot_pass(spark):
+    """betweenness_centrality(sources=) without a closure now runs the
+    k-pivot pass (k*|V| state) — results must equal the closure
+    composition restricted to the same sources, including at a bounded
+    horizon, and still match the textbook replica."""
+    import random
+
+    rng = random.Random(11)
+    pairs = sorted({(rng.randrange(14), rng.randrange(14))
+                    for _ in range(30)} - {(i, i) for i in range(14)})
+    e = edges_df(spark, pairs)
+    srcs_py = [0, 2, 7, 99]  # 99: not in the graph -> ignored
+    srcs = spark.createDataFrame([(s,) for s in srcs_py], "id long")
+
+    got = {r.id: r.betweenness for r in
+           AN.betweenness_centrality(e, sources=srcs).collect()}
+    via_closure = {r.id: r.betweenness for r in
+                   AN.betweenness_centrality(
+                       e, sources=srcs,
+                       closure=AN.shortest_path_counts(e)).collect()}
+    ref = _brandes_reference(pairs, sources=[s for s in srcs_py
+                                             if s != 99])
+    assert set(got) == set(ref) == set(via_closure)
+    assert all(abs(got[k] - ref[k]) < 1e-9 for k in ref)
+    assert all(abs(via_closure[k] - ref[k]) < 1e-9 for k in ref)
+
+    # horizon convention: max_iter=h == closure(max_iter=h) path
+    chain = edges_df(spark, [(i, i + 1) for i in range(6)])
+    all_src = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    h = 2
+    got_h = {r.id: r.betweenness for r in
+             AN.betweenness_centrality(chain, sources=all_src,
+                                       max_iter=h).collect()}
+    via_h = {r.id: r.betweenness for r in
+             AN.betweenness_centrality(
+                 chain, sources=all_src,
+                 closure=AN.shortest_path_counts(
+                     chain, max_iter=h)).collect()}
+    assert got_h == via_h
+    # closed form at horizon h+1=3 hops: b(p) = sum over s in
+    # [p-2, p-1] of (min(6, s+3) - p) over 0-based positions 0..6
+    want = {p: sum(min(6, s + 3) - p for s in range(max(0, p - 2), p))
+            for p in range(1, 6)}
+    want = {p: v for p, v in want.items() if v > 0}
+    assert got_h == {p: float(v) for p, v in want.items()}
