@@ -3610,6 +3610,13 @@ def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
                     (F.col("sigma").cast("double") / F.col("__sw")
                      * (F.lit(1.0) + F.col("__dw"))).alias("__term")))
         if want_edges:
+            # both the edge aggregation and the node-δ recursion read
+            # this level's join — materialize it once instead of
+            # executing the 3-way join twice (the backward pass's
+            # dominant work at scale)
+            terms = terms.localCheckpoint(eager=True)
+            if ckpts is not None:
+                ckpts.append(terms)
             edge_parts.append(
                 terms.groupBy(F.col("id").alias("src"), "dst")
                 .agg(F.sum("__term").alias("delta")))
