@@ -2055,3 +2055,26 @@ def test_betweenness_sources_routes_to_pivot_pass(spark):
             for p in range(1, 6)}
     want = {p: v for p, v in want.items() if v > 0}
     assert got_h == {p: float(v) for p, v in want.items()}
+
+
+def test_girvan_newman_sampled_matches_exact_sequence(spark):
+    """With every node a pivot the sampled estimator is exact, so the
+    FULL removal sequence (not just the first cut) and the final labels
+    must match the exact path on a random graph — the loop-level
+    equivalence behind the per-round estimator equivalence."""
+    import random
+
+    rng = random.Random(17)
+    pairs = sorted({(rng.randrange(10), rng.randrange(10))
+                    for _ in range(22)} - {(i, i) for i in range(10)})
+    e = edges_df(spark, pairs)
+    rem_x, lab_x = AN.girvan_newman_split(e, n_removals=3)
+    rem_s, lab_s = AN.girvan_newman_split(e, n_removals=3, n_pivots=10)
+    seq_x = [(r["round"], r["src"], r["dst"])
+             for r in rem_x.orderBy("round").collect()]
+    seq_s = [(r["round"], r["src"], r["dst"])
+             for r in rem_s.orderBy("round").collect()]
+    assert seq_x == seq_s and len(seq_x) == 3
+    cx = {r["id"]: r["component"] for r in lab_x.collect()}
+    cs = {r["id"]: r["component"] for r in lab_s.collect()}
+    assert cx == cs
