@@ -2739,6 +2739,27 @@ def _q_graph_similarity(spark, sf_dir):
         F.lit("betws").alias("op"), F.col("id").alias("a"),
         F.round(F.col("betweenness")).cast("long").alias("b"),
         lN.alias("c"), lN.alias("d"))
+    # Girvan-Newman LOOP end-to-end on the region~nation star forest
+    # (TPC-H's fixed 25-nation table → 5 stars): in a k-leaf star the
+    # canonical center→leaf direction carries eb = k unit-σ paths (the
+    # k sources center + k−1 siblings, each ending at the leaf), every
+    # edge ties, so the exact removal sequence is the closed-form
+    # argmax (max k, then (src,dst) canonical order — the engine's
+    # micro-unit tie-break is exact here) and the survivor components
+    # label by min id = the region node. Two removals probe both the
+    # recompute (round-2 eb drops to k−1 on the touched star) and the
+    # final connected_components labeling.
+    gr_e = g.edges.filter(
+        (F.col("label") == "IN_REGION") & ~F.col("is_back")
+    ).select("src", "dst")
+    gnrem, gnlab = AN.girvan_newman_split(gr_e, n_removals=2)
+    gnr = gnrem.select(
+        F.lit("gnrem").alias("op"), F.col("round").alias("a"),
+        F.col("src").alias("b"), F.col("dst").alias("c"),
+        F.round(F.col("betweenness")).cast("long").alias("d"))
+    gnl = gnlab.select(
+        F.lit("gnlab").alias("op"), F.col("id").alias("a"),
+        F.col("component").alias("b"), lN.alias("c"), lN.alias("d"))
     # resource-allocation + preferential-attachment link prediction on the
     # same supplier~part incidence graph as the jaccard part (supplier-side
     # pairs only — the part side is the row-budget blowup)
@@ -2811,7 +2832,8 @@ def _q_graph_similarity(spark, sf_dir):
     return (cp.unionByName(ja).unionByName(wp).unionByName(cl)
             .unionByName(hm).unionByName(mst).unionByName(strs)
             .unionByName(sig).unionByName(btw).unionByName(ebt)
-            .unionByName(ebs).unionByName(bts).unionByName(ra)
+            .unionByName(ebs).unionByName(bts).unionByName(gnr)
+            .unionByName(gnl).unionByName(ra)
             .unionByName(aa).unionByName(spt).unionByName(diam)
             .unionByName(lmd).unionByName(lmu).unionByName(hb))
 
@@ -5537,6 +5559,71 @@ FROM pos p JOIN srcs s
   ON s.o_custkey = p.o_custkey AND s.si BETWEEN p.i - 6 AND p.i - 1
 WHERE p.i < p.L
 GROUP BY p.o_custkey, p.o_orderkey, p.i, p.L) t8e
+UNION ALL
+SELECT 'gnrem', rnd, rid, nid, eb
+FROM (WITH nr AS (
+  SELECT CAST(n_nationkey + {B} AS BIGINT) AS nid,
+         CAST(n_regionkey AS BIGINT) AS rid
+  FROM nation
+),
+k0 AS (SELECT rid, COUNT(*) AS kk FROM nr GROUP BY rid),
+pick0 AS (
+  SELECT rid, nid, kk FROM (
+    SELECT n.rid, MIN(n.nid) AS nid, k.kk
+    FROM nr n JOIN k0 k ON k.rid = n.rid
+    WHERE k.kk = (SELECT MAX(kk) FROM k0)
+    GROUP BY n.rid, k.kk) c ORDER BY rid, nid LIMIT 1
+),
+k1 AS (SELECT rid, kk - CASE WHEN rid = (SELECT rid FROM pick0)
+                             THEN 1 ELSE 0 END AS kk FROM k0),
+pick1 AS (
+  SELECT rid, nid, kk FROM (
+    SELECT n.rid, MIN(n.nid) AS nid, k.kk
+    FROM nr n JOIN k1 k ON k.rid = n.rid
+    WHERE k.kk = (SELECT MAX(kk) FROM k1)
+      AND NOT (n.rid = (SELECT rid FROM pick0)
+               AND n.nid = (SELECT nid FROM pick0))
+    GROUP BY n.rid, k.kk) c ORDER BY rid, nid LIMIT 1
+)
+SELECT CAST(0 AS BIGINT) AS rnd, rid, nid, CAST(kk AS BIGINT) AS eb
+FROM pick0
+UNION ALL
+SELECT CAST(1 AS BIGINT), rid, nid, CAST(kk AS BIGINT) FROM pick1) tgn
+UNION ALL
+SELECT 'gnlab', id, comp, NULL, NULL
+FROM (WITH nr AS (
+  SELECT CAST(n_nationkey + {B} AS BIGINT) AS nid,
+         CAST(n_regionkey AS BIGINT) AS rid
+  FROM nation
+),
+k0 AS (SELECT rid, COUNT(*) AS kk FROM nr GROUP BY rid),
+pick0 AS (
+  SELECT rid, nid, kk FROM (
+    SELECT n.rid, MIN(n.nid) AS nid, k.kk
+    FROM nr n JOIN k0 k ON k.rid = n.rid
+    WHERE k.kk = (SELECT MAX(kk) FROM k0)
+    GROUP BY n.rid, k.kk) c ORDER BY rid, nid LIMIT 1
+),
+k1 AS (SELECT rid, kk - CASE WHEN rid = (SELECT rid FROM pick0)
+                             THEN 1 ELSE 0 END AS kk FROM k0),
+pick1 AS (
+  SELECT rid, nid, kk FROM (
+    SELECT n.rid, MIN(n.nid) AS nid, k.kk
+    FROM nr n JOIN k1 k ON k.rid = n.rid
+    WHERE k.kk = (SELECT MAX(kk) FROM k1)
+      AND NOT (n.rid = (SELECT rid FROM pick0)
+               AND n.nid = (SELECT nid FROM pick0))
+    GROUP BY n.rid, k.kk) c ORDER BY rid, nid LIMIT 1
+)
+SELECT n.nid AS id,
+       CASE WHEN (n.rid = (SELECT rid FROM pick0)
+                  AND n.nid = (SELECT nid FROM pick0))
+              OR (n.rid = (SELECT rid FROM pick1)
+                  AND n.nid = (SELECT nid FROM pick1))
+            THEN n.nid ELSE n.rid END AS comp
+FROM nr n
+UNION ALL
+SELECT DISTINCT rid, rid FROM nr) tgl
 UNION ALL
 SELECT 'ra', a, b, ra_micro, pa
 FROM ({O.resource_allocation_sql(

@@ -3440,13 +3440,18 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
     if pick not in (None, "modularity"):
         raise ValueError(f"unknown pick={pick!r}; use None or 'modularity'")
     spark = edges.sparkSession
+    # flatten the input plan first: localCheckpoint on a filtered
+    # multi-branch union view can hit Catalyst's constraint-rewrite
+    # "key not found" (seen on the 7-label tpch_graph edges view) —
+    # checkpointing the bare (src, dst) projection up front gives every
+    # downstream checkpoint a plain LogicalRDD base
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
     # node set from the RAW edges — a node whose only edges are
     # self-loops must still appear in the labels output
-    all_nodes = (edges.select(F.col("src").alias("id"))
-                 .unionByName(edges.select(F.col("dst").alias("id")))
+    all_nodes = (e0.select(F.col("src").alias("id"))
+                 .unionByName(e0.select(F.col("dst").alias("id")))
                  .distinct().localCheckpoint(eager=True))
-    und0 = (edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst")))
+    und0 = e0.filter(F.col("src") != F.col("dst"))
     und0 = und0.union(und0.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst"))).distinct() \
         .localCheckpoint(eager=True)
