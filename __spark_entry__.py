@@ -16,7 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from judy_graph_db_spark import N, E, create_mem, flat_table, graph_query, table
+from judy_graph_db_spark import (
+    N, E, create_mem, flat_table, graph_query, parse_motif, table,
+)
 from judy_graph_db_spark import oracle as O
 from judy_graph_db_spark.functions import text as T
 from judy_graph_db_spark.operators import adjacency as A
@@ -144,6 +146,25 @@ def _q_pattern_not_edge(spark, sf_dir):
     return table(g, pat, not_edges=[
         (0, E("PLACED", direction="r",
               where=lambda c: c["edge_seq"] >= 3), 1)])
+
+
+def _q_pattern_cycle(spark, sf_dir):
+    """Cycle motif — repeated-variable unification (parity-plus over the
+    reference's chain-only EDSL, ``Cypher.hs:62-144``): consecutive
+    same-customer orders sharing a part, written as the Cypher-style
+    triangle ``(o)-[:NEXT_ORDER]->(o2)-[:CONTAINS]->(p)<-[:CONTAINS]-(o)``.
+    The closing hop rides a BACK row and the repeated ``o`` compiles to a
+    2-key equi-join (no all-2-paths materialization — see
+    ``_apply_names``). Output carries the closing back-row's edge_seq to
+    prove the back-traversal bound, not just the node triple."""
+    g = tpch_graph(spark, sf_dir)
+    pat = parse_motif(
+        "(o:ORDER)-[:NEXT_ORDER]->(o2:ORDER)"
+        "-[:CONTAINS]->(p:PART)<-[:CONTAINS]-(o)")
+    b = table(g, pat, named=True)
+    return b.select(
+        F.col("o").alias("n0"), F.col("e0_label"),
+        F.col("e2_seq").alias("e0_seq"), F.col("p").alias("n1"))
 
 
 def _q_edge_list_ingest(spark, sf_dir):
@@ -1351,6 +1372,7 @@ def _q_pattern_1hop_matrix(spark, sf_dir):
         ("where_seq", _q_pattern_where),
         ("optional", _q_pattern_optional),
         ("not_edge", _q_pattern_not_edge),
+        ("cycle", _q_pattern_cycle),
     ]
     out = None
     for tag, fn in parts:
@@ -3647,7 +3669,15 @@ SELECT 'not_edge', src, label, edge_seq, dst
 FROM edges e WHERE label = 'PLACED' AND NOT is_back AND NOT EXISTS (
   SELECT 1 FROM edges x
   WHERE x.src = e.src AND x.dst = e.dst AND x.label = 'PLACED'
-    AND NOT x.is_back AND x.edge_seq >= 3)""",
+    AND NOT x.is_back AND x.edge_seq >= 3)
+UNION ALL
+SELECT 'cycle', no.src, no.label, eb.edge_seq, c2.dst
+FROM edges no
+JOIN edges c2 ON c2.src = no.dst
+             AND c2.label = 'CONTAINS' AND NOT c2.is_back
+JOIN edges eb ON eb.src = c2.dst AND eb.dst = no.src
+             AND eb.label = 'CONTAINS' AND eb.is_back
+WHERE no.label = 'NEXT_ORDER' AND NOT no.is_back""",
         # standalone (not oracle_prefix): DuckDB's WITH RECURSIVE changes CTE
         # scoping for union-shaped CTEs, breaking the nested WITH inside the
         # edges CTE — so derive the NEXT_ORDER relation directly from orders.

@@ -342,7 +342,7 @@ def _binding_col_order(c: str) -> tuple:
 
 
 def exclude_edges(g: Graph, bindings: DataFrame,
-                  not_edges) -> DataFrame:
+                  not_edges, cypher_nulls: bool = False) -> DataFrame:
     """Negation between BOUND pattern positions — Cypher's
     ``WHERE NOT (a)-[:X]->(b)`` as an anti-join (the reference has no
     negation; parity-plus). ``not_edges`` is a list of
@@ -361,9 +361,11 @@ def exclude_edges(g: Graph, bindings: DataFrame,
     the row survives — read as "the endpoint doesn't exist, so no such
     edge exists either". Note this diverges from Cypher, whose
     ``WHERE NOT (a)-[:X]->(b)`` with NULL ``b`` evaluates to NULL and
-    FILTERS the row; to get Cypher's behavior, drop unmatched optionals
-    first (``bindings.filter(F.col(f"n{b}").isNotNull())``). Pinned by
-    ``test_pattern_negation_keeps_null_optional_bindings``."""
+    FILTERS the row; pass ``cypher_nulls=True`` for that behavior (rows
+    with a NULL at either negated position are dropped BEFORE the
+    anti-join). Pinned by
+    ``test_pattern_negation_keeps_null_optional_bindings`` (default) and
+    ``test_pattern_negation_cypher_nulls_drops_unmatched_optionals``."""
     for a, espec, b in not_edges:
         if espec.several is not None or espec.optional:
             raise ValueError(
@@ -374,6 +376,9 @@ def exclude_edges(g: Graph, bindings: DataFrame,
                 raise ValueError(
                     f"not_edges position {pos} is not bound "
                     f"(columns: {sorted(bindings.columns)})")
+        if cypher_nulls:
+            bindings = bindings.filter(
+                F.col(f"n{a}").isNotNull() & F.col(f"n{b}").isNotNull())
         rel = edge_relation(g, espec).select(
             F.col("src").alias("__na"), F.col("dst").alias("__nb"))
         bindings = bindings.join(
@@ -385,44 +390,76 @@ def exclude_edges(g: Graph, bindings: DataFrame,
     return bindings
 
 
-def _apply_names(pattern: Pattern, bindings: DataFrame) -> DataFrame:
+def _apply_names(pattern: Pattern, bindings: DataFrame,
+                 cypher_nulls: bool = False) -> DataFrame:
     """Rename positional binding columns to the specs' variable names:
     node ``name`` replaces ``n{i}``; edge ``name`` prefixes its columns
     (``{name}_label``, ``{name}_seq``, ``{name}_depth``). Unnamed
     positions keep their positional names.
 
-    Names are output LABELS, not join constraints: repeating a name does
-    NOT unify the positions the way Cypher's ``(a)-->(b)-->(a)`` closes a
-    cycle, so duplicates raise rather than silently producing two columns
-    that merely share a label. To express a cycle, add the equality as an
-    explicit filter on the positional columns —
-    ``table(g, pat).filter(F.col("n0") == F.col("n2"))`` — before
-    ``named=True`` renaming."""
-    ren: "dict[str, str]" = {}
+    A REPEATED node variable closes a cycle, exactly like Cypher's
+    ``(a)-->(b)-->(a)`` (the EDSL this surface mirrors,
+    ``Cypher.hs:62-144``, stops at chains — parity-plus): every later
+    occurrence is unified with the first by an equality filter on the
+    positional columns, and the later columns are dropped so the
+    variable appears ONCE in the output. Catalyst pushes the equality
+    into the final hop's join condition (it references columns from both
+    join sides), so a triangle motif executes as an equi-join on BOTH
+    endpoint keys — no post-hoc all-2-paths materialization; each
+    occurrence's own label/id constraints still prune at its scan.
+
+    NULL positions (unmatched ``optional`` hops) at a repeated variable
+    are KEPT by default — same house rule as :func:`exclude_edges`: an
+    endpoint that doesn't exist cannot contradict the cycle. With
+    ``cypher_nulls=True`` the plain equality applies (NULL comparisons
+    drop the row), matching Cypher's NULL-propagating semantics.
+
+    Repeated EDGE names still raise: parallel edges make "same edge
+    twice" ambiguous without a unique edge id, and Cypher forbids
+    repeating a relationship variable within one pattern too."""
+    by_name: "dict[str, list[int]]" = {}
     for i, spec in enumerate(pattern.node_specs):
         if spec.name:
-            ren[f"n{i}"] = spec.name
+            by_name.setdefault(spec.name, []).append(i)
+    dropped = set()
+    # NULL-tolerance is only reachable through optional hops; without
+    # them every position is non-null, and the plain equality lets
+    # Catalyst fold the unification into the join's hash keys instead
+    # of carrying an OR-isnull residual
+    null_keeps = (not cypher_nulls
+                  and any(e.optional for e in pattern.edge_specs))
+    for name, ps in by_name.items():
+        first = ps[0]
+        for later in ps[1:]:
+            eq = F.col(f"n{first}") == F.col(f"n{later}")
+            if null_keeps:
+                eq = eq | F.col(f"n{first}").isNull() \
+                    | F.col(f"n{later}").isNull()
+            bindings = bindings.filter(eq)
+            dropped.add(f"n{later}")
+    ren: "dict[str, str]" = {
+        f"n{ps[0]}": name for name, ps in by_name.items()}
     for i, spec in enumerate(pattern.edge_specs):
         if spec.name:
             for suffix in ("label", "seq", "depth"):
                 ren[f"e{i}_{suffix}"] = f"{spec.name}_{suffix}"
     targets = list(ren.values())
     clash = {t for t in targets if targets.count(t) > 1} | (
-        set(targets) & (set(bindings.columns) - set(ren)))
+        set(targets) & (set(bindings.columns) - set(ren) - dropped))
     if clash:
         raise ValueError(
-            f"duplicate binding names: {sorted(clash)} — names label "
-            "output columns, they do not unify positions; for a cycle "
-            "like (a)-->(b)-->(a), filter on the positional columns "
-            "instead (e.g. .filter(F.col('n0') == F.col('n2')))")
+            f"duplicate binding names: {sorted(clash)} — edge variable "
+            "names must be unique within a pattern, and no name may "
+            "collide with another position's column")
     return bindings.select(*[
         F.col(c).alias(ren[c]) if c in ren else F.col(c)
-        for c in bindings.columns
+        for c in bindings.columns if c not in dropped
     ])
 
 
 def table(g: Graph, pattern: Pattern, quick: bool = True,
-          not_edges=None, named: bool = False) -> DataFrame:
+          not_edges=None, named: bool = False,
+          cypher_nulls: bool = False) -> DataFrame:
     """Evaluate a pattern → bindings DataFrame (``table``, ``Cypher.hs:423-427``).
 
     ``not_edges=[(i, E(...), j)]`` anti-joins away bindings where such an
@@ -434,6 +471,14 @@ def table(g: Graph, pattern: Pattern, quick: bool = True,
     the final-consumption view; the positional ``n0, e0_*`` scheme stays
     the default because every composition helper
     (``flat_table``/``nested_layers``/``exclude_edges``) keys on it.
+    Under ``named=True`` a REPEATED node variable unifies its positions —
+    Cypher's ``(a)-->(b)-->(a)`` cycle — see :func:`_apply_names`.
+
+    ``cypher_nulls=True`` switches the NULL semantics of both
+    ``not_edges`` and repeated-variable unification from the engine's
+    NULL-keeps default to Cypher's NULL-propagating drop (rows whose
+    constrained positions are NULL — unmatched ``optional`` hops — are
+    filtered instead of kept).
 
     ``quick=True`` evaluates left→right as written (``evalLtoR``).
     ``quick=False`` is the cost-based strategy (``runOnE``,
@@ -448,11 +493,16 @@ def table(g: Graph, pattern: Pattern, quick: bool = True,
     does statistics-based ordering within each chain.
     """
     if named:
-        return _apply_names(pattern, table(g, pattern, quick, not_edges))
+        return _apply_names(
+            pattern,
+            table(g, pattern, quick, not_edges,
+                  cypher_nulls=cypher_nulls),
+            cypher_nulls=cypher_nulls)
     if any(e.optional for e in pattern.edge_specs):
         quick = True
     if not_edges:
-        return exclude_edges(g, table(g, pattern, quick), not_edges)
+        return exclude_edges(g, table(g, pattern, quick), not_edges,
+                             cypher_nulls=cypher_nulls)
     if not quick:
         costs = [_endpoint_cost(g, s) for s in pattern.node_specs]
         k = len(costs)

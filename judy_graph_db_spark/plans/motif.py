@@ -22,7 +22,11 @@ execution:
 
 Node/edge variable names (the ``a`` in ``(a:...)`` / ``[e:...]``) are kept
 on the specs' ``name`` field for readability; binding columns stay
-positional (``n0, e0_…, n1, …``) as everywhere else in the engine.
+positional (``n0, e0_…, n1, …``) as everywhere else in the engine. Under
+``table(..., named=True)`` a REPEATED node variable closes a cycle —
+``(a)-->(b)-->(a)`` unifies the two ``a`` positions into one output
+column via an equality the optimizer folds into the closing join's keys
+(see ``compiler._apply_names``).
 """
 
 from __future__ import annotations

@@ -2,6 +2,7 @@
 with the combinator EDSL."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from judy_graph_db_spark import E, N, parse_motif, table
 from judy_graph_db_spark.plans.pattern import Pattern
@@ -101,7 +102,72 @@ def test_named_bindings_from_motif(spark):
     assert "e0_label" in df2.columns and "p" in df2.columns
 
 
-def test_named_bindings_duplicate_raises(spark):
+def test_cycle_motif_unifies_repeated_variable(spark):
+    """Cypher's ``(a)-->(b)-->(a)`` cycle: a repeated node variable
+    unifies its positions (equality filter + single output column)
+    instead of raising. Hand-joined oracle: the positional table with an
+    explicit n0==n3 filter. Fixture triangle: 3-References->5-Closes->4
+    -References->3 (Main.hs:45-48)."""
+    g = f2_issue_tracker(spark)
+    pat = parse_motif(
+        "(a)-[:References]->(b)-[:Closes]->(c)-[:References]->(a)")
+    df = table(g, pat, named=True)
+    assert set(df.columns) == {
+        "a", "b", "c",
+        "e0_label", "e0_seq", "e1_label", "e1_seq", "e2_label", "e2_seq"}
+    rows = {(r["a"], r["b"], r["c"]) for r in df.collect()}
+    assert rows == {(3, 5, 4)}
+    # hand-joined oracle on the positional path
+    pos = table(g, pat).filter(F.col("n0") == F.col("n3"))
+    oracle = {(r["n0"], r["n1"], r["n2"]) for r in pos.collect()}
+    assert rows == oracle
+    # each occurrence's own constraints still apply: labeling the
+    # repeated variable ISSUE at either end keeps the triangle; a
+    # non-matching label on the second occurrence empties it
+    ok = table(g, parse_motif(
+        "(a:ISSUE)-[:References]->(b)-[:Closes]->(c)-[:References]->(a:ISSUE)"),
+        named=True)
+    assert {(r["a"], r["b"], r["c"]) for r in ok.collect()} == {(3, 5, 4)}
+    none = table(g, parse_motif(
+        "(a)-[:References]->(b)-[:Closes]->(c)-[:References]->(a:PROGRAMMER)"),
+        named=True)
+    assert none.count() == 0
+
+
+def test_cycle_motif_two_hop_back_and_forth(spark):
+    """2-cycle via a forward hop and a backward hop on the same label:
+    (p)-[:Raises]->(i)<-[:Raises]-(p) — every Raises pair survives
+    (each issue is raised only by programmer 0)."""
+    g = f2_issue_tracker(spark)
+    df = table(
+        g, parse_motif("(p)-[:Raises]->(i)<-[:Raises]-(p)"), named=True)
+    rows = {(r["p"], r["i"]) for r in df.collect()}
+    assert rows == {(0, 3), (0, 4), (0, 5), (0, 6)}
+
+
+def test_cycle_unification_null_semantics(spark):
+    """Unification at an unmatched-optional (NULL) position: KEPT by
+    default (the house NULL rule, matching exclude_edges), DROPPED with
+    cypher_nulls=True (Cypher's NULL-propagating equality). Programmer 1
+    raises nothing, so its optional hops bind NULL."""
+    g = f2_issue_tracker(spark)
+    pat = parse_motif("(p:PROGRAMMER)-[:Raises?]->(i)<-[:Raises?]-(p)")
+    kept = {(r["p"], r["i"])
+            for r in table(g, pat, named=True).collect()}
+    assert (1, None) in kept
+    assert kept == {(0, 3), (0, 4), (0, 5), (0, 6), (1, None)}
+    cy = {(r["p"], r["i"])
+          for r in table(g, pat, named=True, cypher_nulls=True).collect()}
+    assert cy == {(0, 3), (0, 4), (0, 5), (0, 6)}
+
+
+def test_named_bindings_duplicate_edge_raises(spark):
+    """Repeated EDGE variables stay an error (parallel edges make 'the
+    same edge twice' ambiguous; Cypher forbids it too), as do node names
+    colliding with other positions' columns."""
     g = f2_issue_tracker(spark)
     with pytest.raises(ValueError, match="duplicate binding names"):
-        table(g, parse_motif("(x=0)-[:Raises]->(x)"), named=True)
+        table(g, parse_motif("(a)-[r:Raises]->(b)<-[r:Raises]-(c)"),
+              named=True)
+    with pytest.raises(ValueError, match="duplicate binding names"):
+        table(g, parse_motif("(n1=0)-[:Raises]->()"), named=True)

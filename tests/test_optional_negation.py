@@ -139,3 +139,19 @@ def test_pattern_negation_keeps_null_optional_bindings(g):
     cypherish = {(r["n0"], r["n1"])
                  for r in kept.filter(F.col("n1").isNotNull()).collect()}
     assert cypherish == {(0, 4), (0, 5), (0, 6)}
+
+
+def test_pattern_negation_cypher_nulls_drops_unmatched_optionals(g):
+    """The mirror of the NULL-keeps pin: ``cypher_nulls=True`` makes
+    negation NULL-propagating like Cypher — a binding whose negated
+    position is NULL (unmatched optional hop) is DROPPED before the
+    anti-join, so the one-keyword flag replaces the manual isNotNull
+    recipe. Non-NULL rows are judged identically in both modes."""
+    pat = (N(labels=["PROGRAMMER"])
+           >> E("Raises", direction="r", optional=True) >> N())
+    kept = table(g, pat, not_edges=[(0, E("Closes", direction="r"), 1)],
+                 cypher_nulls=True)
+    rows = {(r["n0"], r["n1"]) for r in kept.collect()}
+    # (0,3) dropped by negation; programmer 1's NULL row dropped by the
+    # Cypher NULL rule (vs KEPT in the default mode)
+    assert rows == {(0, 4), (0, 5), (0, 6)}
