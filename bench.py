@@ -255,6 +255,16 @@ def sec_analytics(spark, sf_dir, cpus, run):
         .filter(F.col("id") % 20 == 0).distinct()
     run("edge_betweenness_h8", lambda: AN.edge_betweenness(
         chains, sources=eb_sources, max_iter=8).count(), repeats=1)
+    # one sampled Girvan-Newman round — the configuration method="auto"
+    # dispatches to at scale (16 pivots, horizon-8 truncation), recorded
+    # so the sampled-GN mode has a number (VERDICT r12 task 2). The
+    # round's work (k-pivot forward+backward pass, argmax collect,
+    # checkpoint frees) happens eagerly inside the call; counting
+    # `removed` avoids re-benching the labels' connected_components,
+    # which has its own suite entry.
+    run("girvan_newman_1r_s16", lambda: AN.girvan_newman_split(
+        chains, n_removals=1, n_pivots=16, max_iter=8)[0].count(),
+        repeats=1)
 
 
 def sec_dedup(spark, sf_dir, cpus, run):
@@ -559,18 +569,23 @@ def sec_temporal(spark, sf_dir, cpus, run):
 
 
 def sec_canary(spark, sf_dir, cpus, run):
-    """Host-drift canary: ONLY the fixed cw_1hop entry, in its own fresh
-    JVM. The orchestrator runs this at recording start / middle / end and
-    stores the three values, so a future reader can separate host/VM
-    throughput decay from code regressions without forensics (the r11
-    record carried a ~1.3x uniform host slowdown that cost exactly that
-    forensic pass — VERDICT r11)."""
-    from judy_graph_db_spark.operators import adjacency as A
-    from judy_graph_db_spark.sources.tpch_graph import B
+    """Host-drift canary: ONE fixed entry in its own fresh JVM, run by
+    the orchestrator at recording start / middle / end so a future
+    reader can separate host/VM throughput decay from code regressions
+    without forensics (the r11 record carried a ~1.3x uniform host
+    slowdown that cost exactly that forensic pass — VERDICT r11).
 
-    g = _graph(spark, sf_dir)
-    run("canary_cw_1hop", lambda: A.adjacent_nodes_by_attr(
-        g, 3 * B + 1, "PLACED", backwards=False).count())
+    Entry swapped r13 (VERDICT r12 task 3): cw_1hop at 0.6-0.8s was
+    per-query-overhead-dominated, so the canary's OWN noise band
+    exceeded the 10% drift threshold and host_note fired on steady
+    hosts (r12: max/min 1.29 vs cross-record median 1.05). The ~3-5s
+    scan+agg-shaped exact_substring entry (still best-of-3 inside the
+    JVM) keeps quiet-host max/min under 1.10."""
+    from judy_graph_db_spark.operators import dedup as D
+
+    docs, _ = _docs_embs(spark, cpus)
+    run("canary_esd", lambda: D.exact_substring_dedup(docs, k=8)
+        .agg(F.sum("n_removed_tokens")).collect())
 
 
 SECTIONS = {
@@ -651,7 +666,7 @@ def _orchestrate() -> None:
         return json.loads(line)["queries"]
 
     def canary(tag: str) -> float:
-        v = run_jvm("canary")["canary_cw_1hop"]
+        v = run_jvm("canary")["canary_esd"]
         sys.stderr.write(f"[bench] canary@{tag}: {v}s\n")
         return v
 

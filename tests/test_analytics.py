@@ -1867,6 +1867,35 @@ def _edge_brandes_reference(pairs, sources=None, horizon=None):
     return {k: v for k, v in eb.items() if v > 0}
 
 
+def test_pivot_sigma_bfs_deep_chain_collapses_seen(spark):
+    """≥200-level chain at full horizon (VERDICT r12 watch item 1): the
+    pivot BFS crosses six _SEEN_COLLAPSE_LEVELS windows, so the settled
+    anti-join side is re-checkpointed repeatedly instead of growing a
+    200-branch union plan. Closed form on the 201-node directed path
+    from pivot 0: depth(v) = v, sigma(v) = 1, exactly 201 rows — and the
+    backward pass across a collapse boundary (41-node chain, 40 levels)
+    yields the restricted closed form delta_0(v) = n-1-v."""
+    n = 201
+    e = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    ck: list = []
+    piv = e.sparkSession.createDataFrame([(0,)], "id long")
+    sp = AN._pivot_sigma_bfs(
+        e.select("src", "dst").localCheckpoint(eager=True), piv,
+        max_iter=n + 5, ckpts=ck)
+    rows = sp.collect()
+    assert len(rows) == n
+    assert all(r["s"] == 0 and r["depth"] == r["id"] and r["sigma"] == 1
+               for r in rows)
+    for c in ck:
+        AN._unpersist_checkpoint(c)
+    # forward+backward across one collapse boundary: 40 levels
+    m = 41
+    e2 = edges_df(spark, [(i, i + 1) for i in range(m - 1)])
+    got = {r.id: r.betweenness for r in AN.betweenness_sampled(
+        e2, pivots=piv, scale=False, max_iter=m + 5).collect()}
+    assert got == {v: float(m - 1 - v) for v in range(1, m - 1)}
+
+
 def test_edge_betweenness_sampled(spark):
     """k-pivot edge Brandes: all-pivots == the exact closure operator ==
     the textbook replica; k<n pivots == (n/k)-scaled replica restricted
@@ -1974,10 +2003,11 @@ def test_girvan_newman_sampled_splits_barbell(spark):
 def test_girvan_newman_modularity_peak(spark):
     """pick="modularity": with a removal budget past the peak, labels
     come from the argmax-Q prefix cut, not the over-fragmented final
-    cut; removed still records the full prefix. Path 0-1-2-3: removing
-    the middle edge gives Q_scaled=16 (two pairs); every further
-    removal only fragments (prefix 2 -> 6, prefix 3 -> -10), so the
-    default (final-cut) labels are singletons while the modularity pick
+    cut; removed still records the full prefix. Path 0-1-2-3, scored
+    against the ORIGINAL graph: prefix 0 gives Q_scaled=0, removing the
+    middle edge gives 6 (the peak — two pairs); every further removal
+    only fragments (prefix 2 -> -2, prefix 3 -> -10), so the default
+    (final-cut) labels are singletons while the modularity pick
     restores the two-pair cut."""
     pairs = [(0, 1), (1, 2), (2, 3)]
     e = edges_df(spark, pairs)
@@ -1999,6 +2029,48 @@ def test_girvan_newman_modularity_peak(spark):
     import pytest
     with pytest.raises(ValueError):
         AN.girvan_newman_split(e, pick="conductance")
+
+
+def test_girvan_newman_method_dispatch(spark, monkeypatch):
+    """method= mirrors scc's dispatch: 'exact' and 'sampled' force a
+    mode ('sampled' defaults to the 64-pivot budget — all-pivots-exact
+    on this fixture), 'auto' flips to sampled above the edge limit
+    (forced here by shrinking the limit to 0), and every mode agrees on
+    the barbell split. Unknown methods raise."""
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = edges_df(spark, pairs)
+    expect = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+    for kw in ({"method": "exact"}, {"method": "sampled"}):
+        removed, labels = AN.girvan_newman_split(e, n_removals=1, **kw)
+        (r,) = removed.collect()
+        assert (r["src"], r["dst"]) == (2, 3)
+        assert {x["id"]: x["component"]
+                for x in labels.collect()} == expect
+    monkeypatch.setattr(AN, "_GN_AUTO_EDGE_LIMIT", 0)
+    removed, labels = AN.girvan_newman_split(e, n_removals=1)
+    (r,) = removed.collect()
+    assert (r["src"], r["dst"]) == (2, 3)
+    assert {x["id"]: x["component"] for x in labels.collect()} == expect
+    import pytest
+    with pytest.raises(ValueError, match="unknown method"):
+        AN.girvan_newman_split(e, method="closure")
+
+
+def test_girvan_newman_sampled_horizon_matches_exact(spark):
+    """Diameter == max_iter+1 — the band where the modes used to
+    diverge: the exact closure silently settles depth max_iter+1, and
+    the sampled branch now runs the same bounded horizon instead of
+    raising 'not settled in max_iter rounds'. All-pivots sampled must
+    reproduce the exact removal on a 5-node path (diameter 4,
+    max_iter 3)."""
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    rex, _ = AN.girvan_newman_split(e, n_removals=1, max_iter=3,
+                                    method="exact")
+    rsam, _ = AN.girvan_newman_split(e, n_removals=1, max_iter=3,
+                                     n_pivots=5)
+    assert ([(r["src"], r["dst"]) for r in rex.collect()]
+            == [(r["src"], r["dst"]) for r in rsam.collect()]
+            == [(1, 2)])
 
 
 def test_girvan_newman_selfloop_only_node_in_labels(spark):
