@@ -255,6 +255,10 @@ def sec_analytics(spark, sf_dir, cpus, run):
         .filter(F.col("id") % 20 == 0).distinct()
     run("edge_betweenness_h8", lambda: AN.edge_betweenness(
         chains, sources=eb_sources, max_iter=8).count(), repeats=1)
+    # the NODE-level sources= routing (betweenness_centrality →
+    # betweenness_sampled, the r12 `betws` gate) — its own sf1 alpha row
+    run("node_betweenness_h8", lambda: AN.betweenness_centrality(
+        chains, sources=eb_sources, max_iter=8).count(), repeats=1)
     # one sampled Girvan-Newman round — the configuration method="auto"
     # dispatches to at scale (16 pivots, horizon-8 truncation), recorded
     # so the sampled-GN mode has a number (VERDICT r12 task 2). The

@@ -1221,7 +1221,8 @@ def _scc_closure(base: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
                   max_prop_iter: int = 10_000,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  _dense_sweeps: bool = False) -> DataFrame:
     """FW-BW coloring; see :func:`strongly_connected_components`.
 
     Invariants driving convergence (each is an emptiness probe on the
@@ -1230,11 +1231,17 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
     set only grows (empty growth set = fixpoint), and every peel round
     settles at least each color class's root — so the outer loop
     strictly shrinks the active node set and termination is guaranteed
-    without a round budget. Both sweeps propagate DELTAS (r13): the
-    per-round edge join probes only last round's changed colors / new
-    members, so per-round work tracks the frontier size instead of
-    re-joining the full active relation — the lever that matters when
-    data volume, not round latency, dominates (sf≫1).
+    without a round budget. Both sweeps propagate DELTAS (r13): a
+    changed/new FLAG rides inside the colors / in-SCC relation, so the
+    per-round edge join probes only last round's frontier while the
+    round still costs exactly TWO jobs (one checkpoint write of the
+    updated relation + one cached emptiness probe) — the same job count
+    as the dense union-groupBy form, with strictly smaller join inputs.
+    The first delta attempt materialized the update set separately
+    (3 jobs/round) and LOST ~1.5x on the round-latency-bound bench
+    fixture; the flag form is why the delta is free there and a win
+    when data volume dominates (sf≫1). ``_dense_sweeps=True`` restores
+    the r12 dense form (diagnostic A/B hook, like ``stats``).
 
     Before each FW-BW round, TRIM to fixpoint (Slota et al. 2014's
     Multistep prelude): a node with in-degree 0 or out-degree 0 in the
@@ -1306,78 +1313,75 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
         fw_bw_rounds += 1
         # 1. forward sweep: color(v) = min id that reaches v (within the
         # active subgraph), by synchronous min propagation along edges.
-        # DELTA-FRONTIER form (r13): only colors that CHANGED last round
-        # are pushed — a node's color can only drop when an in-neighbor's
-        # dropped, so an unchanged color's push was already applied in an
-        # earlier round. Same round count as the dense form, but the
-        # edge join probes the (usually shrinking) changed set instead of
-        # re-joining every active node's color each round, and the
-        # full-relation update is one anti-join + union (broadcastable
-        # when the delta is small) instead of a full union-groupBy-min
-        # reshuffle. The delta's emptiness IS the fixpoint test (colors
-        # only decrease), replacing the sum-fingerprint collect.
-        colors = active_nodes.select("id", F.col("id").alias("color"))
-        colors = colors.localCheckpoint(eager=True)
-        changed = colors
+        # Delta-frontier form (r13): a `chg` flag rides in the colors
+        # relation — a node's color can only drop when an in-neighbor's
+        # dropped, so only flagged colors are pushed; the per-round cost
+        # stays two jobs (checkpoint + cached emptiness probe), the
+        # probe replacing the dense form's sum-fingerprint collect.
+        colors = active_nodes.select(
+            "id", F.col("id").alias("color"),
+            F.lit(True).alias("chg")).localCheckpoint(eager=True)
         for _ in range(max_prop_iter):
-            pushed = active_edges.join(
-                changed.withColumnRenamed("id", "src"), "src"
-            ).select(F.col("dst").alias("id"), "color")
-            upd = (
-                pushed.groupBy("id").agg(F.min("color").alias("_nc"))
-                .join(colors, "id")
-                .filter(F.col("_nc") < F.col("color"))
-                .select("id", F.col("_nc").alias("color"))
-                .localCheckpoint(eager=True)
+            frontier_side = colors if _dense_sweeps \
+                else colors.filter(F.col("chg"))
+            mins = (
+                active_edges.join(
+                    frontier_side.select(F.col("id").alias("src"), "color"),
+                    "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("_nc"))
             )
-            if changed is not colors:
-                _unpersist_checkpoint(changed)
-            if upd.limit(1).count() == 0:
-                _unpersist_checkpoint(upd)
-                break
             old = colors
             colors = (
-                colors.join(upd.select("id"), "id", "left_anti")
-                .unionByName(upd)
+                colors.join(mins, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("color"), F.col("_nc")).alias("color"),
+                    F.coalesce(F.col("_nc") < F.col("color"),
+                               F.lit(False)).alias("chg"))
                 .localCheckpoint(eager=True)
             )
             _unpersist_checkpoint(old)
-            changed = upd
+            if colors.filter(F.col("chg")).limit(1).count() == 0:
+                break
         # 2. backward sweep inside each color class: grow from the root
         # (id == color) along reversed edges restricted to equal colors.
-        # Delta form like the forward sweep: only last round's NEW
-        # members can reach further nodes, and since every id carries
-        # exactly one active color the reached set needs a distinct +
-        # anti-join, not a min-aggregation over the whole relation.
-        in_scc = colors.filter(F.col("id") == F.col("color")).localCheckpoint(
+        # Delta form like the forward sweep: a `new` flag marks last
+        # round's additions — only they can reach further nodes — and
+        # since every id carries exactly one active color the reached
+        # set needs a distinct + anti-join, not a min-aggregation over
+        # the whole relation. Two jobs per round, like the forward sweep.
+        in_scc = colors.filter(F.col("id") == F.col("color")).select(
+            "id", "color", F.lit(True).alias("new")).localCheckpoint(
             eager=True
         )
-        new = in_scc
         while True:
+            grow_side = in_scc if _dense_sweeps \
+                else in_scc.filter(F.col("new"))
             add = (
                 active_edges.join(
-                    new.select(
+                    grow_side.select(
                         F.col("id").alias("dst"), F.col("color").alias("_wc")
                     ),
                     "dst",
                 )
                 .select(F.col("src").alias("id"), F.col("_wc").alias("color"))
-                .join(colors.withColumnRenamed("color", "_uc"), "id")
+                .join(colors.select("id", F.col("color").alias("_uc")), "id")
                 .filter(F.col("color") == F.col("_uc"))
                 .select("id", "color")
                 .distinct()
                 .join(in_scc.select("id"), "id", "left_anti")
+            )
+            old = in_scc
+            in_scc = (
+                in_scc.select("id", "color", F.lit(False).alias("new"))
+                .unionByName(add.select(
+                    "id", "color", F.lit(True).alias("new")))
                 .localCheckpoint(eager=True)
             )
-            if new is not in_scc:
-                _unpersist_checkpoint(new)
-            if add.limit(1).count() == 0:
-                _unpersist_checkpoint(add)
-                break
-            old = in_scc
-            in_scc = in_scc.unionByName(add).localCheckpoint(eager=True)
             _unpersist_checkpoint(old)
-            new = add
+            if in_scc.filter(F.col("new")).limit(1).count() == 0:
+                break
         done = in_scc.select("id", F.col("color").alias("scc"))
         settled = done if settled is None else settled.union(done)
         settled = settled.localCheckpoint(eager=True)
