@@ -167,6 +167,22 @@ def _q_pattern_cycle(spark, sf_dir):
         F.col("e2_seq").alias("e0_seq"), F.col("p").alias("n1"))
 
 
+def _q_pattern_comma(spark, sf_dir):
+    """Multi-segment MATCH (`match_motif`, parity-plus — Cypher's
+    ``MATCH (c)-->(o), (o)-->(p)``): two comma segments sharing ``o``
+    inner-join on the variable. Output re-tags the joined segment's
+    CONTAINS hop label/seq so the hash proves the join carried the
+    second segment's bindings, not just the first's."""
+    from judy_graph_db_spark import match_motif
+
+    g = tpch_graph(spark, sf_dir)
+    b = match_motif(
+        g, "(c:CUSTOMER)-[:PLACED]->(o), (o)-[:CONTAINS]->(p:PART)")
+    return b.select(
+        F.col("c").alias("n0"), F.col("p1_e0_label").alias("e0_label"),
+        F.col("p1_e0_seq").alias("e0_seq"), F.col("p").alias("n1"))
+
+
 def _q_edge_list_ingest(spark, sf_dir):
     """insertNodeLines (``Enum.hs:387-407``): ingest the reference's OWN
     benchmark dataset (367,662 tab-separated int pairs, CRLF) through our
@@ -1373,6 +1389,7 @@ def _q_pattern_1hop_matrix(spark, sf_dir):
         ("optional", _q_pattern_optional),
         ("not_edge", _q_pattern_not_edge),
         ("cycle", _q_pattern_cycle),
+        ("comma", _q_pattern_comma),
     ]
     out = None
     for tag, fn in parts:
@@ -3677,7 +3694,12 @@ JOIN edges c2 ON c2.src = no.dst
              AND c2.label = 'CONTAINS' AND NOT c2.is_back
 JOIN edges eb ON eb.src = c2.dst AND eb.dst = no.src
              AND eb.label = 'CONTAINS' AND eb.is_back
-WHERE no.label = 'NEXT_ORDER' AND NOT no.is_back""",
+WHERE no.label = 'NEXT_ORDER' AND NOT no.is_back
+UNION ALL
+SELECT 'comma', e1.src, e2.label, e2.edge_seq, e2.dst
+FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+WHERE e1.label = 'PLACED' AND NOT e1.is_back
+  AND e2.label = 'CONTAINS' AND NOT e2.is_back""",
         # standalone (not oracle_prefix): DuckDB's WITH RECURSIVE changes CTE
         # scoping for union-shaped CTEs, breaking the nested WITH inside the
         # edges CTE — so derive the NEXT_ORDER relation directly from orders.

@@ -10,7 +10,7 @@ Nothing here is a port — see SURVEY.md for the semantic mapping.
 """
 
 from judy_graph_db_spark.graph import Graph, Ranges
-from judy_graph_db_spark.plans.motif import parse_motif
+from judy_graph_db_spark.plans.motif import match_motif, parse_motif
 from judy_graph_db_spark.plans.pattern import N, E, node, edge, any_node, labels, nodes32
 from judy_graph_db_spark.plans.compiler import (
     table,
@@ -36,6 +36,7 @@ __all__ = [
     "any_node",
     "labels",
     "nodes32",
+    "match_motif",
     "parse_motif",
     "table",
     "exclude_edges",

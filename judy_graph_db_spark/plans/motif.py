@@ -33,6 +33,9 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from judy_graph_db_spark.plans.pattern import E, N, Pattern
 
 _NODE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z_0-9]*)?\s*(:[^)=]+|=[^)]+)?\s*\)")
@@ -129,3 +132,98 @@ def parse_motif(motif: str) -> Pattern:
     if not specs or isinstance(specs[-1], E):
         raise ValueError("motif must start and end with a node group")
     return Pattern(specs)
+
+
+_POSITIONAL_RE = re.compile(r"^(n\d+|e\d+_(label|seq|depth))$")
+
+
+def _split_top_level(s: str) -> "list[str]":
+    """Split on commas outside ``()``/``[]`` — segment separators, not
+    the commas inside id lists like ``(=42,43)``."""
+    parts: list = []
+    cur: list = []
+    depth = 0
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = [p.strip() for p in parts if p.strip()]
+    if not out:
+        raise ValueError("empty motif")
+    return out
+
+
+def match_motif(g, motif: str, quick: bool = True,
+                cypher_nulls: bool = False) -> DataFrame:
+    """Evaluate a full Cypher-style MATCH clause: one or more
+    comma-separated motif patterns joined on their shared node
+    variables — ``match_motif(g, "(a)-->(b), (b)-->(c)")`` is Cypher's
+    ``MATCH (a)-->(b), (b)-->(c)``. Parity-plus: the reference's EDSL
+    stops at single chains (``Cypher.hs:62-144``); with
+    repeated-variable unification (``compiler._apply_names``) and this
+    join, the MATCH pattern surface is complete — any pattern GRAPH
+    (cycles, stars, multi-chains), not just paths.
+
+    Each segment evaluates through :func:`~.compiler.table` with
+    ``named=True`` (repeated variables *within* a segment already unify
+    there); segments then inner-join on the node variables they share —
+    id equality, exactly Cypher's semantics. Unnamed positional columns
+    are prefixed ``p{k}_`` per segment so they never collide.
+    ``cypher_nulls`` is passed through to every segment.
+
+    Segments join in any order — each round picks the next segment
+    sharing a variable with what's already matched, so
+    ``"(a)-->(b), (c)-->(d), (b)-->(c)"`` connects even though its
+    middle segment is disjoint from the first. Two deliberate errors:
+    a pattern whose segments do NOT all connect raises (an implicit
+    cross product — the same never-at-corpus-scale rule as negation to
+    an unbound node, see ``pattern.py``); an edge variable repeated
+    across segments raises (parallel edges make "the same edge"
+    ambiguous, as within one segment).
+
+    Scale shape: one hash join per additional segment, keyed on the
+    shared variables' ids; inside each segment the usual chain
+    compilation applies (label/id filters at the scans, Catalyst join
+    ordering). Nothing here adds state beyond the segments' bindings.
+    """
+    from judy_graph_db_spark.plans.compiler import table
+
+    parts = [parse_motif(seg) for seg in _split_top_level(motif)]
+    if len(parts) == 1:
+        return table(g, parts[0], quick=quick, named=True,
+                     cypher_nulls=cypher_nulls)
+    pending = []
+    for k, pat in enumerate(parts):
+        d = table(g, pat, quick=quick, named=True,
+                  cypher_nulls=cypher_nulls)
+        named = {c for c in d.columns if not _POSITIONAL_RE.match(c)}
+        d = d.select([F.col(c).alias(c if c in named else f"p{k}_{c}")
+                      for c in d.columns])
+        pending.append((d, named))
+    out, out_named = pending.pop(0)
+    while pending:
+        i = next((j for j, (_, named) in enumerate(pending)
+                  if named & out_named), None)
+        if i is None:
+            raise ValueError(
+                "pattern segments do not all connect through shared "
+                "variables — an implicit cross product; join your "
+                "patterns through a common variable")
+        d, named = pending.pop(i)
+        shared = sorted(named & out_named)
+        edge_clash = [c for c in shared
+                      if c.endswith(("_label", "_seq", "_depth"))]
+        if edge_clash:
+            raise ValueError(
+                f"edge variables repeated across segments: {edge_clash} "
+                "— edge names must be unique in a MATCH")
+        out = out.join(d, on=shared, how="inner")
+        out_named |= named
+    return out

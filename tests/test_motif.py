@@ -161,6 +161,59 @@ def test_cycle_unification_null_semantics(spark):
     assert cy == {(0, 3), (0, 4), (0, 5), (0, 6)}
 
 
+def test_match_motif_comma_triangle_equals_chain_cycle(spark):
+    """Comma-separated segments joined on shared variables — Cypher's
+    multi-pattern MATCH. The triangle written as three 1-hop segments
+    equals the single-chain cycle form."""
+    from judy_graph_db_spark import match_motif
+
+    g = f2_issue_tracker(spark)
+    via_comma = match_motif(
+        g, "(a)-[:References]->(b), (b)-[:Closes]->(c), "
+           "(c)-[:References]->(a)")
+    rows = {(r["a"], r["b"], r["c"]) for r in via_comma.collect()}
+    assert rows == {(3, 5, 4)}
+    via_chain = table(g, parse_motif(
+        "(a)-[:References]->(b)-[:Closes]->(c)-[:References]->(a)"),
+        named=True)
+    assert rows == {(r["a"], r["b"], r["c"]) for r in via_chain.collect()}
+
+
+def test_match_motif_segments_connect_in_any_order(spark):
+    """A segment disjoint from the FIRST still joins once a later
+    segment bridges them (Cypher joins the whole pattern graph, not
+    left-to-right)."""
+    from judy_graph_db_spark import match_motif
+
+    g = f2_issue_tracker(spark)
+    got = match_motif(
+        g, "(a:PROGRAMMER)-[:Raises]->(b), (c)-[:Closes]->(d), "
+           "(b)-[:References]->(c)")
+    rows = {(r["a"], r["b"], r["c"], r["d"]) for r in got.collect()}
+    assert rows == {(0, 3, 5, 4)}
+
+
+def test_match_motif_errors_and_passthrough(spark):
+    """Disconnected patterns raise (implicit cross product); repeated
+    edge variables across segments raise; a single segment is exactly
+    table(named=True)."""
+    from judy_graph_db_spark import match_motif
+
+    g = f2_issue_tracker(spark)
+    with pytest.raises(ValueError, match="do not all connect"):
+        match_motif(g, "(a)-[:Raises]->(b), (c)-[:Closes]->(d)")
+    with pytest.raises(ValueError, match="edge variables repeated"):
+        match_motif(g, "(a)-[r:Raises]->(b), (b)-[r:References]->(c)")
+    one = match_motif(g, "(p=0)-[r:Raises]->(i:ISSUE)")
+    ref = table(g, parse_motif("(p=0)-[r:Raises]->(i:ISSUE)"), named=True)
+    assert sorted(map(tuple, one.collect())) \
+        == sorted(map(tuple, ref.collect()))
+    # id-list commas are NOT segment separators
+    ids = match_motif(g, "(=3,4)-[:References]->(x)")
+    assert {(r["n0"], r["x"]) for r in ids.collect()} \
+        == {(3, 5), (4, 3), (4, 6)}
+
+
 def test_named_bindings_duplicate_edge_raises(spark):
     """Repeated EDGE variables stay an error (parallel edges make 'the
     same edge twice' ambiguous; Cypher forbids it too), as do node names
