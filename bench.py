@@ -164,6 +164,18 @@ def sec_core(spark, sf_dir, cpus, run):
     patv = N(labels=["ORDER"]) >> E(
         "NEXT_ORDER", direction="r", several=(1, 3)) >> N()
     run("var_length_3hop", lambda: table(g, patv).count())
+    # r13 pattern surface: cycle unification (repeated variable → 2-key
+    # equi-join on the closing hop) and multi-segment MATCH (one hash
+    # join between comma segments)
+    from judy_graph_db_spark import match_motif, parse_motif
+
+    patc = parse_motif(
+        "(o:ORDER)-[:NEXT_ORDER]->(o2:ORDER)"
+        "-[:CONTAINS]->(p:PART)<-[:CONTAINS]-(o)")
+    run("pattern_cycle", lambda: table(g, patc, named=True).count())
+    run("pattern_comma", lambda: match_motif(
+        g, "(c:CUSTOMER)-[:PLACED]->(o), (o)-[:CONTAINS]->(p:PART)")
+        .count())
     run("degree_table", lambda: A.degree_table(g).count())
 
 

@@ -574,3 +574,30 @@ def test_bucketed_graph_pattern_probe_is_shuffle_free(spark):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cycle_unification_folds_into_join_keys(g):
+    """Repeated-variable unification (the r13 cycle surface) must reach
+    the closing hop's JOIN KEYS, not hang as a post-join filter over all
+    2-paths: with no optional hops the triangle motif's final join keys
+    both endpoints — a line with two left keys referencing n0 AND the
+    previous hop's binding — and the plan carries no Filter on a
+    top-level n-column equality and no nested-loop join."""
+    from judy_graph_db_spark import parse_motif
+
+    pat = parse_motif(
+        "(o:ORDER)-[:NEXT_ORDER]->(o2:ORDER)"
+        "-[:CONTAINS]->(p:PART)<-[:CONTAINS]-(o)")
+    plan = plan_of(table(g, pat, named=True))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the unification equality must appear as a 2-key equi-join:
+    # "... [n0#..., n2#...], [n3#..., _src_2#...]" (key order per build)
+    import re as _re
+    two_key = _re.search(r"\[n0#\d+L, n2#\d+L\], \[n3#\d+L", plan)
+    assert two_key, plan
+    # and NOT as a residual/post filter: no Filter line comparing two
+    # n-columns (scan filters like isnotnull/label remain, as they must)
+    for line in plan.splitlines():
+        if "Filter (" in line or line.strip().startswith("+- Filter"):
+            assert not _re.search(r"n\d+#\d+L = n\d+#\d+L", line), line
