@@ -594,10 +594,18 @@ def _q_dedup_docs(spark, sf_dir):
         F.lit("exact").alias("op"), F.col("text_hash").alias("h"),
         F.col("keep_id").alias("a"), F.col("n_copies").alias("b"),
         F.lit(None).cast("long").alias("c"))
-    clus = D.dedup_clusters(docs).select(
+    clusters = D.dedup_clusters(docs).localCheckpoint(eager=True)
+    clus = clusters.select(
         F.lit("cluster").alias("op"), F.lit(None).cast("string").alias("h"),
         F.col("doc_id").alias("a"), F.col("cluster_id").alias("b"),
         F.col("is_canonical").cast("long").alias("c"))
+    # quality-aware representative (keep-by-length, RefinedWeb-style):
+    # same families, argmax(char length, tie -> min id) per cluster
+    rep = D.cluster_representatives(docs, clusters).select(
+        F.lit("bestrep").alias("op"),
+        F.col("cluster_id").cast("string").alias("h"),
+        F.col("doc_id").alias("a"), F.col("score").alias("b"),
+        F.col("is_best").cast("long").alias("c"))
     # corpus-pair overlap: union-MinHash Jaccard + exact shingle counts →
     # integer containment (even/odd doc split plays the two corpora)
     cont = D.corpus_containment(
@@ -627,8 +635,8 @@ def _q_dedup_docs(spark, sf_dir):
         F.lit("esd").alias("op"), F.md5("clean_text").alias("h"),
         F.col("doc_id").alias("a"), F.col("n_tokens").alias("b"),
         F.col("n_removed_tokens").alias("c"))
-    return (exact.unionByName(clus).unionByName(c1).unionByName(c2)
-            .unionByName(esd))
+    return (exact.unionByName(clus).unionByName(rep).unionByName(c1)
+            .unionByName(c2).unionByName(esd))
 
 
 # -------------------------------------------------------------- multimodal
@@ -3976,6 +3984,13 @@ FROM documents GROUP BY md5(text)
 UNION ALL
 SELECT 'cluster', NULL, doc_id, cluster_id, CAST(is_canonical AS BIGINT)
 FROM ({O.dedup_clusters_sql()}) dc
+UNION ALL
+SELECT 'bestrep', CAST(dc2.cluster_id AS VARCHAR), dc2.doc_id,
+       CAST(length(d.text) AS BIGINT),
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY dc2.cluster_id
+            ORDER BY length(d.text) DESC, dc2.doc_id ASC) = 1 AS BIGINT)
+FROM ({O.dedup_clusters_sql()}) dc2 JOIN documents d ON dc2.doc_id = d.doc_id
 UNION ALL
 SELECT 'contain', corpus_a || '|' || corpus_b, n_a, n_b, n_match
 FROM ({O.corpus_containment_sql(

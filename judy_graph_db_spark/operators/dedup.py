@@ -414,6 +414,44 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(keep, id_col, "left_semi")
 
 
+def cluster_representatives(docs: DataFrame, clusters: DataFrame,
+                            score_col="__len", id_col: str = "doc_id"
+                            ) -> DataFrame:
+    """Quality-aware canonical selection per near-dup family: where
+    :func:`dedup_clusters` keeps the MIN-ID member, production corpus
+    dedup keeps the BEST member — longest (RefinedWeb, Penedo et al.
+    2023 keep-by-length) or highest quality score. ``score_col`` is an
+    integer column name or Column expression over ``docs`` (default:
+    character length of ``text``); the representative is the max-score
+    member, ties broken by min id, so the pick is deterministic and
+    hash-stable. ``clusters`` is any ``(id_col, cluster_id)`` relation
+    (:func:`dedup_clusters` output, or exact-hash groups). Returns
+    ``(id_col, cluster_id, score, is_best)``.
+
+    Scale shape: one id-keyed join to attach scores and ONE
+    cluster-keyed max-struct aggregation with map-side combine — no
+    window, no per-cluster sort; the struct max over ``(score, -id)``
+    computes argmax and tiebreak in the same pass.
+    """
+    if isinstance(score_col, str) and score_col == "__len":
+        sc = F.length(F.col("text"))
+    else:
+        sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    scored = (
+        docs.select(F.col(id_col), sc.cast("long").alias("score"))
+        .join(clusters.select(id_col, "cluster_id"), id_col)
+    )
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(F.max(F.struct(
+            F.col("score"), (-F.col(id_col)).alias("__nid"))).alias("__b"))
+        .select("cluster_id", (-F.col("__b.__nid")).alias("__best"))
+    )
+    return scored.join(best, "cluster_id").select(
+        id_col, "cluster_id", "score",
+        (F.col(id_col) == F.col("__best")).alias("is_best"))
+
+
 #: position packing for the exact-substring keeper tiebreak: the keeper of
 #: a duplicated window is min(doc_id * ESD_POS_PACK + pos) — exact while
 #: every doc has fewer than 2^20 tokens (loudly guarded)

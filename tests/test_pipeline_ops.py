@@ -511,6 +511,29 @@ def test_dedup_clusters_transitive_families(spark):
     assert rows[9] == (9, True)  # singleton = its own cluster
 
 
+def test_cluster_representatives_argmax_and_tiebreak(spark):
+    """Quality-aware canonical pick: max score per family, ties to min
+    id; default score is character length (keep-by-length); a custom
+    integer score column flips the winner."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaaa"), (3, "aaaaaa"), (10, "zz"), (20, "z")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 10)],
+        "doc_id long, cluster_id long")
+    got = {r["doc_id"]: (r["cluster_id"], r["score"], r["is_best"])
+           for r in D.cluster_representatives(docs, clusters).collect()}
+    # family 1: max len 6 shared by 2 and 3 -> min id 2 wins
+    assert got[2] == (1, 6, True) and got[3] == (1, 6, False)
+    assert got[1] == (1, 4, False)
+    assert got[10] == (10, 2, True) and got[20] == (10, 1, False)
+    scored = docs.withColumn("q", F.col("doc_id") % 7)
+    got_q = {r["doc_id"]: r["is_best"] for r in D.cluster_representatives(
+        scored, clusters, score_col="q").collect()}
+    # family 1 scores 1/2/3 -> doc 3; family 10 scores 3/6 -> doc 20
+    assert got_q == {1: False, 2: False, 3: True, 10: False, 20: True}
+
+
 def test_dedup_clusters_lsh_end_to_end(spark):
     # true near-dups via the LSH path cluster together; unrelated stays out
     base = "the quick brown fox jumps over the lazy dog and runs far away home"
