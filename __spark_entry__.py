@@ -585,9 +585,10 @@ def _q_stream_interval_join(spark, sf_dir):
 def _q_dedup_docs(spark, sf_dir):
     """Document-level dedup bundle (merged gate — the driver records only
     50 correctness rows): exact duplicate groups (md5 hash-groupBy,
-    keeper = min id) and near-dup FAMILIES (LSH pairs → connected
-    components → canonical min-id representative) in one
-    (op, h, a, b, c) relation."""
+    keeper = min id), near-dup FAMILIES (LSH pairs → connected
+    components → canonical min-id representative), and the
+    quality-aware keep-by-length representative over the same families
+    in one (op, h, a, b, c) relation."""
     load_tpch_views(spark, sf_dir)
     docs = spark.table("documents")
     exact = D.exact_dedup(docs).select(
