@@ -212,6 +212,11 @@ def test_match_motif_errors_and_passthrough(spark):
     ids = match_motif(g, "(=3,4)-[:References]->(x)")
     assert {(r["n0"], r["x"]) for r in ids.collect()} \
         == {(3, 5), (4, 3), (4, 6)}
+    # cost-based strategy threads through each segment identically
+    m = "(a)-[:References]->(b), (b)-[:Closes]->(c)"
+    qt = {tuple(r) for r in match_motif(g, m).collect()}
+    qf = {tuple(r) for r in match_motif(g, m, quick=False).collect()}
+    assert qt == qf and len(qt) > 0
 
 
 def test_named_bindings_duplicate_edge_raises(spark):
