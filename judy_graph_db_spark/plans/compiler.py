@@ -422,19 +422,29 @@ def _apply_names(pattern: Pattern, bindings: DataFrame,
         if spec.name:
             by_name.setdefault(spec.name, []).append(i)
     dropped = set()
-    # NULL-tolerance is only reachable through optional hops; without
-    # them every position is non-null, and the plain equality lets
-    # Catalyst fold the unification into the join's hash keys instead
-    # of carrying an OR-isnull residual
-    null_keeps = (not cypher_nulls
-                  and any(e.optional for e in pattern.edge_specs))
+    # NULL-tolerance is computed PER POSITION, not per pattern: only
+    # node positions strictly after the first optional hop can ever be
+    # NULL (the compiler forces every hop after the first optional one
+    # to be optional too), so an equality whose unified positions all
+    # close before that hop stays a plain `==` that Catalyst folds into
+    # the closing join's hash keys — mixing an optional tail onto a
+    # cycle that closes earlier no longer forces an OR-isnull residual
+    # join on the cycle.
+    first_opt = next(
+        (i for i, e in enumerate(pattern.edge_specs) if e.optional), None)
+
+    def _nullable(pos: int) -> bool:
+        return first_opt is not None and pos > first_opt
+
     for name, ps in by_name.items():
         first = ps[0]
         for later in ps[1:]:
             eq = F.col(f"n{first}") == F.col(f"n{later}")
-            if null_keeps:
-                eq = eq | F.col(f"n{first}").isNull() \
-                    | F.col(f"n{later}").isNull()
+            if not cypher_nulls:
+                if _nullable(first):
+                    eq = eq | F.col(f"n{first}").isNull()
+                if _nullable(later):
+                    eq = eq | F.col(f"n{later}").isNull()
             bindings = bindings.filter(eq)
             dropped.add(f"n{later}")
     ren: "dict[str, str]" = {

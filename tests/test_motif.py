@@ -229,3 +229,161 @@ def test_named_bindings_duplicate_edge_raises(spark):
               named=True)
     with pytest.raises(ValueError, match="duplicate binding names"):
         table(g, parse_motif("(n1=0)-[:Raises]->()"), named=True)
+
+
+# ------------------------------------------------- r14: inline WHERE strings
+
+def _norm_plan(df):
+    import re as _re
+    return _re.sub(r"#\d+L?", "#", df._jdf.queryExecution().optimizedPlan().toString())
+
+
+def test_motif_where_string_seq_filter(spark):
+    """`{seq>=3}` compiles to the same predicate as E(where=...) —
+    values and rows identical (Raises seqs: 3→1, 4→2, 5→3, 6→4)."""
+    g = f2_issue_tracker(spark)
+    via_str = table(g, parse_motif("(p=0)-[:Raises {seq>=3}]->(i)"))
+    rows = {(r["n0"], r["n1"]) for r in via_str.collect()}
+    assert rows == {(0, 5), (0, 6)}
+    via_edsl = table(
+        g, N(ids=[0]) >> E("Raises", direction="r",
+                           where=lambda c: c["edge_seq"] >= 3) >> N())
+    assert rows == {(r["n0"], r["n1"]) for r in via_edsl.collect()}
+
+
+def test_motif_where_string_plan_identical(spark):
+    """The parsed `{...}` predicate produces the IDENTICAL optimized plan
+    to the combinator E(where=...) form (exprIds normalized away)."""
+    g = f2_issue_tracker(spark)
+    via_str = table(g, parse_motif("(p=0)-[:Raises {seq>=3}]->(i)"))
+    via_edsl = table(
+        g, N(ids=[0]) >> E("Raises", direction="r",
+                           where=lambda c: c["edge_seq"] >= 3) >> N())
+    assert _norm_plan(via_str) == _norm_plan(via_edsl)
+
+
+def test_motif_where_string_label_and_multi_terms(spark):
+    """String literals + comma = AND; `label='Raises'` on an unlabeled
+    edge restricts exactly like E(attr=['Raises'])'s filter would."""
+    g = f2_issue_tracker(spark)
+    df = table(g, parse_motif("(p=0)-[{label='Raises', seq<=2}]->(i)"))
+    assert {(r["n0"], r["n1"]) for r in df.collect()} == {(0, 3), (0, 4)}
+
+
+def test_motif_node_where_string(spark):
+    """Node predicate `(i {id>=5})` restricts the bound endpoint."""
+    g = f2_issue_tracker(spark)
+    df = table(g, parse_motif("(p=0)-[:Raises]->(i {id>=5})"))
+    assert {(r["n0"], r["n1"]) for r in df.collect()} == {(0, 5), (0, 6)}
+    # combined with a label
+    df2 = table(g, parse_motif("(p=0)-[:Raises]->(i:ISSUE {id>=5})"))
+    assert {(r["n0"], r["n1"]) for r in df2.collect()} == {(0, 5), (0, 6)}
+
+
+def test_motif_where_kwarg_and_compose(spark):
+    """where={'var': fn} binds arbitrary callables by variable name;
+    a var with BOTH an inline predicate and a kwarg entry gets the AND;
+    unbound names raise."""
+    g = f2_issue_tracker(spark)
+    pat = parse_motif("(p=0)-[r:Raises]->(i)",
+                      where={"r": lambda c: c["edge_seq"] >= 3})
+    assert {(r["n0"], r["n2"]) if "n2" in r else (r["n0"], r["n1"])
+            for r in table(g, pat).collect()} == {(0, 5), (0, 6)}
+    both = parse_motif("(p=0)-[r:Raises {seq>=2}]->(i)",
+                       where={"r": lambda c: c["edge_seq"] <= 3})
+    assert {(r["n0"], r["n1"]) for r in table(g, both).collect()} \
+        == {(0, 4), (0, 5)}
+    with pytest.raises(ValueError, match="not bound"):
+        parse_motif("(a)-->(b)", where={"zz": lambda c: c})
+    from judy_graph_db_spark import match_motif
+    mm = match_motif(g, "(p=0)-[r:Raises]->(i), (i)-[:Closes]->(x)",
+                     where={"r": lambda c: c["edge_seq"] >= 3})
+    assert {(r["i"], r["x"]) for r in mm.collect()} == {(5, 4)}
+
+
+def test_motif_bad_where_strings():
+    for bad in ["(a)-[{seq>>3}]->(b)", "(a)-[{bogus>=1}]->(b)",
+                "(a {seq>=1})-->(b)"]:
+        with pytest.raises(ValueError):
+            parse_motif(bad)
+
+
+# --------------------------------------- r14: match_motif semantics pins
+
+def test_match_motif_node_var_with_edge_like_suffix(spark):
+    """A NODE variable whose name merely looks like an edge column
+    (`x_seq`) shared across segments joins normally — edge variables are
+    detected from the parsed specs, not column-name suffixes."""
+    from judy_graph_db_spark import match_motif
+
+    g = f2_issue_tracker(spark)
+    df = match_motif(
+        g, "(a:PROGRAMMER)-[:Raises]->(x_seq), (x_seq)-[:References]->(c)")
+    rows = {(r["a"], r["x_seq"], r["c"]) for r in df.collect()}
+    assert rows == {(0, 3, 5), (0, 4, 3), (0, 4, 6)}
+
+
+def test_match_motif_cross_segment_null_drops(spark):
+    """Cross-segment joins are equi-joins: a shared variable bound NULL
+    by an unmatched optional hop NEVER matches the next segment — the
+    row is DROPPED regardless of cypher_nulls (each comma pattern is a
+    separate MATCH, Cypher's semantics too). Programmer 1 raises
+    nothing, so its optional `i` is NULL and its row disappears."""
+    from judy_graph_db_spark import match_motif
+
+    g = f2_issue_tracker(spark)
+    m = "(p:PROGRAMMER)-[:Raises?]->(i), (i)-[:References?]->(x)"
+    for nulls in (False, True):
+        rows = {(r["p"], r["i"], r["x"])
+                for r in match_motif(g, m, cypher_nulls=nulls).collect()}
+        assert all(p != 1 for p, _, _ in rows)
+        assert (0, 3, 5) in rows and (0, 4, 3) in rows
+        # the SECOND segment's optional tail still keeps its NULLs
+        assert (0, 5, None) in rows and (0, 6, None) in rows
+
+
+def test_match_motif_cost_seeded_segment_order(spark):
+    """quick=False seeds the segment join order from the globally
+    cheapest endpoint (explicit ids cost len(ids), beating any label or
+    anyNode seed) and attaches the cheapest connected segment each
+    round; quick=True keeps written order. Results are identical."""
+    from judy_graph_db_spark import match_motif
+    from judy_graph_db_spark.plans.motif import _segment_order, _split_top_level
+
+    g = f2_issue_tracker(spark)
+    m = "(a)-[:Raises]->(b), (b)-[:References]->(c), (c=5)-[:Closes]->(d)"
+    parts = [parse_motif(seg) for seg in _split_top_level(m)]
+    seg_nodes = [{s.name for s in p.node_specs if s.name} for p in parts]
+    assert _segment_order(g, parts, seg_nodes, quick=True) == [0, 1, 2]
+    order = _segment_order(g, parts, seg_nodes, quick=False)
+    assert order[0] == 2  # (c=5) is the cheapest seed
+    qt = {tuple(r) for r in match_motif(g, m).collect()}
+    qf = {tuple(r) for r in match_motif(g, m, quick=False).collect()}
+    # same rows modulo column order (cost order may emit columns differently)
+    cols_t = match_motif(g, m).columns
+    cols_f = match_motif(g, m, quick=False).columns
+    assert sorted(cols_t) == sorted(cols_f)
+    dt = {tuple(r[c] for c in sorted(cols_t))
+          for r in match_motif(g, m).collect()}
+    df_ = {tuple(r[c] for c in sorted(cols_f))
+           for r in match_motif(g, m, quick=False).collect()}
+    assert dt == df_ and len(dt) > 0
+
+
+# ------------------------------- r14: per-position NULL-tolerant unification
+
+def test_cycle_closing_before_optional_folds_to_equi_join(spark):
+    """A cycle whose unified positions both sit BEFORE the first optional
+    hop can never be NULL, so the unification stays a plain equality
+    (foldable into the closing join's hash keys) — no OR-isnull residual
+    — and default semantics equal cypher_nulls=True."""
+    g = f2_issue_tracker(spark)
+    pat = parse_motif("(p)-[:Raises]->(i)<-[:Raises]-(p)-[:Closes?]->(x)")
+    dflt = table(g, pat, named=True)
+    rows = {(r["p"], r["i"], r["x"]) for r in dflt.collect()}
+    assert rows == {(0, 3, 3), (0, 4, 3), (0, 5, 3), (0, 6, 3)}
+    cy = {(r["p"], r["i"], r["x"])
+          for r in table(g, pat, named=True, cypher_nulls=True).collect()}
+    assert rows == cy
+    plan = dflt._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnull(n0" not in plan and "isnull(n2" not in plan
