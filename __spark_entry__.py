@@ -124,6 +124,18 @@ def _q_pattern_where(spark, sf_dir):
     return table(g, pat)
 
 
+def _q_pattern_where_str(spark, sf_dir):
+    """The SAME first-two-orders query through the motif-string front
+    end's inline predicate (``-[:PLACED {seq<=2}]->``) — the parsed
+    ``{...}`` block compiles to the identical where-closure the
+    combinator form carries (``plans/motif._compile_pred``), so this op
+    hash-gates the string path end-to-end against the same oracle
+    shape as ``where_seq``."""
+    g = tpch_graph(spark, sf_dir)
+    return table(g, parse_motif(
+        "(:CUSTOMER)-[:PLACED {seq<=2}]->(:ORDER)"))
+
+
 def _q_pattern_optional(spark, sf_dir):
     """OPTIONAL MATCH hop (parity-plus; Cypher semantics): every CUSTOMER
     row survives — those without orders carry NULL edge/node columns
@@ -1395,6 +1407,7 @@ def _q_pattern_1hop_matrix(spark, sf_dir):
         ("backward", _q_pattern_backward),
         ("orth_bulk", _q_pattern_orth),
         ("where_seq", _q_pattern_where),
+        ("where_str", _q_pattern_where_str),
         ("optional", _q_pattern_optional),
         ("not_edge", _q_pattern_not_edge),
         ("cycle", _q_pattern_cycle),
@@ -3683,6 +3696,9 @@ SELECT 'orth_bulk', src, label, edge_seq, dst
 FROM edges WHERE is_bulk AND NOT is_back
 UNION ALL
 SELECT 'where_seq', src, label, edge_seq, dst
+FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq <= 2
+UNION ALL
+SELECT 'where_str', src, label, edge_seq, dst
 FROM edges WHERE label = 'PLACED' AND NOT is_back AND edge_seq <= 2
 UNION ALL
 SELECT 'optional', n.id, e.label, e.edge_seq, e.dst

@@ -2008,7 +2008,8 @@ def harmonic_centrality(edges: DataFrame, max_iter: int = 20,
 
 
 def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
-                            max_iter: int = 20) -> DataFrame:
+                            max_iter: int = 20,
+                            driver_contract_max: int = 500_000) -> DataFrame:
     """Borůvka minimum spanning forest over an undirected weighted edge
     set: ``(a BIGINT, b BIGINT, weight BIGINT)``, the MST of every
     connected component. Deterministic under ties — the per-component
@@ -2082,9 +2083,13 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
         # it fits comfortably on the driver a local union-find beats ~8
         # latency-bound distributed CC rounds; the first rounds of a
         # 100 TB run stay distributed.
+        # `driver_contract_max` parameterizes the crossover (0 forces the
+        # distributed branch — the branch a 100 TB run's first rounds take;
+        # equivalence across both branches is pinned by
+        # ``test_msf_distributed_contraction_branch_equivalent``).
         cedges = picked.select(F.col("ca").alias("src"),
                                F.col("cb").alias("dst"))
-        if cedges.count() <= 500_000:
+        if cedges.count() <= driver_contract_max:
             parent: dict = {}
 
             def find(x):
@@ -3488,7 +3493,20 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
     by edge id, also deterministically).
 
     Scale shape: each round is one eb computation (closure-sized exact,
-    or k·|V| sampled), a 1-row collect of the max, and nothing else;
+    or k·|V| sampled), a 1-row collect of the max, and nothing else.
+    Exact mode is additionally PER-COMPONENT INCREMENTAL: shortest
+    paths never cross components, so after round 1's full closure each
+    removal recomputes eb only for the component it touched (one
+    left-anti against the cached values + a component-sized closure)
+    and component labels update by a CC run over the affected node set
+    alone — on fragmenting graphs later rounds shrink with the largest
+    touched component (bench: `girvan_newman_r2_incr`). Sampled mode
+    keeps full recompute: a k-pivot estimate is NOT component-
+    decomposable (the pivot draw is over the whole node set, so a
+    per-component re-estimate with the same budget would change the
+    estimator, and with a proportional budget would change the seed
+    stream — either way the removal sequence would diverge from a full
+    recompute).
     superseded checkpoints — the previous round's undirected view, the
     exact path's σ closure, the sampled path's BFS state — are freed
     eagerly, so live storage is one round's state, not
@@ -3534,10 +3552,37 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
             F.sum("q_scaled")).collect()[0][0]
         return int(q or 0)
 
+    def _q_from_labels(labels):
+        q = modularity_scaled(
+            und0, labels.select("id", F.col("component").alias("community"))
+        ).agg(F.sum("q_scaled")).collect()[0][0]
+        return int(q or 0)
+
     best_r = 0
     best_q = _q_scaled(und0) if pick == "modularity" else 0
     removed = []
     eb_micro = F.round(F.col("betweenness") * 1e6).cast("long")
+    # Exact mode is INCREMENTAL per component: shortest paths never
+    # cross components, so eb decomposes exactly over components —
+    # removing an edge only changes betweenness inside the component it
+    # belonged to (and possibly split). Round 1 computes the full
+    # closure once; each later round recomputes ONLY the affected
+    # component's edges against cached values for the rest, and the
+    # component labels update by re-running CC on the affected node set
+    # alone (min-id labels of disjoint node sets never collide with the
+    # untouched components'). On fragmenting graphs round r's closure
+    # cost shrinks with the largest touched component instead of
+    # staying |V|²; identical removal sequences by construction (same
+    # per-edge sums, same micro-rounded tie-break).
+    eb_cache = None   # (src, dst, betweenness) over the CURRENT und
+    comp = None       # (id, component) over all_nodes for the CURRENT und
+    if n_pivots is None:
+        C = shortest_path_counts(und, max_iter=max_iter)
+        eb_cache = edge_betweenness(und, closure=C) \
+            .localCheckpoint(eager=True)
+        _unpersist_checkpoint(C)
+        comp = connected_components(und0, nodes=all_nodes) \
+            .localCheckpoint(eager=True)
     for r in range(int(n_removals)):
         if n_pivots is not None:
             ck: list = []
@@ -3555,13 +3600,10 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
             for c in ck:
                 _unpersist_checkpoint(c)
         else:
-            C = shortest_path_counts(und, max_iter=max_iter)
-            eb = edge_betweenness(und, closure=C)
-            top = (eb.filter(F.col("src") < F.col("dst"))
+            top = (eb_cache.filter(F.col("src") < F.col("dst"))
                    .orderBy(eb_micro.desc(),
                             F.col("src").asc(), F.col("dst").asc())
                    .limit(1).collect())
-            _unpersist_checkpoint(C)
         if not top:
             break
         a, b, score = top[0]["src"], top[0]["dst"], top[0]["betweenness"]
@@ -3573,8 +3615,33 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
         ).localCheckpoint(eager=True)
         if prev is not und0:  # und0 backs the modularity scoring
             _unpersist_checkpoint(prev)
+        if n_pivots is None:
+            # affected component X = a's component BEFORE the removal
+            # (b shares it — they shared an edge)
+            comp_a = comp.filter(F.col("id") == a) \
+                .select("component").collect()[0][0]
+            x_ids = comp.filter(F.col("component") == comp_a) \
+                .select("id").localCheckpoint(eager=True)
+            sub = und.join(x_ids.select(F.col("id").alias("src")),
+                           "src", "left_semi").localCheckpoint(eager=True)
+            cc_sub = connected_components(sub, nodes=x_ids)
+            new_comp = comp.filter(F.col("component") != comp_a) \
+                .unionByName(cc_sub).localCheckpoint(eager=True)
+            _unpersist_checkpoint(comp)
+            comp = new_comp
+            C = shortest_path_counts(sub, max_iter=max_iter)
+            eb_sub = edge_betweenness(sub, closure=C)
+            new_cache = (
+                eb_cache.join(x_ids.select(F.col("id").alias("src")),
+                              "src", "left_anti")
+                .unionByName(eb_sub).localCheckpoint(eager=True))
+            _unpersist_checkpoint(C)
+            _unpersist_checkpoint(eb_cache)
+            _unpersist_checkpoint(sub)
+            _unpersist_checkpoint(x_ids)
+            eb_cache = new_cache
         if pick == "modularity":
-            q = _q_scaled(und)
+            q = _q_from_labels(comp) if n_pivots is None else _q_scaled(und)
             if q > best_q:
                 best_r, best_q = r + 1, q
     rem_df = spark.createDataFrame(
@@ -3590,6 +3657,11 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
             F.col("dst").alias("src"), F.col("src").alias("dst")))
         cut = und0.join(sym, ["src", "dst"], "left_anti")
         labels = connected_components(cut, nodes=all_nodes)
+    elif n_pivots is None and comp is not None:
+        # the incrementally-maintained labels ARE connected_components
+        # of the final cut (same min-id labeling over the same
+        # partition of all_nodes)
+        labels = comp
     else:
         labels = connected_components(und, nodes=all_nodes)
     return rem_df, labels

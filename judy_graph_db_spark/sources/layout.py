@@ -63,26 +63,61 @@ def _sampled_boundaries(vals: DataFrame, n_distinct: int, bits: int,
     return [r["__v"] for r in rows]
 
 
+def _exact_boundaries(vals: DataFrame, n_distinct: int, bits: int) -> list:
+    """EXACT quantile boundaries, with multiplicity: boundary ``k``
+    (k = 1..2^bits-1) is the distinct value at zero-based dense rank
+    ``ceil(k·n / 2^bits)``. Then ``#{k : b_k <= v}`` equals
+    ``floor(rank(v) · 2^bits / n)`` for every value — the same integer
+    quantile the old broadcast-rank join computed — because for integer
+    ``r``, ``ceil(k·n/B) <= r  ⇔  k <= r·B/n``, whose count over
+    k ≥ 1 is ``floor(r·B/n)``. Duplicate boundaries are KEPT (when
+    ``n < 2^bits`` several k share a rank and the quantile must jump by
+    that multiplicity).
+
+    The ranking window runs HERE, in its own bounded job over the
+    ≤ ``max_exact_distinct`` distinct-value relation, and only the
+    2^bits-1 boundary rows come back — the caller's plan carries a
+    literal array, identical in shape to the sampled path, so the final
+    query plan has no unpartitioned window at any cardinality."""
+    B = 1 << bits
+    positions = [
+        -(-(k * n_distinct) // B)  # ceil
+        for k in range(1, B)
+    ]
+    positions = [p for p in positions if p <= n_distinct - 1]
+    w = Window.orderBy(F.col("__v").asc())
+    ranked = vals.select(
+        "__v", (F.dense_rank().over(w) - 1).alias("__r"))
+    pos_set = sorted(set(positions))
+    rows = (ranked.filter(F.col("__r").isin(pos_set))
+            .orderBy("__r").collect())
+    val_at = {r["__r"]: r["__v"] for r in rows}
+    return [val_at[p] for p in positions]
+
+
 def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 8,
                  out: str = "zvalue",
                  max_exact_distinct: int = 1 << 14) -> DataFrame:
     """Attach the Morton z-value of ``cols`` as ``out``.
 
     Each column maps to a ``bits``-wide integer quantile of its value
-    distribution. Two paths per column, picked by the exact distinct
-    count (one distributed agg):
+    distribution. Both paths produce a literal boundary array mapped per
+    row with ``size(filter(bnds, b -> b <= value))`` — pure codegen, so
+    the OUTPUT plan never contains a window at any cardinality; only the
+    boundary source differs, picked by the exact distinct count (one
+    distributed agg):
 
-    - ``|distinct| <= max_exact_distinct``: exact
-      ``floor((dense_rank-1) * 2^bits / n_distinct)`` over the tiny
-      distinct-value relation, broadcast back — deterministic and
-      SQL-twinnable (this is the gate-checked path);
-    - above: sampled boundaries (:func:`_sampled_boundaries`) embedded as
-      a literal array and mapped per row with ``size(filter(bnds,
-      b -> b <= value))`` — pure codegen, no window ever sees more than
-      ~2^bits·64 rows, no |table|-sized broadcast. A global ``dense_rank``
-      here would serialize a 100 TB timestamp/id column through ONE task;
-      bucket-exactness is not needed for layout, only approximate
-      equal-mass splits.
+    - ``|distinct| <= max_exact_distinct``: exact boundaries at exact
+      dense-rank positions (:func:`_exact_boundaries`) — value-identical
+      to ``floor((dense_rank-1) * 2^bits / n_distinct)``, deterministic
+      and SQL-twinnable (this is the gate-checked path); the ranking
+      window runs in its own build-time job bounded by
+      ``max_exact_distinct`` rows;
+    - above: sampled boundaries (:func:`_sampled_boundaries`) — no
+      window ever sees more than ~2^bits·64 rows. A global
+      ``dense_rank`` here would serialize a 100 TB timestamp/id column
+      through ONE task; bucket-exactness is not needed for layout, only
+      approximate equal-mass splits.
 
     Bits interleave column-major: output bit ``i*len(cols)+j`` is bit
     ``i`` of column ``j``'s quantile.
@@ -95,27 +130,22 @@ def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 8,
         vals = df.select(F.col(c).alias("__v")).distinct()
         n_distinct = vals.count()
         if n_distinct <= max_exact_distinct:
-            w = Window.orderBy(F.col("__v").asc())
-            ranked = vals.select(
-                "__v",
-                (F.dense_rank().over(w) - 1).alias("__r"),
-            )
-            # integer division keeps the quantile exact in every engine (a
-            # float floor(a*b/c) can round differently at bucket boundaries)
-            ranked = ranked.select(
-                F.col("__v").alias(c),
-                F.expr(f"(__r * {1 << bits}) div {int(n_distinct)}")
-                .cast("long").alias(f"__q{j}"),
-            )
-            keyed = keyed.join(F.broadcast(ranked), c, "left")
+            # exact boundaries at exact dense-rank positions — value-
+            # identical to floor(dense_rank·2^bits / n) (see
+            # _exact_boundaries), with the ranking window confined to its
+            # own bounded build-time job instead of the output plan
+            bounds = _exact_boundaries(vals, n_distinct, bits)
         else:
             bounds = _sampled_boundaries(vals, n_distinct, bits)
-            arr = F.array(*[F.lit(b) for b in bounds])
-            keyed = keyed.withColumn(
-                f"__q{j}",
-                F.size(F.filter(arr, lambda b: b <= F.col(c)))
-                .cast("long"),
-            )
+        if not bounds:  # single distinct value → one bucket
+            keyed = keyed.withColumn(f"__q{j}", F.lit(0).cast("long"))
+            continue
+        arr = F.array(*[F.lit(b) for b in bounds])
+        keyed = keyed.withColumn(
+            f"__q{j}",
+            F.size(F.filter(arr, lambda b: b <= F.col(c)))
+            .cast("long"),
+        )
     interleave = None
     for i in range(bits):
         for j in range(n):

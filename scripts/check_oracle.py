@@ -29,8 +29,6 @@ from tests.oracle_utils import compare, duck_connection
 #: - chunk_shard/sampling/stats/corpus_curation/temporal windows are the
 #:   documented two-pass prefix-sum and quantile-bucket windows over
 #:   AGGREGATE-sized relations (partition-stats rows, not corpus rows)
-#: - persisted_roundtrip's are the gate-pinned exact-rank zorder path
-#:   (production uses sampled boundaries)
 #: - graph_similarity's BNLJ is the landmark estimator's intended bounded
 #:   all-pairs INPUT fixture
 #: - node_label_counts' BNLJ is the broadcast 6-literal-row ranges-table
@@ -40,7 +38,6 @@ PINNED_LINT = {
     "corpus_curation": {"unpartitioned-window": 2},
     "graph_similarity": {"nested-loop-join": 1},
     "node_label_counts": {"nested-loop-join": 1},
-    "persisted_roundtrip": {"unpartitioned-window": 2},
     "sampling_ops": {"unpartitioned-window": 2},
     "stats_ops": {"unpartitioned-window": 3},
     "temporal_ops": {"unpartitioned-window": 1},

@@ -2150,3 +2150,66 @@ def test_girvan_newman_sampled_matches_exact_sequence(spark):
     cx = {r["id"]: r["component"] for r in lab_x.collect()}
     cs = {r["id"]: r["component"] for r in lab_s.collect()}
     assert cx == cs
+
+
+def test_msf_distributed_contraction_branch_equivalent(spark):
+    """driver_contract_max=0 forces the distributed
+    connected_components(cedges) contraction — the branch the first
+    rounds of a 100 TB run take — and must produce the exact same
+    forest as the driver union-find fast path on every fixture
+    (VERDICT r13 watch item 1)."""
+    import random
+
+    from judy_graph_db_spark.operators import analytics as AN
+
+    rng = random.Random(13)
+    n = 40
+    rows = [(i, i + 1, 0) for i in range(n)]
+    rows += [(rng.randrange(n), rng.randrange(n), 0) for _ in range(60)]
+    rows = [(a, b, 0) for a, b in {(a, b) for a, b, _ in rows if a != b}]
+    weights = rng.sample(range(1, 10000), len(rows))
+    rows = [(a, b, w) for (a, b, _), w in zip(rows, weights)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    fast = sorted((r.a, r.b, r.weight)
+                  for r in AN.minimum_spanning_forest(edges).collect())
+    dist = sorted((r.a, r.b, r.weight)
+                  for r in AN.minimum_spanning_forest(
+                      edges, driver_contract_max=0).collect())
+    assert fast == dist == sorted(_kruskal(rows))
+    # disconnected fixture through the distributed branch too
+    e2 = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7), (1, 3, 9), (10, 11, 1)],
+        "src long, dst long, weight long",
+    )
+    got = sorted((r.a, r.b, r.weight)
+                 for r in AN.minimum_spanning_forest(
+                     e2, driver_contract_max=0).collect())
+    assert got == [(1, 2, 5), (2, 3, 7), (10, 11, 1)]
+
+
+def test_girvan_newman_incremental_across_components(spark):
+    """Per-component incremental exact GN (r14): two disconnected
+    barbells — round 1's full eb computation caches both; removal 1
+    takes the BIG barbell's bridge and recomputes only that component;
+    removal 2's argmax (the small barbell's bridge) must come from the
+    CACHE, and the final labels must be the 4 split communities."""
+    from judy_graph_db_spark.operators import analytics as AN
+
+    k4a = [(i, j) for i in range(0, 4) for j in range(i + 1, 4)]
+    k4b = [(i, j) for i in range(4, 8) for j in range(i + 1, 8)]
+    k3a = [(i, j) for i in range(10, 13) for j in range(i + 1, 13)]
+    k3b = [(i, j) for i in range(13, 16) for j in range(i + 1, 16)]
+    edges = spark.createDataFrame(
+        k4a + k4b + k3a + k3b + [(3, 4), (12, 13)],
+        "src long, dst long")
+    removed, labels = AN.girvan_newman_split(
+        edges, n_removals=2, method="exact")
+    got = [(r["src"], r["dst"]) for r in
+           removed.orderBy("round").collect()]
+    assert got == [(3, 4), (12, 13)]
+    comp = {r["id"]: r["component"] for r in labels.collect()}
+    groups = {}
+    for nid, c in comp.items():
+        groups.setdefault(c, set()).add(nid)
+    assert sorted(map(tuple, map(sorted, groups.values()))) == [
+        (0, 1, 2, 3), (4, 5, 6, 7), (10, 11, 12), (13, 14, 15)]
