@@ -5886,3 +5886,138 @@ WHERE src <> dst""",
         )
         out[_name] = f"SELECT {_sel} FROM ({out[_name]}\n) __recast"
     return out
+
+
+def gates_manifest() -> dict[str, dict]:
+    """Machine-readable audit map of the driver's 50 correctness rows
+    (VERDICT r13 task 8): for every ``queries()`` key, the bundled
+    ``op`` tags its union output hash-checks (``[]`` = a single-op gate
+    whose whole output is the operator's own shape) and whether an
+    ``oracle_sql()`` twin exists. The driver's 50 rows stay auditable as
+    the op count grows: an operator claimed done in COVERAGE.md must
+    resolve to a key here or to an op tag of its gate
+    (``tests/test_manifest.py`` enforces both directions — manifest vs
+    live gate outputs, and COVERAGE.md references vs manifest).
+
+    Op lists are the DISTINCT values of each bundle's ``op`` column at
+    sf0.001, regenerated by ``tests/test_manifest.py``'s spot checks;
+    a bundle emitting an op not listed here (or dropping one) fails.
+    """
+    oracles = set(oracle_sql())
+    ops = {
+        "adjacency_neighbors": [],
+        "ann_search": [
+            "bitext", "brute", "dhist", "dimstats", "hardneg", "ivf",
+            "ivf_probe2", "ivfpq", "kmeans", "knn_join", "lsh", "mrr", "ndcg",
+            "pool", "pq", "pqtop", "quant", "recall", "rproj", "rrf",
+            "semdedup",
+        ],
+        "appl_sorted_positions": [],
+        "chunk_shard_ops": [
+            "bpe_enc", "bpe_merge", "bpe_vocab", "bpec", "chunk", "emit",
+            "fim", "pack", "sft", "shard", "spanc", "tchunk", "uni_seed",
+            "uni_seg", "wp_merge", "wp_seg", "wshard",
+        ],
+        "closure_min_depth": [],
+        "connected_components": ["cc", "incremental", "modularity", "scc", "wl"],
+        "corpus_curation": [
+            "boiler", "canonical", "cap", "contam", "diff", "drift_ab",
+            "drift_ba", "dsir", "fcontam", "funnel", "lsplit", "mixture",
+            "paradedup", "parafilter", "parasig", "pps", "quality_filter",
+            "sample", "shuffle", "split_sizes", "summary", "tmix",
+        ],
+        "create_mem_diff": ["add", "del"],
+        "dedup_docs": [
+            "bestrep", "cluster", "contain", "containj", "esd", "exact",
+        ],
+        "degree_by_label": [],
+        "degree_histogram": [],
+        "delete_ops": ["cascade", "reciprocal"],
+        "doc_signals": [],
+        "edge_list_ingest": [],
+        "event_sessions": [],
+        "events_hourly_batch_stream": [
+            "batch", "sk_bloom", "sk_cc", "sk_cms", "sk_hll", "sk_ndup",
+            "sk_scd2", "slide_stream", "stream",
+        ],
+        "events_json": [],
+        "filter_edges_to_parts": [],
+        "flat_table_positions": [],
+        "graph_query_subgraph": [],
+        "graph_similarity": [
+            "aa", "betw", "betws", "closeness", "co_purchase", "diam",
+            "ebetw", "ebetws", "gnlab", "gnrem", "harmonic", "hball",
+            "jaccard", "lmd", "lmu", "mst", "ra", "sigma", "spt", "stress",
+            "weighted",
+        ],
+        "insert_append_seq": [],
+        "k_core_nodes": [
+            "coarsen", "color", "core", "coreness", "embed", "matching",
+            "mis", "onion", "truss", "trussness",
+        ],
+        "label_communities": ["cond", "condp", "greedy", "lpa"],
+        "link_analysis": ["hits", "katz", "ppr"],
+        "map_nodes_relabel": [],
+        "media_pipeline": [
+            "ahash", "audio", "awindow", "decode", "frame", "hpairs",
+            "meta_image", "png_ahash", "video",
+        ],
+        "neardup_pairs": [
+            "cosine", "fuzzy", "jaccard", "lsh", "ppjoin", "simhash",
+            "wmatch",
+        ],
+        "nested_layers_2hop": [],
+        "node_label_counts": [],
+        "nodes_scan_multiplicity": [],
+        "orders_by_month": [],
+        "orders_per_nation": [],
+        "orders_rollup": [],
+        "pagerank_ranks": ["pr", "warm", "wpr"],
+        "pattern_1hop_matrix": [
+            "backward", "comma", "cycle", "not_edge", "optional", "orth_bulk",
+            "where_seq", "where_str",
+        ],
+        "pattern_2hop": ["cost", "quick"],
+        "persisted_roundtrip": ["roundtrip", "zorder"],
+        # attr_overlap legitimately emits 0 rows at sf0.001 (no duplicate
+        # keys in the tiny fixture) — listed because the bundle always
+        # unions its part; the live spot-check is subset-based for this
+        "point_lookups": [
+            "adjacent_node_first", "all_children", "attr_overlap",
+            "edges_by_index", "lookup_node_edge",
+        ],
+        "pricing_summary": [],
+        "sampling_ops": [
+            "exact", "lsh_new", "lsh_old", "mpwalk", "n2v", "nagg", "naggm",
+            "negedge", "negsamp", "neighbor", "skipgram", "synth", "walk",
+            "wwalk",
+        ],
+        "stats_ops": [
+            "auc", "bloom", "bm25", "cms", "cmsq", "colloc", "commonness",
+            "encode", "entropy", "gram", "hll", "hlle", "hllg", "htf",
+            "inverted", "knbits", "linscore", "mad", "mg", "ngram", "novelty",
+            "outliers", "pca", "ptron_m", "ptron_s", "ptron_w", "qbin",
+            "quantiles", "rep", "sbgram", "stratified", "surprisal",
+            "top_terms", "vocab", "winnow", "zipf1", "zipf2",
+        ],
+        "stream_interval_join": ["dedup", "ijoin"],
+        "temporal_ops": [
+            "anomaly", "asof", "cohort", "conc", "decay", "funnel", "funnel3",
+            "gaps", "gapsq", "markov", "range", "resample", "scd2", "slide",
+            "topk", "treach", "twedge",
+        ],
+        "top_customers": [],
+        "triangle_count": [
+            "census_cyclic", "census_transitive", "lcc", "squares",
+            "triangles",
+        ],
+        "union_overwrite": [],
+        "update_edge_targets": [],
+        "var_length_paths": ["several_1_3", "shortest", "unbounded"],
+        "web_filter_ops": [
+            "c4keep", "dline", "dup5", "gq", "keep", "lines", "robots",
+            "span", "top2",
+        ],
+    }
+    return {name: {"ops": tags, "oracle": name in oracles}
+            for name, tags in ops.items()}
