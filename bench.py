@@ -281,6 +281,17 @@ def sec_analytics(spark, sf_dir, cpus, run):
     run("girvan_newman_1r_s16", lambda: AN.girvan_newman_split(
         chains, n_removals=1, n_pivots=16, max_iter=8)[0].count(),
         repeats=1)
+    # exact-mode GN pair isolating the r14 per-component incremental
+    # cache: t(r2) - t(r1) ~= round 2's cost, which the incremental
+    # recompute bounds by the ONE chain component the first removal
+    # touched (plus a component-local CC) instead of a second full
+    # closure + full eb pass — the VERDICT r13 task-3 measurement
+    run("girvan_newman_r1_exact", lambda: AN.girvan_newman_split(
+        chains, n_removals=1, method="exact", max_iter=8)[0].count(),
+        repeats=1)
+    run("girvan_newman_r2_incr", lambda: AN.girvan_newman_split(
+        chains, n_removals=2, method="exact", max_iter=8)[0].count(),
+        repeats=1)
 
 
 def sec_dedup(spark, sf_dir, cpus, run):
@@ -633,6 +644,11 @@ def _run_sections(section_names: list) -> dict:
     load_tpch_views(spark, sf_dir)
 
     timings: dict = {}
+    # SPARK_GRAFT_BENCH_ENTRIES=a,b,c → run only the named entries (the
+    # sf1→sf10 decade probe uses this to re-time the heavy subset
+    # without paying for every section sibling at 10x data)
+    _only = os.environ.get("SPARK_GRAFT_BENCH_ENTRIES")
+    _only = set(_only.split(",")) if _only else None
 
     def run(name: str, fn, repeats: int = 3) -> None:
         """criterion-style steady-state timing (the reference benchmarks
@@ -640,6 +656,8 @@ def _run_sections(section_names: list) -> dict:
         back-to-back runs — first-run whole-stage-codegen JIT cost
         amortizes away on a long-lived cluster. Cross-JVM variance is
         the orchestrator's job (median over fresh JVMs)."""
+        if _only is not None and name not in _only:
+            return
         best = None
         for _ in range(repeats):
             t0 = time.time()

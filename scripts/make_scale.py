@@ -29,7 +29,9 @@ import duckdb
 SRC = os.environ.get("SPARK_GRAFT_SRC_SF", "/root/testdata/sf0.1")
 DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1.0"
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "10"))
-OFF = 10_000_000
+# second-level application (sf1 → sf10) must widen the stride past the
+# first level's whole key span: SPARK_GRAFT_SCALE_OFF=100000000
+OFF = int(os.environ.get("SPARK_GRAFT_SCALE_OFF", "10000000"))
 
 # r=0 is the identity permutation: replica 0 IS the sf0.1 corpus
 VOWELS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
