@@ -24,6 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -31,7 +32,8 @@ from pyspark.sql import functions as F
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:
-    """Free the block-store copy behind a ``localCheckpoint``-ed DataFrame.
+    """Free the block-store copy behind a ``localCheckpoint``-ed (or
+    ``cache``-d) DataFrame.
 
     Loop states are checkpointed every round; without explicit cleanup each
     round's blocks linger until the driver GCs the RDD handle — at scale
@@ -40,7 +42,15 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
     reachable only through it). Only call this on a state whose SUCCESSOR
     checkpoint is fully materialized: localCheckpoint truncates lineage, so
     an unpersisted-but-still-referenced checkpoint cannot be recomputed.
+    (``cache``-d relations keep their lineage, so freeing those is always
+    safe — r14 uses cache for loop-invariant edge relations because, unlike
+    ``localCheckpoint``, ``InMemoryRelation`` preserves outputPartitioning/
+    outputOrdering into the per-round joins.)
     """
+    try:
+        df.unpersist(False)  # cache()-ed plan (CacheManager) — no-op otherwise
+    except Exception:
+        pass
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -146,9 +156,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     for _ in range(max_iter):
         prev_state = pairs
         pairs = _star_round(pairs, large=True)
-        pairs = _star_round(pairs, large=False).localCheckpoint(eager=True)
-        _unpersist_checkpoint(prev_state)
+        # non-eager checkpoint: the fingerprint aggregation is the job
+        # that materializes the round's pair set — one job per round
+        # instead of the r13 eager-checkpoint + separate fingerprint pair
+        pairs = _star_round(pairs, large=False).localCheckpoint(eager=False)
         cur = fingerprint(pairs)
+        _unpersist_checkpoint(prev_state)
         if cur == prev:
             break
         prev = cur
@@ -856,7 +869,7 @@ def minplus_closure(
     r = (
         base.groupBy("src", "dst")
         .agg(F.min("depth").alias("depth"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the fingerprint below
     )
     if weight_col is not None:
         # min-plus correctness requires non-negative, non-null weights —
@@ -898,14 +911,17 @@ def minplus_closure(
         if max_depth is not None:
             doubled = doubled.filter(F.col("depth") <= max_depth)
         prev_state = r
+        # non-eager checkpoint + fingerprint-as-materializer: one job per
+        # doubling round instead of two (r14); free the predecessor only
+        # after the fingerprint job has materialized the new state
         r = (
             r.union(doubled)
             .groupBy("src", "dst")
             .agg(F.min("depth").alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        _unpersist_checkpoint(prev_state)
         cur = fingerprint(r)
+        _unpersist_checkpoint(prev_state)
         if cur == prev:
             break
         prev = cur
@@ -1185,7 +1201,7 @@ def _scc_closure(base: DataFrame, max_iter: int = 20) -> DataFrame:
     # bounded by cycle length ~30, the extra per-round passes over R (the
     # anti-join and the two-sided composition) cost more than the smaller
     # candidate set saves. Revisit only for graphs with large SCCs.
-    reach = base.localCheckpoint(eager=True)
+    reach = base.localCheckpoint(eager=False)  # materialized by the count
     prev_n = reach.count()
     for _ in range(max_iter):
         doubled = (
@@ -1198,9 +1214,12 @@ def _scc_closure(base: DataFrame, max_iter: int = 20) -> DataFrame:
             .filter(F.col("src") != F.col("dst"))
         )
         prev_state = reach
-        reach = reach.union(doubled).distinct().localCheckpoint(eager=True)
-        _unpersist_checkpoint(prev_state)
+        # non-eager checkpoint: the convergence count materializes the
+        # round's reach set — one job per round instead of two (r14);
+        # the predecessor is freed only after that job has run
+        reach = reach.union(doubled).distinct().localCheckpoint(eager=False)
         n = reach.count()
+        _unpersist_checkpoint(prev_state)
         if n == prev_n:
             break
         prev_n = n
@@ -1842,11 +1861,12 @@ def maximal_matching(edges: DataFrame, seed: int = 7,
         _symmetric(edges)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_active = und.count()  # materializes the checkpoint — one job
     parts = []
     for r in range(1, max_rounds + 1):
-        if und.limit(1).count() == 0:
+        if n_active == 0:
             break
         pri = F.conv(
             F.substring(F.md5(F.concat_ws(
@@ -1860,6 +1880,11 @@ def maximal_matching(edges: DataFrame, seed: int = 7,
         nmin = incid.groupBy("node").agg(
             F.min(F.struct("p", "a", "b")).alias("nm"))
         key = F.struct("p", "a", "b")
+        # sel is materialized by nxt's count below (non-eager checkpoints
+        # share one job per round — r14; the r13 form paid 3 jobs/round:
+        # an emptiness probe plus two eager checkpoints). A non-empty
+        # active set always selects at least the global minimum edge, so
+        # the count of the NEXT active set doubles as the loop test.
         sel = (
             wp.join(nmin.select(F.col("node").alias("a"),
                                 F.col("nm").alias("na")), "a")
@@ -1867,7 +1892,7 @@ def maximal_matching(edges: DataFrame, seed: int = 7,
                               F.col("nm").alias("nb")), "b")
             .filter((key == F.col("na")) & (key == F.col("nb")))
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         parts.append(sel.select("a", "b", F.lit(r).cast("long").alias("round")))
         matched = sel.select(F.col("a").alias("node")).unionByName(
@@ -1876,8 +1901,9 @@ def maximal_matching(edges: DataFrame, seed: int = 7,
             und.join(matched.withColumnRenamed("node", "a"), "a", "left_anti")
             .join(matched.withColumnRenamed("node", "b"), "b", "left_anti")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n_active = nxt.count()
         _unpersist_checkpoint(und)
         und = nxt
     if not parts:
@@ -2053,8 +2079,6 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
                               F.col("comp").alias("cb")), "b")
             .filter(F.col("ca") != F.col("cb"))
         )
-        if lab.limit(1).count() == 0:
-            break
         # both endpoints' components bid on the edge; dedup after
         # selection. The bid rows carry ca/cb so the contraction graph
         # below is a plain projection of `picked` — no second pair of
@@ -2074,8 +2098,18 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
                     F.col("m.w").alias("w"), F.col("m.ca").alias("ca"),
                     F.col("m.cb").alias("cb"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # ONE evaluation of the component-label join per round: its count
+        # materializes the checkpoint, doubles as the cross-edge emptiness
+        # test (a non-empty cross set always yields ≥ 1 picked edge), and
+        # is exactly the contraction-graph size the driver/distributed
+        # dispatch below needs — the r13 form evaluated the join twice
+        # (an emptiness probe + the eager checkpoint) and ran a third
+        # count job for the dispatch.
+        n_picked = picked.count()
+        if n_picked == 0:
+            break
         forest_parts.append(picked.select("a", "b", "w"))
         # contract on the component-level selected graph (O(#components)).
         # Runtime-stats dispatch (the SCC `auto` pattern): the selected
@@ -2089,7 +2123,7 @@ def minimum_spanning_forest(edges: DataFrame, weight_col: str = "weight",
         # ``test_msf_distributed_contraction_branch_equivalent``).
         cedges = picked.select(F.col("ca").alias("src"),
                                F.col("cb").alias("dst"))
-        if cedges.count() <= driver_contract_max:
+        if n_picked <= driver_contract_max:
             parent: dict = {}
 
             def find(x):
@@ -2367,41 +2401,61 @@ def shortest_path_counts(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     ``max_iter`` costs nothing after convergence — unlike the DOUBLING
     closure this frontier is linear, one round per hop).
     """
-    base = (
-        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    settled = base.select(
+    base_ck: list = []
+    base = _prep_edge_rel(edges, ckpts=base_ck)
+    first = base.select(
         "src", "dst", F.lit(1).cast("long").alias("depth"),
         F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=True)
-    frontier = settled
+    ).localCheckpoint(eager=False)
+    n = first.count()
+    slices = [first]
+    seen_rows = n
+    frontier = first
+    # co-partitioned edge side: base is hash(src)-partitioned+sorted+cached
+    # (see _prep_edge_rel), so the per-level join reads it with no Exchange
+    # and no Sort; the measured frontier / settled counts drive broadcast
+    # hints exactly as in _pivot_sigma_bfs (guide §2.4/§3.1). Per level is
+    # ONE job (the count materializing the non-eager checkpoint doubles as
+    # the emptiness probe); the settled side is a union of the per-level
+    # slice checkpoints, never a re-checkpointed whole (O(level) writes per
+    # level, not O(|closure|) — the r14 fix; the r13 form re-checkpointed
+    # the growing settled relation every round).
+    ej = base.select(F.col("src").alias("dst"), F.col("dst").alias("_to"))
+    settled_keys = first.select("src", "dst")
     for k in range(2, max_iter + 2):
+        if n == 0:
+            break
+        fr = F.broadcast(frontier) if n <= _BCAST_STATE_MAX_ROWS else frontier
+        sn = F.broadcast(settled_keys) \
+            if seen_rows <= _BCAST_STATE_MAX_ROWS else settled_keys
         nxt = (
-            frontier.join(
-                base.select(F.col("src").alias("dst"),
-                            F.col("dst").alias("_to")), "dst")
+            fr.join(ej, "dst")
             .groupBy("src", F.col("_to").alias("dst"))
             .agg(F.sum("sigma").alias("sigma"))
             .filter(F.col("src") != F.col("dst"))
-            .join(settled.select("src", "dst"), ["src", "dst"], "left_anti")
+            .join(sn, ["src", "dst"], "left_anti")
             .select("src", "dst", F.lit(k).cast("long").alias("depth"), "sigma")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        n = nxt.count()
+        if n == 0:
             _unpersist_checkpoint(nxt)  # empty break-round slice
             break
-        prev = settled
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
-        _unpersist_checkpoint(prev)
-        _unpersist_checkpoint(frontier)
+        slices.append(nxt)
+        settled_keys = settled_keys.unionByName(nxt.select("src", "dst"))
+        seen_rows += n
         frontier = nxt
-    # the final frontier slice's data lives on in the settled union's own
-    # checkpoint — free it so callers looping per round (girvan_newman)
-    # really hold ONE round's state (the initial frontier IS settled)
-    if frontier is not settled:
-        _unpersist_checkpoint(frontier)
-    return settled
+    out = slices[0]
+    for sl in slices[1:]:
+        out = out.unionByName(sl)
+    # one self-contained checkpoint for the caller (freeable with a single
+    # _unpersist_checkpoint, as before); the per-level slices are freed here
+    out = out.localCheckpoint(eager=True)
+    for sl in slices:
+        _unpersist_checkpoint(sl)
+    for df in base_ck:
+        _unpersist_checkpoint(df)
+    return out
 
 
 def stress_centrality(edges: DataFrame, max_iter: int = 100) -> DataFrame:
@@ -2416,8 +2470,9 @@ def stress_centrality(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     three keyed joins of the closure relation (on v, then on (s,t)) and
     one aggregation. Closure-sized intermediates — the documented trade.
     """
-    C = shortest_path_counts(edges, max_iter=max_iter).localCheckpoint(
-        eager=True)
+    # shortest_path_counts already returns a self-contained checkpoint —
+    # re-checkpointing it here only paid a second O(closure) copy (r14)
+    C = shortest_path_counts(edges, max_iter=max_iter)
     a = C.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                  F.col("depth").alias("d1"), F.col("sigma").alias("sig1"))
     b = C.select(F.col("src").alias("v"), F.col("dst").alias("t"),
@@ -3333,7 +3388,7 @@ def betweenness_centrality(edges: DataFrame,
             edges, pivots=sources, scale=False,
             max_iter=max_iter + 1, horizon=True)
     C = closure if closure is not None else shortest_path_counts(
-        edges, max_iter=max_iter).localCheckpoint(eager=True)
+        edges, max_iter=max_iter)
     a = C.select(F.col("src").alias("s"), F.col("dst").alias("v"),
                  F.col("depth").alias("d1"), F.col("sigma").alias("sig1"))
     if sources is not None:
@@ -3398,7 +3453,7 @@ def edge_betweenness(edges: DataFrame,
             edges, pivots=sources, scale=False,
             max_iter=max_iter + 1, horizon=True)
     C = closure if closure is not None else shortest_path_counts(
-        edges, max_iter=max_iter).localCheckpoint(eager=True)
+        edges, max_iter=max_iter)
     base = (edges.select("src", "dst")
             .filter(F.col("src") != F.col("dst")).distinct())
     nodes = base.select(F.col("src").alias("id")).union(
@@ -3672,61 +3727,138 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
 #: the extra full-relation writes to 1/32 of rounds
 _SEEN_COLLAPSE_LEVELS = 32
 
+#: broadcast a per-level BFS state relation (frontier / settled set /
+#: dependency slice) into its join when its MEASURED row count is at most
+#: this — ~24 B/row of long columns keeps the built relation well under
+#: the guide's few-hundred-MB broadcast comfort zone (§3.1). The counts
+#: are exact (each level is counted when its checkpoint materializes), so
+#: this is a runtime-stats decision, not an estimate: small levels join
+#: with ZERO exchanges; levels above the bound fall back to the
+#: co-partitioned sort-merge path against the cached edge relation.
+_BCAST_STATE_MAX_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_BCAST_STATE_MAX", "1000000"))
+
+
+#: edge-relation rows above which the BFS loops pay one extra shuffle to
+#: hold the edges as a hash(src)-partitioned, sorted, CACHED relation —
+#: ``InMemoryRelation`` preserves outputPartitioning/outputOrdering, so
+#: every per-level join then reads co-located pre-sorted buckets with NO
+#: Exchange and NO Sort on the O(|E|) side (one edges shuffle total
+#: instead of one per BFS level, guide §2.4). Below the bound the plain
+#: checkpoint wins: fresh-JVM A/B at sf0.1 (270k undirected rows, 6.7k
+#: pivots, horizon 9) measured the cached form ~20-25% SLOWER per level
+#: (columnar decode per scan > the tiny local exchange it saves), while
+#: the exchange it avoids grows linearly with |E| — the same
+#: runtime-stats auto-dispatch pattern as SCC's closure/coloring 5M bound.
+_EDGE_CACHE_MIN_ROWS = int(os.environ.get(
+    "SPARK_GRAFT_BFS_EDGE_CACHE_MIN", str(50_000_000)))
+
+
+def _prep_edge_rel(edges: DataFrame, ckpts: "list | None" = None,
+                   dedup: bool = True) -> DataFrame:
+    """The loop-invariant edge relation for iterative BFS passes:
+    ``(src, dst)``, self-loops dropped, optionally deduped, materialized
+    with ONE job (non-eager localCheckpoint whose first action is the
+    count that drives the size dispatch below).
+
+    Above ``_EDGE_CACHE_MIN_ROWS`` the relation is additionally
+    repartitioned on ``src``, sorted and ``cache``\\ d so the per-level
+    joins are exchange- and sort-free on the edge side (see the constant's
+    rationale); the underlying checkpoint stays alive as the cache's
+    recompute source (cache eviction re-reads the checkpoint blocks, never
+    the original input). Both live relations are appended to ``ckpts``
+    (when given) for the caller to free.
+    """
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst"))
+    if dedup:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=False)
+    n = e.count()
+    if ckpts is not None:
+        ckpts.append(e)
+    if n >= _EDGE_CACHE_MIN_ROWS:
+        spark = edges.sparkSession
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        e = (e.repartition(num_partitions, "src")
+             .sortWithinPartitions("src", "dst").cache())
+        e.count()
+        if ckpts is not None:
+            ckpts.append(e)
+    return e
+
 
 def _pivot_sigma_bfs(e: DataFrame, pivots: DataFrame, max_iter: int,
                      horizon: bool = False,
-                     ckpts: "list | None" = None) -> DataFrame:
+                     ckpts: "list | None" = None):
     """Forward σ-accumulating multi-source BFS from a pivot relation:
-    the k·|V|-bounded relation ``(s, id, depth, sigma)`` with depth =
-    d(s, id) and sigma = σ_s(id) — all pivots riding the same frontier
-    joins (the :func:`landmark_distances` scheme with a ``sum(sigma)``
-    instead of a min; one settled depth slice per BFS level, anti-joined
-    so first settlement = min depth and the σ sum is complete when
-    written). The result is a UNION of per-level checkpointed slices,
-    never a re-checkpointed whole: each round materializes only the new
-    frontier (O(level) writes, not O(|sp|) — the r12 rewrite; the old
-    form re-checkpointed the growing relation every round, O(rounds ×
-    |sp|) redundant writes), and a downstream ``depth == d`` filter
-    constant-folds every other branch of the union away, so
-    :func:`_brandes_backward`'s level slicing reads one level's
-    checkpoint instead of scanning the whole relation. The anti-join's
-    settled side is re-checkpointed every ``_SEEN_COLLAPSE_LEVELS``
-    levels so deep-diameter graphs pay linear, not quadratic, plan
-    work. Every live checkpoint is appended to ``ckpts`` (when given)
-    for the caller to free after materializing its result. ``horizon=True`` truncates at
-    ``max_iter`` hops — bounded-horizon semantics (only paths of ≤
-    max_iter hops count) — otherwise an unsettled frontier raises.
+    per-level checkpointed slices of the k·|V|-bounded relation
+    ``(s, id, sigma)`` with slice index = depth = d(s, id) and sigma =
+    σ_s(id) — all pivots riding the same frontier joins (the
+    :func:`landmark_distances` scheme with a ``sum(sigma)`` instead of
+    a min; one settled depth slice per BFS level, anti-joined so first
+    settlement = min depth and the σ sum is complete when written).
+    Returns ``(slices, counts)``: the per-level DataFrames and their
+    EXACT row counts (level = list index = depth) — each level
+    materializes with ONE job (non-eager localCheckpoint whose first
+    action is the count, which doubles as the emptiness test; the r13
+    form paid a second probe job per level). Empty levels are neither
+    appended nor re-scanned.
+
+    Join strategy per level (guide §2.4/§3.1): ``e`` comes from
+    :func:`_prep_edge_rel` — hash(src)-partitioned, sorted, cached — so
+    the edge side of the frontier⋈edges join needs no Exchange and no
+    Sort at any scale; when the measured frontier (or settled set) is
+    ≤ ``_BCAST_STATE_MAX_ROWS`` it is additionally broadcast, removing
+    the remaining exchanges entirely. The anti-join's settled side is
+    re-checkpointed every ``_SEEN_COLLAPSE_LEVELS`` levels so
+    deep-diameter graphs pay linear, not quadratic, plan work. Every
+    live checkpoint is appended to ``ckpts`` (when given) for the
+    caller to free after materializing its result. ``horizon=True``
+    truncates at ``max_iter`` hops — bounded-horizon semantics (only
+    paths of ≤ max_iter hops count) — otherwise an unsettled frontier
+    raises.
     """
     frontier = pivots.select(
         F.col("id").alias("s"), "id",
-        F.lit(1).cast("long").alias("sigma")).localCheckpoint(eager=True)
+        F.lit(1).cast("long").alias("sigma")).localCheckpoint(eager=False)
+    n = frontier.count()
     if ckpts is not None:
         ckpts.append(frontier)
-    slices = [frontier.select(
-        "s", "id", F.lit(0).cast("long").alias("depth"), "sigma")]
+    slices = [frontier]
+    counts = [n]
     # the anti-join's settled side grows by one union branch per level;
     # re-checkpointing it every _SEEN_COLLAPSE_LEVELS collapses the plan
     # back to a single LogicalRDD, so a deep-diameter graph (chains at
     # full horizon) pays O(rounds) plan work, not O(rounds²) — the
     # amortized cost is one O(|seen|) write per window (VERDICT r12
     # watch item 1)
-    seen = slices[0].select("s", "id")
+    seen = frontier.select("s", "id")
+    seen_rows = n
     since_collapse = 0
-    for depth in range(1, max_iter + 1):
-        if frontier.limit(1).count() == 0:
+    ej = e.withColumnRenamed("src", "id")
+    for _depth in range(1, max_iter + 1):
+        if n == 0:
             break
+        fr = F.broadcast(frontier) if n <= _BCAST_STATE_MAX_ROWS else frontier
+        sn = F.broadcast(seen) if seen_rows <= _BCAST_STATE_MAX_ROWS else seen
         nxt = (
-            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            fr.join(ej, "id")
             .select("s", F.col("dst").alias("id"), "sigma")
-            .join(seen, ["s", "id"], "left_anti")
+            .join(sn, ["s", "id"], "left_anti")
             .groupBy("s", "id").agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        n = nxt.count()
         if ckpts is not None:
             ckpts.append(nxt)
-        slices.append(nxt.select(
-            "s", "id", F.lit(depth).cast("long").alias("depth"), "sigma"))
+        if n == 0:
+            break
+        slices.append(nxt)
+        counts.append(n)
         seen = seen.unionByName(nxt.select("s", "id"))
+        seen_rows += n
         since_collapse += 1
         if since_collapse >= _SEEN_COLLAPSE_LEVELS:
             seen = seen.localCheckpoint(eager=True)
@@ -3735,21 +3867,19 @@ def _pivot_sigma_bfs(e: DataFrame, pivots: DataFrame, max_iter: int,
             since_collapse = 0
         frontier = nxt
     else:
-        if not horizon and frontier.limit(1).count():
+        if not horizon and n:
             raise RuntimeError(
                 f"pivot sigma-BFS not settled in {max_iter} rounds "
                 "— raise max_iter (or pass horizon=True for "
                 "bounded-horizon betweenness)")
-    sp = slices[0]
-    for sl in slices[1:]:
-        sp = sp.unionByName(sl)
-    return sp
+    return slices, counts
 
 
-def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
+def _brandes_backward(slices: list, counts: list, e: DataFrame,
+                      want_edges: bool,
                       ckpts: "list | None" = None):
     """Brandes' level-synchronous backward accumulation over the pivot
-    BFS relation ``sp(s, id, depth, sigma)``: from the deepest layer
+    BFS slices ``slices[d](s, id, sigma)``: from the deepest layer
     upward, per level one edge join between adjacent depth slices and
     one (s, v)-keyed aggregation computes the node dependency ``δ_s(v)
     = Σ_{w: d(s,w)=d(s,v)+1, (v,w)∈E} σ_sv/σ_sw · (1 + δ_s(w))``
@@ -3759,27 +3889,40 @@ def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
     and their generic computation", the edge-betweenness accumulation),
     so ``want_edges`` taps the same join with a second, (v, w)-keyed
     aggregation per level. Returns ``(node_parts, edge_parts)`` —
-    per-level relations the caller unions and aggregates. Per-level δ
-    checkpoints stay live (both parts lists reference them through
+    per-level relations the caller unions and aggregates.
+
+    r14 shape: consuming the slices directly (instead of ``depth == d``
+    filters over their union) drops the max-depth aggregation job —
+    ``maxd = len(slices) - 1`` is already known; per-level relations
+    whose exact counts are small are broadcast into their joins, and
+    ``e`` is the :func:`_prep_edge_rel` cached relation, so a level
+    with small state runs with zero exchanges on the edge side. In
+    edge mode, the level's 3-way join (``terms``) is materialized by
+    the SAME job that checkpoints the level's δ (non-eager checkpoint
+    under an eager one) — one job per level instead of two. Per-level
+    δ checkpoints stay live (both parts lists reference them through
     lineage-truncated plans, so freeing early would lose data); they
-    are appended to ``ckpts`` (when given) for the caller to free after
-    materializing its result. ~diameter rounds; the only driver-side
-    value is the max-depth scalar.
+    are appended to ``ckpts`` (when given) for the caller to free
+    after materializing its result. ~diameter rounds; no driver-side
+    values at all.
     """
-    maxd = int(sp.agg(F.max("depth")).collect()[0][0] or 0)
+    maxd = len(slices) - 1
     node_parts: list = []
     edge_parts: list = []
-    delta = sp.filter(F.col("depth") == maxd).select(
-        "s", "id", F.lit(0.0).alias("delta"))
+    delta = slices[maxd].select("s", "id", F.lit(0.0).alias("delta"))
+    delta_rows = counts[maxd]
+    ej = e.withColumnRenamed("src", "id")
     for d in range(maxd - 1, -1, -1):
-        succ = (sp.filter(F.col("depth") == d + 1)
-                .join(delta, ["s", "id"])
+        succ = (slices[d + 1].join(delta, ["s", "id"])
                 .select("s", F.col("id").alias("dst"),
                         F.col("sigma").alias("__sw"),
                         F.col("delta").alias("__dw")))
-        lvl = sp.filter(F.col("depth") == d)
+        if max(counts[d + 1], delta_rows) <= _BCAST_STATE_MAX_ROWS:
+            succ = F.broadcast(succ)
+        lvl = slices[d]
+        fr = F.broadcast(lvl) if counts[d] <= _BCAST_STATE_MAX_ROWS else lvl
         terms = (
-            lvl.join(e.withColumnRenamed("src", "id"), "id")
+            fr.join(ej, "id")
             .join(succ, ["s", "dst"])
             .select("s", "id", "dst",
                     (F.col("sigma").cast("double") / F.col("__sw")
@@ -3788,8 +3931,9 @@ def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
             # both the edge aggregation and the node-δ recursion read
             # this level's join — materialize it once instead of
             # executing the 3-way join twice (the backward pass's
-            # dominant work at scale)
-            terms = terms.localCheckpoint(eager=True)
+            # dominant work at scale). Non-eager: the δ checkpoint's
+            # materializing job below computes it as a side effect.
+            terms = terms.localCheckpoint(eager=False)
             if ckpts is not None:
                 ckpts.append(terms)
             edge_parts.append(
@@ -3797,6 +3941,8 @@ def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
                 .agg(F.sum("__term").alias("delta")))
         contrib = terms.groupBy("s", "id").agg(
             F.sum("__term").alias("delta"))
+        if counts[d] <= _BCAST_STATE_MAX_ROWS:
+            contrib = F.broadcast(contrib)
         delta = (
             lvl.select("s", "id")
             .join(contrib, ["s", "id"], "left")
@@ -3804,6 +3950,7 @@ def _brandes_backward(sp: DataFrame, e: DataFrame, want_edges: bool,
                     F.coalesce("delta", F.lit(0.0)).alias("delta"))
             .localCheckpoint(eager=True)
         )
+        delta_rows = counts[d]
         if ckpts is not None:
             ckpts.append(delta)
         if d > 0:  # depth 0 is the pivot itself (v = s: excluded)
@@ -3859,10 +4006,7 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
     `betws`).
     """
     spark = edges.sparkSession
-    e = (edges.filter(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct().localCheckpoint(eager=True))
-    if _ckpts is not None:
-        _ckpts.append(e)
+    e = _prep_edge_rel(edges, ckpts=_ckpts)
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     n = nodes.count()
@@ -3870,7 +4014,7 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
         return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
     if pivots is not None:
         pick = (pivots.select("id").distinct().join(nodes, "id")
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     else:
         if n_pivots <= 0:
             raise ValueError("n_pivots must be positive")
@@ -3878,14 +4022,15 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
             F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
                               F.col("id").cast("string"))).asc(),
             F.col("id").asc()).limit(int(n_pivots)) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
     if _ckpts is not None:
         _ckpts.append(pick)
     k = pick.count()
     if k == 0:
         return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
-    sp = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon, ckpts=_ckpts)
-    node_parts, _ = _brandes_backward(sp, e, want_edges=False,
+    slices, counts = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon,
+                                      ckpts=_ckpts)
+    node_parts, _ = _brandes_backward(slices, counts, e, want_edges=False,
                                       ckpts=_ckpts)
     if not node_parts:
         return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
@@ -3940,10 +4085,7 @@ def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
     """
     spark = edges.sparkSession
     empty = "src BIGINT, dst BIGINT, betweenness DOUBLE"
-    e = (edges.filter(F.col("src") != F.col("dst"))
-         .select("src", "dst").distinct().localCheckpoint(eager=True))
-    if _ckpts is not None:
-        _ckpts.append(e)
+    e = _prep_edge_rel(edges, ckpts=_ckpts)
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     n = nodes.count()
@@ -3951,7 +4093,7 @@ def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
         return spark.createDataFrame([], empty)
     if pivots is not None:
         pick = (pivots.select("id").distinct().join(nodes, "id")
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
     else:
         if n_pivots <= 0:
             raise ValueError("n_pivots must be positive")
@@ -3959,14 +4101,16 @@ def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
             F.md5(F.concat_ws("|", F.lit(f"piv{seed}"),
                               F.col("id").cast("string"))).asc(),
             F.col("id").asc()).limit(int(n_pivots)) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
     if _ckpts is not None:
         _ckpts.append(pick)
     k = pick.count()
     if k == 0:
         return spark.createDataFrame([], empty)
-    sp = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon, ckpts=_ckpts)
-    _, edge_parts = _brandes_backward(sp, e, want_edges=True, ckpts=_ckpts)
+    slices, counts = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon,
+                                      ckpts=_ckpts)
+    _, edge_parts = _brandes_backward(slices, counts, e, want_edges=True,
+                                      ckpts=_ckpts)
     if not edge_parts:
         return spark.createDataFrame([], empty)
     acc = edge_parts[0]

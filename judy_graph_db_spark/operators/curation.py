@@ -1797,9 +1797,17 @@ def emit_training_sequences(pieces: DataFrame, vocab: DataFrame,
     else:
         ids = ids.na.fill({"token_id": int(unk_id)})
     wdoc = Window.partitionBy(id_col).orderBy("word_pos", "piece_pos")
+    # checkpoint the positioned token stream: THREE consumers read it (the
+    # per-doc counts feeding the prefix sum, the drop_partial total, and
+    # the placement join), and without the checkpoint each consumer
+    # re-ran the upstream encoder + window from scratch (guide §2.4 —
+    # don't recompute; the encode is the pipeline's dominant cost at
+    # scale). Non-eager: the prefix sum's internal materialization job
+    # computes it as a side effect.
     local = ids.select(
         F.col(id_col), F.col("token_id"),
-        (F.row_number().over(wdoc) - 1).alias("__li"))
+        (F.row_number().over(wdoc) - 1).alias("__li")
+    ).localCheckpoint(eager=False)
     counts = local.groupBy(id_col).agg(
         (F.count(F.lit(1)) + 1).alias("__n"))  # +1 for the EOD token
     pre = _token_prefix(counts, id_col, id_col, None,

@@ -1071,20 +1071,38 @@ def perceptron_train(features: DataFrame, labels: DataFrame,
                 .agg(F.coalesce(F.sum(F.col("tf") * F.col("w")),
                                 F.lit(0)).alias("s"))
             )
+            # checkpoint the misclassified set: the error-count collect
+            # materializes it, and the delta pass then SEMI-JOINS against
+            # the materialized ids instead of re-running the whole
+            # score-join+aggregation a second time (the r13 shape computed
+            # scores twice per iteration — guide §2.4, don't recompute)
             mis = scores.filter(
-                F.col("y") * (F.lit(bias) + F.col("s")) <= 0)
+                F.col("y") * (F.lit(bias) + F.col("s")) <= 0
+            ).select(id_col, "y").localCheckpoint(eager=False)
             st = mis.agg(F.count(F.lit(1)).alias("n"),
                          F.coalesce(F.sum("y"), F.lit(0)).alias("sy")
                          ).collect()[0]
             errors.append(st.n)
             if st.n == 0:
                 break
+            # the measured error count drives the join strategy: a small
+            # misclassified set broadcasts (no shuffle of the feature
+            # relation at all); a large one falls back to the shuffled
+            # semi-join (guide §3.1 — decide from real counts, not
+            # estimates)
+            mis_ids = mis.select(id_col)
+            if st.n <= 1_000_000:
+                mis_ids = F.broadcast(mis_ids)
             delta = (
-                f.join(mis.select(id_col), id_col, "left_semi")
+                f.join(mis_ids, id_col, "left_semi")
                 .groupBy("bucket")
                 .agg(F.sum(F.col("y") * F.col("tf")).alias("d"))
                 .collect()
             )
+            try:
+                mis._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
             for r in delta:
                 wt[r.bucket] = wt.get(r.bucket, 0) + int(lr) * r.d
             bias += int(lr) * st.sy

@@ -1879,13 +1879,15 @@ def test_pivot_sigma_bfs_deep_chain_collapses_seen(spark):
     e = edges_df(spark, [(i, i + 1) for i in range(n - 1)])
     ck: list = []
     piv = e.sparkSession.createDataFrame([(0,)], "id long")
-    sp = AN._pivot_sigma_bfs(
-        e.select("src", "dst").localCheckpoint(eager=True), piv,
+    slices, counts = AN._pivot_sigma_bfs(
+        AN._prep_edge_rel(e.select("src", "dst")), piv,
         max_iter=n + 5, ckpts=ck)
-    rows = sp.collect()
-    assert len(rows) == n
-    assert all(r["s"] == 0 and r["depth"] == r["id"] and r["sigma"] == 1
-               for r in rows)
+    assert sum(counts) == n and len(slices) == n
+    for depth, (sl, cnt) in enumerate(zip(slices, counts)):
+        rows = sl.collect()
+        assert len(rows) == cnt
+        assert all(r["s"] == 0 and r["id"] == depth and r["sigma"] == 1
+                   for r in rows)
     for c in ck:
         AN._unpersist_checkpoint(c)
     # forward+backward across one collapse boundary: 40 levels
