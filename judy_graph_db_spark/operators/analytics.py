@@ -753,15 +753,18 @@ def _k_core_peel(sym: DataFrame, k: int, max_iter: int) -> DataFrame:
         prev_state = sym
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= int(k)).select("src")
+        # non-eager checkpoint: the convergence count materializes the
+        # round (one job instead of two — r14); the predecessor is freed
+        # only after that job has run
         sym = (
             sym.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        cur = sym.count()
         if not first:
             _unpersist_checkpoint(prev_state)
         first = False
-        cur = sym.count()
         if cur == prev_edges:
             break
         prev_edges = cur
@@ -1252,10 +1255,11 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
     strictly shrinks the active node set and termination is guaranteed
     without a round budget. Both sweeps propagate DELTAS (r13): a
     changed/new FLAG rides inside the colors / in-SCC relation, so the
-    per-round edge join probes only last round's frontier while the
-    round still costs exactly TWO jobs (one checkpoint write of the
-    updated relation + one cached emptiness probe) — the same job count
-    as the dense union-groupBy form, with strictly smaller join inputs.
+    per-round edge join probes only last round's frontier, and since r14
+    the round costs exactly ONE job (a non-eager checkpoint whose
+    materializing aggregation also answers the fixpoint test via a
+    max over the flags) — half the dense union-groupBy form's job count,
+    with strictly smaller join inputs.
     The first delta attempt materialized the update set separately
     (3 jobs/round) and LOST ~1.5x on the round-latency-bound bench
     fixture; the flag form is why the delta is free there and a win
@@ -1305,8 +1309,10 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
                 .filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
                 .select("id")
             )
+            # non-eager: the emptiness count materializes the round's
+            # trivial set — one job per trim iteration instead of two (r14)
             trivial = active_nodes.join(
-                keep, "id", "left_anti").localCheckpoint(eager=True)
+                keep, "id", "left_anti").localCheckpoint(eager=False)
             if trivial.count() == 0:
                 _unpersist_checkpoint(trivial)
                 break
@@ -1351,6 +1357,10 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
                 .agg(F.min("color").alias("_nc"))
             )
             old = colors
+            # non-eager checkpoint: ONE aggregation job materializes the
+            # round's colors AND answers the fixpoint test (max over the
+            # chg flags — r14; the r13 form paid a checkpoint job plus a
+            # probe job). The predecessor is freed only after that job.
             colors = (
                 colors.join(mins, "id", "left")
                 .select(
@@ -1358,10 +1368,12 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
                     F.least(F.col("color"), F.col("_nc")).alias("color"),
                     F.coalesce(F.col("_nc") < F.col("color"),
                                F.lit(False)).alias("chg"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            any_chg = colors.agg(
+                F.max(F.col("chg").cast("int"))).collect()[0][0]
             _unpersist_checkpoint(old)
-            if colors.filter(F.col("chg")).limit(1).count() == 0:
+            if not any_chg:
                 break
         # 2. backward sweep inside each color class: grow from the root
         # (id == color) along reversed edges restricted to equal colors.
@@ -1392,14 +1404,17 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
                 .join(in_scc.select("id"), "id", "left_anti")
             )
             old = in_scc
+            # same one-job merge as the forward sweep (r14)
             in_scc = (
                 in_scc.select("id", "color", F.lit(False).alias("new"))
                 .unionByName(add.select(
                     "id", "color", F.lit(True).alias("new")))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            any_new = in_scc.agg(
+                F.max(F.col("new").cast("int"))).collect()[0][0]
             _unpersist_checkpoint(old)
-            if in_scc.filter(F.col("new")).limit(1).count() == 0:
+            if not any_new:
                 break
         done = in_scc.select("id", F.col("color").alias("scc"))
         settled = done if settled is None else settled.union(done)
@@ -1669,19 +1684,22 @@ def _k_truss_peel(und: DataFrame, k: int, max_iter: int) -> DataFrame:
             .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
         )
+        # non-eager checkpoint: the convergence count materializes the
+        # round (one job instead of two — r14); the superseded state is
+        # freed only after that job has run
         kept = (
             und.join(sup, ["a", "b"], "left")
             .select("a", "b",
                     F.coalesce("support", F.lit(0)).alias("support"))
             .filter(F.col("support") >= int(k) - 2)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        cur = kept.count()
         if not first:
             _unpersist_checkpoint(support)
         first = False
         und = kept.select("a", "b")
         support = kept
-        cur = und.count()
         if cur == prev_n:
             break
         prev_n = cur
@@ -2740,14 +2758,15 @@ def wl_colors(edges: DataFrame, rounds: int = 2,
         colors = sym.groupBy(F.col("src").alias("id")).agg(
             F.md5(F.count(F.lit(1)).cast("string")).alias("color"))
     colors = colors.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    ck = [colors]
+    for i in range(rounds):
         nbr = (
             sym.join(colors.select(F.col("id").alias("dst"),
                                    F.col("color").alias("__nc")), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sort_array(F.collect_list("__nc")).alias("__ncs"))
         )
-        nxt = (
+        colors = (
             colors.join(nbr, "id", "left")
             .select(
                 "id",
@@ -2756,10 +2775,19 @@ def wl_colors(edges: DataFrame, rounds: int = 2,
                     F.concat_ws(",", F.coalesce(
                         F.col("__ncs"),
                         F.array().cast("array<string>"))))).alias("color"))
-            .localCheckpoint(eager=True)
         )
-        _unpersist_checkpoint(colors)
-        colors = nxt
+        # fixed small round counts stay one LAZY pipeline (the caller's
+        # action computes all rounds in one job); checkpoint only every
+        # 8 rounds to bound lineage on long refinements — the r13 form
+        # paid an eager checkpoint job + a full |V| materialization per
+        # round (pagerank's loop discipline, applied here in r14)
+        if (i + 1) % 8 == 0 and i + 1 < rounds:
+            colors = colors.localCheckpoint(eager=True)
+            ck.append(colors)
+    # free superseded checkpoints only — the LAST one backs the returned
+    # (possibly lazy) plan and must stay live for the caller's action
+    for df in ck[:-1]:
+        _unpersist_checkpoint(df)
     return colors
 
 
@@ -3582,7 +3610,10 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
     # "key not found" (seen on the 7-label tpch_graph edges view) —
     # checkpointing the bare (src, dst) projection up front gives every
     # downstream checkpoint a plain LogicalRDD base
-    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    # non-eager e0: all_nodes' eager checkpoint job materializes it (r14);
+    # und0 is likewise materialized by its first consumer (the dispatch
+    # count, the modularity baseline, or round 1's edge prep)
+    e0 = edges.select("src", "dst").localCheckpoint(eager=False)
     # node set from the RAW edges — a node whose only edges are
     # self-loops must still appear in the labels output
     all_nodes = (e0.select(F.col("src").alias("id"))
@@ -3591,7 +3622,7 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
     und0 = e0.filter(F.col("src") != F.col("dst"))
     und0 = und0.union(und0.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst"))).distinct() \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     und = und0
     if method == "exact":
         n_pivots = None

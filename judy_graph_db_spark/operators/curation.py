@@ -1663,7 +1663,10 @@ def web_corpus_funnel(docs: DataFrame, blocked_domains=(),
     # all re-derive this relation — checkpoint the NARROW flags (no
     # text) once so the Gopher/lang-id regex signals are computed in
     # ONE corpus pass instead of once per branch
-    flags = out.drop(text_col).localCheckpoint(eager=True)
+    # non-eager: the first consumer's action (winners aggregation / the
+    # near-dup branch / the caller's own action) materializes it — one
+    # corpus pass, no separate checkpoint job (r14)
+    flags = out.drop(text_col).localCheckpoint(eager=False)
     winners = (flags.filter(surv).groupBy("__h")
                .agg(F.min(id_col).alias("__win")))
     flags = flags.join(winners, "__h", "left").withColumn(
