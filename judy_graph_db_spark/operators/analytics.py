@@ -46,11 +46,21 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
     safe — r14 uses cache for loop-invariant edge relations because, unlike
     ``localCheckpoint``, ``InMemoryRelation`` preserves outputPartitioning/
     outputOrdering into the per-round joins.)
+
+    The CacheManager uncaches by CANONICALIZED-plan equality, so calling
+    ``df.unpersist`` on a non-cached loop state whose plan canonically
+    equals a relation the CALLER cached (a user-cached edges projection
+    passed into an operator, say) would silently drop the caller's cache.
+    Hence the cache-level unpersist only runs on relations THIS module
+    cached itself (tagged ``_graft_cached`` by :func:`_prep_edge_rel`);
+    everything else is freed RDD-only, which can never touch a caller's
+    CacheManager entry.
     """
-    try:
-        df.unpersist(False)  # cache()-ed plan (CacheManager) — no-op otherwise
-    except Exception:
-        pass
+    if getattr(df, "_graft_cached", False):
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
@@ -2440,6 +2450,14 @@ def shortest_path_counts(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     # the growing settled relation every round).
     ej = base.select(F.col("src").alias("dst"), F.col("dst").alias("_to"))
     settled_keys = first.select("src", "dst")
+    # the anti-join's settled side grows by one union branch per level —
+    # re-checkpoint it every _SEEN_COLLAPSE_LEVELS levels (exactly
+    # _pivot_sigma_bfs's scheme) so a deep-diameter graph at the default
+    # max_iter=100 pays O(levels) plan/analysis work per BFS, not
+    # O(levels²), and the per-level broadcast rebuilds from one flat
+    # LogicalRDD instead of an ever-larger union (r15, ADVICE item)
+    since_collapse = 0
+    collapse_ck: list = []
     for k in range(2, max_iter + 2):
         if n == 0:
             break
@@ -2462,6 +2480,11 @@ def shortest_path_counts(edges: DataFrame, max_iter: int = 100) -> DataFrame:
         slices.append(nxt)
         settled_keys = settled_keys.unionByName(nxt.select("src", "dst"))
         seen_rows += n
+        since_collapse += 1
+        if since_collapse >= _SEEN_COLLAPSE_LEVELS:
+            settled_keys = settled_keys.localCheckpoint(eager=True)
+            collapse_ck.append(settled_keys)
+            since_collapse = 0
         frontier = nxt
     out = slices[0]
     for sl in slices[1:]:
@@ -2471,6 +2494,8 @@ def shortest_path_counts(edges: DataFrame, max_iter: int = 100) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     for sl in slices:
         _unpersist_checkpoint(sl)
+    for df in collapse_ck:
+        _unpersist_checkpoint(df)
     for df in base_ck:
         _unpersist_checkpoint(df)
     return out
@@ -3524,6 +3549,65 @@ _GN_AUTO_EDGE_LIMIT = 5_000_000
 _GN_AUTO_PIVOTS = 64
 
 
+from pyspark.sql.classic.dataframe import (  # noqa: E402 — subclass base
+    DataFrame as _ClassicDataFrame,
+)
+
+
+class _DeferredDataFrame(_ClassicDataFrame):
+    """A DataFrame whose plan is produced by ``thunk()`` on FIRST use
+    (guide §1.2: don't compute things you throw away).
+
+    :func:`girvan_newman_split`'s ``labels`` output needs a driver-side
+    iterative :func:`connected_components` run that cannot be expressed
+    as one lazy Catalyst plan, so before r15 every caller paid that loop
+    eagerly inside the call — including callers that consume only
+    ``removed`` (the bench's removal-sequence entries, any pipeline that
+    re-labels later). This proxy defers the loop until any DataFrame
+    attribute is touched; the materialized result is computed once and
+    every subsequent access delegates to it, so a consumer (the ``gnlab``
+    gate) sees exactly the rows/schema the eager form produced.
+
+    Implementation: the classic PySpark DataFrame keeps its state in
+    ``_jdf``/``_session``/``_sc`` instance attributes set by
+    ``__init__``; this subclass skips that ``__init__`` and serves the
+    same names as properties, materializing on ``_jdf`` access —
+    every public DataFrame method reads ``self._jdf``, so any operation
+    triggers (and then permanently reuses) the thunk's result.
+    """
+
+    def __new__(cls, session, thunk):
+        # the classic DataFrame's __new__ explicitly invokes
+        # __init__(jdf, sql_ctx) — bypass it, our state is (session, thunk)
+        return object.__new__(cls)
+
+    def __init__(self, session, thunk):
+        # deliberately NOT calling DataFrame.__init__ — _jdf is deferred
+        self.__dict__["_lazy_thunk"] = thunk
+        self.__dict__["_lazy_df"] = None
+        self.__dict__["_lazy_session"] = session
+        self.__dict__["is_cached"] = False
+        self.__dict__["_support_repr_html"] = False
+
+    def _lazy_materialize(self) -> DataFrame:
+        if self.__dict__["_lazy_df"] is None:
+            self.__dict__["_lazy_df"] = self.__dict__["_lazy_thunk"]()
+            self.__dict__["_lazy_thunk"] = None
+        return self.__dict__["_lazy_df"]
+
+    @property
+    def _jdf(self):
+        return self._lazy_materialize()._jdf
+
+    @property
+    def _session(self):
+        return self.__dict__["_lazy_session"]
+
+    @property
+    def _sc(self):
+        return self.__dict__["_lazy_session"]._sc
+
+
 def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
                         max_iter: int = 100,
                         n_pivots: int | None = None, seed: int = 0,
@@ -3662,14 +3746,35 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
     # per-edge sums, same micro-rounded tie-break).
     eb_cache = None   # (src, dst, betweenness) over the CURRENT und
     comp = None       # (id, component) over all_nodes for the CURRENT und
+    # r15 (guide §1.2 — don't compute things you throw away): the
+    # removal sequence never reads the labels, so all label work is
+    # DEFERRED into the returned labels DataFrame (computed on first
+    # access, see _DeferredDataFrame) unless pick="modularity" consumes
+    # labels internally every round. Concretely: the exact path's full
+    # CC init runs only when a second round (or modularity scoring)
+    # needs it, the FINAL round's incremental comp update moves into
+    # the labels thunk, and the final round's eb-cache update — dead
+    # work in every mode, nothing reads eb_cache after the last argmax
+    # — is skipped outright.
+    defer_labels = pick != "modularity"
+    n_rounds = int(n_removals)
+    pending_a = None  # final removal awaiting its deferred comp update
+
+    def _ensure_comp():
+        nonlocal comp
+        if comp is None:
+            comp = connected_components(und0, nodes=all_nodes) \
+                .localCheckpoint(eager=True)
+
     if n_pivots is None:
         C = shortest_path_counts(und, max_iter=max_iter)
         eb_cache = edge_betweenness(und, closure=C) \
             .localCheckpoint(eager=True)
         _unpersist_checkpoint(C)
-        comp = connected_components(und0, nodes=all_nodes) \
-            .localCheckpoint(eager=True)
-    for r in range(int(n_removals)):
+        if not defer_labels:
+            _ensure_comp()
+    for r in range(n_rounds):
+        last = r == n_rounds - 1
         if n_pivots is not None:
             ck: list = []
             # max_iter+1 hops, silently truncated — exactly the depth
@@ -3702,6 +3807,14 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
         if prev is not und0:  # und0 backs the modularity scoring
             _unpersist_checkpoint(prev)
         if n_pivots is None:
+            if last and defer_labels:
+                # nothing downstream reads comp or eb_cache eagerly —
+                # the final incremental comp update runs inside the
+                # labels thunk on first access, and the eb update is
+                # dead work (no further argmax)
+                pending_a = a
+                continue
+            _ensure_comp()
             # affected component X = a's component BEFORE the removal
             # (b shares it — they shared an edge)
             comp_a = comp.filter(F.col("id") == a) \
@@ -3715,17 +3828,20 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
                 .unionByName(cc_sub).localCheckpoint(eager=True)
             _unpersist_checkpoint(comp)
             comp = new_comp
-            C = shortest_path_counts(sub, max_iter=max_iter)
-            eb_sub = edge_betweenness(sub, closure=C)
-            new_cache = (
-                eb_cache.join(x_ids.select(F.col("id").alias("src")),
-                              "src", "left_anti")
-                .unionByName(eb_sub).localCheckpoint(eager=True))
-            _unpersist_checkpoint(C)
-            _unpersist_checkpoint(eb_cache)
+            if not last:
+                # eb_cache serves ONLY the next round's argmax — on the
+                # final round the update is dead work in every mode (r15)
+                C = shortest_path_counts(sub, max_iter=max_iter)
+                eb_sub = edge_betweenness(sub, closure=C)
+                new_cache = (
+                    eb_cache.join(x_ids.select(F.col("id").alias("src")),
+                                  "src", "left_anti")
+                    .unionByName(eb_sub).localCheckpoint(eager=True))
+                _unpersist_checkpoint(C)
+                _unpersist_checkpoint(eb_cache)
+                eb_cache = new_cache
             _unpersist_checkpoint(sub)
             _unpersist_checkpoint(x_ids)
-            eb_cache = new_cache
         if pick == "modularity":
             q = _q_from_labels(comp) if n_pivots is None else _q_scaled(und)
             if q > best_q:
@@ -3743,11 +3859,41 @@ def girvan_newman_split(edges: DataFrame, n_removals: int = 1,
             F.col("dst").alias("src"), F.col("src").alias("dst")))
         cut = und0.join(sym, ["src", "dst"], "left_anti")
         labels = connected_components(cut, nodes=all_nodes)
+    elif n_pivots is None and pending_a is not None:
+        # exact mode with a deferred final round: the thunk applies the
+        # final removal's incremental comp update (or, when no
+        # incremental state was ever built — single-round calls — one
+        # CC over the final cut). und/comp/all_nodes are live
+        # checkpoints the thunk closes over; same min-id labeling as
+        # the eager form, computed on first access only.
+        def _labels_exact(und_f=und, comp_f=comp, a_f=pending_a):
+            if comp_f is None:
+                return connected_components(und_f, nodes=all_nodes)
+            comp_a = comp_f.filter(F.col("id") == a_f) \
+                .select("component").collect()[0][0]
+            x_ids = comp_f.filter(F.col("component") == comp_a) \
+                .select("id").localCheckpoint(eager=True)
+            sub = und_f.join(x_ids.select(F.col("id").alias("src")),
+                             "src", "left_semi").localCheckpoint(eager=True)
+            out = comp_f.filter(F.col("component") != comp_a) \
+                .unionByName(connected_components(sub, nodes=x_ids)) \
+                .localCheckpoint(eager=True)
+            _unpersist_checkpoint(sub)
+            _unpersist_checkpoint(x_ids)
+            return out
+
+        labels = _DeferredDataFrame(spark, _labels_exact)
     elif n_pivots is None and comp is not None:
         # the incrementally-maintained labels ARE connected_components
         # of the final cut (same min-id labeling over the same
         # partition of all_nodes)
         labels = comp
+    elif defer_labels:
+        # sampled mode (or an exact call whose loop never removed an
+        # edge): one CC over the final cut, on first access
+        labels = _DeferredDataFrame(
+            spark,
+            lambda und_f=und: connected_components(und_f, nodes=all_nodes))
     else:
         labels = connected_components(und, nodes=all_nodes)
     return rem_df, labels
@@ -3814,6 +3960,11 @@ def _prep_edge_rel(edges: DataFrame, ckpts: "list | None" = None,
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
         e = (e.repartition(num_partitions, "src")
              .sortWithinPartitions("src", "dst").cache())
+        # mark as OURS to free: _unpersist_checkpoint only ever issues a
+        # CacheManager-level unpersist on relations tagged this way, so a
+        # caller-cached relation with a canonically-equal plan can never
+        # be dropped by the loop cleanup (r15, ADVICE item)
+        e._graft_cached = True
         e.count()
         if ckpts is not None:
             ckpts.append(e)
@@ -4037,12 +4188,28 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
     `betws`).
     """
     spark = edges.sparkSession
-    e = _prep_edge_rel(edges, ckpts=_ckpts)
+    # self-contained mode: with no caller-managed checkpoint list, collect
+    # the BFS state locally and free it after materializing the result —
+    # otherwise at exactly the scale where _prep_edge_rel caches (≥50M
+    # edge rows) the cache would pin executor storage for the rest of the
+    # session (r15, ADVICE item)
+    own = _ckpts is None
+    ck: list = [] if own else _ckpts
+
+    def _done(out: DataFrame) -> DataFrame:
+        if own:
+            out = out.localCheckpoint(eager=True)
+            for df in ck:
+                _unpersist_checkpoint(df)
+        return out
+
+    e = _prep_edge_rel(edges, ckpts=ck)
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     n = nodes.count()
     if n == 0:
-        return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
+        return _done(spark.createDataFrame(
+            [], "id BIGINT, betweenness DOUBLE"))
     if pivots is not None:
         pick = (pivots.select("id").distinct().join(nodes, "id")
                 .localCheckpoint(eager=False))
@@ -4054,24 +4221,25 @@ def betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
                               F.col("id").cast("string"))).asc(),
             F.col("id").asc()).limit(int(n_pivots)) \
             .localCheckpoint(eager=False)
-    if _ckpts is not None:
-        _ckpts.append(pick)
+    ck.append(pick)
     k = pick.count()
     if k == 0:
-        return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
+        return _done(spark.createDataFrame(
+            [], "id BIGINT, betweenness DOUBLE"))
     slices, counts = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon,
-                                      ckpts=_ckpts)
+                                      ckpts=ck)
     node_parts, _ = _brandes_backward(slices, counts, e, want_edges=False,
-                                      ckpts=_ckpts)
+                                      ckpts=ck)
     if not node_parts:
-        return spark.createDataFrame([], "id BIGINT, betweenness DOUBLE")
+        return _done(spark.createDataFrame(
+            [], "id BIGINT, betweenness DOUBLE"))
     acc = node_parts[0]
     for p in node_parts[1:]:
         acc = acc.unionByName(p)
     factor = float(n) / k if scale else 1.0
-    return (acc.groupBy("id")
-            .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
-            .filter(F.col("betweenness") > 0))
+    return _done(acc.groupBy("id")
+                 .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
+                 .filter(F.col("betweenness") > 0))
 
 
 def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
@@ -4116,12 +4284,24 @@ def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
     """
     spark = edges.sparkSession
     empty = "src BIGINT, dst BIGINT, betweenness DOUBLE"
-    e = _prep_edge_rel(edges, ckpts=_ckpts)
+    # self-contained mode when no caller-managed list is given — same
+    # rationale as betweenness_sampled (free the ≥50M-row edge cache)
+    own = _ckpts is None
+    ck: list = [] if own else _ckpts
+
+    def _done(out: DataFrame) -> DataFrame:
+        if own:
+            out = out.localCheckpoint(eager=True)
+            for df in ck:
+                _unpersist_checkpoint(df)
+        return out
+
+    e = _prep_edge_rel(edges, ckpts=ck)
     nodes = (e.select(F.col("src").alias("id"))
              .unionByName(e.select(F.col("dst").alias("id"))).distinct())
     n = nodes.count()
     if n == 0:
-        return spark.createDataFrame([], empty)
+        return _done(spark.createDataFrame([], empty))
     if pivots is not None:
         pick = (pivots.select("id").distinct().join(nodes, "id")
                 .localCheckpoint(eager=False))
@@ -4133,24 +4313,23 @@ def edge_betweenness_sampled(edges: DataFrame, n_pivots: int = 16,
                               F.col("id").cast("string"))).asc(),
             F.col("id").asc()).limit(int(n_pivots)) \
             .localCheckpoint(eager=False)
-    if _ckpts is not None:
-        _ckpts.append(pick)
+    ck.append(pick)
     k = pick.count()
     if k == 0:
-        return spark.createDataFrame([], empty)
+        return _done(spark.createDataFrame([], empty))
     slices, counts = _pivot_sigma_bfs(e, pick, max_iter, horizon=horizon,
-                                      ckpts=_ckpts)
+                                      ckpts=ck)
     _, edge_parts = _brandes_backward(slices, counts, e, want_edges=True,
-                                      ckpts=_ckpts)
+                                      ckpts=ck)
     if not edge_parts:
-        return spark.createDataFrame([], empty)
+        return _done(spark.createDataFrame([], empty))
     acc = edge_parts[0]
     for p in edge_parts[1:]:
         acc = acc.unionByName(p)
     factor = float(n) / k if scale else 1.0
-    return (acc.groupBy("src", "dst")
-            .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
-            .filter(F.col("betweenness") > 0))
+    return _done(acc.groupBy("src", "dst")
+                 .agg((F.sum("delta") * F.lit(factor)).alias("betweenness"))
+                 .filter(F.col("betweenness") > 0))
 
 
 def hyperball_registers(edges: DataFrame, rounds: int = 3, p: int = 4,
