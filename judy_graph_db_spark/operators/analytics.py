@@ -96,16 +96,21 @@ def _star_round(pairs: DataFrame, large: bool) -> DataFrame:
     groupBy + join-back formulation, which exchanges it twice — measured
     ~20% faster at sf0.1 and strictly fewer big shuffles at scale. The
     self-link row per u falls out of the same pass (row_number == 1).
+
+    r15: the per-u minimum comes from ``first(v)`` over the SAME sorted
+    window as the row_number (v is unique within u — adj is built from
+    the distinct canonical pairs — so the first row after the sort IS
+    the min), fusing the round's two Window operators into one
+    Sort+Window pass over the O(|E|) relation.
     """
     adj = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    w = Window.partitionBy("u")
     wo = Window.partitionBy("u").orderBy("v")
     ann = adj.select(
         "u",
         "v",
-        F.least(F.min("v").over(w), F.col("u")).alias("m"),
+        F.least(F.first("v").over(wo), F.col("u")).alias("m"),
         F.row_number().over(wo).alias("_rn"),
     )
     rewired = ann.filter(
@@ -1288,14 +1293,29 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
     ``stats``, when given, receives ``{"fw_bw_rounds": int,
     "trim_iters": int}`` (test/diagnostic hook).
     """
-    active_edges = base.localCheckpoint(eager=True)
+    # non-eager setup: the first trim iteration's count job materializes
+    # both (r15 — was 2 eager setup jobs)
+    active_edges = base.localCheckpoint(eager=False)
     active_nodes = (
         active_edges.select(F.col("src").alias("id"))
         .union(active_edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    settled: DataFrame | None = None
+    # settled accumulates as DISJOINT per-step slices (each backed by a
+    # checkpoint that already exists: the trim round's trivial set / the
+    # peel round's in_scc relation), unioned ONCE at the end — the r13/
+    # r14 form re-checkpointed the GROWING settled relation every trim
+    # iteration (O(iterations · |settled|) writes; the exact quadratic-
+    # write shape shortest_path_counts shed in r14) and paid 3 eager
+    # checkpoint jobs per trim iteration besides. Now a trim iteration
+    # is ONE job: the emptiness count that materializes the trivial set
+    # AND, through lineage, the round's non-eager actives (r15).
+    settled_parts: list = []
+    slice_ck: list = []   # slice-backing checkpoints, freed after the
+    #                       final union materializes
+    pend_free: list = []  # superseded actives — freeable only once the
+    #                       NEXT materializing job has run
     fw_bw_rounds = trim_iters = 0
     for _ in range(max_peel_rounds):
         # 0. trim: settle degree-0-in-or-out nodes until none remain.
@@ -1323,26 +1343,31 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
             # trivial set — one job per trim iteration instead of two (r14)
             trivial = active_nodes.join(
                 keep, "id", "left_anti").localCheckpoint(eager=False)
-            if trivial.count() == 0:
+            n_triv = trivial.count()
+            # that one job also materialized this round's actives —
+            # the previous round's state is now safe to free
+            for df in pend_free:
+                _unpersist_checkpoint(df)
+            pend_free = []
+            if n_triv == 0:
                 _unpersist_checkpoint(trivial)
                 break
             trim_iters += 1
-            done = trivial.select("id", F.col("id").alias("scc"))
-            settled = done if settled is None else settled.union(done)
-            settled = settled.localCheckpoint(eager=True)
+            settled_parts.append(
+                trivial.select("id", F.col("id").alias("scc")))
+            slice_ck.append(trivial)
             old_nodes, old_edges = active_nodes, active_edges
             active_nodes = active_nodes.join(
-                trivial, "id", "left_anti").localCheckpoint(eager=True)
+                trivial, "id", "left_anti").localCheckpoint(eager=False)
             active_edges = (
                 active_edges.join(trivial.withColumnRenamed("id", "src"),
                                   "src", "left_anti")
                 .join(trivial.withColumnRenamed("id", "dst"),
                       "dst", "left_anti")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            for df in (old_nodes, old_edges, trivial):
-                _unpersist_checkpoint(df)
+            pend_free = [old_nodes, old_edges]
         if active_nodes.limit(1).count() == 0:
             break
         fw_bw_rounds += 1
@@ -1426,29 +1451,49 @@ def _scc_coloring(base: DataFrame, max_peel_rounds: int = 10_000,
             _unpersist_checkpoint(old)
             if not any_new:
                 break
-        done = in_scc.select("id", F.col("color").alias("scc"))
-        settled = done if settled is None else settled.union(done)
-        settled = settled.localCheckpoint(eager=True)
-        # 3. peel: drop settled nodes and their incident edges
+        # the materialized in_scc relation BACKS its settled slice —
+        # no re-checkpoint of the accumulator (r15, see setup comment)
+        settled_parts.append(in_scc.select("id", F.col("color").alias("scc")))
+        slice_ck.append(in_scc)
+        # 3. peel: drop settled nodes and their incident edges (non-eager
+        # — the next peel round's first trim count materializes them)
         ids = in_scc.select("id")
         old_nodes, old_edges = active_nodes, active_edges
         active_nodes = active_nodes.join(ids, "id", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         active_edges = (
             active_edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        for df in (old_nodes, old_edges, colors, in_scc):
-            _unpersist_checkpoint(df)
+        # colors was only read by the (now fully materialized) backward
+        # sweep — freeable immediately; the actives wait for the next job
+        _unpersist_checkpoint(colors)
+        pend_free = [old_nodes, old_edges]
     if stats is not None:
         stats["fw_bw_rounds"] = fw_bw_rounds
         stats["trim_iters"] = trim_iters
-    return settled if settled is not None else base.sparkSession.createDataFrame(
-        [], "id long, scc long"
-    )
+    if not settled_parts:
+        for df in pend_free:
+            _unpersist_checkpoint(df)
+        _unpersist_checkpoint(active_nodes)
+        _unpersist_checkpoint(active_edges)
+        return base.sparkSession.createDataFrame([], "id long, scc long")
+    out = settled_parts[0]
+    for p in settled_parts[1:]:
+        out = out.union(p)
+    # ONE self-contained checkpoint for the caller (as before), then the
+    # slice-backing and residual-active checkpoints are freed
+    out = out.localCheckpoint(eager=True)
+    for df in slice_ck:
+        _unpersist_checkpoint(df)
+    for df in pend_free:
+        _unpersist_checkpoint(df)
+    _unpersist_checkpoint(active_nodes)
+    _unpersist_checkpoint(active_edges)
+    return out
 
 
 def closeness_centrality(edges: DataFrame, max_iter: int = 20,
@@ -2774,6 +2819,12 @@ def wl_colors(edges: DataFrame, rounds: int = 2,
     ``sort_array(collect_list(...))`` aggregation — the multiset
     canonicalization is per-node (bounded by degree), never a global
     sort; r rounds ⇒ r shuffles, state O(nodes).
+
+    The returned plan is LAZY for up to the last 7 rounds (checkpoints
+    land every 8th round only — the r14 change that removed a per-round
+    eager job + full |V| materialization): a caller that triggers MANY
+    actions on the result recomputes those tail rounds per action, so
+    ``df = wl_colors(...).localCheckpoint()`` first when reusing it.
     """
     sym = _symmetric(edges).localCheckpoint(eager=True)
     if labels is not None:

@@ -1854,11 +1854,15 @@ def emit_sft_sequences(pairs: DataFrame, seq_len: int, eod_id: int = 0,
     stop). Inputs are ALREADY-ENCODED id arrays, so any of the three
     encoders (or an external tokenizer) feeds it.
 
-    Scale shape: identical to :func:`emit_training_sequences` — one
-    posexplode per side (scan-stage), the two-pass distributed prefix
-    sum for example→global offsets (never a token-cardinality global
-    window), one ``seq_id``-keyed assembly agg. Returns ``(seq_id,
-    tokens, loss_mask, n_tokens)`` with aligned equal-length arrays.
+    Scale shape: identical to :func:`emit_training_sequences` — ONE
+    posexplode over the per-example ``(token_id, mask)`` stream (the
+    r14 form exploded the base relation three times, once per side +
+    once for the EOD row, tripling the scan-stage input), the two-pass
+    distributed prefix sum for example→global offsets (never a
+    token-cardinality global window), one ``seq_id``-keyed assembly agg
+    whose sorted struct array is collected ONCE and projected twice
+    (tokens / loss_mask). Returns ``(seq_id, tokens, loss_mask,
+    n_tokens)`` with aligned equal-length arrays.
     """
     plen = F.size(prompt_col)
     rlen = F.size(response_col)
@@ -1866,24 +1870,26 @@ def emit_sft_sequences(pairs: DataFrame, seq_len: int, eod_id: int = 0,
         F.col(id_col), (plen + rlen + 1).cast("long").alias("__n"))
     pre = _token_prefix(counts, id_col, id_col, None, weight=F.col("__n"))
     base = pairs.join(pre.select(id_col, "__start"), id_col)
-    prom = base.select(
-        F.col("__start"),
-        F.posexplode(prompt_col).alias("__i", "token_id"),
+    # one (token_id, mask) array per example: prompt tokens mask 0,
+    # response tokens mask 1, the EOD separator per convention — a
+    # single posexplode then yields the exact same (gpos, token, mask)
+    # stream the three-branch union produced
+    lng = F.lit(0).cast("long")
+
+    def _tm(tok, mask):
+        return F.struct(tok.cast("long").alias("token_id"),
+                        mask.cast("long").alias("mask"))
+
+    combined = F.concat(
+        F.transform(F.col(prompt_col), lambda t: _tm(t, lng)),
+        F.transform(F.col(response_col), lambda t: _tm(t, F.lit(1))),
+        F.array(_tm(F.lit(int(eod_id)), F.lit(1 if train_on_eod else 0))),
+    )
+    stream = base.select(
+        F.col("__start"), F.posexplode(combined).alias("__i", "__tm")
     ).select((F.col("__start") + F.col("__i")).alias("gpos"),
-             F.col("token_id").cast("long"),
-             F.lit(0).cast("long").alias("mask"))
-    resp = base.select(
-        F.col("__start"), F.size(prompt_col).alias("__pl"),
-        F.posexplode(response_col).alias("__i", "token_id"),
-    ).select((F.col("__start") + F.col("__pl") + F.col("__i")).alias("gpos"),
-             F.col("token_id").cast("long"),
-             F.lit(1).cast("long").alias("mask"))
-    eods = base.select(
-        (F.col("__start") + F.size(prompt_col) + F.size(response_col))
-        .alias("gpos"),
-        F.lit(int(eod_id)).cast("long").alias("token_id"),
-        F.lit(1 if train_on_eod else 0).cast("long").alias("mask"))
-    stream = prom.unionByName(resp).unionByName(eods)
+             F.col("__tm.token_id").alias("token_id"),
+             F.col("__tm.mask").alias("mask"))
     out = stream.select(
         F.expr(f"gpos div {int(seq_len)}").alias("seq_id"),
         (F.col("gpos") % int(seq_len)).alias("__pos"),
@@ -1894,14 +1900,13 @@ def emit_sft_sequences(pairs: DataFrame, seq_len: int, eod_id: int = 0,
     return (
         out.groupBy("seq_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct("__pos", "token_id", "mask"))),
-                lambda s: s["token_id"]).alias("tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.struct("__pos", "token_id", "mask"))),
-                lambda s: s["mask"]).alias("loss_mask"))
+            F.array_sort(F.collect_list(
+                F.struct("__pos", "token_id", "mask"))).alias("__sorted"))
+        .select("seq_id",
+                F.transform(F.col("__sorted"),
+                            lambda s: s["token_id"]).alias("tokens"),
+                F.transform(F.col("__sorted"),
+                            lambda s: s["mask"]).alias("loss_mask"))
         .select("seq_id", "tokens", "loss_mask",
                 F.size("tokens").cast("long").alias("n_tokens"))
     )

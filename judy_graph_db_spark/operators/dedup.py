@@ -20,6 +20,15 @@ from pyspark.sql import functions as F
 
 SHINGLE_LEN = 8
 SHINGLE_STRIDE = 4
+
+import os as _os  # noqa: E402
+
+#: corpus rows above which simhash_neardup_pairs materializes the
+#: signature relation once instead of letting the band self-join's two
+#: sides recompute the corpus-wide signature pass (see the dispatch
+#: comment there; the unconditional checkpoint measured 0.87× at sf0.1)
+_SIMHASH_CKPT_MIN_ROWS = int(_os.environ.get(
+    "SPARK_GRAFT_SIMHASH_CKPT_MIN", str(5_000_000)))
 NUM_HASHES = 8
 BAND_ROWS = 4  # 8 hashes / 4 rows = 2 bands
 
@@ -327,7 +336,16 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text",
     n_bands = bits // band_bits
     if n_bands <= max_hamming:
         raise ValueError("need bits/band_bits > max_hamming for lossless banding")
+    # RUNTIME-STATS DISPATCH (r15): the static plan carries the signature
+    # aggregation (token explode + per-bit agg over the corpus) under
+    # BOTH self-join sides. At sf0.1 an unconditional eager checkpoint
+    # A/B'd 0.87× — the pass is cheap there and the checkpoint round-trip
+    # dominates — so the materialization only happens above a corpus-size
+    # bound (env-tunable), where the duplicated pass is two full corpus
+    # scans. One count job on the (typically cached) input decides.
     sigs = simhash_signatures(docs, text_col, id_col, bits)
+    if docs.count() >= _SIMHASH_CKPT_MIN_ROWS:
+        sigs = sigs.localCheckpoint(eager=True)
     band_arr = F.array(
         *[F.substring("sig", b * band_bits + 1, band_bits) for b in range(n_bands)]
     )

@@ -181,8 +181,14 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold_micro: int = 400000,
                        if n > 128 else 4)
     buckets = hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
     # precompute each vector's norm ONCE before the pairwise join — the
-    # per-pair work is then a single dot product, not dot + two norms
-    e = embeddings.join(buckets, id_col).withColumn("_nrm", norm(vec_col, dim))
+    # per-pair work is then a single dot product, not dot + two norms;
+    # materialized ONCE (r15): both sides of the bucket self-join read
+    # this relation, and without the checkpoint each side re-ran the
+    # bucketing aggregation (plane join + collect_list over n·n_planes
+    # rows, duplicated in the r14 plan — guide §2.4)
+    e = (embeddings.join(buckets, id_col)
+         .withColumn("_nrm", norm(vec_col, dim))
+         .localCheckpoint(eager=True))
     a = e.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_emb_a"),
                  F.col("_nrm").alias("_nrm_a"), "bucket")
     b = e.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_emb_b"),
@@ -794,7 +800,12 @@ def bitext_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
         return (scored.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= int(k)))
 
-    fwd = topk("src_id", "tgt_id")
+    # fwd feeds BOTH the forward neighborhood stats and the margin join —
+    # non-eager checkpoint: the fs aggregation materializes it, and the
+    # margin join then reads blocks instead of re-running the src-keyed
+    # top-k window over `scored` (r15, guide §2.4; the eager form A/B'd
+    # 0.93× — the extra materialization job cost more than the window)
+    fwd = topk("src_id", "tgt_id").localCheckpoint(eager=False)
     bwd = topk("tgt_id", "src_id")
     fs = fwd.groupBy("src_id").agg(
         F.sum("sim_micro").alias("ssum"),

@@ -34,4 +34,13 @@ def get_spark(app_name: str = "judy_graph_db_spark", shuffle_partitions: int | N
         # convert in the view loader (sources/tpch_graph.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # SPARK_GRAFT_EXTRA_CONF="spark.x=y;spark.a=b": conf overrides without
+    # code edits — the r15 isolated config A/Bs (preferSortMergeJoin,
+    # shuffle codec) run through this, and a cluster deployment can inject
+    # its own values the same way. Empty by default so the driver's bench
+    # measures the unchanged configuration.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

@@ -559,6 +559,46 @@ def test_scc_coloring_peels_chain(spark):
     assert stats["trim_iters"] >= 1
 
 
+def test_scc_coloring_trim_iteration_job_count(spark):
+    # r15 trim-loop merge: a trim iteration is ONE Spark job (the
+    # emptiness count that materializes the trivial set and, through
+    # lineage, the round's non-eager actives) — the r14 form paid 3
+    # extra eager-checkpoint jobs per iteration (settled rewrite +
+    # nodes + edges). A 7-node pure chain runs 4 trim iterations
+    # ([0,6],[1,5],[2,4],[3]) + 1 empty-probe + 1 active-empty probe +
+    # 1 final settled union + ~2 setup-free jobs; assert a hard budget
+    # well under the r14 form's floor (which paid >= 4*4 + probes).
+    from judy_graph_db_spark.operators.analytics import _scc_coloring
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    stats = {}
+    # pin one-action==one-job execution: AQE materializes every query
+    # stage as its own job and broadcast exchanges run driver-side jobs
+    # of their own, which would count engine stages, not operator actions
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("scc-trim-jobs", "r15 trim job-count assertion")
+    try:
+        out = {r["id"]: r["scc"]
+               for r in _scc_coloring(edges, stats=stats).collect()}
+    finally:
+        sc.setJobGroup(None, None)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    jobs = sc._jsc.sc().statusTracker().getJobIdsForGroup("scc-trim-jobs")
+    assert out == {i: i for i in range(7)}
+    assert stats["trim_iters"] == 4 and stats["fw_bw_rounds"] == 0
+    # 4 trim counts + empty-trim probe + active-empty probe + final
+    # settled union + the caller's collect = 8; leave slack for engine
+    # internals but stay far below the r14 form's ~17+
+    assert len(jobs) <= 10, f"trim loop ran {len(jobs)} jobs"
+
+
 def test_scc_coloring_trim_then_one_fwbw_round(spark):
     # chain tail feeding a cycle: the tail trims away, the cycle needs
     # exactly one FW-BW round
