@@ -37,9 +37,11 @@ ENTRIES = {
 }
 
 
-def run_section(section: str, sf_dir: str) -> dict:
+def run_section(section: str, sf_dir: str,
+                entries: "list[str] | None" = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_BENCH_ENTRIES=",".join(ENTRIES[section]))
+               SPARK_GRAFT_BENCH_ENTRIES=",".join(
+                   entries or ENTRIES[section]))
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
@@ -65,9 +67,14 @@ def main() -> None:
                              "(see module docstring)")
     t_small: dict = {}
     t_big: dict = {}
-    for sec in ENTRIES:
-        t_small.update(run_section(sec, SF_DIRS["1.0"]))
-        t_big.update(run_section(sec, SF_DIRS["10"]))
+    # ONE entry per JVM (r15): at sf10 a shared section JVM accumulates
+    # enough cross-entry block-store/JIT state to die mid-section — and
+    # per-entry fresh JVMs are the stronger isolation anyway (the r10
+    # lesson that built bench.py's orchestrator)
+    for sec, names in ENTRIES.items():
+        for name in names:
+            t_small.update(run_section(sec, SF_DIRS["1.0"], [name]))
+            t_big.update(run_section(sec, SF_DIRS["10"], [name]))
     entries = {}
     for k in t_small:
         if k not in t_big:
