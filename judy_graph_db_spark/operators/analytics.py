@@ -302,7 +302,12 @@ def pagerank(
         .cache()
     )
     # materialize now: a cache whose plan is already final exposes its
-    # partitioning to every later join (an in-flight one does not)
+    # partitioning to every later join (an in-flight one does not).
+    # Deliberately SERIAL (r15 measured a 2-thread overlap of these two
+    # jobs at parity locally): the nodes job reads the ldeg cache, so
+    # running it second guarantees a warm cache — overlapped, its scans
+    # race the cache fill and can recompute the O(|E|) window pass,
+    # which is not free on a saturated cluster.
     ldeg.count()
     nodes.count()
     if init_ranks is None:

@@ -77,6 +77,7 @@ def random_walks(edges: DataFrame, length: int = 3, seed: int = 0,
         "walk_id", F.lit(0).cast("long").alias("step"),
         F.col("cur").alias("node"),
     )
+    hops: list = []
     for s in range(1, length + 1):
         h = _edge_hash(
             seed, F.col("walk_id"), F.lit(s), F.col("src"), F.col("dst")
@@ -91,7 +92,13 @@ def random_walks(edges: DataFrame, length: int = 3, seed: int = 0,
             .agg(F.min("pick").alias("pick"))
             .select("walk_id", F.col("pick.d").alias("cur"))
         )
-        frontier = step.localCheckpoint(eager=True)  # flat lineage per hop
+        # non-eager: lineage still truncates at each hop, but the hops
+        # materialize inside the ONE job that computes the final result
+        # checkpoint instead of paying an eager job per hop (r15; the
+        # shortest_path_counts idiom). Each hop's checkpoint is read
+        # twice (next hop's join + the output union) without recompute.
+        frontier = step.localCheckpoint(eager=False)
+        hops.append(frontier)
         out = out.unionByName(
             frontier.select(
                 "walk_id", F.lit(s).cast("long").alias("step"),
@@ -100,6 +107,11 @@ def random_walks(edges: DataFrame, length: int = 3, seed: int = 0,
         )
     result = out.localCheckpoint(eager=True)
     adj.unpersist()
+    for h_df in hops:
+        try:
+            h_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
     return result
 
 

@@ -29,6 +29,15 @@ def get_spark(app_name: str = "judy_graph_db_spark", shuffle_partitions: int | N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (build side under autoBroadcastJoinThreshold ×
+        # shuffle partitions): removes the per-round Sorts from the
+        # iterative join family. Adopted on the r15 isolated A/B —
+        # connected_components 1.35×, closure_doubling 1.30×,
+        # pagerank 1.14× vs scc −5% (OPTIMIZATION_r15.md "Config
+        # experiments"); AQE skew handling still applies to SHJ, and a
+        # deployment can override via SPARK_GRAFT_EXTRA_CONF.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # the driver's parquet files carry TIMESTAMP(NANOS) columns, which
         # Spark's vectorized reader rejects; read them as long nanos and
         # convert in the view loader (sources/tpch_graph.py)

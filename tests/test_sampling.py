@@ -313,3 +313,27 @@ def test_node2vec_walks_statistical_split(spark):
     # from 0 with prev=900: 1 is common (900->1), 900 return, 2/3 far;
     # among {1,2,3}: expect 8 : 1 : 1
     assert c[1] / max(c[2] + c[3], 1) > 2.0
+
+
+def test_random_walks_one_materialization_job(spark):
+    # r15: the per-hop checkpoints are non-eager — the adjacency count is
+    # one job and the final result checkpoint materializes every hop in
+    # ONE more job (the r14 form paid an eager-checkpoint job per hop).
+    sc = spark.sparkContext
+    edges = edges_df(spark, [(i, i + 1) for i in range(20)])
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("walk-jobs", "r15 walk job-count assertion")
+    try:
+        n = SA.random_walks(edges, length=3, seed=1).count()
+    finally:
+        sc.setJobGroup(None, None)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    jobs = sc._jsc.sc().statusTracker().getJobIdsForGroup("walk-jobs")
+    assert n > 0
+    # adj count + result checkpoint + the caller's count = 3; the r14
+    # form ran 3 more (one eager checkpoint per hop)
+    assert len(jobs) <= 4, f"random_walks ran {len(jobs)} jobs"
